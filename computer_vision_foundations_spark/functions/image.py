@@ -1,0 +1,222 @@
+"""Image metadata / statistics extraction as Arrow-vectorized pandas UDFs.
+
+Re-expresses the reference's row-at-a-time Python UDFs
+(`02_Data Ingest.py:137-204` get_image_metadata, `02_Data
+Ingest.py:223-252` get_image_statistics) with the SAME declared output
+schemas (`02_Data Ingest.py:191-199` and `02_Data Ingest.py:242-249`),
+but batched over Arrow so the JVM⇄Python hop moves columnar buffers,
+not pickled rows — the reference's dominant perf cost (SURVEY §4).
+
+Decode backend:
+- With Pillow installed, images are decoded exactly as the reference
+  does (PIL.Image + ImageStat; EXIF struct synthesized from
+  PIL.ExifTags the way `02_Data Ingest.py:111-132` does).
+- Without Pillow (this container), a clearly-marked DETERMINISTIC FAKE
+  decoder stands in: it derives pseudo pixel statistics from the raw
+  bytes so the Spark-side plumbing (schemas, Arrow batches, struct
+  columns, SQL registration) is fully real and testable. Swap-in is a
+  single function.
+
+The EXIF schema is synthesized from PIL's tag tables when available and
+falls back to a pinned snapshot of common tags otherwise, preserving
+the schema-from-code pattern (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+try:  # optional dependency — the engine core needs only pyspark
+    from PIL import ExifTags, Image, ImageStat  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - container has no Pillow
+    HAVE_PIL = False
+
+# Pinned snapshot of common EXIF tag names, used when PIL is absent so
+# the schema stays stable (subset of PIL.ExifTags.TAGS values).
+_EXIF_TAGS_SNAPSHOT = [
+    "ImageWidth", "ImageLength", "BitsPerSample", "Compression",
+    "Make", "Model", "Orientation", "XResolution", "YResolution",
+    "ResolutionUnit", "Software", "DateTime", "ExposureTime", "FNumber",
+    "ISOSpeedRatings", "DateTimeOriginal", "FocalLength", "ColorSpace",
+    "ExifImageWidth", "ExifImageHeight",
+]
+_GPS_TAGS_SNAPSHOT = [
+    "GPSVersionID", "GPSLatitudeRef", "GPSLatitude", "GPSLongitudeRef",
+    "GPSLongitude", "GPSAltitudeRef", "GPSAltitude", "GPSTimeStamp",
+    "GPSDateStamp",
+]
+
+
+def exif_struct_type() -> T.StructType:
+    """EXIF schema synthesized from PIL's tag tables (or the snapshot).
+
+    Mirrors the generation loop at `02_Data Ingest.py:111-132`: every
+    tag is a string field; GPSInfo becomes a nested struct of GPS tag
+    strings; duplicate tag names are kept once.
+    """
+    if HAVE_PIL:
+        names: list[str] = []
+        gps_names: list[str] = []
+        for t in ExifTags.TAGS:
+            name = ExifTags.TAGS[t]
+            if name == "GPSInfo":
+                for g in ExifTags.GPSTAGS:
+                    if ExifTags.GPSTAGS[g] not in gps_names:
+                        gps_names.append(ExifTags.GPSTAGS[g])
+            elif name not in names:
+                names.append(name)
+    else:
+        names = list(_EXIF_TAGS_SNAPSHOT)
+        gps_names = list(_GPS_TAGS_SNAPSHOT)
+    fields = [T.StructField(n, T.StringType()) for n in names]
+    fields.append(
+        T.StructField(
+            "GPSInfo", T.StructType([T.StructField(g, T.StringType()) for g in gps_names])
+        )
+    )
+    return T.StructType(fields)
+
+
+EXIF_SCHEMA = exif_struct_type()
+
+# Schemas identical to the reference's declarations.
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("dpi", T.ArrayType(T.IntegerType())),
+        T.StructField("layers", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("exif", EXIF_SCHEMA),
+    ]
+)
+
+STATISTICS_SCHEMA = T.StructType(
+    [
+        T.StructField("mean", T.ArrayType(T.DoubleType())),
+        T.StructField("median", T.ArrayType(T.IntegerType())),
+        T.StructField("stddev", T.ArrayType(T.DoubleType())),
+        T.StructField("extrema", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("histogram", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _fake_pixels(content: bytes, n: int = 256) -> list[int]:
+    """DETERMINISTIC FAKE decode: first n bytes as a 1-band pixel strip.
+
+    Stands in for JPEG decoding when Pillow is unavailable; replace
+    with a real decoder in production. NOT an image decoder.
+    """
+    if not content:
+        return [0]
+    return list(content[:n])
+
+
+def _metadata_one(content: bytes) -> dict:
+    if HAVE_PIL:
+        img = Image.open(io.BytesIO(content))
+        exif: dict = {}
+        raw = img.getexif()
+        for t, v in raw.items():
+            name = ExifTags.TAGS.get(t)
+            if name == "GPSInfo" and isinstance(v, dict):
+                exif["GPSInfo"] = {
+                    ExifTags.GPSTAGS.get(g, str(g)): str(gv) for g, gv in v.items()
+                }
+            elif name:
+                exif[name] = str(v)
+        return {
+            "height": img.height,
+            "width": img.width,
+            "dpi": [int(d) for d in img.info.get("dpi", (0, 0))],
+            "layers": len(img.getbands()),
+            "mode": img.mode,
+            "format": img.format,
+            "exif": exif,
+        }
+    px = _fake_pixels(content)
+    side = max(1, int(math.isqrt(len(px))))
+    return {
+        "height": side,
+        "width": side,
+        "dpi": [72, 72],
+        "layers": 1,
+        "mode": "L",
+        "format": "FAKE",
+        "exif": {"GPSInfo": {}},
+    }
+
+
+def _statistics_one(content: bytes) -> dict:
+    if HAVE_PIL:
+        img = Image.open(io.BytesIO(content))
+        stat = ImageStat.Stat(img)
+        return {
+            "mean": [float(x) for x in stat.mean],
+            "median": [int(x) for x in stat.median],
+            "stddev": [float(x) for x in stat.stddev],
+            "extrema": [[int(a), int(b)] for (a, b) in img.getextrema()]
+            if img.getbands() != ("P",)
+            else [],
+            "entropy": float(img.entropy()),
+            "histogram": [int(x) for x in img.histogram()],
+        }
+    px = _fake_pixels(content)
+    n = len(px)
+    mean = sum(px) / n
+    var = sum((x - mean) ** 2 for x in px) / n
+    hist = [0] * 256
+    for x in px:
+        hist[x] += 1
+    counts = Counter(px)
+    entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    return {
+        "mean": [mean],
+        "median": [sorted(px)[n // 2]],
+        "stddev": [math.sqrt(var)],
+        "extrema": [[min(px), max(px)]],
+        "entropy": entropy,
+        "histogram": hist,
+    }
+
+
+@pandas_udf(METADATA_SCHEMA)
+def get_image_metadata(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield pd.DataFrame([_metadata_one(b) for b in batch])
+
+
+@pandas_udf(STATISTICS_SCHEMA)
+def get_image_statistics(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield pd.DataFrame([_statistics_one(b) for b in batch])
+
+
+def register_image_functions(spark: SparkSession) -> None:
+    """SQL registration so ``expr('get_image_metadata(content)')`` works
+    (parity with `02_Data Ingest.py:204,252`)."""
+    spark.udf.register("get_image_metadata", get_image_metadata)
+    spark.udf.register("get_image_statistics", get_image_statistics)
+
+
+def with_image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    return df.withColumn("metadata", get_image_metadata(F.col(content_col)))
+
+
+def with_image_statistics(df: DataFrame, content_col: str = "content") -> DataFrame:
+    return df.withColumn("statistics", get_image_statistics(F.col(content_col)))

@@ -1,0 +1,150 @@
+"""Approximate-nearest-neighbor / similarity search over embeddings.
+
+North-star extension (SURVEY §2.10). Two tiers:
+
+- ``brute_force_knn``: exact top-k cosine between a (small) probe set
+  and the full corpus. The probe side is broadcast — the corpus is
+  scanned once, map-side, with JVM vector math; the only shuffle is the
+  per-probe top-k (window over probe_id, k rows each). This is the
+  correctness baseline and is already the right plan when probes ≪
+  corpus (the common "query a handful of vectors against 100 TB" case).
+- ``lsh_bucketed_knn``: random-hyperplane LSH (sign of dot with seeded
+  random vectors → bucket id). Probes and corpus join on bucket id so
+  only same-bucket candidates are scored — the scale path when the
+  probe set is itself huge. Recall is tunable via n_planes/n_tables.
+
+Seeded throughout; no driver-side collect of data rows.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe (excluding self-matches).
+
+    Returns ``(probe_id, neighbor_id, cos_sim, rank)``. Ties break on
+    neighbor_id after rounding, so results are total-order
+    deterministic (required by the differential oracle).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine_similarity("_pv", "_cv"), round_digits)
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = bit vector of sign(v · r_i), as a long column."""
+    v = to_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucketed_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+
+    Each of ``n_tables`` independent plane sets hashes every vector to
+    a bucket; probe×corpus join on (table, bucket) generates candidates,
+    deduped across tables, then exact cosine + per-probe top-k. Plan:
+    two narrow projections + one equi-join shuffle on (table, bucket) +
+    one window shuffle on probe_id — no cross product anywhere.
+    """
+    def with_buckets(df: DataFrame, side_id: str) -> DataFrame:
+        rows = []
+        for t in range(n_tables):
+            planes = _random_planes(dim, n_planes, seed + t * 7919)
+            rows.append(
+                df.select(
+                    F.col(id_col).alias(side_id),
+                    F.col(vec_col).alias(f"_{side_id}_v"),
+                    F.lit(t).alias("_table"),
+                    hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    pb = with_buckets(probes, "probe_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cands = (
+        pb.join(cb, on=["_table", "_bucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "_probe_id_v", "neighbor_id", "_neighbor_id_v")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cos_sim",
+        F.round(cosine_similarity("_probe_id_v", "_neighbor_id_v"), round_digits),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,63 @@
+"""Train/test split operators.
+
+Re-expresses the reference's split stage (`03a_Model Training.py:74-86`):
+stratified 80% sample per label → left-anti join complement → drop key →
+repartition. Two variants:
+
+- ``train_test_split``: faithful semantics (``sampleBy`` + left-anti
+  join) but ALWAYS seeded — the reference's unseeded ``sampleBy``
+  (`03a_Model Training.py:81`) is nondeterministic, which breaks both
+  reproducibility and differential testing.
+- ``deterministic_split``: hash/mod-based assignment — exact,
+  engine-portable, shuffle-free tagging (a narrow projection), which is
+  what you want at 100 TB: the sample variant scans twice (sample +
+  anti-join shuffle), the deterministic variant tags each row in one
+  pass with zero shuffle and perfectly reproducible membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_test_split(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    train_fraction: float = 0.8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded stratified split: (train, test) with test = complement.
+
+    The anti-join complement is exactly the reference's idiom
+    (`03a_Model Training.py:81-82`); Catalyst plans it as a broadcast
+    anti-join when the train side is small, sort-merge otherwise. The
+    complement property train ∪ test = all, train ∩ test = ∅ holds by
+    construction on the key.
+    """
+    labels = [r[0] for r in df.select(label_col).distinct().collect()]
+    fractions = {lab: train_fraction for lab in labels}
+    train = df.sampleBy(label_col, fractions=fractions, seed=seed)
+    test = df.join(train.select(key_col), on=key_col, how="left_anti")
+    return train, test
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    eval_col: str = "eval_set",
+    buckets: int = 100,
+) -> DataFrame:
+    """Tag rows train/test by ``pmod(key, buckets) < train_pct``.
+
+    Single narrow projection — no shuffle, no second scan, portable to
+    any engine (used by the DuckDB differential oracle). For non-numeric
+    keys pass a pre-hashed column.
+    """
+    bucket = F.pmod(F.col(key_col).cast("long"), F.lit(buckets))
+    return df.withColumn(
+        eval_col,
+        F.when(bucket < F.lit(train_pct), F.lit("train")).otherwise(F.lit("test")),
+    )

@@ -1,0 +1,928 @@
+"""Query registry: every implemented operator as (PySpark impl, DuckDB oracle).
+
+This is the engine's differential-test surface (SURVEY §5): each entry
+pairs a DataFrame pipeline built from the package's operators with an
+ANSI-SQL equivalent the driver runs on DuckDB over the same parquet
+tables. Column names and types are aligned on both sides; floating
+aggregates are rounded identically so order-insensitive value hashes
+match across engines.
+
+Conventions:
+- every callable takes ``(spark, sf_dir)`` and returns a DataFrame
+- every computed column is aliased identically in Spark and SQL
+- sums rounded to 2, averages to 4, ratios/similarities to 6 digits
+- deterministic total order is never required (driver hash is
+  order-insensitive) but ties in top-k/rank are always broken by id
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.filename import with_parsed_filename
+from computer_vision_foundations_spark.functions.text import (
+    STOPWORDS,
+    language_score_columns,
+    quality_columns,
+)
+from computer_vision_foundations_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_column,
+)
+from computer_vision_foundations_spark.operators.score import score_with
+from computer_vision_foundations_spark.operators.similarity import brute_force_knn
+from computer_vision_foundations_spark.operators.split import (
+    deterministic_split,
+    train_test_split,
+)
+from computer_vision_foundations_spark.sources.tables import load_table
+from computer_vision_foundations_spark.streaming.windows import (
+    sessionized,
+    tumbling_counts,
+)
+
+QuerySpec = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QuerySpec] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QuerySpec) -> QuerySpec:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QuerySpec]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-§2.6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→hash-agg; partial aggregation map-side,
+    one shuffle on the 2-column group key. Filter and the 7-column
+    projection push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q02_class_balance_split",
+    """
+    SELECT CASE WHEN o_orderkey % 100 < 80 THEN 'train' ELSE 'test' END AS eval_set,
+           o_orderkey % 2 AS label,
+           count(*) AS instances
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q02_class_balance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's train/test class-balance sanity query
+    (`03a_Model Training.py:74-96`) — deterministic stratified split →
+    left-anti-join complement → union → grouped count. Exercises SA1
+    (as deterministic split), J1 (anti join), U1 (union), A1 (agg)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "label", F.pmod(F.col("o_orderkey"), F.lit(2))
+    )
+    tagged = deterministic_split(orders, "o_orderkey", train_pct=80)
+    train = tagged.filter(F.col("eval_set") == "train").drop("eval_set")
+    # complement via anti join, exactly the reference's idiom
+    test = orders.join(train.select("o_orderkey"), on="o_orderkey", how="left_anti")
+    unioned = train.select(F.lit("train").alias("eval_set"), "label").unionByName(
+        test.select(F.lit("test").alias("eval_set"), "label")
+    )
+    return unioned.groupBy("eval_set", "label").agg(
+        F.count(F.lit(1)).alias("instances")
+    )
+
+
+@_register(
+    "q03_top_revenue_orders",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + total-order top-k. Ties on rounded revenue break on
+    o_orderkey so LIMIT is deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "q04_region_revenue",
+    """
+    SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the small dims — at 100 TB
+    the fact side never shuffles for the dim joins."""
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "q05_customer_order_profile",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c.c_custkey)            AS n_customers,
+           count(o.o_orderkey)                    AS n_orders,
+           round(sum(coalesce(o.o_totalprice, 0)), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers + distinct agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@_register(
+    "q06_semi_anti_customers",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_active,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_inactive
+    """,
+)
+def q06_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    active = c.join(o, on="c_custkey", how="left_semi").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    inactive = c.join(o, on="c_custkey", how="left_anti").agg(
+        F.count(F.lit(1)).alias("n_inactive")
+    )
+    return active.crossJoin(inactive)
+
+
+@_register(
+    "q07_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q07_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number top-N per group (the reference's 'latest run'
+    pattern, SURVEY §2.5 W1, as a relational operator)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@_register(
+    "q08_events_running_window",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+    """,
+)
+def q08_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag over an event stream (ordered window frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            4,
+        ).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@_register(
+    "q09_distinct_aggs",
+    """
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q09_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "q10_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q11_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q11_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q12_setops_customers",
+    """
+    SELECT 'both' AS tag, count(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'only_highbal' AS tag, count(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'either' AS tag, count(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      UNION SELECT o_custkey FROM orders)
+    """,
+)
+def q12_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except / union(distinct) — SURVEY §2.5 set ops."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").cast("long").alias("k"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = c.intersect(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("tag"), "n"
+    )
+    only = c.subtract(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_highbal").alias("tag"), "n"
+    )
+    either = c.union(o).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("either").alias("tag"), "n"
+    )
+    return both.unionByName(only).unionByName(either)
+
+
+@_register(
+    "q13_filename_parse",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') || '_dev_' || (o_custkey % 10)
+             || '_' || (o_orderkey % 2) || '.jpg'               AS file_name,
+           strftime(o_orderdate, '%Y-%m-%d')                    AS date,
+           'dev_' || (o_custkey % 10)                           AS device_id,
+           CAST(o_orderkey % 2 AS INT)                          AS label
+    FROM orders
+    """,
+)
+def q13_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's filename-parse stage (`02_Data Ingest.py:93-100`)
+    verified end-to-end: synthesize `<ts>_<device>_<label>.jpg` paths
+    from orders, run the parse operator, emit the parsed columns. The
+    oracle reconstructs the expected values directly."""
+    o = load_table(spark, sf_dir, "orders")
+    path = F.concat(
+        F.lit("/landing/"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("_dev_"),
+        F.pmod(F.col("o_custkey"), F.lit(10)),
+        F.lit("_"),
+        F.pmod(F.col("o_orderkey"), F.lit(2)),
+        F.lit(".jpg"),
+    )
+    parsed = with_parsed_filename(o.withColumn("path", path))
+    return parsed.select(
+        "o_orderkey",
+        "file_name",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        "device_id",
+        "label",
+    )
+
+
+@_register(
+    "q14_conditional_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+             AS discounted_rev,
+           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(min(l_extendedprice), 2) AS min_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_discount") > 0.05,
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(F.lit(0.0))
+            ),
+            2,
+        ).alias("discounted_rev"),
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("n_bulk"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+    )
+
+
+@_register(
+    "q15_monthly_orders",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q15_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@_register(
+    "q16_events_hourly_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q16_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling-window operator (streaming/windows.py) run
+    in batch mode — F.window('1 hour').start ≡ date_trunc('hour')."""
+    e = load_table(spark, sf_dir, "events")
+    out = tumbling_counts(e, ts_col="ts", duration="1 hour", group_cols=("event_type",))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@_register(
+    "q17_sessionization",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM tagged)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q17_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming/windows.sessionized) reduced
+    to per-user session counts."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionized(e, gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "q18_value_share",
+    """
+    SELECT event_id, event_type,
+           round(value / sum(value) OVER (PARTITION BY event_type), 6) AS share
+    FROM events
+    """,
+)
+def q18_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered analytic window: each event's share of its type total."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") / F.sum("value").over(w), 6).alias("share"),
+    )
+
+
+@_register(
+    "q19_status_pivot",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled_total,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS partial_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q19_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (portable form of
+    df.groupBy().pivot())."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def tot(status: str):
+        return F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            2,
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        tot("O").alias("open_total"),
+        tot("F").alias("filled_total"),
+        tot("P").alias("partial_total"),
+    )
+
+
+@_register(
+    "q20_stats_by_flag",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q20_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis / similarity (north-star, SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q21_dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via canonical-text md5 fingerprint (operators/dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "text", "doc_id", canonicalize=True)
+
+
+@_register(
+    "q22_text_quality",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           round((length(text) - (len(string_split(text, ' ')) - 1))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           round(len(list_filter(string_split(text, ' '),
+                     x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS en_stopword_ratio
+    FROM documents
+    """,
+)
+def q22_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score columns (token stats, punctuation, stopword ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_columns(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_measured",
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("en_stopword_ratio", 6).alias("en_stopword_ratio"),
+    )
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> list_contains([{lst}], x)))"
+        " / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    )
+
+
+@_register(
+    "q23_language_guess",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql(STOPWORDS['de'])} AS score_de,
+             {_lang_score_sql(STOPWORDS['en'])} AS score_en,
+             {_lang_score_sql(STOPWORDS['es'])} AS score_es,
+             {_lang_score_sql(STOPWORDS['fr'])} AS score_fr
+      FROM documents)
+    SELECT lang, lang_guess, count(*) AS n FROM (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                  WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) THEN 'fr'
+                  WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                  WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                  ELSE 'de' END AS lang_guess
+      FROM scored) t
+    GROUP BY lang, lang_guess
+    """,
+)
+def q23_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID vs the labeled lang column —
+    confusion-matrix counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = language_score_columns(docs, "text")
+    return out.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(text,' ')[i:i+2], '|'))) AS shingles
+      FROM documents
+"""
+
+
+@_register(
+    "q24_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
+    """,
+)
+def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-duplicate pairs (operators/dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.1)
+
+
+@_register(
+    "q25_minhash_signatures",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           array_to_string([
+             list_min(list_transform(shingles, s -> md5('0:' || s))),
+             list_min(list_transform(shingles, s -> md5('1:' || s))),
+             list_min(list_transform(shingles, s -> md5('2:' || s))),
+             list_min(list_transform(shingles, s -> md5('3:' || s))),
+             list_min(list_transform(shingles, s -> md5('4:' || s))),
+             list_min(list_transform(shingles, s -> md5('5:' || s))),
+             list_min(list_transform(shingles, s -> md5('6:' || s))),
+             list_min(list_transform(shingles, s -> md5('7:' || s)))
+           ], ',') AS signature_key
+    FROM sh
+    """,
+)
+def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-permutation variant) — bit-identical
+    across engines, emitted as one joined string column."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", k=3, n_hashes=8, hash_fn="md5")
+    return sigs.select(
+        "doc_id", F.array_join("signature", ",").alias("signature_key")
+    )
+
+
+@_register(
+    "q26_lsh_candidate_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, [
+        list_min(list_transform(shingles, s -> md5('0:' || s))),
+        list_min(list_transform(shingles, s -> md5('1:' || s))),
+        list_min(list_transform(shingles, s -> md5('2:' || s))),
+        list_min(list_transform(shingles, s -> md5('3:' || s))),
+        list_min(list_transform(shingles, s -> md5('4:' || s))),
+        list_min(list_transform(shingles, s -> md5('5:' || s))),
+        list_min(list_transform(shingles, s -> md5('6:' || s))),
+        list_min(list_transform(shingles, s -> md5('7:' || s)))
+      ] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, array_to_string(sig[1:2], ',') AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, array_to_string(sig[3:4], ',') FROM sig
+      UNION ALL
+      SELECT doc_id, 2, array_to_string(sig[5:6], ',') FROM sig
+      UNION ALL
+      SELECT doc_id, 3, array_to_string(sig[7:8], ',') FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def q26_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: candidate pairs sharing ≥1 of 4 bands of an
+    8-hash signature (operators/dedup.minhash_lsh_candidate_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidate_pairs(
+        docs, "text", "doc_id", k=3, n_hashes=8, bands=4, hash_fn="md5"
+    )
+
+
+@_register(
+    "q27_knn_cosine",
+    """
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5)
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(p.pv AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(p.pv AS DOUBLE[])), 6) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id) t
+    WHERE rank <= 10
+    """,
+)
+def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors for probes vec_id<5
+    (operators/similarity.brute_force_knn): broadcast probes, JVM-side
+    vector math, single window shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return brute_force_knn(emb, probes, k=10)
+
+
+@_register(
+    "q28_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """,
+)
+def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-duplicates blocked by label (the block
+    column stands in for an LSH bucket at scale)."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "embedding", "vec_id", block_col="label", threshold=0.5
+    )
+
+
+@_register(
+    "q29_scored_documents",
+    """
+    SELECT doc_id, round(length(text) / 1000.0, 6) AS score
+    FROM documents
+    """,
+)
+def q29_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring operator (operators/score.score_with — reference U3
+    semantics: Arrow-batched iterator UDF, struct input, base64
+    sniffing) with a deterministic byte-length model so the result is
+    SQL-checkable."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content", F.col("text").cast("binary")
+    )
+    scored = score_with(
+        docs,
+        lambda pdf: pdf["content"].map(lambda b: len(b) / 1000.0),
+        input_cols=["content"],
+    )
+    return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle — driver records weaker check)
+# ---------------------------------------------------------------------------
+
+
+@_register("q30_sampleby_split")
+def q30_sampleby_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded sampleBy stratified split (reference SA1/J1 semantics,
+    `03a_Model Training.py:74-96`). Sampling PRNGs differ per engine so
+    this entry is rows-only; the complement/determinism properties are
+    pytest-verified in tests/test_split.py."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "label", F.pmod(F.col("o_orderkey"), F.lit(2))
+    )
+    train, test = train_test_split(o, "label", "o_orderkey", 0.8, seed=42)
+    return (
+        train.select(F.lit("train").alias("eval_set"), "label")
+        .unionByName(test.select(F.lit("test").alias("eval_set"), "label"))
+        .groupBy("eval_set", "label")
+        .agg(F.count(F.lit(1)).alias("instances"))
+        .orderBy("eval_set", "label")
+    )
+
+
+@_register("q31_simhash")
+def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (xxhash64 bit votes — engine-internal hash,
+    not portable to the oracle; Hamming-distance pairing tested in
+    pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_column("text", bits=32).alias("simhash")
+    )
+
+
+@_register("q32_image_statistics")
+def q32_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-statistics pandas UDF (reference U2 schema,
+    `02_Data Ingest.py:242-249`) over synthesized binary payloads —
+    decode is the documented deterministic stub in this container, so
+    rows-only."""
+    from computer_vision_foundations_spark.functions.image import get_image_statistics
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content", F.col("text").cast("binary")
+    )
+    out = docs.withColumn("statistics", get_image_statistics(F.col("content")))
+    return out.select(
+        "doc_id",
+        F.col("statistics.entropy").alias("entropy"),
+        F.element_at("statistics.mean", 1).alias("mean_band0"),
+        F.element_at("statistics.median", 1).alias("median_band0"),
+    )

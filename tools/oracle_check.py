@@ -1,0 +1,126 @@
+"""Local differential check: Spark queries vs DuckDB oracles.
+
+Mimics the driver's correctness gate so failures surface before a
+round ends: for every entry in ``queries()`` with an ``oracle_sql()``
+twin, run both at the given scale factor and compare row count, sorted
+column names, and values (rows sorted by all columns; floats compared
+exactly after the queries' own rounding, with a 1e-9 fallback report).
+
+Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from computer_vision_foundations_spark import get_spark
+from computer_vision_foundations_spark.queries import oracle_sql, queries
+from computer_vision_foundations_spark.sources.tables import TABLE_NAMES
+
+
+def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(
+        drop=True
+    )
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count {len(spark_df)} vs {len(duck_df)}")
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+        )
+        return problems
+    a, b = _canon(spark_df), _canon(duck_df)
+    if len(a) == len(b):
+        exact_mismatch = 0
+        first = None
+        for col in a.columns:
+            av, bv = a[col].tolist(), b[col].tolist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                if not _values_equal(x, y):
+                    exact_mismatch += 1
+                    if first is None:
+                        first = f"col={col} row={i}: {x!r} vs {y!r}"
+        if exact_mismatch:
+            problems.append(f"{exact_mismatch} value mismatches; first: {first}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = _duck_con(sf_dir)
+    qs, oracles = queries(), oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s)")
+            if len(sdf) == 0:
+                print(f"WARN {name}: 0 rows")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match ({t_spark:.1f}s)")
+    print(f"\n{n_fail} failures / {len(only) or len(qs)} queries")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
