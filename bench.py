@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Runs a representative subset of the registry — relational joins/aggs,
+windows, dedup (exact, Jaccard, MinHash-LSH), similarity search, text
+analysis — on local[$SPARK_GRAFT_CPUS], forcing full execution with a
+noop write (no driver collect), and prints exactly ONE JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Per-query time = wall time of the noop-sink write of the query's plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from computer_vision_foundations_spark import get_spark
+from computer_vision_foundations_spark.queries import queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q04_region_revenue",
+    "q05_customer_order_profile",
+    "q07_top3_orders_per_customer",
+    "q08_events_running_window",
+    "q16_events_hourly_window",
+    "q17_sessionization",
+    "q21_dedup_exact",
+    "q22_text_quality",
+    "q24_ngram_jaccard_pairs",
+    "q26_lsh_candidate_pairs",
+    "q27_knn_cosine",
+    "q28_embedding_near_dup",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

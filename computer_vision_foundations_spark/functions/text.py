@@ -52,14 +52,16 @@ def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
     return F.when(n > 0, n_sw.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-gram shingles, tokens joined with ``|``.
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a token-array column.
 
-    Built with transform over token indexes (JVM-side); the shingle
-    string is the join of k consecutive tokens. Documents shorter than
-    k tokens produce a single shingle of the whole document.
+    ``toks`` MUST be a materialized column (its own projection), not an
+    inline ``split(...)`` expression: higher-order lambdas re-evaluate
+    non-attribute subexpressions per array element in interpreted mode,
+    turning shingling O(tokens²) per document — measured ~100× slower.
+    Documents shorter than k tokens produce one whole-doc shingle.
     """
-    toks = tokens(text)
+    toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(
@@ -68,6 +70,16 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, k), "|"),
         )
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Single-expression shingles from raw text.
+
+    Convenience form for small frames / tests; hot paths should
+    two-step it (``tokens`` projection, then ``shingles_from_tokens``)
+    — see that function's note.
+    """
+    return shingles_from_tokens(tokens(text), k)
 
 
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from computer_vision_foundations_spark.functions.hashing import minhash_column
 from computer_vision_foundations_spark.functions.text import (
     fingerprint_md5,
-    word_shingles,
+    shingles_from_tokens,
+    tokens,
 )
 from computer_vision_foundations_spark.functions.vectors import cosine_similarity
 
@@ -63,6 +64,25 @@ def exact_duplicates(
     )
 
 
+def _with_shingles(
+    df: DataFrame, text_col: str, id_col: str, id_alias: str, k: int
+) -> DataFrame:
+    """(id, _shingles) via two projections: tokens, then shingles.
+
+    The intermediate token-array projection is load-bearing — see
+    ``shingles_from_tokens``: an inline ``split`` inside the shingle
+    lambda is re-evaluated per element (O(tokens²)/doc). The token
+    attribute is referenced twice by the shingle expression (size bound
+    + slice), so CollapseProject keeps the projections separate.
+    """
+    tokenized = df.select(
+        F.col(id_col).alias(id_alias), tokens(text_col).alias("_toks")
+    )
+    return tokenized.select(
+        id_alias, shingles_from_tokens("_toks", k).alias("_shingles")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -79,10 +99,9 @@ def ngram_jaccard_pairs(
     shingle are ever materialized, so cost is driven by shingle
     document-frequency, which ``max_shingle_freq`` caps against skew.
     """
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, k).alias("_shingles"),
-    ).withColumn("_size", F.size("_shingles"))
+    shingled = _with_shingles(df, text_col, id_col, "_id", k).withColumn(
+        "_size", F.size("_shingles")
+    )
 
     exploded = shingled.select(
         "_id", "_size", F.explode("_shingles").alias("_shingle")
@@ -129,13 +148,17 @@ def minhash_signatures(
     """Per-document MinHash signature: ``(id, signature array<n_hashes>)``.
 
     Entirely map-side (no shuffle): shingle + hash + per-seed min are
-    all Catalyst array expressions.
+    all Catalyst array expressions. The shingle array is materialized
+    in its own projection: inlining it into all ``n_hashes`` transform
+    lambdas makes Catalyst duplicate the (expensive) shingling
+    expression per hash — measured >100× slower. CollapseProject keeps
+    the two-step form intact because the shingle expression is
+    non-cheap and referenced multiple times.
     """
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_column(word_shingles(text_col, k), n_hashes, hash_fn).alias(
-            "signature"
-        ),
+    shingled = _with_shingles(df, text_col, id_col, "doc_id", k)
+    return shingled.select(
+        "doc_id",
+        minhash_column(F.col("_shingles"), n_hashes, hash_fn).alias("signature"),
     )
 
 
@@ -186,20 +209,16 @@ def minhash_lsh_candidate_pairs(
     )
 
 
-def simhash_column(
-    text_col: Column | str, bits: int = 32, token_sep: str = " "
-) -> Column:
-    """SimHash fingerprint of the token set, as a ``bits``-wide long.
+def simhash_from_hashes(hashes: Column | str, bits: int = 32) -> Column:
+    """SimHash from a precomputed ``array<long>`` of token hashes.
 
-    Per-token xxhash64 supplies the bit source; each output bit is the
-    majority vote of token bits. Implemented with Catalyst array
-    expressions (transform/aggregate/filter) — no UDF. Near-duplicates
-    are pairs with small Hamming distance (use ``bit_count(a ^ b)``).
+    Each output bit is the majority vote of the corresponding hash bit.
+    Prefer computing the hash array in its own projection first (see
+    ``simhash_column`` note) so the ``bits``-fold fan-out below reuses
+    one materialized array instead of re-hashing per bit.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.array_distinct(F.split(c, token_sep))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
+    hashes = F.col(hashes) if isinstance(hashes, str) else hashes
+    n = F.size(hashes)
     # single-parameter lambdas only: a second parameter would be bound
     # to the array index by PySpark's higher-order-function protocol
     def _bit_test(i: int):
@@ -215,6 +234,23 @@ def simhash_column(
     for bc in bit_cols[1:]:
         out = out + bc
     return out
+
+
+def simhash_column(
+    text_col: Column | str, bits: int = 32, token_sep: str = " "
+) -> Column:
+    """SimHash fingerprint of the token set, as a ``bits``-wide long.
+
+    Convenience single-expression form; Catalyst inlines the token
+    hashing into every bit vote, so for hot paths materialize
+    ``transform(array_distinct(split(text)), xxhash64)`` in a
+    projection and use ``simhash_from_hashes`` (the
+    q31 registry entry does this). Near-duplicates are pairs with
+    small Hamming distance (``bit_count(a ^ b)``).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    hashes = F.transform(F.array_distinct(F.split(c, token_sep)), lambda t: F.xxhash64(t))
+    return simhash_from_hashes(hashes, bits)
 
 
 def embedding_near_duplicates(

@@ -33,7 +33,7 @@ from computer_vision_foundations_spark.operators.dedup import (
     minhash_lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash_column,
+    simhash_from_hashes,
 )
 from computer_vision_foundations_spark.operators.score import score_with
 from computer_vision_foundations_spark.operators.similarity import brute_force_knn
@@ -903,8 +903,14 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     not portable to the oracle; Hamming-distance pairing tested in
     pytest)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash_column("text", bits=32).alias("simhash")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)).alias(
+            "_hashes"
+        ),
+    )
+    return hashed.select(
+        "doc_id", simhash_from_hashes("_hashes", bits=32).alias("simhash")
     )
 
 

@@ -1,0 +1,96 @@
+"""Dedup-operator properties (SURVEY §2.10 north-star extensions)."""
+
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_from_hashes,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog!"),  # canonical dup of 1
+    (4, "a completely different sentence about spark engines"),
+    (5, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates_canonical(spark):
+    out = exact_duplicates(_docs(spark), "text", "doc_id", canonicalize=True)
+    rows = {r.keep_id: r.n_dupes for r in out.collect()}
+    assert rows[1] == 3  # 1, 2, 3 share a canonical fingerprint
+    assert rows[4] == 1 and rows[5] == 1
+
+
+def test_exact_duplicates_raw(spark):
+    out = exact_duplicates(_docs(spark), "text", "doc_id", canonicalize=False)
+    rows = {r.keep_id: r.n_dupes for r in out.collect()}
+    assert rows[1] == 2  # only 1 and 2 are byte-identical
+    assert len(rows) == 4
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), k=3, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.2 < pairs[(1, 5)] < 1.0  # near dup: some shared shingles
+    assert (1, 4) not in pairs
+
+
+def test_minhash_identical_signatures(spark):
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_candidates_include_duplicates(spark):
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidate_pairs(
+            _docs(spark), n_hashes=8, bands=4
+        ).collect()
+    }
+    assert (1, 2) in cands  # identical docs always collide in every band
+    assert (1, 4) not in cands
+
+
+def test_simhash_identical_and_distinct(spark):
+    hashed = _docs(spark).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
+        ).alias("h"),
+    )
+    out = {r.doc_id: r.s for r in hashed.select(
+        "doc_id", simhash_from_hashes("h", bits=32).alias("s")
+    ).collect()}
+    assert out[1] == out[2]
+    assert bin(out[1] ^ out[5]).count("1") < bin(out[1] ^ out[4]).count("1")
+
+
+def test_embedding_near_duplicates_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [1.0, 0.0, 0.0], "a"),  # identical, same block
+        (3, [0.0, 1.0, 0.0], "a"),  # orthogonal
+        (4, [1.0, 0.0, 0.0], "b"),  # identical to 1 but other block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_duplicates(
+            df, "embedding", "vec_id", block_col="label", threshold=0.9
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}

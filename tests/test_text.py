@@ -1,0 +1,60 @@
+"""Text-analysis column functions (SURVEY §2.10)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.text import (
+    fingerprint_md5,
+    normalized_text,
+    quality_columns,
+    language_score_columns,
+    word_shingles,
+)
+
+
+def test_word_shingles_known(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    [row] = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert sorted(row.s) == ["a|b|c", "b|c|d"]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], ["text"])
+    [row] = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert row.s == ["one|two"]  # docs shorter than k → whole-doc shingle
+
+
+def test_normalization_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("hello world",)], ["text"]
+    )
+    out = df.select(
+        normalized_text("text").alias("n"), fingerprint_md5("text").alias("fp")
+    ).collect()
+    assert out[0].n == "hello world" == out[1].n
+    assert out[0].fp == out[1].fp
+
+
+def test_quality_columns_values(spark):
+    df = spark.createDataFrame([("the cat sat!",)], ["text"])
+    row = quality_columns(df, "text").collect()[0]
+    assert row.n_tokens == 3
+    assert row.n_chars_measured == 12
+    # 10 non-space chars over 3 tokens
+    assert math.isclose(row.avg_token_len, 10 / 3)
+    assert math.isclose(row.punct_ratio, 1 / 12)
+    assert math.isclose(row.en_stopword_ratio, 1 / 3)
+
+
+def test_language_guess(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is big"),
+            (2, "el gato es un animal que vive en la casa"),
+            (3, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_guess for r in language_score_columns(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
