@@ -33,10 +33,12 @@ def with_parsed_filename(
     """Add file_name / timestamp / date / device_id / label columns."""
     file_name = F.element_at(F.split(F.col(path_col), "/"), -1)
     first_field = F.split(F.col("file_name"), "_").getItem(0)
+    # try_to_timestamp: an ingest pipeline must not die on one malformed
+    # filename (ANSI mode makes to_timestamp throw on bad input).
     ts = (
-        F.to_timestamp(first_field, ts_format)
+        F.try_to_timestamp(first_field, F.lit(ts_format))
         if ts_format
-        else F.to_timestamp(first_field)
+        else F.try_to_timestamp(first_field)
     )
     # rsplit('_', 1): drop last field → device_id is the middle section
     no_ext = F.split(F.col("file_name"), "[.]").getItem(0)
@@ -55,7 +57,7 @@ def with_parsed_filename(
         .withColumn("timestamp", ts)
         .withColumn("date", F.to_date(F.col("timestamp")))
         .withColumn("device_id", device_id)
-        .withColumn("label", last_field.cast("int"))
+        .withColumn("label", last_field.try_cast("int"))
     )
 
 

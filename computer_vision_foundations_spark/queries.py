@@ -447,7 +447,7 @@ def q13_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CASE WHEN l_discount > 0.05
                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
              AS discounted_rev,
-           sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk,
+           CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
            round(max(l_extendedprice), 2) AS max_price,
            round(min(l_extendedprice), 2) AS min_price
     FROM lineitem GROUP BY l_returnflag

@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 DEFAULT_BYTES_PER_FILE = 220 * 1024  # reference 02_Data Ingest.py:80
 DEFAULT_BYTES_PER_CORE_PER_TRIGGER = 512 * 1024 * 1024  # 02_Data Ingest.py:63
 
+# The binaryFile format has a fixed record schema. Batch reads infer it,
+# but Spark's streaming file source requires it to be declared up front.
+BINARY_FILE_SCHEMA = (
+    "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+)
+
 
 def files_per_trigger_for_bytes(
     spark: SparkSession,
@@ -61,7 +67,7 @@ def read_binary_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming read of binary files with file-count admission control."""
-    reader = spark.readStream.format("binaryFile")
+    reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     reader = reader.option("recursiveFileLookup", str(recursive).lower())

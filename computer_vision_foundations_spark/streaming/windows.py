@@ -43,6 +43,7 @@ def sessionized(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    tiebreak_cols: tuple[str, ...] = ("event_id",),
 ) -> DataFrame:
     """Batch sessionization: gap-based session ids per user.
 
@@ -50,8 +51,17 @@ def sessionized(
     previous event exceeds ``gap_seconds``). For true streaming
     sessions use ``F.session_window`` with a watermark; this batch
     variant is exact and oracle-checkable.
+
+    ``tiebreak_cols`` makes the window ordering total: with equal
+    timestamps the lag/cumsum tags depend on row order, so a
+    deterministic tiebreak (a unique event id) is required for
+    run-to-run reproducibility. Pass ``()`` only if ``ts_col`` is known
+    unique per user.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    tiebreaks = [c for c in tiebreak_cols if c in df.columns]
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreaks]
+    )
     us = F.unix_micros(F.col(ts_col))
     prev = F.lag(us).over(w)
     new_session = F.when(

@@ -18,13 +18,16 @@ def _drop_file(landing, name, payload=b"x" * 64):
 
 
 def _cfg(tmp, with_udfs=False):
+    # NB: Hadoop's local Path cannot contain ':' (URI scheme separator),
+    # so unlike object-store keys the local fixture filenames use
+    # 'HH-mm-ss' and pass an explicit ts_format.
     return PipelineConfig(
         ingest=IngestConfig(
             input_path=os.path.join(tmp, "landing"),
             glob="*.jpg",
             recursive=True,
             max_files_per_trigger=10,
-            ts_format=None,
+            ts_format="yyyy-MM-dd HH-mm-ss",
         ),
         sink=SinkConfig(
             format="parquet",
@@ -41,8 +44,8 @@ def test_ingest_available_now_and_restart(spark, tmp_path):
     tmp = str(tmp_path)
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
-    _drop_file(landing, "2024-05-01 10:00:00_cam_a_0.jpg")
-    _drop_file(landing, "2024-05-01 11:00:00_cam_b_1.jpg")
+    _drop_file(landing, "2024-05-01 10-00-00_cam_a_0.jpg")
+    _drop_file(landing, "2024-05-01 11-00-00_cam_b_1.jpg")
     _drop_file(landing, "ignored.txt")  # glob-filtered out
 
     cfg = _cfg(tmp)
@@ -58,7 +61,7 @@ def test_ingest_available_now_and_restart(spark, tmp_path):
     assert spark.read.parquet(cfg.sink.output_path).count() == 2
 
     # drop one more file: only the delta is processed
-    _drop_file(landing, "2024-05-02 09:00:00_cam_a_1.jpg")
+    _drop_file(landing, "2024-05-02 09-00-00_cam_a_1.jpg")
     run_ingest(spark, cfg)
     out3 = spark.read.parquet(cfg.sink.output_path)
     assert out3.count() == 3
@@ -68,7 +71,7 @@ def test_ingest_with_image_udfs(spark, tmp_path):
     tmp = str(tmp_path)
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
-    _drop_file(landing, "2024-06-01 08:00:00_cam_c_1.jpg", b"fakejpgbytes" * 10)
+    _drop_file(landing, "2024-06-01 08-00-00_cam_c_1.jpg", b"fakejpgbytes" * 10)
     cfg = _cfg(tmp, with_udfs=True)
     run_ingest(spark, cfg)
     out = spark.read.parquet(cfg.sink.output_path)

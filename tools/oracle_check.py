@@ -58,6 +58,18 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_df) != len(duck_df):
@@ -66,6 +78,16 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         problems.append(
             f"columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
         )
+        return problems
+    # The driver's gate hashes values type-sensitively: an int64 vs
+    # float64 (e.g. DuckDB HUGEINT) mismatch fails there even when the
+    # values are numerically identical — so fail it here too, before
+    # canonicalization can mask it.
+    for c in spark_df.columns:
+        ka, kb = _dtype_kind(spark_df[c]), _dtype_kind(duck_df[c])
+        if ka != kb and not (spark_df[c].isna().all() or duck_df[c].isna().all()):
+            problems.append(f"dtype kind mismatch col={c}: spark {ka} vs oracle {kb}")
+    if problems:
         return problems
     a, b = _canon(spark_df), _canon(duck_df)
     if len(a) == len(b):
