@@ -55,20 +55,32 @@ def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles from a token-array column.
 
-    ``toks`` MUST be a materialized column (its own projection), not an
-    inline ``split(...)`` expression: higher-order lambdas re-evaluate
-    non-attribute subexpressions per array element in interpreted mode,
-    turning shingling O(tokens²) per document — measured ~100× slower.
-    Documents shorter than k tokens produce one whole-doc shingle.
+    Built as a ``zip_with`` fold over k shifted slices of the token
+    array — each zip lambda touches only its lambda variables, so the
+    per-element work is one string concat. The earlier
+    ``transform(sequence(...), i -> array_join(slice(toks,i,k)))`` form
+    is semantically identical but catastrophically slower once the
+    expression is inlined under a Generate (explode): Catalyst's
+    CollapseProject inlines a once-referenced token ``split`` into the
+    per-element lambda, re-splitting the document per shingle —
+    O(tokens²) per document, measured ~100× slower at sf0.1.
+
+    ``toks`` should still be a materialized column (its own projection):
+    the k slice references keep CollapseProject from inlining an
+    expensive upstream expression. Documents shorter than k tokens
+    produce one whole-doc shingle.
     """
     toks = F.col(toks) if isinstance(toks, str) else toks
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.array_join(F.slice(toks, i, k), "|"),
+    m = n - F.lit(k - 1)  # shingle count when n >= k
+
+    sh = F.slice(toks, k, m)
+    for i in range(k - 1, 0, -1):
+        sh = F.zip_with(
+            F.slice(toks, i, m), sh, lambda x, y: F.concat(x, F.lit("|"), y)
         )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.array_join(toks, "|"))
     )
 
 

@@ -29,10 +29,13 @@ never collect to the driver:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from computer_vision_foundations_spark.functions.hashing import minhash_column
+from computer_vision_foundations_spark.functions.hashing import (
+    minhash_agg_columns,
+)
 from computer_vision_foundations_spark.functions.text import (
     fingerprint_md5,
     shingles_from_tokens,
@@ -71,10 +74,20 @@ def _with_shingles(
 
     The intermediate token-array projection is load-bearing — see
     ``shingles_from_tokens``: an inline ``split`` inside the shingle
-    lambda is re-evaluated per element (O(tokens²)/doc). The token
-    attribute is referenced twice by the shingle expression (size bound
-    + slice), so CollapseProject keeps the projections separate.
+    lambdas is re-evaluated per element (O(tokens²)/doc). The token
+    attribute is referenced k+2 times by the shingle expression (size
+    bound + k slices), so CollapseProject keeps the projections
+    separate.
+
+    If the source has fewer partitions than the cluster has cores
+    (small files / single row-group parquet), the per-doc shingle+hash
+    work would run on a fraction of the cores — repartition first. At
+    real scale the scan already yields ≥ cores partitions and this is a
+    no-op (no shuffle added).
     """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     tokenized = df.select(
         F.col(id_col).alias(id_alias), tokens(text_col).alias("_toks")
     )
@@ -89,7 +102,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs by word-k-gram Jaccard similarity.
 
@@ -97,7 +110,17 @@ def ngram_jaccard_pairs(
     jaccard >= threshold. Plan: distinct-shingle explode → self-equi-join
     on shingle → count common → |A|+|B|-common. Only pairs sharing ≥1
     shingle are ever materialized, so cost is driven by shingle
-    document-frequency, which ``max_shingle_freq`` caps against skew.
+    document-frequency, which ``max_shingle_freq`` caps against skew —
+    ON by default: a stop-shingle ("in the of") appearing in millions of
+    docs contributes no discriminative signal but quadratic join
+    fan-out. Dropped shingles still count toward each doc's set size
+    (denominator), so Jaccard for surviving pairs is exact; pairs whose
+    ONLY overlap is stop-shingles are not emitted. Pass ``None`` for the
+    exact all-pairs semantics.
+
+    The hot-shingle set is tiny by construction (≤ |shingles|/cap), so
+    it is removed with a broadcast anti-join — no extra shuffle of the
+    exploded stream.
     """
     shingled = _with_shingles(df, text_col, id_col, "_id", k).withColumn(
         "_size", F.size("_shingles")
@@ -106,14 +129,18 @@ def ngram_jaccard_pairs(
     exploded = shingled.select(
         "_id", "_size", F.explode("_shingles").alias("_shingle")
     )
+    # Three consumers of the exploded shingle stream (freq agg + both
+    # join sides) — persist so scan+shingle runs once, not 3×. Spills
+    # to disk; disk re-read beats re-shingling the corpus.
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_freq is not None:
-        freq_ok = (
+        hot = (
             exploded.groupBy("_shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_freq)
+            .filter(F.col("_df") > max_shingle_freq)
             .select("_shingle")
         )
-        exploded = exploded.join(freq_ok, "_shingle")
+        exploded = exploded.join(F.broadcast(hot), "_shingle", "left_anti")
 
     a = exploded.select(
         F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_shingle"
@@ -137,28 +164,53 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def _minhash_wide(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_hashes: int,
+    hash_fn: str,
+) -> DataFrame:
+    """``(doc_id, _m0.._m{n-1})`` minima via an exploded hash aggregate.
+
+    The scale plan: shingle (map-side array expr) → explode → hash →
+    ``groupBy(doc).agg(min × n_hashes)``. The aggregate is whole-stage
+    codegen'd with map-side partial aggregation, so the shuffle carries
+    one row of n_hashes minima per doc per partition — never the
+    shingles. With ``xxhash64`` each shingle string is hashed ONCE and
+    the per-seed permutations are integer remixes of that hash; ``md5``
+    digests ``seed || shingle`` per seed (cross-engine-portable, for
+    differential testing). The earlier array form (per-seed interpreted
+    ``array_min(transform(...))`` lambdas) measured 10-70× slower.
+    """
+    shingled = _with_shingles(df, text_col, id_col, "doc_id", k)
+    ex = shingled.select("doc_id", F.explode("_shingles").alias("_shingle"))
+    if hash_fn == "xxhash64":
+        ex = ex.select("doc_id", F.xxhash64("_shingle").alias("_shingle"))
+    return ex.groupBy("doc_id").agg(
+        *minhash_agg_columns("_shingle", n_hashes, hash_fn)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     n_hashes: int = 16,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature: ``(id, signature array<n_hashes>)``.
 
-    Entirely map-side (no shuffle): shingle + hash + per-seed min are
-    all Catalyst array expressions. The shingle array is materialized
-    in its own projection: inlining it into all ``n_hashes`` transform
-    lambdas makes Catalyst duplicate the (expensive) shingling
-    expression per hash — measured >100× slower. CollapseProject keeps
-    the two-step form intact because the shingle expression is
-    non-cheap and referenced multiple times.
+    ``array<string>`` (hex digests) for ``hash_fn='md5'``,
+    ``array<bigint>`` for ``'xxhash64'`` (default — the scale path).
+    See ``_minhash_wide`` for the plan.
     """
-    shingled = _with_shingles(df, text_col, id_col, "doc_id", k)
-    return shingled.select(
+    wide = _minhash_wide(df, text_col, id_col, k, n_hashes, hash_fn)
+    return wide.select(
         "doc_id",
-        minhash_column(F.col("_shingles"), n_hashes, hash_fn).alias("signature"),
+        F.array(*[F.col(f"_m{s}") for s in range(n_hashes)]).alias("signature"),
     )
 
 
@@ -169,32 +221,61 @@ def minhash_lsh_candidate_pairs(
     k: int = 3,
     n_hashes: int = 16,
     bands: int = 4,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1_000,
 ) -> DataFrame:
     """LSH banding: pairs agreeing on ≥1 full band of the signature.
 
     ``n_hashes`` must divide into ``bands`` equal rows. Each doc emits
     ``bands`` (band_idx, band_key) rows; candidates are an equi-join on
     the band key — linear in docs + join fan-out on genuinely similar
-    buckets, never quadratic. Output: distinct ``(id_a, id_b)``.
+    buckets, never quadratic across buckets. Output: distinct
+    ``(id_a, id_b)``.
+
+    ``max_bucket_size`` (ON by default) drops band buckets larger than
+    the cap before the self-join: a million byte-identical documents
+    land in one bucket and would otherwise go quadratic inside it. Hot
+    buckets are found with one small aggregate and removed via
+    broadcast anti-join; exact duplicates should be removed by
+    ``exact_duplicates`` first (one cheap hash-agg), which is also what
+    makes the cap safe to apply. Pass ``None`` to disable.
+
+    Band keys are built from the aggregate's plain minima columns
+    (``_minhash_wide``), so nothing re-derives the signature array
+    per band.
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, hash_fn)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
+    wide = _minhash_wide(df, text_col, id_col, k, n_hashes, hash_fn)
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",",
                 *[
-                    F.array_join(
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                        ",",
-                    )
-                    for b in range(bands)
-                ]
+                    F.col(f"_m{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
             )
-        ).alias("band_idx", "band_key"),
+            for b in range(bands)
+        ]
     )
+    banded = wide.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    # Three consumers (bucket-size agg + both self-join sides): persist
+    # the banded keys — tiny rows (id, idx, key) — so the full
+    # scan→shingle→hash→agg pipeline runs once, not 3×.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
     a = banded.select(
         F.col("doc_id").alias("id_a"), "band_idx", "band_key"
     )

@@ -718,18 +718,24 @@ _SHINGLES_SQL = """
     "q24_ngram_jaccard_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh)
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+    exf AS (SELECT * FROM ex
+            QUALIFY count(*) OVER (PARTITION BY shingle) <= 100)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE), 6) AS jaccard
-    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
     HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
     """,
 )
 def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-duplicate pairs (operators/dedup)."""
+    """Word-3-gram Jaccard near-duplicate pairs (operators/dedup), with
+    the hot-shingle skew cap on in the measured path (the QUALIFY
+    mirrors the operator's broadcast anti-join of stop-shingles)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.1)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.1, max_shingle_freq=100
+    )
 
 
 @_register(
@@ -782,19 +788,29 @@ def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id, 2, array_to_string(sig[5:6], ',') FROM sig
       UNION ALL
-      SELECT doc_id, 3, array_to_string(sig[7:8], ',') FROM sig)
+      SELECT doc_id, 3, array_to_string(sig[7:8], ',') FROM sig),
+    capped AS (SELECT * FROM banded
+               QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 1000)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
+    FROM capped a JOIN capped b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     """,
 )
 def q26_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding: candidate pairs sharing ≥1 of 4 bands of an
-    8-hash signature (operators/dedup.minhash_lsh_candidate_pairs)."""
+    8-hash signature (operators/dedup.minhash_lsh_candidate_pairs),
+    with the hot-bucket cap on (mirrored by the oracle's QUALIFY)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidate_pairs(
-        docs, "text", "doc_id", k=3, n_hashes=8, bands=4, hash_fn="md5"
+        docs,
+        "text",
+        "doc_id",
+        k=3,
+        n_hashes=8,
+        bands=4,
+        hash_fn="md5",
+        max_bucket_size=1_000,
     )
 
 
