@@ -52,6 +52,14 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> int:
     spark = get_spark("bench")
     qs = queries()
+    # Warm up the session before timing anything: JIT/codegen compile,
+    # Python worker pool spin-up, and the parquet footer reads otherwise
+    # land on whichever query happens to run first (r01 charged ~20s of
+    # session warm-up to q21). One representative relational query + one
+    # documents-table query + one Arrow/pandas-UDF query cover the three
+    # warm-up classes; their results are discarded.
+    for warm in ("q01_pricing_summary", "q22_text_quality", "q29_scored_documents"):
+        qs[warm](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, SF_DIR)

@@ -61,3 +61,12 @@ def deterministic_split(
         eval_col,
         F.when(bucket < F.lit(train_pct), F.lit("train")).otherwise(F.lit("test")),
     )
+
+
+def bernoulli_sample(
+    df: DataFrame, fraction: float, seed: int = 42
+) -> DataFrame:
+    """SA2: seeded Bernoulli row sample (reference
+    `04a_Model Deployment.py:313` — unseeded there; ours always seeds
+    for reproducibility). A narrow per-partition filter — no shuffle."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)

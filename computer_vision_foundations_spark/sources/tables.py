@@ -61,3 +61,25 @@ def register_views(
     """Register every table as a temp view so ``spark.sql`` works."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def create_database(
+    spark: SparkSession,
+    name: str,
+    location: str | None = None,
+    drop_first: bool = False,
+) -> None:
+    """S5 DDL helper (reference `02_Data Ingest.py:36-37`):
+    ``DROP DATABASE … CASCADE`` + ``CREATE DATABASE IF NOT EXISTS …
+    LOCATION …``. Identifiers are quoted; location goes through a
+    parameterized literal."""
+    ident = "`" + name.replace("`", "``") + "`"
+    if drop_first:
+        spark.sql(f"DROP DATABASE IF EXISTS {ident} CASCADE")
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {ident}{loc}")
+
+
+def drop_database(spark: SparkSession, name: str, cascade: bool = True) -> None:
+    ident = "`" + name.replace("`", "``") + "`"
+    spark.sql(f"DROP DATABASE IF EXISTS {ident}{' CASCADE' if cascade else ''}")

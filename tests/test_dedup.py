@@ -94,3 +94,53 @@ def test_embedding_near_duplicates_blocked(spark):
         ).collect()
     }
     assert out == {(1, 2): 1.0}
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_fanout(spark):
+    """A stop-shingle shared by every doc must not create all-pairs fan-out.
+
+    50 docs share one hot 3-gram ("aa bb cc") but are otherwise unique;
+    two docs (900, 901) are genuinely near-identical. With the frequency
+    cap below the hot shingle's document frequency, only the genuine
+    pair survives — not the 50*49/2 stop-shingle pairs.
+    """
+    docs = [(i, f"aa bb cc unique{i} token{i} word{i}") for i in range(50)]
+    docs += [
+        (900, "spark engines shuffle data across the cluster nodes"),
+        (901, "spark engines shuffle data across the cluster nodes fast"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.1, max_shingle_freq=10
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(900, 901)}
+    # Uncapped, the hot shingle joins all 50 docs pairwise.
+    uncapped = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.01, max_shingle_freq=None
+    )
+    assert uncapped.count() > 1000
+
+
+def test_lsh_hot_bucket_cap_bounds_fanout(spark):
+    """Identical docs all land in one band bucket; the cap drops it.
+
+    40 byte-identical docs would emit 40*39/2 pairs per band uncapped;
+    with max_bucket_size=10 the hot bucket is dropped entirely while a
+    small genuine duplicate group (ids 900/901) still pairs up.
+    """
+    docs = [(i, "the same exact document body repeated many times over") for i in range(40)]
+    docs += [
+        (900, "a rare duplicate pair about distributed query planning"),
+        (901, "a rare duplicate pair about distributed query planning"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = minhash_lsh_candidate_pairs(
+        df, "text", "doc_id", k=3, n_hashes=8, bands=4, max_bucket_size=10
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(900, 901)}
+    uncapped = minhash_lsh_candidate_pairs(
+        df, "text", "doc_id", k=3, n_hashes=8, bands=4, max_bucket_size=None
+    )
+    assert uncapped.count() == 40 * 39 // 2 + 1
