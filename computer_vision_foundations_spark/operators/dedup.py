@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.hashing import (
+    md5_hash_pair,
     minhash_agg_columns,
 )
 from computer_vision_foundations_spark.functions.text import (
@@ -131,8 +132,12 @@ def ngram_jaccard_pairs(
     )
     # Three consumers of the exploded shingle stream (freq agg + both
     # join sides) — persist so scan+shingle runs once, not 3×. Spills
-    # to disk; disk re-read beats re-shingling the corpus.
+    # to disk; disk re-read beats re-shingling the corpus. The count()
+    # materializes the cache EAGERLY: multiple consumers inside one job
+    # race cache population and each recomputes the expensive
+    # shingle pipeline otherwise (measured 3-10× on the LSH twin).
     exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded.count()
     if max_shingle_freq is not None:
         hot = (
             exploded.groupBy("_shingle")
@@ -174,20 +179,25 @@ def _minhash_wide(
 ) -> DataFrame:
     """``(doc_id, _m0.._m{n-1})`` minima via an exploded hash aggregate.
 
-    The scale plan: shingle (map-side array expr) → explode → hash →
-    ``groupBy(doc).agg(min × n_hashes)``. The aggregate is whole-stage
-    codegen'd with map-side partial aggregation, so the shuffle carries
-    one row of n_hashes minima per doc per partition — never the
-    shingles. With ``xxhash64`` each shingle string is hashed ONCE and
-    the per-seed permutations are integer remixes of that hash; ``md5``
-    digests ``seed || shingle`` per seed (cross-engine-portable, for
-    differential testing). The earlier array form (per-seed interpreted
-    ``array_min(transform(...))`` lambdas) measured 10-70× slower.
+    The scale plan: shingle (map-side array expr) → explode → hash
+    ONCE → ``groupBy(doc).agg(min(remix) × n_hashes)``. The aggregate
+    is whole-stage codegen'd with map-side partial aggregation, so the
+    shuffle carries one row of n_hashes minima per doc per partition —
+    never the shingles. Each shingle string is hashed exactly once for
+    either family: ``xxhash64`` → long, remixed ``xxhash64(seed, h)``;
+    ``md5`` → 28-bit ``(h1, h2)`` pair, remixed with portable
+    Kirsch-Mitzenmacher double hashing (functions/hashing.py) so the
+    DuckDB oracle reproduces the signatures bit-for-bit. Earlier forms
+    (per-seed interpreted HOF lambdas, then per-seed md5 digests)
+    measured 10-70× slower.
     """
     shingled = _with_shingles(df, text_col, id_col, "doc_id", k)
     ex = shingled.select("doc_id", F.explode("_shingles").alias("_shingle"))
     if hash_fn == "xxhash64":
         ex = ex.select("doc_id", F.xxhash64("_shingle").alias("_shingle"))
+    elif hash_fn == "md5":
+        h1, h2 = md5_hash_pair("_shingle")
+        ex = ex.select("doc_id", F.struct(h1.alias("h1"), h2.alias("h2")).alias("_shingle"))
     return ex.groupBy("doc_id").agg(
         *minhash_agg_columns("_shingle", n_hashes, hash_fn)
     )
@@ -264,8 +274,11 @@ def minhash_lsh_candidate_pairs(
     )
     # Three consumers (bucket-size agg + both self-join sides): persist
     # the banded keys — tiny rows (id, idx, key) — so the full
-    # scan→shingle→hash→agg pipeline runs once, not 3×.
+    # scan→shingle→hash→agg pipeline runs once, not 3×. Eager count()
+    # because consumers inside one job race the cache population and
+    # recompute upstream (measured 91s → ~10s on this operator).
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band_idx", "band_key")
@@ -340,12 +353,14 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs ``(id_a, id_b, cos_sim)``, id_a < id_b.
 
     With ``block_col`` the self-join is an equi-join within blocks
     (at scale: LSH bucket / IVF cell id); without it, a full cross
     product — only for small frames or after candidate generation.
+    Pass ``dim`` to unroll the cosine into codegen'd expressions.
     """
     left = df.select(
         F.col(id_col).alias("id_a"),
@@ -361,7 +376,7 @@ def embedding_near_duplicates(
         left.join(right, on="_blk") if block_col else left.crossJoin(right)
     ).filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("cos_sim", cosine_similarity("_va", "_vb"))
+        joined.withColumn("cos_sim", cosine_similarity("_va", "_vb", dim))
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

@@ -37,12 +37,15 @@ def brute_force_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per probe (excluding self-matches).
 
     Returns ``(probe_id, neighbor_id, cos_sim, rank)``. Ties break on
     neighbor_id after rounding, so results are total-order
-    deterministic (required by the differential oracle).
+    deterministic (required by the differential oracle). Pass ``dim``
+    (embedding width) to unroll the cosine into codegen'd expressions —
+    see functions/vectors.py.
     """
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
@@ -54,7 +57,8 @@ def brute_force_knn(
         c.crossJoin(F.broadcast(p))
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .withColumn(
-            "cos_sim", F.round(cosine_similarity("_pv", "_cv"), round_digits)
+            "cos_sim",
+            F.round(cosine_similarity("_pv", "_cv", dim), round_digits),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -75,16 +79,23 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def hyperplane_bucket(vec_col, planes: list[list[float]]):
-    """Bucket id = bit vector of sign(v · r_i), as a long column."""
+    """Bucket id = bit vector of sign(v · r_i), as a long column.
+
+    The plane coefficients are literals, so each dot product unrolls
+    into a flat codegen'd ``Σ element_at(v, i) · c_i`` — no interpreted
+    higher-order functions. Summation order is ascending index (matches
+    the DuckDB oracle's ``list_dot_product``).
+    """
     v = to_double_array(vec_col)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        terms = [
+            F.element_at(v, j + 1) * F.lit(float(x))
+            for j, x in enumerate(plane)
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
         bucket = bucket + F.when(dot >= 0, F.lit(2**i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -138,7 +149,9 @@ def lsh_bucketed_knn(
     )
     scored = cands.withColumn(
         "cos_sim",
-        F.round(cosine_similarity("_probe_id_v", "_neighbor_id_v"), round_digits),
+        F.round(
+            cosine_similarity("_probe_id_v", "_neighbor_id_v", dim), round_digits
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

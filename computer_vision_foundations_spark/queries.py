@@ -738,31 +738,44 @@ def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_perm_sql(seed: int) -> str:
+    """DuckDB twin of functions/hashing.double_hash over md5_hash_pair:
+    ``(a·h1 + b·h2 + c) mod p`` with h1/h2 = 28-bit slices of one md5
+    and (a, b, c) the same seeded constants the Spark side uses."""
+    from computer_vision_foundations_spark.functions.hashing import (
+        hash_family_constants,
+    )
+
+    a, b, c = hash_family_constants(seed)
+    return (
+        "list_min(list_transform(shingles, s -> "
+        f"({a} * CAST(('0x' || substr(md5(s),1,7)) AS BIGINT) "
+        f"+ {b} * CAST(('0x' || substr(md5(s),8,7)) AS BIGINT) "
+        f"+ {c}) % 2147483647))"
+    )
+
+
 @_register(
     "q25_minhash_signatures",
     f"""
     WITH sh AS ({_SHINGLES_SQL})
     SELECT doc_id,
            array_to_string([
-             list_min(list_transform(shingles, s -> md5('0:' || s))),
-             list_min(list_transform(shingles, s -> md5('1:' || s))),
-             list_min(list_transform(shingles, s -> md5('2:' || s))),
-             list_min(list_transform(shingles, s -> md5('3:' || s))),
-             list_min(list_transform(shingles, s -> md5('4:' || s))),
-             list_min(list_transform(shingles, s -> md5('5:' || s))),
-             list_min(list_transform(shingles, s -> md5('6:' || s))),
-             list_min(list_transform(shingles, s -> md5('7:' || s)))
+             {", ".join(_minhash_perm_sql(s) for s in range(8))}
            ], ',') AS signature_key
     FROM sh
     """,
 )
 def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (md5-permutation variant) — bit-identical
-    across engines, emitted as one joined string column."""
+    """MinHash signatures (portable md5 double-hash family) —
+    bit-identical across engines, emitted as one joined string column."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", "doc_id", k=3, n_hashes=8, hash_fn="md5")
     return sigs.select(
-        "doc_id", F.array_join("signature", ",").alias("signature_key")
+        "doc_id",
+        F.array_join(
+            F.transform("signature", lambda x: x.cast("string")), ","
+        ).alias("signature_key"),
     )
 
 
@@ -772,14 +785,7 @@ def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SHINGLES_SQL}),
     sig AS (
       SELECT doc_id, [
-        list_min(list_transform(shingles, s -> md5('0:' || s))),
-        list_min(list_transform(shingles, s -> md5('1:' || s))),
-        list_min(list_transform(shingles, s -> md5('2:' || s))),
-        list_min(list_transform(shingles, s -> md5('3:' || s))),
-        list_min(list_transform(shingles, s -> md5('4:' || s))),
-        list_min(list_transform(shingles, s -> md5('5:' || s))),
-        list_min(list_transform(shingles, s -> md5('6:' || s))),
-        list_min(list_transform(shingles, s -> md5('7:' || s)))
+        {", ".join(_minhash_perm_sql(s) for s in range(8))}
       ] AS sig FROM sh),
     banded AS (
       SELECT doc_id, 0 AS band_idx, array_to_string(sig[1:2], ',') AS band_key FROM sig
@@ -838,7 +844,7 @@ def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector math, single window shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
-    return brute_force_knn(emb, probes, k=10)
+    return brute_force_knn(emb, probes, k=10, dim=64)
 
 
 @_register(
@@ -862,7 +868,7 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        emb, "embedding", "vec_id", block_col="label", threshold=0.5
+        emb, "embedding", "vec_id", block_col="label", threshold=0.5, dim=64
     )
 
 
@@ -947,4 +953,154 @@ def q32_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("statistics.entropy").alias("entropy"),
         F.element_at("statistics.mean", 1).alias("mean_band0"),
         F.element_at("statistics.median", 1).alias("median_band0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN with a full differential oracle (VERDICT r01 item 7)
+# ---------------------------------------------------------------------------
+
+_LSH_DIM, _LSH_PLANES, _LSH_TABLES, _LSH_SEED = 64, 8, 2, 42
+
+
+def _lsh_oracle_sql() -> str:
+    """Replay the seeded random hyperplanes of ``lsh_bucketed_knn`` as
+    DuckDB literals (same trick as q25's seeded MinHash): bucket id =
+    bit vector of sign(v . plane_i), candidates = same-(table, bucket)
+    pairs, then exact cosine + per-probe top-10. Dot products run in
+    f64 on both engines, so bucket assignment only diverges if a dot
+    product sits within float noise of zero (measure-zero for gaussian
+    planes)."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        _random_planes,
+    )
+
+    arms = []
+    for t in range(_LSH_TABLES):
+        planes = _random_planes(_LSH_DIM, _LSH_PLANES, _LSH_SEED + t * 7919)
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)"
+            )
+        bucket = " + ".join(terms)
+        arms.append(
+            f"SELECT vec_id, v, {t} AS tbl, CAST({bucket} AS BIGINT) AS bucket FROM emb"
+        )
+    union = "\n      UNION ALL\n      ".join(arms)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (
+      {union}
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                      p.v AS pv, c.v AS cv
+      FROM b p JOIN b c
+        ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+      WHERE p.vec_id < 5
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT probe_id, neighbor_id,
+             round(list_cosine_similarity(pv, cv), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY round(list_cosine_similarity(pv, cv), 6) DESC,
+                        neighbor_id ASC) AS rank
+      FROM cand) t
+    WHERE rank <= 10
+    """
+
+
+@_register("q33_lsh_ann", _lsh_oracle_sql())
+def q33_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 neighbors for probes vec_id<5
+    (operators/similarity.lsh_bucketed_knn). The scale path for huge
+    probe sets: bucketed equi-join on (table, bucket) — never a cross
+    product. The oracle replays the seeded hyperplanes as SQL literals,
+    so bucket assignment, candidate generation, and ranking are all
+    differentially checked."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        lsh_bucketed_knn,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_knn(
+        emb,
+        probes,
+        dim=_LSH_DIM,
+        k=10,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    )
+
+
+@_register(
+    "q34_training_batches",
+    """
+    SELECT doc_id,
+           least(length(text), 256) AS n_features,
+           CAST(list_sum(list_transform(
+                 range(1, least(length(text), 256) + 1),
+                 i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+)
+def q34_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U4 batch-transform operator (operators/transform
+    .to_training_batches — reference Petastorm TransformSpec,
+    `03a_Model Training.py:136-178`) run through its real mapInPandas
+    path, reduced to an integer invariant the oracle can replay: the
+    decoded feature count and the de-normalized byte sum of each
+    feature vector (features are byte/255 in float32; *255 and
+    rounding recovers the exact integers)."""
+    import numpy as np
+    import pandas as pd
+
+    from computer_vision_foundations_spark.operators.transform import (
+        default_transform,
+        to_training_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content", F.col("text").cast("binary")
+    )
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = default_transform(batch, content_col="content", label_col="label")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_features": [len(f) for f in out["features"]],
+                "byte_sum": [
+                    int(round(float(np.sum(np.asarray(f, dtype=np.float64) * 255.0))))
+                    for f in out["features"]
+                ],
+            }
+        )
+
+    return to_training_batches(
+        docs.select("doc_id", "content"),
+        transform_fn=fn,
+        schema="doc_id long, n_features int, byte_sum long",
+    )
+
+
+@_register("q35_bernoulli_sample")
+def q35_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA2: seeded Bernoulli sample (reference `04a_Model
+    Deployment.py:313`). Spark's per-partition XORShift sampler is not
+    replayable in SQL, so this entry is rows-only; determinism and
+    fraction bounds are pytest-verified in tests/test_transform_sinks.py."""
+    from computer_vision_foundations_spark.operators.split import bernoulli_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bernoulli_sample(orders, 0.1, seed=7).select(
+        "o_orderkey", "o_orderstatus"
     )

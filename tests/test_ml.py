@@ -1,0 +1,180 @@
+"""ML layer tests (M3-M8): train loop, tuning, distributed averaging,
+registry stage transitions, serving payload round trip, and the
+train → register → score pipeline (EP2+EP3 shape)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from computer_vision_foundations_spark.ml import (
+    LogisticHead,
+    ModelRegistry,
+    TrainConfig,
+    content_predict_fn,
+    evaluate,
+    fit_dataframe,
+    fit_numpy,
+    fit_sharded,
+    parse_rest_payload,
+    random_search,
+    score_rest_payload,
+    to_rest_payload,
+)
+
+
+def _separable(n=400, d=16, seed=0):
+    """Linearly separable data: label = sign of a fixed direction."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    w_true = rng.normal(size=d)
+    y = (X @ w_true > 0).astype(np.float64)
+    return X, y
+
+
+def test_fit_numpy_learns_and_logs_history():
+    X, y = _separable()
+    model, hist = fit_numpy(X, y, TrainConfig(lr=0.5, epochs=5))
+    assert len(hist) == 5
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert evaluate(model, X, y)["accuracy"] > 0.95
+    # StepLR: lr decays by gamma every step_size epochs
+    assert hist[0]["lr"] == pytest.approx(0.5)
+    assert hist[2]["lr"] == pytest.approx(0.05)
+    assert hist[4]["lr"] == pytest.approx(0.005)
+
+
+def test_fit_numpy_deterministic():
+    X, y = _separable()
+    m1, _ = fit_numpy(X, y, TrainConfig(seed=7))
+    m2, _ = fit_numpy(X, y, TrainConfig(seed=7))
+    assert np.array_equal(m1.weights, m2.weights) and m1.bias == m2.bias
+
+
+def test_fit_dataframe(spark):
+    X, y = _separable(n=200, d=8)
+    pdf = pd.DataFrame(
+        {"features": [row.tolist() for row in X], "label": y}
+    )
+    df = spark.createDataFrame(pdf)
+    model, hist = fit_dataframe(df, TrainConfig(lr=0.5, epochs=3))
+    assert model.n_features == 8
+    assert evaluate(model, X, y)["accuracy"] > 0.9
+
+
+def test_random_search_picks_best_and_is_seeded(spark):
+    X, y = _separable(n=300, d=8, seed=3)
+    cfg, metrics, trials = random_search(
+        spark, X, y, n_trials=4, base_cfg=TrainConfig(epochs=2), seed=11
+    )
+    assert len(trials) == 4
+    assert metrics["loss"] == min(t["loss"] for t in trials)
+    cfg2, metrics2, trials2 = random_search(
+        spark, X, y, n_trials=4, base_cfg=TrainConfig(epochs=2), seed=11
+    )
+    assert cfg == cfg2 and trials == trials2
+
+
+def test_fit_sharded_matches_single_node_quality(spark):
+    X, y = _separable(n=600, d=8, seed=5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(y)),
+            "features": [row.tolist() for row in X],
+            "label": y,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    model, report = fit_sharded(
+        df, TrainConfig(lr=0.5, epochs=3), n_shards=4, n_features=8
+    )
+    assert set(report["shard"]) == {0, 1, 2, 3}
+    assert report["n"].sum() == 600
+    assert evaluate(model, X, y)["accuracy"] > 0.9
+    # deterministic across runs
+    model2, _ = fit_sharded(
+        df, TrainConfig(lr=0.5, epochs=3), n_shards=4, n_features=8
+    )
+    assert np.array_equal(model.weights, model2.weights)
+
+
+def test_fit_sharded_multi_round_improves(spark):
+    X, y = _separable(n=400, d=8, seed=9)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(y)),
+            "features": [r.tolist() for r in X],
+            "label": y,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    one, _ = fit_sharded(df, TrainConfig(lr=0.2, epochs=1), n_shards=4, n_features=8)
+    three, _ = fit_sharded(
+        df, TrainConfig(lr=0.2, epochs=1), n_shards=4, n_features=8, rounds=3
+    )
+    assert evaluate(three, X, y)["loss"] <= evaluate(one, X, y)["loss"]
+
+
+def test_registry_lifecycle(tmp_path):
+    reg = ModelRegistry(str(tmp_path / "reg"))
+    m1 = LogisticHead(weights=np.array([1.0, 2.0]), bias=0.5)
+    m2 = LogisticHead(weights=np.array([3.0, 4.0]), bias=-1.0)
+    v1 = reg.log_model(m1, "cv", params={"lr": 0.1}, metrics={"loss": 0.3})
+    v2 = reg.log_model(m2, "cv", metrics={"loss": 0.2})
+    assert (v1.version, v2.version) == (1, 2)
+    reg.promote("cv", 1)
+    loaded, mv = reg.load("cv")
+    assert mv.version == 1 and np.array_equal(loaded.weights, m1.weights)
+    # promoting v2 archives v1
+    reg.promote("cv", 2)
+    _, mv2 = reg.load("cv")
+    assert mv2.version == 2
+    stages = {v.version: v.stage for v in reg.search("cv")}
+    assert stages == {1: "Archived", 2: "Production"}
+    with pytest.raises(LookupError):
+        reg.load("cv", stage="Staging")
+
+
+def test_serving_roundtrip():
+    pdf = pd.DataFrame({"path": ["a.jpg", "b.jpg"], "content": [b"\x10" * 32, b"\xf0" * 32]})
+    payload = to_rest_payload(pdf)
+    back = parse_rest_payload(payload)
+    assert list(back["content"]) == list(pdf["content"])
+    model = LogisticHead(weights=np.full(256, 0.1), bias=0.0)
+    resp = json.loads(score_rest_payload(model, payload))
+    assert len(resp["predictions"]) == 2
+    # higher bytes → higher features → higher score under positive weights
+    assert resp["predictions"][1] > resp["predictions"][0]
+
+
+def test_train_register_score_pipeline(spark, tmp_path):
+    """EP2 + EP3 end to end: content → features (U4) → train (M4) →
+    registry (M7) → load Production → score_with (U3) over a DataFrame."""
+    from computer_vision_foundations_spark.operators.score import score_with
+    from computer_vision_foundations_spark.operators.transform import (
+        to_training_batches,
+    )
+
+    rows = []
+    for i in range(120):
+        label = i % 2
+        byte = 200 if label else 20
+        rows.append((f"/img/{i}.jpg", bytes([byte]) * 64, label))
+    df = spark.createDataFrame(rows, "path string, content binary, label int")
+
+    feats = to_training_batches(df.select("content", "label"))
+    model, _ = fit_dataframe(
+        feats, TrainConfig(lr=1.0, epochs=4), n_features=256
+    )
+    reg = ModelRegistry(str(tmp_path / "reg"))
+    v = reg.log_model(model, "pipeline")
+    reg.promote("pipeline", v.version)
+    prod, _ = reg.load("pipeline")
+
+    scored = score_with(df, content_predict_fn(prod), input_cols=["content"])
+    out = scored.select("path", "score").collect()
+    assert len(out) == 120
+    hi = [r.score for r in out if int(r.path.split("/")[-1].split(".")[0]) % 2 == 1]
+    lo = [r.score for r in out if int(r.path.split("/")[-1].split(".")[0]) % 2 == 0]
+    assert min(hi) > max(lo)
