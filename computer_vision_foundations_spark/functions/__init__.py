@@ -1,5 +1,6 @@
 from computer_vision_foundations_spark.functions.filename import with_parsed_filename
 from computer_vision_foundations_spark.functions.vectors import (
+    cosine_from_norms,
     cosine_similarity,
     dot_product,
     l2_norm,
@@ -18,6 +19,7 @@ from computer_vision_foundations_spark.functions.hashing import minhash_column
 
 __all__ = [
     "with_parsed_filename",
+    "cosine_from_norms",
     "cosine_similarity",
     "dot_product",
     "l2_norm",

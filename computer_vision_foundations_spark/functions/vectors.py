@@ -37,29 +37,41 @@ def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Col
     Summation order is ascending index in BOTH forms, so results are
     bit-identical between them (and to the DuckDB oracle's
     ``list_dot_product``).
+
+    The unrolled form casts each ELEMENT to double (same value as
+    casting the array) — an array-level cast re-emits its whole
+    conversion loop at every ``element_at`` after projection collapse
+    inlines it, which blows Janino's 64 KB method limit at dim=64 and
+    silently drops the stage out of whole-stage codegen.
     """
-    a = to_double_array(a)
-    b = to_double_array(b)
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
     if dim is not None:
         return _sum_terms(
-            [F.element_at(a, i) * F.element_at(b, i) for i in range(1, dim + 1)]
+            [
+                F.element_at(ac, i).cast("double")
+                * F.element_at(bc, i).cast("double")
+                for i in range(1, dim + 1)
+            ]
         )
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(to_double_array(ac), to_double_array(bc), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:
-    a = to_double_array(a)
+    ac = F.col(a) if isinstance(a, str) else a
     if dim is not None:
         sq = [
-            F.element_at(a, i) * F.element_at(a, i) for i in range(1, dim + 1)
+            F.element_at(ac, i).cast("double")
+            * F.element_at(ac, i).cast("double")
+            for i in range(1, dim + 1)
         ]
         return F.sqrt(_sum_terms(sq))
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(to_double_array(ac), F.lit(0.0), lambda acc, x: acc + x * x)
     )
 
 
@@ -73,4 +85,28 @@ def cosine_similarity(
     """
     num = dot_product(a, b, dim)
     den = l2_norm(a, dim) * l2_norm(b, dim)
+    return F.when(den > F.lit(0.0), num / den).otherwise(F.lit(0.0))
+
+
+def cosine_from_norms(
+    a: Column | str,
+    b: Column | str,
+    norm_a: Column | str,
+    norm_b: Column | str,
+    dim: int | None = None,
+) -> Column:
+    """Cosine given PRECOMPUTED per-side L2 norms.
+
+    The scale form for join-shaped similarity: compute ``l2_norm`` once
+    per vector BEFORE the join (n + m sqrts instead of n·m·2), and keep
+    the pair-side expression to just the dot product — which also keeps
+    the generated Java method for the join projection under Janino's
+    64 KB limit at dim=64+ (one 3·dim-term cosine per pair blows it and
+    silently falls back to interpreted eval). Bit-identical to
+    ``cosine_similarity``: same multiplies, same order.
+    """
+    na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
+    nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
+    num = dot_product(a, b, dim)
+    den = na * nb
     return F.when(den > F.lit(0.0), num / den).otherwise(F.lit(0.0))

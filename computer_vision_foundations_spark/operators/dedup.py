@@ -42,7 +42,10 @@ from computer_vision_foundations_spark.functions.text import (
     shingles_from_tokens,
     tokens,
 )
-from computer_vision_foundations_spark.functions.vectors import cosine_similarity
+from computer_vision_foundations_spark.functions.vectors import (
+    cosine_from_norms,
+    l2_norm,
+)
 
 
 def exact_duplicates(
@@ -360,23 +363,29 @@ def embedding_near_duplicates(
     With ``block_col`` the self-join is an equi-join within blocks
     (at scale: LSH bucket / IVF cell id); without it, a full cross
     product — only for small frames or after candidate generation.
-    Pass ``dim`` to unroll the cosine into codegen'd expressions.
+    Pass ``dim`` to unroll the math into codegen'd expressions. Norms
+    are computed once per vector BEFORE the self-join (n sqrts, not
+    n² — see functions/vectors.cosine_from_norms).
     """
     left = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
+        l2_norm(vec_col, dim).alias("_na"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
     right = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
+        l2_norm(vec_col, dim).alias("_nb"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
     )
     joined = (
         left.join(right, on="_blk") if block_col else left.crossJoin(right)
     ).filter(F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn("cos_sim", cosine_similarity("_va", "_vb", dim))
+        joined.withColumn(
+            "cos_sim", cosine_from_norms("_va", "_vb", "_na", "_nb", dim)
+        )
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

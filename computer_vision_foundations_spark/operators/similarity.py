@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.vectors import (
-    cosine_similarity,
-    to_double_array,
+    cosine_from_norms,
+    l2_norm,
 )
 
 
@@ -44,21 +44,31 @@ def brute_force_knn(
     Returns ``(probe_id, neighbor_id, cos_sim, rank)``. Ties break on
     neighbor_id after rounding, so results are total-order
     deterministic (required by the differential oracle). Pass ``dim``
-    (embedding width) to unroll the cosine into codegen'd expressions —
+    (embedding width) to unroll the math into codegen'd expressions —
     see functions/vectors.py.
+
+    Norms are computed per SIDE before the join (n + m sqrts), so the
+    per-pair work is one dot product — not a full cosine per pair.
     """
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        l2_norm(vec_col, dim).alias("_pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(vec_col, dim).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            F.round(cosine_similarity("_pv", "_cv", dim), round_digits),
+            F.round(
+                cosine_from_norms("_pv", "_cv", "_pn", "_cn", dim),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -84,13 +94,16 @@ def hyperplane_bucket(vec_col, planes: list[list[float]]):
     The plane coefficients are literals, so each dot product unrolls
     into a flat codegen'd ``Σ element_at(v, i) · c_i`` — no interpreted
     higher-order functions. Summation order is ascending index (matches
-    the DuckDB oracle's ``list_dot_product``).
+    the DuckDB oracle's ``list_dot_product``). Elements are cast to
+    double individually — an array-level cast would be re-inlined at
+    every element_at and blow the 64 KB codegen method limit (see
+    functions/vectors.dot_product).
     """
-    v = to_double_array(vec_col)
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         terms = [
-            F.element_at(v, j + 1) * F.lit(float(x))
+            F.element_at(v, j + 1).cast("double") * F.lit(float(x))
             for j, x in enumerate(plane)
         ]
         dot = terms[0]
@@ -123,15 +136,23 @@ def lsh_bucketed_knn(
     one window shuffle on probe_id — no cross product anywhere.
     """
     def with_buckets(df: DataFrame, side_id: str) -> DataFrame:
+        # Norm once per vector, BEFORE the per-table fan-out and join.
+        base = df.select(
+            F.col(id_col).alias(side_id),
+            F.col(vec_col).alias(f"_{side_id}_v"),
+            l2_norm(vec_col, dim).alias(f"_{side_id}_n"),
+        )
         rows = []
         for t in range(n_tables):
             planes = _random_planes(dim, n_planes, seed + t * 7919)
             rows.append(
-                df.select(
-                    F.col(id_col).alias(side_id),
-                    F.col(vec_col).alias(f"_{side_id}_v"),
-                    F.lit(t).alias("_table"),
-                    hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+                base.withColumns(
+                    {
+                        "_table": F.lit(t),
+                        "_bucket": hyperplane_bucket(
+                            F.col(f"_{side_id}_v"), planes
+                        ),
+                    }
                 )
             )
         out = rows[0]
@@ -144,13 +165,20 @@ def lsh_bucketed_knn(
     cands = (
         pb.join(cb, on=["_table", "_bucket"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "_probe_id_v", "neighbor_id", "_neighbor_id_v")
+        .select(
+            "probe_id", "_probe_id_v", "_probe_id_n",
+            "neighbor_id", "_neighbor_id_v", "_neighbor_id_n",
+        )
         .distinct()
     )
     scored = cands.withColumn(
         "cos_sim",
         F.round(
-            cosine_similarity("_probe_id_v", "_neighbor_id_v", dim), round_digits
+            cosine_from_norms(
+                "_probe_id_v", "_neighbor_id_v",
+                "_probe_id_n", "_neighbor_id_n", dim,
+            ),
+            round_digits,
         ),
     )
     w = Window.partitionBy("probe_id").orderBy(
