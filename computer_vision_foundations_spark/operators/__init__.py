@@ -11,6 +11,7 @@ from computer_vision_foundations_spark.operators.dedup import (
 )
 from computer_vision_foundations_spark.operators.similarity import (
     brute_force_knn,
+    ivf_flat_knn,
     lsh_bucketed_knn,
 )
 from computer_vision_foundations_spark.operators.score import score_with
@@ -24,6 +25,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_column",
     "brute_force_knn",
+    "ivf_flat_knn",
     "lsh_bucketed_knn",
     "score_with",
 ]

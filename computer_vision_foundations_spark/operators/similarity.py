@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor / similarity search over embeddings.
 
-North-star extension (SURVEY §2.10). Two tiers:
+North-star extension (SURVEY §2.10). Three tiers:
 
 - ``brute_force_knn``: exact top-k cosine between a (small) probe set
   and the full corpus. The probe side is broadcast — the corpus is
@@ -12,7 +12,14 @@ North-star extension (SURVEY §2.10). Two tiers:
   random vectors → bucket id). Probes and corpus join on bucket id so
   only same-bucket candidates are scored — the scale path when the
   probe set is itself huge. Recall is tunable via n_planes/n_tables.
+- ``ivf_flat_knn``: inverted-file index (FAISS IndexIVFFlat shape) —
+  corpus bucketed by nearest centroid, probes scan their n nearest
+  cells only. Recall tunes with n_probe_cells; at scale the cell
+  assignment is the partitioning you persist.
 
+Index math (bucket signs, centroid distances) runs as Arrow-batched
+numpy matmuls — dense matrix products are the Pandas-UDF case; the
+candidate scoring (one dot per surviving pair) stays in JVM codegen.
 Seeded throughout; no driver-side collect of data rows.
 """
 
@@ -21,13 +28,22 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
 
 from computer_vision_foundations_spark.functions.vectors import (
     cosine_from_norms,
     l2_norm,
 )
+
+
+def _stack_f64(v: pd.Series) -> "np.ndarray":
+    """(batch, dim) float64 matrix from a Series of array values."""
+    return np.vstack(v.to_numpy()).astype(np.float64)
 
 
 def brute_force_knn(
@@ -134,42 +150,60 @@ def lsh_bucketed_knn(
     deduped across tables, then exact cosine + per-probe top-k. Plan:
     two narrow projections + one equi-join shuffle on (table, bucket) +
     one window shuffle on probe_id — no cross product anywhere.
+
+    Bucket assignment is ONE Arrow-batched numpy matmul per row batch
+    (sign bits of ``V·Pᵀ`` across all tables at once). The pure-Catalyst
+    alternative (``hyperplane_bucket``, kept for composition in SQL-only
+    contexts) unrolls n_tables × n_planes × dim literal terms — a plan
+    tree so large that driver-side analysis/codegen dominates wall-clock;
+    dense matrix math against a plane set is exactly the Pandas-UDF case.
+    Sign parity with the expression form holds unless a dot product sits
+    within float-summation-order noise of 0 (measure-zero for gaussian
+    planes).
     """
+    all_planes = [
+        _random_planes(dim, n_planes, seed + t * 7919)
+        for t in range(n_tables)
+    ]
+    flat = np.asarray(
+        [p for planes in all_planes for p in planes], dtype=np.float64
+    )  # (n_tables·n_planes, dim)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def buckets_udf(v: pd.Series) -> pd.Series:
+        s = (_stack_f64(v) @ flat.T) >= 0.0
+        s = s.reshape(len(s), n_tables, n_planes)
+        b = (s * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(b))
+
     def with_buckets(df: DataFrame, side_id: str) -> DataFrame:
-        # Norm once per vector, BEFORE the per-table fan-out and join.
-        base = df.select(
+        # Norm once per vector; one UDF call fans out to all tables.
+        return df.select(
             F.col(id_col).alias(side_id),
             F.col(vec_col).alias(f"_{side_id}_v"),
             l2_norm(vec_col, dim).alias(f"_{side_id}_n"),
+            F.posexplode(buckets_udf(F.col(vec_col))).alias(
+                "_table", "_bucket"
+            ),
         )
-        rows = []
-        for t in range(n_tables):
-            planes = _random_planes(dim, n_planes, seed + t * 7919)
-            rows.append(
-                base.withColumns(
-                    {
-                        "_table": F.lit(t),
-                        "_bucket": hyperplane_bucket(
-                            F.col(f"_{side_id}_v"), planes
-                        ),
-                    }
-                )
-            )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
 
     pb = with_buckets(probes, "probe_id")
     cb = with_buckets(corpus, "neighbor_id")
+    # Dedup across tables on the ID PAIR (grouping keys are 16 bytes,
+    # not two 64-float arrays); vectors/norms are functions of the ids,
+    # carried through as first(). Map-side partial agg collapses most
+    # duplicates before the shuffle.
     cands = (
         pb.join(cb, on=["_table", "_bucket"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id", "_probe_id_v", "_probe_id_n",
-            "neighbor_id", "_neighbor_id_v", "_neighbor_id_n",
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.first("_probe_id_v").alias("_probe_id_v"),
+            F.first("_probe_id_n").alias("_probe_id_n"),
+            F.first("_neighbor_id_v").alias("_neighbor_id_v"),
+            F.first("_neighbor_id_n").alias("_neighbor_id_n"),
         )
-        .distinct()
     )
     scored = cands.withColumn(
         "cos_sim",
@@ -180,6 +214,127 @@ def lsh_bucketed_knn(
             ),
             round_digits,
         ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def random_centroids(dim: int, n_cells: int, seed: int) -> list[list[float]]:
+    """Seeded gaussian cell centroids (a stand-in for trained k-means
+    centers — at scale you'd fit them with ``pyspark.ml`` KMeans on a
+    sample and pass them in here; the index structure is identical)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)
+    ]
+
+
+def _centroid_distances(vec_col, centroids: list[list[float]]):
+    """array<double> of squared L2 distances to each centroid, up to the
+    per-vector constant: ``||c||² − 2·v·c`` (``||v||²`` is the same for
+    every cell, so argmin/ordering are unaffected). Centroids are
+    literals → every dot unrolls into flat codegen'd arithmetic."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dists = []
+    for c in centroids:
+        c_norm_sq = sum(x * x for x in c)
+        terms = [
+            F.element_at(v, j + 1).cast("double") * F.lit(float(x))
+            for j, x in enumerate(c)
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+        dists.append(F.lit(float(c_norm_sq)) - F.lit(2.0) * dot)
+    return F.array(*dists)
+
+
+def ivf_assign_cell(vec_col, centroids: list[list[float]]):
+    """IVF cell id = index of the nearest centroid (first index on
+    ties — ``array_position`` of the min, matching the DuckDB oracle's
+    ``list_position(l, list_min(l))``)."""
+    d = _centroid_distances(vec_col, centroids)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def ivf_flat_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe_cells: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine (the classic inverted-file ANN
+    index, e.g. FAISS IndexIVFFlat, as pure DataFrame ops).
+
+    Every corpus vector is assigned to its nearest of ``n_cells``
+    centroids (one narrow map-side projection — at 100 TB this is the
+    partitioning you'd PERSIST, bucketed by cell). Each probe scans the
+    ``n_probe_cells`` nearest cells only, so the equi-join on cell id
+    touches ``n_probe_cells / n_cells`` of the corpus instead of all of
+    it. Exact cosine + per-probe top-k over the candidates. No cross
+    product, no driver-side data movement; recall tunes with
+    ``n_probe_cells``.
+    """
+    cents = centroids if centroids is not None else random_centroids(
+        dim, n_cells, seed
+    )
+    # One Arrow-batched matmul computes every centroid distance
+    # (``||c||² − 2·V·Cᵀ``; ``||v||²`` is constant per row, so argmin
+    # is unaffected). The pure-Catalyst form (``ivf_assign_cell``,
+    # kept for SQL-only composition) unrolls n_cells × dim literal
+    # terms and driver-side plan handling dominates — see
+    # lsh_bucketed_knn. argmin takes the FIRST minimal cell and the
+    # probe fan-out sorts stably over ascending cell id, matching the
+    # oracle's ``ORDER BY dist ASC, cell ASC``.
+    cmat = np.asarray(cents, dtype=np.float64)  # (n_cells, dim)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_udf(v: pd.Series) -> pd.Series:
+        d = cnorm[None, :] - 2.0 * (_stack_f64(v) @ cmat.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_cells_udf(v: pd.Series) -> pd.Series:
+        d = cnorm[None, :] - 2.0 * (_stack_f64(v) @ cmat.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe_cells]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(vec_col, dim).alias("_cn"),
+        cell_udf(F.col(vec_col)).alias("_cell"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        l2_norm(vec_col, dim).alias("_pn"),
+        F.explode(probe_cells_udf(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        p.join(c, on="_cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_norms("_pv", "_cv", "_pn", "_cn", dim),
+                round_digits,
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -1104,3 +1104,87 @@ def q35_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bernoulli_sample(orders, 0.1, seed=7).select(
         "o_orderkey", "o_orderstatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (inverted-file index, the FAISS-style scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_DIM, _IVF_CELLS, _IVF_PROBE_CELLS, _IVF_SEED = 64, 16, 4, 42
+
+
+def _ivf_oracle_sql() -> str:
+    """Replay ``ivf_flat_knn``'s seeded centroids as DuckDB literals:
+    per-vector distance array ``||c||² − 2·v·c``, cell = first argmin
+    (list_position of list_min, matching Spark's array_position), probe
+    fans out to its 4 nearest cells, equi-join on cell, exact cosine +
+    per-probe top-10. Distances are f64 with matching summation order
+    on both engines."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    dists = ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]))"
+        for c in cents
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, v, [{dists}] AS dists FROM emb
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, v AS cv,
+             CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cell
+      FROM d
+    ),
+    probe_fan AS (
+      SELECT vec_id AS probe_id, v AS pv, i - 1 AS cell, dists[i] AS dist,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY dists[i] ASC, i ASC) AS cell_rank
+      FROM d CROSS JOIN generate_series(1, {_IVF_CELLS}) AS t(i)
+      WHERE vec_id < 5
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT p.probe_id, a.neighbor_id,
+             round(list_cosine_similarity(p.pv, a.cv), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(p.pv, a.cv), 6) DESC,
+                        a.neighbor_id ASC) AS rank
+      FROM probe_fan p
+      JOIN assigned a ON p.cell = a.cell AND p.probe_id <> a.neighbor_id
+      WHERE p.cell_rank <= {_IVF_PROBE_CELLS}) t
+    WHERE rank <= 10
+    """
+
+
+@_register("q36_ivf_ann", _ivf_oracle_sql())
+def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 neighbors for probes vec_id<5
+    (operators/similarity.ivf_flat_knn). The inverted-file scale path:
+    corpus partitioned once by nearest-centroid cell (at 100 TB: the
+    bucketing you persist), probes scan only their 4 nearest cells —
+    the cell equi-join touches 1/4 of the corpus. Centroids are seeded
+    literals so the DuckDB oracle replays assignment, fan-out, and
+    ranking exactly."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        ivf_flat_knn,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_flat_knn(
+        emb,
+        probes,
+        dim=_IVF_DIM,
+        k=10,
+        n_cells=_IVF_CELLS,
+        n_probe_cells=_IVF_PROBE_CELLS,
+        seed=_IVF_SEED,
+    )

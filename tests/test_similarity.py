@@ -39,3 +39,42 @@ def test_lsh_bucketed_finds_near_identical(spark):
     # vector 4 is near-identical to the probe: same side of every
     # hyperplane with overwhelming probability across 3 tables
     assert 4 in neighbors
+
+
+def test_ivf_flat_knn_recall_and_shape(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        ivf_flat_knn,
+    )
+
+    corpus = _corpus(spark)
+    probes = corpus.filter("vec_id = 0")
+    # One probe cell out of two: the near-identical vector 4 lands in
+    # the probe's own cell (same direction ⇒ same nearest centroid).
+    out = ivf_flat_knn(
+        corpus, probes, dim=4, k=3, n_cells=2, n_probe_cells=1, seed=7
+    ).collect()
+    assert all(r.probe_id == 0 and r.neighbor_id != 0 for r in out)
+    assert 4 in [r.neighbor_id for r in out]
+    ranks = [r.rank for r in out]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+
+
+def test_ivf_probe_all_cells_matches_brute_force(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        ivf_flat_knn,
+    )
+
+    corpus = _corpus(spark)
+    probes = corpus.filter("vec_id <= 1")
+    exact = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in brute_force_knn(corpus, probes, k=3).collect()
+    }
+    # n_probe_cells == n_cells ⇒ every candidate scored ⇒ exact result.
+    approx = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in ivf_flat_knn(
+            corpus, probes, dim=4, k=3, n_cells=3, n_probe_cells=3, seed=7
+        ).collect()
+    }
+    assert approx == exact
