@@ -9,6 +9,9 @@ pipeline needs (north-star extensions, SURVEY §2.10).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -156,3 +159,139 @@ def language_score_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprinting (winnowing) + regex tokenization
+# ---------------------------------------------------------------------------
+
+# Polynomial rolling-hash parameters. base^(k-1)·255·k stays far below
+# 2^63 for k ≤ 6, so the sum is exact int64 arithmetic in any engine.
+ROLLING_BASE = 257
+ROLLING_PRIME = 2_147_483_647  # 2^31 − 1
+
+
+def char_codes(text: Column | str, k: int = 5) -> Column:
+    """array<int> of character codes of the text NUL-padded to ≥ k.
+
+    Stage 1 of the winnowing pipeline. The HOF argument (split of the
+    padded text) is evaluated once per ROW — materialize this column
+    before building k-gram hashes on it, or the downstream lambdas
+    re-evaluate the pad+split per position (O(len²)).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # NUL-pad up to k (rpad TRUNCATES when the target is shorter than
+    # the string, so the pad length must be max(len, k)).
+    padded = F.rpad(c, F.greatest(F.length(c), F.lit(k)), F.lit("\x00"))
+    return F.transform(F.split(padded, ""), lambda ch: F.ascii(ch))
+
+
+def kgram_hashes_from_codes(codes: Column | str, k: int = 5) -> Column:
+    """array<long> of polynomial hashes of every character k-gram.
+
+    ``h_i = (Σ_j code[i+j] · base^(k−1−j)) mod p`` — the Rabin-Karp
+    k-gram hash as a fixed k-term expression per position: exact int64
+    arithmetic, bit-identical in every SQL engine. ``codes`` MUST be a
+    materialized column (see ``char_codes``): a captured non-column
+    expression would be re-evaluated on every lambda invocation.
+    """
+    cc = F.col(codes) if isinstance(codes, str) else codes
+    return F.transform(
+        F.sequence(F.lit(1), F.size(cc) - F.lit(k - 1)),
+        lambda i: sum(
+            (
+                F.element_at(cc, i + F.lit(j)).cast("long")
+                * F.lit(ROLLING_BASE ** (k - 1 - j))
+                for j in range(1, k)
+            ),
+            F.element_at(cc, i).cast("long") * F.lit(ROLLING_BASE ** (k - 1)),
+        )
+        % F.lit(ROLLING_PRIME),
+    )
+
+
+def winnow_from_hashes(hashes: Column | str, w: int = 8) -> Column:
+    """Distinct min-of-each-length-w-window over a MATERIALIZED
+    array<long> hash column — stage 3 of winnowing. Sorted array<long>."""
+    hs = F.col(hashes) if isinstance(hashes, str) else hashes
+    n = F.size(hs)
+    mins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(hs, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hs)))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_udf(k: int = 5, w: int = 8):
+    """Arrow-batched winnowing: text → sorted distinct array<long>.
+
+    Vectorized numpy inner loop (sliding-window matmul for the k-gram
+    hashes, sliding-window min for selection) in exact int64 — the same
+    integers as the SQL formulation, verified differentially. The
+    staged-HOF expression forms above are kept for SQL-only
+    composition, but under a Generate (explode) Spark's optimizer
+    re-inlines every stage into the consuming lambdas — re-evaluating
+    the padded split per element, O(len²·k) per document (measured as
+    a multi-minute hang on 500 docs) — so the hot path is this UDF.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    weights = np.array(
+        [ROLLING_BASE ** (k - 1 - j) for j in range(k)], dtype=np.int64
+    )
+
+    @pandas_udf("array<bigint>")
+    def f(texts: pd.Series) -> pd.Series:
+        swv = np.lib.stride_tricks.sliding_window_view
+        out = []
+        for s in texts:
+            s = s or ""
+            codes = np.fromiter(
+                (ord(c) for c in s), dtype=np.int64, count=len(s)
+            )
+            if len(codes) < k:  # NUL-pad to one whole-text k-gram
+                codes = np.pad(codes, (0, k - len(codes)))
+            hs = (swv(codes, k) @ weights) % ROLLING_PRIME
+            mins = swv(hs, w).min(axis=1) if len(hs) >= w else hs.min(
+                keepdims=True
+            )
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return f
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 8,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting scheme): min k-gram rolling hash of each
+    length-w window, deduplicated — any shared substring of length
+    ≥ w+k−1 between two documents shares a fingerprint.
+
+    Adds ``out_col`` (sorted array<long>) via ``winnow_udf``. Per-doc
+    work is O(len·(k+w)) integer ops in numpy; the cross-doc near-dup
+    phase is a plain exploded equi-join on fingerprint.
+    """
+    return df.withColumn(out_col, winnow_udf(k, w)(F.col(text_col)))
+
+
+# GPT-2-flavored pre-tokenizer, reduced to a dialect-portable core
+# (no \p classes, no lookarounds — identical semantics in Java regex
+# and RE2): contractions | letter runs | digit runs | single
+# non-alphanumeric-non-space | space runs.
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s']+|'"
+
+
+def bpe_ish_token_count(text: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex (JVM-side
+    ``regexp_count``; DuckDB twin ``len(regexp_extract_all(...))``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))

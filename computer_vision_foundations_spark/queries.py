@@ -1188,3 +1188,98 @@ def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe_cells=_IVF_PROBE_CELLS,
         seed=_IVF_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprinting + BPE-ish tokenization (training-data ops)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 5, 8
+
+
+@_register(
+    "q37_winnow_fingerprints",
+    f"""
+    WITH padded AS (
+      SELECT doc_id,
+             rpad(text, CAST(greatest(length(text), {_WINNOW_K}) AS INTEGER), chr(0)) AS s
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, length(s) - {_WINNOW_K} + 2),
+               i -> (
+                 {" + ".join(
+                     f"ascii(substring(s, i + {j}, 1)) * {257 ** (_WINNOW_K - 1 - j)}"
+                     for j in range(_WINNOW_K)
+                 )}
+               ) % 2147483647
+             ) AS hs
+      FROM padded
+    ),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {_WINNOW_W} THEN
+               list_transform(
+                 range(1, len(hs) - {_WINNOW_W} + 2),
+                 j -> list_min(list_slice(hs, j, j + {_WINNOW_W - 1})))
+             ELSE [list_min(hs)] END AS m
+      FROM kg
+    )
+    SELECT doc_id, unnest(list_distinct(m)) AS fingerprint FROM mins
+    """,
+)
+def q37_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash + min-of-
+    window selection, the MOSS scheme) exploded to (doc_id,
+    fingerprint) — the join-able form: near-duplicate detection at
+    scale is an equi-join on fingerprint. Integer-exact in both
+    engines (polynomial hash mod 2^31−1 in int64)."""
+    from computer_vision_foundations_spark.functions.text import (
+        with_winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = with_winnow_fingerprints(
+        docs, "text", k=_WINNOW_K, w=_WINNOW_W, out_col="_fps"
+    )
+    return fp.select("doc_id", F.explode("_fps").alias("fingerprint"))
+
+
+def _bpe_pattern_sql_literal() -> str:
+    from computer_vision_foundations_spark.functions.text import (
+        BPE_ISH_PATTERN,
+    )
+
+    return "'" + BPE_ISH_PATTERN.replace("'", "''") + "'"
+
+
+@_register(
+    "q38_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, {_bpe_pattern_sql_literal()}))
+             AS n_bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def q38_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish
+    pre-tokenizer regex (GPT-2-flavored, dialect-portable core) — the
+    cheap cost/length accounting every training-data pipeline runs.
+    All-Catalyst (split/regexp_count), whole-stage codegen."""
+    from computer_vision_foundations_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )

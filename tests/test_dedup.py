@@ -144,3 +144,68 @@ def test_lsh_hot_bucket_cap_bounds_fanout(spark):
         df, "text", "doc_id", k=3, n_hashes=8, bands=4, max_bucket_size=None
     )
     assert uncapped.count() == 40 * 39 // 2 + 1
+
+
+def test_winnow_udf_matches_expression_form(spark):
+    """The numpy winnowing UDF and the staged-HOF expression form are
+    the same integer function (the UDF is the hot path; the expression
+    form exists for SQL-only composition)."""
+    import pyspark.sql.functions as F
+    from computer_vision_foundations_spark.functions.text import (
+        char_codes,
+        kgram_hashes_from_codes,
+        winnow_from_hashes,
+        winnow_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "ab"),
+         (3, ""),
+         (4, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa")],
+        ["doc_id", "text"],
+    )
+    staged = (
+        df.withColumn("_c", char_codes("text", 5))
+        .withColumn("_h", kgram_hashes_from_codes("_c", 5))
+        .select("doc_id", winnow_from_hashes("_h", 8).alias("fp"))
+    )
+    viaudf = df.select("doc_id", winnow_udf(5, 8)(F.col("text")).alias("fp"))
+    a = {r.doc_id: r.fp for r in staged.collect()}
+    b = {r.doc_id: r.fp for r in viaudf.collect()}
+    assert a == b
+    assert len(a[1]) > 1  # real fingerprints, not a degenerate single
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share at least one fingerprint."""
+    import pyspark.sql.functions as F
+    from computer_vision_foundations_spark.functions.text import winnow_udf
+
+    shared = "a very long shared passage of text here"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, shared + " suffix two")],
+        ["doc_id", "text"],
+    )
+    rows = df.select(
+        "doc_id", F.explode(winnow_udf(5, 8)(F.col("text"))).alias("fp")
+    ).collect()
+    fps1 = {r.fp for r in rows if r.doc_id == 1}
+    fps2 = {r.fp for r in rows if r.doc_id == 2}
+    assert fps1 & fps2
+
+
+def test_bpe_ish_token_count(spark):
+    from computer_vision_foundations_spark.functions.text import (
+        bpe_ish_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "it's 42 degrees, isn't it?"), (2, ""), (3, "hello")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_ish_token_count("text").alias("n")).collect()}
+    # it|'s|42|degrees|,|isn|'t|it|? = 9 matches
+    assert out[1] == 9 and out[2] == 0 and out[3] == 1
