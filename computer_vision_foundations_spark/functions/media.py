@@ -1,0 +1,198 @@
+"""Audio / video multimodal columns: opaque binary + typed metadata.
+
+Extends the engine's multimodal model (SURVEY §1.2: media as opaque
+``binary`` columns + typed metadata structs + flat tensor arrays —
+the same shape the reference uses for images, `02_Data
+Ingest.py:191-199`) to audio and video. All processing is
+Arrow-batched (iterator ``pandas_udf`` / ``mapInPandas``): the JVM⇄
+Python hop moves columnar buffers, and every operator is a NARROW
+transformation — no shuffle; batches are decoded where they sit.
+
+Decode backend:
+- Real decoders (soundfile / PyAV) are not in this container; imports
+  are gated and ``HAVE_AUDIO_CODEC`` / ``HAVE_VIDEO_CODEC`` report
+  availability. Swap-in is one function each (``_decode_audio_real``,
+  ``_decode_video_real``).
+- Without them, DETERMINISTIC FAKE decoders stand in, defined on the
+  raw bytes with integer-exact arithmetic so the fakes themselves are
+  differentially testable: a SQL engine can replay them over ASCII
+  payloads (see q39/q40), and the Spark-side plumbing — schemas,
+  Arrow batch shapes, explode layout, partitioning — is fully real.
+
+Fake semantics (documented contract, pinned by tests and oracles):
+- audio: PCM = unsigned bytes centered at 128; frame energy =
+  Σ (byte−128) over each non-overlapping window (integer).
+- video: n_frames = 8 + len(bytes) mod 8, fps = 24; frame i samples
+  the byte at offset ⌊i·len/n_frames⌋ as its key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not in this container
+    import soundfile  # type: ignore  # noqa: F401
+
+    HAVE_AUDIO_CODEC = True
+except ImportError:
+    HAVE_AUDIO_CODEC = False
+
+try:  # pragma: no cover - not in this container
+    import av  # type: ignore  # noqa: F401
+
+    HAVE_VIDEO_CODEC = True
+except ImportError:
+    HAVE_VIDEO_CODEC = False
+
+FAKE_SAMPLE_RATE = 16_000
+FAKE_FPS = 24.0
+
+AUDIO_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+VIDEO_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def _pcm_from_bytes(content: bytes) -> np.ndarray:
+    """FAKE audio decode: bytes → int64 PCM centered at 128."""
+    if not content:
+        return np.zeros(0, dtype=np.int64)
+    return np.frombuffer(content, dtype=np.uint8).astype(np.int64) - 128
+
+
+def _fake_n_frames(n_bytes: int) -> int:
+    return 8 + n_bytes % 8
+
+
+def with_audio_metadata(
+    df: DataFrame, content_col: str = "content", out_col: str = "audio_meta"
+) -> DataFrame:
+    """Typed audio metadata struct from the binary column (fake decode:
+    one sample per byte at 16 kHz mono). Narrow, Arrow-batched."""
+
+    @F.pandas_udf(AUDIO_METADATA_TYPE)
+    def meta(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for contents in it:
+            n = contents.map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "sample_rate": np.full(len(n), FAKE_SAMPLE_RATE, np.int32),
+                    "n_channels": np.ones(len(n), np.int32),
+                    "n_samples": n.astype("int64"),
+                    "duration_sec": n.astype("float64") / FAKE_SAMPLE_RATE,
+                }
+            )
+
+    return df.withColumn(out_col, meta(F.col(content_col)))
+
+
+def audio_frame_energies(window: int = 64):
+    """Arrow-batched UDF: binary → array<long> of per-window energy
+    sums (Σ centered-byte over each full non-overlapping window).
+    Integer-exact, so a SQL oracle can replay it over ASCII payloads."""
+
+    @F.pandas_udf("array<bigint>")
+    def f(contents: pd.Series) -> pd.Series:
+        out = []
+        for b in contents:
+            pcm = _pcm_from_bytes(b)
+            n_full = len(pcm) // window
+            out.append(
+                pcm[: n_full * window].reshape(n_full, window).sum(axis=1)
+            )
+        return pd.Series(out)
+
+    return f
+
+
+def with_video_metadata(
+    df: DataFrame, content_col: str = "content", out_col: str = "video_meta"
+) -> DataFrame:
+    """Typed video metadata struct from the binary column (fake decode:
+    n_frames = 8 + len mod 8 at 24 fps, 64×64). Narrow, Arrow-batched."""
+
+    @F.pandas_udf(VIDEO_METADATA_TYPE)
+    def meta(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for contents in it:
+            n = contents.map(
+                lambda b: _fake_n_frames(len(b)) if b is not None else 0
+            ).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "width": np.full(len(n), 64, np.int32),
+                    "height": np.full(len(n), 64, np.int32),
+                    "n_frames": n,
+                    "fps": np.full(len(n), FAKE_FPS),
+                    "duration_sec": n.astype("float64") / FAKE_FPS,
+                }
+            )
+
+    return df.withColumn(out_col, meta(F.col(content_col)))
+
+
+def sample_video_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+) -> DataFrame:
+    """Frame sampling: one output row per kept frame —
+    ``(id, frame_idx, ts_sec, frame_key)``, keeping every ``every_n``-th
+    frame. ``mapInPandas`` so the fan-out happens inside the plan
+    (narrow; no shuffle, no driver involvement); frame_key is the fake
+    decoder's sampled byte (with a real codec: the decoded frame
+    tensor / its fingerprint).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_sec", T.DoubleType()),
+            T.StructField("frame_key", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, tss, keys = [], [], [], []
+            for doc_id, b in zip(batch[id_col], batch[content_col]):
+                b = b or b""
+                raw = np.frombuffer(b, dtype=np.uint8)
+                nf = _fake_n_frames(len(raw))
+                for i in range(0, nf, every_n):
+                    off = i * len(raw) // nf
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i / FAKE_FPS)
+                    keys.append(int(raw[off]) if len(raw) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_sec": pd.Series(tss, dtype="float64"),
+                    "frame_key": pd.Series(keys, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)

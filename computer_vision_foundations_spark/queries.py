@@ -1283,3 +1283,84 @@ def q38_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_measured"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio / video multimodal plumbing (functions/media.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q39_video_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, text, length(text) AS len,
+             8 + length(text) % 8 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i AS DOUBLE) / 24.0 AS ts_sec,
+           CAST(CASE WHEN len > 0
+                     THEN ascii(substring(text, CAST(i * len // n_frames AS INTEGER) + 1, 1))
+                     ELSE 0 END AS INTEGER) AS frame_key
+    FROM v CROSS JOIN generate_series(0, 14, 2) AS t(i)
+    WHERE i < n_frames
+    """,
+)
+def q39_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real mapInPandas fan-out
+    (functions/media.sample_video_frames): every 2nd frame of the fake
+    decoder (n_frames = 8 + len mod 8 @ 24 fps; frame key = the byte at
+    the frame's offset). The oracle replays the integer byte/offset
+    arithmetic over the ASCII payload — plumbing (schema, Arrow batch
+    shape, narrow fan-out) is identical to a real codec build."""
+    from computer_vision_foundations_spark.functions.media import (
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return sample_video_frames(docs, "content", "doc_id", every_n=2)
+
+
+@_register(
+    "q40_audio_frame_energy",
+    """
+    WITH a AS (
+      SELECT doc_id, text, length(text) // 64 AS n_windows
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS window_idx,
+           CAST(list_sum(list_transform(
+                  range(1, 65),
+                  j -> ascii(substring(text, CAST(w * 64 + j AS INTEGER), 1)) - 128
+                )) AS BIGINT) AS energy
+    FROM a CROSS JOIN generate_series(0, 63) AS t(w)
+    WHERE w < n_windows
+    """,
+)
+def q40_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window audio energy through the Arrow-batched fake PCM
+    decoder (functions/media.audio_frame_energies): unsigned bytes
+    centered at 128, summed over non-overlapping 64-sample windows —
+    integer-exact, replayed by the oracle over the ASCII payload."""
+    from computer_vision_foundations_spark.functions.media import (
+        audio_frame_energies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(audio_frame_energies(64)(F.col("content"))).alias(
+            "window_idx", "energy"
+        ),
+    ).select(
+        "doc_id",
+        F.col("window_idx").cast("int").alias("window_idx"),
+        "energy",
+    )
