@@ -41,6 +41,9 @@ HEADLINE = [
     "q26_lsh_candidate_pairs",
     "q27_knn_cosine",
     "q28_embedding_near_dup",
+    "q33_lsh_ann",
+    "q36_ivf_ann",
+    "q37_winnow_fingerprints",
 ]
 
 

@@ -275,6 +275,7 @@ def ivf_flat_knn(
     seed: int = 42,
     round_digits: int = 6,
     centroids: list[list[float]] | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF-Flat approximate top-k cosine (the classic inverted-file ANN
     index, e.g. FAISS IndexIVFFlat, as pure DataFrame ops).
@@ -287,6 +288,12 @@ def ivf_flat_knn(
     it. Exact cosine + per-probe top-k over the candidates. No cross
     product, no driver-side data movement; recall tunes with
     ``n_probe_cells``.
+
+    ``broadcast_probes`` (default): hash-join with the probe side
+    broadcast — with only ``n_cells`` distinct join keys a shuffle join
+    collapses to ≤ n_cells partitions regardless of cluster size (and
+    the UDF hides the size estimate from AQE). Set False only when the
+    probe set is itself huge; then pre-bucket both sides by ``_cell``.
     """
     cents = centroids if centroids is not None else random_centroids(
         dim, n_cells, seed
@@ -326,7 +333,7 @@ def ivf_flat_knn(
         F.explode(probe_cells_udf(F.col(vec_col))).alias("_cell"),
     )
     scored = (
-        p.join(c, on="_cell")
+        c.join(F.broadcast(p) if broadcast_probes else p, on="_cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
