@@ -295,3 +295,49 @@ def bpe_ish_token_count(text: Column | str, pattern: str = BPE_ISH_PATTERN) -> C
     ``regexp_count``; DuckDB twin ``len(regexp_extract_all(...))``)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(c, F.lit(pattern))
+
+
+def tfidf_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Smoothed TF-IDF per (doc, term): ``tf · (ln((1+N)/(1+df)) + 1)``.
+
+    Pure DataFrame plan (SURVEY §2.10's tf-idf without any mllib
+    dependency): explode tokens → hash-agg term counts per doc →
+    hash-agg document frequencies → broadcast the (small, ≤ vocab)
+    DF table back onto the term counts. Shuffles are keyed on
+    (doc, term) / term — never on document bodies. ``n_docs`` is a
+    scalar (driver aggregate, reference S7 idiom) if not supplied.
+
+    Columns: ``(id_col, term, tf double, df bigint, tfidf double)``
+    with tf = term_count / doc_token_count.
+    """
+    c = F.col(text_col)
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(c), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    term_counts = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    doc_lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    doc_freq = term_counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    return (
+        term_counts.join(doc_lens, on=id_col)
+        .join(F.broadcast(doc_freq), on="term")
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("_tc").cast("double") / F.col("_dl")).alias("tf"),
+            "df",
+            (F.col("_tc").cast("double") / F.col("_dl") * idf).alias("tfidf"),
+        )
+    )

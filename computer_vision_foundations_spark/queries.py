@@ -1364,3 +1364,60 @@ def q40_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_idx").cast("int").alias("window_idx"),
         "energy",
     )
+
+
+@_register(
+    "q41_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tc AS (
+      SELECT doc_id, term, count(*) AS _tc
+      FROM toks_f GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, count(*) AS _dl FROM toks_f GROUP BY doc_id),
+    dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.doc_id, tc.term,
+             round(CAST(tc._tc AS DOUBLE) / dl._dl
+                   * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0),
+                   6) AS tfidf
+      FROM tc
+      JOIN dl ON tc.doc_id = dl.doc_id
+      JOIN dfreq ON tc.term = dfreq.term
+      CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def q41_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (functions/text.tfidf_scores —
+    SURVEY §2.10's tf-idf as pure DataFrame ops, no mllib): exploded
+    hash-aggs keyed on (doc, term)/term, document-frequency table
+    broadcast back. Smoothed idf = ln((1+N)/(1+df)) + 1; rounded to 6
+    so cross-engine ln noise can't flip ranks (ties break on term)."""
+    from computer_vision_foundations_spark.functions.text import (
+        tfidf_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tfidf_scores(docs, "text", "doc_id").select(
+        "doc_id", "term", F.round("tfidf", 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

@@ -209,3 +209,20 @@ def test_bpe_ish_token_count(spark):
         "doc_id", bpe_ish_token_count("text").alias("n")).collect()}
     # it|'s|42|degrees|,|isn|'t|it|? = 9 matches
     assert out[1] == 9 and out[2] == 0 and out[3] == 1
+
+
+def test_tfidf_scores_basic(spark):
+    import math
+    from computer_vision_foundations_spark.functions.text import tfidf_scores
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
+        ["doc_id", "text"],
+    )
+    rows = {(r.doc_id, r.term): r for r in tfidf_scores(df).collect()}
+    # apple: tf 2/3 in doc 1, df=1 over N=3 → idf = ln(4/2)+1
+    r = rows[(1, "apple")]
+    assert abs(r.tf - 2 / 3) < 1e-12 and r.df == 1
+    assert abs(r.tfidf - (2 / 3) * (math.log(4 / 2) + 1)) < 1e-12
+    # banana appears in 2 docs
+    assert rows[(2, "banana")].df == 2
