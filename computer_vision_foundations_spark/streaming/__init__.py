@@ -3,8 +3,12 @@ from computer_vision_foundations_spark.streaming.ingest import (
     run_ingest,
     run_scoring_stream,
 )
+from computer_vision_foundations_spark.streaming.stateful import (
+    running_totals_stateful,
+)
 from computer_vision_foundations_spark.streaming.windows import (
     sessionized,
+    streaming_session_counts,
     tumbling_counts,
 )
 
@@ -12,6 +16,8 @@ __all__ = [
     "build_ingest_stream",
     "run_ingest",
     "run_scoring_stream",
+    "running_totals_stateful",
     "sessionized",
+    "streaming_session_counts",
     "tumbling_counts",
 ]

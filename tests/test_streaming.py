@@ -77,3 +77,172 @@ def test_ingest_with_image_udfs(spark, tmp_path):
     out = spark.read.parquet(cfg.sink.output_path)
     row = out.select("metadata.height", "statistics.entropy", "label").collect()[0]
     assert row.height >= 1 and row.entropy >= 0.0 and row.label == 1
+
+
+def test_scoring_stream(spark, tmp_path):
+    """EP3: second landing-dir consumer -> (path, score) parquet with
+    its own checkpoint (reference `04a_Model Deployment.py:248-269`)."""
+    tmp = str(tmp_path)
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    _drop_file(landing, "2024-07-01 10-00-00_cam_a_0.jpg", b"abc")
+    _drop_file(landing, "2024-07-01 10-05-00_cam_a_1.jpg", b"defgh")
+
+    from computer_vision_foundations_spark.streaming.ingest import (
+        run_scoring_stream,
+    )
+
+    def predict(batch):
+        return batch["content"].map(len).astype("float64")
+
+    cfg = _cfg(tmp)
+    run_scoring_stream(
+        spark,
+        cfg,
+        predict,
+        output_path=os.path.join(tmp, "scores"),
+        checkpoint_path=os.path.join(tmp, "score_ckpt"),
+    )
+    out = spark.read.parquet(os.path.join(tmp, "scores"))
+    rows = {os.path.basename(r.path): r.score for r in out.collect()}
+    assert len(rows) == 2
+    assert rows["2024-07-01 10-00-00_cam_a_0.jpg"] == 3.0
+    assert rows["2024-07-01 10-05-00_cam_a_1.jpg"] == 5.0
+
+
+def _write_events_file(path, rows):
+    import json
+
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_tumbling_watermark_finalizes_and_drops_late(
+    spark, tmp_path
+):
+    """True streaming run of the watermarked tumbling agg (ST5): append
+    mode emits a window only once the watermark passes its end, and
+    events behind the watermark are dropped across checkpointed
+    restarts."""
+    from computer_vision_foundations_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "win_out")
+    ckpt = os.path.join(tmp, "win_ckpt")
+    os.makedirs(src)
+
+    def run_cycle():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        agg = tumbling_counts(
+            stream, duration="1 hour", watermark="0 seconds"
+        )
+        (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [
+            {"ts": "2024-05-01T10:00:00", "event_type": "a", "value": 1.0},
+            {"ts": "2024-05-01T10:30:00", "event_type": "a", "value": 2.0},
+        ],
+    )
+    _write_events_file(
+        os.path.join(src, "b2.json"),
+        [{"ts": "2024-05-01T12:00:00", "event_type": "a", "value": 4.0}],
+    )
+    run_cycle()
+    finalized = spark.read.parquet(out)
+    rows = {r.window_start.hour: r for r in finalized.collect()}
+    # watermark reached 12:00 => the 10:00 window finalized; the 12:00
+    # window is still open when the stream drains
+    assert 10 in rows and rows[10].n_events == 2 and rows[10].sum_value == 3.0
+    assert 12 not in rows
+
+    # restart with one late event (10:45 < watermark): dropped; and one
+    # event at 14:00 that pushes the watermark past the 12:00 window
+    _write_events_file(
+        os.path.join(src, "b3.json"),
+        [
+            {"ts": "2024-05-01T10:45:00", "event_type": "a", "value": 100.0},
+            {"ts": "2024-05-01T14:00:00", "event_type": "a", "value": 8.0},
+        ],
+    )
+    run_cycle()
+    rows2 = {r.window_start.hour: r for r in spark.read.parquet(out).collect()}
+    assert rows2[10].n_events == 2 and rows2[10].sum_value == 3.0  # late drop
+    assert rows2[12].n_events == 1 and rows2[12].sum_value == 4.0
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches
+    (batch_seq increments, totals are cumulative) and across
+    checkpointed restarts."""
+    from computer_vision_foundations_spark.streaming.stateful import (
+        running_totals_stateful,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "state_ckpt")
+    os.makedirs(src)
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [{"user_id": 1, "value": 10.0}, {"user_id": 2, "value": 5.0}],
+    )
+    _write_events_file(
+        os.path.join(src, "b2.json"),
+        [{"user_id": 1, "value": 7.0}],
+    )
+
+    collected = []
+
+    def run_cycle():
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        totals = running_totals_stateful(stream, "user_id", "value")
+        (
+            totals.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, epoch: collected.extend(df.collect())
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_cycle()
+    u1 = [r for r in collected if r.user_id == 1]
+    u1.sort(key=lambda r: r.batch_seq)
+    assert [(r.n_events, r.sum_value) for r in u1] == [(1, 10.0), (2, 17.0)]
+    assert [r.batch_seq for r in u1] == [1, 2]
+
+    # restart: state restored from checkpoint, new batch accumulates on top
+    _write_events_file(
+        os.path.join(src, "b3.json"),
+        [{"user_id": 1, "value": 3.0}],
+    )
+    collected.clear()
+    run_cycle()
+    u1b = [r for r in collected if r.user_id == 1]
+    assert [(r.n_events, r.sum_value, r.batch_seq) for r in u1b] == [
+        (3, 20.0, 3)
+    ]
