@@ -389,3 +389,69 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 3,
+    max_fingerprint_freq: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints
+    (functions/text.winnow_udf): local substring matching, robust to
+    insertions/reorderings that defeat whole-document hashing.
+
+    Returns ``(id_a, id_b, n_shared, resemblance)`` with id_a < id_b,
+    n_shared >= min_shared; resemblance = |A∩B| / |A∪B| over the
+    fingerprint sets. Plan: fingerprint (Arrow-batched, narrow) →
+    explode → self-equi-join on fingerprint → count shared — only
+    pairs sharing ≥1 fingerprint materialize, so cost tracks
+    fingerprint document-frequency, capped by
+    ``max_fingerprint_freq`` against boilerplate passages (same skew
+    defense as ngram_jaccard_pairs; dropped fingerprints still count
+    in each doc's set size, so resemblance for surviving pairs is
+    exact).
+    """
+    from computer_vision_foundations_spark.functions.text import winnow_udf
+
+    fps = df.select(
+        F.col(id_col).alias("_id"),
+        winnow_udf(k, w)(F.col(text_col)).alias("_fps"),
+    ).withColumn("_size", F.size("_fps"))
+    exploded = fps.select("_id", "_size", F.explode("_fps").alias("_fp"))
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded.count()  # eager: 3 consumers race cache population otherwise
+    if max_fingerprint_freq is not None:
+        hot = (
+            exploded.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_fingerprint_freq)
+            .select("_fp")
+        )
+        exploded = exploded.join(F.broadcast(hot), "_fp", "left_anti")
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_fp"
+    )
+    b = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_fp"
+    )
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                6,
+            ).alias("resemblance"),
+        )
+    )

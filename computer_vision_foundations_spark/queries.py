@@ -1421,3 +1421,82 @@ def q41_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@_register(
+    "q42_winnow_near_dup_pairs",
+    f"""
+    WITH padded AS (
+      SELECT doc_id,
+             rpad(text, CAST(greatest(length(text), {_WINNOW_K}) AS INTEGER), chr(0)) AS s
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, length(s) - {_WINNOW_K} + 2),
+               i -> (
+                 {" + ".join(
+                     f"ascii(substring(s, i + {j}, 1)) * {257 ** (_WINNOW_K - 1 - j)}"
+                     for j in range(_WINNOW_K)
+                 )}
+               ) % 2147483647
+             ) AS hs
+      FROM padded
+    ),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {_WINNOW_W} THEN
+               list_transform(
+                 range(1, len(hs) - {_WINNOW_W} + 2),
+                 j -> list_min(list_slice(hs, j, j + {_WINNOW_W - 1})))
+             ELSE [list_min(hs)] END AS m
+      FROM kg
+    ),
+    fps AS (
+      SELECT doc_id, list_distinct(m) AS fp, len(list_distinct(m)) AS fp_size
+      FROM mins
+    ),
+    ex0 AS (SELECT doc_id, fp_size, unnest(fp) AS f FROM fps),
+    freq AS (SELECT f, count(*) AS c FROM ex0 GROUP BY f),
+    ex AS (
+      SELECT ex0.doc_id, ex0.fp_size, ex0.f
+      FROM ex0 JOIN freq ON ex0.f = freq.f
+      WHERE freq.c <= 100
+    )
+    SELECT id_a, id_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared), 6)
+             AS resemblance
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.fp_size) AS size_a, any_value(b.fp_size) AS size_b,
+             count(*) AS n_shared
+      FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id) t
+    WHERE n_shared >= 2
+    """,
+)
+def q42_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document near-duplicate pairs by shared winnowing
+    fingerprints (operators/dedup.winnow_near_duplicates): local
+    substring matching robust to edits/reorderings, as a fingerprint
+    equi-join — never an all-pairs product. Resemblance =
+    |A∩B|/|A∪B| over the FULL fingerprint sets; the frequency cap
+    (here 100 — the synthetic docs are template-generated, so
+    boilerplate fingerprints hit most of the corpus) drops
+    non-discriminative fingerprints from the join exactly as the
+    stop-shingle cap does in q24. The oracle replicates the cap."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_near_duplicates(
+        docs,
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=2,
+        max_fingerprint_freq=100,
+    )

@@ -226,3 +226,27 @@ def test_tfidf_scores_basic(spark):
     assert abs(r.tfidf - (2 / 3) * (math.log(4 / 2) + 1)) < 1e-12
     # banana appears in 2 docs
     assert rows[(2, "banana")].df == 2
+
+
+def test_winnow_near_duplicates_pairs(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    shared = "this long passage is copied between the two documents verbatim"
+    df = spark.createDataFrame(
+        [
+            (1, "intro alpha " + shared),
+            (2, shared + " outro beta"),
+            (3, "completely different text with nothing in common at all xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in winnow_near_duplicates(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.n_shared >= 2 and 0 < r.resemblance <= 1.0
+    assert not any(3 in p for p in pairs)
