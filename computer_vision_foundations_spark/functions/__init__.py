@@ -7,6 +7,7 @@ from computer_vision_foundations_spark.functions.vectors import (
     to_double_array,
 )
 from computer_vision_foundations_spark.functions.text import (
+    bpe_ish_token_count,
     fingerprint_md5,
     normalized_text,
     quality_columns,
@@ -16,6 +17,11 @@ from computer_vision_foundations_spark.functions.text import (
     word_shingles,
 )
 from computer_vision_foundations_spark.functions.hashing import minhash_column
+from computer_vision_foundations_spark.functions.text import (
+    tfidf_scores,
+    winnow_udf,
+    with_winnow_fingerprints,
+)
 
 __all__ = [
     "with_parsed_filename",
@@ -24,6 +30,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "to_double_array",
+    "bpe_ish_token_count",
     "fingerprint_md5",
     "normalized_text",
     "quality_columns",
@@ -31,5 +38,8 @@ __all__ = [
     "token_count",
     "tokens",
     "word_shingles",
+    "tfidf_scores",
+    "winnow_udf",
+    "with_winnow_fingerprints",
     "minhash_column",
 ]

@@ -8,6 +8,7 @@ from computer_vision_foundations_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_column,
+    winnow_near_duplicates,
 )
 from computer_vision_foundations_spark.operators.similarity import (
     brute_force_knn,
@@ -15,6 +16,7 @@ from computer_vision_foundations_spark.operators.similarity import (
     lsh_bucketed_knn,
 )
 from computer_vision_foundations_spark.operators.score import score_with
+from computer_vision_foundations_spark.operators.skew import salted_join
 
 __all__ = [
     "deterministic_split",
@@ -24,8 +26,10 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_column",
+    "winnow_near_duplicates",
     "brute_force_knn",
     "ivf_flat_knn",
     "lsh_bucketed_knn",
+    "salted_join",
     "score_with",
 ]

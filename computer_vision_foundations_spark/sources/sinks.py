@@ -126,3 +126,27 @@ def to_pandas(df: DataFrame, limit: int | None = None) -> pd.DataFrame:
     if limit is not None:
         df = df.limit(limit)
     return df.toPandas()
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sorted) managed table.
+
+    The co-located-join lever at 100 TB: two tables bucketed on the
+    same keys with the same bucket count join WITHOUT a shuffle — the
+    scan-side bucketing satisfies the join's distribution requirement,
+    so the Exchange disappears from the plan (asserted in
+    tests/test_transform_sinks.py). Sorting within buckets additionally
+    removes the sort from sort-merge joins. Bucketing metadata lives in
+    the catalog, so this writes a saved table, not a bare path.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

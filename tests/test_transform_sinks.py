@@ -143,3 +143,65 @@ def test_create_drop_database(spark, tmp_path):
     drop_database(spark, name)
     dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
     assert name not in dbs
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """R-family capstone: two tables bucketed on the same key/count
+    join with NO Exchange in the physical plan — the co-located-join
+    lever for 100 TB fact-fact joins."""
+    from computer_vision_foundations_spark.sources.sinks import (
+        write_bucketed_table,
+    )
+
+    left = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") % 7)
+    write_bucketed_table(left, "bk_left", ("id",), 4, sort_cols=("id",))
+    write_bucketed_table(right, "bk_right", ("id",), 4, sort_cols=("id",))
+    # tiny fixtures would take the broadcast path (which ignores
+    # bucketing); force the sort-merge plan the helper exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join is row-identical to the plain join; the salt only
+    respreads hot keys."""
+    from computer_vision_foundations_spark.operators.skew import salted_join
+
+    # key 7 is a heavy hitter
+    skewed = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1500, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    plain = skewed.join(dim, "k").select("row_id", "attr")
+    salted = salted_join(skewed, dim, "k", n_salts=8).select("row_id", "attr")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+    left_plain = skewed.join(dim.filter("k < 10"), "k", "left").select(
+        "row_id", "attr"
+    )
+    left_salted = salted_join(
+        skewed, dim.filter("k < 10"), "k", how="left", n_salts=8
+    ).select("row_id", "attr")
+    assert left_plain.exceptAll(left_salted).count() == 0
+    assert left_salted.exceptAll(left_plain).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="right")
