@@ -7,6 +7,7 @@ from computer_vision_foundations_spark.streaming.stateful import (
     running_totals_stateful,
 )
 from computer_vision_foundations_spark.streaming.windows import (
+    dedup_stream,
     sessionized,
     streaming_session_counts,
     tumbling_counts,
@@ -16,6 +17,7 @@ __all__ = [
     "build_ingest_stream",
     "run_ingest",
     "run_scoring_stream",
+    "dedup_stream",
     "running_totals_stateful",
     "sessionized",
     "streaming_session_counts",

@@ -95,3 +95,24 @@ def streaming_session_counts(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop repeats of ``keys`` arriving
+    within the watermark horizon.
+
+    ``dropDuplicates`` keyed on the id columns with a watermark bounds
+    the dedup state: keys older than the watermark are evicted, so
+    state is O(keys per horizon), not O(all keys ever). The batch twin
+    (same call, no watermark) is exact. This is the ingestion guard in
+    front of at-least-once sources (Kafka, file re-drops).
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))

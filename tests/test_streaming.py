@@ -246,3 +246,99 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert [(r.n_events, r.sum_value, r.batch_seq) for r in u1b] == [
         (3, 20.0, 3)
     ]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream drops re-delivered event ids across micro-batches
+    while the key is inside the watermark horizon."""
+    from computer_vision_foundations_spark.streaming.windows import (
+        dedup_stream,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "dedup_out")
+    ckpt = os.path.join(tmp, "dedup_ckpt")
+    os.makedirs(src)
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [
+            {"event_id": 1, "ts": "2024-05-01T10:00:00", "value": 1.0},
+            {"event_id": 1, "ts": "2024-05-01T10:00:00", "value": 1.0},
+            {"event_id": 2, "ts": "2024-05-01T10:01:00", "value": 2.0},
+        ],
+    )
+    _write_events_file(
+        os.path.join(src, "b2.json"),
+        [
+            # re-delivery of id 1 in a later micro-batch, still within
+            # the 1h watermark horizon -> dropped by state
+            {"event_id": 1, "ts": "2024-05-01T10:02:00", "value": 1.0},
+            {"event_id": 3, "ts": "2024-05-01T10:03:00", "value": 3.0},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    deduped = dedup_stream(stream, keys=("event_id",), watermark="1 hour")
+    (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]
+
+
+def test_streaming_session_window_counts(spark, tmp_path):
+    """streaming_session_counts merges events within the gap into one
+    session and emits it once the watermark closes it."""
+    from computer_vision_foundations_spark.streaming.windows import (
+        streaming_session_counts,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "sess_out")
+    ckpt = os.path.join(tmp, "sess_ckpt")
+    os.makedirs(src)
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [
+            {"user_id": 1, "ts": "2024-05-01T10:00:00"},
+            {"user_id": 1, "ts": "2024-05-01T10:10:00"},  # same session
+        ],
+    )
+    _write_events_file(
+        os.path.join(src, "b2.json"),
+        # 6h later: closes user 1's first session once watermark advances
+        [{"user_id": 1, "ts": "2024-05-01T16:00:00"}],
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sessions = streaming_session_counts(
+        stream, gap="30 minutes", watermark="0 seconds"
+    )
+    (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # only the closed session is emitted
+    r = rows[0]
+    assert r.user_id == 1 and r.n_events == 2
+    assert r.session_start.hour == 10 and r.session_end.minute == 40
