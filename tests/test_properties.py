@@ -1,0 +1,117 @@
+"""Property-based invariants (hypothesis) for the dedup/fingerprint
+operators — semantic guarantees that hold for ALL inputs, not just the
+fixture corpus.
+
+One shared Spark session; hypothesis drives the inputs, Spark executes
+the same plans the registry queries use. Deadlines are disabled (Spark
+latency is not the property under test) and example counts kept small
+so the suite stays fast.
+"""
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+TEXT = st.text(
+    alphabet=string.ascii_lowercase + " ",
+    min_size=0,
+    max_size=120,
+)
+
+_prop = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_prop
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+def test_exact_duplicates_partition_property(spark, texts):
+    """exact_duplicates: group sizes sum to the row count, every group
+    keeps its minimum id, identical texts share a fingerprint."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    groups = exact_duplicates(df, canonicalize=False).collect()
+    assert sum(g.n_dupes for g in groups) == len(texts)
+    by_fp = {g.fingerprint: g for g in groups}
+    assert len(by_fp) == len(set(texts))
+    for g in groups:
+        members = [i for i, t in enumerate(texts) if t == texts[g.keep_id]]
+        assert g.keep_id == min(members)
+
+
+@_prop
+@given(text=TEXT, salt=st.integers(0, 10**6))
+def test_winnow_self_similarity(spark, text, salt):
+    """A document always shares ALL fingerprints with itself, and
+    winnowing output is a sorted set of non-negative hashes."""
+    from computer_vision_foundations_spark.functions.text import winnow_udf
+
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", winnow_udf(5, 8)(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert out[0] == out[1]
+    assert out[0] == sorted(set(out[0]))
+    assert all(h >= 0 for h in out[0])
+
+
+@_prop
+@given(
+    base=st.text(alphabet=string.ascii_lowercase, min_size=30, max_size=60),
+    prefix=TEXT,
+    suffix=TEXT,
+)
+def test_winnow_shared_substring_guarantee(spark, base, prefix, suffix):
+    """The winnowing guarantee (Schleimer et al.): two docs sharing a
+    substring of length >= w + k - 1 share at least one fingerprint —
+    for ANY surrounding prefix/suffix."""
+    from computer_vision_foundations_spark.functions.text import winnow_udf
+
+    df = spark.createDataFrame(
+        [(0, prefix + base), (1, base + suffix)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnow_udf(5, 8)(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert out[0] & out[1]
+
+
+@_prop
+@given(texts=st.lists(TEXT.filter(lambda t: t.strip()), min_size=2, max_size=5))
+def test_minhash_identical_docs_identical_signatures(spark, texts):
+    """MinHash signatures are a pure function of the shingle set:
+    duplicate texts get identical signatures (both hash families)."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts + texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fam in ("xxhash64", "md5"):
+        sigs = {
+            r.doc_id: tuple(r.signature)
+            for r in minhash_signatures(
+                df, "text", "doc_id", k=2, n_hashes=4, hash_fn=fam
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert sigs[i] == sigs[i + len(texts)]
