@@ -1500,3 +1500,54 @@ def q42_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=2,
         max_fingerprint_freq=100,
     )
+
+
+@_register(
+    "q43_asof_enrich",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_id, c.click_ts, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def q43_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (operators/asof.as_of_join): each
+    purchase event picks up the user's most recent click at-or-before
+    it — the as-of join the brief names as a required custom operator
+    (Spark has no native equivalent; pandas merge_asof / DuckDB ASOF
+    JOIN semantics). Union-merge formulation: ONE shuffle on user_id,
+    running last(ignorenulls) window, no range self-join. (user_id,
+    ts) is unique in the fixture, satisfying the determinism contract.
+    """
+    from computer_vision_foundations_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts", "click_value"],
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        "click_id", "click_ts", "click_value",
+    )

@@ -51,6 +51,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    try:
+        # scalar NaT/NA from nullable datetime/int columns (left joins)
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass  # array-valued cells: fall through to ==
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
