@@ -1551,3 +1551,116 @@ def q43_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         "click_id", "click_ts", "click_value",
     )
+
+
+@_register(
+    "q44_range_join_error_window",
+    """
+    WITH e AS (
+      SELECT event_id AS error_id, ts AS error_ts FROM events
+      WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, ts AS purchase_ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT e.error_id, p.purchase_id,
+           epoch_us(p.purchase_ts) - epoch_us(e.error_ts) AS gap_us,
+           p.value
+    FROM e JOIN p
+      ON p.purchase_ts >= e.error_ts
+     AND p.purchase_ts <= e.error_ts + INTERVAL 5 MINUTE
+    """,
+)
+def q44_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join (operators/ranges.range_join): purchases
+    landing within 5 minutes after any error event. Spark's native
+    plan for a pure range predicate is BroadcastNestedLoopJoin
+    (quadratic); the operator bucketizes time into 300 s buckets,
+    explodes each error window into the <=2 buckets it touches, and
+    hash-joins on the bucket id with the exact predicate as residual —
+    the Flink/Trino interval-join strategy. Gap is exact integer
+    microseconds (unix_micros both engines), so the hash needs no
+    float discipline."""
+    from computer_vision_foundations_spark.operators.ranges import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    windows = errors.withColumn(
+        "window_end", F.col("error_ts") + F.expr("INTERVAL 5 MINUTE")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    return range_join(
+        purchases,
+        windows,
+        point="purchase_ts",
+        start="error_ts",
+        end="window_end",
+        bucket_width=300,
+    ).select(
+        "error_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("error_ts")
+        ).alias("gap_us"),
+        "value",
+    )
+
+
+@_register(
+    "q45_time_rollup",
+    """
+    WITH g AS (
+      SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts),
+             count(*), round(sum(value), 2), min(value), max(value)
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'month', date_trunc('month', ts),
+             count(*), round(sum(value), 2), min(value), max(value)
+      FROM events GROUP BY 2
+    )
+    SELECT granularity, bucket, n_events, sum_value, min_value, max_value
+    FROM g
+    """,
+)
+def q45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup (operators/rollup
+    .time_rollup): hour + day + month aggregates in ONE raw-data pass
+    — days merge 24 hourly partials, months merge ~30 daily partials,
+    so only the hourly agg ever shuffles raw rows. The oracle computes
+    each level independently from raw data, which also proves the
+    partial-merge is lossless. Sums rounded AFTER the final merge
+    (rounding partials would drift); min/max/count are exact."""
+    from computer_vision_foundations_spark.operators.rollup import time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_rollup(
+        ev,
+        "ts",
+        aggs={
+            "n_events": ("event_id", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        granularities=("hour", "day", "month"),
+    )
+    return out.select(
+        "granularity",
+        "bucket",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
