@@ -1,0 +1,207 @@
+"""Distributed sketches with cross-engine bit parity.
+
+Spark ships ``approx_count_distinct`` (HLL++) and DuckDB ships
+``approx_distinct``, but their internals differ, so a differential
+oracle can never check one against the other. These operators instead
+implement the sketch ALGORITHM as portable relational algebra —
+md5-derived integer hashing (functions/hashing.md5_hash_pair), exact
+integer register math, one float formula at the very end — so the
+same definition runs on both engines and hash-matches.
+
+Structurally each sketch is the scale-correct shape: a single
+hash-aggregate over the raw data producing a FIXED-SIZE register
+table (2^p rows for HLL, d×w for Count-Min) regardless of input
+size, with map-side partial aggregation doing most of the work before
+the shuffle. Register tables are mergeable (max for HLL, sum for CM)
+— union two register tables and re-aggregate to sketch a union of
+datasets, the property that makes sketches work on 100 TB.
+
+HyperLogLog here is the classic Flajolet-Fortin-Gandouet-Meunier
+estimator (alpha_m · m² / Σ2^-M_j with linear counting below 2.5m),
+not the HLL++ bias-corrected variant: every branch is reproducible in
+plain SQL, which is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.hashing import md5_hash_pair
+
+__all__ = [
+    "hll_registers",
+    "hll_count_distinct",
+    "HLL_ORACLE_TEMPLATE",
+    "count_min_registers",
+    "count_min_estimate",
+    "CM_SLOT_SQL",
+]
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 10, keys: list[str] | None = None
+) -> DataFrame:
+    """Per-group HLL register table: ``keys + (bucket, m)`` with at
+    most 2^p rows per group. bucket = h1 mod 2^p; register value =
+    max over values of (29 - bitlength(h2)) — leading zeros of the
+    28-bit h2 plus one. All integer ops; ``conv(h2, 10, 2)`` is the
+    portable bit-length (DuckDB: ``length(bin(h2))``)."""
+    keys = keys or []
+    m = 1 << p
+    h1, h2 = md5_hash_pair(F.col(col).cast("string"))
+    rho = F.lit(29) - F.length(F.conv(h2.cast("string"), 10, 2))
+    return (
+        df.select(*keys, (h1 % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 10,
+    keys: list[str] | None = None,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate distinct ``col`` per ``keys`` group (std error
+    ~1.04/sqrt(2^p), ~3.3% at p=10). Two hash aggregates: raw →
+    registers (fixed 2^p rows/group), registers → one row/group."""
+    keys = keys or []
+    m = 1 << p
+    regs = hll_registers(df, col, p=p, keys=keys)
+    agg = regs.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("_s_nonempty"),
+        F.count("*").alias("_nonempty"),
+    )
+    zeros = F.lit(m) - F.col("_nonempty")
+    s = F.col("_s_nonempty") + zeros.cast("double")
+    raw = F.lit(_alpha(m) * m * m) / s
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(*keys, F.round(est, 4).alias(out_col))
+
+
+# DuckDB mirror of the full pipeline; format with src (a FROM-able
+# relation aliased t with columns {col} and {keys}), col, keys
+# (comma-separated, may be ''), p-derived constants.
+def HLL_ORACLE_TEMPLATE(
+    src: str, col: str, keys: list[str], p: int = 10, out_col: str = "approx_distinct"
+) -> str:
+    m = 1 << p
+    alpha = _alpha(m)
+    ksel = ", ".join(keys)
+    kpre = f"{ksel}, " if keys else ""
+    return f"""
+    WITH hashed AS (
+      SELECT {kpre}
+             ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 7))::BIGINT % {m} AS bucket,
+             29 - length(bin(('0x' || substr(md5(CAST({col} AS VARCHAR)), 8, 7))::BIGINT)) AS rho
+      FROM {src}
+    ),
+    regs AS (
+      SELECT {kpre}bucket, max(rho) AS m_j FROM hashed GROUP BY {kpre}bucket
+    ),
+    agg AS (
+      SELECT {kpre}sum(power(2.0, -m_j)) AS s_nonempty, count(*) AS nonempty
+      FROM regs{f" GROUP BY {ksel}" if keys else ""}
+    )
+    SELECT {kpre}
+           round(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                          / (s_nonempty + ({m} - nonempty)) <= 2.5 * {m}
+                       AND {m} - nonempty > 0
+                 THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - nonempty))
+                 ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                      / (s_nonempty + ({m} - nonempty))
+                 END, 4) AS {out_col}
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def count_min_registers(
+    df: DataFrame, col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-Min sketch of ``col``'s frequency distribution: a fixed
+    d×w counter table ``(row, slot, cnt)``. Each value increments one
+    counter per row, at slot ``perm_row(h1, h2) mod w`` using the same
+    seeded 2-universal family as MinHash (portable integer math).
+
+    One explode (d rows per input value, d is 4-8) into one hash
+    aggregate with map-side combine: the shuffle carries at most d×w
+    rows per map partition regardless of input size. Sketches built on
+    disjoint data merge by summing counters."""
+    from computer_vision_foundations_spark.functions.hashing import double_hash
+
+    h1, h2 = md5_hash_pair(F.col(col).cast("string"))
+    hashed = df.select(h1.alias("_h1"), h2.alias("_h2"))
+    slots = [
+        F.struct(
+            F.lit(i).alias("row"),
+            (double_hash(F.col("_h1"), F.col("_h2"), i) % w).alias("slot"),
+        )
+        for i in range(d)
+    ]
+    return (
+        hashed.select(F.explode(F.array(*slots)).alias("rs"))
+        .groupBy(F.col("rs.row").alias("row"), F.col("rs.slot").alias("slot"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    registers: DataFrame,
+    items: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+    out_col: str = "cm_estimate",
+) -> DataFrame:
+    """Point-frequency estimates for ``items[col]`` from a register
+    table: min over the d counters the item hashes to (>= true count
+    always; over-count bounded by N·e/w with prob 1-e^-d). The d×w
+    register table is tiny and broadcast onto the probe side."""
+    from computer_vision_foundations_spark.functions.hashing import double_hash
+
+    h1, h2 = md5_hash_pair(F.col(col).cast("string"))
+    slots = [
+        F.struct(
+            F.lit(i).alias("row"),
+            (double_hash(h1, h2, i) % w).alias("slot"),
+        )
+        for i in range(d)
+    ]
+    probes = items.select(
+        "*", F.explode(F.array(*slots)).alias("rs")
+    ).select("*", F.col("rs.row").alias("row"), F.col("rs.slot").alias("slot"))
+    return (
+        probes.join(F.broadcast(registers), on=["row", "slot"], how="left")
+        .groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+def CM_SLOT_SQL(col_sql: str, seed: int, w: int) -> str:
+    """DuckDB expression for the row-``seed`` Count-Min slot of
+    ``col_sql`` — literal replay of ``double_hash``'s seeded (a, b, c)
+    over the md5 28-bit pair."""
+    from computer_vision_foundations_spark.functions.hashing import (
+        MINHASH_PRIME,
+        hash_family_constants,
+    )
+
+    a, b, c = hash_family_constants(seed)
+    h1 = f"('0x' || substr(md5(CAST({col_sql} AS VARCHAR)), 1, 7))::BIGINT"
+    h2 = f"('0x' || substr(md5(CAST({col_sql} AS VARCHAR)), 8, 7))::BIGINT"
+    return f"((({a} * {h1} + {b} * {h2} + {c}) % {MINHASH_PRIME}) % {w})"

@@ -1664,3 +1664,131 @@ def q45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def _hll_oracle_sql() -> str:
+    from computer_vision_foundations_spark.functions.sketches import (
+        HLL_ORACLE_TEMPLATE,
+    )
+
+    hll = HLL_ORACLE_TEMPLATE(
+        "lineitem", "l_partkey", ["l_returnflag"], p=10
+    )
+    return f"""
+    WITH approx AS ({hll}),
+    exact AS (
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.l_returnflag, e.n_exact, a.approx_distinct,
+           round(abs(a.approx_distinct - e.n_exact) / e.n_exact, 4)
+             AS rel_err
+    FROM exact e JOIN approx a ON e.l_returnflag = a.l_returnflag
+    """
+
+
+@_register("q46_hll_distinct", _hll_oracle_sql())
+def q46_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (functions/sketches): same
+    md5-derived registers and FFGM estimator on both engines, so the
+    approximation itself hash-matches — unlike approx_count_distinct
+    vs approx_distinct, whose internals differ. Register sums are
+    powers of two (exact in f64 in any order), so the only rounding
+    is the final estimate. Reported next to the exact distinct count
+    with relative error (~3.3% expected at p=10)."""
+    from computer_vision_foundations_spark.functions.sketches import (
+        hll_count_distinct,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = hll_count_distinct(li, "l_partkey", p=10, keys=["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            "approx_distinct",
+            F.round(
+                F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+_CM_D, _CM_W = 4, 1024
+
+
+def _cm_oracle_sql() -> str:
+    from computer_vision_foundations_spark.functions.sketches import (
+        CM_SLOT_SQL,
+    )
+
+    reg_rows = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row, {CM_SLOT_SQL('term', i, _CM_W)} AS slot FROM toks"
+        for i in range(_CM_D)
+    )
+    probe_rows = "\n      UNION ALL\n".join(
+        f"      SELECT term, n_exact, {i} AS row,"
+        f" {CM_SLOT_SQL('term', i, _CM_W)} AS slot FROM top_terms"
+        for i in range(_CM_D)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    toks_f AS (SELECT term FROM toks WHERE term <> ''),
+    regs AS (
+      SELECT row, slot, count(*) AS cnt FROM (
+{reg_rows.replace("FROM toks", "FROM toks_f")}
+      ) GROUP BY row, slot
+    ),
+    top_terms AS (
+      SELECT term, count(*) AS n_exact FROM toks_f GROUP BY term
+      ORDER BY n_exact DESC, term ASC LIMIT 10
+    ),
+    probes AS (
+{probe_rows}
+    )
+    SELECT p.term, p.n_exact, min(r.cnt) AS cm_estimate,
+           min(r.cnt) - p.n_exact AS overcount
+    FROM probes p JOIN regs r ON p.row = r.row AND p.slot = r.slot
+    GROUP BY p.term, p.n_exact
+    """
+
+
+@_register("q47_count_min_heavy_hitters", _cm_oracle_sql())
+def q47_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (functions/sketches): d×w counter
+    table built in ONE exploded hash-aggregate, point estimates for
+    the exact top-10 tokens via a broadcast join against the (tiny)
+    register table. Same seeded 2-universal integer hashing on both
+    engines, so estimates — including the overcount — hash-match
+    exactly. overcount >= 0 always (CM never undercounts)."""
+    from computer_vision_foundations_spark.functions.sketches import (
+        count_min_estimate,
+        count_min_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    regs = count_min_registers(toks, "term", d=_CM_D, w=_CM_W)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+        .limit(10)
+    )
+    est = count_min_estimate(regs, top, "term", d=_CM_D, w=_CM_W)
+    return est.select(
+        "term",
+        "n_exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+    )
