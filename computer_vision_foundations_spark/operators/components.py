@@ -1,0 +1,108 @@
+"""Connected components over candidate-pair graphs.
+
+The missing last step of every near-duplicate pipeline: LSH/Jaccard/
+cosine stages emit PAIRS, but "keep one copy per duplicate group"
+needs the transitive closure — A~B and B~C must collapse A,B,C into
+one cluster even though (A,C) was never a candidate pair.
+
+Iterative min-label propagation with pointer jumping, all DataFrame
+ops:
+
+- each round every vertex takes the min label among itself and its
+  neighbors (one join + one hash-agg on the edge list), then
+  short-circuits through its current label's label (pointer jumping —
+  the union-find path-halving step, one self-join on the small label
+  table). Propagation alone needs O(diameter) rounds; jumping
+  compresses chains so long paths converge in ~O(log n).
+- convergence is detected by the SUM of labels, which strictly
+  decreases until fixpoint — one scalar aggregate per round, no
+  row-level diff join.
+- every round ``localCheckpoint``s the label table: iterative Spark
+  without lineage truncation re-executes the whole history each
+  round and OOMs the planner long before data is the problem.
+
+Per round: one shuffle of the edge list + two small shuffles of the
+label table (|V| rows). Candidate-pair graphs are overwhelmingly tiny
+clusters (diameter 2-4), so expect 3-5 rounds. Labels are min node
+ids, so each component's id IS its canonical (smallest) member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``edges``;
+    component = smallest node id reachable. Raises if not converged
+    within ``max_iter`` rounds (pathological diameter — pre-split the
+    graph or raise the cap)."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy("v")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr_min, labels["node"] == nbr_min["v"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp <- comp's comp (labels only shrink,
+        # so the looked-up value is always <= the current one)
+        jump = new.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new = (
+            new.join(jump, "comp", "left")
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = new.agg(F.sum("comp")).collect()[0][0]
+        labels = new
+        if cur_sum == prev_sum:
+            sym.unpersist()
+            return labels.select("node", F.col("comp").alias("component"))
+        prev_sum = cur_sum
+    sym.unpersist()
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for near-duplicate pairs: ``(doc_id,
+    component, is_canonical)`` — keep rows with ``is_canonical`` and
+    you have deduplicated the corpus (the canonical copy is the
+    smallest id, matching exact_duplicates' keep-min-id policy)."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

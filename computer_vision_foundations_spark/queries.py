@@ -1792,3 +1792,39 @@ def q47_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
     )
+
+
+def _cc_oracle_sql() -> str:
+    pairs_sql = _ORACLES["q26_lsh_candidate_pairs"]
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+    )
+    SELECT node AS doc_id, min(r) AS component,
+           node = min(r) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+
+@_register("q48_dedup_clusters", _cc_oracle_sql())
+def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters (operators/components):
+    q26's LSH candidate pairs closed under connectivity by iterative
+    min-label propagation + pointer jumping, canonical copy = the
+    cluster's smallest doc_id. The oracle computes the same closure
+    with a recursive CTE over the identical pair set — checking both
+    the pair generation AND the clustering."""
+    from computer_vision_foundations_spark.operators.components import (
+        dedup_clusters,
+    )
+
+    pairs = q26_lsh_candidate_pairs(spark, sf_dir)
+    return dedup_clusters(pairs)

@@ -1,0 +1,72 @@
+"""Connected components: known topologies + random graphs vs a
+driver-side union-find reference."""
+
+import random
+
+import pytest
+
+from computer_vision_foundations_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _reference_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min node in component
+    comp = {}
+    for v in {x for e in edges for x in e}:
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def test_chain_collapses_to_one_component(spark):
+    # path graph 0-1-2-...-9: diameter 9, exercises pointer jumping
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {r.node: r.component for r in connected_components(df).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(17)
+    n = 60
+    edges = list({(min(a, b), max(a, b)) for a, b in (
+        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+    ) if a != b})
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _reference_components(n, edges)
+
+
+def test_dedup_clusters_canonical_flag(spark):
+    df = spark.createDataFrame(
+        [(5, 3), (3, 8), (10, 11)], ["id_a", "id_b"]
+    )
+    rows = {r.doc_id: (r.component, r.is_canonical) for r in dedup_clusters(df).collect()}
+    assert rows == {
+        3: (3, True),
+        5: (3, False),
+        8: (3, False),
+        10: (10, True),
+        11: (10, False),
+    }
+
+
+def test_nonconvergence_raises(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)
