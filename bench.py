@@ -44,6 +44,12 @@ HEADLINE = [
     "q33_lsh_ann",
     "q36_ivf_ann",
     "q37_winnow_fingerprints",
+    "q43_asof_enrich",
+    "q44_range_join_error_window",
+    "q45_time_rollup",
+    "q46_hll_distinct",
+    "q47_count_min_heavy_hitters",
+    "q48_dedup_clusters",
 ]
 
 
