@@ -1828,3 +1828,66 @@ def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q26_lsh_candidate_pairs(spark, sf_dir)
     return dedup_clusters(pairs)
+
+
+@_register(
+    "q49_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (DataFrame.groupingSets, Spark >= 4.0)
+    — the general form of q10's rollup / q11's cube, one Expand +
+    hash-agg, no repeated scans. Null grouping columns mark the
+    subtotal rows identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "q50_unpivot_stats",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(avg(l_quantity), 4)      AS avg_qty,
+             round(avg(l_discount), 4)      AS avg_disc,
+             round(avg(l_extendedprice), 4) AS avg_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (avg_qty, avg_disc, avg_price))
+    """,
+)
+def q50_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (DataFrame.unpivot): wide per-flag averages to
+    long (flag, metric, value) — the inverse of q19's pivot. The
+    Expand operator emits one row per metric with zero shuffles
+    beyond the feeding aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["avg_qty", "avg_disc", "avg_price"],
+        "metric",
+        "value",
+    )
