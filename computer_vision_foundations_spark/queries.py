@@ -1891,3 +1891,180 @@ def q50_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@_register(
+    "q51_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q51_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column (events.props): ``from_json`` with
+    an explicit schema — parsed ONCE per row in a single projection,
+    then plain relational ops on the extracted field (Catalyst prunes
+    unused JSON fields via schema pruning). Oracle uses DuckDB
+    json_extract; integer field so no float discipline needed."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k BIGINT").alias("p"), "value"
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.max("p.k").alias("max_k"),
+        )
+    )
+
+
+@_register(
+    "q52_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (F.percentile — Spark's exact
+    sort-based aggregate, NOT approx_percentile): matches DuckDB
+    quantile_cont's linear interpolation bit-for-bit at 4-digit
+    rounding. The exact form shuffles per-group values; at 100 TB
+    swap in approx_percentile (t-digest) — kept exact here because
+    the differential gate demands determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.percentile("l_extendedprice", F.lit(q)), 4
+            ).alias(f"p{int(q * 100):02d}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@_register(
+    "q53_exists_decorrelated",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q53_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) through the engine's SQL
+    surface: Catalyst decorrelates the subquery into a left-semi
+    hash join — no per-row subquery execution. Exercises S4/P4 (the
+    reference drives everything through SQL expression strings) at
+    the query level."""
+    from computer_vision_foundations_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@_register(
+    "q54_analytic_windows",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             round(sum(value), 2) AS day_value
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id, day, day_value,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           round(day_value - lag(day_value, 1) OVER
+                 (PARTITION BY user_id ORDER BY day), 2) AS delta_prev
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_value, day)
+    """,
+)
+def q54_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery beyond q07/q08's rank/rolling:
+    ntile, percent_rank, cume_dist over a value ordering (day as
+    tiebreak — rank functions need a total order for determinism)
+    plus lag over a time ordering, all sharing ONE shuffle on
+    user_id (two sorts, zero extra exchanges)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = Window.partitionBy("user_id").orderBy("day_value", "day")
+    wt = Window.partitionBy("user_id").orderBy("day")
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(
+            F.col("day_value") - F.lag("day_value", 1).over(wt), 2
+        ).alias("delta_prev"),
+    )
+
+
+@_register(
+    "q55_array_hof_stats",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) / len(embedding), 6)     AS mean_elem,
+           len(list_filter(embedding, x -> x > 0))                 AS n_positive
+    FROM embeddings
+    """,
+)
+def q55_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over array<float> embeddings:
+    aggregate (fold), transform, filter — per-element math without
+    ever exploding (no Generate, no row blow-up; see the HOF-inlining
+    trap that forbids explode-after-HOF pipelines). Elements cast to
+    double BEFORE squaring on both engines so f32→f64 widening order
+    can't change the sums; ascending fold matches DuckDB list_sum
+    order at 6-digit rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    el_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(el_sum / F.size("embedding"), 6).alias("mean_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
