@@ -2068,3 +2068,135 @@ def q55_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(el_sum / F.size("embedding"), 6).alias("mean_elem"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+_CHUNK_N, _CHUNK_OV = 32, 8
+
+
+@_register(
+    "q56_chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - {_CHUNK_OV}, 1) + 1,
+                          {_CHUNK_N - _CHUNK_OV})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           (s - 1) // {_CHUNK_N - _CHUNK_OV} AS chunk_idx,
+           array_to_string(list_slice(t, s, s + {_CHUNK_N - 1}), ' ')
+             AS chunk_text,
+           len(list_slice(t, s, s + {_CHUNK_N - 1})) AS n_tokens
+    FROM st
+    """,
+)
+def q56_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap (operators/chunking
+    .chunk_documents): 32-token chunks sharing 8 tokens, sequence +
+    posexplode + slice on the token array — row-local, zero shuffles,
+    the step before tokenize-and-train in an LLM pipeline."""
+    from computer_vision_foundations_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=_CHUNK_N, overlap=_CHUNK_OV
+    )
+
+
+@_register(
+    "q57_redact_text",
+    """
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or https://ex.com/' || doc_id ||
+             ' ref ' || repeat('9', 8) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS text
+    FROM salted
+    """,
+)
+def q57_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (operators/chunking.redact_text): emails →
+    URLs → long digit runs replaced by placeholder tokens in one
+    codegen'd regexp_replace chain. Each document is salted with a
+    synthetic email/URL/number (same construction both engines) so
+    every pattern actually fires; the patterns are restricted to
+    syntax Java regex and RE2 treat identically."""
+    from computer_vision_foundations_spark.operators.chunking import redact_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref "),
+            F.lit("9" * 8),
+        ).alias("text"),
+    )
+    return redact_text(salted, "text")
+
+
+@_register(
+    "q58_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 32
+               AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+           CAST(cum - n_tokens - ((cum - n_tokens) // 256) * 256 AS BIGINT)
+             AS offset
+    FROM c
+    """,
+)
+def q58_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/chunking.pack_sequences):
+    documents sharded by a portable md5 hash, running token sum per
+    shard assigns each doc a ~256-token training bin + its offset in
+    the bin — greedy packing as ONE window over ONE shuffle, each
+    shard packing independently (the property that scales)."""
+    from computer_vision_foundations_spark.functions.hashing import md5_hash_pair
+    from computer_vision_foundations_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h1, _ = md5_hash_pair(F.col("doc_id").cast("string"))
+    with_counts = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(
+        with_counts,
+        "n_tokens",
+        id_col="doc_id",
+        seq_len=256,
+        shard_col=h1 % 32,
+    ).select("doc_id", "n_tokens", "shard", "bin", "offset")

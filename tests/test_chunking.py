@@ -1,0 +1,68 @@
+"""Chunking / packing / redaction invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+    redact_text,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),
+        (2, " ".join(f"w{i}" for i in range(10))),  # shorter than a chunk
+        (3, "single"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunks_cover_document_with_overlap(spark):
+    out = chunk_documents(_docs(spark), chunk_tokens=32, overlap=8)
+    rows = {r.doc_id: sorted(
+        (c.chunk_idx, c.n_tokens) for c in out.collect() if c.doc_id == r.doc_id
+    ) for r in out.select("doc_id").distinct().collect()}
+    # doc 1: starts at 1,25,49,73 -> sizes 32,32,32,28
+    assert rows[1] == [(0, 32), (1, 32), (2, 32), (3, 28)]
+    assert rows[2] == [(0, 10)]
+    assert rows[3] == [(0, 1)]
+    # consecutive chunks of doc 1 share exactly 8 tokens
+    chunks = {
+        r.chunk_idx: r.chunk_text.split(" ")
+        for r in out.filter("doc_id = 1").collect()
+    }
+    for i in range(3):
+        assert chunks[i][-8:] == chunks[i + 1][:8]
+
+
+def test_chunk_overlap_validation(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark), chunk_tokens=8, overlap=8)
+
+
+def test_packing_respects_capacity_and_order(spark):
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(20)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(
+        df, "n_tokens", seq_len=100, shard_col=F.lit(0)
+    ).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # docs of 30 tokens into bins of 100: bins hold docs {0,1,2,3-partial}?
+    # running-sum rule: doc d starts at offset (30*d) mod... bin = (30*d)//100
+    for d, r in by_doc.items():
+        assert r.bin == (30 * d) // 100
+        assert r.offset == 30 * d - r.bin * 100
+    # every bin's resident docs fit start-offset within seq_len
+    assert all(0 <= r.offset < 100 for r in out)
+
+
+def test_redaction_patterns(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io see https://x.io/p?q=1 code 1234567 ok 123")],
+        ["doc_id", "text"],
+    )
+    got = redact_text(df).collect()[0].text
+    assert got == "mail <EMAIL> see <URL> code <NUM> ok 123"
