@@ -22,6 +22,12 @@ from computer_vision_foundations_spark.functions.text import (
     winnow_udf,
     with_winnow_fingerprints,
 )
+from computer_vision_foundations_spark.functions.sketches import (
+    count_min_estimate,
+    count_min_registers,
+    hll_count_distinct,
+    hll_registers,
+)
 
 __all__ = [
     "with_parsed_filename",
@@ -42,4 +48,8 @@ __all__ = [
     "winnow_udf",
     "with_winnow_fingerprints",
     "minhash_column",
+    "count_min_estimate",
+    "count_min_registers",
+    "hll_count_distinct",
+    "hll_registers",
 ]

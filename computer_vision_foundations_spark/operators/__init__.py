@@ -17,6 +17,21 @@ from computer_vision_foundations_spark.operators.similarity import (
 )
 from computer_vision_foundations_spark.operators.score import score_with
 from computer_vision_foundations_spark.operators.skew import salted_join
+from computer_vision_foundations_spark.operators.asof import as_of_join
+from computer_vision_foundations_spark.operators.ranges import (
+    interval_overlap_join,
+    range_join,
+)
+from computer_vision_foundations_spark.operators.rollup import time_rollup
+from computer_vision_foundations_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+from computer_vision_foundations_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+    redact_text,
+)
 
 __all__ = [
     "deterministic_split",
@@ -32,4 +47,13 @@ __all__ = [
     "lsh_bucketed_knn",
     "salted_join",
     "score_with",
+    "as_of_join",
+    "range_join",
+    "interval_overlap_join",
+    "time_rollup",
+    "connected_components",
+    "dedup_clusters",
+    "chunk_documents",
+    "pack_sequences",
+    "redact_text",
 ]

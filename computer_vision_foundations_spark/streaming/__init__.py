@@ -6,6 +6,8 @@ from computer_vision_foundations_spark.streaming.ingest import (
 from computer_vision_foundations_spark.streaming.stateful import (
     running_totals_stateful,
 )
+from computer_vision_foundations_spark.streaming.upsert import upsert_stream
+from computer_vision_foundations_spark.streaming.joins import stream_interval_join
 from computer_vision_foundations_spark.streaming.windows import (
     dedup_stream,
     sessionized,
@@ -22,4 +24,6 @@ __all__ = [
     "sessionized",
     "streaming_session_counts",
     "tumbling_counts",
+    "upsert_stream",
+    "stream_interval_join",
 ]
