@@ -2200,3 +2200,84 @@ def q58_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_len=256,
         shard_col=h1 % 32,
     ).select("doc_id", "n_tokens", "shard", "bin", "offset")
+
+
+@_register(
+    "q59_fuzzy_name_pairs",
+    """
+    WITH s AS (SELECT s_suppkey, s_name FROM supplier)
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           levenshtein(a.s_name, b.s_name) AS distance
+    FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def q59_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match self-join (operators/fuzzy): supplier names
+    within edit distance 1, found by q-gram blocking + distinct-gram
+    count bound + levenshtein verify — never the quadratic
+    nested-loop Spark would plan for a bare levenshtein predicate.
+    The oracle IS the quadratic form (fine for DuckDB at fixture
+    scale), so the check proves the filter-and-verify pipeline loses
+    no pairs."""
+    from computer_vision_foundations_spark.operators.fuzzy import (
+        fuzzy_match_pairs,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return fuzzy_match_pairs(
+        sup, "s_name", "s_suppkey", max_distance=1, q=3, max_gram_freq=None
+    )
+
+
+_Z_BITS = 10
+
+
+def _zorder_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(((ux >> {b}) & 1) << {2 * b}) + (((vx >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_Z_BITS)
+    )
+    return f"""
+    WITH q AS (
+      SELECT event_id,
+             user_id % 1024 AS ux,
+             CAST(floor(value * 10) AS BIGINT) % 1024 AS vx
+      FROM events
+    ),
+    z AS (SELECT event_id, {terms} AS zkey FROM q)
+    SELECT zkey >> 14 AS zbucket,
+           count(*) AS n,
+           min(zkey) AS min_z,
+           max(zkey) AS max_z
+    FROM z GROUP BY 1
+    """
+
+
+@_register("q60_zorder_layout", _zorder_oracle_sql())
+def q60_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/zorder.zorder_key): Morton
+    interleave of (user_id, quantized value) as pure codegen'd bit
+    arithmetic, bucketed to the 64 file-sized z-ranges a
+    layout_by_zorder write would produce — per-bucket min/max show
+    each range is compact in BOTH dimensions, which is what lets
+    multi-column filters prune files. Oracle replays the identical
+    shift/mask expression."""
+    from computer_vision_foundations_spark.operators.zorder import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("ux"),
+        (F.floor(F.col("value") * 10).cast("long") % 1024).alias("vx"),
+    )
+    z = q.select(
+        "event_id", zorder_key(["ux", "vx"], bits=_Z_BITS).alias("zkey")
+    )
+    return z.groupBy(
+        F.shiftright("zkey", 14).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zkey").alias("min_z"),
+        F.max("zkey").alias("max_z"),
+    )
