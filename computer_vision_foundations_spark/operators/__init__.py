@@ -32,6 +32,14 @@ from computer_vision_foundations_spark.operators.chunking import (
     pack_sequences,
     redact_text,
 )
+from computer_vision_foundations_spark.operators.corpus import (
+    prepare_training_corpus,
+)
+from computer_vision_foundations_spark.operators.fuzzy import fuzzy_match_pairs
+from computer_vision_foundations_spark.operators.zorder import (
+    layout_by_zorder,
+    zorder_key,
+)
 
 __all__ = [
     "deterministic_split",
@@ -56,4 +64,8 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "redact_text",
+    "prepare_training_corpus",
+    "fuzzy_match_pairs",
+    "layout_by_zorder",
+    "zorder_key",
 ]

@@ -2281,3 +2281,20 @@ def q60_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").alias("min_z"),
         F.max("zkey").alias("max_z"),
     )
+
+
+@_register("q61_training_corpus")
+def q61_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition (operators/corpus.prepare_training_corpus):
+    quality filter → exact dedup → near-dup clustering → redaction →
+    chunking → sequence packing, every stage an operator whose
+    correctness is individually oracle-verified (q22, q21, q26+q48,
+    q57, q56, q58). Rows-only here — the composed SQL twin would be
+    a page of fragile CTE surgery for no new information — with the
+    composition-level invariants covered in tests/test_corpus.py."""
+    from computer_vision_foundations_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prepare_training_corpus(docs)

@@ -1,0 +1,54 @@
+"""Composition-level invariants of prepare_training_corpus."""
+
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.corpus import (
+    prepare_training_corpus,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    rows = [
+        (1, base + "alpha beta gamma delta"),
+        (2, base + "alpha beta gamma delta"),          # exact dup of 1
+        (3, base + "alpha beta gamma epsilon zeta"),   # near dup of 1
+        (4, "completely different words entirely here repeated many times "
+            "for a long enough document to survive the quality filter ok " * 2),
+        (5, "too short"),                               # fails min_tokens
+        (6, "!!! ??? $$$ %%% ^^^ &&& *** ((( ))) @@@ " * 8),  # punct junk
+        (7, "contact me at someone@example.com please " * 6),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pipeline_invariants(spark):
+    out = prepare_training_corpus(
+        _docs(spark), min_tokens=20, max_punct_ratio=0.25,
+        chunk_tokens=16, overlap=4, seq_len=48,
+    )
+    rows = out.collect()
+    survivors = {r.doc_id for r in rows}
+    # 5 (short) and 6 (punct) filtered; 2 exact-dups to 1; 3 near-dups to 1
+    assert survivors == {1, 4, 7}
+    # every chunk respects the token cap
+    assert all(1 <= r.n_tokens <= 16 for r in rows)
+    # redaction happened before chunking
+    assert all("@example.com" not in r.chunk_text for r in rows)
+    assert any("<EMAIL>" in r.chunk_text for r in rows if r.doc_id == 7)
+    # every chunk starts within its bin's capacity
+    assert all(0 <= r.offset < 48 for r in rows)
+    # chunks of one doc stay ordered within their shard's bins
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        keys = [(r.bin, r.offset) for r in chunks]
+        assert keys == sorted(keys)
+
+
+def test_deterministic(spark):
+    a = prepare_training_corpus(_docs(spark)).collect()
+    b = prepare_training_corpus(_docs(spark)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
