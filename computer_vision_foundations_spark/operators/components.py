@@ -49,10 +49,14 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().persist()
+    # round 0 fused into initialization: comp = min(node, neighbors)
+    # directly from the edge list — saves one full loop iteration
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("v").alias("node"))
+        .agg(F.min("u").alias("_mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_mn")).alias("comp")
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]

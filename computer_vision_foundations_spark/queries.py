@@ -2298,3 +2298,50 @@ def q61_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prepare_training_corpus(docs)
+
+
+@_register(
+    "q62_udtf_sentences",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (value|table) ', '. ', 'g') AS text
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(text, '([.!?]) +', '\\1' || chr(1), 'g'),
+               chr(1)) AS parts
+      FROM synth
+    ),
+    sents AS (
+      SELECT doc_id, trim(unnest(parts)) AS sentence FROM marked
+    )
+    SELECT doc_id, sentence,
+           len(string_split(sentence, ' ')) AS n_words
+    FROM sents WHERE sentence <> ''
+    """,
+)
+def q62_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions/udtfs.SplitSentences) driven
+    through SQL LATERAL: sentence punctuation is synthesized
+    deterministically (same regexp_replace both engines), the UDTF
+    segments each document, and the oracle reproduces the split with
+    RE2-safe replace-then-split (no lookbehind in DuckDB). sent_idx
+    is omitted from the result on purpose — the driver hash is
+    order-insensitive and the index is positional noise."""
+    from computer_vision_foundations_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id",
+        F.regexp_replace("text", " (value|table) ", ". ").alias("text"),
+    ).createOrReplaceTempView("_q62_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, s.n_words
+        FROM _q62_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
