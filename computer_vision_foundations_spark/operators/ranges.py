@@ -33,8 +33,13 @@ __all__ = ["range_join", "interval_overlap_join"]
 def _axis(df: DataFrame, col: str, bucket_width: float):
     """(numeric column for bucketing, bucket width in axis units)."""
     dtype = df.schema[col].dataType
-    if isinstance(dtype, T.TimestampType):
-        return F.unix_micros(F.col(col)), int(bucket_width * 1_000_000)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # unix_micros needs TIMESTAMP (with zone); NTZ casts losslessly
+        # under the session zone, and both sides quantize identically.
+        return (
+            F.unix_micros(F.col(col).cast("timestamp")),
+            int(bucket_width * 1_000_000),
+        )
     return F.col(col), bucket_width
 
 

@@ -1607,7 +1607,8 @@ def q44_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id",
         "purchase_id",
         (
-            F.unix_micros("purchase_ts") - F.unix_micros("error_ts")
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("error_ts").cast("timestamp"))
         ).alias("gap_us"),
         "value",
     )

@@ -62,7 +62,8 @@ def sessionized(
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreaks]
     )
-    us = F.unix_micros(F.col(ts_col))
+    # cast: unix_micros requires TIMESTAMP; parquet may carry TIMESTAMP_NTZ
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(us).over(w)
     new_session = F.when(
         prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), F.lit(1)

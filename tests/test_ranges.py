@@ -124,3 +124,21 @@ def test_overlap_join_no_duplicate_pairs(spark):
         adf, bdf, "start", "end", "bstart", "bend", bucket_width=100
     ).collect()
     assert len(out) == 1
+
+
+def test_bucketized_timestamp_ntz(spark):
+    # parquet fixtures surface as TIMESTAMP_NTZ; the bucket math must
+    # accept both timestamp flavors (unix_micros only takes TIMESTAMP)
+    points, pdf = _points(spark)
+    intervals, idf = _intervals(spark)
+    pdf = pdf.withColumn("ts", pdf["ts"].cast("timestamp_ntz"))
+    idf = idf.withColumn("start", idf["start"].cast("timestamp_ntz")).withColumn(
+        "end", idf["end"].cast("timestamp_ntz")
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, "ts", "start", "end", bucket_width=300
+        ).collect()
+    }
+    assert got == _expected_pairs(points, intervals, keyed=False)
