@@ -29,20 +29,20 @@ def _sum_terms(terms: list[Column]) -> Column:
 
 
 def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    """a · b. With ``dim`` the sum is UNROLLED into a flat codegen'd
-    expression (element_at × dim); without it, an interpreted
-    ``aggregate(zip_with(...))`` fold. Higher-order functions get no
-    whole-stage codegen, so for fixed-width embedding columns the
-    unrolled form is ~5-10× faster — always pass ``dim`` in hot paths.
-    Summation order is ascending index in BOTH forms, so results are
-    bit-identical between them (and to the DuckDB oracle's
-    ``list_dot_product``).
+    """a · b. The default (``dim=None``) is an ``aggregate(zip_with())``
+    fold — one expression node whose evaluator loops the arrays. With
+    ``dim`` the sum is UNROLLED into element_at × dim flat arithmetic.
 
-    The unrolled form casts each ELEMENT to double (same value as
-    casting the array) — an array-level cast re-emits its whole
-    conversion loop at every ``element_at`` after projection collapse
-    inlines it, which blows Janino's 64 KB method limit at dim=64 and
-    silently drops the stage out of whole-stage codegen.
+    MEASURED (sf0.1, 64-dim, local[32]): the fold is 5-6× FASTER than
+    the unrolled form for every join-shaped workload (q27 1.1 s vs
+    6.8 s; q28 2.4 s vs 11.6 s). The ~200-node unrolled tree drops the
+    stage out of whole-stage codegen anyway (executed plan shows no
+    WholeStageCodegen span), and a 200-node interpreted tree evaluates
+    far slower than one HOF node's tight loop — plus Catalyst
+    analysis/codegen time scales with tree size. Leave ``dim`` unset in
+    hot paths; it is kept because both forms sum in ascending index
+    order and are bit-identical (to each other and to DuckDB's
+    ``list_dot_product``), which the differential oracle relies on.
     """
     ac = F.col(a) if isinstance(a, str) else a
     bc = F.col(b) if isinstance(b, str) else b
@@ -80,8 +80,8 @@ def cosine_similarity(
 ) -> Column:
     """Cosine similarity in double precision (0 for zero-norm inputs).
 
-    Pass ``dim`` when the embedding width is known (it almost always
-    is) to stay inside whole-stage codegen — see ``dot_product``.
+    Leave ``dim`` unset in hot paths — the HOF fold measures 5-6×
+    faster than the unrolled form; see ``dot_product``.
     """
     num = dot_product(a, b, dim)
     den = l2_norm(a, dim) * l2_norm(b, dim)
@@ -98,12 +98,10 @@ def cosine_from_norms(
     """Cosine given PRECOMPUTED per-side L2 norms.
 
     The scale form for join-shaped similarity: compute ``l2_norm`` once
-    per vector BEFORE the join (n + m sqrts instead of n·m·2), and keep
-    the pair-side expression to just the dot product — which also keeps
-    the generated Java method for the join projection under Janino's
-    64 KB limit at dim=64+ (one 3·dim-term cosine per pair blows it and
-    silently falls back to interpreted eval). Bit-identical to
-    ``cosine_similarity``: same multiplies, same order.
+    per vector BEFORE the join (n + m sqrts instead of n·m·2), keeping
+    the pair-side expression to just the dot product. Bit-identical to
+    ``cosine_similarity``: same multiplies, same order. Leave ``dim``
+    unset in hot paths (see ``dot_product``).
     """
     na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
     nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b

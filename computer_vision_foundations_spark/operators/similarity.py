@@ -59,9 +59,9 @@ def brute_force_knn(
 
     Returns ``(probe_id, neighbor_id, cos_sim, rank)``. Ties break on
     neighbor_id after rounding, so results are total-order
-    deterministic (required by the differential oracle). Pass ``dim``
-    (embedding width) to unroll the math into codegen'd expressions —
-    see functions/vectors.py.
+    deterministic (required by the differential oracle). ``dim`` is
+    accepted for the unrolled expression form but the default HOF fold
+    measures 5-6× faster — see functions/vectors.dot_product.
 
     Norms are computed per SIDE before the join (n + m sqrts), so the
     per-pair work is one dot product — not a full cosine per pair.
@@ -69,12 +69,12 @@ def brute_force_knn(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pv"),
-        l2_norm(vec_col, dim).alias("_pn"),
+        l2_norm(vec_col).alias("_pn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(vec_col, dim).alias("_cn"),
+        l2_norm(vec_col).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(p))
@@ -82,7 +82,7 @@ def brute_force_knn(
         .withColumn(
             "cos_sim",
             F.round(
-                cosine_from_norms("_pv", "_cv", "_pn", "_cn", dim),
+                cosine_from_norms("_pv", "_cv", "_pn", "_cn"),
                 round_digits,
             ),
         )
@@ -182,7 +182,7 @@ def lsh_bucketed_knn(
         return df.select(
             F.col(id_col).alias(side_id),
             F.col(vec_col).alias(f"_{side_id}_v"),
-            l2_norm(vec_col, dim).alias(f"_{side_id}_n"),
+            l2_norm(vec_col).alias(f"_{side_id}_n"),
             F.posexplode(buckets_udf(F.col(vec_col))).alias(
                 "_table", "_bucket"
             ),
@@ -210,7 +210,7 @@ def lsh_bucketed_knn(
         F.round(
             cosine_from_norms(
                 "_probe_id_v", "_neighbor_id_v",
-                "_probe_id_n", "_neighbor_id_n", dim,
+                "_probe_id_n", "_neighbor_id_n",
             ),
             round_digits,
         ),
@@ -323,13 +323,13 @@ def ivf_flat_knn(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(vec_col, dim).alias("_cn"),
+        l2_norm(vec_col).alias("_cn"),
         cell_udf(F.col(vec_col)).alias("_cell"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pv"),
-        l2_norm(vec_col, dim).alias("_pn"),
+        l2_norm(vec_col).alias("_pn"),
         F.explode(probe_cells_udf(F.col(vec_col))).alias("_cell"),
     )
     scored = (
@@ -338,7 +338,7 @@ def ivf_flat_knn(
         .withColumn(
             "cos_sim",
             F.round(
-                cosine_from_norms("_pv", "_cv", "_pn", "_cn", dim),
+                cosine_from_norms("_pv", "_cv", "_pn", "_cn"),
                 round_digits,
             ),
         )

@@ -844,7 +844,7 @@ def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector math, single window shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
-    return brute_force_knn(emb, probes, k=10, dim=64)
+    return brute_force_knn(emb, probes, k=10)
 
 
 @_register(
@@ -868,7 +868,7 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        emb, "embedding", "vec_id", block_col="label", threshold=0.5, dim=64
+        emb, "embedding", "vec_id", block_col="label", threshold=0.5
     )
 
 
