@@ -80,6 +80,11 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # Per-query isolation: some operators persist intermediates
+        # (shingle/band streams) that only their own plan consumes;
+        # dropping them here keeps later queries from paying earlier
+        # queries' block-eviction and GC pressure.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -15,11 +15,18 @@ ops:
   table). Propagation alone needs O(diameter) rounds; jumping
   compresses chains so long paths converge in ~O(log n).
 - convergence is detected by the SUM of labels, which strictly
-  decreases until fixpoint — one scalar aggregate per round, no
-  row-level diff join.
-- every round ``localCheckpoint``s the label table: iterative Spark
-  without lineage truncation re-executes the whole history each
-  round and OOMs the planner long before data is the problem.
+  decreases until fixpoint. The sum rides the checkpoint
+  materialization as an ``observe`` metric — zero extra jobs.
+- BOTH the edge list and the per-round label table are
+  ``localCheckpoint``ed. For labels this is the classic lineage
+  truncation (without it each round re-plans the whole history and
+  the planner OOMs long before data is a problem). For edges it
+  matters just as much but for a subtler reason: ``persist`` caches
+  partitions, not the plan — every round's joins still embed and
+  re-ANALYZE the edge list's full upstream logical plan (for LSH
+  input, the entire shingle→minhash→banding pipeline), which measured
+  3-5 s of driver time per round at sf0.1; with the flat
+  ExistingRDD plan, a round is ~0.8 s.
 
 Per round: one shuffle of the edge list + two small shuffles of the
 label table (|V| rows). Candidate-pair graphs are overwhelmingly tiny
@@ -29,7 +36,7 @@ ids, so each component's id IS its canonical (smallest) member.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_clusters"]
@@ -48,7 +55,10 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().persist()
+    # materialize ONCE with a flat plan (see module docstring: persist
+    # alone leaves the upstream logical plan to be re-analyzed every
+    # round)
+    sym = sym.distinct().localCheckpoint()
     # round 0 fused into initialization: comp = min(node, neighbors)
     # directly from the edge list — saves one full loop iteration
     labels = (
@@ -60,7 +70,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["u"] == labels["node"])
             .groupBy("v")
@@ -80,18 +90,19 @@ def connected_components(
         jump = new.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
+        obs = Observation(f"cc_round_{i}")
         new = (
             new.join(jump, "comp", "left")
             .select("node", F.coalesce("comp2", "comp").alias("comp"))
+            .observe(obs, F.sum("comp").alias("s"))
             .localCheckpoint()
         )
-        cur_sum = new.agg(F.sum("comp")).collect()[0][0]
+        # the eager checkpoint IS the action; observe rode along
+        cur_sum = obs.get["s"]
         labels = new
         if cur_sum == prev_sum:
-            sym.unpersist()
             return labels.select("node", F.col("comp").alias("component"))
         prev_sum = cur_sum
-    sym.unpersist()
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 
