@@ -43,6 +43,7 @@ HEADLINE = [
     "q28_embedding_near_dup",
     "q33_lsh_ann",
     "q36_ivf_ann",
+    "q64_pq_adc_knn",
     "q37_winnow_fingerprints",
     "q43_asof_enrich",
     "q44_range_join_error_window",

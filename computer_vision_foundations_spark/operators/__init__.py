@@ -15,6 +15,11 @@ from computer_vision_foundations_spark.operators.similarity import (
     ivf_flat_knn,
     lsh_bucketed_knn,
 )
+from computer_vision_foundations_spark.operators.quantization import (
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+)
 from computer_vision_foundations_spark.operators.score import score_with
 from computer_vision_foundations_spark.operators.skew import salted_join
 from computer_vision_foundations_spark.operators.asof import as_of_join
@@ -53,6 +58,9 @@ __all__ = [
     "brute_force_knn",
     "ivf_flat_knn",
     "lsh_bucketed_knn",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
     "salted_join",
     "score_with",
     "as_of_join",

@@ -2346,3 +2346,122 @@ def q62_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _q62_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the IVF-PQ compression layer)
+# ---------------------------------------------------------------------------
+
+_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED = 64, 8, 16, 42
+
+
+def _pq_dist_arrays_sql() -> list[str]:
+    """One DuckDB ``[dist, ...]`` literal-codebook array per subvector:
+    ``||c||² − 2 · slice(v)·c``. The ``||c||²`` constants are emitted
+    from the SAME numpy computation the Spark operator uses, so both
+    engines share identical f64 constants; the dots are sequential
+    ascending-index on both sides (operators/quantization._seq_scores
+    vs DuckDB list_dot_product)."""
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_codebooks,
+    )
+
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    sub_dim = _PQ_DIM // _PQ_SUBS
+    arrays = []
+    for s, cb in enumerate(cbs):
+        c_norms = (np.asarray(cb, dtype=np.float64) ** 2).sum(axis=1)
+        dists = ", ".join(
+            f"({float(c_norms[i])!r} - 2.0 * list_dot_product("
+            f"list_slice(v, {s * sub_dim + 1}, {(s + 1) * sub_dim}), "
+            f"[{', '.join(repr(float(x)) for x in cb[i])}]))"
+            for i in range(len(cb))
+        )
+        arrays.append(f"[{dists}]")
+    return arrays
+
+
+def _pq_codes_cte() -> str:
+    ds = _pq_dist_arrays_sql()
+    d_cols = ", ".join(f"{a} AS d{s}" for s, a in enumerate(ds))
+    code_cols = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INT)"
+        for s in range(_PQ_SUBS)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, v, {d_cols} FROM emb
+    ),
+    codes AS (
+      SELECT vec_id, [{code_cols}] AS codes FROM d
+    )"""
+
+
+def _pq_codes_oracle_sql() -> str:
+    return f"""
+    {_pq_codes_cte()}
+    SELECT vec_id, array_to_string(codes, ',') AS codes_key FROM codes
+    """
+
+
+def _pq_adc_oracle_sql() -> str:
+    score = " + ".join(
+        f"p.d{s}[c.codes[{s + 1}] + 1]" for s in range(_PQ_SUBS)
+    )
+    return f"""
+    {_pq_codes_cte()}
+    SELECT probe_id, neighbor_id, adc_score, rank FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             round({score}, 6) AS adc_score,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round({score}, 6) ASC, c.vec_id ASC) AS rank
+      FROM d p JOIN codes c ON p.vec_id < 5 AND c.vec_id <> p.vec_id) t
+    WHERE rank <= 10
+    """
+
+
+@_register("q63_pq_codes", _pq_codes_oracle_sql())
+def q63_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/quantization.pq_encode):
+    every embedding compressed to 8 nearest-centroid codes from seeded
+    per-subvector codebooks — the representation the ADC scan reads at
+    scale. The oracle replays the codebooks as SQL literals with
+    matching f64 constants and summation order, so the codes are
+    hash-checked bit-for-bit."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    return pq_encode(emb, cbs).select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes_key"),
+    )
+
+
+@_register("q64_pq_adc_knn", _pq_adc_oracle_sql())
+def q64_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 per probe
+    (operators/quantization.pq_adc_topk): probes precompute a 128-entry
+    distance LUT, candidates are scored by 8 array lookups over their
+    codes — the corpus-side scan never touches a float vector. The
+    oracle recomputes LUT and scores from the same literal codebooks."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    return pq_adc_topk(emb, probes, cbs, k=10)
