@@ -20,6 +20,11 @@ from computer_vision_foundations_spark.operators.quantization import (
     pq_codebooks,
     pq_encode,
 )
+from computer_vision_foundations_spark.operators.mixture import (
+    hash_unit,
+    mixture_fractions,
+    mixture_sample,
+)
 from computer_vision_foundations_spark.operators.score import score_with
 from computer_vision_foundations_spark.operators.skew import salted_join
 from computer_vision_foundations_spark.operators.asof import as_of_join
@@ -58,6 +63,9 @@ __all__ = [
     "brute_force_knn",
     "ivf_flat_knn",
     "lsh_bucketed_knn",
+    "hash_unit",
+    "mixture_fractions",
+    "mixture_sample",
     "pq_adc_topk",
     "pq_codebooks",
     "pq_encode",

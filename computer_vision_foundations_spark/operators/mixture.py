@@ -1,0 +1,105 @@
+"""Corpus mixture sampling: re-weight domains to a token budget.
+
+The last step before training-data serialization in every large-corpus
+pipeline (the Dolma/RedPajama "mixing" stage): given target proportions
+per domain (source, language, quality tier) and a total token budget,
+downsample each domain so the output matches the target mix. Two
+properties matter at 100 TB:
+
+- **Deterministic, collect-free sampling.** Membership is decided by a
+  per-document hash threshold (``md5`` of the id, seeded), not
+  ``rand()`` — re-running the pipeline, on any cluster layout, selects
+  the SAME documents (reproducible corpora, diffable between runs).
+  The hash math is the portable 28-bit md5 slice used by the MinHash
+  family (functions/hashing.md5_hash_pair), so a SQL engine replays
+  the exact selection.
+- **One tiny aggregate, one broadcast.** Per-domain totals are a
+  hash-agg producing |domains| rows; the keep-fraction table joins
+  back by broadcast. The corpus itself is touched exactly once, with a
+  filter that pushes into the scan's projection — no shuffle of
+  documents at all.
+
+Domains with fewer tokens than their target keep everything (fraction
+caps at 1.0) — oversampling/repetition is a training-loader concern,
+not a corpus operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_unit", "mixture_fractions", "mixture_sample"]
+
+# 28-bit hash → [0, 1) denominator; 7 hex chars parse exactly in any
+# engine (see functions/hashing.md5_hash_pair)
+_HASH_DENOM = float(1 << 28)
+
+
+def hash_unit(col: Column | str, seed: int = 42) -> Column:
+    """Deterministic uniform-ish [0, 1) from a key column: the first 7
+    hex chars of ``md5(key || ':' || seed)`` over 2^28. Portable:
+    DuckDB computes the identical double with
+    ``CAST(('0x' || substr(md5(key || ':seed'),1,7)) AS BIGINT) / 2^28``."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")).cast("binary"))
+    return F.conv(F.substring(d, 1, 7), 16, 10).cast("long") / F.lit(_HASH_DENOM)
+
+
+def mixture_fractions(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: float,
+    domain_col: str = "source",
+    token_col: str | None = None,
+) -> DataFrame:
+    """``(domain, n_tokens, keep_frac)`` — per-domain keep fraction for
+    a target of ``budget × weight[domain] / Σweights`` tokens.
+
+    ``token_col`` counts tokens per document (None = count documents).
+    Domains absent from ``weights`` get fraction 0 (dropped) — listing
+    a domain with weight 0 is the same thing, explicitly.
+    """
+    total_w = float(sum(weights.values()))
+    tok = (
+        F.sum(F.col(token_col)) if token_col else F.count(F.lit(1))
+    ).cast("double")
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        tok.alias("n_tokens")
+    )
+    target = F.lit(float(budget)) * F.coalesce(
+        wmap[F.col("domain")], F.lit(0.0)
+    ) / F.lit(total_w)
+    return sizes.select(
+        "domain",
+        "n_tokens",
+        F.least(F.lit(1.0), target / F.col("n_tokens")).alias("keep_frac"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: float,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample ``df`` so each domain contributes ~``budget ×
+    weight/Σweights`` tokens: keep a document iff its seeded hash unit
+    falls below the domain's keep fraction. Input columns pass through
+    unchanged. Deterministic in the id (cluster-layout independent)."""
+    fracs = mixture_fractions(df, weights, budget, domain_col, token_col)
+    return (
+        df.join(
+            F.broadcast(fracs),
+            df[domain_col] == fracs["domain"],
+            "inner",
+        )
+        .filter(hash_unit(id_col, seed) < F.col("keep_frac"))
+        .drop("domain", "n_tokens", "keep_frac")
+    )

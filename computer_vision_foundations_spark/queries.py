@@ -2465,3 +2465,51 @@ def q64_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 5)
     cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
     return pq_adc_topk(emb, probes, cbs, k=10)
+
+
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0, "src4": 1.0, "src5": 1.0}
+_MIX_BUDGET, _MIX_SEED = 20_000.0, 42
+
+
+def _mixture_oracle_sql() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    values = ", ".join(f"('{k}', {v!r})" for k, v in _MIX_WEIGHTS.items())
+    return f"""
+    WITH sizes AS (
+      SELECT source AS domain, CAST(sum(n_chars) AS DOUBLE) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    fracs AS (
+      SELECT domain,
+             least(1.0, {_MIX_BUDGET!r} * w / {total_w!r} / n_tokens) AS keep_frac
+      FROM sizes JOIN (VALUES {values}) AS wt(domain, w) USING (domain)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN fracs f ON d.source = f.domain
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':{_MIX_SEED}'), 1, 7)) AS BIGINT)
+          / 268435456.0 < f.keep_frac
+    """
+
+
+@_register("q65_mixture_sample", _mixture_oracle_sql())
+def q65_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling (operators/mixture.mixture_sample): six
+    weighted sources re-balanced to a 20k-char budget, membership
+    decided by a seeded md5 hash threshold — deterministic across
+    cluster layouts and replayed exactly by the oracle (same 28-bit
+    md5 slice, same left-to-right double math). Unweighted sources
+    drop out; over-subscribed ones cap at keep_frac 1.0."""
+    from computer_vision_foundations_spark.operators.mixture import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs,
+        _MIX_WEIGHTS,
+        _MIX_BUDGET,
+        domain_col="source",
+        id_col="doc_id",
+        token_col="n_chars",
+        seed=_MIX_SEED,
+    ).select("doc_id", "source", "n_chars")

@@ -1,0 +1,73 @@
+"""Mixture sampling: fraction math, determinism, mix proportions, and
+the no-shuffle plan shape."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.mixture import (
+    hash_unit,
+    mixture_fractions,
+    mixture_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(3000):
+        dom = ("web", "books", "code")[i % 3]
+        rows.append((i, dom, 100))
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_fractions_cap_and_proportion(spark, corpus):
+    # each domain holds 100k tokens; budget 150k at weights 2:1:0
+    fr = {
+        r.domain: (r.keep_frac, r.n_tokens)
+        for r in mixture_fractions(
+            corpus, {"web": 2.0, "books": 1.0}, 150_000.0,
+            domain_col="source", token_col="n_chars",
+        ).collect()
+    }
+    assert fr["web"][0] == 1.0          # target 100k == size, capped
+    assert abs(fr["books"][0] - 0.5) < 1e-12   # target 50k of 100k
+    assert fr["code"][0] == 0.0         # unweighted -> dropped
+
+
+def test_sample_deterministic_and_mix(spark, corpus):
+    out = mixture_sample(
+        corpus, {"web": 2.0, "books": 1.0}, 150_000.0,
+        domain_col="source", token_col="n_chars", seed=7,
+    )
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["web"] == 1000                     # frac 1.0 keeps all
+    assert abs(counts.get("books", 0) - 500) < 80    # ~binomial(1000, .5)
+    assert "code" not in counts
+    again = mixture_sample(
+        corpus, {"web": 2.0, "books": 1.0}, 150_000.0,
+        domain_col="source", token_col="n_chars", seed=7,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_hash_unit_range_and_seed_sensitivity(spark, corpus):
+    u = corpus.select(
+        hash_unit("doc_id", 1).alias("u1"), hash_unit("doc_id", 2).alias("u2")
+    )
+    row = u.agg(
+        F.min("u1").alias("lo"), F.max("u1").alias("hi"),
+        F.avg((F.col("u1") < F.col("u2")).cast("int")).alias("flip"),
+    ).collect()[0]
+    assert 0.0 <= row.lo and row.hi < 1.0
+    assert 0.3 < row.flip < 0.7  # different seeds decorrelate
+
+
+def test_plan_broadcasts_fractions(spark, corpus):
+    out = mixture_sample(
+        corpus, {"web": 1.0}, 10_000.0, domain_col="source", token_col="n_chars"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
