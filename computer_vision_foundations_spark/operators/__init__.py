@@ -24,6 +24,7 @@ from computer_vision_foundations_spark.operators.mixture import (
     hash_unit,
     mixture_fractions,
     mixture_sample,
+    mixture_sample_with_repetition,
 )
 from computer_vision_foundations_spark.operators.score import score_with
 from computer_vision_foundations_spark.operators.skew import salted_join
@@ -66,6 +67,7 @@ __all__ = [
     "hash_unit",
     "mixture_fractions",
     "mixture_sample",
+    "mixture_sample_with_repetition",
     "pq_adc_topk",
     "pq_codebooks",
     "pq_encode",

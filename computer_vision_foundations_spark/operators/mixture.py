@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_unit", "mixture_fractions", "mixture_sample"]
+__all__ = [
+    "hash_unit",
+    "mixture_fractions",
+    "mixture_sample",
+    "mixture_sample_with_repetition",
+]
 
 # 28-bit hash → [0, 1) denominator; 7 hex chars parse exactly in any
 # engine (see functions/hashing.md5_hash_pair)
@@ -102,4 +107,64 @@ def mixture_sample(
         )
         .filter(hash_unit(id_col, seed) < F.col("keep_frac"))
         .drop("domain", "n_tokens", "keep_frac")
+    )
+
+
+def mixture_sample_with_repetition(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: float,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    seed: int = 42,
+    max_repeat: float = 4.0,
+) -> DataFrame:
+    """Mixture sampling where under-target domains UPSAMPLE by
+    repetition: a domain at fraction f emits ``floor(f)`` full copies
+    of every document plus one more for the hash-selected ``f −
+    floor(f)`` remainder (so expected tokens match the target exactly).
+    Adds an ``epoch`` column (1-based copy index). ``max_repeat`` caps
+    the fraction — repeating a small domain > ~4× degrades models
+    faster than it helps, so the cap is a quality guard, not a
+    mechanical limit.
+
+    The replication is a map-side ``explode(sequence(...))`` — no
+    shuffle; downstream packing/serialization sees epoch copies as
+    ordinary rows. Deterministic in (id, seed) like
+    :func:`mixture_sample`.
+    """
+    total_w = float(sum(weights.values()))
+    tok = (
+        F.sum(F.col(token_col)) if token_col else F.count(F.lit(1))
+    ).cast("double")
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        tok.alias("n_tokens")
+    )
+    frac = F.least(
+        F.lit(float(max_repeat)),
+        F.lit(float(budget))
+        * F.coalesce(wmap[F.col("domain")], F.lit(0.0))
+        / F.lit(total_w)
+        / F.col("n_tokens"),
+    )
+    fracs = sizes.select("domain", frac.alias("_frac"))
+    n_copies = F.floor(F.col("_frac")).cast("int") + (
+        hash_unit(id_col, seed) < (F.col("_frac") - F.floor(F.col("_frac")))
+    ).cast("int")
+    return (
+        df.join(F.broadcast(fracs), df[domain_col] == fracs["domain"], "inner")
+        .withColumn("_n", n_copies)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    F.col("_n") >= 1, F.sequence(F.lit(1), F.col("_n"))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("domain", "_frac", "_n")
     )

@@ -2513,3 +2513,59 @@ def q65_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_col="n_chars",
         seed=_MIX_SEED,
     ).select("doc_id", "source", "n_chars")
+
+
+_EPOCH_WEIGHTS = {"src0": 3.0, "src1": 1.0}
+_EPOCH_BUDGET, _EPOCH_MAX = 40_000.0, 4.0
+
+
+def _mixture_epochs_oracle_sql() -> str:
+    total_w = sum(_EPOCH_WEIGHTS.values())
+    values = ", ".join(f"('{k}', {v!r})" for k, v in _EPOCH_WEIGHTS.items())
+    return f"""
+    WITH sizes AS (
+      SELECT source AS domain, CAST(sum(n_chars) AS DOUBLE) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    fracs AS (
+      SELECT domain,
+             least({_EPOCH_MAX!r}, {_EPOCH_BUDGET!r} * w / {total_w!r} / n_tokens) AS f
+      FROM sizes JOIN (VALUES {values}) AS wt(domain, w) USING (domain)
+    ),
+    sel AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             CAST(floor(f.f) AS INT)
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 7)) AS BIGINT)
+                         / 268435456.0 < f.f - floor(f.f)
+                    THEN 1 ELSE 0 END AS n
+      FROM documents d JOIN fracs f ON d.source = f.domain
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(unnest(generate_series(1, n)) AS INT) AS epoch
+    FROM sel WHERE n >= 1
+    """
+
+
+@_register("q66_mixture_epochs", _mixture_epochs_oracle_sql())
+def q66_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling WITH repetition
+    (operators/mixture.mixture_sample_with_repetition): under-target
+    domains upsample by whole epochs plus a hash-selected remainder,
+    so expected tokens hit the target exactly; replication is map-side
+    explode, no shuffle. Oracle replays fraction math, hash remainder,
+    and epoch fan-out via generate_series."""
+    from computer_vision_foundations_spark.operators.mixture import (
+        mixture_sample_with_repetition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample_with_repetition(
+        docs,
+        _EPOCH_WEIGHTS,
+        _EPOCH_BUDGET,
+        domain_col="source",
+        id_col="doc_id",
+        token_col="n_chars",
+        seed=42,
+        max_repeat=_EPOCH_MAX,
+    ).select("doc_id", "source", "n_chars", "epoch")

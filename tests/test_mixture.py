@@ -71,3 +71,38 @@ def test_plan_broadcasts_fractions(spark, corpus):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_epochs(spark, corpus):
+    from computer_vision_foundations_spark.operators.mixture import (
+        mixture_sample_with_repetition,
+    )
+
+    # books: 100k tokens, target 250k -> f=2.5: 2 copies + ~half a third
+    out = mixture_sample_with_repetition(
+        corpus, {"books": 1.0}, 250_000.0,
+        domain_col="source", token_col="n_chars", seed=3,
+    )
+    rows = out.collect()
+    assert {r.source for r in rows} == {"books"}
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for eps in per_doc.values():
+        assert sorted(eps) == list(range(1, len(eps) + 1))  # epochs 1..n
+        assert len(eps) in (2, 3)
+    n_three = sum(1 for eps in per_doc.values() if len(eps) == 3)
+    assert abs(n_three - 500) < 80  # remainder ~0.5 of 1000 docs
+
+
+def test_repetition_cap(spark, corpus):
+    from computer_vision_foundations_spark.operators.mixture import (
+        mixture_sample_with_repetition,
+    )
+
+    out = mixture_sample_with_repetition(
+        corpus, {"code": 1.0}, 10_000_000.0,
+        domain_col="source", token_col="n_chars", max_repeat=2.0,
+    )
+    n = out.count()
+    assert n == 2000  # capped at 2 epochs for all 1000 docs
