@@ -20,6 +20,10 @@ from computer_vision_foundations_spark.operators.quantization import (
     pq_codebooks,
     pq_encode,
 )
+from computer_vision_foundations_spark.operators.evaluation import (
+    ann_recall,
+    mean_recall,
+)
 from computer_vision_foundations_spark.operators.mixture import (
     hash_unit,
     mixture_fractions,
@@ -64,9 +68,11 @@ __all__ = [
     "brute_force_knn",
     "ivf_flat_knn",
     "lsh_bucketed_knn",
+    "ann_recall",
     "hash_unit",
     "mixture_fractions",
     "mixture_sample",
+    "mean_recall",
     "mixture_sample_with_repetition",
     "pq_adc_topk",
     "pq_codebooks",

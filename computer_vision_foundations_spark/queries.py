@@ -2569,3 +2569,37 @@ def q66_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
         max_repeat=_EPOCH_MAX,
     ).select("doc_id", "source", "n_chars", "epoch")
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall of the LSH index against brute-force ground truth,
+    composed from the two queries' own oracle bodies (nested-WITH
+    derived tables are standard SQL; DuckDB executes them as-is)."""
+    exact = _ORACLES["q27_knn_cosine"]
+    approx = _ORACLES["q33_lsh_ann"]
+    return f"""
+    SELECT p.probe_id, coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM (SELECT DISTINCT probe_id FROM ({exact}) e0) p
+    LEFT JOIN (
+      SELECT a.probe_id, count(*) AS n_hits
+      FROM ({approx}) a JOIN ({exact}) e USING (probe_id, neighbor_id)
+      GROUP BY a.probe_id
+    ) h USING (probe_id)
+    """
+
+
+@_register("q67_ann_recall", _ann_recall_oracle_sql())
+def q67_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a relational operator
+    (operators/evaluation.ann_recall): recall@10 of the hyperplane-LSH
+    index (q33) against brute-force ground truth (q27), per probe.
+    The oracle composes both queries' own oracle SQL, so retrieval AND
+    evaluation are differentially checked end-to-end."""
+    from computer_vision_foundations_spark.operators.evaluation import (
+        ann_recall,
+    )
+
+    return ann_recall(
+        q33_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+    )
