@@ -20,6 +20,10 @@ from computer_vision_foundations_spark.operators.quantization import (
     pq_codebooks,
     pq_encode,
 )
+from computer_vision_foundations_spark.operators.decontaminate import (
+    contamination_pairs,
+    decontaminate,
+)
 from computer_vision_foundations_spark.operators.evaluation import (
     ann_recall,
     mean_recall,
@@ -69,6 +73,8 @@ __all__ = [
     "ivf_flat_knn",
     "lsh_bucketed_knn",
     "ann_recall",
+    "contamination_pairs",
+    "decontaminate",
     "hash_unit",
     "mixture_fractions",
     "mixture_sample",

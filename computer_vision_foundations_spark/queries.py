@@ -2603,3 +2603,40 @@ def q67_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(
         q33_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
     )
+
+
+@_register(
+    "q68_decontamination_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id AS eval_id, len(shingles) AS esize, shingles
+          FROM sh WHERE doc_id % 50 = 0),
+    t AS (SELECT doc_id AS train_id, shingles FROM sh WHERE doc_id % 50 <> 0),
+    te AS (SELECT train_id, unnest(shingles) AS s FROM t),
+    ee AS (SELECT eval_id, esize, unnest(shingles) AS s FROM e),
+    pairs AS (
+      SELECT train_id, eval_id, esize, count(*) AS common
+      FROM te JOIN ee USING (s) GROUP BY 1, 2, 3
+    )
+    SELECT train_id, eval_id, common,
+           round(CAST(common AS DOUBLE) / CAST(esize AS DOUBLE), 6) AS overlap_frac
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / CAST(esize AS DOUBLE) >= 0.04
+    """,
+)
+def q68_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination
+    (operators/decontaminate.contamination_pairs): training docs
+    sharing >=4% of an eval doc's 3-gram shingles (eval set = every
+    50th doc; the low threshold is sized to the synthetic corpus's
+    overlap tail so the check exercises ~55 pairs). The eval shingle set is broadcast, so the corpus is
+    scanned once map-side and shuffles only (train, eval) id pairs —
+    the 100 TB shape for corpus-vs-benchmark screening."""
+    from computer_vision_foundations_spark.operators.decontaminate import (
+        contamination_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_pairs(train, eval_df, k=3, min_frac=0.04)
