@@ -51,6 +51,9 @@ HEADLINE = [
     "q46_hll_distinct",
     "q47_count_min_heavy_hitters",
     "q48_dedup_clusters",
+    "q65_mixture_sample",
+    "q66_mixture_epochs",
+    "q68_decontamination_pairs",
 ]
 
 
