@@ -33,6 +33,7 @@ from computer_vision_foundations_spark.operators.mixture import (
     mixture_fractions,
     mixture_sample,
     mixture_sample_with_repetition,
+    top_fraction_per_group,
 )
 from computer_vision_foundations_spark.operators.score import score_with
 from computer_vision_foundations_spark.operators.skew import salted_join
@@ -80,6 +81,7 @@ __all__ = [
     "mixture_sample",
     "mean_recall",
     "mixture_sample_with_repetition",
+    "top_fraction_per_group",
     "pq_adc_topk",
     "pq_codebooks",
     "pq_encode",

@@ -34,6 +34,7 @@ __all__ = [
     "mixture_fractions",
     "mixture_sample",
     "mixture_sample_with_repetition",
+    "top_fraction_per_group",
 ]
 
 # 28-bit hash → [0, 1) denominator; 7 hex chars parse exactly in any
@@ -167,4 +168,37 @@ def mixture_sample_with_repetition(
             ),
         )
         .drop("domain", "_frac", "_n")
+    )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    frac: float,
+    tiebreak_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the best ``frac`` of rows per group by score — the
+    quality-gate selection stage ("top 25% by classifier score per
+    source"). ``percent_rank`` over a TOTAL order (score, then a unique
+    tiebreak), so selection is deterministic, replayable in SQL, and
+    cluster-layout independent. One shuffle on the group key; the
+    window carries only the projected columns.
+
+    A group's single best row has percent_rank 0 and always survives;
+    groups of one keep their row for any ``frac`` >= 0.
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(score_col).desc() if descending else F.col(score_col).asc(),
+        F.col(tiebreak_col).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= F.lit(float(frac)))
+        .withColumn("pct_rank", F.round("_pr", 6))
+        .drop("_pr")
     )

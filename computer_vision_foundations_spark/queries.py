@@ -2640,3 +2640,50 @@ def q68_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return contamination_pairs(train, eval_df, k=3, min_frac=0.04)
+
+
+@_register(
+    "q69_quality_gate",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(len(list_filter(string_split(text, ' '),
+                       x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC) AS pr
+      FROM scored
+    )
+    SELECT doc_id, source, quality, round(pr, 6) AS pct_rank
+    FROM r WHERE pr <= 0.25
+    """,
+)
+def q69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gate
+    (operators/mixture.top_fraction_per_group): keep the top 25% of
+    documents per source by stopword-density quality score. The
+    percent_rank runs over a total order (score desc, doc_id asc), so
+    both engines select the identical rows."""
+    from computer_vision_foundations_spark.functions.text import (
+        STOPWORDS,
+        stopword_ratio,
+    )
+    from computer_vision_foundations_spark.operators.mixture import (
+        top_fraction_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.round(stopword_ratio(F.col("text"), STOPWORDS["en"]), 6).alias(
+            "quality"
+        ),
+    )
+    return top_fraction_per_group(
+        docs, "source", "quality", 0.25, tiebreak_col="doc_id"
+    )

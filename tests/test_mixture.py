@@ -106,3 +106,36 @@ def test_repetition_cap(spark, corpus):
     )
     n = out.count()
     assert n == 2000  # capped at 2 epochs for all 1000 docs
+
+
+def test_top_fraction_per_group(spark):
+    from computer_vision_foundations_spark.operators.mixture import (
+        top_fraction_per_group,
+    )
+
+    rows = [(g, i, float(i % 10)) for g in ("a", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, rid long, score double")
+    out = top_fraction_per_group(df, "grp", "score", 0.25, tiebreak_col="rid")
+    got = out.collect()
+    # percent_rank = (rank-1)/99 <= .25 keeps ranks 1..25 per group
+    assert {r.grp for r in got} == {"a", "b"}
+    per = {}
+    for r in got:
+        per.setdefault(r.grp, []).append(r.score)
+    for scores in per.values():
+        assert len(scores) == 25
+        assert min(scores) >= 7.0  # top quartile of 0..9 scores
+    # single-row groups always keep their row
+    one = spark.createDataFrame([("x", 1, 0.5)], "grp string, rid long, score double")
+    assert top_fraction_per_group(one, "grp", "score", 0.0, "rid").count() == 1
+
+
+def test_mixture_partitioning_invariance(spark, corpus):
+    sel = lambda df: sorted(
+        r.doc_id
+        for r in mixture_sample(
+            df, {"books": 1.0}, 50_000.0,
+            domain_col="source", token_col="n_chars", seed=5,
+        ).collect()
+    )
+    assert sel(corpus.repartition(3)) == sel(corpus.repartition(17))
