@@ -48,6 +48,7 @@ from computer_vision_foundations_spark.operators.components import (
     dedup_clusters,
 )
 from computer_vision_foundations_spark.operators.chunking import (
+    shard_assignment,
     chunk_documents,
     pack_sequences,
     redact_text,
@@ -96,6 +97,7 @@ __all__ = [
     "chunk_documents",
     "pack_sequences",
     "redact_text",
+    "shard_assignment",
     "prepare_training_corpus",
     "fuzzy_match_pairs",
     "layout_by_zorder",

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "pack_sequences", "redact_text", "REDACTIONS"]
+__all__ = ["chunk_documents", "pack_sequences", "redact_text", "shard_assignment", "REDACTIONS"]
 
 
 def chunk_documents(
@@ -128,3 +128,37 @@ def redact_text(
     for _, pat, repl in REDACTIONS:
         c = F.regexp_replace(c, pat, repl)
     return df.withColumn(out_col or text_col, c)
+
+
+def shard_assignment(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> "DataFrame":
+    """Deterministic corpus shuffle + sharding: ``(id, shard, pos)``.
+
+    Training pipelines need the corpus in pseudo-random order, split
+    into a fixed number of shards, REPRODUCIBLY — the same documents
+    must land in the same shard at the same position on every rerun,
+    on any cluster layout (resumable training, bug-for-bug replay).
+    Randomness comes from the portable seeded md5 slice
+    (operators/mixture.hash_unit): shard = hash-int mod n_shards,
+    position = rank of the hash within the shard (id tiebreak for the
+    measure-zero collision case).
+
+    One shuffle on shard + one per-shard sort — exactly the cost of
+    writing the shards. n_shards bounds the sort parallelism, so pick
+    shards >= cores at scale (you want many shards anyway: shard
+    count = training-loader parallelism).
+    """
+    from computer_vision_foundations_spark.operators.mixture import _HASH_DENOM, hash_unit
+
+    h = (hash_unit(id_col, seed) * F.lit(_HASH_DENOM)).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("_h"))
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

@@ -2687,3 +2687,33 @@ def q69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_fraction_per_group(
         docs, "source", "quality", 0.25, tiebreak_col="doc_id"
     )
+
+
+@_register(
+    "q70_shard_assignment",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 7)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS INT) AS pos
+    FROM h
+    """,
+)
+def q70_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding
+    (operators/chunking.shard_assignment): every document gets a
+    reproducible (shard, position) from the seeded md5 hash — the
+    training-order assignment that must replay identically across
+    reruns and cluster layouts. The oracle recomputes the identical
+    hash, modulo, and per-shard rank."""
+    from computer_vision_foundations_spark.operators.chunking import (
+        shard_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shard_assignment(docs, "doc_id", n_shards=8, seed=42)
+    return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))

@@ -66,3 +66,24 @@ def test_redaction_patterns(spark):
     )
     got = redact_text(df).collect()[0].text
     assert got == "mail <EMAIL> see <URL> code <NUM> ok 123"
+
+
+def test_shard_assignment_deterministic_and_complete(spark):
+    from computer_vision_foundations_spark.operators.chunking import (
+        shard_assignment,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = shard_assignment(df, n_shards=8, seed=1).collect()
+    b = shard_assignment(df.repartition(13), n_shards=8, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-independent
+    assert len(a) == 500
+    assert {r.shard for r in a} == set(range(8))
+    per = {}
+    for r in a:
+        per.setdefault(r.shard, []).append(r.pos)
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+    c = shard_assignment(df, n_shards=8, seed=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters
