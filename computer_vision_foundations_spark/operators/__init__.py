@@ -20,6 +20,10 @@ from computer_vision_foundations_spark.operators.quantization import (
     pq_codebooks,
     pq_encode,
 )
+from computer_vision_foundations_spark.operators.vocab import (
+    pmi_bigrams,
+    vocab_top_k,
+)
 from computer_vision_foundations_spark.operators.decontaminate import (
     contamination_pairs,
     decontaminate,
@@ -82,7 +86,9 @@ __all__ = [
     "mixture_sample",
     "mean_recall",
     "mixture_sample_with_repetition",
+    "pmi_bigrams",
     "top_fraction_per_group",
+    "vocab_top_k",
     "pq_adc_topk",
     "pq_codebooks",
     "pq_encode",

@@ -1,0 +1,134 @@
+"""Corpus vocabulary statistics: top-V tokens and PMI collocations.
+
+The precursor stats of tokenizer training and phrase detection:
+
+- ``vocab_top_k``: token frequencies, the top-V vocabulary, and each
+  entry's cumulative coverage of the corpus (the number that tells you
+  what V buys you). The top-V is ``orderBy().limit()`` — Spark plans
+  that as TakeOrderedAndProject, a per-partition heap + driver merge of
+  V rows, NOT a global sort; the cumulative window then runs over only
+  V rows. The full token-count table (which IS corpus-sized) is never
+  globally sorted.
+- ``pmi_bigrams``: pointwise mutual information of adjacent token
+  pairs (word2vec-style phrase detection):
+  ``pmi = ln( (n_ab/N_b) / ((n_a/N_u)·(n_b/N_u)) )``. Two hash
+  aggregates (unigrams, bigrams) + two equi-joins of the bigram table
+  to unigram counts — all shuffles carry (token, count) rows. Bigrams
+  here keep MULTIPLICITY (unlike the dedup shingles, which are
+  per-document sets): PMI is an occurrence statistic.
+
+Both emit rounded doubles computed with the same expression shapes the
+DuckDB oracles use, so the stats are value-hash checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.text import tokens
+
+__all__ = ["vocab_top_k", "pmi_bigrams"]
+
+
+def _token_stream(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(F.explode(tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+
+
+def vocab_top_k(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """``(token, n, rank, cum_share)`` for the ``k`` most frequent
+    tokens; ``cum_share`` = corpus coverage of ranks 1..rank. Ties
+    rank by token text, so output is total-order deterministic."""
+    toks = _token_stream(df, text_col)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        "token",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+        .alias("rank"),
+        F.round(
+            F.sum("n").over(w).cast("double") / F.col("_total").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` adjacent-pair collocations by PMI:
+    ``(bigram, n_ab, pmi)``; pairs with fewer than ``min_count``
+    occurrences are dropped (PMI of rare pairs is noise). Ties order by
+    bigram text."""
+    toked = df.select(tokens(text_col).alias("_toks"))
+    m = F.size("_toks") - F.lit(1)
+    pairs = (
+        toked.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_toks", 1, m),
+                    F.slice("_toks", 2, m),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram")
+        )
+    )
+    uni = _token_stream(df, text_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    n_uni = uni.agg(F.sum("n_u").alias("_nu"))
+    big = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_big = big.agg(F.sum("n_ab").alias("_nb"))
+    left_tok = F.split(F.col("bigram"), " ")[0]
+    right_tok = F.split(F.col("bigram"), " ")[1]
+    scored = (
+        big.filter(F.col("n_ab") >= min_count)
+        .crossJoin(F.broadcast(n_big))
+        .join(
+            uni.select(F.col("token").alias("_ta"), F.col("n_u").alias("n_a")),
+            left_tok == F.col("_ta"),
+        )
+        .join(
+            uni.select(F.col("token").alias("_tb"), F.col("n_u").alias("n_b")),
+            right_tok == F.col("_tb"),
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("_nb").cast("double"))
+                    / (
+                        (F.col("n_a").cast("double") / F.col("_nu").cast("double"))
+                        * (F.col("n_b").cast("double") / F.col("_nu").cast("double"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(k)
+        .select("bigram", "n_ab", "pmi")
+    )

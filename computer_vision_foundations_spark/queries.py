@@ -2717,3 +2717,77 @@ def q70_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = shard_assignment(docs, "doc_id", n_shards=8, seed=42)
     return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+
+
+@_register(
+    "q71_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1
+    ),
+    top AS (
+      SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 100
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+           round(CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / (SELECT CAST(sum(n) AS DOUBLE) FROM counts), 6) AS cum_share
+    FROM top
+    """,
+)
+def q71_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary with cumulative corpus coverage
+    (operators/vocab.vocab_top_k). The top-V runs as
+    TakeOrderedAndProject (per-partition heaps, no global sort of the
+    corpus-sized count table); the cumulative window sees only V rows."""
+    from computer_vision_foundations_spark.operators.vocab import vocab_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = vocab_top_k(docs, "text", k=100)
+    return out.select("token", "n", F.col("rank").cast("int").alias("rank"), "cum_share")
+
+
+@_register(
+    "q72_pmi_bigrams",
+    """
+    WITH toked AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toked
+    ),
+    uni AS (
+      SELECT token, count(*) AS n_u
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY 1
+    ),
+    big AS (
+      SELECT bigram, count(*) AS n_ab FROM pairs GROUP BY 1
+    )
+    SELECT bigram, n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) / (SELECT CAST(sum(n_ab) AS DOUBLE) FROM big))
+                    / ((CAST(a.n_u AS DOUBLE) / (SELECT CAST(sum(n_u) AS DOUBLE) FROM uni))
+                       * (CAST(b.n_u AS DOUBLE) / (SELECT CAST(sum(n_u) AS DOUBLE) FROM uni)))),
+                 6) AS pmi
+    FROM big
+    JOIN uni a ON string_split(bigram, ' ')[1] = a.token
+    JOIN uni b ON string_split(bigram, ' ')[2] = b.token
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, bigram ASC LIMIT 50
+    """,
+)
+def q72_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over adjacent token pairs
+    (operators/vocab.pmi_bigrams): two hash aggregates + two equi-joins
+    on token; only (token, count) rows shuffle. Both engines compute
+    the identical ln-ratio expression, rounded to 6."""
+    from computer_vision_foundations_spark.operators.vocab import pmi_bigrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", min_count=5, k=50)
