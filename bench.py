@@ -54,6 +54,10 @@ HEADLINE = [
     "q65_mixture_sample",
     "q66_mixture_epochs",
     "q68_decontamination_pairs",
+    "q69_quality_gate",
+    "q70_shard_assignment",
+    "q71_vocab_coverage",
+    "q72_pmi_bigrams",
 ]
 
 
