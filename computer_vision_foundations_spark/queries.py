@@ -919,17 +919,50 @@ def q30_sampleby_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q31_simhash")
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    """DuckDB twin of the portable-md5 SimHash: one 56-bit hash per
+    distinct token (two 28-bit md5 slices, same parse as
+    functions/hashing.md5_hash_pair), then per-bit majority votes."""
+    hash_expr = (
+        "CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT) * 268435456 "
+        "+ CAST(('0x' || substr(md5(t), 8, 7)) AS BIGINT)"
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) >= len(hs) "
+        f"THEN {2 ** i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            t -> {hash_expr}) AS hs
+      FROM documents
+    )
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM toked
+    """
+
+
+@_register("q31_simhash", _simhash_oracle_sql())
 def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (xxhash64 bit votes — engine-internal hash,
-    not portable to the oracle; Hamming-distance pairing tested in
-    pytest)."""
+    """SimHash fingerprints over the PORTABLE md5 hash family (two
+    28-bit slices of one digest per distinct token, combined to a
+    56-bit hash; operators/dedup.simhash_from_hashes does the bit
+    votes) — the same construction as the MinHash oracle path, so the
+    32-bit fingerprints are value-hash-checked bit-for-bit against
+    DuckDB. The xxhash64 variant (simhash_column) remains the
+    engine-internal scale default and is pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
+    tok = F.array_distinct(F.split("text", " "))
+    d = lambda t: F.md5(t.cast("binary"))
     hashed = docs.select(
         "doc_id",
-        F.transform(F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)).alias(
-            "_hashes"
-        ),
+        F.transform(
+            tok,
+            lambda t: F.conv(F.substring(d(t), 1, 7), 16, 10).cast("long")
+            * F.lit(268435456).cast("long")
+            + F.conv(F.substring(d(t), 8, 7), 16, 10).cast("long"),
+        ).alias("_hashes"),
     )
     return hashed.select(
         "doc_id", simhash_from_hashes("_hashes", bits=32).alias("simhash")
