@@ -8,6 +8,7 @@ from computer_vision_foundations_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_column,
+    simhash_pairs,
     winnow_near_duplicates,
 )
 from computer_vision_foundations_spark.operators.similarity import (
@@ -74,6 +75,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash_column",
+    "simhash_pairs",
     "winnow_near_duplicates",
     "brute_force_knn",
     "ivf_flat_knn",

@@ -333,6 +333,61 @@ def simhash_from_hashes(hashes: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def simhash_pairs(
+    df: DataFrame,
+    simhash_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints:
+    ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``.
+
+    The Hamming-LSH pigeonhole: split the ``bits``-wide fingerprint
+    into ``bands`` equal slices — two hashes within Hamming distance
+    ``bands - 1`` MUST agree on at least one slice, so the candidate
+    join is an equi-join on (band_idx, band_val), never all-pairs
+    (``max_hamming < bands`` keeps the guarantee exact; beyond it the
+    operator is a recall-tunable approximation like MinHash-LSH).
+    Exact-duplicate fingerprints land in every band; run
+    ``exact_duplicates`` first at scale, same as MinHash banding.
+    Works on either hash family's fingerprints (the md5-portable one
+    is oracle-checkable)."""
+    assert bits % bands == 0, "bands must divide bits"
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col(simhash_col), i * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("long")
+            for i in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(simhash_col), F.posexplode(slices).alias("band_idx", "band_val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(simhash_col).alias("_sa"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(simhash_col).alias("_sb"),
+        "band_idx", "band_val",
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_column(
     text_col: Column | str, bits: int = 32, token_sep: str = " "
 ) -> Column:

@@ -2824,3 +2824,46 @@ def q72_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_bigrams(docs, "text", min_count=5, k=50)
+
+
+def _simhash_pairs_oracle_sql(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    """Hamming-LSH pairs over the portable-md5 SimHash CTE: band
+    equi-join candidates, exact bit_count(xor) filter."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = _simhash_oracle_sql(bits)
+    return f"""
+    WITH sh AS ({base}),
+    banded AS (
+      SELECT doc_id, simhash, i AS band_idx,
+             (simhash >> (i * {width})) & {mask} AS band_val
+      FROM sh CROSS JOIN generate_series(0, {bands - 1}) AS g(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@_register("q73_simhash_near_dup_pairs", _simhash_pairs_oracle_sql())
+def q73_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (operators/dedup.simhash_pairs):
+    Hamming-LSH pigeonhole banding — fingerprints within Hamming
+    distance bands-1 must share a band, so candidates come from an
+    equi-join on (band_idx, band_val), never all-pairs. Both the
+    portable fingerprints (q31's md5 family) and the pairing are
+    replayed by the oracle."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    fingerprints = q31_simhash(spark, sf_dir)
+    return simhash_pairs(
+        fingerprints, "simhash", "doc_id", bits=32, bands=4, max_hamming=3
+    )

@@ -250,3 +250,30 @@ def test_winnow_near_duplicates_pairs(spark):
     r = pairs[(1, 2)]
     assert r.n_shared >= 2 and 0 < r.resemblance <= 1.0
     assert not any(3 in p for p in pairs)
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """Within max_hamming = bands-1 the banding is exact: result equals
+    the brute-force Hamming filter."""
+    from computer_vision_foundations_spark.operators.dedup import simhash_pairs
+
+    import itertools
+    rows = [
+        (1, 0b1111_0000_1010_0101),
+        (2, 0b1111_0000_1010_0100),  # d(1,2)=1
+        (3, 0b1111_0000_1010_0111),  # d(1,3)=1, d(2,3)=2
+        (4, 0b0000_1111_0101_1010),  # far from all
+        (5, 0b1111_0000_1010_0101),  # identical to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, bits=16, bands=4, max_hamming=3).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert got[(1, 5)] == 0 and got[(1, 2)] == 1
