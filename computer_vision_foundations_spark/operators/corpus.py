@@ -74,7 +74,8 @@ def prepare_training_corpus(
 
     # 3. near-dup clusters -> drop everything but the canonical doc
     pairs = minhash_lsh_candidate_pairs(
-        kept, text_col, id_col, k=3, n_hashes=8, bands=4
+        kept, text_col, id_col, k=3, n_hashes=8, bands=4,
+        repartition_to=df.sparkSession.sparkContext.defaultParallelism,
     )
     losers = (
         dedup_clusters(pairs)

@@ -72,7 +72,12 @@ def exact_duplicates(
 
 
 def _with_shingles(
-    df: DataFrame, text_col: str, id_col: str, id_alias: str, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    id_alias: str,
+    k: int,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """(id, _shingles) via two projections: tokens, then shingles.
 
@@ -83,15 +88,17 @@ def _with_shingles(
     bound + k slices), so CollapseProject keeps the projections
     separate.
 
-    If the source has fewer partitions than the cluster has cores
-    (small files / single row-group parquet), the per-doc shingle+hash
-    work would run on a fraction of the cores — repartition first. At
-    real scale the scan already yields ≥ cores partitions and this is a
-    no-op (no shuffle added).
+    ``repartition_to`` is the explicit opt-in for sources with fewer
+    partitions than the cluster has cores (small files / single
+    row-group parquet), where the per-doc shingle+hash work would
+    otherwise run on a fraction of the cores. It is deliberately NOT
+    auto-detected: the old ``df.rdd.getNumPartitions()`` probe forced
+    plan analysis and an RDD conversion on the driver per call,
+    defeating lazy composition. At real scale the scan already yields
+    ≥ cores partitions and callers should leave this ``None``.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
+    if repartition_to is not None:
+        df = df.repartition(repartition_to, F.col(id_col))
     tokenized = df.select(
         F.col(id_col).alias(id_alias), tokens(text_col).alias("_toks")
     )
@@ -107,6 +114,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 10_000,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs by word-k-gram Jaccard similarity.
 
@@ -126,9 +134,9 @@ def ngram_jaccard_pairs(
     it is removed with a broadcast anti-join — no extra shuffle of the
     exploded stream.
     """
-    shingled = _with_shingles(df, text_col, id_col, "_id", k).withColumn(
-        "_size", F.size("_shingles")
-    )
+    shingled = _with_shingles(
+        df, text_col, id_col, "_id", k, repartition_to
+    ).withColumn("_size", F.size("_shingles"))
 
     exploded = shingled.select(
         "_id", "_size", F.explode("_shingles").alias("_shingle")
@@ -179,6 +187,7 @@ def _minhash_wide(
     k: int,
     n_hashes: int,
     hash_fn: str,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """``(doc_id, _m0.._m{n-1})`` minima via an exploded hash aggregate.
 
@@ -194,7 +203,7 @@ def _minhash_wide(
     (per-seed interpreted HOF lambdas, then per-seed md5 digests)
     measured 10-70× slower.
     """
-    shingled = _with_shingles(df, text_col, id_col, "doc_id", k)
+    shingled = _with_shingles(df, text_col, id_col, "doc_id", k, repartition_to)
     ex = shingled.select("doc_id", F.explode("_shingles").alias("_shingle"))
     if hash_fn == "xxhash64":
         ex = ex.select("doc_id", F.xxhash64("_shingle").alias("_shingle"))
@@ -213,6 +222,7 @@ def minhash_signatures(
     k: int = 3,
     n_hashes: int = 16,
     hash_fn: str = "xxhash64",
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: ``(id, signature array<n_hashes>)``.
 
@@ -220,7 +230,7 @@ def minhash_signatures(
     ``array<bigint>`` for ``'xxhash64'`` (default — the scale path).
     See ``_minhash_wide`` for the plan.
     """
-    wide = _minhash_wide(df, text_col, id_col, k, n_hashes, hash_fn)
+    wide = _minhash_wide(df, text_col, id_col, k, n_hashes, hash_fn, repartition_to)
     return wide.select(
         "doc_id",
         F.array(*[F.col(f"_m{s}") for s in range(n_hashes)]).alias("signature"),
@@ -236,6 +246,7 @@ def minhash_lsh_candidate_pairs(
     bands: int = 4,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = 1_000,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """LSH banding: pairs agreeing on ≥1 full band of the signature.
 
@@ -259,7 +270,7 @@ def minhash_lsh_candidate_pairs(
     """
     assert n_hashes % bands == 0, "bands must divide n_hashes"
     rows_per_band = n_hashes // bands
-    wide = _minhash_wide(df, text_col, id_col, k, n_hashes, hash_fn)
+    wide = _minhash_wide(df, text_col, id_col, k, n_hashes, hash_fn, repartition_to)
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -340,6 +351,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_band_freq: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs from SimHash fingerprints:
     ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``.
@@ -350,42 +362,90 @@ def simhash_pairs(
     join is an equi-join on (band_idx, band_val), never all-pairs
     (``max_hamming < bands`` keeps the guarantee exact; beyond it the
     operator is a recall-tunable approximation like MinHash-LSH).
-    Exact-duplicate fingerprints land in every band; run
-    ``exact_duplicates`` first at scale, same as MinHash banding.
+
+    Identical fingerprints are collapsed BEFORE banding: the band join
+    runs over one representative per DISTINCT fingerprint, and member
+    ids are re-attached afterwards. A cluster of m byte-identical
+    documents therefore costs one row in the candidate join instead of
+    m rows colliding in every band (the quadratic blowup the old
+    docstring pushed onto callers via "run exact_duplicates first");
+    the m*(m-1)/2 hamming-0 output pairs come from a direct equi-join
+    on the fingerprint, with no banding or bit_count on the way.
+
+    ``max_band_freq`` (ON by default) drops band values shared by more
+    than the cap's worth of DISTINCT fingerprints before the self-join
+    — the same broadcast-anti-join skew defense as
+    ``ngram_jaccard_pairs``/``minhash_lsh_candidate_pairs``. Because
+    the count is over distinct fingerprints, a large exact-duplicate
+    cluster cannot trip it; only a genuinely hot band slice (e.g. a
+    near-constant low-word across the corpus) can. Pass ``None`` for
+    exact pigeonhole semantics.
+
     Works on either hash family's fingerprints (the md5-portable one
     is oracle-checkable)."""
     assert bits % bands == 0, "bands must divide bits"
     width = bits // bands
     mask = (1 << width) - 1
+    # (id, fingerprint) is consumed by the distinct-fp aggregate and by
+    # both member-expansion joins — persist so the upstream fingerprint
+    # computation (typically a full tokenize+hash pipeline) runs once.
+    members = df.select(F.col(id_col).alias("_id"), F.col(simhash_col).alias("_fp"))
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
+    members.count()  # eager: consumers inside one job race cache population
+    fps = members.select("_fp").distinct()
+
+    # 1. hamming-0 pairs within each identical-fingerprint group: a
+    # plain self-equi-join on the fingerprint (output-sized, no fanout)
+    ma = members.select(F.col("_id").alias("id_a"), "_fp")
+    mb = members.select(F.col("_id").alias("id_b"), "_fp")
+    same = (
+        ma.join(mb, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+    # 2. candidate DISTINCT-fingerprint pairs via the band equi-join
     slices = F.array(
         *[
-            F.shiftright(F.col(simhash_col), i * width)
+            F.shiftright(F.col("_fp"), i * width)
             .bitwiseAND(F.lit(mask))
             .cast("long")
             for i in range(bands)
         ]
     )
-    banded = df.select(
-        F.col(id_col), F.col(simhash_col), F.posexplode(slices).alias("band_idx", "band_val")
-    )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(simhash_col).alias("_sa"),
-        "band_idx", "band_val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(simhash_col).alias("_sb"),
-        "band_idx", "band_val",
-    )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
+    banded = fps.select("_fp", F.posexplode(slices).alias("band_idx", "band_val"))
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band_idx", "band_val")
+        )
+        banded = banded.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+    fa = banded.select(F.col("_fp").alias("_fa"), "band_idx", "band_val")
+    fb = banded.select(F.col("_fp").alias("_fb"), "band_idx", "band_val")
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int")
+    fp_pairs = (
+        fa.join(fb, ["band_idx", "band_val"])
+        .filter(F.col("_fa") < F.col("_fb"))
+        .select("_fa", "_fb")
         .distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+
+    # 3. expand fingerprint pairs back to member id pairs (the two
+    # groups are disjoint, so least/greatest restores id_a < id_b)
+    expanded = (
+        fp_pairs.join(members.select(F.col("_id").alias("_ia"), F.col("_fp").alias("_fa")), "_fa")
+        .join(members.select(F.col("_id").alias("_ib"), F.col("_fp").alias("_fb")), "_fb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(expanded)
 
 
 def simhash_column(
@@ -412,17 +472,28 @@ def embedding_near_duplicates(
     block_col: str | None = None,
     threshold: float = 0.95,
     dim: int | None = None,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs ``(id_a, id_b, cos_sim)``, id_a < id_b.
 
     With ``block_col`` the self-join is an equi-join within blocks
-    (at scale: LSH bucket / IVF cell id); without it, a full cross
-    product — only for small frames or after candidate generation.
+    (at scale: LSH bucket / IVF cell id). Without it the plan is a full
+    cross product — an O(n²) scale-killer — so ``block_col=None``
+    raises unless the caller explicitly passes
+    ``allow_full_cross=True`` (legitimate only for small frames or
+    post-candidate-generation verification).
     Leave ``dim`` unset (the HOF fold measures 5-6× faster than the
     unrolled form — see functions/vectors.dot_product). Norms
     are computed once per vector BEFORE the self-join (n sqrts, not
     n² — see functions/vectors.cosine_from_norms).
     """
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "embedding_near_duplicates: block_col=None plans a full cross "
+            "product (O(n²) pairs). Pass a blocking column (LSH bucket / "
+            "IVF cell id) or opt in explicitly with allow_full_cross=True "
+            "for small frames."
+        )
     left = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),

@@ -734,7 +734,8 @@ def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the operator's broadcast anti-join of stop-shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.1, max_shingle_freq=100
+        docs, "text", "doc_id", k=3, threshold=0.1, max_shingle_freq=100,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -770,7 +771,10 @@ def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (portable md5 double-hash family) —
     bit-identical across engines, emitted as one joined string column."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", k=3, n_hashes=8, hash_fn="md5")
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", k=3, n_hashes=8, hash_fn="md5",
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
     return sigs.select(
         "doc_id",
         F.array_join(
@@ -817,6 +821,7 @@ def q26_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         hash_fn="md5",
         max_bucket_size=1_000,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -277,3 +277,72 @@ def test_simhash_pairs_pigeonhole_exact(spark):
             want[(min(ia, ib), max(ia, ib))] = d
     assert got == want
     assert got[(1, 5)] == 0 and got[(1, 2)] == 1
+
+def test_embedding_near_duplicates_cartesian_requires_opt_in(spark):
+    """block_col=None plans an O(n²) cross product — hard error unless
+    the caller opts in explicitly (VERDICT r2 item 3)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="allow_full_cross"):
+        embedding_near_duplicates(df, "embedding", "vec_id")
+    out = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            df, "embedding", "vec_id", allow_full_cross=True
+        ).collect()
+    }
+    assert out == {(1, 2)}
+
+
+def test_simhash_pairs_collapses_identical_fingerprints(spark):
+    """A large identical-fingerprint cluster must still emit all its
+    hamming-0 pairs, and must NOT trip the distinct-fingerprint band
+    cap (the count is over distinct fingerprints, not members)."""
+    from computer_vision_foundations_spark.operators.dedup import simhash_pairs
+
+    n = 30
+    rows = [(i, 0b1111_0000_1010_0101) for i in range(n)]  # one big cluster
+    rows += [(100, 0b0000_1111_0101_1010), (101, 0b0000_1111_0101_1011)]  # d=1
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            df, bits=16, bands=4, max_hamming=3, max_band_freq=5
+        ).collect()
+    }
+    # all n*(n-1)/2 hamming-0 pairs survive despite max_band_freq=5
+    zero_pairs = {k for k, v in got.items() if v == 0}
+    assert len(zero_pairs) == n * (n - 1) // 2
+    assert got[(100, 101)] == 1
+
+
+def test_simhash_pairs_band_freq_cap_drops_hot_band(spark):
+    """Many DISTINCT fingerprints sharing one band value go quadratic in
+    the candidate join; max_band_freq drops that band value while pairs
+    still reachable through other bands survive."""
+    from computer_vision_foundations_spark.operators.dedup import simhash_pairs
+
+    # 20 distinct fingerprints all share band 0 (low nibble = 0b0101)
+    # but differ in the top 12 bits by >3 hamming; plus one genuine
+    # near-dup pair differing only in the low nibble.
+    rows = [(i, (i << 8) | (i << 4) | 0b0101) for i in range(20)]
+    rows += [(900, 0b1010_1010_1010_0000), (901, 0b1010_1010_1010_0001)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    capped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            df, bits=16, bands=4, max_hamming=3, max_band_freq=10
+        ).collect()
+    }
+    assert (900, 901) in capped and capped[(900, 901)] == 1
+    uncapped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            df, bits=16, bands=4, max_hamming=3, max_band_freq=None
+        ).collect()
+    }
+    # the cap can only shrink the result set, never grow it
+    assert set(capped) <= set(uncapped)
