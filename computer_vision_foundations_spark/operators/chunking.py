@@ -22,10 +22,28 @@ All three are pure Catalyst plans:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["chunk_documents", "pack_sequences", "redact_text", "shard_assignment", "REDACTIONS"]
+
+
+def _warn_if_undersharded(df: DataFrame, n_shards: int, op: str) -> None:
+    """Per-shard sorts bound parallelism by the shard count: fewer
+    shards than cores leaves cores idle through the window stage. The
+    fix is always "more shards" (shard count = training-loader
+    parallelism anyway), so this is a warning, not an error."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if n_shards < cores:
+        warnings.warn(
+            f"{op}: n_shards={n_shards} < defaultParallelism={cores}; "
+            f"the per-shard sort will use at most {n_shards} of {cores} "
+            "cores. Pick n_shards >= cores.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def chunk_documents(
@@ -83,6 +101,8 @@ def pack_sequences(
     documents (> seq_len) occupy bins alone (truncation/splitting is
     chunk_documents' job, upstream). Output adds ``shard, bin,
     offset`` (token offset within the bin's concatenation)."""
+    if shard_col is None:
+        _warn_if_undersharded(df, n_shards, "pack_sequences")
     shard = (
         shard_col
         if shard_col is not None
@@ -154,6 +174,7 @@ def shard_assignment(
     """
     from computer_vision_foundations_spark.operators.mixture import _HASH_DENOM, hash_unit
 
+    _warn_if_undersharded(df, n_shards, "shard_assignment")
     h = (hash_unit(id_col, seed) * F.lit(_HASH_DENOM)).cast("long")
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return (

@@ -27,11 +27,16 @@ def ann_recall(
 ) -> DataFrame:
     """Per-probe recall@k: ``(probe_id, n_hits, recall)``.
 
-    ``recall = |approx ∩ exact| / k`` against the exact top-k ground
-    truth. Probes are taken from ``exact`` (the ground truth defines
-    the probe set), so an index that returns nothing for a probe scores
-    0.0 rather than disappearing. One semi-join on the id pair + one
-    hash-agg; nothing touches vectors.
+    ``recall = |approx ∩ exact| / min(k, |exact per probe|)`` against
+    the exact top-k ground truth. The denominator is capped by the
+    probe's actual ground-truth count: on a small or filtered corpus
+    the exact set can hold fewer than k rows, and dividing by the
+    constant k would make recall 1.0 unreachable even for an index
+    returning every true neighbor (ADVICE r2). Probes are taken from
+    ``exact`` (the ground truth defines the probe set), so an index
+    that returns nothing for a probe scores 0.0 rather than
+    disappearing. One semi-join on the id pair + two hash-aggs;
+    nothing touches vectors.
     """
     hits = approx.select(probe_col, neighbor_col).join(
         exact.select(probe_col, neighbor_col),
@@ -39,12 +44,13 @@ def ann_recall(
         "left_semi",
     )
     per_probe = hits.groupBy(probe_col).agg(F.count(F.lit(1)).alias("n_hits"))
-    probes = exact.select(probe_col).distinct()
+    probes = exact.groupBy(probe_col).agg(F.count(F.lit(1)).alias("_n_exact"))
     n = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    denom = F.least(F.lit(k).cast("long"), F.col("_n_exact"))
     return probes.join(per_probe, probe_col, "left").select(
         probe_col,
         n.alias("n_hits"),
-        F.round(n.cast("double") / F.lit(float(k)), 6).alias("recall"),
+        F.round(n.cast("double") / denom.cast("double"), 6).alias("recall"),
     )
 
 

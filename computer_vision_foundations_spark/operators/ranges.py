@@ -33,13 +33,25 @@ __all__ = ["range_join", "interval_overlap_join"]
 def _axis(df: DataFrame, col: str, bucket_width: float):
     """(numeric column for bucketing, bucket width in axis units)."""
     dtype = df.schema[col].dataType
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        # unix_micros needs TIMESTAMP (with zone); NTZ casts losslessly
-        # under the session zone, and both sides quantize identically.
-        return (
-            F.unix_micros(F.col(col).cast("timestamp")),
-            int(bucket_width * 1_000_000),
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ is a zone-less wall clock: derive epoch micros with pure
+        # field arithmetic, never via a session-zone cast. Casting NTZ
+        # to TIMESTAMP maps local time through the session zone, which
+        # is non-monotonic across DST spring-forward gaps — a point
+        # whose local time falls in a gap could land in a bucket its
+        # interval never explodes into, silently dropping a match.
+        # unix_date/hour/minute/extract(SECOND) read NTZ fields
+        # directly, so this is deterministic under any session zone.
+        c = F.col(col)
+        micros = (
+            F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+            + F.hour(c).cast("long") * F.lit(3_600_000_000)
+            + F.minute(c).cast("long") * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
         )
+        return micros, int(bucket_width * 1_000_000)
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(F.col(col)), int(bucket_width * 1_000_000)
     return F.col(col), bucket_width
 
 

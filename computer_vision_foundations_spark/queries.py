@@ -2617,8 +2617,10 @@ def _ann_recall_oracle_sql() -> str:
     approx = _ORACLES["q33_lsh_ann"]
     return f"""
     SELECT p.probe_id, coalesce(h.n_hits, 0) AS n_hits,
-           round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
-    FROM (SELECT DISTINCT probe_id FROM ({exact}) e0) p
+           round(coalesce(h.n_hits, 0)
+                 / CAST(least(10, p.n_exact) AS DOUBLE), 6) AS recall
+    FROM (SELECT probe_id, count(*) AS n_exact
+          FROM ({exact}) e0 GROUP BY probe_id) p
     LEFT JOIN (
       SELECT a.probe_id, count(*) AS n_hits
       FROM ({approx}) a JOIN ({exact}) e USING (probe_id, neighbor_id)
@@ -2735,9 +2737,9 @@ def q69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 7)) AS BIGINT) AS hv
       FROM documents
     )
-    SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+    SELECT doc_id, CAST(hv % 32 AS INT) AS shard,
            CAST(row_number() OVER (
-             PARTITION BY hv % 8 ORDER BY hv ASC, doc_id ASC) AS INT) AS pos
+             PARTITION BY hv % 32 ORDER BY hv ASC, doc_id ASC) AS INT) AS pos
     FROM h
     """,
 )
@@ -2753,7 +2755,7 @@ def q70_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    out = shard_assignment(docs, "doc_id", n_shards=8, seed=42)
+    out = shard_assignment(docs, "doc_id", n_shards=32, seed=42)
     return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
 
 

@@ -87,3 +87,28 @@ def test_shard_assignment_deterministic_and_complete(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
     c = shard_assignment(df, n_shards=8, seed=2).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters
+
+
+def test_undersharding_warns(spark):
+    """n_shards below the cluster's parallelism caps the per-shard sort
+    at n_shards concurrent tasks — surfaced as a RuntimeWarning
+    (VERDICT r2 item 6); compliant shard counts stay silent."""
+    import warnings
+
+    from computer_vision_foundations_spark.operators.chunking import (
+        pack_sequences,
+        shard_assignment,
+    )
+
+    df = spark.createDataFrame([(i, 10) for i in range(20)], ["doc_id", "n_tokens"])
+    cores = spark.sparkContext.defaultParallelism
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_assignment(df, n_shards=2)
+        pack_sequences(df, "n_tokens", n_shards=2)
+        assert sum("n_shards=2" in str(x.message) for x in w) == 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shard_assignment(df, n_shards=cores)
+        pack_sequences(df, "n_tokens", n_shards=cores)
+        assert not [x for x in w if "n_shards" in str(x.message)]

@@ -70,3 +70,22 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, max_iter=1)
+
+
+def test_checkpoint_blocks_released(spark):
+    """Intermediate per-round label tables and the edge list must not
+    accumulate in executor storage (ADVICE r2): after convergence only
+    the final label table's checkpoint blocks remain."""
+    from computer_vision_foundations_spark.operators.components import (
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    out = connected_components(edges)
+    assert {r.component for r in out.collect()} == {1, 10, 20}
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # only the returned final label table

@@ -32,3 +32,13 @@ def test_mean_recall(spark):
     row = mean_recall(approx, exact, k=1).collect()[0]
     assert row.mean_recall == 0.5
     assert row.n_probes == 2
+
+
+def test_recall_denominator_capped_by_exact_count(spark):
+    """A probe whose ground-truth set has fewer than k rows must be
+    able to reach recall 1.0 when the index returns every true
+    neighbor (ADVICE r2: denominator = min(k, |exact|))."""
+    exact = _results(spark, [(1, 10), (1, 11)])  # only 2 true neighbors
+    approx = _results(spark, [(1, 10), (1, 11), (1, 99)])
+    got = ann_recall(approx, exact, k=10).collect()[0]
+    assert (got.n_hits, got.recall) == (2, 1.0)

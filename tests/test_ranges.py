@@ -142,3 +142,33 @@ def test_bucketized_timestamp_ntz(spark):
         ).collect()
     }
     assert got == _expected_pairs(points, intervals, keyed=False)
+
+
+def test_ntz_bucketing_survives_dst_gap(spark):
+    """NTZ bucket math must be zone-free: under a DST session zone, a
+    session-zone cast maps NTZ 02:30 to a LATER instant than NTZ 03:00
+    across the 2021-03-14 America/Los_Angeles spring-forward gap, so a
+    genuinely matching pair lands in a bucket the interval never
+    explodes into (ADVICE r2). Field-arithmetic micros are monotone in
+    the NTZ value regardless of the session zone."""
+    import datetime as dt
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        point = dt.datetime(2021, 3, 14, 3, 0, 0)
+        lo = dt.datetime(2021, 3, 14, 2, 30, 0)
+        hi = dt.datetime(2021, 3, 14, 3, 30, 0)
+        pdf = spark.createDataFrame([(1, point)], "pid int, ts timestamp_ntz")
+        idf = spark.createDataFrame(
+            [(7, lo, hi)], "iid int, start timestamp_ntz, end timestamp_ntz"
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(
+                pdf, idf, "ts", "start", "end", bucket_width=900
+            ).collect()
+        }
+        assert got == {(1, 7)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
