@@ -45,12 +45,14 @@ HEADLINE = [
     "q36_ivf_ann",
     "q64_pq_adc_knn",
     "q37_winnow_fingerprints",
+    "q42_winnow_near_dup_pairs",
     "q43_asof_enrich",
     "q44_range_join_error_window",
     "q45_time_rollup",
     "q46_hll_distinct",
     "q47_count_min_heavy_hitters",
     "q48_dedup_clusters",
+    "q61_training_corpus",
     "q65_mixture_sample",
     "q66_mixture_epochs",
     "q68_decontamination_pairs",
@@ -58,12 +60,77 @@ HEADLINE = [
     "q70_shard_assignment",
     "q71_vocab_coverage",
     "q72_pmi_bigrams",
+    "q73_simhash_near_dup_pairs",
 ]
 
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
+
+
+def bench_streaming_ingest(spark) -> tuple[int, float]:
+    """Timed availableNow ingest of a synthetic binary landing dir.
+
+    Generates ``SPARK_GRAFT_STREAM_FILES`` (default 2000) ~4 KB files
+    following the FIXTURES.md filename grammar, then runs ONE
+    checkpointed availableNow cycle of the full EP1 pipeline (binary
+    stream → filename parse → metadata + statistics pandas UDFs →
+    date-partitioned parquet sink) and reports (n_files, seconds).
+    File generation happens before the clock starts; admission is
+    512 files/trigger so the run exercises multiple micro-batches.
+    """
+    import shutil
+    import tempfile
+
+    from computer_vision_foundations_spark.plans.pipeline import (
+        IngestConfig,
+        PipelineConfig,
+        SinkConfig,
+    )
+    from computer_vision_foundations_spark.streaming.ingest import run_ingest
+
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "2000"))
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    try:
+        for i in range(n_files):
+            name = (
+                f"2024-05-{i % 28 + 1:02d} "
+                f"{i % 24:02d}-{(i * 7) % 60:02d}-{(i * 13) % 60:02d}"
+                f"_cam_{i:05d}_{i % 2}.jpg"
+            )
+            payload = (f"img{i}:".encode() * 1024)[:4096]
+            with open(os.path.join(landing, name), "wb") as f:
+                f.write(payload)
+        cfg = PipelineConfig(
+            ingest=IngestConfig(
+                input_path=landing,
+                glob="*.jpg",
+                recursive=True,
+                max_files_per_trigger=512,
+                ts_format="yyyy-MM-dd HH-mm-ss",
+                coalesce_partitions=64,
+            ),
+            sink=SinkConfig(
+                format="parquet",
+                output_path=os.path.join(tmp, "out"),
+                checkpoint_path=os.path.join(tmp, "ckpt"),
+                partition_by=("date",),
+                optimize_write=True,
+            ),
+            extract_metadata=True,
+            extract_statistics=True,
+        )
+        t0 = time.time()
+        run_ingest(spark, cfg)
+        elapsed = time.time() - t0
+        n_out = spark.read.parquet(cfg.sink.output_path).count()
+        assert n_out == n_files, f"ingest wrote {n_out} of {n_files} files"
+        return n_files, elapsed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> int:
@@ -93,6 +160,9 @@ def main() -> int:
         # dropping them here keeps later queries from paying earlier
         # queries' block-eviction and GC pressure.
         spark.catalog.clearCache()
+    n_stream_files, stream_sec = bench_streaming_ingest(spark)
+    timings["streaming_ingest"] = round(stream_sec, 3)
+    print(f"# streaming_ingest: {timings['streaming_ingest']}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -102,6 +172,10 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "streaming": {
+                    "files": n_stream_files,
+                    "files_per_sec": round(n_stream_files / stream_sec, 1),
+                },
             }
         )
     )

@@ -22,6 +22,7 @@ and are never a shuffle key.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +72,13 @@ def prepare_training_corpus(
         F.col("keep_id").alias(id_col)
     )
     kept = kept.join(keepers, id_col, "left_semi")
+    # The filtered+exact-deduped corpus feeds BOTH the LSH candidate
+    # pipeline (inside which connected components re-reads it across
+    # label rounds) and the final anti-join — persist so the
+    # scan→quality→dedup prefix runs once, not per consumer (measured
+    # 31.8 s → see bench: the recompute dominated the composition).
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count()  # eager: consumers inside one job race cache population
 
     # 3. near-dup clusters -> drop everything but the canonical doc
     pairs = minhash_lsh_candidate_pairs(

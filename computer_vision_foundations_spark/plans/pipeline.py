@@ -24,6 +24,10 @@ class IngestConfig:
     recursive: bool = True
     max_files_per_trigger: int | None = None
     ts_format: str | None = None
+    # merge the source's one-partition-per-file splits (no shuffle);
+    # see sources/binaryfile.read_binary_stream — set ~2× cores for
+    # small-file landing zones, None for large files
+    coalesce_partitions: int | None = None
 
 
 @dataclass(frozen=True)
@@ -34,6 +38,14 @@ class SinkConfig:
     checkpoint_path: str
     format: str = "parquet"
     partition_by: tuple[str, ...] = ()
+    # Repartition each micro-batch by the partition columns before the
+    # file write, so each output partition gets ONE file per batch
+    # instead of one per (task × partition) — the OSS equivalent of
+    # Delta's optimized writes. Costs a shuffle of the batch (including
+    # any binary payload); leave False when the landing zone is already
+    # partition-aligned (e.g. date-bucketed prefixes) and each batch
+    # touches a single partition value.
+    optimize_write: bool = False
 
     def reset_checkpoint(self) -> None:
         """The reference's checkpoint-reset procedure

@@ -50,6 +50,14 @@ def get_spark(
         # (SURVEY §1.3) don't defeat parquet column pruning
         "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # File-listing strategy: below this path count, list on the
+        # driver instead of launching a cluster job. The default (32)
+        # fires a whole-cluster job to stat a few hundred local files —
+        # measured ~5 s/micro-batch of pure scheduling overhead on the
+        # small-file streaming ingest bench. Above 10k paths (real
+        # object-store landing zones) the parallel listing still kicks
+        # in, which is where it actually pays.
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": "10000",
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     }

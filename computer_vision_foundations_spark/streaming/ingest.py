@@ -22,6 +22,7 @@ enters a shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.filename import with_parsed_filename
 from computer_vision_foundations_spark.functions.image import (
@@ -40,6 +41,7 @@ def build_ingest_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         glob=cfg.ingest.glob,
         recursive=cfg.ingest.recursive,
         max_files_per_trigger=cfg.ingest.max_files_per_trigger,
+        coalesce_partitions=cfg.ingest.coalesce_partitions,
     )
     df = with_parsed_filename(df, ts_format=cfg.ingest.ts_format)
     if cfg.extract_metadata:
@@ -56,6 +58,9 @@ def run_ingest(spark: SparkSession, cfg: PipelineConfig) -> None:
     up only files not yet committed (reference ST1-ST4 semantics).
     """
     df = build_ingest_stream(spark, cfg)
+    if cfg.sink.optimize_write and cfg.sink.partition_by:
+        # one output file per partition value per batch (see SinkConfig)
+        df = df.repartition(*[F.col(c) for c in cfg.sink.partition_by])
     writer = (
         df.writeStream.format(cfg.sink.format)
         .outputMode("append")
@@ -89,6 +94,7 @@ def run_scoring_stream(
         glob=cfg.ingest.glob,
         recursive=cfg.ingest.recursive,
         max_files_per_trigger=cfg.ingest.max_files_per_trigger,
+        coalesce_partitions=cfg.ingest.coalesce_partitions,
     )
     scored = score_with(df, predict_fn).select("path", "score")
     (
