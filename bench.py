@@ -44,6 +44,7 @@ HEADLINE = [
     "q33_lsh_ann",
     "q36_ivf_ann",
     "q64_pq_adc_knn",
+    "q74_ivf_pq_ann",
     "q37_winnow_fingerprints",
     "q42_winnow_near_dup_pairs",
     "q43_asof_enrich",

@@ -2874,3 +2874,87 @@ def q73_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         fingerprints, "simhash", "doc_id", bits=32, bands=4, max_hamming=3
     )
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """IndexIVFPQ composed oracle: the IVF centroid-distance literals
+    (q36's construction) pick each vector's cell and each probe's
+    n_probe_cells nearest cells; the PQ codebook literals (q63/q64's
+    construction) give codes and the probe LUT; ADC score = 8 list
+    lookups, ranked per probe."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    cdists = ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]))"
+        for c in cents
+    )
+    ds = _pq_dist_arrays_sql()
+    d_cols = ", ".join(f"{a} AS d{s}" for s, a in enumerate(ds))
+    code_cols = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INT)"
+        for s in range(_PQ_SUBS)
+    )
+    score = " + ".join(f"p.d{s}[c.codes[{s + 1}] + 1]" for s in range(_PQ_SUBS))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, v, [{cdists}] AS cdists, {d_cols} FROM emb
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id,
+             CAST(list_position(cdists, list_min(cdists)) - 1 AS INT) AS cell,
+             [{code_cols}] AS codes
+      FROM d
+    ),
+    probe_fan AS (
+      SELECT *, vec_id AS probe_id, i - 1 AS cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY cdists[i] ASC, i ASC) AS cell_rank
+      FROM d CROSS JOIN generate_series(1, {_IVF_CELLS}) AS t(i)
+      WHERE vec_id < 5
+    )
+    SELECT probe_id, neighbor_id, adc_score, rank FROM (
+      SELECT p.probe_id, c.neighbor_id,
+             round({score}, 6) AS adc_score,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round({score}, 6) ASC, c.neighbor_id ASC) AS rank
+      FROM probe_fan p
+      JOIN corpus c ON p.cell = c.cell AND p.probe_id <> c.neighbor_id
+      WHERE p.cell_rank <= {_IVF_PROBE_CELLS}) t
+    WHERE rank <= 10
+    """
+
+
+@_register("q74_ivf_pq_ann", _ivf_pq_oracle_sql())
+def q74_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed index (operators/quantization.ivf_pq_topk, the
+    FAISS IndexIVFPQ shape): corpus persisted as (id, cell, codes) in
+    one Arrow projection, probes fan out to their 4 nearest cells with
+    a precomputed ADC LUT, candidates scored by 8 array lookups inside
+    the cell equi-join — float vectors never cross a shuffle. Both the
+    coarse quantizer (q36's centroid literals) and the codebooks
+    (q63/q64's) are replayed by the oracle, so the composition is
+    hash-checked end-to-end."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    cents = random_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    return ivf_pq_topk(
+        emb, probes, cbs, cents, k=10, n_probe_cells=_IVF_PROBE_CELLS
+    )

@@ -97,3 +97,76 @@ def test_codes_scan_carries_no_vectors(spark, emb_df):
     # the join inputs reference codes and _lut, never the raw embedding
     after_join = plan.split("Join", 1)[1]
     assert "embedding" not in after_join.split("ArrowEvalPython", 1)[0]
+
+
+def test_ivf_pq_matches_numpy_composition(spark, emb_df):
+    """ivf_pq_topk == (numpy cell pruning + ADC scoring) end-to-end:
+    cells from the coarse centroids, candidates restricted to each
+    probe's n_probe_cells nearest cells, scored via the codebook LUT."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        ivf_pq_topk,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    n_cells, n_probe = 4, 2
+    vecs = _vectors().astype(np.float64)
+    cbs = pq_codebooks(DIM, SUBS, CENTS, SEED)
+    cents = np.asarray(random_centroids(DIM, n_cells, SEED), dtype=np.float64)
+    codes = _np_codes(vecs)
+    sd = DIM // SUBS
+
+    d = ((cents * cents).sum(axis=1))[None, :] - 2.0 * (vecs @ cents.T)
+    cell = d.argmin(axis=1)
+    probe_cells = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+
+    def adc(p, nbr):
+        total = 0.0
+        for s in range(SUBS):
+            c = np.asarray(cbs[s][codes[nbr][s]], dtype=np.float64)
+            sub = vecs[p, s * sd : (s + 1) * sd]
+            dot = 0.0
+            for j in range(sd):  # sequential, same order as the engine
+                dot += sub[j] * c[j]
+            total += float((c * c).sum()) - 2.0 * dot
+        return round(total, 6)
+
+    want = {}
+    for p in range(2):
+        cands = [
+            n for n in range(len(vecs))
+            if n != p and cell[n] in set(probe_cells[p])
+        ]
+        ranked = sorted(cands, key=lambda n: (adc(p, n), n))[:5]
+        want[p] = [(n, adc(p, n)) for n in ranked]
+
+    probes = emb_df.filter(F.col("vec_id") < 2)
+    got_rows = ivf_pq_topk(
+        emb_df, probes, cbs, [list(c) for c in cents], k=5, n_probe_cells=n_probe
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.probe_id, r.rank)):
+        got.setdefault(r.probe_id, []).append((r.neighbor_id, r.adc_score))
+    assert got == want
+
+
+def test_ivf_pq_scan_carries_no_vectors(spark, emb_df):
+    """The composed index's join must move (cell, codes) and the probe
+    LUT only — never embedding vectors (the point of IVF-PQ at scale)."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        ivf_pq_topk,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cbs = pq_codebooks(DIM, SUBS, CENTS, SEED)
+    cents = random_centroids(DIM, 4, SEED)
+    probes = emb_df.filter(F.col("vec_id") < 2)
+    plan = (
+        ivf_pq_topk(emb_df, probes, cbs, cents, k=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    after_join = plan.split("Join", 1)[1]
+    assert "embedding" not in after_join.split("ArrowEvalPython", 1)[0]
