@@ -43,8 +43,8 @@ HEADLINE = [
     "q28_embedding_near_dup",
     "q33_lsh_ann",
     "q36_ivf_ann",
-    "q64_pq_adc_knn",
-    "q74_ivf_pq_ann",
+    "q29_pq_adc_knn",
+    "q50_ivf_pq_ann",
     "q37_winnow_fingerprints",
     "q42_winnow_near_dup_pairs",
     "q43_asof_enrich",
@@ -53,15 +53,15 @@ HEADLINE = [
     "q46_hll_distinct",
     "q47_count_min_heavy_hitters",
     "q48_dedup_clusters",
-    "q61_training_corpus",
-    "q65_mixture_sample",
-    "q66_mixture_epochs",
-    "q68_decontamination_pairs",
-    "q69_quality_gate",
-    "q70_shard_assignment",
-    "q71_vocab_coverage",
-    "q72_pmi_bigrams",
-    "q73_simhash_near_dup_pairs",
+    "q20_training_corpus",
+    "q30_mixture_sample",
+    "q32_mixture_epochs",
+    "q35_decontamination_pairs",
+    "q38_quality_gate",
+    "q39_shard_assignment",
+    "q40_vocab_coverage",
+    "q41_pmi_bigrams",
+    "q49_simhash_near_dup_pairs",
 ]
 
 
@@ -143,7 +143,7 @@ def main() -> int:
     # session warm-up to q21). One representative relational query + one
     # documents-table query + one Arrow/pandas-UDF query cover the three
     # warm-up classes; their results are discarded.
-    for warm in ("q01_pricing_summary", "q22_text_quality", "q29_scored_documents"):
+    for warm in ("q01_pricing_summary", "q22_text_quality", "q64_scored_documents"):
         qs[warm](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:

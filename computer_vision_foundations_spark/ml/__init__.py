@@ -14,9 +14,9 @@ dependencies optional:
   interface.
 - :mod:`train` — the reference's exact loop semantics (minibatch SGD +
   momentum, BCE loss, StepLR schedule, per-epoch metrics) in numpy.
-- :mod:`tune` — seeded random/loguniform hyperparameter search
-  parallelized as one Spark task per trial (SparkTrials semantics
-  without the hyperopt dependency).
+- :mod:`tune` — seeded loguniform random search AND a from-scratch
+  TPE (Parzen-estimator) sampler, both parallelized as one Spark task
+  per trial (SparkTrials semantics without the hyperopt dependency).
 - :mod:`distributed` — data-parallel training as Spark dataflow:
   per-shard local SGD via ``applyInPandas`` + weighted parameter
   averaging (the Horovod-allreduce stand-in that is native to Spark).
@@ -37,9 +37,13 @@ from computer_vision_foundations_spark.ml.train import (
     fit_dataframe,
     fit_numpy,
 )
-from computer_vision_foundations_spark.ml.tune import random_search
+from computer_vision_foundations_spark.ml.tune import random_search, tpe_search
 from computer_vision_foundations_spark.ml.distributed import fit_sharded
-from computer_vision_foundations_spark.ml.registry import ModelRegistry
+from computer_vision_foundations_spark.ml.registry import (
+    HAVE_MLFLOW,
+    MlflowModelRegistry,
+    ModelRegistry,
+)
 from computer_vision_foundations_spark.ml.serving import (
     parse_rest_payload,
     score_rest_payload,
@@ -55,8 +59,11 @@ __all__ = [
     "fit_dataframe",
     "fit_numpy",
     "random_search",
+    "tpe_search",
     "fit_sharded",
     "ModelRegistry",
+    "MlflowModelRegistry",
+    "HAVE_MLFLOW",
     "parse_rest_payload",
     "score_rest_payload",
     "to_rest_payload",

