@@ -29,11 +29,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
-    "q04_region_revenue",
+    "q04_bm25_search",
+    "q75_region_revenue",
     "q05_customer_order_profile",
     "q07_top3_orders_per_customer",
-    "q08_events_running_window",
-    "q16_events_hourly_window",
+    "q08_repetition_signals",
+    "q76_events_running_window",
+    "q77_events_hourly_window",
+    "q16_kmeans_step",
     "q17_sessionization",
     "q21_dedup_exact",
     "q22_text_quality",
@@ -92,22 +95,26 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
     from computer_vision_foundations_spark.streaming.ingest import run_ingest
 
     n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "2000"))
+    warm_files = int(os.environ.get("SPARK_GRAFT_STREAM_WARM_FILES", "200"))
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
-    try:
-        for i in range(n_files):
+
+    def _gen(dirname, n):
+        for i in range(n):
             name = (
                 f"2024-05-{i % 28 + 1:02d} "
                 f"{i % 24:02d}-{(i * 7) % 60:02d}-{(i * 13) % 60:02d}"
                 f"_cam_{i:05d}_{i % 2}.jpg"
             )
             payload = (f"img{i}:".encode() * 1024)[:4096]
-            with open(os.path.join(landing, name), "wb") as f:
+            with open(os.path.join(dirname, name), "wb") as f:
                 f.write(payload)
-        cfg = PipelineConfig(
+
+    def _cfg(subdir, in_path):
+        return PipelineConfig(
             ingest=IngestConfig(
-                input_path=landing,
+                input_path=in_path,
                 glob="*.jpg",
                 recursive=True,
                 max_files_per_trigger=512,
@@ -116,14 +123,26 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
             ),
             sink=SinkConfig(
                 format="parquet",
-                output_path=os.path.join(tmp, "out"),
-                checkpoint_path=os.path.join(tmp, "ckpt"),
+                output_path=os.path.join(tmp, subdir, "out"),
+                checkpoint_path=os.path.join(tmp, subdir, "ckpt"),
                 partition_by=("date",),
                 optimize_write=True,
             ),
             extract_metadata=True,
             extract_statistics=True,
         )
+
+    try:
+        _gen(landing, n_files)
+        # Untimed warm-up cycle over a small separate landing dir: the
+        # first streaming job in a session pays one-time JIT + Python
+        # worker spin-up (measured 28 s -> 11 s run-over-run); the timed
+        # run should report the throughput a long-lived ingest job sees.
+        warm_landing = os.path.join(tmp, "warm", "landing")
+        os.makedirs(warm_landing)
+        _gen(warm_landing, warm_files)
+        run_ingest(spark, _cfg("warm", warm_landing))
+        cfg = _cfg("main", landing)
         t0 = time.time()
         run_ingest(spark, cfg)
         elapsed = time.time() - t0

@@ -341,3 +341,54 @@ def tfidf_scores(
             (F.col("_tc").cast("double") / F.col("_dl") * idf).alias("tfidf"),
         )
     )
+
+
+def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/boilerplate signals for quality filtering
+    (Rae et al. 2021 §A1.1 repetition heuristics; C4 uses the same
+    family): heavily repetitive documents are low-value training data
+    and these four per-document fractions are the standard gates.
+
+    - ``dup_token_frac``:  1 − |distinct tokens| / |tokens|
+    - ``top_token_frac``:  occurrences of the most frequent token / |tokens|
+    - ``dup_bigram_frac``: 1 − |distinct bigrams| / |bigrams|
+    - ``top_bigram_frac``: occurrences of the most frequent bigram / |bigrams|
+
+    All-Catalyst HOF expressions (no Python): the top-*-frac mode count
+    is ``array_max`` over per-distinct-element ``filter`` counts —
+    O(|distinct| · n) per document, which is the right trade for
+    typical (≤ a few thousand token) documents because it stays inside
+    whole-stage codegen; for pathologically long documents compute the
+    mode in a pandas UDF instead. Rounded to 6 for cross-engine hash
+    parity (DuckDB twins: list_distinct / list_filter / list_max).
+    """
+    c = F.col(text_col)
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    nb = F.size(bigrams)
+
+    def mode_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda d: F.size(F.filter(arr, lambda x: x == d)),
+            )
+        )
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num.cast("double") / den, 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    return (
+        df.withColumn("dup_token_frac", frac(n - F.size(F.array_distinct(toks)), n))
+        .withColumn("top_token_frac", frac(mode_count(toks), n))
+        .withColumn(
+            "dup_bigram_frac", frac(nb - F.size(F.array_distinct(bigrams)), nb)
+        )
+        .withColumn("top_bigram_frac", frac(mode_count(bigrams), nb))
+    )

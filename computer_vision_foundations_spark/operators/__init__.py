@@ -17,9 +17,16 @@ from computer_vision_foundations_spark.operators.similarity import (
     lsh_bucketed_knn,
 )
 from computer_vision_foundations_spark.operators.quantization import (
+    ivf_pq_topk,
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
+)
+from computer_vision_foundations_spark.operators.retrieval import bm25_topk
+from computer_vision_foundations_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_update_table,
 )
 from computer_vision_foundations_spark.operators.vocab import (
     pmi_bigrams,
@@ -92,6 +99,11 @@ __all__ = [
     "top_fraction_per_group",
     "vocab_top_k",
     "pq_adc_topk",
+    "ivf_pq_topk",
+    "bm25_topk",
+    "kmeans_assign",
+    "kmeans_fit",
+    "kmeans_update_table",
     "pq_codebooks",
     "pq_encode",
     "salted_join",

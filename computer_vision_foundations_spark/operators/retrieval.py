@@ -1,0 +1,107 @@
+"""Ranked keyword retrieval (BM25) as a relational operator.
+
+The missing sibling of the embedding-ANN family: classic sparse
+retrieval over the same `documents` table, used in training-data
+pipelines for targeted corpus slicing ("give me the docs about X"),
+eval-set construction, and hybrid (sparse+dense) search baselines.
+
+Okapi BM25 (Robertson/Spärck Jones; the Lucene-default scoring):
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                              / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+Everything is hash aggregates and broadcast joins:
+
+- the token stream is SEMI-JOINED against the (broadcast, tiny) query
+  vocabulary BEFORE the tf aggregate, so the per-(doc, token) shuffle
+  carries only query-term hits — at 100 TB the full stream is scanned
+  once but never shuffled in full;
+- df(t) aggregates the tf rows (≤ |query vocab| keys, broadcast back);
+- document lengths come from a separate narrow projection (no explode);
+- corpus N/avgdl ride a broadcast single-row cross join, so the
+  operator stays lazy end-to-end (no driver collect);
+- one final (query_id, doc_id) aggregate + top-k window per query.
+
+Scores are summed per (query, doc) over ≤|terms| f64 addends and
+rounded to ``round_digits`` — keep it ≤4 when hash-comparing across
+engines (float sum order is not associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.text import token_count, tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k documents per query by BM25.
+
+    ``queries``: ``(query_id, terms array<string>)`` — a SMALL frame
+    (it is broadcast twice). Returns ``(query_id, doc_id, bm25,
+    rank)``, rank 1 = best, score ties broken on doc_id. A query whose
+    terms never occur in the corpus yields no rows (missing terms
+    contribute 0 to every document, so they cannot rank anything).
+    """
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("_token"),
+    )
+    qvocab = qterms.select("_token").distinct()
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("_token")
+    ).filter(F.col("_token") != "")
+    # prune to query vocabulary BEFORE any shuffle
+    hits = toks.join(F.broadcast(qvocab), "_token", "left_semi")
+    tf = hits.groupBy("doc_id", "_token").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = tf.groupBy("_token").agg(F.count(F.lit(1)).alias("_df"))
+
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"), token_count(text_col).cast("double").alias("_dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg(token_count(text_col)).alias("_avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
+
+    scored = (
+        tf.join(F.broadcast(df_t), "_token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "_token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(term_score), round_digits).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )

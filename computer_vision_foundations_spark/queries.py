@@ -180,7 +180,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q04_region_revenue",
+    "q75_region_revenue",
     """
     SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
            count(*) AS n_orders
@@ -191,7 +191,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name, n_name
     """,
 )
-def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q75_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicit broadcast of the small dims — at 100 TB
     the fact side never shuffles for the dim joins."""
     region = F.broadcast(load_table(spark, sf_dir, "region"))
@@ -287,7 +287,7 @@ def q07_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q08_events_running_window",
+    "q76_events_running_window",
     """
     SELECT user_id, event_id,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -298,7 +298,7 @@ def q07_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def q08_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q76_events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + lag over an event stream (ordered window frame)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -493,7 +493,7 @@ def q58_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q16_events_hourly_window",
+    "q77_events_hourly_window",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
@@ -502,7 +502,7 @@ def q58_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
 )
-def q16_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q77_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming tumbling-window operator (streaming/windows.py) run
     in batch mode — F.window('1 hour').start ≡ date_trunc('hour')."""
     e = load_table(spark, sf_dir, "events")
@@ -2958,6 +2958,188 @@ def q50_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, probes, cbs, cents, k=10, n_probe_cells=_IVF_PROBE_CELLS
     )
+
+
+
+
+
+_BM25_QUERIES = [
+    (0, ["hash", "join", "scan"]),
+    (1, ["vector", "data", "column"]),
+    (2, ["customer", "order", "merge", "window"]),
+]
+
+
+def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {values}),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term <> '' AND term IN (SELECT DISTINCT term FROM q)
+      GROUP BY 1, 2
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents
+    )
+    SELECT query_id, doc_id, bm25, rank FROM (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * {k1 + 1.0})
+               / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / s.avgdl))
+             ), 4) AS bm25,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(sum(
+                 ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * {k1 + 1.0})
+                 / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / s.avgdl))
+               ), 4) DESC, tf.doc_id ASC) AS rank
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      JOIN q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id) t
+    WHERE rank <= 10
+    """
+
+
+@_register("q04_bm25_search", _bm25_oracle_sql())
+def q04_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query (operators/retrieval.bm25_topk) —
+    sparse ranked retrieval over the documents table, the keyword
+    sibling of the ANN family. The token stream is semi-joined against
+    the broadcast query vocabulary BEFORE the tf aggregate, df/idf
+    stats are broadcast back, and corpus N/avgdl ride a single-row
+    broadcast cross join (no driver collect). The oracle recomputes
+    tf/df/idf and the exact scoring formula in SQL."""
+    from computer_vision_foundations_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, terms array<string>"
+    )
+    return bm25_topk(docs, queries_df, k=10)
+
+
+@_register(
+    "q08_repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN len(toks) > 0 THEN round(
+        (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 6)
+        ELSE 0.0 END AS dup_token_frac,
+      CASE WHEN len(toks) > 0 THEN round(
+        list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d))))
+        / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS top_token_frac,
+      CASE WHEN len(bigrams) > 0 THEN round(
+        (len(bigrams) - len(list_distinct(bigrams)))
+        / CAST(len(bigrams) AS DOUBLE), 6) ELSE 0.0 END AS dup_bigram_frac,
+      CASE WHEN len(bigrams) > 0 THEN round(
+        list_max(list_transform(list_distinct(bigrams),
+                 d -> len(list_filter(bigrams, x -> x = d))))
+        / CAST(len(bigrams) AS DOUBLE), 6) ELSE 0.0 END AS top_bigram_frac
+    FROM b
+    """,
+)
+def q08_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate quality signals
+    (functions/text.repetition_columns): duplicate-token, top-token,
+    duplicate-bigram and top-bigram fractions per document — the
+    standard gates for dropping repetitive low-value training text.
+    All-Catalyst HOF expressions; the oracle mirrors them with DuckDB
+    list functions."""
+    from computer_vision_foundations_spark.functions.text import (
+        repetition_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_columns(docs).select(
+        "doc_id",
+        "dup_token_frac",
+        "top_token_frac",
+        "dup_bigram_frac",
+        "top_bigram_frac",
+    )
+
+
+_KM_DIM, _KM_CLUSTERS, _KM_SEED = 64, 8, 42
+
+
+def _kmeans_step_oracle_sql() -> str:
+    """One Lloyd update from the seeded init centroids, replayed as SQL
+    literals (the IVF oracle's distance construction): assignment =
+    first argmin, new centroid = per-dimension member mean."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(_KM_DIM, _KM_CLUSTERS, _KM_SEED)
+    dists = ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]))"
+        for c in cents
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, v, [{dists}] AS dists FROM emb
+    ),
+    assigned AS (
+      SELECT v, CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster
+      FROM d
+    )
+    SELECT cluster, CAST(i - 1 AS INT) AS pos,
+           round(avg(v[i]), 6) AS mean, count(*) AS n_members
+    FROM assigned CROSS JOIN generate_series(1, {_KM_DIM}) AS t(i)
+    GROUP BY cluster, i
+    """
+
+
+@_register("q16_kmeans_step", _kmeans_step_oracle_sql())
+def q16_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd k-means update
+    (operators/clustering.kmeans_update_table): Arrow-batched
+    nearest-centroid assignment + ONE hash aggregate of unrolled
+    per-dimension sums (map-side combine; vectors never shuffle),
+    flattened to (cluster, pos, mean, n_members) so the oracle can
+    hash-check the step. kmeans_fit iterates exactly this aggregate to
+    train real IVF/IVF-PQ coarse quantizers in-engine."""
+    from computer_vision_foundations_spark.operators.clustering import (
+        kmeans_update_table,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = random_centroids(_KM_DIM, _KM_CLUSTERS, _KM_SEED)
+    return kmeans_update_table(emb, cents, round_digits=6)
 
 
 # ---------------------------------------------------------------------------

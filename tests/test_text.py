@@ -58,3 +58,29 @@ def test_language_guess(spark):
     )
     out = {r.doc_id: r.lang_guess for r in language_score_columns(df).collect()}
     assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_repetition_columns(spark):
+    """Gopher repetition fractions against hand counts."""
+    from computer_vision_foundations_spark.functions.text import (
+        repetition_columns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct of 4; bigrams: 'a a' x3
+            (2, "w x y z"),          # no repetition at all
+            (3, "a b a b a"),        # bigrams: 'a b' x2, 'b a' x2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (
+            r.dup_token_frac, r.top_token_frac,
+            r.dup_bigram_frac, r.top_bigram_frac,
+        )
+        for r in repetition_columns(df).collect()
+    }
+    assert got[1] == (0.75, 1.0, round(2 / 3, 6), 1.0)
+    assert got[2] == (0.0, 0.25, 0.0, round(1 / 3, 6))
+    assert got[3] == (0.6, 0.6, 0.5, 0.5)
