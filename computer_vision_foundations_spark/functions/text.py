@@ -354,24 +354,34 @@ def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``dup_bigram_frac``: 1 − |distinct bigrams| / |bigrams|
     - ``top_bigram_frac``: occurrences of the most frequent bigram / |bigrams|
 
-    All-Catalyst HOF expressions (no Python): the top-*-frac mode count
-    is ``array_max`` over per-distinct-element ``filter`` counts —
-    O(|distinct| · n) per document, which is the right trade for
-    typical (≤ a few thousand token) documents because it stays inside
-    whole-stage codegen; for pathologically long documents compute the
-    mode in a pandas UDF instead. Rounded to 6 for cross-engine hash
-    parity (DuckDB twins: list_distinct / list_filter / list_max).
+    All-Catalyst HOF expressions (no Python). The token and bigram
+    arrays are materialized in their OWN projections first — an inline
+    ``split`` inside the mode-count lambdas is re-evaluated per array
+    element (the ``_with_shingles`` trap), which measured 88 s for the
+    sf0.1 corpus vs ~1 s with the staged projections (each temp column
+    is referenced several times, so CollapseProject keeps the stages).
+    The mode count itself is O(|distinct| · n) per document — the right
+    trade inside whole-stage codegen for typical documents; compute the
+    mode in a pandas UDF instead for pathologically long ones. Rounded
+    to 6 for cross-engine hash parity (DuckDB twins: list_distinct /
+    list_filter / list_max).
     """
     c = F.col(text_col)
-    toks = F.split(c, " ")
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    staged = df.withColumn("_rep_toks", F.split(c, " "))
+    n = F.size("_rep_toks")
+    staged = staged.withColumn(
+        "_rep_bigrams",
+        F.transform(
+            F.slice("_rep_toks", 1, F.greatest(n - 1, F.lit(0))),
+            lambda t, i: F.concat_ws(
+                " ", t, F.element_at(F.col("_rep_toks"), i + 2)
+            ),
+        ),
     )
-    nb = F.size(bigrams)
+    nb = F.size("_rep_bigrams")
 
-    def mode_count(arr):
+    def mode_count(col_name):
+        arr = F.col(col_name)
         return F.array_max(
             F.transform(
                 F.array_distinct(arr),
@@ -385,10 +395,14 @@ def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     return (
-        df.withColumn("dup_token_frac", frac(n - F.size(F.array_distinct(toks)), n))
-        .withColumn("top_token_frac", frac(mode_count(toks), n))
-        .withColumn(
-            "dup_bigram_frac", frac(nb - F.size(F.array_distinct(bigrams)), nb)
+        staged.withColumn(
+            "dup_token_frac", frac(n - F.size(F.array_distinct("_rep_toks")), n)
         )
-        .withColumn("top_bigram_frac", frac(mode_count(bigrams), nb))
+        .withColumn("top_token_frac", frac(mode_count("_rep_toks"), n))
+        .withColumn(
+            "dup_bigram_frac",
+            frac(nb - F.size(F.array_distinct("_rep_bigrams")), nb),
+        )
+        .withColumn("top_bigram_frac", frac(mode_count("_rep_bigrams"), nb))
+        .drop("_rep_toks", "_rep_bigrams")
     )

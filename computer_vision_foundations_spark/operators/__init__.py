@@ -22,7 +22,7 @@ from computer_vision_foundations_spark.operators.quantization import (
     pq_codebooks,
     pq_encode,
 )
-from computer_vision_foundations_spark.operators.retrieval import bm25_topk
+from computer_vision_foundations_spark.operators.retrieval import bm25_topk, rrf_fuse
 from computer_vision_foundations_spark.operators.clustering import (
     kmeans_assign,
     kmeans_fit,
@@ -101,6 +101,7 @@ __all__ = [
     "pq_adc_topk",
     "ivf_pq_topk",
     "bm25_topk",
+    "rrf_fuse",
     "kmeans_assign",
     "kmeans_fit",
     "kmeans_update_table",

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.text import token_count, tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -104,4 +104,56 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked result lists (Cormack et al.
+    2009): ``score(q, d) = Σ_r 1 / (rrf_k + rank_r(q, d))`` over every
+    input ranking that contains (q, d). The standard way to combine a
+    sparse (BM25) and a dense (ANN) ranking — or any ranker with a
+    metadata prior — without score calibration, since only ranks enter.
+
+    Inputs are (query_col, id_col, rank_col) frames — top-k lists, so
+    broadcast-small relative to the corpus; the fusion is a union + one
+    hash aggregate on (query, id) + one top-k window. Returns
+    ``(query_id, doc_id, rrf_score, n_rankers, rank)``.
+
+    Determinism note: with two input rankings the per-pair sum has at
+    most two IEEE-754 addends (order-insensitive); with ≥3 rankers
+    hash-comparison across engines needs a defined summation order —
+    keep ``round_digits`` modest.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_c"), round_digits).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_rankers"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "n_rankers", "rank")
     )

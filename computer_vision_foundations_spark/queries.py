@@ -3141,6 +3141,66 @@ def q16_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = random_centroids(_KM_DIM, _KM_CLUSTERS, _KM_SEED)
     return kmeans_update_table(emb, cents, round_digits=6)
 
+def _rrf_oracle_sql(k: int = 10, rrf_k: int = 60, recency_n: int = 50) -> str:
+    """Fusion oracle: the BM25 oracle body (top-10 per query) RRF-fused
+    with a recency prior (top-50 newest doc_ids per query). Two addends
+    per (query, doc) — IEEE order-insensitive — so round 6 hash-matches."""
+    bm25 = _bm25_oracle_sql()
+    return f"""
+    WITH bm AS ({bm25}),
+    recency AS (
+      SELECT q.query_id, d.doc_id,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY d.doc_id DESC) AS rank
+      FROM (SELECT DISTINCT query_id FROM bm) q
+      CROSS JOIN documents d
+      QUALIFY rank <= {recency_n}
+    ),
+    u AS (
+      SELECT query_id, doc_id, 1.0 / ({rrf_k} + rank) AS c FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / ({rrf_k} + rank) AS c FROM recency
+    ),
+    fused AS (
+      SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score,
+             count(*) AS n_rankers
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_score, n_rankers, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused) t
+    WHERE rank <= {k}
+    """
+
+
+@_register("q78_rrf_fusion", _rrf_oracle_sql())
+def q78_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (operators/retrieval.rrf_fuse):
+    reciprocal-rank fusion of the BM25 top-10 (q04) with a recency
+    prior (50 newest docs per query) — rank-only combination, no score
+    calibration. Union of two top-k lists + one hash aggregate + one
+    window; both input rankings and the fusion replay in the oracle."""
+    from computer_vision_foundations_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, terms array<string>"
+    )
+    bm = bm25_topk(docs, queries_df, k=10)
+    w = Window.partitionBy("query_id").orderBy(F.col("doc_id").desc())
+    recency = (
+        docs.select("doc_id")
+        .crossJoin(queries_df.select("query_id").distinct())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+    )
+    return rrf_fuse([bm, recency], k=10)
+
+
 
 # ---------------------------------------------------------------------------
 # Registry finalization

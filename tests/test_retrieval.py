@@ -71,3 +71,25 @@ def test_bm25_ranking_and_topk(spark, frames):
     # doc 4 matches BOTH terms; tf saturation (k1) keeps doc 2's
     # repeated 'spark' from outranking a two-term match
     assert q0[0].doc_id == 4
+
+
+def test_rrf_fuse_math_and_overlap_boost(spark):
+    """RRF: a doc present in both rankings must outscore docs ranked
+    similarly in only one; scores match 1/(k+r) sums exactly."""
+    from computer_vision_foundations_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 99, 2)], ["query_id", "doc_id", "rank"]
+    )
+    rows = {r.doc_id: r for r in rrf_fuse([a, b], k=10, rrf_k=60).collect()}
+    assert rows[11].n_rankers == 2
+    assert rows[11].rrf_score == round(1 / 62 + 1 / 61, 6)
+    assert rows[10].rrf_score == round(1 / 61, 6)
+    # overlap doc ranks first despite rank-2 position in list a
+    assert rows[11].rank == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
