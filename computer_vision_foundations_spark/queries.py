@@ -2609,12 +2609,12 @@ def q32_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars", "epoch")
 
 
-def _ann_recall_oracle_sql() -> str:
-    """Recall of the LSH index against brute-force ground truth,
+def _ann_recall_oracle_sql(approx_key: str = "q33_lsh_ann") -> str:
+    """Recall of an ANN index against brute-force ground truth,
     composed from the two queries' own oracle bodies (nested-WITH
     derived tables are standard SQL; DuckDB executes them as-is)."""
     exact = _ORACLES["q27_knn_cosine"]
-    approx = _ORACLES["q33_lsh_ann"]
+    approx = _ORACLES[approx_key]
     return f"""
     SELECT p.probe_id, coalesce(h.n_hits, 0) AS n_hits,
            round(coalesce(h.n_hits, 0)
@@ -3199,6 +3199,21 @@ def q78_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
     )
     return rrf_fuse([bm, recency], k=10)
+
+
+@_register("q79_ivf_pq_recall", _ann_recall_oracle_sql("q50_ivf_pq_ann"))
+def q79_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed IVF-PQ index (q50) against brute-force
+    cosine ground truth (q27) via operators/evaluation.ann_recall — the
+    quality dial a real deployment tunes (n_probe_cells × codebook
+    size). Both retrievals AND the evaluation replay in the oracle."""
+    from computer_vision_foundations_spark.operators.evaluation import (
+        ann_recall,
+    )
+
+    return ann_recall(
+        q50_ivf_pq_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+    )
 
 
 

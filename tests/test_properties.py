@@ -115,3 +115,93 @@ def test_minhash_identical_docs_identical_signatures(spark, texts):
         }
         for i, t in enumerate(texts):
             assert sigs[i] == sigs[i + len(texts)]
+
+
+@_prop
+@given(
+    fps=st.lists(st.integers(0, 2**16 - 1), min_size=2, max_size=8, unique=False),
+)
+def test_simhash_pairs_pigeonhole_property(spark, fps):
+    """Hamming-LSH banding is EXACT for max_hamming <= bands-1: the
+    operator's output equals the brute-force Hamming filter on any
+    fingerprint multiset (including duplicate-heavy ones that exercise
+    the collapse/re-expand path)."""
+    import itertools
+
+    from computer_vision_foundations_spark.operators.dedup import simhash_pairs
+
+    rows = list(enumerate(fps))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            df, bits=16, bands=4, max_hamming=3, max_band_freq=None
+        ).collect()
+    }
+    want = {
+        (ia, ib): bin(ha ^ hb).count("1")
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2)
+        if bin(ha ^ hb).count("1") <= 3
+    }
+    assert got == want
+
+
+@_prop
+@given(
+    n_tokens=st.integers(1, 60),
+    chunk=st.integers(2, 20),
+    overlap=st.integers(0, 10),
+)
+def test_chunking_reconstruction_property(spark, n_tokens, chunk, overlap):
+    """chunk_documents: dropping each chunk's first `overlap` tokens
+    (except chunk 0) and concatenating reconstructs the document; every
+    chunk fits chunk_tokens; only the last chunk may be short."""
+    from hypothesis import assume
+
+    from computer_vision_foundations_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    assume(overlap < chunk)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert all(r.n_tokens <= chunk for r in rows)
+    assert all(r.n_tokens == chunk for r in rows[:-1])
+    rebuilt = rows[0].chunk_text.split(" ")
+    for r in rows[1:]:
+        rebuilt += r.chunk_text.split(" ")[overlap:]
+    assert rebuilt == text.split(" ")
+
+
+@_prop
+@given(
+    counts=st.lists(st.integers(1, 50), min_size=1, max_size=30),
+    seq_len=st.integers(10, 80),
+)
+def test_packing_capacity_property(spark, counts, seq_len):
+    """pack_sequences is greedy sequential packing per shard: replaying
+    the running sum in id order reproduces every (bin, offset), and
+    offsets always lie inside the bin grid [0, seq_len)."""
+    from computer_vision_foundations_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(counts)), ["doc_id", "n_tokens"]
+    )
+    rows = pack_sequences(df, "n_tokens", seq_len=seq_len, n_shards=2).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in members:
+            assert 0 <= r.offset < seq_len
+            assert r.bin == cum // seq_len
+            assert r.offset == cum - r.bin * seq_len
+            cum += r.n_tokens
