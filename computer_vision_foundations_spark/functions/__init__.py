@@ -11,6 +11,7 @@ from computer_vision_foundations_spark.functions.text import (
     fingerprint_md5,
     normalized_text,
     quality_columns,
+    repetition_columns,
     stopword_ratio,
     token_count,
     tokens,
@@ -40,6 +41,7 @@ __all__ = [
     "fingerprint_md5",
     "normalized_text",
     "quality_columns",
+    "repetition_columns",
     "stopword_ratio",
     "token_count",
     "tokens",

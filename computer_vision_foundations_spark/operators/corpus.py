@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.hashing import md5_hash_pair
-from computer_vision_foundations_spark.functions.text import quality_columns
+from computer_vision_foundations_spark.functions.text import (
+    quality_columns,
+    repetition_columns,
+)
 from computer_vision_foundations_spark.operators.chunking import (
     chunk_documents,
     pack_sequences,
@@ -48,6 +51,8 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     min_tokens: int = 20,
     max_punct_ratio: float = 0.25,
+    max_dup_token_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     chunk_tokens: int = 32,
     overlap: int = 8,
     seq_len: int = 256,
@@ -60,12 +65,19 @@ def prepare_training_corpus(
     into ~``seq_len``-token bins per shard. Near-duplicate clusters
     keep only their smallest doc_id (same keep-min policy as exact
     dedup), so the output provenance is deterministic."""
-    # 1. quality gate (all-Catalyst score columns, one projection)
+    # 1. quality gate (all-Catalyst score columns, one projection);
+    # optional Gopher-style repetition gates ride the same scan
     scored = quality_columns(df, text_col)
-    kept = scored.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("punct_ratio") <= max_punct_ratio)
-    ).select(id_col, text_col)
+    cond = (F.col("n_tokens") >= min_tokens) & (
+        F.col("punct_ratio") <= max_punct_ratio
+    )
+    if max_dup_token_frac is not None or max_top_bigram_frac is not None:
+        scored = repetition_columns(scored, text_col)
+        if max_dup_token_frac is not None:
+            cond = cond & (F.col("dup_token_frac") <= max_dup_token_frac)
+        if max_top_bigram_frac is not None:
+            cond = cond & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    kept = scored.filter(cond).select(id_col, text_col)
 
     # 2. exact dedup: keep each distinct content's min id
     keepers = exact_duplicates(kept, text_col, id_col).select(

@@ -3216,6 +3216,46 @@ def q79_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q80_trailing_hour_window",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
+             AS avg_1h,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS n_1h
+    FROM events
+    """,
+)
+def q80_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING):
+    the event-time sibling of the ROWS frames in q76 — trailing-hour
+    mean and count per user, evaluated by Catalyst's range-frame window
+    exec (one shuffle on user_id, ordered frame scan; no self-join).
+    The driver fixtures surface ts as TIMESTAMP_NTZ, where interval
+    arithmetic is zone-free wall-clock math — identical to DuckDB's
+    TIMESTAMP, so the frames agree without any zone pinning."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_q80_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
+                 AS avg_1h,
+               count(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS n_1h
+        FROM _q80_events
+        """
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Registry finalization

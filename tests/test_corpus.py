@@ -52,3 +52,24 @@ def test_deterministic(spark):
     a = prepare_training_corpus(_docs(spark)).collect()
     b = prepare_training_corpus(_docs(spark)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_repetition_gate_drops_boilerplate(spark):
+    """The optional Gopher-style repetition gates remove a degenerate
+    repeated-token document that passes the length/punctuation gates,
+    and leave the default (gates off) output unchanged."""
+    from computer_vision_foundations_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (1, " ".join(f"tok{i}" for i in range(40))),       # healthy
+        (2, " ".join(["spam"] * 40)),                       # pure repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    default = prepare_training_corpus(df, min_tokens=10, chunk_tokens=16, overlap=4)
+    assert {r.doc_id for r in default.collect()} == {1, 2}
+    gated = prepare_training_corpus(
+        df, min_tokens=10, chunk_tokens=16, overlap=4, max_dup_token_frac=0.5
+    )
+    assert {r.doc_id for r in gated.collect()} == {1}
