@@ -7,15 +7,21 @@ schemas (`02_Data Ingest.py:191-199` and `02_Data Ingest.py:242-249`),
 but batched over Arrow so the JVM⇄Python hop moves columnar buffers,
 not pickled rows — the reference's dominant perf cost (SURVEY §4).
 
-Decode backend:
+Decode backend (in priority order):
 - With Pillow installed, images are decoded exactly as the reference
   does (PIL.Image + ImageStat; EXIF struct synthesized from
   PIL.ExifTags the way `02_Data Ingest.py:111-132` does).
-- Without Pillow (this container), a clearly-marked DETERMINISTIC FAKE
-  decoder stands in: it derives pseudo pixel statistics from the raw
-  bytes so the Spark-side plumbing (schemas, Arrow batches, struct
-  columns, SQL registration) is fully real and testable. Swap-in is a
-  single function.
+- Without Pillow, PNG bytes get a REAL decode via the dependency-free
+  codec in ``functions/png.py`` (zlib + filter reversal): metadata is
+  header-parsed without pixel decode, and statistics are genuine
+  per-band mean/median/stddev/extrema/entropy/histogram following
+  PIL.ImageStat's definitions. JPEG bytes get REAL header metadata
+  (SOF dimensions/bands) and REAL EXIF (APP1/TIFF IFD parse) — only
+  JPEG *pixel* statistics still need Pillow.
+- Anything else falls back to a clearly-marked DETERMINISTIC FAKE
+  decoder that derives pseudo pixel statistics from the raw bytes so
+  the Spark-side plumbing (schemas, Arrow batches, struct columns,
+  SQL registration) stays real and testable.
 
 The EXIF schema is synthesized from PIL's tag tables when available and
 falls back to a pinned snapshot of common tags otherwise, preserving
@@ -26,10 +32,15 @@ from __future__ import annotations
 
 import io
 import math
+import struct
+import zlib
 from collections import Counter
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+
+from computer_vision_foundations_spark.functions import png as _png
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,6 +160,12 @@ def _metadata_one(content: bytes) -> dict:
             "format": img.format,
             "exif": exif,
         }
+    try:  # real header parse; malformed bytes fall through to the fake
+        real = _metadata_real(content)
+    except (ValueError, struct.error, IndexError):
+        real = None
+    if real is not None:
+        return real
     px = _fake_pixels(content)
     side = max(1, int(math.isqrt(len(px))))
     return {
@@ -159,6 +176,73 @@ def _metadata_one(content: bytes) -> dict:
         "mode": "L",
         "format": "FAKE",
         "exif": {"GPSInfo": {}},
+    }
+
+
+def _metadata_real(content: bytes) -> dict | None:
+    """Dependency-free real metadata for PNG/JPEG bytes (see module
+    docstring); None when the bytes are neither."""
+    if _png.is_png(content):
+        info = _png.png_info(content)  # header-only: no pixel decode
+        return {
+            "height": info["height"],
+            "width": info["width"],
+            "dpi": info["dpi"],
+            "layers": info["layers"],
+            "mode": info["mode"],
+            "format": "PNG",
+            "exif": {"GPSInfo": {}},  # PNG carries no EXIF in fixtures
+        }
+    if _png.is_jpeg(content):
+        hdr = _png.parse_jpeg_header(content)
+        exif = _png.parse_jpeg_exif(content)
+        gps = exif.pop("GPSInfo", {}) if isinstance(exif, dict) else {}
+        exif["GPSInfo"] = gps
+        if hdr is not None:
+            dpi = [0, 0]
+            if "XResolution" in exif and str(exif["XResolution"]).isdigit():
+                dpi = [int(exif["XResolution"]), int(exif.get("YResolution", exif["XResolution"]))]
+            return {
+                "height": hdr["height"],
+                "width": hdr["width"],
+                "dpi": dpi,
+                "layers": hdr["layers"],
+                "mode": hdr["mode"],
+                "format": "JPEG",
+                "exif": exif,
+            }
+    return None
+
+
+def _png_statistics(content: bytes) -> dict:
+    """REAL per-band statistics from the dependency-free PNG decoder,
+    following PIL.ImageStat's definitions: population stddev, median =
+    smallest level whose cumulative count exceeds half, entropy over
+    the concatenated per-band histogram, histogram = 256 bins per band
+    concatenated (palette images expanded to RGB first, as PIL's
+    ``convert`` step in the reference pipeline would)."""
+    d = _png.decode_png(content)
+    px = d["pixels"]  # (h, w, nch) uint8
+    h, w, nch = px.shape
+    n = h * w
+    mean, median, stddev, extrema, hists = [], [], [], [], []
+    for b in range(nch):
+        band = px[:, :, b].ravel()
+        hist = np.bincount(band, minlength=256)
+        hists.append(hist)
+        mean.append(float(band.mean()))
+        stddev.append(float(band.std()))  # population, like ImageStat
+        extrema.append([int(band.min()), int(band.max())])
+        median.append(int(np.searchsorted(hist.cumsum(), n // 2, side="right")))
+    full = np.concatenate(hists).astype(np.float64)
+    p = full[full > 0] / full.sum()
+    return {
+        "mean": mean,
+        "median": median,
+        "stddev": stddev,
+        "extrema": extrema,
+        "entropy": float(-(p * np.log2(p)).sum()),
+        "histogram": [int(x) for x in np.concatenate(hists)],
     }
 
 
@@ -176,6 +260,11 @@ def _statistics_one(content: bytes) -> dict:
             "entropy": float(img.entropy()),
             "histogram": [int(x) for x in img.histogram()],
         }
+    if _png.is_png(content):
+        try:  # real decode; malformed PNGs fall through to the fake
+            return _png_statistics(content)
+        except (ValueError, struct.error, IndexError, zlib.error):
+            pass
     px = _fake_pixels(content)
     n = len(px)
     mean = sum(px) / n
@@ -193,6 +282,21 @@ def _statistics_one(content: bytes) -> dict:
         "entropy": entropy,
         "histogram": hist,
     }
+
+
+@pandas_udf(T.BinaryType())
+def encode_text_png(s: pd.Series) -> pd.Series:
+    """UTF-8 bytes of a string as a REAL 1×N grayscale PNG (lossless),
+    so decode→statistics over it recovers exact byte statistics — the
+    hook that gives the image-statistics query a full SQL oracle on an
+    ASCII corpus (ord(char) == byte there)."""
+
+    def enc(t: str) -> bytes:
+        b = t.encode("utf-8")
+        arr = np.frombuffer(b, dtype=np.uint8).reshape(1, -1)
+        return _png.encode_png(arr)
+
+    return s.map(enc)
 
 
 @pandas_udf(METADATA_SCHEMA)

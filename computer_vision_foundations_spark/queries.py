@@ -974,23 +974,73 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q66_image_statistics")
+@_register(
+    "q66_image_statistics",
+    """
+    WITH chars AS (
+        SELECT doc_id, ord(u.c) AS v
+        FROM documents, unnest(string_split(text, '')) u(c)
+        WHERE length(text) > 0
+    ), hist AS (
+        SELECT doc_id, v, count(*) AS c FROM chars GROUP BY doc_id, v
+    ), tot AS (
+        SELECT doc_id, sum(c) AS n,
+               round(sum(v * c) / sum(c), 6)   AS mean_band0,
+               CAST(min(v) AS BIGINT)          AS min_band0,
+               CAST(max(v) AS BIGINT)          AS max_band0
+        FROM hist GROUP BY doc_id
+    ), med AS (
+        SELECT h.doc_id, CAST(min(h.v) AS BIGINT) AS median_band0
+        FROM (SELECT doc_id, v,
+                     sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cum
+              FROM hist) h
+        JOIN tot t ON t.doc_id = h.doc_id
+        WHERE h.cum > t.n // 2
+        GROUP BY h.doc_id
+    ), ent AS (
+        SELECT h.doc_id,
+               round(-sum((h.c * 1.0 / t.n) * log2(h.c * 1.0 / t.n)), 6) AS entropy
+        FROM hist h JOIN tot t ON t.doc_id = h.doc_id
+        GROUP BY h.doc_id
+    )
+    SELECT t.doc_id, ent.entropy, t.mean_band0, med.median_band0,
+           t.min_band0, t.max_band0
+    FROM tot t
+    JOIN med ON med.doc_id = t.doc_id
+    JOIN ent ON ent.doc_id = t.doc_id
+    """,
+)
 def q66_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-statistics pandas UDF (reference U2 schema,
-    `02_Data Ingest.py:242-249`) over synthesized binary payloads —
-    decode is the documented deterministic stub in this container, so
-    rows-only."""
-    from computer_vision_foundations_spark.functions.image import get_image_statistics
-
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "content", F.col("text").cast("binary")
+    `02_Data Ingest.py:242-249`) over REAL image bytes: each document's
+    UTF-8 text becomes a 1×N grayscale PNG (``encode_text_png``), and
+    ``get_image_statistics`` decodes it with the dependency-free codec
+    in ``functions/png.py``. PNG is lossless, so the pixel statistics
+    equal byte statistics of the text — which the DuckDB oracle
+    computes directly from characters (``ord(c) == byte`` on this
+    ASCII corpus), upgrading this query from rows-only to a full
+    value-hash differential check of the encode→decode→stats chain.
+    Scale shape: one narrow Arrow-batched projection per stage; no
+    shuffle at all."""
+    from computer_vision_foundations_spark.functions.image import (
+        encode_text_png,
+        get_image_statistics,
     )
-    out = docs.withColumn("statistics", get_image_statistics(F.col("content")))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    out = docs.withColumn("content", encode_text_png(F.col("text")))
+    out = out.withColumn("statistics", get_image_statistics(F.col("content")))
     return out.select(
         "doc_id",
-        F.col("statistics.entropy").alias("entropy"),
-        F.element_at("statistics.mean", 1).alias("mean_band0"),
-        F.element_at("statistics.median", 1).alias("median_band0"),
+        F.round("statistics.entropy", 6).alias("entropy"),
+        F.round(F.element_at("statistics.mean", 1), 6).alias("mean_band0"),
+        F.element_at("statistics.median", 1).cast("long").alias("median_band0"),
+        F.element_at(F.element_at("statistics.extrema", 1), 1)
+        .cast("long")
+        .alias("min_band0"),
+        F.element_at(F.element_at("statistics.extrema", 1), 2)
+        .cast("long")
+        .alias("max_band0"),
     )
 
 
@@ -3255,6 +3305,65 @@ def q80_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Link-graph quality signals (LLM-pipeline: page-authority scoring)
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+        SELECT l_suppkey AS src, -o_custkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey, o_custkey
+        UNION ALL
+        SELECT -o_custkey AS src, l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey, o_custkey
+        HAVING count(*) >= 2
+"""
+
+
+def _pagerank_oracle() -> str:
+    from computer_vision_foundations_spark.operators.pagerank import (
+        pagerank_oracle_sql,
+    )
+
+    return pagerank_oracle_sql(
+        _PR_EDGES_SQL, damping=0.85, n_iter=5, round_digits=9
+    )
+
+
+@_register("q81_pagerank", _pagerank_oracle())
+def q81_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (`operators/pagerank.py`) over the
+    supplier→customer trade graph: an edge per trading pair, plus the
+    reverse edge for repeat business (≥2 lineitems), so some customer
+    nodes stay dangling and the dangling-mass redistribution path is
+    exercised. Customer node ids are negated to keep the two keyspaces
+    disjoint. 5 damped power iterations as ONE lazy unrolled plan —
+    per round: broadcast degree join, shuffle on src, hash-agg on dst
+    carrying (node, double) only; dangling mass rides a broadcast
+    1-row crossJoin, never a driver collect. Oracle: the same
+    recurrence unrolled as r0..r5 CTEs with identical double
+    arithmetic; ranks rounded to 9 digits (values ~1/N; noise from
+    summation order is ~1e-15)."""
+    from computer_vision_foundations_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    fwd = pairs.select(
+        F.col("l_suppkey").alias("src"), (-F.col("o_custkey")).alias("dst")
+    )
+    back = pairs.filter(F.col("n_items") >= 2).select(
+        (-F.col("o_custkey")).alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    pr = pagerank(fwd.unionByName(back), damping=0.85, n_iter=5)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
 # ---------------------------------------------------------------------------
