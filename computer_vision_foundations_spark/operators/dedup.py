@@ -473,8 +473,11 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     dim: int | None = None,
     allow_full_cross: bool = False,
+    keep_block: bool = False,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs ``(id_a, id_b, cos_sim)``, id_a < id_b.
+    """Cosine near-duplicate pairs ``(id_a, id_b, cos_sim)``, id_a < id_b;
+    with ``keep_block`` the blocking column is kept as the first output
+    column (semantic-dedup pipelines group decisions per cluster).
 
     With ``block_col`` the self-join is an equi-join within blocks
     (at scale: LSH bucket / IVF cell id). Without it the plan is a full
@@ -509,12 +512,15 @@ def embedding_near_duplicates(
     joined = (
         left.join(right, on="_blk") if block_col else left.crossJoin(right)
     ).filter(F.col("id_a") < F.col("id_b"))
+    out_cols = (
+        [F.col("_blk").alias(block_col)] if (block_col and keep_block) else []
+    )
     return (
         joined.withColumn(
             "cos_sim", cosine_from_norms("_va", "_vb", "_na", "_nb", dim)
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .select(*out_cols, "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
 
 

@@ -3366,6 +3366,134 @@ def q81_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _semantic_dedup_oracle_sql(threshold: float = 0.3) -> str:
+    """Replay the SemDeDup composition: seeded centroids as SQL
+    literals (the q16 construction), first-argmin cluster assignment,
+    then within-cluster cosine pairs (the q28 construction)."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(_KM_DIM, _KM_CLUSTERS, _KM_SEED)
+    dists = ", ".join(
+        f"({sum(x * x for x in c)!r} - 2.0 * list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in c)}]))"
+        for c in cents
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, v, [{dists}] AS dists FROM emb
+    ),
+    assigned AS (
+      SELECT vec_id, v,
+             CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster
+      FROM d
+    )
+    SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    """
+
+
+@_register("q82_semantic_dedup", _semantic_dedup_oracle_sql())
+def q82_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    k-means cluster assignment over embeddings
+    (operators/clustering.kmeans_assign, Arrow-batched matmul — one
+    narrow projection, no shuffle) becomes the BLOCKING column for
+    cosine near-duplicate pairing
+    (operators/dedup.embedding_near_duplicates — equi-join within
+    cluster, norms precomputed per side). At 100 TB this is the
+    standard answer to "embedding near-dup without O(n²)": candidate
+    pairs only form inside a cluster, and cluster count tunes the
+    block size. Composition is fully oracle-checked: centroids are
+    seeded literals replayed in SQL, so assignment and pairing both
+    hash-match."""
+    from computer_vision_foundations_spark.operators.clustering import (
+        kmeans_assign,
+    )
+    from computer_vision_foundations_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = random_centroids(_KM_DIM, _KM_CLUSTERS, _KM_SEED)
+    clustered = kmeans_assign(emb, cents, "embedding", "cluster")
+    return embedding_near_duplicates(
+        clustered,
+        "embedding",
+        "vec_id",
+        block_col="cluster",
+        threshold=0.3,
+        keep_block=True,
+    )
+
+
+_HASH_UNIT_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 7)) "
+    "AS BIGINT) / 268435456.0"
+)
+
+
+@_register(
+    "q83_bottom_k_sample",
+    f"""
+    SELECT doc_id, source, {_HASH_UNIT_SQL} AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+)
+def q83_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic uniform sample
+    (operators/sample.bottom_k_sample): the 100 smallest seeded hash
+    units. Plans TakeOrderedAndProject — per-partition top-k, k-row
+    exchange — never a full sort; reproducible across engines and
+    cluster layouts, and consistent (a larger k is a superset)."""
+    from computer_vision_foundations_spark.operators.sample import (
+        bottom_k_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return bottom_k_sample(docs, "doc_id", 100, seed=42)
+
+
+@_register(
+    "q84_domain_cap",
+    f"""
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_HASH_UNIT_SQL}, doc_id) AS sample_rank
+      FROM documents) t
+    WHERE sample_rank <= 15
+    """,
+)
+def q84_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sample.group_cap_sample):
+    at most 15 docs per source, picked by seeded hash order — the
+    head-domain bound every web-corpus mixture applies before
+    weighting. One shuffle on the group key + rank window."""
+    from computer_vision_foundations_spark.operators.sample import (
+        group_cap_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = group_cap_sample(docs, "source", "doc_id", 15, seed=42)
+    return out.select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
