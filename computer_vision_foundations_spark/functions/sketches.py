@@ -36,6 +36,8 @@ __all__ = [
     "count_min_registers",
     "count_min_estimate",
     "CM_SLOT_SQL",
+    "bloom_bits",
+    "bloom_membership",
 ]
 
 
@@ -205,3 +207,55 @@ def CM_SLOT_SQL(col_sql: str, seed: int, w: int) -> str:
     h1 = f"('0x' || substr(md5(CAST({col_sql} AS VARCHAR)), 1, 7))::BIGINT"
     h2 = f"('0x' || substr(md5(CAST({col_sql} AS VARCHAR)), 8, 7))::BIGINT"
     return f"((({a} * {h1} + {b} * {h2} + {c}) % {MINHASH_PRIME}) % {w})"
+
+
+def _bloom_positions(col, m: int, k: int):
+    """The k double-hashed bit positions of a value (Kirsch–
+    Mitzenmacher: pos_i = (h1 + i·h2) mod m) as an array column —
+    duplicates removed, because membership requires each DISTINCT
+    position to be set."""
+    h1, h2 = md5_hash_pair(col)
+    return F.array_distinct(
+        F.array(*[((h1 + F.lit(i) * h2) % m) for i in range(k)])
+    )
+
+
+def bloom_bits(df: DataFrame, col: str, m: int = 65536, k: int = 5) -> DataFrame:
+    """Bloom filter over ``df[col]`` as a relational register table:
+    the DISTINCT set bit positions (≤ m rows of one int). Mergeable by
+    union+distinct — the property that lets a 1000-executor job build
+    per-partition filters and OR them. One explode + one distinct
+    (hash-agg with map-side partials); sized for broadcast (m=2^16 →
+    ≤ 0.5 MB)."""
+    return (
+        df.select(F.explode(_bloom_positions(F.col(col), m, k)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_membership(
+    df: DataFrame,
+    col: str,
+    bits: DataFrame,
+    keys: list[str],
+    m: int = 65536,
+    k: int = 5,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """``keys + maybe_member`` — true iff every bit position of
+    ``df[col]`` is set in ``bits`` (Bloom semantics: no false
+    negatives; false-positive rate ~(1-e^{-kn/m})^k). The filter side
+    is broadcast; the probe side explodes to ≤ k rows per input and
+    re-aggregates on ``keys`` — corpus rows never shuffle their
+    payload, only (keys, int) probes."""
+    pos = _bloom_positions(F.col(col), m, k)
+    probes = df.select(
+        *keys, F.size(pos).alias("_need"), F.explode(pos).alias("bit")
+    )
+    hit = F.broadcast(bits.withColumn("_hit", F.lit(1)))
+    return (
+        probes.join(hit, "bit", "left")
+        .groupBy(*keys, "_need")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_got"))
+        .select(*keys, (F.col("_got") == F.col("_need")).alias(out_col))
+    )

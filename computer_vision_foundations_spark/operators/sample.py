@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.operators.mixture import hash_unit
 
-__all__ = ["bottom_k_sample", "group_cap_sample"]
+__all__ = ["bottom_k_sample", "group_cap_sample", "weighted_sample_k"]
 
 
 def bottom_k_sample(
@@ -45,6 +45,29 @@ def bottom_k_sample(
     is appended as ``key_col``."""
     keyed = df.withColumn(key_col, hash_unit(id_col, seed))
     return keyed.orderBy(F.col(key_col), F.col(id_col)).limit(k)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Weighted sample of ``k`` rows without replacement, deterministic
+    in the ids: Efraimidis–Spirakis A-ES with the seeded hash unit as
+    the uniform — key = u^(1/weight), keep the k LARGEST keys (ties by
+    id). Inclusion probability is proportional to weight at each draw,
+    so token-weighted corpus pilots keep long documents at the right
+    rate. Same TakeOrderedAndProject shape as ``bottom_k_sample``; the
+    key is one ``pow`` per row. Weights must be > 0."""
+    key = F.pow(hash_unit(id_col, seed), F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.desc(key_col), F.col(id_col))
+        .limit(k)
+    )
 
 
 def group_cap_sample(

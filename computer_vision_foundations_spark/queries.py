@@ -3494,6 +3494,127 @@ def q84_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q86_weighted_sample",
+    f"""
+    SELECT doc_id, source, n_chars,
+           round(pow({_HASH_UNIT_SQL}, 1.0 / n_chars), 7) AS sample_key
+    FROM documents
+    ORDER BY pow({_HASH_UNIT_SQL}, 1.0 / n_chars) DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted fixed-size sample
+    (operators/sample.weighted_sample_k): Efraimidis–Spirakis A-ES
+    keyed on the seeded hash unit (key = u^(1/n_chars), keep the 100
+    largest), so longer documents enter the pilot at rate ∝ length
+    while the draw stays a pure function of (id, seed). Plans
+    TakeOrderedAndProject like q83 — no full sort, no RNG state."""
+    from computer_vision_foundations_spark.operators.sample import (
+        weighted_sample_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = weighted_sample_k(docs, "doc_id", "n_chars", 100, seed=42)
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("sample_key", 7).alias("sample_key")
+    )
+
+
+_BLOOM_M, _BLOOM_K = 65536, 5
+_BLOOM_H1 = "('0x' || substr(md5(s), 1, 7))::BIGINT"
+_BLOOM_H2 = "('0x' || substr(md5(s), 8, 7))::BIGINT"
+
+
+@_register(
+    "q85_bloom_decontaminate",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    e AS (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+    eh AS (SELECT DISTINCT s FROM e),
+    bits AS (
+      SELECT DISTINCT ({_BLOOM_H1} + i * {_BLOOM_H2}) % {_BLOOM_M} AS bit
+      FROM eh, generate_series(0, {_BLOOM_K - 1}) g(i)
+    ),
+    t AS (SELECT doc_id AS train_id, unnest(shingles) AS s
+          FROM sh WHERE doc_id % 50 <> 0),
+    tposd AS (
+      SELECT DISTINCT s,
+             ({_BLOOM_H1} + i * {_BLOOM_H2}) % {_BLOOM_M} AS bit
+      FROM (SELECT DISTINCT s FROM t), generate_series(0, {_BLOOM_K - 1}) g(i)
+    ),
+    mem AS (
+      SELECT p.s, count(*) AS need, count(b.bit) AS got
+      FROM tposd p LEFT JOIN bits b USING (bit)
+      GROUP BY p.s
+    ),
+    hits AS (
+      SELECT t.train_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN m.got = m.need THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_hits
+      FROM t JOIN mem m USING (s)
+      GROUP BY t.train_id
+    )
+    SELECT train_id, n_shingles, n_bloom_hits,
+           round(CAST(n_bloom_hits AS DOUBLE) / n_shingles, 6) AS hit_frac
+    FROM hits
+    """,
+)
+def q85_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-screen
+    (functions/sketches.bloom_bits/bloom_membership): the eval set's
+    3-gram shingles populate a 2^16-bit Bloom filter (Kirsch–
+    Mitzenmacher double hashing over the portable md5 pair, k=5);
+    every training document reports how many of its shingles MAYBE hit
+    the filter. At 100 TB this is the cheap first pass before the
+    exact q35 join: the filter is ≤ 0.5 MB broadcast however large
+    the eval set, the corpus never shuffles text (probes are (id, int)
+    pairs), and no-false-negatives means a zero-hit document is
+    provably clean. Bit construction replays exactly in SQL, so hits
+    hash-match bit-for-bit."""
+    from computer_vision_foundations_spark.functions.sketches import (
+        bloom_bits,
+        bloom_membership,
+    )
+    from computer_vision_foundations_spark.operators.dedup import _with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_sh = (
+        _with_shingles(docs.filter(F.col("doc_id") % 50 == 0), "text", "doc_id", "eval_id", 3)
+        .select(F.explode("_shingles").alias("s"))
+    )
+    bits = bloom_bits(eval_sh, "s", m=_BLOOM_M, k=_BLOOM_K)
+    train_sh = (
+        _with_shingles(docs.filter(F.col("doc_id") % 50 != 0), "text", "doc_id", "train_id", 3)
+        .select("train_id", F.explode("_shingles").alias("s"))
+    )
+    mem = bloom_membership(
+        train_sh.select("s").distinct(), "s", bits, keys=["s"],
+        m=_BLOOM_M, k=_BLOOM_K,
+    )
+    return (
+        train_sh.join(mem, "s")
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_hits"),
+        )
+        .select(
+            "train_id",
+            "n_shingles",
+            "n_bloom_hits",
+            F.round(
+                F.col("n_bloom_hits") / F.col("n_shingles"), 6
+            ).alias("hit_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

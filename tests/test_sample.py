@@ -51,3 +51,19 @@ def test_group_cap_binds_per_group(spark):
 def test_group_cap_passes_small_groups_through(spark):
     df = _docs(spark, n=20, groups=4)  # 5 per group < cap
     assert group_cap_sample(df, "source", "doc_id", 12).count() == 20
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from computer_vision_foundations_spark.operators.sample import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample_k(df, "doc_id", "w", 30).collect()
+    assert len(out) == 30
+    heavy = sum(1 for r in out if r.doc_id < 20)
+    assert heavy == 20  # all heavy rows make the cut at 1000:1 odds
+    # deterministic
+    again = weighted_sample_k(df, "doc_id", "w", 30).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in again}

@@ -67,3 +67,38 @@ def test_count_min_registers_bounded(spark):
     assert regs.count() <= 4 * 128
     total = regs.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
     assert all(r.s == 2000 for r in total)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from computer_vision_foundations_spark.functions.sketches import (
+        bloom_bits,
+        bloom_membership,
+    )
+
+    members = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(500)], "v string"
+    )
+    probes = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(1000)], "v string"
+    )
+    bits = bloom_bits(members, "v", m=65536, k=5)
+    out = {
+        r.v: r.maybe_member
+        for r in bloom_membership(probes, "v", bits, ["v"], m=65536, k=5).collect()
+    }
+    # no false negatives
+    assert all(out[f"item-{i}"] for i in range(500))
+    # false positives bounded: n*k/m ~ 0.038 load -> fp ~ (1-e^-.038)^5 ~ 7e-8
+    fp = sum(1 for i in range(500, 1000) if out[f"item-{i}"])
+    assert fp <= 2
+
+
+def test_bloom_bits_mergeable(spark):
+    from computer_vision_foundations_spark.functions.sketches import bloom_bits
+
+    a = spark.createDataFrame([("x1",), ("x2",)], "v string")
+    b = spark.createDataFrame([("x2",), ("x3",)], "v string")
+    both = spark.createDataFrame([("x1",), ("x2",), ("x3",)], "v string")
+    merged = bloom_bits(a, "v").unionByName(bloom_bits(b, "v")).distinct()
+    direct = bloom_bits(both, "v")
+    assert {r.bit for r in merged.collect()} == {r.bit for r in direct.collect()}
