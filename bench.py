@@ -6,7 +6,7 @@ analysis — on local[$SPARK_GRAFT_CPUS], forcing full execution with a
 noop write (no driver collect), and prints exactly ONE JSON line:
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q78_pricing_summary": sec, ...}, "sf": 0.1}
 
 Per-query time = wall time of the noop-sink write of the query's plan.
 """
@@ -27,19 +27,19 @@ from computer_vision_foundations_spark.queries import queries
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
-    "q01_pricing_summary",
-    "q03_top_revenue_orders",
+    "q78_pricing_summary",
+    "q79_top_revenue_orders",
     "q04_bm25_search",
     "q75_region_revenue",
-    "q05_customer_order_profile",
-    "q07_top3_orders_per_customer",
+    "q80_customer_order_profile",
+    "q81_top3_orders_per_customer",
     "q08_repetition_signals",
     "q76_events_running_window",
     "q77_events_hourly_window",
     "q16_kmeans_step",
-    "q17_sessionization",
-    "q21_dedup_exact",
-    "q22_text_quality",
+    "q82_sessionization",
+    "q83_dedup_exact",
+    "q66_text_quality",
     "q24_ngram_jaccard_pairs",
     "q26_lsh_candidate_pairs",
     "q27_knn_cosine",
@@ -50,10 +50,10 @@ HEADLINE = [
     "q50_ivf_pq_ann",
     "q37_winnow_fingerprints",
     "q42_winnow_near_dup_pairs",
-    "q43_asof_enrich",
-    "q44_range_join_error_window",
-    "q45_time_rollup",
-    "q46_hll_distinct",
+    "q84_asof_enrich",
+    "q85_range_join_error_window",
+    "q86_time_rollup",
+    "q87_hll_distinct",
     "q47_count_min_heavy_hitters",
     "q48_dedup_clusters",
     "q20_training_corpus",
@@ -65,6 +65,10 @@ HEADLINE = [
     "q40_vocab_coverage",
     "q41_pmi_bigrams",
     "q49_simhash_near_dup_pairs",
+    "q07_pagerank",
+    "q17_semantic_dedup",
+    "q44_bloom_decontaminate",
+    "q45_weighted_sample",
 ]
 
 
@@ -162,7 +166,7 @@ def main() -> int:
     # session warm-up to q21). One representative relational query + one
     # documents-table query + one Arrow/pandas-UDF query cover the three
     # warm-up classes; their results are discarded.
-    for warm in ("q01_pricing_summary", "q22_text_quality", "q64_scored_documents"):
+    for warm in ("q78_pricing_summary", "q66_text_quality", "q64_scored_documents"):
         qs[warm](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:

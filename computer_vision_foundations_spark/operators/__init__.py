@@ -23,6 +23,12 @@ from computer_vision_foundations_spark.operators.quantization import (
     pq_encode,
 )
 from computer_vision_foundations_spark.operators.retrieval import bm25_topk, rrf_fuse
+from computer_vision_foundations_spark.operators.pagerank import pagerank
+from computer_vision_foundations_spark.operators.sample import (
+    bottom_k_sample,
+    group_cap_sample,
+    weighted_sample_k,
+)
 from computer_vision_foundations_spark.operators.clustering import (
     kmeans_assign,
     kmeans_fit,
@@ -75,6 +81,10 @@ from computer_vision_foundations_spark.operators.zorder import (
 )
 
 __all__ = [
+    "pagerank",
+    "bottom_k_sample",
+    "group_cap_sample",
+    "weighted_sample_k",
     "deterministic_split",
     "train_test_split",
     "embedding_near_duplicates",

@@ -588,3 +588,59 @@ def winnow_near_duplicates(
             ).alias("resemblance"),
         )
     )
+
+
+def incremental_exact_duplicates(
+    new_df: DataFrame,
+    old_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    old_id_col: str = "keep_id",
+    canonicalize: bool = True,
+    broadcast_old: bool = False,
+) -> DataFrame:
+    """Classify a NEW document batch against an existing fingerprint
+    snapshot — the daily-crawl-increment flow: yesterday's corpus is
+    already deduped and persisted as its ``exact_duplicates`` output
+    (16-byte fingerprint + canonical id); today's batch must be checked
+    against it WITHOUT rescanning old text.
+
+    Returns ``(id, fingerprint, status, canonical_id)`` where status is
+    ``'dup_of_snapshot'`` (fingerprint already known — canonical is the
+    snapshot's keep id), ``'dup_in_batch'`` (first seen in this batch,
+    not the batch-min id), or ``'new'`` (batch-min id of an unseen
+    fingerprint). Plan: one hash agg on the batch fingerprints + two
+    equi-joins on 16-byte keys; at 100 TB the snapshot side is
+    fingerprint-sized (one row per distinct historical document), and
+    neither side shuffles document bodies. ``broadcast_old`` for
+    snapshots that fit executor memory."""
+    from computer_vision_foundations_spark.functions.text import fingerprint_md5
+
+    fp = (
+        fingerprint_md5(text_col)
+        if canonicalize
+        else F.md5(F.col(text_col).cast("binary"))
+    )
+    batch = new_df.select(F.col(id_col), fp.alias("fingerprint"))
+    batch_min = batch.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_batch_min")
+    )
+    old = old_fingerprints.select(
+        F.col(fp_col).alias("fingerprint"), F.col(old_id_col).alias("_old_id")
+    )
+    if broadcast_old:
+        old = F.broadcast(old)
+    return (
+        batch.join(batch_min, "fingerprint")
+        .join(old, "fingerprint", "left")
+        .select(
+            id_col,
+            "fingerprint",
+            F.when(F.col("_old_id").isNotNull(), F.lit("dup_of_snapshot"))
+            .when(F.col(id_col) != F.col("_batch_min"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("_old_id", "_batch_min").alias("canonical_id"),
+        )
+    )

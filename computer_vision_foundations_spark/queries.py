@@ -77,7 +77,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 @_register(
-    "q01_pricing_summary",
+    "q78_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -93,7 +93,7 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY l_returnflag, l_linestatus
     """,
 )
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q78_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped scan→filter→hash-agg; partial aggregation map-side,
     one shuffle on the 2-column group key. Filter and the 7-column
     projection push down to the parquet scan."""
@@ -146,7 +146,7 @@ def q02_class_balance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q03_top_revenue_orders",
+    "q79_top_revenue_orders",
     """
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -156,7 +156,7 @@ def q02_class_balance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q79_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + agg + total-order top-k. Ties on rounded revenue break on
     o_orderkey so LIMIT is deterministic cross-engine."""
     orders = load_table(spark, sf_dir, "orders")
@@ -211,7 +211,7 @@ def q75_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q05_customer_order_profile",
+    "q80_customer_order_profile",
     """
     SELECT c_mktsegment,
            count(DISTINCT c.c_custkey)            AS n_customers,
@@ -221,7 +221,7 @@ def q75_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
 )
-def q05_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q80_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving order-less customers + distinct agg."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -262,7 +262,7 @@ def q51_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q07_top3_orders_per_customer",
+    "q81_top3_orders_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -272,7 +272,7 @@ def q51_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
 )
-def q07_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q81_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window row_number top-N per group (the reference's 'latest run'
     pattern, SURVEY §2.5 W1, as a relational operator)."""
     o = load_table(spark, sf_dir, "orders")
@@ -516,7 +516,7 @@ def q77_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q17_sessionization",
+    "q82_sessionization",
     """
     WITH tagged AS (
       SELECT user_id, ts, event_id,
@@ -535,7 +535,7 @@ def q77_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY user_id
     """,
 )
-def q17_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q82_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (streaming/windows.sessionized) reduced
     to per-user session counts."""
     e = load_table(spark, sf_dir, "events")
@@ -624,7 +624,7 @@ def q61_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q21_dedup_exact",
+    "q83_dedup_exact",
     """
     SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
            min(doc_id) AS keep_id,
@@ -632,14 +632,14 @@ def q61_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY 1
     """,
 )
-def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q83_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via canonical-text md5 fingerprint (operators/dedup)."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_duplicates(docs, "text", "doc_id", canonicalize=True)
 
 
 @_register(
-    "q22_text_quality",
+    "q66_text_quality",
     """
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
@@ -654,7 +654,7 @@ def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def q22_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q66_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score columns (token stats, punctuation, stopword ratio)."""
     docs = load_table(spark, sf_dir, "documents")
     out = quality_columns(docs, "text")
@@ -975,7 +975,7 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q66_image_statistics",
+    "q22_image_statistics",
     """
     WITH chars AS (
         SELECT doc_id, ord(u.c) AS v
@@ -1010,7 +1010,7 @@ def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN ent ON ent.doc_id = t.doc_id
     """,
 )
-def q66_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-statistics pandas UDF (reference U2 schema,
     `02_Data Ingest.py:242-249`) over REAL image bytes: each document's
     UTF-8 text becomes a 1×N grayscale PNG (``encode_text_png``), and
@@ -1591,7 +1591,7 @@ def q42_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q43_asof_enrich",
+    "q84_asof_enrich",
     """
     WITH p AS (
       SELECT event_id, user_id, ts, value FROM events
@@ -1607,7 +1607,7 @@ def q42_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.user_id = c.user_id AND p.ts >= c.click_ts
     """,
 )
-def q43_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment (operators/asof.as_of_join): each
     purchase event picks up the user's most recent click at-or-before
     it — the as-of join the brief names as a required custom operator
@@ -1642,7 +1642,7 @@ def q43_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q44_range_join_error_window",
+    "q85_range_join_error_window",
     """
     WITH e AS (
       SELECT event_id AS error_id, ts AS error_ts FROM events
@@ -1660,7 +1660,7 @@ def q43_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND p.purchase_ts <= e.error_ts + INTERVAL 5 MINUTE
     """,
 )
-def q44_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless range join (operators/ranges.range_join): purchases
     landing within 5 minutes after any error event. Spark's native
     plan for a pure range predicate is BroadcastNestedLoopJoin
@@ -1703,7 +1703,7 @@ def q44_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q45_time_rollup",
+    "q86_time_rollup",
     """
     WITH g AS (
       SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
@@ -1723,7 +1723,7 @@ def q44_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g
     """,
 )
-def q45_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical rollup (operators/rollup
     .time_rollup): hour + day + month aggregates in ONE raw-data pass
     — days merge 24 hourly partials, months merge ~30 daily partials,
@@ -1776,8 +1776,8 @@ def _hll_oracle_sql() -> str:
     """
 
 
-@_register("q46_hll_distinct", _hll_oracle_sql())
-def q46_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q87_hll_distinct", _hll_oracle_sql())
+def q87_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (functions/sketches): same
     md5-derived registers and FFGM estimator on both engines, so the
     approximation itself hash-matches — unlike approx_count_distinct
@@ -3224,8 +3224,8 @@ def _rrf_oracle_sql(k: int = 10, rrf_k: int = 60, recency_n: int = 50) -> str:
     """
 
 
-@_register("q78_rrf_fusion", _rrf_oracle_sql())
-def q78_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q01_rrf_fusion", _rrf_oracle_sql())
+def q01_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion (operators/retrieval.rrf_fuse):
     reciprocal-rank fusion of the BM25 top-10 (q04) with a recency
     prior (50 newest docs per query) — rank-only combination, no score
@@ -3251,8 +3251,8 @@ def q78_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, recency], k=10)
 
 
-@_register("q79_ivf_pq_recall", _ann_recall_oracle_sql("q50_ivf_pq_ann"))
-def q79_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q03_ivf_pq_recall", _ann_recall_oracle_sql("q50_ivf_pq_ann"))
+def q03_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the composed IVF-PQ index (q50) against brute-force
     cosine ground truth (q27) via operators/evaluation.ann_recall — the
     quality dial a real deployment tunes (n_probe_cells × codebook
@@ -3267,7 +3267,7 @@ def q79_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q80_trailing_hour_window",
+    "q05_trailing_hour_window",
     """
     SELECT event_id, user_id,
            round(avg(value) OVER (
@@ -3281,7 +3281,7 @@ def q79_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def q80_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING):
     the event-time sibling of the ROWS frames in q76 — trailing-hour
     mean and count per user, evaluated by Catalyst's range-frame window
@@ -3333,8 +3333,8 @@ def _pagerank_oracle() -> str:
     )
 
 
-@_register("q81_pagerank", _pagerank_oracle())
-def q81_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q07_pagerank", _pagerank_oracle())
+def q07_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (`operators/pagerank.py`) over the
     supplier→customer trade graph: an edge per trading pair, plus the
     reverse edge for repeat business (≥2 lineitems), so some customer
@@ -3400,8 +3400,8 @@ def _semantic_dedup_oracle_sql(threshold: float = 0.3) -> str:
     """
 
 
-@_register("q82_semantic_dedup", _semantic_dedup_oracle_sql())
-def q82_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q17_semantic_dedup", _semantic_dedup_oracle_sql())
+def q17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     k-means cluster assignment over embeddings
     (operators/clustering.kmeans_assign, Arrow-batched matmul — one
@@ -3444,7 +3444,7 @@ _HASH_UNIT_SQL = (
 
 
 @_register(
-    "q83_bottom_k_sample",
+    "q21_bottom_k_sample",
     f"""
     SELECT doc_id, source, {_HASH_UNIT_SQL} AS sample_key
     FROM documents
@@ -3452,7 +3452,7 @@ _HASH_UNIT_SQL = (
     LIMIT 100
     """,
 )
-def q83_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-size deterministic uniform sample
     (operators/sample.bottom_k_sample): the 100 smallest seeded hash
     units. Plans TakeOrderedAndProject — per-partition top-k, k-row
@@ -3467,7 +3467,7 @@ def q83_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q84_domain_cap",
+    "q43_domain_cap",
     f"""
     SELECT doc_id, source, sample_rank FROM (
       SELECT doc_id, source,
@@ -3478,7 +3478,7 @@ def q83_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE sample_rank <= 15
     """,
 )
-def q84_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (operators/sample.group_cap_sample):
     at most 15 docs per source, picked by seeded hash order — the
     head-domain bound every web-corpus mixture applies before
@@ -3495,7 +3495,7 @@ def q84_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q86_weighted_sample",
+    "q45_weighted_sample",
     f"""
     SELECT doc_id, source, n_chars,
            round(pow({_HASH_UNIT_SQL}, 1.0 / n_chars), 7) AS sample_key
@@ -3504,7 +3504,7 @@ def q84_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted fixed-size sample
     (operators/sample.weighted_sample_k): Efraimidis–Spirakis A-ES
     keyed on the seeded hash unit (key = u^(1/n_chars), keep the 100
@@ -3530,7 +3530,7 @@ _BLOOM_H2 = "('0x' || substr(md5(s), 8, 7))::BIGINT"
 
 
 @_register(
-    "q85_bloom_decontaminate",
+    "q44_bloom_decontaminate",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     e AS (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
@@ -3563,7 +3563,7 @@ _BLOOM_H2 = "('0x' || substr(md5(s), 8, 7))::BIGINT"
     FROM hits
     """,
 )
-def q85_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-screen
     (functions/sketches.bloom_bits/bloom_membership): the eval set's
     3-gram shingles populate a 2^16-bit Bloom filter (Kirsch–
@@ -3613,6 +3613,50 @@ def q85_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hit_frac"),
         )
     )
+
+
+@_register(
+    "q46_incremental_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+      FROM documents
+    ),
+    old AS (SELECT fingerprint, min(doc_id) AS old_id
+            FROM fp WHERE doc_id % 5 = 0 GROUP BY 1),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 <> 0),
+    bmin AS (SELECT fingerprint, min(doc_id) AS batch_min
+             FROM batch GROUP BY 1)
+    SELECT b.doc_id, b.fingerprint,
+           CASE WHEN o.old_id IS NOT NULL THEN 'dup_of_snapshot'
+                WHEN b.doc_id <> m.batch_min THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           coalesce(o.old_id, m.batch_min) AS canonical_id
+    FROM batch b
+    JOIN bmin m USING (fingerprint)
+    LEFT JOIN old o USING (fingerprint)
+    """,
+)
+def q46_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup
+    (operators/dedup.incremental_exact_duplicates): the daily-crawl
+    flow — an existing fingerprint snapshot (here: every 5th doc,
+    deduped by q83's operator) classifies a new batch into
+    dup-of-snapshot / dup-in-batch / new WITHOUT rescanning old text.
+    Joins carry 16-byte fingerprints only; the snapshot at 100 TB is
+    one row per distinct historical document."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        exact_duplicates,
+        incremental_exact_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = exact_duplicates(
+        docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id"
+    )
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_exact_duplicates(batch, snapshot, "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------

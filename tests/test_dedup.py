@@ -346,3 +346,55 @@ def test_simhash_pairs_band_freq_cap_drops_hot_band(spark):
     }
     # the cap can only shrink the result set, never grow it
     assert set(capped) <= set(uncapped)
+
+
+def test_incremental_exact_duplicates(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        exact_duplicates,
+        incremental_exact_duplicates,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    snapshot = exact_duplicates(old, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha text"),   # dup of snapshot doc 1
+            (11, "gamma text"),   # new
+            (12, "gamma text"),   # dup in batch of 11
+            (13, "Alpha, TEXT"),  # canonicalizes to snapshot doc 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.status, r.canonical_id)
+        for r in incremental_exact_duplicates(batch, snapshot).collect()
+    }
+    assert out[10] == ("dup_of_snapshot", 1)
+    assert out[13] == ("dup_of_snapshot", 1)
+    assert out[11] == ("new", 11)
+    assert out[12] == ("dup_in_batch", 11)
+
+
+def test_incremental_dedup_broadcast_path_matches(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        exact_duplicates,
+        incremental_exact_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(40)], "doc_id long, text string"
+    )
+    snap = exact_duplicates(docs.filter("doc_id < 10"), "text", "doc_id")
+    batch = docs.filter("doc_id >= 10")
+    a = sorted(map(tuple, incremental_exact_duplicates(batch, snap).collect()))
+    b = sorted(
+        map(
+            tuple,
+            incremental_exact_duplicates(
+                batch, snap, broadcast_old=True
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -118,6 +118,7 @@ def main() -> int:
     con = _duck_con(sf_dir)
     qs, oracles = queries(), oracle_sql()
     n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -126,6 +127,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"match": False, "err": f"spark error: {e}"}
             n_fail += 1
             continue
         t_spark = time.time() - t0
@@ -133,20 +135,46 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s)")
             if len(sdf) == 0:
                 print(f"WARN {name}: 0 rows")
+            results[name] = {
+                "match": None, "rows": len(sdf), "err": "no_oracle",
+            }
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"match": False, "err": f"duckdb error: {e}"}
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             n_fail += 1
             print(f"FAIL {name}: {'; '.join(problems)}")
+            results[name] = {
+                "match": False, "rows": len(sdf), "err": "; ".join(problems),
+            }
         else:
             print(f"ok   {name}: {len(sdf)} rows match ({t_spark:.1f}s)")
+            results[name] = {
+                "match": True,
+                "rows": len(sdf),
+                "sec": round(t_spark, 2),
+                "err": None,
+            }
     print(f"\n{n_fail} failures / {len(only) or len(qs)} queries")
+    # Optional artifact (e.g. LOCAL_GATE_r{N}.json): full-registry
+    # evidence for queries outside the driver's 50-row window.
+    out_path = os.environ.get("ORACLE_CHECK_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_fail": n_fail, "results": results},
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     return 1 if n_fail else 0
 
 
