@@ -360,11 +360,14 @@ def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     element (the ``_with_shingles`` trap), which measured 88 s for the
     sf0.1 corpus vs ~1 s with the staged projections (each temp column
     is referenced several times, so CollapseProject keeps the stages).
-    The mode count itself is O(|distinct| · n) per document — the right
-    trade inside whole-stage codegen for typical documents; compute the
-    mode in a pandas UDF instead for pathologically long ones. Rounded
-    to 6 for cross-engine hash parity (DuckDB twins: list_distinct /
-    list_filter / list_max).
+    The mode count is ``array_sort`` + ONE linear ``aggregate`` pass
+    (longest run of equal adjacent elements): O(n log n) per document
+    inside whole-stage codegen, replacing the earlier
+    O(|distinct| · n) distinct×filter scan (measured 10.7 s → ~1 s on
+    the sf0.1 corpus — mostly-distinct documents made the quadratic
+    form its own worst case). Rounded to 6 for cross-engine hash
+    parity (DuckDB twins: list_distinct / list_filter / list_max stay
+    in the oracle — n² there is fine at oracle scale).
     """
     c = F.col(text_col)
     staged = df.withColumn("_rep_toks", F.split(c, " "))
@@ -381,13 +384,28 @@ def repetition_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     nb = F.size("_rep_bigrams")
 
     def mode_count(col_name):
-        arr = F.col(col_name)
-        return F.array_max(
-            F.transform(
-                F.array_distinct(arr),
-                lambda d: F.size(F.filter(arr, lambda x: x == d)),
+        # mode frequency = longest run in the sorted array; one linear
+        # fold, no distinct×filter rescan. The empty-string init for
+        # ``prev`` is safe: run==0 makes both branches yield 1.
+        arr = F.array_sort(F.col(col_name))
+
+        def step(acc, x):
+            run = (
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
             )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
+        return F.aggregate(arr, init, step, lambda acc: acc["best"])
 
     def frac(num, den):
         return F.when(den > 0, F.round(num.cast("double") / den, 6)).otherwise(

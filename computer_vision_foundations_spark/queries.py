@@ -3366,37 +3366,47 @@ def q07_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
-def _semantic_dedup_oracle_sql(threshold: float = 0.3) -> str:
-    """Replay the SemDeDup composition: seeded centroids as SQL
-    literals (the q16 construction), first-argmin cluster assignment,
-    then within-cluster cosine pairs (the q28 construction)."""
-    from computer_vision_foundations_spark.operators.similarity import (
-        random_centroids,
-    )
+_SD_K, _SD_SEED, _SD_THRESHOLD = 32, 42, 0.3
+_SD_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 7)) "
+    "AS BIGINT)"
+)
 
-    cents = random_centroids(_KM_DIM, _KM_CLUSTERS, _KM_SEED)
-    dists = ", ".join(
-        f"({sum(x * x for x in c)!r} - 2.0 * list_dot_product(v, "
-        f"[{', '.join(repr(x) for x in c)}]))"
-        for c in cents
-    )
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Replay the SemDeDup composition end-to-end in SQL: seed
+    centroids = the 32 embeddings with the smallest seeded hash units
+    (no literals needed — the oracle derives them from the data like
+    the engine does), first-argmin assignment, then within-cluster
+    cosine pairs (the q28 construction)."""
     return f"""
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY {_SD_HASH_SQL}, vec_id) - 1 AS cid, v
+      FROM emb
+      ORDER BY {_SD_HASH_SQL}, vec_id
+      LIMIT {_SD_K}
+    ),
     d AS (
-      SELECT vec_id, v, [{dists}] AS dists FROM emb
+      SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(c.v, c.v)
+             - 2.0 * list_dot_product(e.v, c.v) AS dist
+      FROM emb e CROSS JOIN cent c
     ),
     assigned AS (
-      SELECT vec_id, v,
-             CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster
-      FROM d
+      SELECT vec_id, v, CAST(cid AS INT) AS cluster FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d) t
+      WHERE rn = 1
     )
     SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
     FROM assigned a JOIN assigned b
       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+    WHERE list_cosine_similarity(a.v, b.v) >= {_SD_THRESHOLD}
     """
 
 
@@ -3411,28 +3421,40 @@ def q17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, norms precomputed per side). At 100 TB this is the
     standard answer to "embedding near-dup without O(n²)": candidate
     pairs only form inside a cluster, and cluster count tunes the
-    block size. Composition is fully oracle-checked: centroids are
-    seeded literals replayed in SQL, so assignment and pairing both
-    hash-match."""
+    block size.
+
+    Seed centroids are ACTUAL data points — the 32 embeddings with the
+    smallest seeded hash units (a model-sized driver collect, the same
+    rule ``bottom_k_sample`` uses) — because synthetic gaussian
+    centroids cover real data poorly: with 8 random centroids one
+    cluster held 73% of the corpus and the pair join both skewed and
+    lost parallelism (measured 12.6 s at sf0.1; data-point seeding at
+    k=32 balances the blocks, ~0.6 s). Deterministic, so the oracle
+    re-derives the SAME centroids in SQL and the whole composition
+    hash-matches — no literals."""
     from computer_vision_foundations_spark.operators.clustering import (
         kmeans_assign,
     )
     from computer_vision_foundations_spark.operators.dedup import (
         embedding_near_duplicates,
     )
-    from computer_vision_foundations_spark.operators.similarity import (
-        random_centroids,
-    )
+    from computer_vision_foundations_spark.operators.mixture import hash_unit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = random_centroids(_KM_DIM, _KM_CLUSTERS, _KM_SEED)
+    seed_rows = (
+        emb.select("vec_id", "embedding", hash_unit("vec_id", _SD_SEED).alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(_SD_K)
+        .collect()
+    )  # model-sized (k × dim floats), the engine's allowed collect class
+    cents = [[float(x) for x in r.embedding] for r in seed_rows]
     clustered = kmeans_assign(emb, cents, "embedding", "cluster")
     return embedding_near_duplicates(
         clustered,
         "embedding",
         "vec_id",
         block_col="cluster",
-        threshold=0.3,
+        threshold=_SD_THRESHOLD,
         keep_block=True,
     )
 
