@@ -54,7 +54,8 @@ HEADLINE = [
     "q85_range_join_error_window",
     "q86_time_rollup",
     "q87_hll_distinct",
-    "q47_count_min_heavy_hitters",
+    "q88_count_min_heavy_hitters",
+    "q47_unigram_surprisal",
     "q48_dedup_clusters",
     "q20_training_corpus",
     "q30_mixture_sample",

@@ -5,6 +5,7 @@ from computer_vision_foundations_spark.operators.split import (
 from computer_vision_foundations_spark.operators.dedup import (
     embedding_near_duplicates,
     exact_duplicates,
+    incremental_exact_duplicates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_column,
@@ -24,6 +25,10 @@ from computer_vision_foundations_spark.operators.quantization import (
 )
 from computer_vision_foundations_spark.operators.retrieval import bm25_topk, rrf_fuse
 from computer_vision_foundations_spark.operators.pagerank import pagerank
+from computer_vision_foundations_spark.operators.perplexity import (
+    unigram_frequencies,
+    unigram_logprob_scores,
+)
 from computer_vision_foundations_spark.operators.sample import (
     bottom_k_sample,
     group_cap_sample,
@@ -82,6 +87,8 @@ from computer_vision_foundations_spark.operators.zorder import (
 
 __all__ = [
     "pagerank",
+    "incremental_exact_duplicates",
+    "unigram_logprob_scores",
     "bottom_k_sample",
     "group_cap_sample",
     "weighted_sample_k",

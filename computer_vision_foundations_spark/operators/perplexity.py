@@ -1,0 +1,78 @@
+"""Unigram language-model scoring: the perplexity-proxy quality filter.
+
+CCNet-style pipelines score every document with a language model and
+drop the high-perplexity tail (Wenzek et al. 2020); the trainable-LM
+part is out of engine scope, but the UNIGRAM version — mean token
+surprisal under the corpus's own (or a reference corpus's) unigram
+distribution — is a pure relational computation and a standard cheap
+stand-in: boilerplate and gibberish both surface as outliers.
+
+    score(doc) = -(1/|doc|) Σ_t log2 p(t),   p(t) = count(t) / N
+
+Spark-first shape: ONE hash aggregate builds the frequency table
+(map-side combine; rows = |vocab|), the corpus token stream joins it
+on the token (shuffle carries (id, token) pairs — the same budget as
+TF-IDF), and a final hash aggregate on the id averages surprisal.
+The total-token count rides a broadcast 1-row crossJoin. Training
+corpus and scored corpus can differ (``freq_df``): score a new crawl
+against a trusted reference distribution.
+
+OOV handling when scoring against an external frequency table:
+Laplace-style floor — unseen tokens get pseudo-count ``alpha``
+(default 1), i.e. p = alpha / N, so surprisal stays finite and OOV-
+heavy documents rank as the outliers they are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.text import tokens
+
+__all__ = ["unigram_frequencies", "unigram_logprob_scores"]
+
+
+def unigram_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(token, cnt)`` over the corpus — the unigram "model". One
+    explode + one hash aggregate with map-side partial combine."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    freq_df: DataFrame | None = None,
+    alpha: float = 1.0,
+    out_col: str = "surprisal",
+) -> DataFrame:
+    """``(id, n_tokens, surprisal)`` — mean -log2 p(token) per document.
+
+    ``freq_df`` is a ``(token, cnt)`` table from
+    :func:`unigram_frequencies` (defaults to fitting on ``df`` itself,
+    the self-scored corpus form). Tokens absent from ``freq_df`` get
+    pseudo-count ``alpha``."""
+    freq = freq_df if freq_df is not None else unigram_frequencies(df, text_col)
+    total = freq.agg(F.sum("cnt").cast("double").alias("_n_total"))
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    p = F.coalesce(F.col("cnt").cast("double"), F.lit(float(alpha))) / F.col(
+        "_n_total"
+    )
+    return (
+        toks.join(freq, "token", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log2(p)).alias(out_col),
+        )
+    )

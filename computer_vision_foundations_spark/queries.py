@@ -1850,8 +1850,8 @@ def _cm_oracle_sql() -> str:
     """
 
 
-@_register("q47_count_min_heavy_hitters", _cm_oracle_sql())
-def q47_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q88_count_min_heavy_hitters", _cm_oracle_sql())
+def q88_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch (functions/sketches): d×w counter
     table built in ONE exploded hash-aggregate, point estimates for
     the exact top-10 tokens via a broadcast join against the (tiny)
@@ -3679,6 +3679,40 @@ def q46_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = docs.filter(F.col("doc_id") % 5 != 0)
     return incremental_exact_duplicates(batch, snapshot, "text", "doc_id")
+
+
+@_register(
+    "q47_unigram_surprisal",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM freq)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(-log2(f.cnt / tot.n_total)), 6) AS surprisal
+    FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q47_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring
+    (operators/perplexity.unigram_logprob_scores): mean unigram
+    surprisal per document under the corpus's own token distribution —
+    the cheap relational stand-in for CCNet's LM-perplexity filter
+    (boilerplate and gibberish both rank as outliers). One hash agg
+    builds the |vocab|-row frequency model, the token stream joins it
+    (the TF-IDF shuffle budget), total-count rides a broadcast 1-row
+    crossJoin."""
+    from computer_vision_foundations_spark.operators.perplexity import (
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", F.round("surprisal", 6).alias("surprisal")
+    )
 
 
 # ---------------------------------------------------------------------------

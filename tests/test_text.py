@@ -84,3 +84,39 @@ def test_repetition_columns(spark):
     assert got[1] == (0.75, 1.0, round(2 / 3, 6), 1.0)
     assert got[2] == (0.0, 0.25, 0.0, round(1 / 3, 6))
     assert got[3] == (0.6, 0.6, 0.5, 0.5)
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    from computer_vision_foundations_spark.operators.perplexity import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the rare zyx"), (3, "the qqq")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.surprisal for r in unigram_logprob_scores(docs).collect()}
+    # doc of only the commonest token is least surprising
+    assert out[1] < out[2] < out[3] or out[1] < out[3]
+    assert out[1] < out[2]
+
+
+def test_unigram_surprisal_external_model_and_oov(spark):
+    import math
+
+    from computer_vision_foundations_spark.operators.perplexity import (
+        unigram_frequencies,
+        unigram_logprob_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string"
+    )
+    freq = unigram_frequencies(ref)  # a:3, b:1, N=4
+    probe = spark.createDataFrame([(9, "a b zzz")], "doc_id long, text string")
+    row = unigram_logprob_scores(
+        probe, freq_df=freq, alpha=1.0
+    ).collect()[0]
+    exp = -(math.log2(3 / 4) + math.log2(1 / 4) + math.log2(1 / 4)) / 3
+    assert row.n_tokens == 3
+    assert abs(row.surprisal - exp) < 1e-9
