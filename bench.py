@@ -45,7 +45,8 @@ HEADLINE = [
     "q27_knn_cosine",
     "q28_embedding_near_dup",
     "q33_lsh_ann",
-    "q36_ivf_ann",
+    "q36_multiprobe_lsh_ann",
+    "q89_ivf_ann",
     "q29_pq_adc_knn",
     "q50_ivf_pq_ann",
     "q37_winnow_fingerprints",

@@ -351,3 +351,117 @@ def ivf_flat_knn(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def multiprobe_lsh_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    n_flip: int = 2,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007 shape): recall of more tables at
+    the index cost of fewer.
+
+    Identical to ``lsh_bucketed_knn`` except the PROBE side also visits
+    the ``n_flip`` neighboring buckets most likely to hold misses — the
+    buckets reached by flipping the sign bits with the smallest
+    hyperplane margin |v·p| (a near-zero dot means the true neighbor
+    plausibly landed on the other side). The corpus index is unchanged
+    — one bucket per vector per table — so storage and the build scan
+    stay the same; only the probe stream fans out ×(1+n_flip), which is
+    the cheap side by assumption. Flip order is deterministic (stable
+    sort on (|margin|, plane index)), so a SQL oracle can replay the
+    probe set exactly.
+
+    Candidate generation stays a (table, bucket) equi-join; everything
+    after (pair dedup, exact cosine, top-k window) is shared with the
+    single-probe form.
+    """
+    all_planes = [
+        _random_planes(dim, n_planes, seed + t * 7919)
+        for t in range(n_tables)
+    ]
+    flat = np.asarray(
+        [p for planes in all_planes for p in planes], dtype=np.float64
+    )
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+    fan = 1 + n_flip
+
+    @pandas_udf("array<bigint>")
+    def corpus_buckets_udf(v: pd.Series) -> pd.Series:
+        s = (_stack_f64(v) @ flat.T) >= 0.0
+        s = s.reshape(len(s), n_tables, n_planes)
+        b = (s * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(b))
+
+    @pandas_udf("array<bigint>")
+    def probe_buckets_udf(v: pd.Series) -> pd.Series:
+        d = _stack_f64(v) @ flat.T  # (n, T*P) margins
+        d = d.reshape(len(d), n_tables, n_planes)
+        base = ((d >= 0.0) * weights).sum(axis=2).astype(np.int64)
+        # stable argsort on |margin| -> flip the tightest planes first
+        order = np.argsort(np.abs(d), axis=2, kind="stable")
+        out = np.empty((len(d), n_tables, fan), dtype=np.int64)
+        out[:, :, 0] = base
+        for j in range(n_flip):
+            flip_bit = np.take_along_axis(
+                order, np.full(order.shape[:2] + (1,), j), axis=2
+            )[:, :, 0]
+            out[:, :, j + 1] = base ^ (1 << flip_bit.astype(np.int64))
+        return pd.Series(list(out.reshape(len(d), n_tables * fan)))
+
+    pb = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_probe_id_v"),
+        l2_norm(vec_col).alias("_probe_id_n"),
+        F.posexplode(probe_buckets_udf(F.col(vec_col))).alias(
+            "_pos", "_bucket"
+        ),
+    ).select(
+        "probe_id", "_probe_id_v", "_probe_id_n",
+        (F.col("_pos") / fan).cast("int").alias("_table"), "_bucket",
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_neighbor_id_v"),
+        l2_norm(vec_col).alias("_neighbor_id_n"),
+        F.posexplode(corpus_buckets_udf(F.col(vec_col))).alias(
+            "_table", "_bucket"
+        ),
+    )
+    cands = (
+        pb.join(cb, on=["_table", "_bucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.first("_probe_id_v").alias("_probe_id_v"),
+            F.first("_probe_id_n").alias("_probe_id_n"),
+            F.first("_neighbor_id_v").alias("_neighbor_id_v"),
+            F.first("_neighbor_id_n").alias("_neighbor_id_n"),
+        )
+    )
+    scored = cands.withColumn(
+        "cos_sim",
+        F.round(
+            cosine_from_norms(
+                "_probe_id_v", "_neighbor_id_v",
+                "_probe_id_n", "_neighbor_id_n",
+            ),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

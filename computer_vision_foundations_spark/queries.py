@@ -1104,6 +1104,104 @@ def _lsh_oracle_sql() -> str:
     """
 
 
+_LSH_FLIPS = 2
+
+
+def _multiprobe_oracle_sql() -> str:
+    """Replay ``multiprobe_lsh_knn``: the q33 construction plus probe-
+    side bucket fan-out — flip the ``n_flip`` sign bits with the
+    smallest |margin| (stable order on (|dot|, plane index), exactly
+    numpy's stable argsort). Corpus arms are unchanged."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        _random_planes,
+    )
+
+    corpus_arms, probe_arms = [], []
+    for t in range(_LSH_TABLES):
+        planes = _random_planes(_LSH_DIM, _LSH_PLANES, _LSH_SEED + t * 7919)
+        dots = ", ".join(
+            f"list_dot_product(v, [{', '.join(repr(x) for x in p)}])"
+            for p in planes
+        )
+        base = " + ".join(
+            f"(CASE WHEN dots[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+            for i in range(_LSH_PLANES)
+        )
+        corpus_arms.append(
+            f"""SELECT vec_id, v, {t} AS tbl, base AS bucket FROM (
+        SELECT vec_id, v, CAST({base} AS BIGINT) AS base
+        FROM (SELECT vec_id, v, [{dots}] AS dots FROM emb) d{t}) c{t}"""
+        )
+        probe_arms.append(
+            f"""SELECT vec_id, v, {t} AS tbl, unnest(
+          list_prepend(base, list_transform(
+            list_transform(list_sort(list_transform(
+                range(1, {_LSH_PLANES + 1}),
+                i -> {{'m': abs(dots[i]), 'i': i - 1}})),
+              x -> x.i)[1:{_LSH_FLIPS}],
+            bb -> xor(base, CAST(1 << bb AS BIGINT))))) AS bucket
+        FROM (
+          SELECT vec_id, v, dots, CAST({base} AS BIGINT) AS base
+          FROM (SELECT vec_id, v, [{dots}] AS dots FROM emb
+                WHERE vec_id < 5) pd{t}) p{t}"""
+        )
+    cu = "\n      UNION ALL\n      ".join(corpus_arms)
+    pu = "\n      UNION ALL\n      ".join(probe_arms)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cb AS (
+      {cu}
+    ),
+    pb AS (
+      {pu}
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                      p.v AS pv, c.v AS cv
+      FROM pb p JOIN cb c
+        ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT probe_id, neighbor_id,
+             round(list_cosine_similarity(pv, cv), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY round(list_cosine_similarity(pv, cv), 6) DESC,
+                        neighbor_id ASC) AS rank
+      FROM cand) t
+    WHERE rank <= 10
+    """
+
+
+@_register("q36_multiprobe_lsh_ann", _multiprobe_oracle_sql())
+def q36_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10 (operators/similarity.multiprobe_lsh_knn):
+    probes additionally visit the 2 neighboring buckets with the
+    tightest hyperplane margins — the recall of more tables at the
+    index cost of fewer (corpus index unchanged, probe stream fans out
+    ×3). Same (table, bucket) equi-join scale shape as q33; the flip
+    choice is deterministic, so the oracle replays the whole probe set
+    bit-for-bit."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        multiprobe_lsh_knn,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return multiprobe_lsh_knn(
+        emb,
+        probes,
+        dim=_LSH_DIM,
+        k=10,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+        n_flip=_LSH_FLIPS,
+        seed=_LSH_SEED,
+    )
+
+
 @_register("q33_lsh_ann", _lsh_oracle_sql())
 def q33_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 neighbors for probes vec_id<5
@@ -1252,8 +1350,8 @@ def _ivf_oracle_sql() -> str:
     """
 
 
-@_register("q36_ivf_ann", _ivf_oracle_sql())
-def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q89_ivf_ann", _ivf_oracle_sql())
+def q89_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 neighbors for probes vec_id<5
     (operators/similarity.ivf_flat_knn). The inverted-file scale path:
     corpus partitioned once by nearest-centroid cell (at 100 TB: the
@@ -3263,6 +3361,24 @@ def q03_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ann_recall(
         q50_ivf_pq_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+    )
+
+
+@_register(
+    "q90_multiprobe_recall", _ann_recall_oracle_sql("q36_multiprobe_lsh_ann")
+)
+def q90_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of multi-probe LSH (q36) against brute-force ground
+    truth (q27): the evidence that probe-side bucket fan-out buys
+    recall without touching the corpus index (compare with q34, the
+    single-probe LSH recall). Oracle composes both queries' own oracle
+    bodies end-to-end."""
+    from computer_vision_foundations_spark.operators.evaluation import (
+        ann_recall,
+    )
+
+    return ann_recall(
+        q36_multiprobe_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
     )
 
 

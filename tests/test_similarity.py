@@ -78,3 +78,51 @@ def test_ivf_probe_all_cells_matches_brute_force(spark):
         ).collect()
     }
     assert approx == exact
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.evaluation import ann_recall
+    from computer_vision_foundations_spark.operators.similarity import (
+        brute_force_knn,
+        lsh_bucketed_knn,
+        multiprobe_lsh_knn,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id < 8")
+    kw = dict(dim=16, k=5, n_planes=6, n_tables=2, seed=7)
+    exact = brute_force_knn(df, probes, k=5)
+    single = lsh_bucketed_knn(df, probes, **kw)
+    multi = multiprobe_lsh_knn(df, probes, n_flip=2, **kw)
+
+    def mean_recall(approx):
+        rows = ann_recall(approx, exact, k=5).collect()
+        return sum(r.recall for r in rows) / len(rows)
+
+    r1, r2 = mean_recall(single), mean_recall(multi)
+    assert r2 >= r1  # flipping tight margins can only add candidates
+    assert r2 > 0
+
+
+def test_multiprobe_candidates_superset_of_single(spark):
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.similarity import (
+        lsh_bucketed_knn,
+        multiprobe_lsh_knn,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id < 4")
+    kw = dict(dim=8, k=100, n_planes=5, n_tables=1, seed=5)
+    single = {(r.probe_id, r.neighbor_id)
+              for r in lsh_bucketed_knn(df, probes, **kw).collect()}
+    multi = {(r.probe_id, r.neighbor_id)
+             for r in multiprobe_lsh_knn(df, probes, n_flip=2, **kw).collect()}
+    assert single <= multi
