@@ -49,6 +49,7 @@ HEADLINE = [
     "q89_ivf_ann",
     "q29_pq_adc_knn",
     "q50_ivf_pq_ann",
+    "q91_sq8_ann",
     "q37_winnow_fingerprints",
     "q42_winnow_near_dup_pairs",
     "q84_asof_enrich",

@@ -16,12 +16,16 @@ from computer_vision_foundations_spark.operators.similarity import (
     brute_force_knn,
     ivf_flat_knn,
     lsh_bucketed_knn,
+    multiprobe_lsh_knn,
 )
 from computer_vision_foundations_spark.operators.quantization import (
     ivf_pq_topk,
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
+    sq8_encode,
+    sq8_minmax,
+    sq8_topk,
 )
 from computer_vision_foundations_spark.operators.retrieval import bm25_topk, rrf_fuse
 from computer_vision_foundations_spark.operators.pagerank import pagerank
@@ -87,6 +91,10 @@ from computer_vision_foundations_spark.operators.zorder import (
 
 __all__ = [
     "pagerank",
+    "multiprobe_lsh_knn",
+    "sq8_encode",
+    "sq8_minmax",
+    "sq8_topk",
     "incremental_exact_duplicates",
     "unigram_logprob_scores",
     "bottom_k_sample",

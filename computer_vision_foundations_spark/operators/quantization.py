@@ -273,3 +273,120 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension uint8 codes
+# ---------------------------------------------------------------------------
+
+
+def sq8_minmax(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 training
+    step. ONE unrolled hash aggregate (2·dim scalar aggs, map-side
+    combine) and a model-sized driver collect, same class as k-means
+    centroids."""
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"_mn{i}"))
+        aggs.append(F.max(e).alias(f"_mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return (
+        [float(row[f"_mn{i}"]) for i in range(dim)],
+        [float(row[f"_mx{i}"]) for i in range(dim)],
+    )
+
+
+def _sq8_lits(vals: list[float]):
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "sq_codes",
+) -> DataFrame:
+    """uint8 codes: ``floor((x_i − min_i) · 255/(max_i − min_i) + 0.5)``
+    clamped to [0, 255] (explicit floor(+0.5), not round(), so both
+    engines share one rounding rule). A 64-dim float vector becomes 64
+    small ints — 4× smaller than float32, 8× than float64 — with no
+    codebook to train beyond the min/max pass. One narrow codegen
+    projection; constant-degenerate dims (max == min) encode as 0."""
+    scales = [
+        (255.0 / (mx - mn)) if mx > mn else 0.0 for mn, mx in zip(mins, maxs)
+    ]
+    mn_a, sc_a = _sq8_lits(mins), _sq8_lits(scales)
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (x.cast("double") - F.element_at(mn_a, i + 1))
+                    * F.element_at(sc_a, i + 1)
+                    + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return df.withColumn(out_col, code)
+
+
+def sq8_topk(
+    corpus_codes: DataFrame,
+    probes: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str = "sq_codes",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k by squared L2 against DEQUANTIZED codes:
+    ``d(p, c) = Σ_i (p_i − (min_i + code_i·step_i))²`` — the corpus
+    side scans uint8 codes only (the SQ analogue of PQ's ADC; no
+    per-pair float-vector fetch). Probes are broadcast (the tiny side,
+    as in ``brute_force_knn``); per-pair math is one JVM fold over the
+    code array. Ascending distance, ties by neighbor id."""
+    steps = [
+        ((mx - mn) / 255.0) if mx > mn else 0.0 for mn, mx in zip(mins, maxs)
+    ]
+    mn_a, st_a = _sq8_lits(mins), _sq8_lits(steps)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("_codes")
+    )
+    diff = lambda code, i: (
+        F.element_at(F.col("_pv"), i + 1).cast("double")
+        - (
+            F.element_at(mn_a, i + 1)
+            + code.cast("double") * F.element_at(st_a, i + 1)
+        )
+    )
+    dist = F.aggregate(
+        F.transform(F.col("_codes"), lambda code, i: diff(code, i) * diff(code, i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("sq_dist", F.round(dist, round_digits))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sq_dist", "rank")
+    )

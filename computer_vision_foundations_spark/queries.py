@@ -3831,6 +3831,73 @@ def q47_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ_DIM = 64
+
+
+@_register(
+    "q91_sq8_ann",
+    f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      FROM emb, generate_series(1, {_SQ_DIM}) g(i)
+      GROUP BY i
+    ),
+    params AS (
+      SELECT list(mn ORDER BY i) AS mins,
+             list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END
+                  ORDER BY i) AS scales,
+             list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END
+                  ORDER BY i) AS steps
+      FROM dims
+    ),
+    codes AS (
+      SELECT vec_id,
+             list_transform(range(1, {_SQ_DIM + 1}),
+               i -> least(255, greatest(0, CAST(floor(
+                      (v[i] - mins[i]) * scales[i] + 0.5) AS INT)))) AS c
+      FROM emb, params
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, {_SQ_DIM + 1}),
+               i -> (pv[i] - (mins[i] + c.c[i] * steps[i]))
+                  * (pv[i] - (mins[i] + c.c[i] * steps[i])))), 6) AS sq_dist
+      FROM probes p, codes c, params
+      WHERE p.probe_id <> c.vec_id
+    )
+    SELECT probe_id, neighbor_id, sq_dist, rank FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY sq_dist ASC, neighbor_id ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+)
+def q91_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (SQ8, FAISS IndexScalarQuantizer shape):
+    per-dimension min/max from ONE unrolled aggregate (model-sized
+    collect), uint8 encode as a narrow codegen projection, then top-10
+    by squared L2 against DEQUANTIZED codes — the corpus scan reads
+    uint8 codes only, the simplest compression tier below PQ (q25/q29).
+    The oracle derives the same min/max from the data, so train,
+    encode, and scoring all hash-match with no literals."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        sq8_encode,
+        sq8_minmax,
+        sq8_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = sq8_minmax(emb, "embedding", _SQ_DIM)
+    codes = sq8_encode(emb, mins, maxs, "embedding")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return sq8_topk(codes, probes, mins, maxs, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

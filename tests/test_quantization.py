@@ -170,3 +170,67 @@ def test_ivf_pq_scan_carries_no_vectors(spark, emb_df):
     )
     after_join = plan.split("Join", 1)[1]
     assert "embedding" not in after_join.split("ArrowEvalPython", 1)[0]
+
+
+def test_sq8_roundtrip_error_bounded(spark):
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.quantization import (
+        sq8_encode,
+        sq8_minmax,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.uniform(-2, 2, size=8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mins, maxs = sq8_minmax(df, "embedding", 8)
+    out = sq8_encode(df, mins, maxs).collect()
+    for r in out:
+        for i, c in enumerate(r.sq_codes):
+            assert 0 <= c <= 255
+            deq = mins[i] + c * (maxs[i] - mins[i]) / 255.0
+            # reconstruction error bounded by half a quantization step
+            assert abs(deq - r.embedding[i]) <= (maxs[i] - mins[i]) / 255.0
+
+
+def test_sq8_topk_close_to_exact(spark):
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.quantization import (
+        sq8_encode,
+        sq8_minmax,
+        sq8_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mins, maxs = sq8_minmax(df, "embedding", 8)
+    codes = sq8_encode(df, mins, maxs)
+    probes = df.filter("vec_id < 3")
+    approx = sq8_topk(codes, probes, mins, maxs, k=5).collect()
+    # exact L2 top-5 via numpy
+    mat = np.array([emb for _, emb in sorted(rows, key=lambda t: t[0])])
+    hits = 0
+    for pid in range(3):
+        d = ((mat - mat[pid]) ** 2).sum(axis=1)
+        d[pid] = np.inf
+        exact5 = set(np.argsort(d, kind="stable")[:5])
+        got5 = {r.neighbor_id for r in approx if r.probe_id == pid}
+        hits += len(exact5 & got5)
+    assert hits >= 12  # >=80% recall@5 at 8-bit precision
+
+
+def test_sq8_degenerate_constant_dim(spark):
+    from computer_vision_foundations_spark.operators.quantization import (
+        sq8_encode,
+        sq8_minmax,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, -5.0])], "vec_id long, embedding array<float>"
+    )
+    mins, maxs = sq8_minmax(df, "embedding", 2)
+    out = {r.vec_id: r.sq_codes for r in sq8_encode(df, mins, maxs).collect()}
+    assert out[1][0] == 0 and out[2][0] == 0  # constant dim -> code 0
+    assert out[1][1] == 255 and out[2][1] == 0
