@@ -58,6 +58,8 @@ HEADLINE = [
     "q87_hll_distinct",
     "q88_count_min_heavy_hitters",
     "q47_unigram_surprisal",
+    "q46_incremental_dedup",
+    "q90_multiprobe_recall",
     "q48_dedup_clusters",
     "q20_training_corpus",
     "q30_mixture_sample",

@@ -150,3 +150,57 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the OSS stand-in for Delta ``OPTIMIZE`` on a streaming-ingest sink
+    (reference `02_Data Ingest.py:273-282` relies on Delta optimized
+    writes; a micro-batch sink otherwise accretes one small file per
+    task per trigger, and at 100 TB the NameNode/object-store listing
+    cost of millions of 4 KB files dominates reads).
+
+    Sizing uses the DIRECTORY's real on-disk bytes (compressed), not a
+    plan estimate, so the target is met regardless of encoding ratios.
+    The rewrite goes to ``path + '.compact.tmp'`` first and swaps in
+    with two renames — readers never observe a half-written directory;
+    on any failure the original directory is left untouched. Returns
+    the number of files written."""
+    import math
+    import os
+
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        size += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.parquet(path)
+    writer = (
+        (df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files))
+        .write.mode("overwrite")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    written = sum(
+        1
+        for root, _d, files in os.walk(tmp)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    return written

@@ -205,3 +205,43 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(skewed, dim, "k", how="right")
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    import os
+
+    from computer_vision_foundations_spark.sources.sinks import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(path)
+    n_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert n_before >= 40
+    n_after = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+    assert n_after == 1
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    # data intact
+    assert spark.read.parquet(path).count() == 4000
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + ".compact.old")
+
+
+def test_compact_parquet_dir_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from computer_vision_foundations_spark.sources.sinks import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.range(0, 1000).withColumn("p", (F.col("id") % 3).cast("int"))
+    df.repartition(20).write.partitionBy("p").parquet(path)
+    compact_parquet_dir(spark, path, target_file_bytes=10**9, partition_by=("p",))
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert {r.p for r in out.select("p").distinct().collect()} == {0, 1, 2}
