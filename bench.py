@@ -89,9 +89,11 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
     following the FIXTURES.md filename grammar, then runs ONE
     checkpointed availableNow cycle of the full EP1 pipeline (binary
     stream → filename parse → metadata + statistics pandas UDFs →
-    date-partitioned parquet sink) and reports (n_files, seconds).
-    File generation happens before the clock starts; admission is
-    512 files/trigger so the run exercises multiple micro-batches.
+    date-partitioned parquet sink), then the EP3 scoring stream over
+    the same landing dir (second consumer, own checkpoint). Returns
+    (n_files, ingest_seconds, score_seconds). File generation happens
+    before the clock starts; admission is 512 files/trigger so each
+    run exercises multiple micro-batches.
     """
     import shutil
     import tempfile
@@ -157,7 +159,26 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
         elapsed = time.time() - t0
         n_out = spark.read.parquet(cfg.sink.output_path).count()
         assert n_out == n_files, f"ingest wrote {n_out} of {n_files} files"
-        return n_files, elapsed
+
+        # EP3: the SECOND consumer of the same landing dir — streaming
+        # inference to a (path, score) sink with its own checkpoint
+        # (`04a_Model Deployment.py:248-269` shape), timed separately.
+        from computer_vision_foundations_spark.streaming.ingest import (
+            run_scoring_stream,
+        )
+
+        t1 = time.time()
+        run_scoring_stream(
+            spark,
+            cfg,
+            lambda pdf: pdf["content"].map(len).astype(float),
+            output_path=os.path.join(tmp, "scored", "out"),
+            checkpoint_path=os.path.join(tmp, "scored", "ckpt"),
+        )
+        score_elapsed = time.time() - t1
+        n_scored = spark.read.parquet(os.path.join(tmp, "scored", "out")).count()
+        assert n_scored == n_files, f"scored {n_scored} of {n_files}"
+        return n_files, elapsed, score_elapsed
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -189,9 +210,11 @@ def main() -> int:
         # dropping them here keeps later queries from paying earlier
         # queries' block-eviction and GC pressure.
         spark.catalog.clearCache()
-    n_stream_files, stream_sec = bench_streaming_ingest(spark)
+    n_stream_files, stream_sec, score_sec = bench_streaming_ingest(spark)
     timings["streaming_ingest"] = round(stream_sec, 3)
+    timings["streaming_score"] = round(score_sec, 3)
     print(f"# streaming_ingest: {timings['streaming_ingest']}s", file=sys.stderr)
+    print(f"# streaming_score: {timings['streaming_score']}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -204,6 +227,9 @@ def main() -> int:
                 "streaming": {
                     "files": n_stream_files,
                     "files_per_sec": round(n_stream_files / stream_sec, 1),
+                    "score_files_per_sec": round(
+                        n_stream_files / score_sec, 1
+                    ),
                 },
             }
         )

@@ -94,6 +94,17 @@ AUDIT = {
         "A-ES weighted sampling is the same TakeOrderedAndProject shape",
         (),
     ),
+    "q36_multiprobe_lsh_ann": (
+        "probe-side bucket fan-out ×(1+n_flip); candidates still a "
+        "(table, bucket) equi-join — no cross product",
+        (),
+    ),
+    "q91_sq8_ann": (
+        "SQ8 scan reads uint8 codes only; the probe×corpus product over "
+        "codes with broadcast probes is the intended scan (same family "
+        "as q29's ADC)",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
