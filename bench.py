@@ -60,6 +60,8 @@ HEADLINE = [
     "q47_unigram_surprisal",
     "q46_incremental_dedup",
     "q90_multiprobe_recall",
+    "q92_event_funnel",
+    "q94_lsh_verified_pairs",
     "q48_dedup_clusters",
     "q20_training_corpus",
     "q30_mixture_sample",

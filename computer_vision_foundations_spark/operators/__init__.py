@@ -1,8 +1,10 @@
 from computer_vision_foundations_spark.operators.split import (
     deterministic_split,
+    kfold_assignment,
     train_test_split,
 )
 from computer_vision_foundations_spark.operators.dedup import (
+    edit_similarity_pairs,
     embedding_near_duplicates,
     exact_duplicates,
     incremental_exact_duplicates,
@@ -29,6 +31,10 @@ from computer_vision_foundations_spark.operators.quantization import (
 )
 from computer_vision_foundations_spark.operators.retrieval import bm25_topk, rrf_fuse
 from computer_vision_foundations_spark.operators.pagerank import pagerank
+from computer_vision_foundations_spark.operators.funnel import (
+    funnel_counts,
+    funnel_max_step,
+)
 from computer_vision_foundations_spark.operators.perplexity import (
     unigram_frequencies,
     unigram_logprob_scores,
@@ -91,6 +97,10 @@ from computer_vision_foundations_spark.operators.zorder import (
 
 __all__ = [
     "pagerank",
+    "funnel_counts",
+    "funnel_max_step",
+    "kfold_assignment",
+    "edit_similarity_pairs",
     "multiprobe_lsh_knn",
     "sq8_encode",
     "sq8_minmax",

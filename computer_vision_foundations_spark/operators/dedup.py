@@ -644,3 +644,49 @@ def incremental_exact_duplicates(
             F.coalesce("_old_id", "_batch_min").alias("canonical_id"),
         )
     )
+
+
+def edit_similarity_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 200,
+    threshold: float = 0.0,
+    out_col: str = "edit_sim",
+) -> DataFrame:
+    """Verification stage for candidate pairs: normalized edit
+    similarity ``1 − levenshtein(a, b) / max(|a|, |b|)`` over text
+    PREFIXES of ``max_chars``.
+
+    LSH/banding stages answer "possibly similar"; serious dedup
+    pipelines verify candidates before dropping documents. Levenshtein
+    is O(|a|·|b|) per pair — fine exactly because it runs AFTER
+    candidate generation (pairs, not corpus²), and the prefix cap
+    bounds the worst case; the distance runs JVM-side
+    (``F.levenshtein``). Two joins re-attach prefixes to the id pairs
+    — shuffles carry (id, ≤max_chars chars). Identical empty prefixes
+    score 1.0."""
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text_col), 1, max_chars).alias("_txt"),
+    )
+    a = t.select(
+        F.col("_id").alias("id_a"), F.col("_txt").alias("_ta")
+    )
+    b = t.select(
+        F.col("_id").alias("id_b"), F.col("_txt").alias("_tb")
+    )
+    la, lb = F.length("_ta"), F.length("_tb")
+    sim = F.when(F.greatest(la, lb) == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.levenshtein("_ta", "_tb").cast("double")
+        / F.greatest(la, lb).cast("double")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(out_col, F.round(sim, 6))
+        .filter(F.col(out_col) >= F.lit(float(threshold)))
+        .drop("_ta", "_tb")
+    )

@@ -27,31 +27,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["range_join", "interval_overlap_join"]
+__all__ = ["range_join", "interval_overlap_join", "epoch_micros"]
 
 
-def _axis(df: DataFrame, col: str, bucket_width: float):
-    """(numeric column for bucketing, bucket width in axis units)."""
+def epoch_micros(df: DataFrame, col: str):
+    """Zone-safe epoch-microsecond expression for a timestamp column.
+
+    NTZ is a zone-less wall clock: derive epoch micros with pure
+    field arithmetic, never via a session-zone cast. Casting NTZ
+    to TIMESTAMP maps local time through the session zone, which
+    is non-monotonic across DST spring-forward gaps — a point
+    whose local time falls in a gap could land in a bucket its
+    interval never explodes into, silently dropping a match.
+    unix_date/hour/minute/extract(SECOND) read NTZ fields
+    directly, so this is deterministic under any session zone.
+    Shared by range joins and the funnel operator (any monotonic
+    ordering consumer)."""
     dtype = df.schema[col].dataType
     if isinstance(dtype, T.TimestampNTZType):
-        # NTZ is a zone-less wall clock: derive epoch micros with pure
-        # field arithmetic, never via a session-zone cast. Casting NTZ
-        # to TIMESTAMP maps local time through the session zone, which
-        # is non-monotonic across DST spring-forward gaps — a point
-        # whose local time falls in a gap could land in a bucket its
-        # interval never explodes into, silently dropping a match.
-        # unix_date/hour/minute/extract(SECOND) read NTZ fields
-        # directly, so this is deterministic under any session zone.
         c = F.col(col)
-        micros = (
+        return (
             F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
             + F.hour(c).cast("long") * F.lit(3_600_000_000)
             + F.minute(c).cast("long") * F.lit(60_000_000)
             + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
         )
-        return micros, int(bucket_width * 1_000_000)
     if isinstance(dtype, T.TimestampType):
-        return F.unix_micros(F.col(col)), int(bucket_width * 1_000_000)
+        return F.unix_micros(F.col(col))
+    return F.col(col)
+
+
+def _axis(df: DataFrame, col: str, bucket_width: float):
+    """(numeric column for bucketing, bucket width in axis units)."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
+        return epoch_micros(df, col), int(bucket_width * 1_000_000)
     return F.col(col), bucket_width
 
 

@@ -70,3 +70,25 @@ def bernoulli_sample(
     `04a_Model Deployment.py:313` — unseeded there; ours always seeds
     for reproducibility). A narrow per-partition filter — no shuffle."""
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def kfold_assignment(
+    df,
+    id_col: str,
+    k: int = 5,
+    seed: int = 42,
+    out_col: str = "fold",
+):
+    """Deterministic k-fold cross-validation assignment: fold =
+    seeded 28-bit md5 slice mod k (the portable hash family) — a pure
+    function of (id, seed), so folds are stable across engines,
+    partitionings, and reruns, and any engine can reproduce the split
+    (``CAST(('0x' || substr(md5(id || ':seed'), 1, 7)) AS BIGINT) % k``).
+    One narrow projection, no shuffle."""
+    from pyspark.sql import functions as F
+
+    d = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")).cast("binary")
+    )
+    h = F.conv(F.substring(d, 1, 7), 16, 10).cast("long")
+    return df.withColumn(out_col, (h % k).cast("int"))

@@ -3898,6 +3898,120 @@ def q91_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(codes, probes, mins, maxs, k=10)
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@_register(
+    "q92_event_funnel",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = '{_FUNNEL_STEPS[1]}' AND us > t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = '{_FUNNEL_STEPS[2]}' AND us > t2 GROUP BY 1),
+    c AS (
+      SELECT 1 AS step, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, count(*) FROM s2
+      UNION ALL SELECT 3, count(*) FROM s3
+    )
+    SELECT step,
+           (['{_FUNNEL_STEPS[0]}', '{_FUNNEL_STEPS[1]}',
+             '{_FUNNEL_STEPS[2]}'])[step] AS step_name,
+           n_users,
+           round(n_users * 1.0 / max(n_users) OVER (), 6) AS conversion
+    FROM c
+    """,
+)
+def q92_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnel.funnel_counts): users doing
+    view → click → purchase with strictly increasing timestamps — the
+    MATCH_RECOGNIZE-style analysis Spark lacks natively, re-expressed
+    as scan-pruned filter + ONE shuffle on user + a linear sorted-fold
+    state machine per user (codegen). The oracle computes the same
+    max-step via the greedy min-after-min join chain, which is
+    provably the same predicate (exchange argument)."""
+    from computer_vision_foundations_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, _FUNNEL_STEPS)
+
+
+@_register(
+    "q93_kfold_assignment",
+    """
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                1, 7)) AS BIGINT) % 5 AS INT) AS fold
+    FROM documents
+    """,
+)
+def q93_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold CV assignment
+    (operators/split.kfold_assignment): fold = seeded md5 slice mod 5,
+    a pure function of (id, seed) — stable across engines,
+    partitionings, and reruns; no shuffle, no RNG state."""
+    from computer_vision_foundations_spark.operators.split import (
+        kfold_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return kfold_assignment(docs, "doc_id", k=5, seed=42)
+
+
+def _verified_pairs_oracle_sql() -> str:
+    """Compose the q26 candidate oracle with the levenshtein verify
+    stage (prefix-capped, both engines' classic DP distance)."""
+    cand = _ORACLES["q26_lsh_candidate_pairs"]
+    return f"""
+    WITH cand AS ({cand}),
+    t AS (SELECT doc_id, substr(text, 1, 200) AS txt FROM documents)
+    SELECT c.id_a, c.id_b,
+           round(CASE WHEN greatest(length(a.txt), length(b.txt)) = 0
+                 THEN 1.0
+                 ELSE 1.0 - levenshtein(a.txt, b.txt)
+                      / CAST(greatest(length(a.txt), length(b.txt)) AS DOUBLE)
+                 END, 6) AS edit_sim
+    FROM cand c
+    JOIN t a ON a.doc_id = c.id_a
+    JOIN t b ON b.doc_id = c.id_b
+    """
+
+
+@_register("q94_lsh_verified_pairs", _verified_pairs_oracle_sql())
+def q94_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate verification (operators/dedup.edit_similarity_pairs):
+    the MinHash-LSH candidates of q26 scored by normalized edit
+    similarity over 200-char prefixes — the verify-before-drop stage a
+    production dedup pipeline runs after banding. O(len²) Levenshtein
+    is affordable exactly because it runs on candidate PAIRS, not the
+    corpus square; JVM-side, two (id, prefix) joins."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        edit_similarity_pairs,
+        minhash_lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k=3,
+        n_hashes=8,
+        bands=4,
+        hash_fn="md5",
+        max_bucket_size=1_000,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    out = edit_similarity_pairs(pairs, docs, "text", "doc_id", max_chars=200)
+    return out.select("id_a", "id_b", "edit_sim")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
