@@ -40,17 +40,17 @@ HEADLINE = [
     "q82_sessionization",
     "q83_dedup_exact",
     "q66_text_quality",
-    "q24_ngram_jaccard_pairs",
+    "q90_ngram_jaccard_pairs",
     "q26_lsh_candidate_pairs",
     "q27_knn_cosine",
-    "q28_embedding_near_dup",
+    "q91_embedding_near_dup",
     "q33_lsh_ann",
     "q36_multiprobe_lsh_ann",
     "q89_ivf_ann",
     "q29_pq_adc_knn",
     "q50_ivf_pq_ann",
-    "q91_sq8_ann",
-    "q37_winnow_fingerprints",
+    "q28_sq8_ann",
+    "q93_winnow_fingerprints",
     "q42_winnow_near_dup_pairs",
     "q84_asof_enrich",
     "q85_range_join_error_window",
@@ -59,10 +59,10 @@ HEADLINE = [
     "q88_count_min_heavy_hitters",
     "q47_unigram_surprisal",
     "q46_incremental_dedup",
-    "q90_multiprobe_recall",
-    "q92_event_funnel",
-    "q94_lsh_verified_pairs",
-    "q48_dedup_clusters",
+    "q24_multiprobe_recall",
+    "q31_event_funnel",
+    "q48_lsh_verified_pairs",
+    "q94_dedup_clusters",
     "q20_training_corpus",
     "q30_mixture_sample",
     "q32_mixture_epochs",

@@ -715,7 +715,7 @@ _SHINGLES_SQL = """
 
 
 @_register(
-    "q24_ngram_jaccard_pairs",
+    "q90_ngram_jaccard_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
@@ -728,7 +728,7 @@ _SHINGLES_SQL = """
     HAVING count(*) / CAST(a.sz + b.sz - count(*) AS DOUBLE) >= 0.1
     """,
 )
-def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-duplicate pairs (operators/dedup), with
     the hot-shingle skew cap on in the measured path (the QUALIFY
     mirrors the operator's broadcast anti-join of stop-shingles)."""
@@ -853,7 +853,7 @@ def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q28_embedding_near_dup",
+    "q91_embedding_near_dup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -864,7 +864,7 @@ def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  CAST(b.embedding AS DOUBLE[])) >= 0.5
     """,
 )
-def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q91_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-duplicates blocked by label (the block
     column stands in for an LSH bucket at scale)."""
     from computer_vision_foundations_spark.operators.dedup import (
@@ -948,8 +948,8 @@ def _simhash_oracle_sql(bits: int = 32) -> str:
     """
 
 
-@_register("q31_simhash", _simhash_oracle_sql())
-def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q92_simhash", _simhash_oracle_sql())
+def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints over the PORTABLE md5 hash family (two
     28-bit slices of one digest per distinct token, combined to a
     56-bit hash; operators/dedup.simhash_from_hashes does the bit
@@ -1384,7 +1384,7 @@ _WINNOW_K, _WINNOW_W = 5, 8
 
 
 @_register(
-    "q37_winnow_fingerprints",
+    "q93_winnow_fingerprints",
     f"""
     WITH padded AS (
       SELECT doc_id,
@@ -1416,7 +1416,7 @@ _WINNOW_K, _WINNOW_W = 5, 8
     SELECT doc_id, unnest(list_distinct(m)) AS fingerprint FROM mins
     """,
 )
-def q37_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q93_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (rolling k-gram hash + min-of-
     window selection, the MOSS scheme) exploded to (doc_id,
     fingerprint) — the join-able form: near-duplicate detection at
@@ -2001,8 +2001,8 @@ def _cc_oracle_sql() -> str:
     """
 
 
-@_register("q48_dedup_clusters", _cc_oracle_sql())
-def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q94_dedup_clusters", _cc_oracle_sql())
+def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate clusters (operators/components):
     q26's LSH candidate pairs closed under connectivity by iterative
     min-label propagation + pointer jumping, canonical copy = the
@@ -3012,13 +3012,13 @@ def q49_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-LSH pigeonhole banding — fingerprints within Hamming
     distance bands-1 must share a band, so candidates come from an
     equi-join on (band_idx, band_val), never all-pairs. Both the
-    portable fingerprints (q31's md5 family) and the pairing are
+    portable fingerprints (the simhash query's md5 family) and the pairing are
     replayed by the oracle."""
     from computer_vision_foundations_spark.operators.dedup import (
         simhash_pairs,
     )
 
-    fingerprints = q31_simhash(spark, sf_dir)
+    fingerprints = q92_simhash(spark, sf_dir)
     return simhash_pairs(
         fingerprints, "simhash", "doc_id", bits=32, bands=4, max_hamming=3
     )
@@ -3365,9 +3365,9 @@ def q03_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q90_multiprobe_recall", _ann_recall_oracle_sql("q36_multiprobe_lsh_ann")
+    "q24_multiprobe_recall", _ann_recall_oracle_sql("q36_multiprobe_lsh_ann")
 )
-def q90_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of multi-probe LSH (q36) against brute-force ground
     truth (q27): the evidence that probe-side bucket fan-out buys
     recall without touching the corpus index (compare with q34, the
@@ -3835,7 +3835,7 @@ _SQ_DIM = 64
 
 
 @_register(
-    "q91_sq8_ann",
+    "q28_sq8_ann",
     f"""
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3877,7 +3877,7 @@ _SQ_DIM = 64
     WHERE rank <= 10
     """,
 )
-def q91_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization (SQ8, FAISS IndexScalarQuantizer shape):
     per-dimension min/max from ONE unrolled aggregate (model-sized
     collect), uint8 encode as a narrow codegen projection, then top-10
@@ -3902,7 +3902,7 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
 @_register(
-    "q92_event_funnel",
+    "q31_event_funnel",
     f"""
     WITH e AS (
       SELECT user_id, event_type, epoch_us(ts) AS us FROM events
@@ -3926,7 +3926,7 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
     FROM c
     """,
 )
-def q92_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/funnel.funnel_counts): users doing
     view → click → purchase with strictly increasing timestamps — the
     MATCH_RECOGNIZE-style analysis Spark lacks natively, re-expressed
@@ -3943,7 +3943,7 @@ def q92_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q93_kfold_assignment",
+    "q37_kfold_assignment",
     """
     SELECT doc_id,
            CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
@@ -3951,7 +3951,7 @@ def q92_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def q93_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-fold CV assignment
     (operators/split.kfold_assignment): fold = seeded md5 slice mod 5,
     a pure function of (id, seed) — stable across engines,
@@ -3983,8 +3983,8 @@ def _verified_pairs_oracle_sql() -> str:
     """
 
 
-@_register("q94_lsh_verified_pairs", _verified_pairs_oracle_sql())
-def q94_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q48_lsh_verified_pairs", _verified_pairs_oracle_sql())
+def q48_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate verification (operators/dedup.edit_similarity_pairs):
     the MinHash-LSH candidates of q26 scored by normalized edit
     similarity over 200-char prefixes — the verify-before-drop stage a

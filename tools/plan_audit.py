@@ -99,7 +99,7 @@ AUDIT = {
         "(table, bucket) equi-join — no cross product",
         (),
     ),
-    "q91_sq8_ann": (
+    "q28_sq8_ann": (
         "SQ8 scan reads uint8 codes only; the probe×corpus product over "
         "codes with broadcast probes is the intended scan (same family "
         "as q29's ADC)",
