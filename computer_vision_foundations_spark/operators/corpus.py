@@ -3,15 +3,25 @@
 Everything between "raw scraped documents" and "packed training
 sequences", chained from the individually oracle-verified operators:
 
-    quality filter → exact dedup → near-dup clustering → redaction
-    → chunking → sequence packing
+    quality filter (+ repetition / surprisal gates) → domain cap
+    → exact dedup → near-dup clustering → benchmark decontamination
+    (bloom pre-screen + exact verify) → redaction → chunking
+    → sequence packing
 
-Each arrow is one of the engine's tested operators (q22, q21,
-q26+q48, q57, q56, q58); this module only supplies the glue and the
+Each arrow is one of the engine's individually oracle-verified
+operators; this module only supplies the glue and the
 composition-level invariants (tests/test_corpus.py): no two surviving
 chunks descend from documents in the same near-dup cluster, every
 chunk fits ``chunk_tokens``, every packed bin starts within
-``seq_len``.
+``seq_len``, and with an eval set supplied no surviving chunk
+descends from a contaminated document.
+
+The decontamination stage is the production two-phase shape: the
+Bloom pre-screen (broadcast bits, no false negatives) clears the
+overwhelmingly-clean majority map-side, and the exact shingle-overlap
+join runs ONLY on documents with ≥1 bloom hit — at 100 TB that is the
+difference between joining the whole corpus against the eval shingles
+and joining a tiny suspicious slice.
 
 Shuffle budget of the whole pipeline, in order: one 16-byte-key hash
 agg (exact dedup), one banded equi-join + a few label-table rounds
@@ -53,6 +63,12 @@ def prepare_training_corpus(
     max_punct_ratio: float = 0.25,
     max_dup_token_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    max_surprisal: float | None = None,
+    domain_col: str | None = None,
+    domain_cap: int | None = None,
+    eval_df: DataFrame | None = None,
+    decontaminate_k: int = 3,
+    decontaminate_min_frac: float = 0.1,
     chunk_tokens: int = 32,
     overlap: int = 8,
     seq_len: int = 256,
@@ -77,7 +93,34 @@ def prepare_training_corpus(
             cond = cond & (F.col("dup_token_frac") <= max_dup_token_frac)
         if max_top_bigram_frac is not None:
             cond = cond & (F.col("top_bigram_frac") <= max_top_bigram_frac)
-    kept = scored.filter(cond).select(id_col, text_col)
+    keep_cols = [id_col, text_col] + (
+        [domain_col] if domain_col and domain_cap is not None else []
+    )
+    kept = scored.filter(cond).select(*keep_cols)
+
+    # 1b. surprisal gate: drop the high-perplexity-proxy tail (the
+    # CCNet-style outlier filter; model = the surviving corpus itself)
+    if max_surprisal is not None:
+        from computer_vision_foundations_spark.operators.perplexity import (
+            unigram_logprob_scores,
+        )
+
+        ok = (
+            unigram_logprob_scores(kept, text_col, id_col)
+            .filter(F.col("surprisal") <= max_surprisal)
+            .select(id_col)
+        )
+        kept = kept.join(ok, id_col, "left_semi")
+
+    # 1c. head-domain cap: bound any single source's contribution
+    if domain_col and domain_cap is not None:
+        from computer_vision_foundations_spark.operators.sample import (
+            group_cap_sample,
+        )
+
+        kept = group_cap_sample(kept, domain_col, id_col, domain_cap).select(
+            id_col, text_col
+        )
 
     # 2. exact dedup: keep each distinct content's min id
     keepers = exact_duplicates(kept, text_col, id_col).select(
@@ -103,6 +146,51 @@ def prepare_training_corpus(
         .select(F.col("doc_id").alias(id_col))
     )
     kept = kept.join(F.broadcast(losers), id_col, "left_anti")
+
+    # 3b. benchmark decontamination, two-phase: bloom pre-screen on
+    # eval shingles (no false negatives — zero-hit docs are provably
+    # clean and never enter the exact join), exact overlap verify on
+    # the suspicious slice only.
+    if eval_df is not None:
+        from computer_vision_foundations_spark.functions.sketches import (
+            bloom_bits,
+            bloom_membership,
+        )
+        from computer_vision_foundations_spark.operators.decontaminate import (
+            contamination_pairs,
+        )
+        from computer_vision_foundations_spark.operators.dedup import (
+            _with_shingles,
+        )
+
+        eval_sh = _with_shingles(
+            eval_df, text_col, id_col, "eval_id", decontaminate_k
+        ).select(F.explode("_shingles").alias("s"))
+        bits = bloom_bits(eval_sh, "s")
+        train_sh = _with_shingles(
+            kept, text_col, id_col, "_tid", decontaminate_k
+        ).select("_tid", F.explode("_shingles").alias("s"))
+        mem = bloom_membership(
+            train_sh.select("s").distinct(), "s", bits, keys=["s"]
+        )
+        suspects = (
+            train_sh.join(mem.filter("maybe_member"), "s", "left_semi")
+            .select(F.col("_tid").alias(id_col))
+            .distinct()
+        )
+        confirmed = (
+            contamination_pairs(
+                kept.join(suspects, id_col, "left_semi"),
+                eval_df,
+                text_col,
+                id_col,
+                k=decontaminate_k,
+                min_frac=decontaminate_min_frac,
+            )
+            .select(F.col("train_id").alias(id_col))
+            .distinct()
+        )
+        kept = kept.join(F.broadcast(confirmed), id_col, "left_anti")
 
     # 4-5. redact, then chunk (both row-local)
     clean = redact_text(kept, text_col)

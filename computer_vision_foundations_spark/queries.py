@@ -2472,19 +2472,30 @@ def q19_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("q20_training_corpus")
 def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship composition (operators/corpus.prepare_training_corpus):
-    quality filter → exact dedup → near-dup clustering → redaction →
-    chunking → sequence packing, every stage an operator whose
-    correctness is individually oracle-verified (q22, q21, q26+q48,
-    q57, q56, q58). Rows-only here — the composed SQL twin would be
-    a page of fragile CTE surgery for no new information — with the
-    composition-level invariants covered in tests/test_corpus.py."""
+    """Flagship composition (operators/corpus.prepare_training_corpus)
+    with the FULL stage list: quality filter → surprisal gate →
+    per-domain cap → exact dedup → near-dup clustering → benchmark
+    decontamination (bloom pre-screen + exact verify; eval set = every
+    50th doc) → redaction → chunking → sequence packing — every stage
+    an operator whose correctness is individually oracle-verified.
+    Rows-only here — the composed SQL twin would be a page of fragile
+    CTE surgery for no new information — with the composition-level
+    invariants covered in tests/test_corpus.py."""
     from computer_vision_foundations_spark.operators.corpus import (
         prepare_training_corpus,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return prepare_training_corpus(docs)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return prepare_training_corpus(
+        train,
+        max_surprisal=14.0,
+        domain_col="source",
+        domain_cap=1_000_000,
+        eval_df=eval_df,
+        decontaminate_min_frac=0.5,
+    )
 
 
 @_register(

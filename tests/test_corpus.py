@@ -73,3 +73,49 @@ def test_repetition_gate_drops_boilerplate(spark):
         df, min_tokens=10, chunk_tokens=16, overlap=4, max_dup_token_frac=0.5
     )
     assert {r.doc_id for r in gated.collect()} == {1}
+
+
+def test_decontamination_stage_drops_eval_overlap(spark):
+    docs = _docs(spark)
+    # eval doc = (almost) doc 4's text -> doc 4 must be dropped
+    eval_df = spark.createDataFrame(
+        [(100, "completely different words entirely here repeated many times "
+               "for a long enough document to survive the quality filter ok")],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_corpus(
+        docs, min_tokens=20, max_punct_ratio=0.25,
+        chunk_tokens=16, overlap=4, seq_len=48,
+        eval_df=eval_df, decontaminate_min_frac=0.5,
+    )
+    survivors = {r.doc_id for r in out.collect()}
+    assert 4 not in survivors          # contaminated doc removed
+    assert survivors == {1, 7}         # everything else unchanged
+
+
+def test_domain_cap_and_surprisal_gate(spark):
+    def body(i):  # distinct per doc so near-dup clustering keeps all
+        words = [f"w{i}x{j}" for j in range(30)]
+        return " ".join(words)
+
+    rows = [(i, body(i), "srcA") for i in range(10)]
+    rows += [(100 + i, body(100 + i), "srcB") for i in range(2)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = prepare_training_corpus(
+        docs, min_tokens=10, max_punct_ratio=0.5,
+        chunk_tokens=16, overlap=4, seq_len=48,
+        domain_col="source", domain_cap=3,
+    )
+    survivors = {r.doc_id for r in out.collect()}
+    assert len([d for d in survivors if d < 100]) <= 3   # srcA capped
+    assert len([d for d in survivors if d >= 100]) == 2  # srcB under cap
+    # a generous surprisal ceiling keeps everything; a tiny one empties
+    full = prepare_training_corpus(
+        docs, min_tokens=10, max_punct_ratio=0.5,
+        chunk_tokens=16, overlap=4, seq_len=48, max_surprisal=50.0,
+    )
+    none = prepare_training_corpus(
+        docs, min_tokens=10, max_punct_ratio=0.5,
+        chunk_tokens=16, overlap=4, seq_len=48, max_surprisal=0.0,
+    )
+    assert full.count() > 0 and none.count() == 0
