@@ -31,6 +31,7 @@ from computer_vision_foundations_spark.operators.quantization import (
 )
 from computer_vision_foundations_spark.operators.retrieval import bm25_topk, rrf_fuse
 from computer_vision_foundations_spark.operators.pagerank import pagerank
+from computer_vision_foundations_spark.operators.rollup import gap_fill_locf
 from computer_vision_foundations_spark.operators.funnel import (
     funnel_counts,
     funnel_max_step,
@@ -97,6 +98,7 @@ from computer_vision_foundations_spark.operators.zorder import (
 
 __all__ = [
     "pagerank",
+    "gap_fill_locf",
     "funnel_counts",
     "funnel_max_step",
     "kfold_assignment",

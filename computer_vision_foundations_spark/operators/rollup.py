@@ -22,10 +22,12 @@ from sum/count columns, never rolled up directly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup"]
+from computer_vision_foundations_spark.operators.ranges import epoch_micros
+
+__all__ = ["time_rollup", "gap_fill_locf"]
 
 # fn applied at the base level; the SAME column merges with `merge` above it
 _AGG_FNS = {
@@ -85,3 +87,51 @@ def time_rollup(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Regular per-key time grid with last-observation-carried-forward —
+    the hypertable ``time_bucket_gapfill + locf`` shape: observations
+    bucket to a regular grid (one hash agg), each key's grid spans its
+    own [min, max] bucket (``sequence`` + explode — rows materialize
+    only for that key's span), and empty buckets inherit the previous
+    bucket's value via an IGNORE-NULLS running ``last`` window.
+
+    Returns ``(key, bucket_ts, value, filled)`` where ``filled`` marks
+    carried-forward rows. Plan: agg shuffle on (key, bucket) + one
+    window shuffle on key — the generated grid is (span/step) rows per
+    key, never a global calendar cross-join. Leading gaps (before a
+    key's first observation) stay NULL."""
+    b = F.floor(epoch_micros(df, ts_col) / F.lit(step_seconds * 1_000_000))
+    agg_fn = getattr(F, agg)
+    per_bucket = (
+        df.select(F.col(key_col).alias("key"), b.alias("_b"),
+                  F.col(value_col).alias("_v"))
+        .groupBy("key", "_b")
+        .agg(agg_fn("_v").alias("_vb"))
+    )
+    spans = per_bucket.groupBy("key").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("_lo", "_hi")).alias("_b")
+    )
+    joined = grid.join(per_bucket, ["key", "_b"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "key",
+        F.timestamp_seconds(F.col("_b") * step_seconds).alias("bucket_ts"),
+        F.last("_vb", ignorenulls=True).over(w).alias("value"),
+        F.col("_vb").isNull().alias("filled"),
+    )

@@ -4023,6 +4023,49 @@ def q48_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "edit_sim")
 
 
+@_register(
+    "q95_gap_fill_locf",
+    """
+    WITH e AS (
+      SELECT user_id AS key,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b,
+             value
+      FROM events
+    ),
+    pb AS (SELECT key, b, avg(value) AS vb FROM e GROUP BY 1, 2),
+    spans AS (SELECT key, min(b) AS lo, max(b) AS hi FROM pb GROUP BY 1),
+    grid AS (SELECT key, unnest(generate_series(lo, hi)) AS b FROM spans),
+    j AS (SELECT g.key, g.b, pb.vb FROM grid g LEFT JOIN pb USING (key, b))
+    SELECT key,
+           TIMESTAMP '1970-01-01' + b * 86400 * INTERVAL 1 SECOND AS bucket_ts,
+           round(last_value(vb IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+           vb IS NULL AS filled
+    FROM j
+    """,
+)
+def q95_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill (operators/rollup.gap_fill_locf):
+    per-user daily buckets with last-observation-carried-forward over
+    the empty days — ``time_bucket_gapfill + locf``. Each key's grid
+    spans only its own [min, max] bucket (sequence explode — never a
+    global calendar cross-join); one agg shuffle on (key, bucket) +
+    one window shuffle on key."""
+    from computer_vision_foundations_spark.operators.rollup import (
+        gap_fill_locf,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = gap_fill_locf(events, "ts", "user_id", "value", 86_400)
+    return out.select(
+        "key",
+        F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"),
+        F.round("value", 6).alias("value"),
+        "filled",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

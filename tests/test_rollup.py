@@ -73,3 +73,41 @@ def test_unsupported_agg_raises(spark):
     df = _events(spark)
     with pytest.raises(ValueError, match="unsupported agg"):
         time_rollup(df, "ts", aggs={"a": ("v", "avg")})
+
+
+def test_gap_fill_locf(spark):
+    import datetime as dt
+
+    from computer_vision_foundations_spark.operators.rollup import (
+        gap_fill_locf,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(days=3), 40.0),   # days 1,2 are gaps
+        (2, base + dt.timedelta(days=1), 5.0),    # single observation
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    out = gap_fill_locf(df, "ts", "user_id", "value", 86_400)
+    got = {(r.key, r.bucket_ts.day): (r.value, r.filled) for r in out.collect()}
+    assert got[(1, 1)] == (10.0, False)
+    assert got[(1, 2)] == (10.0, True)   # carried forward
+    assert got[(1, 3)] == (10.0, True)
+    assert got[(1, 4)] == (40.0, False)
+    assert got[(2, 2)] == (5.0, False)
+    assert len([k for k in got if k[0] == 2]) == 1  # span is per key
+
+
+def test_gap_fill_aggregates_within_bucket(spark):
+    import datetime as dt
+
+    from computer_vision_foundations_spark.operators.rollup import (
+        gap_fill_locf,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 10.0), (1, base + dt.timedelta(hours=2), 30.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    out = gap_fill_locf(df, "ts", "user_id", "value", 86_400).collect()
+    assert len(out) == 1 and out[0].value == 20.0  # avg within the day
