@@ -62,6 +62,9 @@ HEADLINE = [
     "q24_multiprobe_recall",
     "q31_event_funnel",
     "q48_lsh_verified_pairs",
+    "q96_retention_cohorts",
+    "q95_gap_fill_locf",
+    "q97_bpe_merges",
     "q94_dedup_clusters",
     "q20_training_corpus",
     "q30_mixture_sample",

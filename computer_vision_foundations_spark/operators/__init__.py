@@ -31,10 +31,16 @@ from computer_vision_foundations_spark.operators.quantization import (
 )
 from computer_vision_foundations_spark.operators.retrieval import bm25_topk, rrf_fuse
 from computer_vision_foundations_spark.operators.pagerank import pagerank
+from computer_vision_foundations_spark.operators.bpe import (
+    bpe_encode,
+    bpe_train,
+    bpe_word_counts,
+)
 from computer_vision_foundations_spark.operators.rollup import gap_fill_locf
 from computer_vision_foundations_spark.operators.funnel import (
     funnel_counts,
     funnel_max_step,
+    retention_cohorts,
 )
 from computer_vision_foundations_spark.operators.perplexity import (
     unigram_frequencies,
@@ -98,6 +104,10 @@ from computer_vision_foundations_spark.operators.zorder import (
 
 __all__ = [
     "pagerank",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_word_counts",
+    "retention_cohorts",
     "gap_fill_locf",
     "funnel_counts",
     "funnel_max_step",

@@ -109,3 +109,45 @@ def funnel_counts(
             F.col("n_users").cast("double") / F.max("n_users").over(w), 6
         ).alias("conversion"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period,
+    tracked by activity in later periods.
+
+    Returns ``(cohort, period_offset, n_active, retention)`` where
+    ``cohort`` is the user's first-seen period index, ``period_offset``
+    counts periods since the cohort period, and ``retention`` is
+    n_active / cohort size. Plan: one agg for first-seen (shuffle on
+    user), broadcast-free join back on user, distinct
+    (user, cohort, offset), then a |cohorts×offsets|-row aggregate —
+    events never shuffle their payload, only (user, int) pairs."""
+    b = F.floor(
+        epoch_micros(events, ts_col) / F.lit(period_seconds * 1_000_000)
+    ).cast("long")
+    acts = events.select(F.col(user_col).alias("user"), b.alias("_p"))
+    first = acts.groupBy("user").agg(F.min("_p").alias("_cohort"))
+    active = (
+        acts.join(first, "user")
+        .select(
+            "user", "_cohort", (F.col("_p") - F.col("_cohort")).alias("_off")
+        )
+        .distinct()
+    )
+    counts = active.groupBy("_cohort", "_off").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    size = counts.filter(F.col("_off") == 0).select(
+        "_cohort", F.col("n_active").alias("_size")
+    )
+    return counts.join(F.broadcast(size), "_cohort").select(
+        F.col("_cohort").alias("cohort"),
+        F.col("_off").alias("period_offset"),
+        "n_active",
+        F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
+    )

@@ -4066,6 +4066,63 @@ def q95_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q96_retention_cohorts",
+    """
+    WITH acts AS (
+      SELECT user_id AS u,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS p
+      FROM events
+    ),
+    first AS (SELECT u, min(p) AS cohort FROM acts GROUP BY 1),
+    active AS (
+      SELECT DISTINCT a.u, f.cohort, a.p - f.cohort AS off
+      FROM acts a JOIN first f USING (u)
+    ),
+    counts AS (
+      SELECT cohort, off, count(*) AS n_active
+      FROM active GROUP BY 1, 2
+    )
+    SELECT c.cohort, c.off AS period_offset, c.n_active,
+           round(c.n_active * 1.0 / s.n_active, 6) AS retention
+    FROM counts c
+    JOIN (SELECT cohort, n_active FROM counts WHERE off = 0) s
+      USING (cohort)
+    """,
+)
+def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnel.retention_cohorts):
+    users bucketed by first-seen week, tracked by activity in later
+    weeks — the standard product-analytics matrix, as two hash
+    aggregates + one join on (user, int) pairs. Events never shuffle
+    payloads."""
+    from computer_vision_foundations_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return retention_cohorts(events, period_seconds=7 * 86_400)
+
+
+@_register("q97_bpe_merges")
+def q97_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.bpe_train): the 30 most
+    frequent adjacent-symbol merges learned from the corpus's
+    word-frequency table — ONE corpus scan, then vocab-sized rounds
+    (Sennrich et al. 2016 shape). Deterministic (lexicographic tie
+    break) but inherently iterative-argmax, so rows-only here; exact
+    agreement with a pure-Python reference implementation is
+    pytest-verified on fixed corpora (tests/test_bpe.py)."""
+    from computer_vision_foundations_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, left string, right string, merged string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
