@@ -4104,6 +4104,62 @@ def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(events, period_seconds=7 * 86_400)
 
 
+def _dedup_prf_oracle_sql() -> str:
+    """Candidate-generation quality: LSH candidates (q26's oracle)
+    against exact Jaccard≥0.5 ground truth (the jaccard query's
+    oracle), composed end-to-end."""
+    truth = _ORACLES["q90_ngram_jaccard_pairs"]
+    cand = _ORACLES["q26_lsh_candidate_pairs"]
+    return f"""
+    WITH truth AS (SELECT id_a, id_b FROM ({truth}) t0),
+    cand AS (SELECT id_a, id_b FROM ({cand}) c0),
+    hit AS (SELECT count(*) AS n FROM truth JOIN cand USING (id_a, id_b))
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           hit.n AS n_hit,
+           round(hit.n * 1.0 / nullif((SELECT count(*) FROM truth), 0), 6)
+             AS recall,
+           round(hit.n * 1.0 / nullif((SELECT count(*) FROM cand), 0), 6)
+             AS precision
+    FROM hit
+    """
+
+
+@_register("q98_dedup_candidate_prf", _dedup_prf_oracle_sql())
+def q98_dedup_candidate_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup candidate-generation quality: precision/recall of the
+    MinHash-LSH candidate pairs against exact Jaccard≥0.5 ground truth
+    — the evaluation a pipeline runs before trusting an approximate
+    dedup config at scale (band/row counts tune this curve). Purely
+    relational composition of two already-verified queries; the oracle
+    composes both oracle bodies."""
+    truth = q90_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    cand = q26_lsh_candidate_pairs(spark, sf_dir).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit")
+                / F.when(F.col("n_truth") > 0, F.col("n_truth")),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit")
+                / F.when(F.col("n_candidates") > 0, F.col("n_candidates")),
+                6,
+            ).alias("precision"),
+        )
+    )
+
+
 @_register("q97_bpe_merges")
 def q97_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.bpe_train): the 30 most
