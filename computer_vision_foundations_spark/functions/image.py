@@ -299,6 +299,70 @@ def encode_text_png(s: pd.Series) -> pd.Series:
     return s.map(enc)
 
 
+def _dhash_one(content: bytes) -> str | None:
+    """64-bit difference hash as 16 hex chars (row-major; bit set when
+    the left pixel is strictly darker than its right neighbour).
+    Decodes via Pillow when present, else the dependency-free PNG
+    codec; non-decodable bytes hash to None."""
+    try:
+        if HAVE_PIL:
+            img = Image.open(io.BytesIO(content)).convert("L").resize(
+                (9, 8), Image.BILINEAR
+            )
+            px = np.asarray(img, dtype=np.float64)
+        else:
+            d = _png.decode_png(content)
+            px = d["pixels"].astype(np.float64).mean(axis=2)  # grayscale
+            if px.shape != (8, 9):
+                # exact area-average resize onto the 8×9 grid
+                h, w = px.shape
+                ys = np.linspace(0, h, 9).astype(int)
+                xs = np.linspace(0, w, 10).astype(int)
+                px = np.array(
+                    [
+                        [
+                            px[ys[r]:max(ys[r + 1], ys[r] + 1),
+                               xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+                            for c in range(9)
+                        ]
+                        for r in range(8)
+                    ]
+                )
+    except (ValueError, struct.error, IndexError, zlib.error):
+        return None
+    out = []
+    for r in range(8):
+        v = 0
+        for c in range(8):
+            if px[r, c] < px[r, c + 1]:
+                v |= 1 << c
+        out.append(f"{v:02x}")
+    return "".join(out)
+
+
+@pandas_udf(T.BinaryType())
+def encode_text_png_8x9(s: pd.Series) -> pd.Series:
+    """First 72 UTF-8 bytes (zero-padded) as an 8×9 grayscale PNG —
+    the dHash-grid fixture: no resize step, so the hash is an exact
+    integer function of the text bytes and a SQL oracle can replay the
+    whole decode→hash chain."""
+
+    def enc(t: str) -> bytes:
+        b = t.encode("utf-8")[:72].ljust(72, b"\0")
+        return _png.encode_png(np.frombuffer(b, np.uint8).reshape(8, 9))
+
+    return s.map(enc)
+
+
+@pandas_udf(T.StringType())
+def image_dhash(s: pd.Series) -> pd.Series:
+    """Perceptual difference-hash column: images whose dHashes are
+    within a small Hamming distance are near-duplicate IMAGES — feed
+    the output to ``operators/dedup.simhash_pairs``-style banding for
+    CV-corpus dedup. Arrow-batched; one narrow projection."""
+    return s.map(_dhash_one)
+
+
 @pandas_udf(METADATA_SCHEMA)
 def get_image_metadata(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     for batch in it:

@@ -4160,6 +4160,54 @@ def q98_dedup_candidate_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dhash_oracle_sql() -> str:
+    """Replay decode→dHash: pixel (r, c) is byte r·9+c of the text
+    (zero-padded to 72 — PNG is lossless and the grid needs no
+    resize), bit (r, c) set when the left pixel is darker."""
+    rows = []
+    for r in range(8):
+        terms = " + ".join(
+            f"(CASE WHEN p[{r * 9 + c + 1}] < p[{r * 9 + c + 2}] "
+            f"THEN {1 << c} ELSE 0 END)"
+            for c in range(8)
+        )
+        rows.append(f"({terms})")
+    fmt = "%02x" * 8
+    args = ", ".join(rows)
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(1, 74),
+               i -> CASE WHEN i <= length(text)
+                    THEN ascii(substr(text, i, 1)) ELSE 0 END) AS p
+      FROM documents
+    )
+    SELECT doc_id, printf('{fmt}', {args}) AS dhash FROM px
+    """
+
+
+@_register("q99_image_dhash", _dhash_oracle_sql())
+def q99_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (functions/image.image_dhash): each
+    document's leading bytes become a REAL 8×9 grayscale PNG, the
+    dependency-free codec decodes it, and the 64-bit difference hash
+    (adjacent-pixel darkness comparisons, the standard CV near-dup
+    fingerprint) comes back as 16 hex chars — the image-dedup
+    fingerprint that feeds Hamming-LSH banding at scale. PNG is
+    lossless and the grid needs no resize, so the oracle replays
+    decode→hash exactly from character codes."""
+    from computer_vision_foundations_spark.functions.image import (
+        encode_text_png_8x9,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        image_dhash(encode_text_png_8x9(F.col("text"))).alias("dhash"),
+    )
+
+
 @_register("q97_bpe_merges")
 def q97_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.bpe_train): the 30 most

@@ -195,3 +195,23 @@ def test_statistics_entropy_uniform():
     s = _statistics_one(P.encode_png(a))
     assert s["entropy"] == pytest.approx(8.0)
     assert s["histogram"] == [1] * 256
+
+
+def test_image_dhash_properties():
+    from computer_vision_foundations_spark.functions.image import _dhash_one
+
+    a = _rng().integers(0, 256, size=(8, 9), dtype=np.uint8)
+    h1 = _dhash_one(P.encode_png(a))
+    assert len(h1) == 16 and h1 == _dhash_one(P.encode_png(a))
+    # flipping one comparison flips few bits
+    b = a.copy()
+    b[0, 0] = 255 - b[0, 0]
+    h2 = _dhash_one(P.encode_png(b))
+    ham = bin(int(h1, 16) ^ int(h2, 16)).count("1")
+    assert 0 <= ham <= 2
+    # resize path: larger image still hashes (8x9 grid via area mean)
+    big = _rng().integers(0, 256, size=(64, 72, 3), dtype=np.uint8)
+    h3 = _dhash_one(P.encode_png(big))
+    assert len(h3) == 16
+    # garbage bytes -> None
+    assert _dhash_one(b"not an image") is None
