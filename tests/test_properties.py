@@ -205,3 +205,128 @@ def test_packing_capacity_property(spark, counts, seq_len):
             assert r.bin == cum // seq_len
             assert r.offset == cum - r.bin * seq_len
             cum += r.n_tokens
+
+
+@_prop
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),               # user
+            st.sampled_from(["a", "b", "c", "x"]),  # type (x = noise)
+            st.integers(0, 20),              # second offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_matches_bruteforce_reference(spark, events):
+    """funnel_max_step == 'exists an ordered subsequence with strictly
+    increasing timestamps', checked per user by brute force."""
+    import datetime as dt
+
+    from computer_vision_foundations_spark.operators.funnel import (
+        funnel_max_step,
+    )
+
+    steps = ["a", "b", "c"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + dt.timedelta(seconds=s)) for (u, t, s) in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {r.user: r.max_step for r in funnel_max_step(df, steps).collect()}
+
+    def brute(user_events):
+        best = 0
+        # greedy earliest is optimal; emulate directly
+        last = -1
+        step = 0
+        for (t, s) in sorted(user_events):
+            if step < 3 and s == steps[step] and t > last:
+                step += 1
+                last = t
+            best = max(best, step)
+        return best
+
+    per_user = {}
+    for (u, t, s) in events:
+        if t in steps:
+            per_user.setdefault(u, []).append((s, t))
+    for u, evs in per_user.items():
+        assert got[u] == brute([(s, t) for (s, t) in evs])
+
+
+@_prop
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 15),
+                  st.floats(-5, 5, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_gap_fill_locf_reference(spark, obs):
+    """Grid spans per key, LOCF carries the latest prior bucket value,
+    filled flags mark synthesized rows."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from computer_vision_foundations_spark.operators.rollup import (
+        gap_fill_locf,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(days=d), float(v)) for (k, d, v) in obs
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    out = gap_fill_locf(df, "ts", "k", "v", 86_400)
+    got = {(r.key, r.bucket_ts): (r.value, r.filled) for r in out.collect()}
+
+    per_key = defaultdict(lambda: defaultdict(list))
+    for (k, d, v) in obs:
+        per_key[k][d].append(float(v))
+    for k, days in per_key.items():
+        lo, hi = min(days), max(days)
+        last = None
+        for d in range(lo, hi + 1):
+            ts = base + dt.timedelta(days=d)
+            val, filled = got[(k, ts)]
+            if d in days:
+                exp = sum(days[d]) / len(days[d])
+                assert val == pytest.approx(exp)
+                assert not filled
+                last = exp
+            else:
+                assert filled
+                assert val == pytest.approx(last)
+    # no extra rows beyond the per-key spans
+    assert len(got) == sum(
+        max(d) - min(d) + 1 for d in (set(days) for days in per_key.values())
+    )
+
+
+@_prop
+@given(
+    n=st.integers(1, 60),
+    k=st.integers(1, 30),
+    seed=st.integers(0, 5),
+)
+def test_bottom_k_is_global_hash_order_prefix(spark, n, k, seed):
+    from computer_vision_foundations_spark.operators.mixture import hash_unit
+    from computer_vision_foundations_spark.operators.sample import (
+        bottom_k_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = [r.doc_id for r in bottom_k_sample(df, "doc_id", k, seed=seed)
+           .orderBy("sample_key", "doc_id").collect()]
+    full = [
+        r.doc_id
+        for r in df.withColumn("h", hash_unit("doc_id", seed))
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    assert got == full[: min(k, n)]
