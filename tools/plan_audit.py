@@ -105,6 +105,21 @@ AUDIT = {
         "as q29's ADC)",
         ("BroadcastNestedLoopJoin",),
     ),
+    "q31_event_funnel": (
+        "funnel = scan-pruned type filter + ONE shuffle on user + "
+        "linear sorted-fold state machine; no self-joins per step",
+        (),
+    ),
+    "q95_gap_fill_locf": (
+        "per-key grid via sequence explode — no global calendar cross "
+        "join; one agg shuffle + one window shuffle",
+        (),
+    ),
+    "q47_unigram_surprisal": (
+        "frequency model = one hash agg; token stream joins it "
+        "(TF-IDF budget); totals ride a 1-row broadcast crossJoin",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
