@@ -160,32 +160,46 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
         os.makedirs(warm_landing)
         _gen(warm_landing, warm_files)
         run_ingest(spark, _cfg("warm", warm_landing))
-        cfg = _cfg("main", landing)
-        t0 = time.time()
-        run_ingest(spark, cfg)
-        elapsed = time.time() - t0
-        n_out = spark.read.parquet(cfg.sink.output_path).count()
-        assert n_out == n_files, f"ingest wrote {n_out} of {n_files} files"
 
-        # EP3: the SECOND consumer of the same landing dir — streaming
-        # inference to a (path, score) sink with its own checkpoint
-        # (`04a_Model Deployment.py:248-269` shape), timed separately.
         from computer_vision_foundations_spark.streaming.ingest import (
             run_scoring_stream,
         )
 
-        t1 = time.time()
-        run_scoring_stream(
-            spark,
-            cfg,
-            lambda pdf: pdf["content"].map(len).astype(float),
-            output_path=os.path.join(tmp, "scored", "out"),
-            checkpoint_path=os.path.join(tmp, "scored", "ckpt"),
+        # Same stall-robust min-of-N as the query loop: each timed
+        # cycle gets a fresh checkpoint (availableNow is exactly-once
+        # per checkpoint) over the SAME landing dir.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        ingest_samples, score_samples = [], []
+        for i in range(max(1, repeats)):
+            cfg = _cfg(f"main{i}", landing)
+            t0 = time.time()
+            run_ingest(spark, cfg)
+            ingest_samples.append(time.time() - t0)
+            n_out = spark.read.parquet(cfg.sink.output_path).count()
+            assert n_out == n_files, f"ingest wrote {n_out} of {n_files}"
+
+            # EP3: the SECOND consumer of the same landing dir —
+            # streaming inference to a (path, score) sink with its own
+            # checkpoint (`04a_Model Deployment.py:248-269` shape).
+            t1 = time.time()
+            run_scoring_stream(
+                spark,
+                cfg,
+                lambda pdf: pdf["content"].map(len).astype(float),
+                output_path=os.path.join(tmp, f"scored{i}", "out"),
+                checkpoint_path=os.path.join(tmp, f"scored{i}", "ckpt"),
+            )
+            score_samples.append(time.time() - t1)
+            n_scored = spark.read.parquet(
+                os.path.join(tmp, f"scored{i}", "out")
+            ).count()
+            assert n_scored == n_files, f"scored {n_scored} of {n_files}"
+        print(
+            f"# streaming samples: ingest {[round(s, 2) for s in ingest_samples]}"
+            f" score {[round(s, 2) for s in score_samples]}",
+            file=sys.stderr,
         )
-        score_elapsed = time.time() - t1
-        n_scored = spark.read.parquet(os.path.join(tmp, "scored", "out")).count()
-        assert n_scored == n_files, f"scored {n_scored} of {n_files}"
-        return n_files, elapsed, score_elapsed
+        return n_files, min(ingest_samples), min(score_samples)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
