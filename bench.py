@@ -218,11 +218,14 @@ def main() -> int:
     # Stall-robust timing: this host is multi-tenant and stalls
     # stochastically mid-run (SCALE.md "Headline evidence": queries
     # verified at 1.5-3 s standalone absorb 10-44 s when a stall lands
-    # on them; the victim changes run to run). Each query therefore
-    # runs SPARK_GRAFT_BENCH_REPEATS times (default 2) and reports the
-    # minimum — the standard practice for wall-clock benchmarks on
-    # shared hardware. Both samples go to stderr for transparency.
+    # on them; the victim changes run to run). A query whose first
+    # sample exceeds SPARK_GRAFT_BENCH_RETRY_SEC (default 2 s) is
+    # therefore re-run up to SPARK_GRAFT_BENCH_REPEATS-1 more times
+    # and the MINIMUM reported — fast first samples are stall-free by
+    # construction and skip the retry, which keeps total bench time
+    # near a single pass. All samples go to stderr for transparency.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    retry_sec = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "2.0"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # Time construction + execution: iterative operators (q48's
@@ -230,7 +233,7 @@ def main() -> int:
         # query is being built, so timing only the final write would
         # under-charge them.
         samples = []
-        for _ in range(max(1, repeats)):
+        for i in range(max(1, repeats)):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
@@ -240,6 +243,8 @@ def main() -> int:
             # dropping them here keeps later queries from paying earlier
             # queries' block-eviction and GC pressure.
             spark.catalog.clearCache()
+            if min(samples) < retry_sec:
+                break
         timings[name] = min(samples)
         print(f"# {name}: {timings[name]}s (samples: {samples})", file=sys.stderr)
     n_stream_files, stream_sec, score_sec = bench_streaming_ingest(spark)
