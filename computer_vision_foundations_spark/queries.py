@@ -4208,22 +4208,77 @@ def q99_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q97_bpe_merges")
+def _bpe_oracle_sql(n_merges: int = 30) -> str:
+    """Unrolled BPE training in SQL (one MATERIALIZED CTE pair per
+    round — plain CTEs inline and the plan doubles per round, the same
+    trap PageRank hit in Spark). The greedy left-to-right
+    non-overlapping merge is expressed as a string ``replace`` over a
+    DOUBLE-separator symbol encoding: each symbol is wrapped in two
+    chr(31)s, the pattern consumes one boundary separator on each side
+    and the replacement restores one — so adjacent occurrences chain
+    correctly and cross-symbol substring matches are impossible.
+    Verified equal to the pure-Python reference in tests/test_bpe.py's
+    construction."""
+    sep = "chr(31)"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT {sep} || {sep}
+             || array_to_string(string_split(word, ''), {sep} || {sep})
+             || {sep} || {sep} AS w, cnt
+      FROM (SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE length(word) > 0 GROUP BY word) t0)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT syms[i] AS a, syms[i + 1] AS b, sum(cnt) AS n
+        FROM (SELECT list_filter(string_split(w, {sep}), x -> x <> '') AS syms,
+                     cnt
+              FROM {prev}) s,
+             unnest(range(1, greatest(len(syms), 1))) t(i)
+        GROUP BY 1, 2) p
+      WHERE n >= 2
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+      SELECT replace(w, {sep} || m.a || {sep} || {sep} || m.b || {sep},
+                     {sep} || m.a || m.b || {sep}) AS w, cnt
+      FROM {prev}, m{r} m)"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r - 1} AS merge_idx, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM (\n      {union}) t"
+    )
+
+
+@_register("q97_bpe_merges", _bpe_oracle_sql())
 def q97_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.bpe_train): the 30 most
     frequent adjacent-symbol merges learned from the corpus's
     word-frequency table — ONE corpus scan, then vocab-sized rounds
     (Sennrich et al. 2016 shape). Deterministic (lexicographic tie
-    break) but inherently iterative-argmax, so rows-only here; exact
-    agreement with a pure-Python reference implementation is
-    pytest-verified on fixed corpora (tests/test_bpe.py)."""
+    break), so even this iterative-argmax training has a FULL
+    differential oracle: 30 unrolled MATERIALIZED-CTE rounds whose
+    greedy rewrite is a double-separator string replace — the whole
+    merge sequence hash-matches. Exact agreement with a pure-Python
+    reference is additionally pytest-verified (tests/test_bpe.py)."""
     from computer_vision_foundations_spark.operators.bpe import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=30)
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
-        "merge_idx int, left string, right string, merged string",
+        "merge_idx int, left_sym string, right_sym string, merged string",
     )
 
 
