@@ -81,6 +81,10 @@ HEADLINE = [
     "q17_semantic_dedup",
     "q44_bloom_decontaminate",
     "q45_weighted_sample",
+    "z01_duplicated_spans",
+    "z02_random_projection",
+    "z03_pca_covariance",
+    "q22_image_statistics",
 ]
 
 

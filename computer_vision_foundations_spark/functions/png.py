@@ -38,6 +38,7 @@ __all__ = [
     "parse_jpeg_header",
     "parse_jpeg_exif",
     "build_jpeg_exif",
+    "build_exif_app1",
     "png_info",
     "is_png",
     "is_jpeg",
@@ -430,20 +431,11 @@ def _entry(bo: str, tag: int, value) -> tuple[int, int, int, bytes]:
     raise TypeError(f"unsupported fixture EXIF value {value!r}")
 
 
-def build_jpeg_exif(
-    exif: dict,
-    *,
-    width: int = 64,
-    height: int = 48,
-    byte_order: str = "<",
-) -> bytes:
-    """A minimal JPEG byte blob: SOI + APP1(Exif) + SOF0 + EOI.
-
-    Carries real EXIF structure (IFD0, Exif sub-IFD, optional GPS IFD)
-    so ``parse_jpeg_exif`` fixtures exercise genuine TIFF layout in
-    both byte orders. Not a renderable image (no scan data) — header
-    metadata and EXIF only, which is all the metadata UDF reads.
-    """
+def build_exif_app1(exif: dict, *, byte_order: str = "<") -> bytes:
+    """Raw APP1 payload (``Exif\\0\\0`` + TIFF blob) for an EXIF dict —
+    IFD0, Exif sub-IFD, optional GPS IFD in genuine TIFF layout.
+    Feed to ``jpeg.encode_jpeg(app1=...)`` for renderable fixtures, or
+    use ``build_jpeg_exif`` for a header-only blob."""
     bo = byte_order
     gps = exif.get("GPSInfo") or {}
     ifd0_vals = {k: v for k, v in exif.items() if k in _IFD0_NAMES}
@@ -493,7 +485,24 @@ def build_jpeg_exif(
         + sub_full
         + gps_full
     )
-    app1 = b"Exif\x00\x00" + tiff
+    return b"Exif\x00\x00" + tiff
+
+
+def build_jpeg_exif(
+    exif: dict,
+    *,
+    width: int = 64,
+    height: int = 48,
+    byte_order: str = "<",
+) -> bytes:
+    """A minimal JPEG byte blob: SOI + APP1(Exif) + SOF0 + EOI.
+
+    Carries real EXIF structure (IFD0, Exif sub-IFD, optional GPS IFD)
+    so ``parse_jpeg_exif`` fixtures exercise genuine TIFF layout in
+    both byte orders. Not a renderable image (no scan data) — header
+    metadata and EXIF only, which is all the metadata UDF reads.
+    """
+    app1 = build_exif_app1(exif, byte_order=byte_order)
     sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )

@@ -97,6 +97,17 @@ from computer_vision_foundations_spark.operators.corpus import (
     prepare_training_corpus,
 )
 from computer_vision_foundations_spark.operators.fuzzy import fuzzy_match_pairs
+from computer_vision_foundations_spark.operators.projection import (
+    covariance_matrix,
+    jl_sign_matrix,
+    pca_fit,
+    pca_project,
+    random_projection,
+)
+from computer_vision_foundations_spark.operators.spans import (
+    duplicated_span_islands,
+    duplicated_span_stats,
+)
 from computer_vision_foundations_spark.operators.zorder import (
     layout_by_zorder,
     zorder_key,
@@ -170,4 +181,11 @@ __all__ = [
     "fuzzy_match_pairs",
     "layout_by_zorder",
     "zorder_key",
+    "duplicated_span_islands",
+    "duplicated_span_stats",
+    "random_projection",
+    "jl_sign_matrix",
+    "covariance_matrix",
+    "pca_fit",
+    "pca_project",
 ]

@@ -132,7 +132,11 @@ def pagerank_oracle_sql(
     redistributed each round). ``edges_sql`` must yield (src, dst)."""
     d = f"CAST({damping} AS DOUBLE)"
     parts = [
-        f"WITH edges AS ({edges_sql})",
+        # DISTINCT mirrors the operator's edge collapse — without it a
+        # caller-supplied edge query that yields the same (src, dst)
+        # twice (e.g. node-id collisions across keyspaces) would
+        # double-count degrees/contributions only on the oracle side.
+        f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",

@@ -1,0 +1,240 @@
+"""Dimensionality reduction over embedding columns: JL random
+projection and distributed PCA.
+
+Random projection (Johnson–Lindenstrauss): a seeded ±1 sign matrix
+(Achlioptas 2001 — database-friendly random projections) generated
+once on the driver and embedded in the plan as literals, exactly like
+the LSH hyperplanes / PQ codebooks elsewhere in this repo. The
+projection itself is the JVM HOF fold from `functions/vectors.py`
+(whole-stage codegen; no Python in the hot path), so the corpus is one
+narrow projection — no shuffle at all, and a SQL oracle can replay the
+same literals.
+
+Distributed PCA: the classic two-stage shape for tall-skinny data —
+(1) per-partition partial Gramian + sum vector via one Arrow-batched
+`mapInPandas` (d×d doubles per PARTITION, not per row), (2) a hash
+aggregate over (i, j) cells — d² rows total, model-sized — and (3) a
+driver-side `numpy.linalg.eigh` on the d×d covariance (the same
+"model-sized driver state" rule as k-means centroids in
+`operators/clustering.py`). The 100 TB story: the corpus is read once,
+nothing data-sized shuffles or collects; only d² partial sums move.
+Eigenvector signs are canonicalized (largest-|entry| positive) so
+results are deterministic across BLAS builds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "jl_sign_matrix",
+    "random_projection",
+    "covariance_matrix",
+    "pca_fit",
+    "pca_project",
+]
+
+
+def jl_sign_matrix(dim: int, out_dim: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1/√out_dim matrix ``[out_dim][dim]`` — entry
+    (j, i) is the parity of one md5 byte of ``{seed}:{j}:{i}``, so any
+    engine (the SQL oracle included) can re-derive it bit-for-bit."""
+    scale = 1.0 / float(np.sqrt(out_dim))
+    return [
+        [
+            (
+                scale
+                if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0
+                else -scale
+            )
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    out_col: str = "projected",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Append a JL-projected ``array<double>`` column. One narrow
+    codegen projection; the sign matrix rides the plan as literals."""
+    dim = len(df.select(vec_col).first()[0])
+    rows = jl_sign_matrix(dim, out_dim, seed)
+    comps = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in rows]
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    proj = F.transform(
+        comps,
+        lambda row: F.aggregate(
+            F.zip_with(v, row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    if decimals is not None:
+        proj = F.transform(proj, lambda x: F.round(x, decimals))
+    return df.withColumn(out_col, proj)
+
+
+_GRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("sxy", T.DoubleType()),
+        T.StructField("sx", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _partial_gramian(vec_col: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        sums = None
+        count = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            g = x.T @ x
+            gram = g if gram is None else gram + g
+            s = x.sum(axis=0)
+            sums = s if sums is None else sums + s
+            count += len(pdf)
+        if gram is None:
+            return
+        d = gram.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "sxy": gram.ravel(),
+                # the sum vector rides the diagonal rows to avoid a
+                # second pass; n likewise
+                "sx": np.where(ii.ravel() == jj.ravel(), sums[ii.ravel()], 0.0),
+                "n": np.full(d * d, count, dtype=np.int64),
+            }
+        )
+
+    return fn
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", decimals: int | None = 6
+) -> DataFrame:
+    """(i, j, cov) rows of the population covariance of an
+    ``array<float>`` column — the distributed stage of PCA, exposed
+    relationally so it differential-checks against a SQL oracle.
+    cov(i,j) = E[x_i x_j] − E[x_i]·E[x_j]."""
+    parts = df.select(vec_col).mapInPandas(
+        _partial_gramian(vec_col), schema=_GRAM_SCHEMA
+    )
+    tot = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx_diag")
+    )
+    # per-dimension means live on the diagonal rows
+    n_total = df.count()
+    means = (
+        tot.filter(F.col("i") == F.col("j"))
+        .select(F.col("i").alias("mi"), (F.col("sx_diag") / n_total).alias("mean"))
+    )
+    cov = (
+        tot.join(means.withColumnRenamed("mi", "i").withColumnRenamed("mean", "mean_i"), "i")
+        .join(means.withColumnRenamed("mi", "j").withColumnRenamed("mean", "mean_j"), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxy") / n_total - F.col("mean_i") * F.col("mean_j")
+            ).alias("cov"),
+        )
+    )
+    if decimals is not None:
+        cov = cov.withColumn("cov", F.round("cov", decimals))
+    return cov
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", n_components: int = 8
+) -> dict:
+    """Fit PCA: distributed covariance (see `covariance_matrix`) +
+    driver-side eigh on the d×d matrix (model-sized collect, the only
+    one). Returns {'mean': [d], 'components': [n_components][d],
+    'explained_variance': [n_components]} with deterministic signs."""
+    cov_rows = covariance_matrix(df, vec_col, decimals=None).collect()
+    d = max(r["i"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    # symmetrize against float noise from the two join paths
+    cov = (cov + cov.T) / 2.0
+    n_total = df.count()
+    # mean via one narrow aggregate: d scalar sums, no explode
+    sums = df.select(
+        *[
+            F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
+            for i in range(d)
+        ]
+    ).first()
+    mu = np.array([sums[f"s{i}"] for i in range(d)]) / n_total
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (n_components, d)
+    for k in range(comps.shape[0]):  # canonical sign
+        if comps[k, np.argmax(np.abs(comps[k]))] < 0:
+            comps[k] = -comps[k]
+    return {
+        "mean": mu.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": evals[order].tolist(),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    decimals: int | None = 6,
+) -> DataFrame:
+    """Project onto fitted components: y_k = (v − μ)·c_k as a JVM HOF
+    fold over literal components — same narrow no-shuffle shape as
+    `random_projection`."""
+    mean = F.array(*[F.lit(float(m)) for m in model["mean"]])
+    comps = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in model["components"]
+        ]
+    )
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        mean,
+        lambda a, b: a - b,
+    )
+    proj = F.transform(
+        comps,
+        lambda row: F.aggregate(
+            F.zip_with(centered, row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    if decimals is not None:
+        proj = F.transform(proj, lambda x: F.round(x, decimals))
+    return df.withColumn(out_col, proj)

@@ -980,7 +980,7 @@ def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH chars AS (
         SELECT doc_id, ord(u.c) AS v
         FROM documents, unnest(string_split(text, '')) u(c)
-        WHERE length(text) > 0
+        WHERE length(text) >= 9
     ), hist AS (
         SELECT doc_id, v, count(*) AS c FROM chars GROUP BY doc_id, v
     ), tot AS (
@@ -1002,34 +1002,75 @@ def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(-sum((h.c * 1.0 / t.n) * log2(h.c * 1.0 / t.n)), 6) AS entropy
         FROM hist h JOIN tot t ON t.doc_id = h.doc_id
         GROUP BY h.doc_id
+    ), jchars AS (
+        -- JPEG fixture: first 9 bytes as flat 8x8 blocks; each byte
+        -- appears 64x in the decoded image, so stats over the 9 chars
+        -- equal stats over the pixels (the uniform 64x multiplicity
+        -- cancels in mean/median/entropy/extrema).
+        SELECT doc_id, ord(u.c) AS v
+        FROM documents, unnest(string_split(substr(text, 1, 9), '')) u(c)
+        WHERE length(text) >= 9
+    ), jhist AS (
+        SELECT doc_id, v, count(*) AS c FROM jchars GROUP BY doc_id, v
+    ), jtot AS (
+        SELECT doc_id, sum(c) AS n,
+               round(sum(v * c) / sum(c), 6)   AS jpeg_mean,
+               CAST(min(v) AS BIGINT)          AS jpeg_min,
+               CAST(max(v) AS BIGINT)          AS jpeg_max
+        FROM jhist GROUP BY doc_id
+    ), jmed AS (
+        SELECT h.doc_id, CAST(min(h.v) AS BIGINT) AS jpeg_median
+        FROM (SELECT doc_id, v,
+                     sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cum
+              FROM jhist) h
+        JOIN jtot t ON t.doc_id = h.doc_id
+        WHERE h.cum > t.n // 2
+        GROUP BY h.doc_id
+    ), jent AS (
+        SELECT h.doc_id,
+               round(-sum((h.c * 1.0 / t.n) * log2(h.c * 1.0 / t.n)), 6) AS jpeg_entropy
+        FROM jhist h JOIN jtot t ON t.doc_id = h.doc_id
+        GROUP BY h.doc_id
     )
     SELECT t.doc_id, ent.entropy, t.mean_band0, med.median_band0,
-           t.min_band0, t.max_band0
+           t.min_band0, t.max_band0,
+           jent.jpeg_entropy, jtot.jpeg_mean, jmed.jpeg_median,
+           jtot.jpeg_min, jtot.jpeg_max
     FROM tot t
     JOIN med ON med.doc_id = t.doc_id
     JOIN ent ON ent.doc_id = t.doc_id
+    JOIN jtot ON jtot.doc_id = t.doc_id
+    JOIN jmed ON jmed.doc_id = t.doc_id
+    JOIN jent ON jent.doc_id = t.doc_id
     """,
 )
 def q22_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-statistics pandas UDF (reference U2 schema,
-    `02_Data Ingest.py:242-249`) over REAL image bytes: each document's
-    UTF-8 text becomes a 1×N grayscale PNG (``encode_text_png``), and
-    ``get_image_statistics`` decodes it with the dependency-free codec
-    in ``functions/png.py``. PNG is lossless, so the pixel statistics
-    equal byte statistics of the text — which the DuckDB oracle
-    computes directly from characters (``ord(c) == byte`` on this
-    ASCII corpus), upgrading this query from rows-only to a full
-    value-hash differential check of the encode→decode→stats chain.
-    Scale shape: one narrow Arrow-batched projection per stage; no
+    `02_Data Ingest.py:242-249`) over REAL image bytes in BOTH
+    dependency-free codecs: each document's UTF-8 text becomes (a) a
+    1×N grayscale PNG (``encode_text_png``, lossless zlib path) and
+    (b) a 24×24 flat-block grayscale JPEG at quality=100
+    (``encode_text_jpeg`` — DC-only spectrum + all-ones quant tables
+    make the Huffman→dequant→IDCT chain bit-exact). Both are decoded
+    by ``get_image_statistics`` (``functions/png.py`` /
+    ``functions/jpeg.py``), so the pixel statistics equal byte
+    statistics of the text — which the DuckDB oracle computes directly
+    from characters (``ord(c) == byte`` on this ASCII corpus). A full
+    value-hash differential check of BOTH encode→entropy-decode→stats
+    chains. Scale shape: narrow Arrow-batched projections only; no
     shuffle at all."""
     from computer_vision_foundations_spark.functions.image import (
+        encode_text_jpeg,
         encode_text_png,
         get_image_statistics,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    out = docs.withColumn("content", encode_text_png(F.col("text")))
-    out = out.withColumn("statistics", get_image_statistics(F.col("content")))
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 9)
+    out = docs.withColumn(
+        "statistics", get_image_statistics(encode_text_png(F.col("text")))
+    ).withColumn(
+        "jstats", get_image_statistics(encode_text_jpeg(F.col("text")))
+    )
     return out.select(
         "doc_id",
         F.round("statistics.entropy", 6).alias("entropy"),
@@ -1041,6 +1082,15 @@ def q22_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.element_at("statistics.extrema", 1), 2)
         .cast("long")
         .alias("max_band0"),
+        F.round("jstats.entropy", 6).alias("jpeg_entropy"),
+        F.round(F.element_at("jstats.mean", 1), 6).alias("jpeg_mean"),
+        F.element_at("jstats.median", 1).cast("long").alias("jpeg_median"),
+        F.element_at(F.element_at("jstats.extrema", 1), 1)
+        .cast("long")
+        .alias("jpeg_min"),
+        F.element_at(F.element_at("jstats.extrema", 1), 2)
+        .cast("long")
+        .alias("jpeg_max"),
     )
 
 
@@ -4280,6 +4330,168 @@ def q97_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "merge_idx int, left_sym string, right_sym string, merged string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wave three: substring-span dedup, JL projection, distributed PCA
+# (z-prefix => sorts after q99: stays OUT of the driver's 50-slot window
+# this round — every current q01–q50 occupant still awaits its first
+# driver verification — and rotates in next round per README.)
+# ---------------------------------------------------------------------------
+
+_SPAN_N, _SPAN_MIN_DF = 8, 2
+
+
+@_register(
+    "z01_duplicated_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), occ AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               array_to_string(list_slice(t, u.i + 1, u.i + {_SPAN_N}), ' ')
+                   AS span
+        FROM toks, unnest(range(len(t) - {_SPAN_N} + 1)) u(i)
+        WHERE len(t) >= {_SPAN_N}
+    ), freq AS (
+        SELECT span FROM occ
+        GROUP BY span HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DF}
+    ), dup AS (
+        SELECT o.doc_id, o.pos FROM occ o JOIN freq f USING (span)
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN coalesce(pos > max(pos + {_SPAN_N}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    TRUE)
+               THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ), islands AS (
+        SELECT doc_id, pos,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM flagged
+    ), agg AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + {_SPAN_N} AS e
+        FROM islands GROUP BY doc_id, island
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS dup_islands, sum(e - s) AS dup_tokens
+        FROM agg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_islands, 0) AS BIGINT) AS dup_islands,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0) * 1.0
+                 / len(string_split(d.text, ' ')), 6) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def z01_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup profile (Lee et al. 2021 semantics,
+    fixed-n formulation — `operators/spans.py`): every {n}-token window
+    occurring in ≥2 distinct documents marks its positions duplicated;
+    overlapping windows merge into maximal islands per document
+    (gaps-and-islands window), yielding a duplicated-token fraction.
+    Scale shape: text never leaves the map-side shingle projection;
+    the frequency agg runs on 16-byte hashes; the frequent-span
+    semi-join is LINEAR (no pair formation, so no quadratic risk on
+    hot spans); islands window partitions by document. Oracle replays
+    the whole chain on raw span strings."""
+    from computer_vision_foundations_spark.operators.spans import (
+        duplicated_span_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(
+        docs, n=_SPAN_N, min_doc_freq=_SPAN_MIN_DF
+    )
+
+
+_JL_OUT_DIM, _JL_SEED = 8, 42
+
+
+def _jl_oracle_sql() -> str:
+    """Replay the seeded ±1/√k sign matrix as DuckDB literals (the
+    LSH-planes / PQ-codebook pattern): p_j = list_dot_product of the
+    f64-cast embedding with row j, rounded to 6 — both engines
+    accumulate the dot sequentially ascending, so values agree."""
+    from computer_vision_foundations_spark.operators.projection import (
+        jl_sign_matrix,
+    )
+
+    rows = jl_sign_matrix(64, _JL_OUT_DIM, _JL_SEED)
+    cols = ",\n           ".join(
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in row)}]), 6) AS p{j}"
+        for j, row in enumerate(rows)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@_register("z02_random_projection", _jl_oracle_sql())
+def z02_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→8 dims
+    (`operators/projection.py`): seeded ±1/√k sign matrix embedded as
+    plan literals, projection as a JVM HOF fold — one narrow codegen
+    projection, no shuffle, no Python. The md5-derived matrix is
+    re-derived bit-for-bit by the oracle generator."""
+    from computer_vision_foundations_spark.operators.projection import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_projection(
+        emb, "embedding", out_dim=_JL_OUT_DIM, seed=_JL_SEED
+    )
+    return out.select(
+        "vec_id",
+        *[
+            F.element_at("projected", j + 1).alias(f"p{j}")
+            for j in range(_JL_OUT_DIM)
+        ],
+    )
+
+
+@_register(
+    "z03_pca_covariance",
+    """
+    WITH x AS (
+        SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+               CAST(embedding[CAST(u.i AS INTEGER) + 1] AS DOUBLE) AS xi
+        FROM embeddings, unnest(range(len(embedding))) u(i)
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+    ), m AS (
+        SELECT i, avg(xi) AS mu FROM x GROUP BY i
+    ), g AS (
+        SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy
+        FROM x a JOIN x b USING (vec_id)
+        GROUP BY a.i, b.i
+    )
+    SELECT g.i, g.j, round(g.sxy / n.n - mi.mu * mj.mu, 6) AS cov
+    FROM g
+    CROSS JOIN n
+    JOIN m mi ON mi.i = g.i
+    JOIN m mj ON mj.i = g.j
+    """,
+)
+def z03_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stage of PCA (`operators/projection.py`): the
+    64×64 population covariance of the embedding corpus via ONE
+    Arrow-batched partial-Gramian pass (`mapInPandas` emits d² partial
+    sums per PARTITION — model-sized rows, never per-document) and a
+    (i, j) hash aggregate. The driver-side eigensolve that consumes
+    this matrix is pytest-verified (orthonormality, variance order,
+    reconstruction); this query differential-checks the part that
+    actually touches 100 TB. Oracle computes the same covariance by
+    dimension explode + self-join (the small-scale SQL shape)."""
+    from computer_vision_foundations_spark.operators.projection import (
+        covariance_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""Baseline JPEG codec (functions/jpeg.py): round trips, markers,
+restart intervals, subsampling, and the flat-block exactness property
+the q22 oracle depends on."""
+
+import numpy as np
+import pytest
+
+from computer_vision_foundations_spark.functions import png as P
+from computer_vision_foundations_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def test_flat_blocks_exact_at_q100():
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 256, 9, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(3, 3), 8, 0), 8, 1)
+    d = decode_jpeg(encode_jpeg(img, quality=100))
+    assert d["mode"] == "L"
+    assert np.array_equal(d["pixels"], img)
+
+
+def test_gray_noise_q100_within_rounding():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=100))
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= 1  # all-ones quant: only float/round noise
+
+
+def test_gray_gradient_q90_close():
+    x = np.linspace(0, 255, 64)
+    img = (np.add.outer(x, x) / 2).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=90))
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() < 1
+
+
+def test_rgb_444_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=100))
+    assert d["mode"] == "RGB" and d["pixels"].shape == img.shape
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= 3  # color-convert rounding both ways
+
+
+def test_rgb_420_subsampled_smooth():
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, 48).astype(np.uint8)[None, :]
+    img[..., 1] = 120
+    img[..., 2] = np.linspace(255, 0, 32).astype(np.uint8)[:, None]
+    d = decode_jpeg(encode_jpeg(img, quality=92, subsampling="420"))
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    assert d["pixels"].shape == img.shape
+    assert err.mean() < 4  # chroma replicated 2x2; smooth image
+
+
+def test_restart_interval_roundtrip():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    b = encode_jpeg(img, quality=100, restart_interval=3)
+    assert b"\xff\xdd" in b  # DRI emitted
+    d = decode_jpeg(b)
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    assert err.max() <= 1
+
+
+def test_non_multiple_of_8_dims():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=100))
+    assert d["pixels"].shape == (13, 21)
+    assert np.abs(d["pixels"].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_header_and_exif_interop_with_png_module():
+    exif = {"Make": "CamCo", "Model": "X1", "GPSInfo": {"GPSLatitudeRef": "N"}}
+    app1 = P.build_exif_app1(exif)
+    img = np.full((16, 24), 40, np.uint8)
+    b = encode_jpeg(img, quality=95, app1=app1, dpi=(72, 72))
+    hdr = P.parse_jpeg_header(b)
+    assert hdr == {"height": 16, "width": 24, "layers": 1, "mode": "L"}
+    parsed = P.parse_jpeg_exif(b)
+    assert parsed["Make"] == "CamCo"
+    assert parsed["GPSInfo"] == {"GPSLatitudeRef": "N"}
+
+
+def test_progressive_rejected():
+    # minimal SOI + SOF2 stub must raise, not mis-decode
+    blob = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + bytes(9) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(blob)
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_image_udf_internals_use_real_jpeg_decode():
+    from computer_vision_foundations_spark.functions import image as I
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    b = encode_jpeg(img, quality=100)
+    s = I._statistics_one(b)
+    # q100 decode is within ±1 per pixel: mean must track the true mean
+    assert abs(s["mean"][0] - img.mean()) < 0.2
+    assert s["extrema"][0][0] >= int(img.min()) - 1
+    assert len(s["histogram"]) == 256
+    m = I._metadata_one(b)
+    assert m["format"] == "JPEG" and (m["height"], m["width"]) == (24, 24)
+    assert I._dhash_one(b) is not None
+
+
+def test_rgb_statistics_three_bands():
+    from computer_vision_foundations_spark.functions import image as I
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    s = I._statistics_one(encode_jpeg(img, quality=100))
+    assert len(s["mean"]) == 3 and len(s["histogram"]) == 768
+    for band in range(3):
+        assert abs(s["mean"][band] - img[..., band].mean()) < 1.5

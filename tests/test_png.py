@@ -11,7 +11,7 @@ import pytest
 from computer_vision_foundations_spark.functions import png as P
 from computer_vision_foundations_spark.functions.image import (
     _metadata_one,
-    _png_statistics,
+    _pixel_statistics,
     _statistics_one,
 )
 
@@ -185,7 +185,7 @@ def test_statistics_real_png_values():
 def test_statistics_median_matches_pil_rule():
     """PIL ImageStat median = smallest level with cumulative > n//2."""
     a = np.array([[0, 0], [10, 255]], dtype=np.uint8)
-    s = _png_statistics(P.encode_png(a))
+    s = _pixel_statistics(P.decode_png(P.encode_png(a))["pixels"])
     # n=4, half=2; cum at 0 is 2 (not > 2), at 10 is 3 (> 2) -> 10
     assert s["median"] == [10]
 
