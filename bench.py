@@ -123,13 +123,32 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
     os.makedirs(landing)
 
     def _gen(dirname, n):
+        # REAL JPEG payloads (round 3): a deterministic 48x48 gradient
+        # per file, encoded by functions/jpeg.py with an EXIF APP1 —
+        # so the timed UDF stage runs the genuine entropy decode, not
+        # the fake-byte fallback. Generation is untimed.
+        import numpy as np
+
+        from computer_vision_foundations_spark.functions.jpeg import encode_jpeg
+        from computer_vision_foundations_spark.functions.png import (
+            build_exif_app1,
+        )
+
+        yy, xx = np.mgrid[0:48, 0:48]
         for i in range(n):
             name = (
                 f"2024-05-{i % 28 + 1:02d} "
                 f"{i % 24:02d}-{(i * 7) % 60:02d}-{(i * 13) % 60:02d}"
                 f"_cam_{i:05d}_{i % 2}.jpg"
             )
-            payload = (f"img{i}:".encode() * 1024)[:4096]
+            px = ((xx + yy + 5 * i) % 256).astype("uint8")
+            payload = encode_jpeg(
+                px,
+                quality=90,
+                app1=build_exif_app1(
+                    {"Make": "BenchCam", "Model": f"M{i % 4}"}
+                ),
+            )
             with open(os.path.join(dirname, name), "wb") as f:
                 f.write(payload)
 

@@ -49,6 +49,11 @@ from computer_vision_foundations_spark.ml.serving import (
     score_rest_payload,
     to_rest_payload,
 )
+from computer_vision_foundations_spark.ml.edge import (
+    edge_predict,
+    edge_predict_subprocess,
+    export_edge_bundle,
+)
 
 __all__ = [
     "HAVE_TORCH",
@@ -67,4 +72,7 @@ __all__ = [
     "parse_rest_payload",
     "score_rest_payload",
     "to_rest_payload",
+    "export_edge_bundle",
+    "edge_predict",
+    "edge_predict_subprocess",
 ]

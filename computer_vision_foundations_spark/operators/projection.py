@@ -134,33 +134,60 @@ def _partial_gramian(vec_col: str):
     return fn
 
 
+def _gramian_totals(df: DataFrame, vec_col: str) -> DataFrame:
+    """ONE corpus scan → (i, j, sxy, sx_diag, n) for every dimension
+    pair: Σx_i·x_j, the per-dimension sums (on diagonal rows), and the
+    total row count. d² rows, localCheckpoint'd so the two consumers
+    (cov cells + means) never re-scan the data."""
+    parts = df.select(vec_col).mapInPandas(
+        _partial_gramian(vec_col), schema=_GRAM_SCHEMA
+    )
+    return (
+        parts.groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx_diag"),
+            F.sum("n").alias("n"),
+        )
+        .localCheckpoint()
+    )
+
+
 def covariance_matrix(
     df: DataFrame, vec_col: str = "embedding", decimals: int | None = 6
 ) -> DataFrame:
     """(i, j, cov) rows of the population covariance of an
     ``array<float>`` column — the distributed stage of PCA, exposed
     relationally so it differential-checks against a SQL oracle.
-    cov(i,j) = E[x_i x_j] − E[x_i]·E[x_j]."""
-    parts = df.select(vec_col).mapInPandas(
-        _partial_gramian(vec_col), schema=_GRAM_SCHEMA
-    )
-    tot = parts.groupBy("i", "j").agg(
-        F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx_diag")
-    )
-    # per-dimension means live on the diagonal rows
-    n_total = df.count()
-    means = (
-        tot.filter(F.col("i") == F.col("j"))
-        .select(F.col("i").alias("mi"), (F.col("sx_diag") / n_total).alias("mean"))
+    cov(i,j) = E[x_i x_j] − E[x_i]·E[x_j]. Exactly one pass over the
+    corpus; everything after the Gramian aggregate is d²-row algebra
+    (means join is a d-row broadcast)."""
+    tot = _gramian_totals(df, vec_col)
+    means = tot.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("mi"), (F.col("sx_diag") / F.col("n")).alias("mean")
     )
     cov = (
-        tot.join(means.withColumnRenamed("mi", "i").withColumnRenamed("mean", "mean_i"), "i")
-        .join(means.withColumnRenamed("mi", "j").withColumnRenamed("mean", "mean_j"), "j")
+        tot.join(
+            F.broadcast(
+                means.withColumnRenamed("mi", "i").withColumnRenamed(
+                    "mean", "mean_i"
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                means.withColumnRenamed("mi", "j").withColumnRenamed(
+                    "mean", "mean_j"
+                )
+            ),
+            "j",
+        )
         .select(
             "i",
             "j",
             (
-                F.col("sxy") / n_total - F.col("mean_i") * F.col("mean_j")
+                F.col("sxy") / F.col("n") - F.col("mean_i") * F.col("mean_j")
             ).alias("cov"),
         )
     )
@@ -172,26 +199,22 @@ def covariance_matrix(
 def pca_fit(
     df: DataFrame, vec_col: str = "embedding", n_components: int = 8
 ) -> dict:
-    """Fit PCA: distributed covariance (see `covariance_matrix`) +
+    """Fit PCA: ONE distributed Gramian pass (see `_gramian_totals`) +
     driver-side eigh on the d×d matrix (model-sized collect, the only
-    one). Returns {'mean': [d], 'components': [n_components][d],
+    one — covariance, means, and count all come from the same d² rows).
+    Returns {'mean': [d], 'components': [n_components][d],
     'explained_variance': [n_components]} with deterministic signs."""
-    cov_rows = covariance_matrix(df, vec_col, decimals=None).collect()
-    d = max(r["i"] for r in cov_rows) + 1
-    cov = np.zeros((d, d))
-    for r in cov_rows:
-        cov[r["i"], r["j"]] = r["cov"]
-    # symmetrize against float noise from the two join paths
-    cov = (cov + cov.T) / 2.0
-    n_total = df.count()
-    # mean via one narrow aggregate: d scalar sums, no explode
-    sums = df.select(
-        *[
-            F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
-            for i in range(d)
-        ]
-    ).first()
-    mu = np.array([sums[f"s{i}"] for i in range(d)]) / n_total
+    rows = _gramian_totals(df, vec_col).collect()
+    d = max(r["i"] for r in rows) + 1
+    n_total = rows[0]["n"]
+    sxy = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in rows:
+        sxy[r["i"], r["j"]] = r["sxy"]
+        if r["i"] == r["j"]:
+            mu[r["i"]] = r["sx_diag"] / n_total
+    cov = sxy / n_total - np.outer(mu, mu)
+    cov = (cov + cov.T) / 2.0  # symmetrize float noise
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:n_components]
     comps = evecs[:, order].T  # (n_components, d)

@@ -115,6 +115,22 @@ AUDIT = {
         "join; one agg shuffle + one window shuffle",
         (),
     ),
+    "z01_duplicated_spans": (
+        "span-frequency agg on 16-byte hashes; frequent-span check is a "
+        "LINEAR left-semi join (no pair formation); islands window "
+        "partitions by document",
+        (),
+    ),
+    "z02_random_projection": (
+        "JL projection is ONE narrow codegen projection — sign matrix as "
+        "literals, no shuffle, no Python",
+        (),
+    ),
+    "z03_pca_covariance": (
+        "partial Gramians per partition via ArrowEvalPython mapInPandas; "
+        "only d^2 partial-sum rows shuffle; means join is d-row broadcast",
+        (),
+    ),
     "q47_unigram_surprisal": (
         "frequency model = one hash agg; token stream joins it "
         "(TF-IDF budget); totals ride a 1-row broadcast crossJoin",
