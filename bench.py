@@ -84,6 +84,7 @@ HEADLINE = [
     "z01_duplicated_spans",
     "z02_random_projection",
     "z03_pca_covariance",
+    "z04_hits_scores",
     "q22_image_statistics",
 ]
 

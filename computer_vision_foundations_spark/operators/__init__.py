@@ -97,6 +97,7 @@ from computer_vision_foundations_spark.operators.corpus import (
     prepare_training_corpus,
 )
 from computer_vision_foundations_spark.operators.fuzzy import fuzzy_match_pairs
+from computer_vision_foundations_spark.operators.hits import hits, hits_oracle_sql
 from computer_vision_foundations_spark.operators.projection import (
     covariance_matrix,
     jl_sign_matrix,
@@ -188,4 +189,6 @@ __all__ = [
     "covariance_matrix",
     "pca_fit",
     "pca_project",
+    "hits",
+    "hits_oracle_sql",
 ]

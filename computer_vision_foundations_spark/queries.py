@@ -4494,6 +4494,46 @@ def z03_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(emb, "embedding")
 
 
+def _hits_oracle() -> str:
+    from computer_vision_foundations_spark.operators.hits import (
+        hits_oracle_sql,
+    )
+
+    return hits_oracle_sql(_PR_EDGES_SQL, n_iter=5, round_digits=9)
+
+
+@_register("z04_hits_scores", _hits_oracle())
+def z04_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (`operators/hits.py`) over the same
+    supplier↔customer trade graph as q07: the second link-graph
+    curation signal (authorities = canonical pages, hubs = link-farm
+    boilerplate). 5 L2-normalized power iterations; per half-step
+    localCheckpoint (the PageRank discipline — a lazy unroll is 2^n);
+    shuffles carry (node, double) only; norms are broadcast 1-row
+    aggregates. Oracle unrolls the identical recurrence as CTEs."""
+    from computer_vision_foundations_spark.operators.hits import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    fwd = pairs.select(
+        F.col("l_suppkey").alias("src"), (-F.col("o_custkey")).alias("dst")
+    )
+    back = pairs.filter(F.col("n_items") >= 2).select(
+        (-F.col("o_custkey")).alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    out = hits(fwd.unionByName(back), n_iter=5)
+    return out.select(
+        "node",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

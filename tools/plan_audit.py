@@ -126,6 +126,12 @@ AUDIT = {
         "literals, no shuffle, no Python",
         (),
     ),
+    "z04_hits_scores": (
+        "per half-step: edge equi-join + hash agg on (node, double); L2 "
+        "norm is a broadcast 1-row crossJoin; rounds read checkpointed "
+        "blocks (plan shows ExistingRDD-rooted final round)",
+        (),
+    ),
     "z03_pca_covariance": (
         "partial Gramians per partition via ArrowEvalPython mapInPandas; "
         "only d^2 partial-sum rows shuffle; means join is d-row broadcast",
