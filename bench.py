@@ -85,6 +85,7 @@ HEADLINE = [
     "z02_random_projection",
     "z03_pca_covariance",
     "z04_hits_scores",
+    "z05_bigram_surprisal",
     "q22_image_statistics",
 ]
 

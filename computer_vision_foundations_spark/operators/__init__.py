@@ -43,6 +43,8 @@ from computer_vision_foundations_spark.operators.funnel import (
     retention_cohorts,
 )
 from computer_vision_foundations_spark.operators.perplexity import (
+    bigram_frequencies,
+    bigram_logprob_scores,
     unigram_frequencies,
     unigram_logprob_scores,
 )
@@ -131,6 +133,8 @@ __all__ = [
     "sq8_topk",
     "incremental_exact_duplicates",
     "unigram_logprob_scores",
+    "bigram_frequencies",
+    "bigram_logprob_scores",
     "bottom_k_sample",
     "group_cap_sample",
     "weighted_sample_k",

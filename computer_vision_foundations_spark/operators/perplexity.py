@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.text import tokens
 
-__all__ = ["unigram_frequencies", "unigram_logprob_scores"]
+__all__ = [
+    "unigram_frequencies",
+    "unigram_logprob_scores",
+    "bigram_frequencies",
+    "bigram_logprob_scores",
+]
 
 
 def unigram_frequencies(
@@ -70,6 +75,82 @@ def unigram_logprob_scores(
     return (
         toks.join(freq, "token", "left")
         .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log2(p)).alias(out_col),
+        )
+    )
+
+
+def _positioned_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, token, prev) — prev is NULL at pos 0. One narrow
+    transform + explode; text never survives past this projection."""
+    toks = tokens(text_col)
+    structs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.element_at(toks, i + 1).alias("token"),
+            F.when(i > 0, F.element_at(toks, i)).alias("prev"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(structs).alias("s")).select(
+        id_col, "s.pos", "s.token", "s.prev"
+    )
+
+
+def bigram_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(prev, token, cnt)`` over consecutive token pairs — the bigram
+    "model". Same one-aggregate budget as the unigram table; row count
+    is the number of DISTINCT bigrams, not corpus size."""
+    pos = _positioned_tokens(df, text_col, df.columns[0])
+    return (
+        pos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    out_col: str = "surprisal",
+) -> DataFrame:
+    """``(id, n_tokens, surprisal)`` under an interpolated bigram LM:
+
+        p(t | prev) = lam * cnt(prev,t)/cnt(prev,·) + (1-lam) * p_uni(t)
+
+    with the first token of each document scored by the unigram term
+    alone — the standard Jelinek-Mercer smoothing step up from
+    :func:`unigram_logprob_scores` (still a pure relational pipeline,
+    two model aggregates + three hash joins on the token stream; the
+    interpolation keeps unseen bigrams finite without Katz backoff
+    machinery). Self-scored form: the model is fit on ``df`` itself.
+    """
+    pos = _positioned_tokens(df, text_col, id_col)
+    uni = pos.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    total = uni.agg(F.sum("ucnt").cast("double").alias("_n_total"))
+    bi = (
+        pos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    prev_tot = bi.groupBy("prev").agg(
+        F.sum("bcnt").cast("double").alias("pcnt")
+    )
+    p_uni = F.col("ucnt").cast("double") / F.col("_n_total")
+    cond = F.coalesce(F.col("bcnt").cast("double") / F.col("pcnt"), F.lit(0.0))
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(float(lam)) * cond + F.lit(float(1.0 - lam)) * p_uni
+    )
+    return (
+        pos.join(uni, "token")
+        .crossJoin(F.broadcast(total))
+        .join(bi, ["prev", "token"], "left")
+        .join(prev_tot, "prev", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

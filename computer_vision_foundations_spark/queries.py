@@ -4534,6 +4534,58 @@ def z04_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z05_bigram_surprisal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               t[CAST(u.i AS INTEGER) + 1] AS token,
+               CASE WHEN u.i > 0 THEN t[CAST(u.i AS INTEGER)] END AS prev
+        FROM toks, unnest(range(len(t))) u(i)
+    ), uni AS (
+        SELECT token, count(*) AS ucnt FROM pos GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(ucnt) AS DOUBLE) AS n FROM uni
+    ), bi AS (
+        SELECT prev, token, count(*) AS bcnt FROM pos
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), ptot AS (
+        SELECT prev, CAST(sum(bcnt) AS DOUBLE) AS pcnt FROM bi GROUP BY 1
+    )
+    SELECT p.doc_id, count(*) AS n_tokens,
+           round(avg(-log2(CASE WHEN p.prev IS NULL THEN u.ucnt / tot.n
+               ELSE {0.75!r} * coalesce(b.bcnt / pt.pcnt, 0.0)
+                    + {1.0 - 0.75!r} * (u.ucnt / tot.n) END)), 6)
+               AS surprisal
+    FROM pos p
+    JOIN uni u USING (token)
+    CROSS JOIN tot
+    LEFT JOIN bi b ON b.prev = p.prev AND b.token = p.token
+    LEFT JOIN ptot pt ON pt.prev = p.prev
+    GROUP BY p.doc_id
+    """,
+)
+def z05_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram surprisal
+    (operators/perplexity.bigram_logprob_scores): the Jelinek-Mercer
+    step up from q47's unigram proxy — p = λ·p(t|prev) + (1−λ)·p(t),
+    first token unigram-only. Still all-relational: two model
+    aggregates (|vocab| and |distinct bigrams| rows), three hash joins
+    on the (id, pos, prev, token) stream, interpolation in codegen.
+    The oracle replays the identical λ literals."""
+    from computer_vision_foundations_spark.operators.perplexity import (
+        bigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob_scores(docs, "text", "doc_id", lam=0.75)
+    return out.select(
+        "doc_id", "n_tokens", F.round("surprisal", 6).alias("surprisal")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -120,3 +120,53 @@ def test_unigram_surprisal_external_model_and_oov(spark):
     exp = -(math.log2(3 / 4) + math.log2(1 / 4) + math.log2(1 / 4)) / 3
     assert row.n_tokens == 3
     assert abs(row.surprisal - exp) < 1e-9
+
+
+def test_bigram_surprisal_matches_hand_computation(spark):
+    import math
+
+    from computer_vision_foundations_spark.operators.perplexity import (
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a b b")], "doc_id long, text string"
+    )
+    lam = 0.75
+    # corpus: tokens a,b,a,b,a,a,b,b -> uni: a=4,b=4, N=8
+    # bigrams: (a,b)x2,(b,a)x1,(a,a)x1,(b,b)x1 + doc2 (a,a)? recount:
+    # doc1 pairs: ab, ba, ab; doc2 pairs: aa, ab?? no: a a b b -> aa, ab, bb
+    # bi: ab:3, ba:1, aa:1, bb:1 ; pcnt: a->4 (ab3+aa1), b->2 (ba1+bb1)
+    p_uni = {"a": 4 / 8, "b": 4 / 8}
+    bi = {("a", "b"): 3, ("b", "a"): 1, ("a", "a"): 1, ("b", "b"): 1}
+    pcnt = {"a": 4, "b": 2}
+
+    def p(tok, prev):
+        if prev is None:
+            return p_uni[tok]
+        return lam * bi.get((prev, tok), 0) / pcnt[prev] + (1 - lam) * p_uni[tok]
+
+    def doc_score(toks):
+        ps = [p(t, None if i == 0 else toks[i - 1]) for i, t in enumerate(toks)]
+        return -sum(math.log2(x) for x in ps) / len(ps)
+
+    out = {
+        r.doc_id: r for r in bigram_logprob_scores(docs, lam=lam).collect()
+    }
+    assert out[1].n_tokens == 4
+    assert abs(out[1].surprisal - doc_score(["a", "b", "a", "b"])) < 1e-9
+    assert abs(out[2].surprisal - doc_score(["a", "a", "b", "b"])) < 1e-9
+
+
+def test_bigram_surprisal_ranks_shuffled_text_higher(spark):
+    from computer_vision_foundations_spark.operators.perplexity import (
+        bigram_logprob_scores,
+    )
+
+    # doc 3 breaks the dominant a->b transition pattern of the corpus
+    rows = [(i, "a b " * 20) for i in range(10)] + [(99, "b b a a b a a a")]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.surprisal for r in bigram_logprob_scores(docs).collect()}
+    assert out[99] > out[0]
