@@ -86,6 +86,7 @@ HEADLINE = [
     "z03_pca_covariance",
     "z04_hits_scores",
     "z05_bigram_surprisal",
+    "z06_dsir_weights",
     "q22_image_statistics",
 ]
 

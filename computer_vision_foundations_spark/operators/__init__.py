@@ -99,6 +99,7 @@ from computer_vision_foundations_spark.operators.corpus import (
     prepare_training_corpus,
 )
 from computer_vision_foundations_spark.operators.fuzzy import fuzzy_match_pairs
+from computer_vision_foundations_spark.operators.dsir import dsir_logratio_weights
 from computer_vision_foundations_spark.operators.hits import hits, hits_oracle_sql
 from computer_vision_foundations_spark.operators.projection import (
     covariance_matrix,
@@ -194,5 +195,6 @@ __all__ = [
     "pca_fit",
     "pca_project",
     "hits",
+    "dsir_logratio_weights",
     "hits_oracle_sql",
 ]

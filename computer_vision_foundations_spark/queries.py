@@ -4586,6 +4586,63 @@ def z05_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z06_dsir_weights",
+    """
+    WITH raw_tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tgt_tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'en'
+    ), raw_freq AS (
+        SELECT token, count(*) AS raw_cnt FROM raw_tok GROUP BY 1
+    ), tgt_freq AS (
+        SELECT token, count(*) AS tgt_cnt FROM tgt_tok GROUP BY 1
+    ), vocab AS (
+        SELECT coalesce(r.token, t.token) AS token,
+               coalesce(r.raw_cnt, 0) AS raw_cnt,
+               coalesce(t.tgt_cnt, 0) AS tgt_cnt
+        FROM raw_freq r FULL OUTER JOIN tgt_freq t USING (token)
+    ), consts AS (
+        SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_n,
+               CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_n,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM vocab
+    ), ratio AS (
+        SELECT token,
+               log2((tgt_cnt + 1.0) / (c.tgt_n + 1.0 * c.v))
+               - log2((raw_cnt + 1.0) / (c.raw_n + 1.0 * c.v)) AS logratio
+        FROM vocab CROSS JOIN consts c
+    )
+    SELECT rt.doc_id, count(*) AS n_tokens,
+           round(avg(r.logratio), 6) AS dsir_weight
+    FROM raw_tok rt JOIN ratio r USING (token)
+    GROUP BY rt.doc_id
+    """,
+)
+def z06_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (`operators/dsir.py` — Xie et al. 2023
+    shape): mean per-token log-likelihood ratio of a TARGET unigram
+    model (here the lang='en' slice stands in for a curated corpus)
+    over the RAW model, Laplace-smoothed on the union vocabulary.
+    Feed the weight column to `weighted_sample_k` (q45's seeded A-ES)
+    for the resampling step. Two |vocab|-row model aggregates + one
+    stream join — the TF-IDF shuffle budget; oracle replays the exact
+    smoothing literals."""
+    from computer_vision_foundations_spark.operators.dsir import (
+        dsir_logratio_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_logratio_weights(
+        docs, docs.filter(F.col("lang") == "en"), "text", "doc_id"
+    )
+    return out.select(
+        "doc_id", "n_tokens", F.round("dsir_weight", 6).alias("dsir_weight")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
