@@ -87,6 +87,7 @@ HEADLINE = [
     "z04_hits_scores",
     "z05_bigram_surprisal",
     "z06_dsir_weights",
+    "z07_incremental_lsh",
     "q22_image_statistics",
 ]
 

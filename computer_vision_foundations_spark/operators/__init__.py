@@ -8,6 +8,7 @@ from computer_vision_foundations_spark.operators.dedup import (
     embedding_near_duplicates,
     exact_duplicates,
     incremental_exact_duplicates,
+    incremental_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_column,
@@ -133,6 +134,7 @@ __all__ = [
     "sq8_minmax",
     "sq8_topk",
     "incremental_exact_duplicates",
+    "incremental_lsh_candidates",
     "unigram_logprob_scores",
     "bigram_frequencies",
     "bigram_logprob_scores",

@@ -690,3 +690,102 @@ def edit_similarity_pairs(
         .filter(F.col(out_col) >= F.lit(float(threshold)))
         .drop("_ta", "_tb")
     )
+
+
+def _band_signature(
+    sigs: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) from a stored ``signature`` array —
+    banding WITHOUT re-deriving signatures from text (the index-read
+    path of the incremental flow)."""
+    rows_per_band = n_hashes // bands
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("signature", b * rows_per_band + j + 1).cast(
+                        "string"
+                    )
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+
+
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    old_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1_000,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """NEAR-dup sibling of :func:`incremental_exact_duplicates`: check
+    a new batch against a persisted MinHash-signature snapshot (the
+    ``minhash_signatures`` output of the already-ingested corpus)
+    WITHOUT rescanning old text.
+
+    Returns ``(batch_id, match_id, origin)`` — candidate pairs where
+    ``origin`` is ``'snapshot'`` (band collision with an indexed
+    document) or ``'batch'`` (collision within the new batch,
+    ``batch_id < match_id``). Plan: signatures for the BATCH only
+    (one codegen'd exploded aggregate), snapshot bands come straight
+    from the stored arrays (index-sized rows: id + n_hashes values),
+    then one band equi-join of batch bands against snapshot ∪ batch
+    bands. The ``max_bucket_size`` cap applies to the combined bucket
+    population — a band value shared by a million indexed docs is a
+    stop-band for every future increment, same skew logic as the batch
+    form. ``n_hashes``/``bands``/``k``/``hash_fn`` must match the
+    snapshot's build parameters (enforce by storing them with the
+    index)."""
+    assert n_hashes % bands == 0, "bands must divide n_hashes"
+    batch_sigs = minhash_signatures(
+        new_df, text_col, id_col, k, n_hashes, hash_fn, repartition_to
+    )
+    batch_b = _band_signature(batch_sigs, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("_id"), "band_idx", "band_key",
+        F.lit("batch").alias("_side"),
+    )
+    snap_b = _band_signature(old_signatures, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("_id"), "band_idx", "band_key",
+        F.lit("snapshot").alias("_side"),
+    )
+    all_b = batch_b.unionByName(snap_b).persist(StorageLevel.MEMORY_AND_DISK)
+    all_b.count()  # eager: bucket-cap agg + join probe both read it
+    if max_bucket_size is not None:
+        hot = (
+            all_b.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        all_b = all_b.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
+    probe = all_b.filter(F.col("_side") == "batch").select(
+        F.col("_id").alias("batch_id"), "band_idx", "band_key"
+    )
+    build = all_b.select(
+        F.col("_id").alias("match_id"), "band_idx", "band_key", "_side"
+    )
+    return (
+        probe.join(build, ["band_idx", "band_key"])
+        .filter(
+            (F.col("_side") == "snapshot")
+            | (F.col("batch_id") < F.col("match_id"))
+        )
+        .select(
+            "batch_id", "match_id", F.col("_side").alias("origin")
+        )
+        .distinct()
+    )

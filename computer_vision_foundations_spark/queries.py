@@ -4643,6 +4643,64 @@ def z06_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z07_incremental_lsh",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, [
+        {", ".join(_minhash_perm_sql(s) for s in range(8))}
+      ] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, array_to_string(sig[1:2], ',') AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, array_to_string(sig[3:4], ',') FROM sig
+      UNION ALL
+      SELECT doc_id, 2, array_to_string(sig[5:6], ',') FROM sig
+      UNION ALL
+      SELECT doc_id, 3, array_to_string(sig[7:8], ',') FROM sig
+    ),
+    lab AS (
+      SELECT doc_id, band_idx, band_key,
+             CASE WHEN doc_id % 5 = 0 THEN 'snapshot' ELSE 'batch' END AS side
+      FROM banded
+    )
+    SELECT DISTINCT p.doc_id AS batch_id, b.doc_id AS match_id,
+           b.side AS origin
+    FROM lab p JOIN lab b USING (band_idx, band_key)
+    WHERE p.side = 'batch'
+      AND (b.side = 'snapshot'
+           OR (b.side = 'batch' AND p.doc_id < b.doc_id))
+    """,
+)
+def z07_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup flow
+    (operators/dedup.incremental_lsh_candidates): the daily-crawl
+    sibling of q46 — a new batch (doc_id%5!=0) is banded against a
+    persisted MinHash-signature snapshot of the indexed corpus
+    (doc_id%5==0, built by `minhash_signatures`) WITHOUT rescanning
+    old text. Snapshot side carries index-sized rows (id + 8 minima);
+    only the batch runs the shingle→hash→agg pipeline. Portable md5
+    double-hash family so the oracle rebuilds identical signatures and
+    replays the band join + side classification."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = minhash_signatures(
+        docs.filter(F.col("doc_id") % 5 == 0), "text", "doc_id",
+        k=3, n_hashes=8, hash_fn="md5",
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_lsh_candidates(
+        batch, snapshot, "text", "doc_id",
+        k=3, n_hashes=8, bands=4, hash_fn="md5",
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

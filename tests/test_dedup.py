@@ -398,3 +398,65 @@ def test_incremental_dedup_broadcast_path_matches(spark):
         )
     )
     assert a == b
+
+
+def test_incremental_lsh_candidates_flow(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_signatures,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-identical to snapshot doc 1
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            # near-identical pair within the batch
+            (11, "distributed dedup via minhash banding works very well"),
+            (12, "distributed dedup via minhash banding works very well"),
+            # unrelated
+            (13, "nothing shares any shingle with this sentence at all"),
+        ],
+        "doc_id long, text string",
+    )
+    snap = minhash_signatures(old, n_hashes=8, hash_fn="md5")
+    out = incremental_lsh_candidates(
+        new, snap, n_hashes=8, bands=4, hash_fn="md5"
+    ).collect()
+    pairs = {(r.batch_id, r.match_id, r.origin) for r in out}
+    assert (10, 1, "snapshot") in pairs
+    assert (11, 12, "batch") in pairs
+    assert not any(r.batch_id == 13 for r in out)
+    # batch pairs are ordered batch_id < match_id, no self matches
+    assert all(r.batch_id < r.match_id for r in out if r.origin == "batch")
+
+
+def test_incremental_lsh_bucket_cap(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_signatures,
+    )
+
+    # 12 identical batch docs collide in every band; cap kills the bucket
+    new = spark.createDataFrame(
+        [(i, "same text everywhere for every single batch document") for i in range(12)],
+        "doc_id long, text string",
+    )
+    snap = minhash_signatures(
+        spark.createDataFrame([(100, "unrelated snapshot doc entirely")],
+                              "doc_id long, text string"),
+        n_hashes=8, hash_fn="md5",
+    )
+    capped = incremental_lsh_candidates(
+        new, snap, n_hashes=8, bands=4, hash_fn="md5", max_bucket_size=5
+    ).count()
+    uncapped = incremental_lsh_candidates(
+        new, snap, n_hashes=8, bands=4, hash_fn="md5", max_bucket_size=None
+    ).count()
+    assert capped == 0 and uncapped == 66  # C(12,2)
