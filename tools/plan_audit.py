@@ -126,6 +126,16 @@ AUDIT = {
         "literals, no shuffle, no Python",
         (),
     ),
+    "z05_bigram_surprisal": (
+        "token-stream hash joins against vocab-sized model tables; "
+        "interpolation in codegen; no Python anywhere",
+        (),
+    ),
+    "z07_incremental_lsh": (
+        "batch-only shingle pipeline; snapshot side reads stored "
+        "signatures; band equi-join with combined-bucket cap",
+        (),
+    ),
     "z04_hits_scores": (
         "per half-step: edge equi-join + hash agg on (node, double); L2 "
         "norm is a broadcast 1-row crossJoin; rounds read checkpointed "
