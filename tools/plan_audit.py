@@ -128,8 +128,11 @@ AUDIT = {
     ),
     "z05_bigram_surprisal": (
         "token-stream hash joins against vocab-sized model tables; "
-        "interpolation in codegen; no Python anywhere",
-        (),
+        "interpolation in codegen; no Python anywhere. The "
+        "BroadcastNestedLoopJoin is the 1-ROW broadcast total-count "
+        "crossJoin (the scalar-aggregate idiom q47/pagerank use) — "
+        "constant-size build side, not a data-sized product",
+        ("BroadcastNestedLoopJoin",),
     ),
     "z07_incremental_lsh": (
         "batch-only shingle pipeline; snapshot side reads stored "
