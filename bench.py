@@ -88,6 +88,7 @@ HEADLINE = [
     "z05_bigram_surprisal",
     "z06_dsir_weights",
     "z07_incremental_lsh",
+    "z08_cdc_dedup",
     "q22_image_statistics",
 ]
 

@@ -100,6 +100,10 @@ from computer_vision_foundations_spark.operators.corpus import (
     prepare_training_corpus,
 )
 from computer_vision_foundations_spark.operators.fuzzy import fuzzy_match_pairs
+from computer_vision_foundations_spark.operators.cdc import (
+    chunk_dedup_stats,
+    content_chunks,
+)
 from computer_vision_foundations_spark.operators.dsir import dsir_logratio_weights
 from computer_vision_foundations_spark.operators.hits import hits, hits_oracle_sql
 from computer_vision_foundations_spark.operators.projection import (
@@ -198,5 +202,7 @@ __all__ = [
     "pca_project",
     "hits",
     "dsir_logratio_weights",
+    "content_chunks",
+    "chunk_dedup_stats",
     "hits_oracle_sql",
 ]

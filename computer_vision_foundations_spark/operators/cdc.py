@@ -1,0 +1,144 @@
+"""Content-defined chunking (CDC) for storage-level dedup.
+
+Rsync/LBFS-style dedup splits content at positions where a rolling
+window hash satisfies a mask condition, so chunk boundaries survive
+insertions/deletions (fixed-size blocks do not) and identical regions
+across files hash to identical chunks. The classic gear/Rabin rollers
+are byte-serial with min/max-length clamps — inherently sequential
+state. The STATELESS formulation used here keeps the content-defined
+property and stays fully declarative (and SQL-replayable):
+
+    boundary after position i  ⟺  hash(window of w chars ending at i) % m == 0
+
+Chunks are the runs between boundaries. Same text region ⇒ same
+windows ⇒ same boundaries ⇒ same chunk hashes, regardless of what
+precedes it (after the first w-1 positions) — the dedup property.
+Expected chunk length is m; no clamps means a pathological input can
+make long chunks, which is the documented trade-off for losing the
+sequential scan.
+
+Scale shape: boundary detection is a per-document array expression
+(positions × one md5 each — map-side, codegen'd Generate); the only
+shuffle carries (doc, chunk_hash) rows for the cross-document
+frequency aggregate. Nothing document-sized is ever broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["content_chunks", "chunk_dedup_stats"]
+
+
+def content_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    modulus: int = 32,
+) -> DataFrame:
+    """``(id, chunk_idx, chunk_start, chunk_len, chunk_hash)`` — 1-based
+    ``chunk_start``, ``chunk_hash`` = md5 of the chunk's characters.
+
+    A boundary falls AFTER character position i (i ≥ w) when
+    ``xx = md5(substr(text, i-w+1, w))`` has its first 7 hex digits,
+    read as an integer, ≡ 0 (mod ``modulus``). The final chunk always
+    ends at the text end."""
+    n = F.length(text_col)
+    # positions w..n whose trailing w-window satisfies the mask
+    bounds = F.filter(
+        F.sequence(F.lit(w), n),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col(text_col), (i - w + 1).cast("int"), w).cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % modulus
+        == 0,
+    )
+    # chunk start positions: 1 + every boundary (dedup final-position
+    # boundary against n so the last chunk is never empty)
+    starts = F.array_union(
+        F.array(F.lit(1)),
+        F.transform(
+            F.filter(bounds, lambda b: b < n), lambda b: (b + 1).cast("int")
+        ),
+    )
+    with_chunks = (
+        df.filter(n >= 1)
+        .select(F.col(id_col), F.col(text_col).alias("_t"), starts.alias("_starts"))
+        .select(
+            id_col,
+            "_t",
+            "_starts",
+            F.posexplode("_starts").alias("chunk_idx", "chunk_start"),
+        )
+        .withColumn(
+            "_next",
+            F.coalesce(
+                F.try_element_at("_starts", F.col("chunk_idx") + 2),
+                F.length("_t") + 1,
+            ),
+        )
+        .withColumn("chunk_len", F.col("_next") - F.col("chunk_start"))
+        .withColumn(
+            "chunk_hash",
+            F.md5(
+                F.substring(
+                    F.col("_t"), F.col("chunk_start"), F.col("chunk_len")
+                ).cast("binary")
+            ),
+        )
+    )
+    return with_chunks.select(
+        id_col, "chunk_idx", "chunk_start", "chunk_len", "chunk_hash"
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    modulus: int = 32,
+) -> DataFrame:
+    """Per-document storage-dedup profile: ``(id, n_chunks,
+    shared_chunks, shared_chars, dedup_fraction)`` where a chunk is
+    *shared* when its hash occurs in at least one OTHER document.
+    ``dedup_fraction`` = shared_chars / total_chars — the fraction of
+    the document's bytes a content-addressed store would not have to
+    write twice."""
+    chunks = content_chunks(df, text_col, id_col, w, modulus)
+    shared = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = chunks.join(shared, "chunk_hash", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("shared_chunks"),
+        F.sum("chunk_len").alias("shared_chars"),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("_total_chars"),
+    )
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce("shared_chunks", F.lit(0)).cast("long").alias(
+                "shared_chunks"
+            ),
+            F.coalesce("shared_chars", F.lit(0)).cast("long").alias(
+                "shared_chars"
+            ),
+            F.round(
+                F.coalesce("shared_chars", F.lit(0))
+                / F.col("_total_chars"),
+                6,
+            ).alias("dedup_fraction"),
+        )
+    )

@@ -4701,6 +4701,67 @@ def z07_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z08_cdc_dedup",
+    """
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+        WHERE length(text) >= 1
+    ), b AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS pos
+        FROM d, unnest(range(8, n + 1)) u(i)
+        WHERE CAST(('0x' || substr(md5(substr(text,
+                  CAST(u.i AS INTEGER) - 7, 8)), 1, 7)) AS BIGINT) % 32 = 0
+          AND u.i < n
+    ), starts AS (
+        SELECT doc_id, 1 AS s FROM d
+        UNION ALL
+        SELECT doc_id, pos + 1 FROM b
+    ), chunks AS (
+        SELECT s.doc_id, s.s AS cs,
+               coalesce(lead(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.s),
+                        d.n + 1) - s.s AS cl
+        FROM starts s JOIN d USING (doc_id)
+    ), hashed AS (
+        SELECT c.doc_id, c.cl,
+               md5(substr(d.text, c.cs, c.cl)) AS h
+        FROM chunks c JOIN d USING (doc_id)
+    ), shared AS (
+        SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+        SELECT hashed.doc_id, count(*) AS shared_chunks,
+               sum(cl) AS shared_chars
+        FROM hashed JOIN shared USING (h)
+        GROUP BY hashed.doc_id
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_chunks, sum(cl) AS total_chars
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(coalesce(f.shared_chunks, 0) AS BIGINT) AS shared_chunks,
+           CAST(coalesce(f.shared_chars, 0) AS BIGINT) AS shared_chars,
+           round(coalesce(f.shared_chars, 0) * 1.0 / t.total_chars, 6)
+               AS dedup_fraction
+    FROM totals t LEFT JOIN flagged f USING (doc_id)
+    """,
+)
+def z08_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile (`operators/cdc.py`):
+    rsync/LBFS-style storage dedup — chunk boundaries where an 8-char
+    window hash ≡ 0 (mod 32), so identical regions across documents
+    produce identical chunk hashes regardless of what precedes them.
+    Per-document fraction of characters a content-addressed store
+    would deduplicate. Boundary detection is a map-side array
+    expression; the only shuffle carries (doc, chunk_hash) rows.
+    The oracle replays the identical window-hash boundary rule."""
+    from computer_vision_foundations_spark.operators.cdc import (
+        chunk_dedup_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, "text", "doc_id", w=8, modulus=32)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
