@@ -64,6 +64,10 @@ def prepare_training_corpus(
     max_dup_token_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
     max_surprisal: float | None = None,
+    max_dup_span_frac: float | None = None,
+    span_n: int = 8,
+    dsir_target: DataFrame | None = None,
+    dsir_min_weight: float | None = None,
     domain_col: str | None = None,
     domain_cap: int | None = None,
     eval_df: DataFrame | None = None,
@@ -134,6 +138,37 @@ def prepare_training_corpus(
     # 31.8 s → see bench: the recompute dominated the composition).
     kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     kept.count()  # eager: consumers inside one job race cache population
+
+    # 2b. substring-span gate: drop documents dominated by verbatim
+    # cross-document spans (the Lee et al. signal — boilerplate and
+    # template farms score high even when no WHOLE doc is a dup)
+    if max_dup_span_frac is not None:
+        from computer_vision_foundations_spark.operators.spans import (
+            duplicated_span_stats,
+        )
+
+        ok = (
+            duplicated_span_stats(
+                kept, id_col=id_col, text_col=text_col, n=span_n
+            )
+            .filter(F.col("dup_fraction") <= max_dup_span_frac)
+            .select(id_col)
+        )
+        kept = kept.join(ok, id_col, "left_semi")
+
+    # 2c. DSIR gate: keep documents that look at least ``dsir_min_weight``
+    # more target-like than raw (importance-resampling style selection)
+    if dsir_target is not None and dsir_min_weight is not None:
+        from computer_vision_foundations_spark.operators.dsir import (
+            dsir_logratio_weights,
+        )
+
+        ok = (
+            dsir_logratio_weights(kept, dsir_target, text_col, id_col)
+            .filter(F.col("dsir_weight") >= dsir_min_weight)
+            .select(id_col)
+        )
+        kept = kept.join(ok, id_col, "left_semi")
 
     # 3. near-dup clusters -> drop everything but the canonical doc
     pairs = minhash_lsh_candidate_pairs(

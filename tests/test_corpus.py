@@ -119,3 +119,40 @@ def test_domain_cap_and_surprisal_gate(spark):
         chunk_tokens=16, overlap=4, seq_len=48, max_surprisal=0.0,
     )
     assert full.count() > 0 and none.count() == 0
+
+
+def test_span_and_dsir_gates_compose(spark):
+    from computer_vision_foundations_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    boiler = "this exact boilerplate span repeats across many documents verbatim"
+    rows = [(i, f"unique doc {i} content " + boiler) for i in range(6)]
+    rows += [(100, "a genuinely original document with plenty of distinct words "
+                   "to pass every quality filter easily " + " ".join(f"t{i}" for i in range(20)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = prepare_training_corpus(
+        docs, min_tokens=5, chunk_tokens=16, overlap=0, seq_len=64, n_shards=4
+    )
+    gated = prepare_training_corpus(
+        docs, min_tokens=5, chunk_tokens=16, overlap=0, seq_len=64, n_shards=4,
+        max_dup_span_frac=0.5, span_n=6,
+    )
+    base_docs = {r.doc_id for r in base.select("doc_id").distinct().collect()}
+    gated_docs = {r.doc_id for r in gated.select("doc_id").distinct().collect()}
+    # the boilerplate-dominated docs are dropped by the span gate...
+    assert gated_docs < base_docs
+    # ...but the original document survives
+    assert 100 in gated_docs
+
+    target = spark.createDataFrame(
+        [(999, "genuinely original document with distinct words")],
+        "doc_id long, text string",
+    )
+    dsir_gated = prepare_training_corpus(
+        docs, min_tokens=5, chunk_tokens=16, overlap=0, seq_len=64, n_shards=4,
+        dsir_target=target, dsir_min_weight=0.0,
+    )
+    dsir_docs = {r.doc_id for r in dsir_gated.select("doc_id").distinct().collect()}
+    assert 100 in dsir_docs  # target-like doc kept
