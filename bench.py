@@ -89,6 +89,8 @@ HEADLINE = [
     "z06_dsir_weights",
     "z07_incremental_lsh",
     "z08_cdc_dedup",
+    "z09_temperature_mixture",
+    "z10_skew_profile",
     "q22_image_statistics",
 ]
 

@@ -76,10 +76,11 @@ from computer_vision_foundations_spark.operators.mixture import (
     mixture_fractions,
     mixture_sample,
     mixture_sample_with_repetition,
+    temperature_fractions,
     top_fraction_per_group,
 )
 from computer_vision_foundations_spark.operators.score import score_with
-from computer_vision_foundations_spark.operators.skew import salted_join
+from computer_vision_foundations_spark.operators.skew import salted_join, skew_profile
 from computer_vision_foundations_spark.operators.asof import as_of_join
 from computer_vision_foundations_spark.operators.ranges import (
     interval_overlap_join,
@@ -167,6 +168,7 @@ __all__ = [
     "mixture_sample_with_repetition",
     "pmi_bigrams",
     "top_fraction_per_group",
+    "temperature_fractions",
     "vocab_top_k",
     "pq_adc_topk",
     "ivf_pq_topk",
@@ -178,6 +180,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "salted_join",
+    "skew_profile",
     "score_with",
     "as_of_join",
     "range_join",

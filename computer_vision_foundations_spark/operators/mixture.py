@@ -202,3 +202,48 @@ def top_fraction_per_group(
         .withColumn("pct_rank", F.round("_pr", 6))
         .drop("_pr")
     )
+
+
+def temperature_fractions(
+    df: DataFrame,
+    temperature: float,
+    budget: float,
+    domain_col: str = "source",
+    token_col: str | None = None,
+) -> DataFrame:
+    """``(domain, n_tokens, mix_weight, keep_frac)`` — temperature-
+    scaled multilingual/multi-domain sampling (the UniMax / mT5
+    recipe): mixing weights ∝ size^(1/T) normalized across domains, so
+    T=1 reproduces natural proportions and T→∞ approaches uniform —
+    boosting tail domains without hand-written weight tables.
+
+    One |domains|-row aggregate + a broadcast 1-row normalizer; compose
+    the output with :func:`mixture_sample`'s hash filter (or use
+    ``keep_frac`` directly) — the corpus itself never shuffles.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    tok = (
+        F.sum(F.col(token_col)) if token_col else F.count(F.lit(1))
+    ).cast("double")
+    sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        tok.alias("n_tokens")
+    )
+    powed = sizes.withColumn(
+        "_pw", F.pow(F.col("n_tokens"), F.lit(1.0 / float(temperature)))
+    )
+    norm = powed.agg(F.sum("_pw").alias("_z"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "domain",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("_pw") / F.col("_z")).alias("mix_weight"),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget))
+                * (F.col("_pw") / F.col("_z"))
+                / F.col("n_tokens"),
+            ).alias("keep_frac"),
+        )
+    )

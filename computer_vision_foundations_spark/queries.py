@@ -4762,6 +4762,74 @@ def z08_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(docs, "text", "doc_id", w=8, modulus=32)
 
 
+@_register(
+    "z09_temperature_mixture",
+    """
+    WITH sizes AS (
+        SELECT source AS domain, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY source
+    ), powed AS (
+        SELECT domain, n, pow(n, 1.0 / 2.0) AS pw FROM sizes
+    ), z AS (
+        SELECT sum(pw) AS z FROM powed
+    )
+    SELECT domain, CAST(n AS BIGINT) AS n_tokens,
+           round(pw / z.z, 6) AS mix_weight,
+           round(least(1.0, 300.0 * (pw / z.z) / n), 6) AS keep_frac
+    FROM powed CROSS JOIN z
+    """,
+)
+def z09_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights
+    (operators/mixture.temperature_fractions — the UniMax/mT5
+    multilingual sampling recipe): mixing weight ∝ size^(1/T) with
+    T=2, keep fractions for a 300-doc budget. One |domains|-row
+    aggregate + broadcast normalizer; the corpus never shuffles."""
+    from computer_vision_foundations_spark.operators.mixture import (
+        temperature_fractions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_fractions(docs, temperature=2.0, budget=300.0)
+    return out.select(
+        "domain",
+        "n_tokens",
+        F.round("mix_weight", 6).alias("mix_weight"),
+        F.round("keep_frac", 6).alias("keep_frac"),
+    )
+
+
+@_register(
+    "z10_skew_profile",
+    """
+    WITH counts AS (
+        SELECT o_custkey AS key, count(*) AS n_rows
+        FROM orders GROUP BY o_custkey
+    ), totals AS (
+        SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+               greatest(avg(n_rows), 1.0) AS mean_rows
+        FROM counts
+    )
+    SELECT key, n_rows, round(n_rows / t.total, 6) AS share,
+           greatest(1, CAST(ceil(n_rows / t.mean_rows) AS BIGINT))
+               AS suggested_salt
+    FROM counts CROSS JOIN totals t
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def z10_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/skew.skew_profile): the
+    top-10 heaviest orders.o_custkey values with their row share and a
+    suggested salt factor — the pre-flight check before deciding
+    between a plain join, `salted_join`, or trusting AQE skew
+    handling. One hash agg + TakeOrdered top-n."""
+    from computer_vision_foundations_spark.operators.skew import skew_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return skew_profile(orders, "o_custkey", top_n=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -139,3 +139,48 @@ def test_mixture_partitioning_invariance(spark, corpus):
         ).collect()
     )
     assert sel(corpus.repartition(3)) == sel(corpus.repartition(17))
+
+
+def test_temperature_fractions_limits(spark):
+    from computer_vision_foundations_spark.operators.mixture import (
+        temperature_fractions,
+    )
+
+    rows = [(i, "a" if i < 90 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    t1 = {r.domain: r for r in temperature_fractions(df, 1.0, 50).collect()}
+    # T=1: natural proportions
+    assert abs(t1["a"].mix_weight - 0.9) < 1e-9
+    assert abs(t1["b"].mix_weight - 0.1) < 1e-9
+    t_hot = {r.domain: r for r in temperature_fractions(df, 100.0, 50).collect()}
+    # T->inf: near-uniform
+    assert abs(t_hot["a"].mix_weight - 0.5) < 0.02
+    # weights always sum to 1; keep_frac capped at 1
+    for t in (t1, t_hot):
+        assert abs(sum(r.mix_weight for r in t.values()) - 1.0) < 1e-9
+        assert all(r.keep_frac <= 1.0 for r in t.values())
+
+
+def test_temperature_boosts_tail_domain(spark):
+    from computer_vision_foundations_spark.operators.mixture import (
+        temperature_fractions,
+    )
+
+    rows = [(i, "big" if i < 95 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    t1 = {r.domain: r.mix_weight for r in temperature_fractions(df, 1.0, 10).collect()}
+    t3 = {r.domain: r.mix_weight for r in temperature_fractions(df, 3.0, 10).collect()}
+    assert t3["small"] > t1["small"]
+    assert t3["big"] < t1["big"]
+
+
+def test_temperature_rejects_nonpositive(spark):
+    import pytest
+
+    from computer_vision_foundations_spark.operators.mixture import (
+        temperature_fractions,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        temperature_fractions(df, 0.0, 10)
