@@ -330,3 +330,92 @@ def test_bottom_k_is_global_hash_order_prefix(spark, n, k, seed):
         .collect()
     ]
     assert got == full[: min(k, n)]
+
+
+@_prop
+@given(texts=st.lists(TEXT.filter(lambda t: len(t) >= 1), min_size=1, max_size=5))
+def test_cdc_chunks_partition_the_text(spark, texts):
+    """CDC chunks are a partition of each document: contiguous,
+    non-empty, covering exactly the original characters."""
+    from computer_vision_foundations_spark.operators.cdc import content_chunks
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = content_chunks(df, w=4, modulus=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_start == 1
+        assert all(c.chunk_len >= 1 for c in chunks)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start == a.chunk_start + a.chunk_len
+        assert chunks[-1].chunk_start + chunks[-1].chunk_len == len(t) + 1
+        # reconstruct: chunk substrings concatenate to the text
+        recon = "".join(
+            t[c.chunk_start - 1 : c.chunk_start - 1 + c.chunk_len]
+            for c in chunks
+        )
+        assert recon == t
+
+
+@_prop
+@given(
+    base=st.text(alphabet="ab ", min_size=30, max_size=60),
+    docs=st.integers(2, 4),
+)
+def test_span_islands_are_disjoint_and_within_bounds(spark, base, docs):
+    from computer_vision_foundations_spark.operators.spans import (
+        duplicated_span_islands,
+    )
+
+    rows = [(i, f"u{i} v{i} " + base) for i in range(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    islands = duplicated_span_islands(df, n=3).collect()
+    by_doc = {}
+    for r in islands:
+        by_doc.setdefault(r.doc_id, []).append((r.island_start, r.island_end))
+    for i in range(docs):
+        n_tok = len(rows[i][1].split(" "))
+        spans = sorted(by_doc.get(i, []))
+        for s, e in spans:
+            assert 0 <= s < e <= n_tok
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1  # maximal islands never touch or overlap
+
+
+@_prop
+@given(
+    seed=st.integers(0, 1000),
+    vals=st.lists(
+        st.lists(st.floats(-5, 5, allow_nan=False), min_size=8, max_size=8),
+        min_size=2,
+        max_size=5,
+    ),
+)
+def test_jl_projection_linear_property(spark, seed, vals):
+    """Projection is linear: proj(a) - proj(b) == proj over (a - b)
+    coordinates via the same matrix (checked against numpy)."""
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.projection import (
+        jl_sign_matrix,
+        random_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: np.array(r.projected)
+        for r in random_projection(df, out_dim=4, seed=seed, decimals=None).collect()
+    }
+    r_mat = np.array(jl_sign_matrix(8, 4, seed))
+    x = np.array(
+        [np.array(v, dtype=np.float32).astype(np.float64) for v in vals]
+    )
+    for i in range(len(vals)):
+        assert np.allclose(out[i], r_mat @ x[i], atol=1e-9)
