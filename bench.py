@@ -234,6 +234,60 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_streaming_window_agg(spark) -> tuple[int, float]:
+    """Timed stateful streaming cycle over the events fixture: file
+    stream → watermark → tumbling window count/sum (ST5 family), noop
+    sink, availableNow. Exercises the StateStore + watermark machinery
+    the ST5 tests verify semantically; reports events/sec. Min over
+    SPARK_GRAFT_BENCH_REPEATS cycles like everything else."""
+    import shutil
+    import tempfile
+
+    from computer_vision_foundations_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    static = spark.read.parquet(src)
+    schema = static.schema
+    n_events = static.count()
+    tmp = tempfile.mkdtemp(prefix="bench_stream_agg_")
+    try:
+        # file-stream sources want a directory
+        data_dir = os.path.join(tmp, "in")
+        os.makedirs(data_dir)
+        shutil.copy(src, os.path.join(data_dir, "events.parquet"))
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        samples = []
+        for i in range(max(1, repeats)):
+            stream = spark.readStream.schema(schema).parquet(data_dir)
+            # watermarks need TIMESTAMP; the fixture surfaces ts as NTZ
+            # (session zone is UTC, so the cast is value-preserving)
+            stream = stream.withColumn(
+                "ts", stream["ts"].cast("timestamp")
+            )
+            agg = tumbling_counts(stream, duration="1 hour", watermark="2 hours")
+            t0 = time.time()
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(tmp, f"ckpt{i}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            samples.append(time.time() - t0)
+        print(
+            f"# streaming window agg samples: {[round(s, 2) for s in samples]}",
+            file=sys.stderr,
+        )
+        return n_events, min(samples)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     spark = get_spark("bench")
     qs = queries()
@@ -282,6 +336,12 @@ def main() -> int:
     timings["streaming_score"] = round(score_sec, 3)
     print(f"# streaming_ingest: {timings['streaming_ingest']}s", file=sys.stderr)
     print(f"# streaming_score: {timings['streaming_score']}s", file=sys.stderr)
+    n_stream_events, window_sec = bench_streaming_window_agg(spark)
+    timings["streaming_window_agg"] = round(window_sec, 3)
+    print(
+        f"# streaming_window_agg: {timings['streaming_window_agg']}s",
+        file=sys.stderr,
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -296,6 +356,9 @@ def main() -> int:
                     "files_per_sec": round(n_stream_files / stream_sec, 1),
                     "score_files_per_sec": round(
                         n_stream_files / score_sec, 1
+                    ),
+                    "window_agg_events_per_sec": round(
+                        n_stream_events / window_sec, 1
                     ),
                 },
             }
