@@ -101,6 +101,11 @@ from computer_vision_foundations_spark.operators.corpus import (
     prepare_training_corpus,
 )
 from computer_vision_foundations_spark.operators.fuzzy import fuzzy_match_pairs
+from computer_vision_foundations_spark.operators.ann_index import (
+    build_ivf_pq_index,
+    load_index_meta,
+    query_ivf_pq_index,
+)
 from computer_vision_foundations_spark.operators.cdc import (
     chunk_dedup_stats,
     content_chunks,
@@ -172,6 +177,9 @@ __all__ = [
     "vocab_top_k",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "build_ivf_pq_index",
+    "load_index_meta",
+    "query_ivf_pq_index",
     "bm25_topk",
     "rrf_fuse",
     "kmeans_assign",

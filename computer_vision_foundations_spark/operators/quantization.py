@@ -205,8 +205,25 @@ def ivf_pq_topk(
     Codebooks/centroids are passed in (seeded or trained upstream), so
     both stages replay as SQL literals for the differential oracle.
     """
+    c = encode_cell_codes(corpus, codebooks, centroids, vec_col, id_col)
+    p = probe_fanout(probes, codebooks, centroids, n_probe_cells, vec_col, id_col)
+    return adc_topk_from_encoded(
+        c, p, len(codebooks), len(codebooks[0]), k, round_digits, broadcast_probes
+    )
+
+
+def encode_cell_codes(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(neighbor_id, _cell, codes)`` — the PERSISTED representation of
+    an IVF-PQ index (one Arrow-batched projection; float vectors never
+    leave it). `ann_index.build_ivf_pq_index` writes exactly this,
+    partitioned by ``_cell``."""
     n_sub = len(codebooks)
-    n_centroids = len(codebooks[0])
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     sub_dim = cbs[0].shape[1]
     cmat = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
@@ -224,6 +241,32 @@ def ivf_pq_topk(
             {"cell": d.argmin(axis=1).astype(np.int32), "codes": list(codes)}
         )
 
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_and_codes_udf(F.col(vec_col)).alias("_cc"),
+    ).select(
+        "neighbor_id", F.col("_cc.cell").alias("_cell"), F.col("_cc.codes").alias("codes")
+    )
+
+
+def probe_fanout(
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    n_probe_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(probe_id, _cell, _lut)`` — each probe exploded to its
+    ``n_probe_cells`` nearest cells, carrying a precomputed ADC lookup
+    table."""
+    n_sub = len(codebooks)
+    n_centroids = len(codebooks[0])
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub_dim = cbs[0].shape[1]
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
     @pandas_udf("struct<cells:array<int>, lut:array<double>>")
     def probe_cells_and_lut_udf(v: pd.Series) -> pd.DataFrame:
         mat = np.vstack(v.to_numpy()).astype(np.float64)
@@ -237,13 +280,7 @@ def ivf_pq_topk(
             {"cells": list(cells.astype(np.int32)), "lut": list(luts)}
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        cell_and_codes_udf(F.col(vec_col)).alias("_cc"),
-    ).select(
-        "neighbor_id", F.col("_cc.cell").alias("_cell"), F.col("_cc.codes").alias("codes")
-    )
-    p = probes.select(
+    return probes.select(
         F.col(id_col).alias("probe_id"),
         probe_cells_and_lut_udf(F.col(vec_col)).alias("_pl"),
     ).select(
@@ -251,6 +288,21 @@ def ivf_pq_topk(
         F.explode(F.col("_pl.cells")).alias("_cell"),
         F.col("_pl.lut").alias("_lut"),
     )
+
+
+def adc_topk_from_encoded(
+    c: DataFrame,
+    p: DataFrame,
+    n_sub: int,
+    n_centroids: int,
+    k: int,
+    round_digits: int = 6,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """ADC scan over an encoded corpus: cell equi-join + n_sub array
+    lookups per candidate + one top-k window. ``c`` is
+    `encode_cell_codes` output (or the persisted index read back);
+    ``p`` is `probe_fanout` output."""
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         F.lit(0.0),

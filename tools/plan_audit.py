@@ -126,6 +126,18 @@ AUDIT = {
         "literals, no shuffle, no Python",
         (),
     ),
+    "z08_cdc_dedup": (
+        "boundary detection is a map-side array expression (Generate); "
+        "only (doc, chunk_hash) rows shuffle; shared-chunk check is a "
+        "linear left-semi join",
+        (),
+    ),
+    "z09_temperature_mixture": (
+        "|domains|-row aggregate + broadcast 1-row normalizer; the "
+        "corpus never shuffles. BroadcastNestedLoopJoin = the 1-row "
+        "scalar crossJoin idiom",
+        ("BroadcastNestedLoopJoin",),
+    ),
     "z05_bigram_surprisal": (
         "token-stream hash joins against vocab-sized model tables; "
         "interpolation in codegen; no Python anywhere. The "
