@@ -91,6 +91,7 @@ HEADLINE = [
     "z08_cdc_dedup",
     "z09_temperature_mixture",
     "z10_skew_profile",
+    "z11_persisted_ivf_pq",
     "q22_image_statistics",
 ]
 

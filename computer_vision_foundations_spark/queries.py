@@ -4830,6 +4830,40 @@ def z10_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(orders, "o_custkey", top_n=10)
 
 
+@_register("z11_persisted_ivf_pq", _ivf_pq_oracle_sql())
+def z11_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index lifecycle (`operators/ann_index.py`): build
+    the IVF-PQ index to disk (codes parquet PARTITIONED BY cell +
+    model-sized META.json), then answer q50's exact query by reading
+    the STORED codes — the cell equi-join plans a dynamic
+    partition-pruning subquery, so unprobed cells' files are never
+    read. Same parameters as q50, so its oracle verifies the entire
+    build→persist→load→query round trip hash-for-hash."""
+    import tempfile
+
+    from computer_vision_foundations_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_codebooks,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    cents = random_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    path = build_ivf_pq_index(
+        emb, tempfile.mkdtemp(prefix="ivfpq_idx_"), cbs, cents
+    )
+    return query_ivf_pq_index(
+        spark, path, probes, k=10, n_probe_cells=_IVF_PROBE_CELLS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
