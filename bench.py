@@ -92,6 +92,7 @@ HEADLINE = [
     "z09_temperature_mixture",
     "z10_skew_profile",
     "z11_persisted_ivf_pq",
+    "z12_mmr_diverse_topk",
     "q22_image_statistics",
 ]
 

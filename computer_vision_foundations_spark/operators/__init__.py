@@ -112,6 +112,7 @@ from computer_vision_foundations_spark.operators.cdc import (
 )
 from computer_vision_foundations_spark.operators.dsir import dsir_logratio_weights
 from computer_vision_foundations_spark.operators.hits import hits, hits_oracle_sql
+from computer_vision_foundations_spark.operators.mmr import mmr_select
 from computer_vision_foundations_spark.operators.projection import (
     covariance_matrix,
     jl_sign_matrix,
@@ -216,4 +217,5 @@ __all__ = [
     "content_chunks",
     "chunk_dedup_stats",
     "hits_oracle_sql",
+    "mmr_select",
 ]

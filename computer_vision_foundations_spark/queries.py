@@ -4830,6 +4830,48 @@ def z10_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(orders, "o_custkey", top_n=10)
 
 
+def _mmr_oracle() -> str:
+    from computer_vision_foundations_spark.operators.mmr import mmr_oracle_sql
+
+    src = (
+        "SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+        ") AS relevance, embedding FROM embeddings "
+        "WHERE vec_id > 0 AND vec_id <= 200"
+    )
+    return mmr_oracle_sql(
+        src, k=10, lam=0.7, id_expr="vec_id", out_id="vec_id"
+    )
+
+
+@_register("z12_mmr_diverse_topk", _mmr_oracle())
+def z12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-k (`operators/mmr.py` — Carbonell & Goldstein
+    1998): greedy λ·relevance − (1−λ)·max-sim selection, k=10 λ=0.7,
+    relevance = cosine to probe vec_id=0 over candidates 1..200. Each
+    round is one narrow scan with the ≤k selected vectors as plan
+    literals (no join, no shuffle, TakeOrdered argmax); the oracle
+    unrolls all 10 rounds as MATERIALIZED CTEs with the identical
+    rounded-score tie-break, so the greedy SEQUENCE replays exactly."""
+    from computer_vision_foundations_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from computer_vision_foundations_spark.operators.mmr import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    cand = emb.filter((F.col("vec_id") > 0) & (F.col("vec_id") <= 200)).select(
+        "vec_id",
+        "embedding",
+        cosine_similarity(F.col("embedding"), probe_lit).alias("relevance"),
+    )
+    return mmr_select(
+        cand, k=10, lam=0.7, relevance_col="relevance",
+        vec_col="embedding", id_col="vec_id",
+    )
+
+
 @_register("z11_persisted_ivf_pq", _ivf_pq_oracle_sql())
 def z11_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index lifecycle (`operators/ann_index.py`): build

@@ -126,3 +126,51 @@ def test_multiprobe_candidates_superset_of_single(spark):
     multi = {(r.probe_id, r.neighbor_id)
              for r in multiprobe_lsh_knn(df, probes, n_flip=2, **kw).collect()}
     assert single <= multi
+
+
+def test_mmr_select_diversity_and_determinism(spark):
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.mmr import mmr_select
+
+    # two tight clusters + one outlier; high relevance inside cluster A
+    rows = []
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=8)
+    b = -a  # opposite direction
+    for i in range(5):  # cluster A: near-duplicates, high relevance
+        rows.append((i, [float(x) for x in (a + rng.normal(scale=0.01, size=8))], 1.0 - i * 0.01))
+    for i in range(5, 8):  # cluster B: diverse, lower relevance
+        rows.append((i, [float(x) for x in (b + rng.normal(scale=0.01, size=8))], 0.6))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>, relevance double")
+
+    plain_top3 = {0, 1, 2}  # pure relevance would take cluster A only
+    out = mmr_select(df, k=3, lam=0.5).collect()
+    picked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert picked[0] == 0  # round 1 = highest relevance
+    assert set(picked) != plain_top3  # diversity kicked in
+    assert any(p >= 5 for p in picked)  # something from cluster B
+
+    again = [r.doc_id for r in sorted(mmr_select(df, k=3, lam=0.5).collect(),
+                                      key=lambda r: r.rank)]
+    assert picked == again  # deterministic
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from computer_vision_foundations_spark.operators.mmr import mmr_select
+
+    rows = [(i, [float(i), 1.0], float(10 - i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>, relevance double")
+    out = sorted(mmr_select(df, k=3, lam=1.0).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in out] == [0, 1, 2]
+
+
+def test_mmr_rejects_bad_lambda(spark):
+    import pytest
+
+    from computer_vision_foundations_spark.operators.mmr import mmr_select
+
+    df = spark.createDataFrame([(1, [1.0], 1.0)],
+                               "doc_id long, embedding array<float>, relevance double")
+    with pytest.raises(ValueError):
+        mmr_select(df, k=1, lam=1.5)
