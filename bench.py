@@ -93,6 +93,7 @@ HEADLINE = [
     "z10_skew_profile",
     "z11_persisted_ivf_pq",
     "z12_mmr_diverse_topk",
+    "z13_corpus_report",
     "q22_image_statistics",
 ]
 

@@ -4830,6 +4830,87 @@ def z10_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(orders, "o_custkey", top_n=10)
 
 
+@_register(
+    "z13_corpus_report",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+               md5(text) AS fp
+        FROM documents
+    ), dup AS (
+        SELECT source,
+               count(*) - count(DISTINCT fp) AS dup_docs
+        FROM tok GROUP BY source
+    ), stream AS (
+        SELECT t.doc_id, t.source, u.token
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+              FROM documents) AS u
+        JOIN tok t USING (doc_id)
+    ), freq AS (
+        SELECT token, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) x
+        GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq
+    ), surp AS (
+        SELECT s.doc_id, s.source,
+               avg(-log2(f.cnt / tot.n)) AS doc_surprisal
+        FROM stream s JOIN freq f USING (token) CROSS JOIN tot
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT t.source,
+           count(*) AS n_docs,
+           CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(t.n_tokens), 6) AS mean_tokens,
+           CAST(max(d.dup_docs) AS BIGINT) AS dup_docs,
+           round(avg(s.doc_surprisal), 6) AS mean_surprisal,
+           round(quantile_cont(s.doc_surprisal, 0.5), 6) AS median_surprisal
+    FROM tok t
+    JOIN dup d ON d.source = t.source
+    JOIN surp s ON s.doc_id = t.doc_id
+    GROUP BY t.source
+    """,
+)
+def z13_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation dashboard — the summary a data lead
+    reads before a training run: document/token volumes, exact-dup
+    count, and the surprisal distribution (mean + exact median), all
+    composed from the individually-verified signal operators in ONE
+    query. Shuffle budget: the md5 dedup agg, the token-stream model
+    join (q47's budget), and a final per-source agg with an exact
+    median (percentile on doc-level rows — |docs| per source, fine at
+    any corpus scale since the doc-level stats frame is already
+    reduced)."""
+    from computer_vision_foundations_spark.operators.perplexity import (
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    dup = base.groupBy("source").agg(
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("dup_docs")
+    )
+    surp = unigram_logprob_scores(docs, "text", "doc_id").select(
+        "doc_id", F.col("surprisal").alias("doc_surprisal")
+    )
+    joined = base.join(surp, "doc_id").join(F.broadcast(dup), "source")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.max("dup_docs").cast("long").alias("dup_docs"),
+        F.round(F.avg("doc_surprisal"), 6).alias("mean_surprisal"),
+        F.round(
+            F.expr("percentile(doc_surprisal, 0.5)"), 6
+        ).alias("median_surprisal"),
+    )
+
+
 def _mmr_oracle() -> str:
     from computer_vision_foundations_spark.operators.mmr import mmr_oracle_sql
 
