@@ -379,8 +379,8 @@ def encode_jpeg(
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("pixels must be (h, w) or (h, w, 3)")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -402,6 +402,12 @@ def encode_jpeg(
                 return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
             planes = [yp, down2(cbp), down2(crp)]
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "422":
+            def down_h(p: np.ndarray) -> np.ndarray:
+                p = _pad_to_block(p, 1, 2)
+                return (p[:, 0::2] + p[:, 1::2]) / 2.0
+            planes = [yp, down_h(cbp), down_h(crp)]
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [yp, cbp, crp]
             samp = [(1, 1), (1, 1), (1, 1)]

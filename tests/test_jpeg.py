@@ -121,3 +121,14 @@ def test_rgb_statistics_three_bands():
     assert len(s["mean"]) == 3 and len(s["histogram"]) == 768
     for band in range(3):
         assert abs(s["mean"][band] - img[..., band].mean()) < 1.5
+
+
+def test_rgb_422_subsampled_smooth():
+    img = np.zeros((24, 40, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, 40).astype(np.uint8)[None, :]
+    img[..., 1] = 80
+    img[..., 2] = 160
+    d = decode_jpeg(encode_jpeg(img, quality=92, subsampling="422"))
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    assert d["pixels"].shape == img.shape
+    assert err.mean() < 3  # chroma halved horizontally only
