@@ -58,19 +58,53 @@ try:  # optional dependency — the engine core needs only pyspark
 except ImportError:  # pragma: no cover - container has no Pillow
     HAVE_PIL = False
 
-# Pinned snapshot of common EXIF tag names, used when PIL is absent so
-# the schema stays stable (subset of PIL.ExifTags.TAGS values).
+# Pinned snapshot of EXIF tag names from the public EXIF 2.3 / TIFF 6.0
+# tag tables, used when PIL is absent so the schema stays stable and
+# matches the breadth of the reference's PIL-synthesized struct
+# (`02_Data Ingest.py:111-132` iterates PIL.ExifTags.TAGS the same way).
 _EXIF_TAGS_SNAPSHOT = [
+    # TIFF/IFD0 baseline
     "ImageWidth", "ImageLength", "BitsPerSample", "Compression",
-    "Make", "Model", "Orientation", "XResolution", "YResolution",
-    "ResolutionUnit", "Software", "DateTime", "ExposureTime", "FNumber",
-    "ISOSpeedRatings", "DateTimeOriginal", "FocalLength", "ColorSpace",
-    "ExifImageWidth", "ExifImageHeight",
+    "PhotometricInterpretation", "ImageDescription", "Make", "Model",
+    "StripOffsets", "Orientation", "SamplesPerPixel", "RowsPerStrip",
+    "StripByteCounts", "XResolution", "YResolution", "PlanarConfiguration",
+    "ResolutionUnit", "TransferFunction", "Software", "DateTime",
+    "Artist", "WhitePoint", "PrimaryChromaticities", "JpegIFOffset",
+    "JpegIFByteCount", "YCbCrCoefficients", "YCbCrSubSampling",
+    "YCbCrPositioning", "ReferenceBlackWhite", "Copyright",
+    # Exif sub-IFD
+    "ExposureTime", "FNumber", "ExposureProgram", "SpectralSensitivity",
+    "ISOSpeedRatings", "OECF", "SensitivityType", "ExifVersion",
+    "DateTimeOriginal", "DateTimeDigitized", "OffsetTime",
+    "OffsetTimeOriginal", "OffsetTimeDigitized", "ComponentsConfiguration",
+    "CompressedBitsPerPixel", "ShutterSpeedValue", "ApertureValue",
+    "BrightnessValue", "ExposureBiasValue", "MaxApertureValue",
+    "SubjectDistance", "MeteringMode", "LightSource", "Flash",
+    "FocalLength", "SubjectArea", "MakerNote", "UserComment",
+    "SubsecTime", "SubsecTimeOriginal", "SubsecTimeDigitized",
+    "FlashPixVersion", "ColorSpace", "ExifImageWidth", "ExifImageHeight",
+    "RelatedSoundFile", "FlashEnergy", "SpatialFrequencyResponse",
+    "FocalPlaneXResolution", "FocalPlaneYResolution",
+    "FocalPlaneResolutionUnit", "SubjectLocation", "ExposureIndex",
+    "SensingMethod", "FileSource", "SceneType", "CFAPattern",
+    "CustomRendered", "ExposureMode", "WhiteBalance", "DigitalZoomRatio",
+    "FocalLengthIn35mmFilm", "SceneCaptureType", "GainControl",
+    "Contrast", "Saturation", "Sharpness", "DeviceSettingDescription",
+    "SubjectDistanceRange", "ImageUniqueID", "CameraOwnerName",
+    "BodySerialNumber", "LensSpecification", "LensMake", "LensModel",
+    "LensSerialNumber",
 ]
 _GPS_TAGS_SNAPSHOT = [
     "GPSVersionID", "GPSLatitudeRef", "GPSLatitude", "GPSLongitudeRef",
     "GPSLongitude", "GPSAltitudeRef", "GPSAltitude", "GPSTimeStamp",
-    "GPSDateStamp",
+    "GPSSatellites", "GPSStatus", "GPSMeasureMode", "GPSDOP",
+    "GPSSpeedRef", "GPSSpeed", "GPSTrackRef", "GPSTrack",
+    "GPSImgDirectionRef", "GPSImgDirection", "GPSMapDatum",
+    "GPSDestLatitudeRef", "GPSDestLatitude", "GPSDestLongitudeRef",
+    "GPSDestLongitude", "GPSDestBearingRef", "GPSDestBearing",
+    "GPSDestDistanceRef", "GPSDestDistance", "GPSProcessingMethod",
+    "GPSAreaInformation", "GPSDateStamp", "GPSDifferential",
+    "GPSHPositioningError",
 ]
 
 
