@@ -4759,7 +4759,10 @@ def z08_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_dedup_stats(docs, "text", "doc_id", w=8, modulus=32)
+    return chunk_dedup_stats(
+        docs, "text", "doc_id", w=8, modulus=32,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @_register(
