@@ -94,6 +94,8 @@ HEADLINE = [
     "z11_persisted_ivf_pq",
     "z12_mmr_diverse_topk",
     "z13_corpus_report",
+    "z14_volume_drift",
+    "z15_corpus_diff",
     "q22_image_statistics",
 ]
 

@@ -110,6 +110,11 @@ from computer_vision_foundations_spark.operators.cdc import (
     chunk_dedup_stats,
     content_chunks,
 )
+from computer_vision_foundations_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_counts,
+)
+from computer_vision_foundations_spark.operators.drift import volume_drift
 from computer_vision_foundations_spark.operators.dsir import dsir_logratio_weights
 from computer_vision_foundations_spark.operators.hits import hits, hits_oracle_sql
 from computer_vision_foundations_spark.operators.mmr import mmr_select
@@ -218,4 +223,7 @@ __all__ = [
     "chunk_dedup_stats",
     "hits_oracle_sql",
     "mmr_select",
+    "volume_drift",
+    "snapshot_diff",
+    "snapshot_diff_counts",
 ]

@@ -4914,6 +4914,91 @@ def z13_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z14_volume_drift",
+    """
+    WITH daily AS (
+        SELECT event_type AS category,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), win AS (
+        SELECT category, day, n_events,
+               avg(n_events) OVER w AS m,
+               stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS sd,
+               count(*) OVER w AS prior
+        FROM daily
+        WINDOW w AS (PARTITION BY category ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT category, day, n_events,
+           round(m, 6) AS trail_mean,
+           round(CASE WHEN prior >= 2 AND sd > 0
+                      THEN (n_events - m) / sd END, 6) AS z,
+           coalesce(abs(CASE WHEN prior >= 2 AND sd > 0
+                             THEN (n_events - m) / sd END) > 3.0,
+                    FALSE) AS is_anomaly,
+           (prior >= 2 AND sd = 0 AND n_events <> m) AS constant_jump
+    FROM win
+    """,
+)
+def z14_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category daily-volume drift detection
+    (operators/drift.volume_drift): trailing-7-day z-score with the
+    current day EXCLUDED from its own baseline — the standard cheap
+    ingest-monitoring alarm. One hash agg to daily counts (the
+    reduction — category×day rows are tiny at any corpus scale) + one
+    window shuffle on the category key."""
+    from computer_vision_foundations_spark.operators.drift import (
+        volume_drift,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = volume_drift(events, "ts", "event_type", window_days=7)
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+@_register(
+    "z15_corpus_diff",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 3
+    ), new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id % 17 <> 5
+    )
+    SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'modified'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def z15_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/diff.py): the added / removed /
+    modified / unchanged audit between two dataset versions — here the
+    old version drops every doc_id ≡ 3 (mod 11) and the new version
+    rewrites every doc_id ≡ 0 (mod 13). Bodies hash map-side; the
+    full-outer join shuffles (id, fingerprint) pairs only."""
+    from computer_vision_foundations_spark.operators.diff import (
+        snapshot_diff_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 17 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff_counts(old, new)
+
+
 def _mmr_oracle() -> str:
     from computer_vision_foundations_spark.operators.mmr import mmr_oracle_sql
 

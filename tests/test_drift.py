@@ -1,0 +1,77 @@
+"""Volume-drift detection (operators/drift.py): baseline exclusion,
+anomaly thresholding, cold-start NULLs, constant-history jumps."""
+
+import datetime
+
+from computer_vision_foundations_spark.operators.drift import volume_drift
+
+
+def _events(spark, day_counts, category="click"):
+    """day_counts: {day_offset: n_events} -> one row per event."""
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for off, n in day_counts.items():
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=off), category))
+            eid += 1
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+
+
+def test_spike_is_flagged_and_baseline_excludes_self(spark):
+    counts = {i: 10 for i in range(8)}
+    counts[8] = 100  # spike after a stable week
+    df = _events(spark, counts)
+    out = {r.day.isoformat(): r for r in volume_drift(df).collect()}
+    spike = out["2024-01-09"]
+    # stable history has sd 0 -> z NULL but constant_jump fires
+    assert spike.z is None and spike.constant_jump
+    assert spike.trail_mean == 10.0  # the 100 did not pollute its baseline
+
+
+def test_zscore_value_matches_hand_computation(spark):
+    import statistics
+
+    counts = {0: 8, 1: 12, 2: 10, 3: 30}
+    df = _events(spark, counts)
+    out = {r.day.isoformat(): r for r in volume_drift(df).collect()}
+    hist = [8, 12, 10]
+    expect = (30 - statistics.mean(hist)) / statistics.stdev(hist)
+    got = out["2024-01-04"]
+    assert abs(got.z - round(expect, 6)) < 1e-9
+    assert got.is_anomaly == (abs(expect) > 3.0)
+
+
+def test_cold_start_days_have_null_z(spark):
+    df = _events(spark, {0: 5, 1: 6})
+    out = sorted(volume_drift(df).collect(), key=lambda r: r.day)
+    assert out[0].z is None and out[1].z is None  # <2 prior days
+    assert not out[0].is_anomaly
+
+
+def test_categories_independent(spark):
+    a = _events(spark, {i: 10 for i in range(5)}, category="a")
+    b = _events(spark, {i: 1000 for i in range(5)}, category="b")
+    df = a.unionByName(b)
+    out = volume_drift(df).collect()
+    assert not any(r.is_anomaly for r in out)  # each stable in own scale
+
+
+def test_snapshot_diff_statuses(spark):
+    from computer_vision_foundations_spark.operators.diff import (
+        snapshot_diff,
+        snapshot_diff_counts,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    st = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert st == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+    counts = {r.status: r.n for r in snapshot_diff_counts(old, new).collect()}
+    assert counts == {"unchanged": 1, "modified": 1, "removed": 1, "added": 1}
