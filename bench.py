@@ -96,6 +96,8 @@ HEADLINE = [
     "z13_corpus_report",
     "z14_volume_drift",
     "z15_corpus_diff",
+    "z16_temporal_split",
+    "z18_event_transitions",
     "q22_image_statistics",
 ]
 

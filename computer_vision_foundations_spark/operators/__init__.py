@@ -1,6 +1,7 @@
 from computer_vision_foundations_spark.operators.split import (
     deterministic_split,
     kfold_assignment,
+    temporal_split,
     train_test_split,
 )
 from computer_vision_foundations_spark.operators.dedup import (
@@ -39,6 +40,7 @@ from computer_vision_foundations_spark.operators.bpe import (
 )
 from computer_vision_foundations_spark.operators.rollup import gap_fill_locf
 from computer_vision_foundations_spark.operators.funnel import (
+    event_transition_matrix,
     funnel_counts,
     funnel_max_step,
     retention_cohorts,
@@ -144,6 +146,8 @@ __all__ = [
     "funnel_counts",
     "funnel_max_step",
     "kfold_assignment",
+    "temporal_split",
+    "event_transition_matrix",
     "edit_similarity_pairs",
     "multiprobe_lsh_knn",
     "sq8_encode",

@@ -151,3 +151,47 @@ def retention_cohorts(
         "n_active",
         F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
     )
+
+
+def event_transition_matrix(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+):
+    """First-order Markov transition counts/probabilities between
+    consecutive events per user: ``(from_type, to_type, n,
+    p_transition)`` with p normalized over each ``from_type``.
+
+    One window (lead over the per-user timeline — ordered by ts with a
+    deterministic tiebreak) + one hash aggregate; shuffles carry
+    (user, type) rows only. The behavioral-model twin of the text
+    bigram LM in ``operators/perplexity.py``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), round_digits).alias(
+            "p_transition"
+        ),
+    )

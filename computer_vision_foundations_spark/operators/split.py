@@ -92,3 +92,29 @@ def kfold_assignment(
     )
     h = F.conv(F.substring(d, 1, 7), 16, 10).cast("long")
     return df.withColumn(out_col, (h % k).cast("int"))
+
+
+def temporal_split(
+    df,
+    ts_col: str,
+    train_end,
+    test_start,
+    label_col: str = "split",
+):
+    """Leakage-free temporal split with an embargo gap: rows at or
+    before ``train_end`` → 'train', rows at or after ``test_start`` →
+    'test', rows inside the PURGE WINDOW between them → 'purged'
+    (excluded so near-boundary leakage — label horizons, session
+    spillover — cannot contaminate evaluation; the finance-style
+    purged split). Pure projection: no shuffle, no sampling, fully
+    deterministic — complement/coverage invariants hold by
+    construction."""
+    from pyspark.sql import functions as F
+
+    c = F.col(ts_col)
+    return df.withColumn(
+        label_col,
+        F.when(c <= F.lit(train_end), F.lit("train"))
+        .when(c >= F.lit(test_start), F.lit("test"))
+        .otherwise(F.lit("purged")),
+    )

@@ -4999,6 +4999,74 @@ def z15_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_counts(old, new)
 
 
+@_register(
+    "z16_temporal_split",
+    """
+    SELECT CASE WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+                ELSE 'purged' END AS split,
+           count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS min_event,
+           CAST(max(event_id) AS BIGINT) AS max_event
+    FROM events
+    GROUP BY 1
+    """,
+)
+def z16_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split (operators/split.temporal_split): train ≤
+    2024-01-20, test ≥ 2024-01-22, the 2-day embargo gap 'purged' so
+    boundary leakage cannot contaminate evaluation — the leakage-free
+    eval split a time-series pipeline needs. Pure projection, no
+    shuffle before the audit aggregate."""
+    from computer_vision_foundations_spark.operators.split import (
+        temporal_split,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = temporal_split(
+        events, "ts", "2024-01-20 00:00:00", "2024-01-22 00:00:00"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").cast("long").alias("min_event"),
+        F.max("event_id").cast("long").alias("max_event"),
+    )
+
+
+@_register(
+    "z18_event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ), counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6)
+               AS p_transition
+    FROM counts
+    """,
+)
+def z18_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between consecutive events per
+    user (operators/funnel.event_transition_matrix): counts +
+    per-from_type probabilities — the behavioral twin of the text
+    bigram LM (z05). One lead window on the per-user timeline
+    (deterministic ts, event_id ordering) + one hash aggregate."""
+    from computer_vision_foundations_spark.operators.funnel import (
+        event_transition_matrix,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return event_transition_matrix(events)
+
+
 def _mmr_oracle() -> str:
     from computer_vision_foundations_spark.operators.mmr import mmr_oracle_sql
 

@@ -99,3 +99,28 @@ def test_edit_similarity_pairs(spark):
     # threshold filters
     kept = edit_similarity_pairs(pairs, docs, threshold=0.8).collect()
     assert [(r.id_a, r.id_b) for r in kept] == [(1, 2)]
+
+
+def test_event_transition_matrix(spark):
+    import datetime
+
+    from computer_vision_foundations_spark.operators.funnel import (
+        event_transition_matrix,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: a->b->a ; user 2: a->b
+    rows = [
+        (1, 1, base, "a"), (2, 1, base + datetime.timedelta(1), "b"),
+        (3, 1, base + datetime.timedelta(2), "a"),
+        (4, 2, base, "a"), (5, 2, base + datetime.timedelta(1), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {(r.from_type, r.to_type): r for r in event_transition_matrix(df).collect()}
+    assert out[("a", "b")].n == 2 and out[("a", "b")].p_transition == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].p_transition == 1.0
+    assert ("b", "b") not in out
+    # no cross-user transition: user2's last 'b' has no successor
+    assert sum(r.n for r in out.values()) == 3

@@ -47,3 +47,26 @@ def test_deterministic_split_exact(spark):
     tagged = deterministic_split(df, "key", train_pct=80)
     counts = {r.eval_set: r.n for r in tagged.groupBy("eval_set").agg(F.count("*").alias("n")).collect()}
     assert counts == {"train": 800, "test": 200}
+
+
+def test_temporal_split_partition_and_embargo(spark):
+    import datetime
+
+    from computer_vision_foundations_spark.operators.split import temporal_split
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(hours=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "row_id long, ts timestamp")
+    out = temporal_split(
+        df, "ts", "2024-01-02 00:00:00", "2024-01-03 12:00:00"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.split, []).append(r.ts)
+    # coverage: every row labeled, exactly once
+    assert sum(len(v) for v in by.values()) == 100
+    # no leakage: max(train) < min(purged) <= max(purged) < min(test)
+    assert max(by["train"]) < min(by["purged"])
+    assert max(by["purged"]) < min(by["test"])
+    assert max(by["train"]) <= datetime.datetime(2024, 1, 2)
+    assert min(by["test"]) >= datetime.datetime(2024, 1, 3, 12)
