@@ -97,7 +97,7 @@ HEADLINE = [
     "z14_volume_drift",
     "z15_corpus_diff",
     "z16_temporal_split",
-    "z18_event_transitions",
+    "z17_event_transitions",
     "q22_image_statistics",
 ]
 

@@ -5034,7 +5034,7 @@ def z16_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z18_event_transitions",
+    "z17_event_transitions",
     """
     WITH seq AS (
         SELECT user_id, event_type AS from_type,
@@ -5053,7 +5053,7 @@ def z16_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
 )
-def z18_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions between consecutive events per
     user (operators/funnel.event_transition_matrix): counts +
     per-from_type probabilities — the behavioral twin of the text
