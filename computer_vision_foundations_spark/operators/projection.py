@@ -138,7 +138,12 @@ def _gramian_totals(df: DataFrame, vec_col: str) -> DataFrame:
     """ONE corpus scan → (i, j, sxy, sx_diag, n) for every dimension
     pair: Σx_i·x_j, the per-dimension sums (on diagonal rows), and the
     total row count. d² rows, localCheckpoint'd so the two consumers
-    (cov cells + means) never re-scan the data."""
+    (cov cells + means) never re-scan the data.
+
+    Storage note (the components.py concern): the checkpointed blocks
+    are d² rows ≈ tens of KB — unlike the edge/label tables there,
+    holding them until ContextCleaner GC is negligible, so no explicit
+    release handle is threaded through to callers."""
     parts = df.select(vec_col).mapInPandas(
         _partial_gramian(vec_col), schema=_GRAM_SCHEMA
     )
