@@ -126,6 +126,28 @@ AUDIT = {
         "literals, no shuffle, no Python",
         (),
     ),
+    "z13_corpus_report": (
+        "signal composition: md5 dedup agg + token-stream model join + "
+        "one per-source agg with exact percentile on reduced doc rows. "
+        "BroadcastNestedLoopJoin = the 1-row total crossJoin idiom",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z14_volume_drift": (
+        "hash agg to category x day (the reduction), one window shuffle "
+        "on category",
+        (),
+    ),
+    "z17_event_transitions": (
+        "lead window on the per-user timeline + one hash agg; "
+        "(user, type) rows only",
+        (),
+    ),
+    "z11_persisted_ivf_pq": (
+        "stored codes scan with dynamic partition pruning on _cell "
+        "(plan shows dynamicpruning subquery); ADC = array lookups in "
+        "the cell equi-join; one top-k window",
+        (),
+    ),
     "z08_cdc_dedup": (
         "boundary detection is a map-side array expression (Generate); "
         "only (doc, chunk_hash) rows shuffle; shared-chunk check is a "
