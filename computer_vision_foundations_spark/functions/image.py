@@ -397,7 +397,8 @@ def _dhash_one(content: bytes) -> str | None:
                         for r in range(8)
                     ]
                 )
-    except (ValueError, struct.error, IndexError, zlib.error):
+    except (ValueError, struct.error, IndexError, KeyError, zlib.error):
+        # KeyError: JPEG scan referencing an undeclared DQT/DHT table id
         return None
     out = []
     for r in range(8):

@@ -578,6 +578,11 @@ def decode_jpeg(data: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # non-interleaved baseline (one scan per component) is
+                # legal T.81 but unsupported here — raise so callers
+                # fall back instead of silently returning the Y plane
+                raise ValueError("multi-scan (non-interleaved) JPEG not supported")
             scan = []
             for ci in range(ns):
                 cs, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]

@@ -781,8 +781,16 @@ def incremental_lsh_candidates(
     return (
         probe.join(build, ["band_idx", "band_key"])
         .filter(
-            (F.col("_side") == "snapshot")
-            | (F.col("batch_id") < F.col("match_id"))
+            # never a self-pair: a re-ingested id that already sits in
+            # the snapshot would otherwise "near-duplicate" itself
+            (
+                (F.col("_side") == "snapshot")
+                & (F.col("batch_id") != F.col("match_id"))
+            )
+            | (
+                (F.col("_side") == "batch")
+                & (F.col("batch_id") < F.col("match_id"))
+            )
         )
         .select(
             "batch_id", "match_id", F.col("_side").alias("origin")

@@ -25,13 +25,23 @@ def snapshot_diff(
     """``(id, status)`` with status ∈ added | removed | modified |
     unchanged."""
     fp = F.md5(F.col(text_col).cast("binary"))
-    o = old_df.select(F.col(id_col), fp.alias("_old_fp"))
-    n = new_df.select(F.col(id_col), fp.alias("_new_fp"))
+    # explicit presence markers: a NULL text yields a NULL fingerprint,
+    # which must NOT read as "row absent" — presence and content are
+    # tracked separately so (id, NULL) vs (id, 'x') classifies as
+    # modified, not added
+    o = old_df.select(
+        F.col(id_col), fp.alias("_old_fp"), F.lit(True).alias("_in_old")
+    )
+    n = new_df.select(
+        F.col(id_col), fp.alias("_new_fp"), F.lit(True).alias("_in_new")
+    )
     return o.join(n, id_col, "full_outer").select(
         id_col,
-        F.when(F.col("_old_fp").isNull(), F.lit("added"))
-        .when(F.col("_new_fp").isNull(), F.lit("removed"))
-        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("modified"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_old_fp").eqNullSafe(F.col("_new_fp")), F.lit("modified")
+        )
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )

@@ -44,10 +44,20 @@ def volume_drift(
         F.col(category_col).alias("category"),
         F.to_date(ts_col).alias("day"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    # CALENDAR-range frame, not a rows frame: ordering by the epoch day
+    # number means a 3-day ingestion gap does not stretch the baseline
+    # to older history — the trailing window is literally "the last W
+    # calendar days". (Days with NO row still produce no z-score; to
+    # flag complete outages, densify the daily counts first — e.g.
+    # `operators/rollup.gap_fill_locf` with fill 0 — and feed the
+    # result back through this window.)
+    daily = daily.withColumn(
+        "_day_num", F.datediff("day", F.lit("1970-01-01"))
+    )
     w = (
         Window.partitionBy("category")
-        .orderBy("day")
-        .rowsBetween(-window_days, -1)
+        .orderBy("_day_num")
+        .rangeBetween(-window_days, -1)
     )
     mean = F.avg("n_events").over(w)
     std = F.stddev_samp(F.col("n_events").cast("double")).over(w)
@@ -58,7 +68,7 @@ def volume_drift(
     )
     out = daily.select(
         "category",
-        "day",
+        "day",  # _day_num dropped by this projection
         "n_events",
         F.round(mean, round_digits).alias("trail_mean"),
         F.round(z, round_digits).alias("z"),

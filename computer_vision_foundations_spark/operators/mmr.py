@@ -93,12 +93,22 @@ def mmr_select(
         selected.append((r[id_col], float(r["_s"]), list(r[vec_col])))
         chosen_ids.append(r[id_col])
     spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]  # preserve the caller's id type
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("mmr_score", T.DoubleType(), False),
+        ]
+    )
     return spark.createDataFrame(
         [
             (i + 1, sid, round(sc, round_digits))
             for i, (sid, sc, _) in enumerate(selected)
         ],
-        f"rank int, {id_col} long, mmr_score double",
+        schema,
     )
 
 

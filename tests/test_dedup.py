@@ -460,3 +460,19 @@ def test_incremental_lsh_bucket_cap(spark):
         new, snap, n_hashes=8, bands=4, hash_fn="md5", max_bucket_size=None
     ).count()
     assert capped == 0 and uncapped == 66  # C(12,2)
+
+
+def test_incremental_lsh_no_self_pair_on_reingest(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_signatures,
+    )
+
+    doc = (7, "a document that gets re-fetched by the daily crawl again")
+    old = spark.createDataFrame([doc], "doc_id long, text string")
+    new = spark.createDataFrame([doc], "doc_id long, text string")
+    snap = minhash_signatures(old, n_hashes=8, hash_fn="md5")
+    out = incremental_lsh_candidates(
+        new, snap, n_hashes=8, bands=4, hash_fn="md5"
+    ).collect()
+    assert out == []  # identical id in snapshot+batch: not a dup of itself

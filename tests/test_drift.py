@@ -75,3 +75,27 @@ def test_snapshot_diff_statuses(spark):
     assert st == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
     counts = {r.status: r.n for r in snapshot_diff_counts(old, new).collect()}
     assert counts == {"unchanged": 1, "modified": 1, "removed": 1, "added": 1}
+
+
+def test_calendar_gap_does_not_stretch_baseline(spark):
+    # days 0-6 at 10/day, 3-day gap, then day 10 at 50: the trailing
+    # 7-day RANGE window sees only days 3-6 (not days 0-6), so the
+    # baseline stays calendar-true across the gap
+    counts = {i: 10 for i in range(7)}
+    counts[10] = 50
+    df = _events(spark, counts)
+    out = {r.day.isoformat(): r for r in volume_drift(df).collect()}
+    spike = out["2024-01-11"]
+    assert spike.trail_mean == 10.0
+    # only 4 prior days (3..6) are in range; constant history -> jump flag
+    assert spike.constant_jump
+
+
+def test_snapshot_diff_null_text_is_modified_not_added(spark):
+    from computer_vision_foundations_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "now set"), (2, None)], "doc_id long, text string")
+    st = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert st[1] == "modified"  # NULL -> value is a content change
+    assert st[2] == "unchanged"  # NULL == NULL under null-safe compare

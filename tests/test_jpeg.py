@@ -132,3 +132,32 @@ def test_rgb_422_subsampled_smooth():
     err = np.abs(d["pixels"].astype(int) - img.astype(int))
     assert d["pixels"].shape == img.shape
     assert err.mean() < 3  # chroma halved horizontally only
+
+
+def test_non_interleaved_scan_rejected():
+    # craft: valid gray encode, then rewrite SOF to claim 3 components
+    # while SOS still declares 1 -> decoder must raise, not return Y
+    img = np.full((8, 8), 50, np.uint8)
+    b = bytearray(encode_jpeg(img, quality=90))
+    i = bytes(b).find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nf(1) comps...
+    nf_pos = i + 2 + 2 + 1 + 2 + 2
+    b[nf_pos] = 3
+    b[i + 3] = 8 + 3 * 3  # new segment length
+    # append two fake component specs after the existing one
+    comp_end = nf_pos + 1 + 3
+    b[comp_end:comp_end] = bytes([2, 0x11, 0, 3, 0x11, 0])
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(b))
+
+
+def test_dhash_returns_none_on_undeclared_table_ids():
+    from computer_vision_foundations_spark.functions.image import _dhash_one
+
+    img = np.full((8, 8), 90, np.uint8)
+    b = bytearray(encode_jpeg(img, quality=90))
+    # point the SOS at Huffman table id 3 (never declared) -> KeyError
+    # path. SOS layout: FF DA len(2) ns(1) cid(1) TABS(1) ...
+    i = bytes(b).find(b"\xff\xda")
+    b[i + 6] = 0x33
+    assert _dhash_one(bytes(b)) is None

@@ -128,3 +128,14 @@ def test_pca_sign_canonical(spark):
     m1 = pca_fit(df, n_components=3)
     m2 = pca_fit(df.repartition(5), n_components=3)
     assert np.allclose(m1["components"], m2["components"], atol=1e-8)
+
+
+def test_random_projection_empty_df_clear_error(spark):
+    import pytest
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="pass dim"):
+        random_projection(df, out_dim=4, seed=1)
+    # explicit dim keeps it lazy and returns an empty frame
+    out = random_projection(df, out_dim=4, seed=1, dim=8)
+    assert out.count() == 0

@@ -174,3 +174,14 @@ def test_mmr_rejects_bad_lambda(spark):
                                "doc_id long, embedding array<float>, relevance double")
     with pytest.raises(ValueError):
         mmr_select(df, k=1, lam=1.5)
+
+
+def test_mmr_preserves_string_id_type(spark):
+    from computer_vision_foundations_spark.operators.mmr import mmr_select
+
+    df = spark.createDataFrame(
+        [("a1", [1.0, 0.0], 0.9), ("b2", [0.0, 1.0], 0.8)],
+        "doc_id string, embedding array<float>, relevance double",
+    )
+    out = mmr_select(df, k=2, lam=0.6).collect()
+    assert {r.doc_id for r in out} == {"a1", "b2"}

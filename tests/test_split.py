@@ -70,3 +70,13 @@ def test_temporal_split_partition_and_embargo(spark):
     assert max(by["purged"]) < min(by["test"])
     assert max(by["train"]) <= datetime.datetime(2024, 1, 2)
     assert min(by["test"]) >= datetime.datetime(2024, 1, 3, 12)
+
+
+def test_temporal_split_rejects_misordered_bounds(spark):
+    import pytest
+
+    from computer_vision_foundations_spark.operators.split import temporal_split
+
+    df = spark.createDataFrame([(1, "2024-01-01")], "row_id long, ts string")
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", "2024-03-01", "2024-02-01")
