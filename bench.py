@@ -98,6 +98,7 @@ HEADLINE = [
     "z15_corpus_diff",
     "z16_temporal_split",
     "z17_event_transitions",
+    "z18_image_metadata",
     "q22_image_statistics",
 ]
 

@@ -363,6 +363,29 @@ def encode_text_jpeg(s: pd.Series) -> pd.Series:
     return s.map(enc)
 
 
+@pandas_udf(T.BinaryType())
+def encode_doc_jpeg_with_exif(
+    text: pd.Series, make: pd.Series, model: pd.Series
+) -> pd.Series:
+    """Per-document 24×24 flat-block JPEG (see ``encode_text_jpeg``)
+    carrying a REAL APP1/TIFF EXIF segment built from document fields
+    (Make/Model) — the fixture that makes the metadata UDF's whole
+    encode→EXIF-write→TIFF-parse chain SQL-oracle-checkable."""
+
+    def enc(t: str, mk: str, md: str) -> bytes:
+        b = t.encode("utf-8")[:9].ljust(9, b"\0")
+        grid = np.frombuffer(b, np.uint8).reshape(3, 3)
+        return _jpeg.encode_jpeg(
+            np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1),
+            quality=100,
+            app1=_png.build_exif_app1({"Make": mk, "Model": md}),
+        )
+
+    return pd.Series(
+        [enc(t, mk, md) for t, mk, md in zip(text, make, model)]
+    )
+
+
 def _dhash_one(content: bytes) -> str | None:
     """64-bit difference hash as 16 hex chars (row-major; bit set when
     the left pixel is strictly darker than its right neighbour).

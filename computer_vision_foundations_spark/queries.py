@@ -5072,6 +5072,53 @@ def z17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(events)
 
 
+@_register(
+    "z18_image_metadata",
+    """
+    SELECT doc_id,
+           24 AS height, 24 AS width, 1 AS layers,
+           'L' AS mode, 'JPEG' AS format,
+           source AS exif_make, lang AS exif_model
+    FROM documents
+    WHERE length(text) >= 9
+    """,
+)
+def z18_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata pandas UDF (reference U1 schema,
+    `02_Data Ingest.py:191-199`) over REAL JPEG bytes with REAL EXIF:
+    each document becomes a 24×24 JPEG whose APP1/TIFF segment carries
+    Make=source, Model=lang (`functions/png.build_exif_app1` writes
+    genuine TIFF IFD layout; `parse_jpeg_exif` reads it back inside
+    `get_image_metadata`). The oracle states what the round trip must
+    recover — upgrading U1 from schema-verified to a full value-hash
+    differential check of the encode→EXIF-write→SOF/TIFF-parse chain.
+    Narrow Arrow projections only; no shuffle."""
+    from computer_vision_foundations_spark.functions.image import (
+        encode_doc_jpeg_with_exif,
+        get_image_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 9)
+    out = docs.withColumn(
+        "metadata",
+        get_image_metadata(
+            encode_doc_jpeg_with_exif(
+                F.col("text"), F.col("source"), F.col("lang")
+            )
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.col("metadata.height").alias("height"),
+        F.col("metadata.width").alias("width"),
+        F.col("metadata.layers").alias("layers"),
+        F.col("metadata.mode").alias("mode"),
+        F.col("metadata.format").alias("format"),
+        F.col("metadata.exif.Make").alias("exif_make"),
+        F.col("metadata.exif.Model").alias("exif_model"),
+    )
+
+
 def _mmr_oracle() -> str:
     from computer_vision_foundations_spark.operators.mmr import mmr_oracle_sql
 
