@@ -419,3 +419,35 @@ def test_jl_projection_linear_property(spark, seed, vals):
     )
     for i in range(len(vals)):
         assert np.allclose(out[i], r_mat @ x[i], atol=1e-9)
+
+
+@_prop
+@given(
+    h=st.integers(1, 24),
+    w_=st.integers(1, 24),
+    seed=st.integers(0, 10**6),
+    quality=st.sampled_from([85, 92, 100]),
+    color=st.booleans(),
+)
+def test_jpeg_roundtrip_bounded_error(spark, h, w_, seed, quality, color):
+    """Any image, any (non-multiple-of-8) size, both color modes:
+    encode→decode stays within the quantization-error envelope, exact
+    shape, and q100 grayscale is within ±1."""
+    import numpy as np
+
+    from computer_vision_foundations_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w_, 3) if color else (h, w_)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert d["pixels"].shape == img.shape
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    if quality == 100:
+        assert err.max() <= (3 if color else 1)  # color-convert rounding
+    else:
+        assert err.max() <= 135  # noise at q85 worst case stays bounded
+        assert err.mean() < 40
