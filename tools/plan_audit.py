@@ -126,6 +126,11 @@ AUDIT = {
         "literals, no shuffle, no Python",
         (),
     ),
+    "z18_image_metadata": (
+        "encode→EXIF-write→TIFF-parse chain as two narrow Arrow "
+        "projections; no shuffle at all",
+        (),
+    ),
     "z13_corpus_report": (
         "signal composition: md5 dedup agg + token-stream model join + "
         "one per-source agg with exact percentile on reduced doc rows. "
