@@ -351,14 +351,17 @@ def main() -> int:
         file=sys.stderr,
     )
     total = round(sum(timings.values()), 3)
+    # Output contract (round 4): the driver's capture window clipped the
+    # head of round 3's single giant JSON line (74 query entries +
+    # streaming dict -> BENCH_r03 "parsed": null).  Emit the full
+    # per-query detail on its OWN stdout line first, then finish with a
+    # short headline line that always fits the capture window and is the
+    # LAST line of stdout, so a tail-capture parses it.
     print(
         json.dumps(
             {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
+                "metric": "headline_detail",
                 "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
                 "streaming": {
                     "files": n_stream_files,
                     "files_per_sec": round(n_stream_files / stream_sec, 1),
@@ -369,6 +372,17 @@ def main() -> int:
                         n_stream_events / window_sec, 1
                     ),
                 },
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": _sf_from_dir(SF_DIR),
+                "n_queries": len(timings),
             }
         )
     )

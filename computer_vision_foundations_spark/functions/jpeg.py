@@ -413,8 +413,6 @@ def encode_jpeg(
             samp = [(1, 1), (1, 1), (1, 1)]
         qsel = [0, 1, 1]
 
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
     # Pad every plane so the block grid tiles whole MCUs.
     zz_per_comp = []
     nblocks = []

@@ -93,53 +93,65 @@ def connected_components(
     )
     labels_rdd = _ckpt_rdd(labels)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for i in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["u"] == labels["node"])
-            .groupBy("v")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new = (
-            labels.join(nbr_min, labels["node"] == nbr_min["v"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+    # ALL exit paths — convergence, iteration-cap RuntimeError, and any
+    # exception thrown mid-round (ADVICE r3: a failed round used to
+    # leak the edge-list + label checkpoint blocks in a long-lived
+    # session) — release the edge list; the label blocks are released
+    # on every path EXCEPT convergence, where the final label table
+    # stays persisted because it backs the returned DataFrame (callers
+    # get a flat ExistingRDD plan; Spark's ContextCleaner frees it when
+    # the result goes out of scope).
+    converged = False
+    try:
+        for i in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym["u"] == labels["node"])
+                .groupBy("v")
+                .agg(F.min("comp").alias("nbr_comp"))
             )
+            new = (
+                labels.join(nbr_min, labels["node"] == nbr_min["v"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("nbr_comp"), F.col("comp")),
+                    ).alias("comp"),
+                )
+            )
+            # pointer jumping: comp <- comp's comp (labels only shrink,
+            # so the looked-up value is always <= the current one)
+            jump = new.select(
+                F.col("node").alias("comp"), F.col("comp").alias("comp2")
+            )
+            obs = Observation(f"cc_round_{i}")
+            new = (
+                new.join(jump, "comp", "left")
+                .select("node", F.coalesce("comp2", "comp").alias("comp"))
+                .observe(obs, F.sum("comp").alias("s"))
+                .localCheckpoint()
+            )
+            # the eager checkpoint IS the action; observe rode along
+            cur_sum = obs.get["s"]
+            # `new` is fully materialized, so the previous round's label
+            # blocks have no remaining consumer — release them now
+            # instead of waiting for ContextCleaner GC (ADVICE r2:
+            # checkpoint blocks otherwise accumulate across many dedup
+            # graphs in a long-lived session; clearCache() does not
+            # drop RDD blocks).
+            _release(labels_rdd)
+            labels, labels_rdd = new, _ckpt_rdd(new)
+            if cur_sum == prev_sum:
+                converged = True
+                return labels.select("node", F.col("comp").alias("component"))
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds"
         )
-        # pointer jumping: comp <- comp's comp (labels only shrink,
-        # so the looked-up value is always <= the current one)
-        jump = new.select(
-            F.col("node").alias("comp"), F.col("comp").alias("comp2")
-        )
-        obs = Observation(f"cc_round_{i}")
-        new = (
-            new.join(jump, "comp", "left")
-            .select("node", F.coalesce("comp2", "comp").alias("comp"))
-            .observe(obs, F.sum("comp").alias("s"))
-            .localCheckpoint()
-        )
-        # the eager checkpoint IS the action; observe rode along
-        cur_sum = obs.get["s"]
-        # `new` is fully materialized, so the previous round's label
-        # blocks have no remaining consumer — release them now instead
-        # of waiting for ContextCleaner GC (ADVICE r2: checkpoint
-        # blocks otherwise accumulate across many dedup graphs in a
-        # long-lived session; clearCache() does not drop RDD blocks).
-        _release(labels_rdd)
-        labels, labels_rdd = new, _ckpt_rdd(new)
-        if cur_sum == prev_sum:
-            # the edge list is dead too; the FINAL label table stays
-            # persisted — it backs the returned DataFrame (callers get
-            # a flat ExistingRDD plan; Spark's ContextCleaner frees it
-            # when the result goes out of scope)
-            _release(sym_rdd)
-            return labels.select("node", F.col("comp").alias("component"))
-        prev_sum = cur_sum
-    _release(sym_rdd)
-    _release(labels_rdd)
-    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    finally:
+        _release(sym_rdd)
+        if not converged:
+            _release(labels_rdd)
 
 
 def dedup_clusters(

@@ -23,7 +23,14 @@ def snapshot_diff(
     text_col: str = "text",
 ) -> DataFrame:
     """``(id, status)`` with status ∈ added | removed | modified |
-    unchanged."""
+    unchanged.
+
+    Precondition: ``id_col`` is unique within each snapshot (the
+    normal contract for a corpus snapshot keyed by document id).
+    Duplicate ids would fan out in the full-outer join and yield
+    multiple status rows per id; dedupe (e.g. ``dedup_exact`` or a
+    ``groupBy(id).agg(max(text))``) before diffing if a snapshot can
+    carry repeats."""
     fp = F.md5(F.col(text_col).cast("binary"))
     # explicit presence markers: a NULL text yields a NULL fingerprint,
     # which must NOT read as "row absent" — presence and content are
@@ -53,7 +60,8 @@ def snapshot_diff_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(status, n)`` — the four-row audit summary."""
+    """``(status, n)`` — the four-row audit summary.  Same unique-id
+    precondition as :func:`snapshot_diff`."""
     return (
         snapshot_diff(old_df, new_df, id_col, text_col)
         .groupBy("status")

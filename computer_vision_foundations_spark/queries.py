@@ -4502,7 +4502,7 @@ def _hits_oracle() -> str:
         hits_oracle_sql,
     )
 
-    return hits_oracle_sql(_PR_EDGES_SQL, n_iter=5, round_digits=9)
+    return hits_oracle_sql(_PR_EDGES_SQL, n_iter=5, round_digits=6)
 
 
 @_register("z04_hits_scores", _hits_oracle())
@@ -4532,8 +4532,8 @@ def z04_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hits(fwd.unionByName(back), n_iter=5)
     return out.select(
         "node",
-        F.round("hub", 9).alias("hub"),
-        F.round("authority", 9).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
     )
 
 
@@ -4697,9 +4697,14 @@ def z07_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     batch = docs.filter(F.col("doc_id") % 5 != 0)
+    # max_bucket_size=None matches the oracle, which models no bucket
+    # cap: a band bucket exceeding the default 1000-doc cap at a larger
+    # scale factor would otherwise silently diverge the differential
+    # check (production callers keep the cap ON).
     return incremental_lsh_candidates(
         batch, snapshot, "text", "doc_id",
         k=3, n_hashes=8, bands=4, hash_fn="md5",
+        max_bucket_size=None,
         repartition_to=spark.sparkContext.defaultParallelism,
     )
 
@@ -5137,9 +5142,12 @@ def _mmr_oracle() -> str:
 def z12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-k (`operators/mmr.py` — Carbonell & Goldstein
     1998): greedy λ·relevance − (1−λ)·max-sim selection, k=10 λ=0.7,
-    relevance = cosine to probe vec_id=0 over candidates 1..200. Each
-    round is one narrow scan with the ≤k selected vectors as plan
-    literals (no join, no shuffle, TakeOrdered argmax); the oracle
+    relevance = cosine to probe vec_id=0 over candidates 1..200.
+    One-scan execution (round 4): a single TakeOrderedAndProject pulls
+    the top-M candidates by relevance, the greedy recurrence runs
+    driver-side over the model-sized M×dim slice, and a per-round
+    score bound PROVES equivalence to full greedy (growing M and
+    rescanning when it can't — never silent approximation); the oracle
     unrolls all 10 rounds as MATERIALIZED CTEs with the identical
     rounded-score tie-break, so the greedy SEQUENCE replays exactly."""
     from computer_vision_foundations_spark.functions.vectors import (

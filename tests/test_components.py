@@ -89,3 +89,18 @@ def test_checkpoint_blocks_released(spark):
     assert {r.component for r in out.collect()} == {1, 10, 20}
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1  # only the returned final label table
+
+
+def test_nonconvergence_releases_blocks(spark):
+    """Exceptional exit paths must release the edge-list AND label
+    checkpoint blocks (ADVICE r3: the iteration-cap RuntimeError used
+    to leak both in a long-lived session)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=1)
+    after = jsc.getPersistentRDDs().size()
+    assert after == before  # nothing survives a failed run

@@ -185,3 +185,36 @@ def test_mmr_preserves_string_id_type(spark):
     )
     out = mmr_select(df, k=2, lam=0.6).collect()
     assert {r.doc_id for r in out} == {"a1", "b2"}
+
+
+def test_mmr_prefilter_matches_full_pool(spark):
+    """The one-scan top-M prefilter must be provably exact: a tiny
+    prefilter_m forces the bound check to grow the pool and the final
+    selection must equal the full-pool greedy sequence."""
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.mmr import mmr_select
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)], float(rng.uniform(0, 1)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>, relevance double"
+    )
+    full = [
+        (r.rank, r.doc_id, r.mmr_score)
+        for r in sorted(
+            mmr_select(df, k=5, lam=0.7, prefilter_m=60).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    small = [
+        (r.rank, r.doc_id, r.mmr_score)
+        for r in sorted(
+            mmr_select(df, k=5, lam=0.7, prefilter_m=6).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert full == small
