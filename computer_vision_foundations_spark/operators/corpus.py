@@ -77,6 +77,7 @@ def prepare_training_corpus(
     overlap: int = 8,
     seq_len: int = 256,
     n_shards: int = 32,
+    lsh_hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Raw documents → packed training chunks.
 
@@ -109,9 +110,14 @@ def prepare_training_corpus(
             unigram_logprob_scores,
         )
 
+        # compare on the 6-digit rounding (the repo-wide differential
+        # convention): surprisal is a cross-engine float aggregate, and
+        # a document sitting within FP-noise of the threshold must not
+        # classify differently between Spark's and an oracle's
+        # summation order
         ok = (
             unigram_logprob_scores(kept, text_col, id_col)
-            .filter(F.col("surprisal") <= max_surprisal)
+            .filter(F.round(F.col("surprisal"), 6) <= max_surprisal)
             .select(id_col)
         )
         kept = kept.join(ok, id_col, "left_semi")
@@ -173,6 +179,7 @@ def prepare_training_corpus(
     # 3. near-dup clusters -> drop everything but the canonical doc
     pairs = minhash_lsh_candidate_pairs(
         kept, text_col, id_col, k=3, n_hashes=8, bands=4,
+        hash_fn=lsh_hash_fn,
         repartition_to=df.sparkSession.sparkContext.defaultParallelism,
     )
     losers = (

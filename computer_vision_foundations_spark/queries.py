@@ -2523,17 +2523,166 @@ def q19_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q20_training_corpus")
+def _training_corpus_oracle_sql() -> str:
+    """End-to-end DuckDB twin of q20's full pipeline configuration —
+    every stage's individually-verified oracle fragment composed as
+    MATERIALIZED CTEs (the z13/q97 pattern), with the iterative
+    near-dup clustering expressed as the q94 recursive closure.
+
+    Stage map (and the per-stage oracle each fragment is lifted from):
+    quality gate (q66/q38) → surprisal gate over the surviving corpus
+    (q47, 6-digit-rounded threshold) → domain cap 1M = identity at
+    every tested SF (row_number ≤ cap is vacuous; documented, not
+    modeled) → exact dedup keep-min (q83) → MinHash-LSH pairs with the
+    portable md5 family (q26) → connected components via recursive CTE
+    (q94) → exact decontamination (q35; the engine's bloom pre-screen
+    has no false negatives so it is result-invariant) → redaction
+    (q14) → chunking (q13) → shard/pack (q15)."""
+
+    def _sh(table: str) -> str:
+        return _SHINGLES_SQL.replace("FROM documents", f"FROM {table}")
+
+    perms = ", ".join(_minhash_perm_sql(s) for s in range(8))
+    return f"""
+    WITH RECURSIVE
+    train AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    ),
+    q1 AS MATERIALIZED (
+      SELECT doc_id, text FROM train
+      WHERE len(string_split(text, ' ')) >= 20
+        AND (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+            / CAST(length(text) AS DOUBLE) <= 0.25
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM q1
+    ),
+    freq AS MATERIALIZED (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM freq),
+    surv AS MATERIALIZED (
+      SELECT t.doc_id
+      FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id
+      HAVING round(avg(-log2(f.cnt / tot.n_total)), 6) <= 14.0
+    ),
+    k2 AS MATERIALIZED (SELECT q1.* FROM q1 JOIN surv USING (doc_id)),
+    ex AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id FROM k2
+      GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+    ),
+    k3 AS MATERIALIZED (SELECT k2.* FROM k2 JOIN ex USING (doc_id)),
+    sh AS MATERIALIZED ({_sh("k3")}),
+    sig AS MATERIALIZED (SELECT doc_id, [{perms}] AS sig FROM sh),
+    banded AS MATERIALIZED (
+      SELECT doc_id, 0 AS band_idx, array_to_string(sig[1:2], ',') AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, array_to_string(sig[3:4], ',') FROM sig
+      UNION ALL
+      SELECT doc_id, 2, array_to_string(sig[5:6], ',') FROM sig
+      UNION ALL
+      SELECT doc_id, 3, array_to_string(sig[7:8], ',') FROM sig
+    ),
+    capped AS MATERIALIZED (
+      SELECT * FROM banded
+      QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 1000
+    ),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+    ),
+    losers AS MATERIALIZED (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
+    ),
+    k4 AS MATERIALIZED (
+      SELECT * FROM k3 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    esh AS MATERIALIZED (
+      SELECT doc_id AS eval_id, len(shingles) AS esize,
+             unnest(shingles) AS s
+      FROM ({_sh("documents")}) WHERE doc_id % 50 = 0
+    ),
+    tsh AS MATERIALIZED (
+      SELECT doc_id AS train_id, unnest(shingles) AS s
+      FROM ({_sh("k4")})
+    ),
+    contam AS MATERIALIZED (
+      SELECT DISTINCT train_id AS doc_id FROM (
+        SELECT train_id, eval_id, esize, count(*) AS common
+        FROM tsh JOIN esh USING (s)
+        GROUP BY 1, 2, 3
+        HAVING CAST(count(*) AS DOUBLE) / CAST(esize AS DOUBLE) >= 0.5
+      )
+    ),
+    red AS MATERIALIZED (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                 'https?://[^ ]+', '<URL>', 'g'),
+               '[0-9]{{6,}}', '<NUM>', 'g') AS text
+      FROM k4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    toks2 AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM red
+    ),
+    st AS MATERIALIZED (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - 8, 1) + 1, 24)) AS s
+      FROM toks2
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id,
+             CAST((s - 1) // 24 AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text,
+             CAST(len(list_slice(t, s, s + 31)) AS INT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 32
+               AS BIGINT) AS shard,
+             doc_id * 10000 + ((s - 1) // 24) AS _chunk_id
+      FROM st
+    ),
+    c AS MATERIALIZED (
+      SELECT *, sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY _chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens, shard,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+           CAST(cum - n_tokens - ((cum - n_tokens) // 256) * 256 AS BIGINT)
+             AS offset
+    FROM c
+    """
+
+
+@_register("q20_training_corpus", _training_corpus_oracle_sql())
 def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition (operators/corpus.prepare_training_corpus)
     with the FULL stage list: quality filter → surprisal gate →
     per-domain cap → exact dedup → near-dup clustering → benchmark
     decontamination (bloom pre-screen + exact verify; eval set = every
     50th doc) → redaction → chunking → sequence packing — every stage
-    an operator whose correctness is individually oracle-verified.
-    Rows-only here — the composed SQL twin would be a page of fragile
-    CTE surgery for no new information — with the composition-level
-    invariants covered in tests/test_corpus.py."""
+    an operator whose correctness is individually oracle-verified, and
+    (round 4) the COMPOSITION verified end-to-end against a DuckDB
+    twin that chains the per-stage oracle fragments as MATERIALIZED
+    CTEs, with the near-dup clustering as a recursive closure. The
+    portable md5 MinHash family replaces xxhash64 here so the oracle
+    rebuilds identical signatures (production callers keep the faster
+    default); composition-level invariants remain in
+    tests/test_corpus.py."""
     from computer_vision_foundations_spark.operators.corpus import (
         prepare_training_corpus,
     )
@@ -2548,6 +2697,7 @@ def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_cap=1_000_000,
         eval_df=eval_df,
         decontaminate_min_frac=0.5,
+        lsh_hash_fn="md5",
     )
 
 
