@@ -3,10 +3,13 @@
 Runs a representative subset of the registry — relational joins/aggs,
 windows, dedup (exact, Jaccard, MinHash-LSH), similarity search, text
 analysis — on local[$SPARK_GRAFT_CPUS], forcing full execution with a
-noop write (no driver collect), and prints exactly ONE JSON line:
+noop write (no driver collect), and prints TWO JSON lines — the full
+per-query detail first, then a short headline line LAST so a bounded
+tail capture always parses it (BENCH_r03 lesson):
 
+    {"metric": "headline_detail", "queries": {...}, "streaming": {...}}
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {"q78_pricing_summary": sec, ...}, "sf": 0.1}
+     "sf": 0.1, "n_queries": 74}
 
 Per-query time = wall time of the noop-sink write of the query's plan,
 min over SPARK_GRAFT_BENCH_REPEATS runs (default 2 — stall-robust on
@@ -62,18 +65,18 @@ HEADLINE = [
     "q47_unigram_surprisal",
     "q46_incremental_dedup",
     "q24_multiprobe_recall",
-    "q31_event_funnel",
+    "z15_event_funnel",
     "q48_lsh_verified_pairs",
     "q96_retention_cohorts",
     "q95_gap_fill_locf",
     "q97_bpe_merges",
     "q94_dedup_clusters",
     "q20_training_corpus",
-    "q30_mixture_sample",
+    "z14_mixture_sample",
     "q32_mixture_epochs",
     "q35_decontamination_pairs",
-    "q38_quality_gate",
-    "q39_shard_assignment",
+    "z17_quality_gate",
+    "z18_shard_assignment",
     "q40_vocab_coverage",
     "q41_pmi_bigrams",
     "q49_simhash_near_dup_pairs",
@@ -81,24 +84,24 @@ HEADLINE = [
     "q17_semantic_dedup",
     "q44_bloom_decontaminate",
     "q45_weighted_sample",
-    "z01_duplicated_spans",
-    "z02_random_projection",
-    "z03_pca_covariance",
-    "z04_hits_scores",
-    "z05_bigram_surprisal",
-    "z06_dsir_weights",
-    "z07_incremental_lsh",
-    "z08_cdc_dedup",
-    "z09_temperature_mixture",
-    "z10_skew_profile",
-    "z11_persisted_ivf_pq",
-    "z12_mmr_diverse_topk",
-    "z13_corpus_report",
-    "z14_volume_drift",
-    "z15_corpus_diff",
-    "z16_temporal_split",
-    "z17_event_transitions",
-    "z18_image_metadata",
+    "q05_duplicated_spans",
+    "q06_random_projection",
+    "q09_pca_covariance",
+    "q10_hits_scores",
+    "q11_bigram_surprisal",
+    "q12_dsir_weights",
+    "q13_incremental_lsh",
+    "q14_cdc_dedup",
+    "q15_temperature_mixture",
+    "q18_skew_profile",
+    "q19_persisted_ivf_pq",
+    "q21_mmr_diverse_topk",
+    "q23_corpus_report",
+    "q30_volume_drift",
+    "q31_corpus_diff",
+    "q37_temporal_split",
+    "q38_event_transitions",
+    "q39_image_metadata",
     "q22_image_statistics",
 ]
 
@@ -108,7 +111,7 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def bench_streaming_ingest(spark) -> tuple[int, float]:
+def bench_streaming_ingest(spark) -> tuple[int, float, float, int, float]:
     """Timed availableNow ingest of a synthetic binary landing dir.
 
     Generates ``SPARK_GRAFT_STREAM_FILES`` (default 2000) ~4 KB files
@@ -237,7 +240,40 @@ def bench_streaming_ingest(spark) -> tuple[int, float]:
             f" score {[round(s, 2) for s in score_samples]}",
             file=sys.stderr,
         )
-        return n_files, min(ingest_samples), min(score_samples)
+
+        # Kill-and-resume cycle (ST3 bench evidence): interrupt a fresh
+        # checkpoint's run after ONE committed micro-batch (512 of the
+        # files), then time the resume to completion and verify the
+        # union is exactly-once. Reported time covers the resume only —
+        # the number an operator cares about after a crash.
+        from computer_vision_foundations_spark.streaming.ingest import (
+            run_ingest_interrupted,
+        )
+
+        rcfg = _cfg("restart", landing)
+        committed = run_ingest_interrupted(spark, rcfg, stop_after_batches=1)
+        n_partial = spark.read.parquet(rcfg.sink.output_path).count()
+        t2 = time.time()
+        run_ingest(spark, rcfg)
+        restart_sec = time.time() - t2
+        out = spark.read.parquet(rcfg.sink.output_path)
+        n_after = out.count()
+        n_distinct = out.select("path").distinct().count()
+        assert n_after == n_files, f"resume wrote {n_after} of {n_files}"
+        assert n_distinct == n_files, "duplicates across restart"
+        print(
+            f"# streaming restart: {committed} batch committed pre-kill, "
+            f"{n_partial} rows partial, resume {round(restart_sec, 2)}s, "
+            f"exactly-once verified ({n_after} rows, {n_distinct} distinct)",
+            file=sys.stderr,
+        )
+        return (
+            n_files,
+            min(ingest_samples),
+            min(score_samples),
+            n_files - n_partial,
+            restart_sec,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -339,11 +375,19 @@ def main() -> int:
                 break
         timings[name] = min(samples)
         print(f"# {name}: {timings[name]}s (samples: {samples})", file=sys.stderr)
-    n_stream_files, stream_sec, score_sec = bench_streaming_ingest(spark)
+    (
+        n_stream_files,
+        stream_sec,
+        score_sec,
+        n_restart_files,
+        restart_sec,
+    ) = bench_streaming_ingest(spark)
     timings["streaming_ingest"] = round(stream_sec, 3)
     timings["streaming_score"] = round(score_sec, 3)
+    timings["streaming_restart"] = round(restart_sec, 3)
     print(f"# streaming_ingest: {timings['streaming_ingest']}s", file=sys.stderr)
     print(f"# streaming_score: {timings['streaming_score']}s", file=sys.stderr)
+    print(f"# streaming_restart: {timings['streaming_restart']}s", file=sys.stderr)
     n_stream_events, window_sec = bench_streaming_window_agg(spark)
     timings["streaming_window_agg"] = round(window_sec, 3)
     print(
@@ -370,6 +414,9 @@ def main() -> int:
                     ),
                     "window_agg_events_per_sec": round(
                         n_stream_events / window_sec, 1
+                    ),
+                    "restart_resume_files_per_sec": round(
+                        n_restart_files / restart_sec, 1
                     ),
                 },
             }

@@ -2134,7 +2134,7 @@ def q74_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q06_json_props",
+    "z02_json_props",
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            count(*) AS n,
@@ -2144,7 +2144,7 @@ def q74_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def q06_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z02_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column (events.props): ``from_json`` with
     an explicit schema — parsed ONCE per row in a single projection,
     then plain relational ops on the extracted field (Catalyst prunes
@@ -2165,7 +2165,7 @@ def q06_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q09_percentiles",
+    "z03_percentiles",
     """
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -2176,7 +2176,7 @@ def q06_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
 )
-def q09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z03_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (F.percentile — Spark's exact
     sort-based aggregate, NOT approx_percentile): matches DuckDB
     quantile_cont's linear interpolation bit-for-bit at 4-digit
@@ -2195,7 +2195,7 @@ def q09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q10_exists_decorrelated",
+    "z04_exists_decorrelated",
     """
     SELECT o.o_orderpriority, count(*) AS n_orders
     FROM orders o
@@ -2207,7 +2207,7 @@ def q09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
 )
-def q10_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z04_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS (TPC-H Q4 shape) through the engine's SQL
     surface: Catalyst decorrelates the subquery into a left-semi
     hash join — no per-row subquery execution. Exercises S4/P4 (the
@@ -2231,7 +2231,7 @@ def q10_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q11_analytic_windows",
+    "z05_analytic_windows",
     """
     WITH daily AS (
       SELECT user_id, date_trunc('day', ts) AS day,
@@ -2248,7 +2248,7 @@ def q10_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY day_value, day)
     """,
 )
-def q11_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z05_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window battery beyond q07/q08's rank/rolling:
     ntile, percent_rank, cume_dist over a value ordering (day as
     tiebreak — rank functions need a total order for determinism)
@@ -2274,7 +2274,7 @@ def q11_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q12_array_hof_stats",
+    "z06_array_hof_stats",
     """
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(embedding,
@@ -2285,7 +2285,7 @@ def q11_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings
     """,
 )
-def q12_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z06_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over array<float> embeddings:
     aggregate (fold), transform, filter — per-element math without
     ever exploding (no Generate, no row blow-up; see the HOF-inlining
@@ -2314,7 +2314,7 @@ _CHUNK_N, _CHUNK_OV = 32, 8
 
 
 @_register(
-    "q13_chunk_documents",
+    "z07_chunk_documents",
     f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2333,7 +2333,7 @@ _CHUNK_N, _CHUNK_OV = 32, 8
     FROM st
     """,
 )
-def q13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z07_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size chunking with overlap (operators/chunking
     .chunk_documents): 32-token chunks sharing 8 tokens, sequence +
     posexplode + slice on the token array — row-local, zero shuffles,
@@ -2349,7 +2349,7 @@ def q13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q14_redact_text",
+    "z08_redact_text",
     """
     WITH salted AS (
       SELECT doc_id,
@@ -2369,7 +2369,7 @@ def q13_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM salted
     """,
 )
-def q14_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z08_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-style redaction (operators/chunking.redact_text): emails →
     URLs → long digit runs replaced by placeholder tokens in one
     codegen'd regexp_replace chain. Each document is salted with a
@@ -2395,7 +2395,7 @@ def q14_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q15_pack_sequences",
+    "z09_pack_sequences",
     """
     WITH t AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
@@ -2417,7 +2417,7 @@ def q14_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c
     """,
 )
-def q15_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z09_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/chunking.pack_sequences):
     documents sharded by a portable md5 hash, running token sum per
     shard assigns each doc a ~256-token training bin + its offset in
@@ -2443,7 +2443,7 @@ def q15_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q18_fuzzy_name_pairs",
+    "z10_fuzzy_name_pairs",
     """
     WITH s AS (SELECT s_suppkey, s_name FROM supplier)
     SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
@@ -2452,7 +2452,7 @@ def q15_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.s_name, b.s_name) <= 1
     """,
 )
-def q18_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string-match self-join (operators/fuzzy): supplier names
     within edit distance 1, found by q-gram blocking + distinct-gram
     count bound + levenshtein verify — never the quadratic
@@ -2494,8 +2494,8 @@ def _zorder_oracle_sql() -> str:
     """
 
 
-@_register("q19_zorder_layout", _zorder_oracle_sql())
-def q19_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z11_zorder_layout", _zorder_oracle_sql())
+def z11_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key (operators/zorder.zorder_key): Morton
     interleave of (user_id, quantized value) as pure codegen'd bit
     arithmetic, bucketed to the 64 file-sized z-ranges a
@@ -2702,7 +2702,7 @@ def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q23_udtf_sentences",
+    "z13_udtf_sentences",
     """
     WITH synth AS (
       SELECT doc_id,
@@ -2724,7 +2724,7 @@ def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sents WHERE sentence <> ''
     """,
 )
-def q23_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (functions/udtfs.SplitSentences) driven
     through SQL LATERAL: sentence punctuation is synthesized
     deterministically (same regexp_replace both engines), the UDTF
@@ -2891,8 +2891,8 @@ def _mixture_oracle_sql() -> str:
     """
 
 
-@_register("q30_mixture_sample", _mixture_oracle_sql())
-def q30_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z14_mixture_sample", _mixture_oracle_sql())
+def z14_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture sampling (operators/mixture.mixture_sample): six
     weighted sources re-balanced to a 20k-char budget, membership
     decided by a seeded md5 hash threshold — deterministic across
@@ -3045,7 +3045,7 @@ def q35_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q38_quality_gate",
+    "z17_quality_gate",
     """
     WITH scored AS (
       SELECT doc_id, source,
@@ -3065,7 +3065,7 @@ def q35_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE pr <= 0.25
     """,
 )
-def q38_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z17_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality gate
     (operators/mixture.top_fraction_per_group): keep the top 25% of
     documents per source by stopword-density quality score. The
@@ -3092,7 +3092,7 @@ def q38_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q39_shard_assignment",
+    "z18_shard_assignment",
     """
     WITH h AS (
       SELECT doc_id,
@@ -3105,7 +3105,7 @@ def q38_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h
     """,
 )
-def q39_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z18_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle + sharding
     (operators/chunking.shard_assignment): every document gets a
     reproducible (shard, position) from the seeded md5 hash — the
@@ -3597,7 +3597,7 @@ def q24_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q05_trailing_hour_window",
+    "z01_trailing_hour_window",
     """
     SELECT event_id, user_id,
            round(avg(value) OVER (
@@ -3611,7 +3611,7 @@ def q24_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def q05_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z01_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frames (RANGE BETWEEN INTERVAL ... PRECEDING):
     the event-time sibling of the ROWS frames in q76 — trailing-hour
     mean and count per user, evaluated by Catalyst's range-frame window
@@ -3796,7 +3796,7 @@ _HASH_UNIT_SQL = (
 
 
 @_register(
-    "q21_bottom_k_sample",
+    "z12_bottom_k_sample",
     f"""
     SELECT doc_id, source, {_HASH_UNIT_SQL} AS sample_key
     FROM documents
@@ -3804,7 +3804,7 @@ _HASH_UNIT_SQL = (
     LIMIT 100
     """,
 )
-def q21_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-size deterministic uniform sample
     (operators/sample.bottom_k_sample): the 100 smallest seeded hash
     units. Plans TakeOrderedAndProject — per-partition top-k, k-row
@@ -4116,7 +4116,7 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
 @_register(
-    "q31_event_funnel",
+    "z15_event_funnel",
     f"""
     WITH e AS (
       SELECT user_id, event_type, epoch_us(ts) AS us FROM events
@@ -4140,7 +4140,7 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
     FROM c
     """,
 )
-def q31_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z15_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/funnel.funnel_counts): users doing
     view → click → purchase with strictly increasing timestamps — the
     MATCH_RECOGNIZE-style analysis Spark lacks natively, re-expressed
@@ -4157,7 +4157,7 @@ def q31_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q37_kfold_assignment",
+    "z16_kfold_assignment",
     """
     SELECT doc_id,
            CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
@@ -4165,7 +4165,7 @@ def q31_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def q37_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z16_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-fold CV assignment
     (operators/split.kfold_assignment): fold = seeded md5 slice mod 5,
     a pure function of (id, seed) — stable across engines,
@@ -4496,7 +4496,7 @@ _SPAN_N, _SPAN_MIN_DF = 8, 2
 
 
 @_register(
-    "z01_duplicated_spans",
+    "q05_duplicated_spans",
     f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -4540,7 +4540,7 @@ _SPAN_N, _SPAN_MIN_DF = 8, 2
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
-def z01_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup profile (Lee et al. 2021 semantics,
     fixed-n formulation — `operators/spans.py`): every {n}-token window
     occurring in ≥2 distinct documents marks its positions duplicated;
@@ -4582,8 +4582,8 @@ def _jl_oracle_sql() -> str:
     return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
 
 
-@_register("z02_random_projection", _jl_oracle_sql())
-def z02_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q06_random_projection", _jl_oracle_sql())
+def q06_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection 64→8 dims
     (`operators/projection.py`): seeded ±1/√k sign matrix embedded as
     plan literals, projection as a JVM HOF fold — one narrow codegen
@@ -4607,7 +4607,7 @@ def z02_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z03_pca_covariance",
+    "q09_pca_covariance",
     """
     WITH x AS (
         SELECT vec_id, CAST(u.i AS INTEGER) AS i,
@@ -4629,7 +4629,7 @@ def z02_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN m mj ON mj.i = g.j
     """,
 )
-def z03_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed stage of PCA (`operators/projection.py`): the
     64×64 population covariance of the embedding corpus via ONE
     Arrow-batched partial-Gramian pass (`mapInPandas` emits d² partial
@@ -4655,8 +4655,8 @@ def _hits_oracle() -> str:
     return hits_oracle_sql(_PR_EDGES_SQL, n_iter=5, round_digits=6)
 
 
-@_register("z04_hits_scores", _hits_oracle())
-def z04_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q10_hits_scores", _hits_oracle())
+def q10_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (`operators/hits.py`) over the same
     supplier↔customer trade graph as q07: the second link-graph
     curation signal (authorities = canonical pages, hubs = link-farm
@@ -4688,7 +4688,7 @@ def z04_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z05_bigram_surprisal",
+    "q11_bigram_surprisal",
     f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -4720,7 +4720,7 @@ def z04_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.doc_id
     """,
 )
-def z05_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram surprisal
     (operators/perplexity.bigram_logprob_scores): the Jelinek-Mercer
     step up from q47's unigram proxy — p = λ·p(t|prev) + (1−λ)·p(t),
@@ -4740,7 +4740,7 @@ def z05_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z06_dsir_weights",
+    "q12_dsir_weights",
     """
     WITH raw_tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -4774,7 +4774,7 @@ def z05_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY rt.doc_id
     """,
 )
-def z06_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (`operators/dsir.py` — Xie et al. 2023
     shape): mean per-token log-likelihood ratio of a TARGET unigram
     model (here the lang='en' slice stands in for a curated corpus)
@@ -4797,7 +4797,7 @@ def z06_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z07_incremental_lsh",
+    "q13_incremental_lsh",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     sig AS (
@@ -4826,7 +4826,7 @@ def z06_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR (b.side = 'batch' AND p.doc_id < b.doc_id))
     """,
 )
-def z07_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup flow
     (operators/dedup.incremental_lsh_candidates): the daily-crawl
     sibling of q46 — a new batch (doc_id%5!=0) is banded against a
@@ -4860,7 +4860,7 @@ def z07_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z08_cdc_dedup",
+    "q14_cdc_dedup",
     """
     WITH d AS (
         SELECT doc_id, text, length(text) AS n FROM documents
@@ -4903,7 +4903,7 @@ def z07_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN flagged f USING (doc_id)
     """,
 )
-def z08_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup profile (`operators/cdc.py`):
     rsync/LBFS-style storage dedup — chunk boundaries where an 8-char
     window hash ≡ 0 (mod 32), so identical regions across documents
@@ -4924,7 +4924,7 @@ def z08_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z09_temperature_mixture",
+    "q15_temperature_mixture",
     """
     WITH sizes AS (
         SELECT source AS domain, CAST(count(*) AS DOUBLE) AS n
@@ -4940,7 +4940,7 @@ def z08_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM powed CROSS JOIN z
     """,
 )
-def z09_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture weights
     (operators/mixture.temperature_fractions — the UniMax/mT5
     multilingual sampling recipe): mixing weight ∝ size^(1/T) with
@@ -4961,7 +4961,7 @@ def z09_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z10_skew_profile",
+    "q18_skew_profile",
     """
     WITH counts AS (
         SELECT o_custkey AS key, count(*) AS n_rows
@@ -4979,7 +4979,7 @@ def z09_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def z10_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic (operators/skew.skew_profile): the
     top-10 heaviest orders.o_custkey values with their row share and a
     suggested salt factor — the pre-flight check before deciding
@@ -4992,7 +4992,7 @@ def z10_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z13_corpus_report",
+    "q23_corpus_report",
     """
     WITH tok AS (
         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
@@ -5032,7 +5032,7 @@ def z10_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.source
     """,
 )
-def z13_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus curation dashboard — the summary a data lead
     reads before a training run: document/token volumes, exact-dup
     count, and the surprisal distribution (mean + exact median), all
@@ -5073,7 +5073,7 @@ def z13_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z14_volume_drift",
+    "q30_volume_drift",
     """
     WITH daily AS (
         SELECT event_type AS category,
@@ -5102,7 +5102,7 @@ def z13_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM win
     """,
 )
-def z14_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-category daily-volume drift detection
     (operators/drift.volume_drift): trailing-7-day z-score with the
     current day EXCLUDED from its own baseline — the standard cheap
@@ -5119,7 +5119,7 @@ def z14_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z15_corpus_diff",
+    "q31_corpus_diff",
     """
     WITH old AS (
         SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 3
@@ -5138,7 +5138,7 @@ def z14_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def z15_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q31_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/diff.py): the added / removed /
     modified / unchanged audit between two dataset versions — here the
     old version drops every doc_id ≡ 3 (mod 11) and the new version
@@ -5160,7 +5160,7 @@ def z15_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z16_temporal_split",
+    "q37_temporal_split",
     """
     SELECT CASE WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
                 WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
@@ -5172,7 +5172,7 @@ def z15_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def z16_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged temporal split (operators/split.temporal_split): train ≤
     2024-01-20, test ≥ 2024-01-22, the 2-day embargo gap 'purged' so
     boundary leakage cannot contaminate evaluation — the leakage-free
@@ -5194,7 +5194,7 @@ def z16_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z17_event_transitions",
+    "q38_event_transitions",
     """
     WITH seq AS (
         SELECT user_id, event_type AS from_type,
@@ -5213,7 +5213,7 @@ def z16_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
 )
-def z17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions between consecutive events per
     user (operators/funnel.event_transition_matrix): counts +
     per-from_type probabilities — the behavioral twin of the text
@@ -5228,7 +5228,7 @@ def z17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z18_image_metadata",
+    "q39_image_metadata",
     """
     SELECT doc_id,
            24 AS height, 24 AS width, 1 AS layers,
@@ -5238,7 +5238,7 @@ def z17_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE length(text) >= 9
     """,
 )
-def z18_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-metadata pandas UDF (reference U1 schema,
     `02_Data Ingest.py:191-199`) over REAL JPEG bytes with REAL EXIF:
     each document becomes a 24×24 JPEG whose APP1/TIFF segment carries
@@ -5288,8 +5288,8 @@ def _mmr_oracle() -> str:
     )
 
 
-@_register("z12_mmr_diverse_topk", _mmr_oracle())
-def z12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q21_mmr_diverse_topk", _mmr_oracle())
+def q21_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-k (`operators/mmr.py` — Carbonell & Goldstein
     1998): greedy λ·relevance − (1−λ)·max-sim selection, k=10 λ=0.7,
     relevance = cosine to probe vec_id=0 over candidates 1..200.
@@ -5319,8 +5319,8 @@ def z12_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("z11_persisted_ivf_pq", _ivf_pq_oracle_sql())
-def z11_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q19_persisted_ivf_pq", _ivf_pq_oracle_sql())
+def q19_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index lifecycle (`operators/ann_index.py`): build
     the IVF-PQ index to disk (codes parquet PARTITIONED BY cell +
     model-sized META.json), then answer q50's exact query by reading

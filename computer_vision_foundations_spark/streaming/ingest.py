@@ -74,6 +74,60 @@ def run_ingest(spark: SparkSession, cfg: PipelineConfig) -> None:
     query.awaitTermination()
 
 
+def run_ingest_interrupted(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    stop_after_batches: int = 1,
+    poll_sec: float = 0.25,
+    timeout_sec: float = 300.0,
+) -> int:
+    """Start the ingest stream, then STOP it after
+    ``stop_after_batches`` committed micro-batches — a deterministic
+    stand-in for an executor/driver crash mid-backlog. Returns the
+    number of input-bearing batches that committed before the stop.
+
+    Restart semantics under test (ST3): the checkpoint's offset log
+    records which files each batch admitted and the parquet sink's
+    ``_spark_metadata`` commit log makes batch output atomic, so a
+    subsequent :func:`run_ingest` on the SAME checkpoint re-admits
+    only unprocessed files and the union of outputs is exactly-once —
+    no duplicates from any half-written batch, no losses from the
+    admitted-but-uncommitted tail."""
+    import time as _time
+
+    df = build_ingest_stream(spark, cfg)
+    if cfg.sink.optimize_write and cfg.sink.partition_by:
+        df = df.repartition(*[F.col(c) for c in cfg.sink.partition_by])
+    writer = (
+        df.writeStream.format(cfg.sink.format)
+        .outputMode("append")
+        .option("checkpointLocation", cfg.sink.checkpoint_path)
+        .option("path", cfg.sink.output_path)
+        .trigger(availableNow=True)
+    )
+    if cfg.sink.partition_by:
+        writer = writer.partitionBy(*cfg.sink.partition_by)
+    query = writer.start()
+    deadline = _time.time() + timeout_sec
+    try:
+        while _time.time() < deadline and query.isActive:
+            done = [
+                p
+                for p in query.recentProgress
+                if p.get("numInputRows", 0) > 0
+            ]
+            if len(done) >= stop_after_batches:
+                break
+            _time.sleep(poll_sec)
+        committed = len(
+            [p for p in query.recentProgress if p.get("numInputRows", 0) > 0]
+        )
+    finally:
+        query.stop()
+        query.awaitTermination()
+    return committed
+
+
 def run_scoring_stream(
     spark: SparkSession,
     cfg: PipelineConfig,

@@ -342,3 +342,101 @@ def test_streaming_session_window_counts(spark, tmp_path):
     r = rows[0]
     assert r.user_id == 1 and r.n_events == 2
     assert r.session_start.hour == 10 and r.session_end.minute == 40
+
+
+def test_kill_and_resume_exactly_once(spark, tmp_path):
+    """ST3 hard evidence: interrupt the stream mid-backlog, resume from
+    the same checkpoint, and the union of outputs is exactly-once —
+    every file present once, none lost, none duplicated."""
+    from computer_vision_foundations_spark.streaming.ingest import (
+        run_ingest_interrupted,
+    )
+
+    tmp = str(tmp_path)
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    n_files = 40
+    for i in range(n_files):
+        _drop_file(
+            landing,
+            f"2024-05-{i % 28 + 1:02d} 10-00-{i % 60:02d}_cam_{i:03d}_{i % 2}.jpg",
+        )
+    cfg = _cfg(tmp)  # max_files_per_trigger=10 -> 4 batches of backlog
+    committed = run_ingest_interrupted(spark, cfg, stop_after_batches=1)
+    assert committed >= 1
+    partial = spark.read.parquet(cfg.sink.output_path).count()
+    assert partial < n_files  # the interrupt really left a backlog
+
+    run_ingest(spark, cfg)  # resume from the same checkpoint
+    out = spark.read.parquet(cfg.sink.output_path)
+    assert out.count() == n_files  # no loss
+    paths = [r.path for r in out.select("path").collect()]
+    assert len(set(paths)) == n_files  # no duplicates
+
+
+def test_watermark_eviction_metric(spark, tmp_path):
+    """ST5 late-data evidence: rows arriving behind the watermark are
+    dropped from the stateful aggregation, and the drop is OBSERVABLE
+    via the progress metric (numRowsDroppedByWatermark) — the signal a
+    production pipeline alarms on."""
+    import json
+    import time
+
+    from computer_vision_foundations_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    schema = "ts timestamp, event_type string, value double"
+    # batch 1: on-time events at 10:00..12:00 -> watermark advances to
+    # max(ts) - 1h = 11:00
+    spark.createDataFrame(
+        [
+            ("2024-05-01 10:00:00", "click", 1.0),
+            ("2024-05-01 11:30:00", "click", 2.0),
+            ("2024-05-01 12:00:00", "view", 3.0),
+        ],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = tumbling_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # batch 2: one late event behind the 11:00 watermark, one on time
+    spark.createDataFrame(
+        [
+            ("2024-05-01 09:00:00", "click", 9.0),  # LATE -> dropped
+            ("2024-05-01 12:30:00", "view", 4.0),
+        ],
+        "ts string, event_type string, value double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b2"))
+    q2 = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped >= 1

@@ -46,7 +46,7 @@ AUDIT = {
     "q84_asof_enrich": ("as-of join = ONE exchange on the key + running window", ()),
     "q85_range_join_error_window": ("keyless range join as bucketized hash join, no NestedLoop", ()),
     "q87_hll_distinct": ("sketch build is a fixed-size hash-agg with map-side combine", ()),
-    "q15_pack_sequences": ("packing = one hash shuffle + one sort per shard", ()),
+    "z09_pack_sequences": ("packing = one hash shuffle + one sort per shard", ()),
     "q50_ivf_pq_ann": (
         "IVF-PQ composed: cell equi-join over (cell, codes) rows — float "
         "vectors never leave the encode projection; probe LUTs broadcast",
@@ -86,7 +86,7 @@ AUDIT = {
         "never shuffles",
         (),
     ),
-    "q21_bottom_k_sample": (
+    "z12_bottom_k_sample": (
         "TakeOrderedAndProject (per-partition top-k), not a global sort",
         (),
     ),
@@ -105,7 +105,7 @@ AUDIT = {
         "as q29's ADC)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q31_event_funnel": (
+    "z15_event_funnel": (
         "funnel = scan-pruned type filter + ONE shuffle on user + "
         "linear sorted-fold state machine; no self-joins per step",
         (),
@@ -115,57 +115,57 @@ AUDIT = {
         "join; one agg shuffle + one window shuffle",
         (),
     ),
-    "z01_duplicated_spans": (
+    "q05_duplicated_spans": (
         "span-frequency agg on 16-byte hashes; frequent-span check is a "
         "LINEAR left-semi join (no pair formation); islands window "
         "partitions by document",
         (),
     ),
-    "z02_random_projection": (
+    "q06_random_projection": (
         "JL projection is ONE narrow codegen projection — sign matrix as "
         "literals, no shuffle, no Python",
         (),
     ),
-    "z18_image_metadata": (
+    "q39_image_metadata": (
         "encode→EXIF-write→TIFF-parse chain as two narrow Arrow "
         "projections; no shuffle at all",
         (),
     ),
-    "z13_corpus_report": (
+    "q23_corpus_report": (
         "signal composition: md5 dedup agg + token-stream model join + "
         "one per-source agg with exact percentile on reduced doc rows. "
         "BroadcastNestedLoopJoin = the 1-row total crossJoin idiom",
         ("BroadcastNestedLoopJoin",),
     ),
-    "z14_volume_drift": (
+    "q30_volume_drift": (
         "hash agg to category x day (the reduction), one window shuffle "
         "on category",
         (),
     ),
-    "z17_event_transitions": (
+    "q38_event_transitions": (
         "lead window on the per-user timeline + one hash agg; "
         "(user, type) rows only",
         (),
     ),
-    "z11_persisted_ivf_pq": (
+    "q19_persisted_ivf_pq": (
         "stored codes scan with dynamic partition pruning on _cell "
         "(plan shows dynamicpruning subquery); ADC = array lookups in "
         "the cell equi-join; one top-k window",
         (),
     ),
-    "z08_cdc_dedup": (
+    "q14_cdc_dedup": (
         "boundary detection is a map-side array expression (Generate); "
         "only (doc, chunk_hash) rows shuffle; shared-chunk check is a "
         "linear left-semi join",
         (),
     ),
-    "z09_temperature_mixture": (
+    "q15_temperature_mixture": (
         "|domains|-row aggregate + broadcast 1-row normalizer; the "
         "corpus never shuffles. BroadcastNestedLoopJoin = the 1-row "
         "scalar crossJoin idiom",
         ("BroadcastNestedLoopJoin",),
     ),
-    "z05_bigram_surprisal": (
+    "q11_bigram_surprisal": (
         "token-stream hash joins against vocab-sized model tables; "
         "interpolation in codegen; no Python anywhere. The "
         "BroadcastNestedLoopJoin is the 1-ROW broadcast total-count "
@@ -173,18 +173,18 @@ AUDIT = {
         "constant-size build side, not a data-sized product",
         ("BroadcastNestedLoopJoin",),
     ),
-    "z07_incremental_lsh": (
+    "q13_incremental_lsh": (
         "batch-only shingle pipeline; snapshot side reads stored "
         "signatures; band equi-join with combined-bucket cap",
         (),
     ),
-    "z04_hits_scores": (
+    "q10_hits_scores": (
         "per half-step: edge equi-join + hash agg on (node, double); L2 "
         "norm is a broadcast 1-row crossJoin; rounds read checkpointed "
         "blocks (plan shows ExistingRDD-rooted final round)",
         (),
     ),
-    "z03_pca_covariance": (
+    "q09_pca_covariance": (
         "partial Gramians per partition via ArrowEvalPython mapInPandas; "
         "only d^2 partial-sum rows shuffle; means join is d-row broadcast",
         (),
