@@ -5353,6 +5353,103 @@ def q19_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z19_time_travel",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def z19_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-table time travel (`sources/acid.py` — the
+    Delta-shaped log-structured format over plain parquet): create a
+    table from orders with o_orderkey%4==0 (v1), ACID-append the
+    %4==1 slice (v2), then DELETE half of it (v3) — and read AS OF
+    version 2, which must bypass the later delete and resolve to
+    exactly v1+v2's immutable files. The oracle aggregates the same
+    two slices straight from the source table, so a time-travel read
+    that leaked v3's delete (or missed v2's append) hash-fails."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import (
+        create_table,
+        delete_where,
+        read_table,
+        write_append,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="acid_tt_")
+    create_table(spark, root, orders.filter(F.col("o_orderkey") % 4 == 0))
+    write_append(spark, root, orders.filter(F.col("o_orderkey") % 4 == 1))
+    delete_where(spark, root, F.col("o_orderkey") % 8 == 1)
+    snap = read_table(spark, root, version=2)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@_register(
+    "z20_acid_upsert",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN 'PLATINUM'
+                ELSE c_mktsegment END AS c_mktsegment,
+           round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                 ELSE c_acctbal END, 2) AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT -1 AS c_custkey, 'PLATINUM' AS c_mktsegment, 0.0 AS c_acctbal
+    """,
+)
+def z20_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (`sources/acid.py:upsert` — the batch twin
+    of the streaming foreachBatch upsert): customers land as a
+    transactional table, an update batch promotes every 10th customer
+    (same key -> replace) and inserts one new key (-1); only files
+    containing a matched key are rewritten (found by ONE broadcast
+    semi-join over input_file_name, no table shuffle). The oracle
+    replays the merge as a CASE projection + the inserted row."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import (
+        create_table,
+        read_table,
+        upsert,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="acid_up_")
+    create_table(spark, root, cust)
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("PLATINUM").alias("c_mktsegment"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "PLATINUM", 0.0)],
+                "c_custkey long, c_mktsegment string, c_acctbal double",
+            )
+        )
+    )
+    upsert(spark, root, updates, ["c_custkey"])
+    out = read_table(spark, root)
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -1,0 +1,411 @@
+"""Transactional parquet tables: ACID appends, time travel, OPTIMIZE.
+
+The reference writes every table as Delta (`02_Data Ingest.py:273-282`,
+`04a_Model Deployment.py:264-269`) and leans on three behaviors the
+plain parquet fallback lacks: atomic visibility of a batch of files,
+reading an older snapshot, and compacting small files without breaking
+readers. This module supplies those behaviors with a minimal
+log-structured table format built from the PUBLIC transaction-log
+design shared by Delta Lake and Iceberg (an append-only commit log of
+immutable data files; Armbrust et al., "Delta Lake: High-Performance
+ACID Table Storage over Cloud Object Stores", VLDB 2020):
+
+    table_root/
+      _txn_log/
+        00000000000000000001.json      one commit: adds/removes + meta
+        00000000000000000010.ckpt.json full file-list snapshot
+      data/part-<uuid>.parquet         immutable data files
+
+ACID on one primitive: a commit is a hard-link (``os.link``) of a
+fully-written temp file onto the next versioned log name. POSIX link
+fails with EEXIST if the version was taken — that IS the optimistic
+concurrency check (two writers race, exactly one wins, the loser
+rebases and retries). Data files are immutable and written BEFORE the
+commit, so readers either see the whole commit or none of it, and a
+reader holding version N's file list is isolated from every later
+writer (snapshot isolation for free).
+
+Scale design: the log carries FILE LISTS, never data — a 100 TB table
+with 10⁶ files costs megabytes of JSON. Readers replay adds/removes
+from the newest checkpoint (written every ``checkpoint_every``
+commits), so log replay is O(commits since last checkpoint), not
+O(table age). Row-level ``delete_where``/``upsert`` are copy-on-write:
+only files whose rows match are rewritten (file-level skipping keeps
+the rewrite proportional to the touched data), and the swap is one
+atomic commit. ``optimize`` compacts small files purely as a
+metadata+rewrite transaction — concurrent time-travel readers of older
+versions are untouched because old files are only ever deleted by an
+explicit ``vacuum`` that respects a retention horizon.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TxnConflict",
+    "create_table",
+    "write_append",
+    "write_overwrite",
+    "read_table",
+    "table_history",
+    "delete_where",
+    "upsert",
+    "optimize",
+    "vacuum",
+]
+
+_LOG_DIR = "_txn_log"
+_DATA_DIR = "data"
+_PAD = 20
+
+
+class TxnConflict(RuntimeError):
+    """Another writer committed this version first; rebase and retry."""
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _commit_file(root: str, version: int) -> str:
+    return os.path.join(_log_path(root), f"{version:0{_PAD}d}.json")
+
+
+def _ckpt_file(root: str, version: int) -> str:
+    return os.path.join(_log_path(root), f"{version:0{_PAD}d}.ckpt.json")
+
+
+def _list_versions(root: str) -> list[int]:
+    log = _log_path(root)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".json") and not f.endswith(".ckpt.json")
+    )
+
+
+def _latest_checkpoint(root: str, upto: int) -> tuple[int, list[str]] | None:
+    log = _log_path(root)
+    if not os.path.isdir(log):
+        return None
+    ckpts = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".ckpt.json") and int(f.split(".")[0]) <= upto
+    )
+    if not ckpts:
+        return None
+    v = ckpts[-1]
+    with open(_ckpt_file(root, v)) as fh:
+        return v, json.load(fh)["files"]
+
+
+def _read_commit(root: str, version: int) -> dict:
+    with open(_commit_file(root, version)) as fh:
+        return json.load(fh)
+
+
+def _resolve_version(root: str, version: int | None, as_of_ts: float | None) -> int:
+    versions = _list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no transactional table at {root}")
+    if version is not None:
+        if version not in versions:
+            raise LookupError(f"version {version} not in {root} (have {versions[-1]})")
+        return version
+    if as_of_ts is not None:
+        eligible = [
+            v for v in versions if _read_commit(root, v)["ts"] <= as_of_ts
+        ]
+        if not eligible:
+            raise LookupError(f"no commit at or before ts={as_of_ts}")
+        return eligible[-1]
+    return versions[-1]
+
+
+def _snapshot_files(root: str, version: int) -> list[str]:
+    """Replay the log up to ``version`` from the nearest checkpoint."""
+    start, files = 0, []
+    ckpt = _latest_checkpoint(root, version)
+    if ckpt is not None:
+        start, files = ckpt
+    fileset = set(files)
+    for v in _list_versions(root):
+        if v <= start or v > version:
+            continue
+        c = _read_commit(root, v)
+        fileset.difference_update(c.get("removed", []))
+        fileset.update(c.get("added", []))
+    return sorted(fileset)
+
+
+def _write_data_files(df: DataFrame, root: str) -> list[str]:
+    """Write df as immutable parquet files under data/; returns their
+    table-relative names. Spark writes to a scratch dir; files are
+    MOVED (same filesystem rename) under data/ with unique names, so
+    nothing is visible to any reader until the commit that references
+    them."""
+    scratch = os.path.join(root, f"_scratch-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(scratch)
+    os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+    moved = []
+    for f in sorted(os.listdir(scratch)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = os.path.join(_DATA_DIR, f"part-{uuid.uuid4().hex}.parquet")
+        os.rename(os.path.join(scratch, f), os.path.join(root, rel))
+        moved.append(rel)
+    # best-effort scratch cleanup (crumbs are invisible to readers)
+    for f in os.listdir(scratch):
+        try:
+            os.remove(os.path.join(scratch, f))
+        except OSError:
+            pass
+    os.rmdir(scratch)
+    return moved
+
+
+def _commit(
+    root: str,
+    action: str,
+    added: list[str],
+    removed: list[str],
+    expected_version: int | None = None,
+    checkpoint_every: int = 10,
+    meta: dict | None = None,
+) -> int:
+    """Atomically publish one commit; returns the committed version.
+
+    ``expected_version``: optimistic-concurrency guard — if another
+    writer committed after the snapshot this transaction read, raise
+    :class:`TxnConflict` instead of publishing (the caller re-reads and
+    retries; blind appends pass None and auto-advance)."""
+    os.makedirs(_log_path(root), exist_ok=True)
+    while True:
+        versions = _list_versions(root)
+        current = versions[-1] if versions else 0
+        if expected_version is not None and current != expected_version:
+            raise TxnConflict(
+                f"read snapshot v{expected_version} but table is at v{current}"
+            )
+        target = current + 1
+        record = {
+            "version": target,
+            "action": action,
+            "added": added,
+            "removed": removed,
+            "ts": time.time(),
+            "meta": meta or {},
+        }
+        tmp = os.path.join(_log_path(root), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _commit_file(root, target))  # EEXIST = lost race
+        except FileExistsError:
+            os.remove(tmp)
+            if expected_version is not None:
+                raise TxnConflict(
+                    f"version {target} committed concurrently"
+                ) from None
+            continue  # blind append: rebase onto the new tip and retry
+        os.remove(tmp)
+        if target % checkpoint_every == 0:
+            snap = {"version": target, "files": _snapshot_files(root, target)}
+            ctmp = os.path.join(_log_path(root), f".tmp-{uuid.uuid4().hex}")
+            with open(ctmp, "w") as fh:
+                json.dump(snap, fh)
+            os.rename(ctmp, _ckpt_file(root, target))
+        return target
+
+
+def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Create a transactional table from ``df`` (version 1)."""
+    if _list_versions(root):
+        raise FileExistsError(f"transactional table already exists at {root}")
+    added = _write_data_files(df, root)
+    return _commit(root, "create", added, [], meta={"schema": df.schema.json()})
+
+
+def write_append(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """ACID append: all of ``df``'s files become visible atomically."""
+    added = _write_data_files(df, root)
+    return _commit(root, "append", added, [])
+
+
+def write_overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Atomic whole-table replace (readers see old or new, never a mix)."""
+    current = _resolve_version(root, None, None)
+    removed = _snapshot_files(root, current)
+    added = _write_data_files(df, root)
+    return _commit(root, "overwrite", added, removed, expected_version=current)
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+) -> DataFrame:
+    """Snapshot read — latest by default, or time travel by ``version``
+    / ``as_of_ts`` (last commit at or before the timestamp)."""
+    v = _resolve_version(root, version, as_of_ts)
+    files = _snapshot_files(root, v)
+    if not files:
+        # empty snapshot: reconstruct schema from the create commit
+        schema = _read_commit(root, _list_versions(root)[0])["meta"].get("schema")
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(schema))
+        )
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def table_history(root: str) -> list[dict]:
+    """All commits oldest→newest (version, action, ts, file deltas)."""
+    return [_read_commit(root, v) for v in _list_versions(root)]
+
+
+def _to_relative(files: list[str], uris: list[str]) -> list[str]:
+    """Map ``input_file_name()`` URIs back to table-relative names
+    (basenames are uuid-unique by construction)."""
+    by_name = {os.path.basename(f): f for f in files}
+    return sorted(by_name[os.path.basename(u)] for u in uris)
+
+
+def _files_matching(
+    spark: SparkSession, root: str, files: list[str], predicate
+) -> list[str]:
+    """File-level skipping for copy-on-write: ONE distributed job tags
+    matching rows with ``input_file_name()`` and returns the distinct
+    file set — the filter is pushed into the parquet scan (row-group
+    stats prune), and the result is file-count-sized, so this is the
+    shape that survives a 10⁶-file table."""
+    if not files:
+        return []
+    hit = (
+        spark.read.parquet(*[os.path.join(root, f) for f in files])
+        .filter(predicate)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    return _to_relative(files, [r["_f"] for r in hit])
+
+
+def delete_where(spark: SparkSession, root: str, predicate) -> int:
+    """Copy-on-write row delete: rewrite only the files that contain
+    matching rows, swap them in one atomic commit."""
+    current = _resolve_version(root, None, None)
+    files = _snapshot_files(root, current)
+    touched = _files_matching(spark, root, files, predicate)
+    if not touched:
+        return current
+    survivors = spark.read.parquet(
+        *[os.path.join(root, f) for f in touched]
+    ).filter(~predicate)
+    added = _write_data_files(survivors, root) if survivors.limit(1).count() else []
+    return _commit(root, "delete", added, touched, expected_version=current)
+
+
+def upsert(
+    spark: SparkSession, root: str, updates: DataFrame, key_cols: list[str]
+) -> int:
+    """Copy-on-write MERGE: rows in ``updates`` replace same-key rows,
+    new keys append — the batch twin of ``streaming/upsert.py``'s
+    foreachBatch sink. Only files containing a matched key are
+    rewritten."""
+    current = _resolve_version(root, None, None)
+    files = _snapshot_files(root, current)
+    if files:
+        # one distributed semi-join finds the touched files — update
+        # keys broadcast, table rows never shuffle, result is
+        # file-count-sized
+        hit = (
+            spark.read.parquet(*[os.path.join(root, f) for f in files])
+            .withColumn("_f", F.input_file_name())
+            .join(
+                F.broadcast(updates.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
+            )
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        touched = _to_relative(files, [r["_f"] for r in hit])
+    else:
+        touched = []
+    parts = [updates]
+    if touched:
+        old = spark.read.parquet(*[os.path.join(root, f) for f in touched])
+        parts.append(old.join(updates.select(*key_cols), key_cols, "left_anti"))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    added = _write_data_files(merged, root)
+    return _commit(root, "upsert", added, touched, expected_version=current)
+
+
+def optimize(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+) -> int:
+    """Compact small files (the OPTIMIZE the streaming sink's
+    small-file fan-out needs): pick the current snapshot's
+    smaller-than-threshold files from FILESYSTEM METADATA (no Spark
+    job for the planning pass), rewrite them at ``target_file_bytes``,
+    publish as one remove+add commit. Data is unchanged — time travel
+    to any earlier version still resolves to the original files."""
+    current = _resolve_version(root, None, None)
+    files = _snapshot_files(root, current)
+    threshold = small_file_bytes or target_file_bytes // 2
+    small, total_bytes = [], 0
+    for f in files:
+        sz = os.path.getsize(os.path.join(root, f))
+        if sz < threshold:
+            small.append(f)
+            total_bytes += sz
+    if len(small) < 2:
+        return current
+    df = spark.read.parquet(*[os.path.join(root, f) for f in small])
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    added = _write_data_files(df.repartition(n_out), root)
+    return _commit(root, "optimize", added, small, expected_version=current)
+
+
+def vacuum(root: str, retain_last: int = 5) -> list[str]:
+    """Delete data files unreferenced by the last ``retain_last``
+    versions (and drop the log entries older than the horizon's
+    checkpoint coverage requires). Time travel inside the retention
+    window keeps working; beyond it is explicitly given up — the
+    documented Delta/Iceberg trade."""
+    versions = _list_versions(root)
+    if not versions:
+        return []
+    keep_versions = versions[-retain_last:]
+    referenced: set[str] = set()
+    for v in keep_versions:
+        referenced.update(_snapshot_files(root, v))
+    data_dir = os.path.join(root, _DATA_DIR)
+    removed = []
+    for f in sorted(os.listdir(data_dir)):
+        rel = os.path.join(_DATA_DIR, f)
+        if rel not in referenced:
+            os.remove(os.path.join(root, rel))
+            removed.append(rel)
+    return removed

@@ -1,0 +1,165 @@
+"""Transactional parquet tables (sources/acid.py): ACID commits, time
+travel, copy-on-write delete/upsert, OPTIMIZE, VACUUM, log
+checkpoints, and the optimistic-concurrency conflict path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.sources.acid import (
+    TxnConflict,
+    create_table,
+    delete_where,
+    optimize,
+    read_table,
+    table_history,
+    upsert,
+    vacuum,
+    write_append,
+    write_overwrite,
+)
+
+
+def _df(spark, ids, tag):
+    return spark.createDataFrame(
+        [(i, tag, float(i)) for i in ids], "id long, tag string, v double"
+    )
+
+
+def _rows(df):
+    return sorted((r.id, r.tag, r.v) for r in df.collect())
+
+
+def test_create_append_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = create_table(spark, root, _df(spark, range(3), "a"))
+    v2 = write_append(spark, root, _df(spark, range(3, 5), "b"))
+    assert (v1, v2) == (1, 2)
+    assert read_table(spark, root).count() == 5
+    assert read_table(spark, root, version=1).count() == 3
+    # timestamp travel: as-of v1's commit time resolves to v1
+    hist = table_history(root)
+    assert [h["action"] for h in hist] == ["create", "append"]
+    assert read_table(spark, root, as_of_ts=hist[0]["ts"]).count() == 3
+
+
+def test_overwrite_is_atomic_snapshot(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(4), "old"))
+    write_overwrite(spark, root, _df(spark, range(100, 102), "new"))
+    latest = read_table(spark, root)
+    assert _rows(latest) == _rows(_df(spark, range(100, 102), "new"))
+    # the pre-overwrite snapshot is intact
+    assert read_table(spark, root, version=1).count() == 4
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(10), "a"))
+    write_append(spark, root, _df(spark, range(10, 20), "b"))
+    v = delete_where(spark, root, F.col("id") % 2 == 0)
+    out = read_table(spark, root)
+    assert out.count() == 10
+    assert out.filter(F.col("id") % 2 == 0).count() == 0
+    # untouched-file skipping: deleting from only one tag's rows must
+    # not rewrite the other tag's files
+    hist = table_history(root)
+    assert hist[-1]["action"] == "delete"
+    # time travel still sees the deleted rows
+    assert read_table(spark, root, version=v - 1).count() == 20
+
+
+def test_delete_skips_untouched_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(5), "a"))
+    write_append(spark, root, _df(spark, range(100, 105), "b"))
+    before = set(table_history(root)[-1]["added"])
+    delete_where(spark, root, F.col("id") >= 100)
+    removed = set(table_history(root)[-1]["removed"])
+    # only the second commit's files were rewritten
+    assert removed == before
+
+
+def test_upsert_merge(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(5), "a"))
+    updates = spark.createDataFrame(
+        [(3, "UPD", 33.0), (4, "UPD", 44.0), (9, "NEW", 9.0)],
+        "id long, tag string, v double",
+    )
+    upsert(spark, root, updates, ["id"])
+    out = {r.id: (r.tag, r.v) for r in read_table(spark, root).collect()}
+    assert out[3] == ("UPD", 33.0) and out[4] == ("UPD", 44.0)
+    assert out[9] == ("NEW", 9.0)
+    assert out[0] == ("a", 0.0)
+    assert len(out) == 6
+
+
+def test_optimize_compacts_preserving_data_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(4), "a").repartition(4))
+    for k in range(3):
+        write_append(
+            spark, root, _df(spark, range(10 * (k + 1), 10 * (k + 1) + 4), "b").repartition(4)
+        )
+    before = _rows(read_table(spark, root))
+    n_files_before = len(
+        [f for f in os.listdir(os.path.join(root, "data")) if f.endswith(".parquet")]
+    )
+    v = optimize(spark, root, target_file_bytes=1 << 30)
+    assert _rows(read_table(spark, root)) == before  # data unchanged
+    hist = table_history(root)
+    assert hist[-1]["action"] == "optimize"
+    assert len(hist[-1]["added"]) < len(hist[-1]["removed"])
+    # pre-optimize version still resolves to the original files
+    assert _rows(read_table(spark, root, version=v - 1)) == before
+
+
+def test_vacuum_retains_window(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(3), "a"))
+    for k in range(4):
+        write_overwrite(spark, root, _df(spark, range(3), f"v{k}"))
+    removed = vacuum(root, retain_last=2)
+    assert removed  # old overwritten files were reclaimed
+    # the retained versions still read fine
+    assert read_table(spark, root).count() == 3
+    assert read_table(spark, root, version=4).count() == 3
+    # beyond the horizon the files are gone (documented trade)
+    with pytest.raises(Exception):
+        read_table(spark, root, version=1).count()
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, [0], "a"))
+    for i in range(1, 13):
+        write_append(spark, root, _df(spark, [i], "a"))
+    log = os.path.join(root, "_txn_log")
+    assert any(f.endswith(".ckpt.json") for f in os.listdir(log))
+    assert read_table(spark, root).count() == 13
+    assert read_table(spark, root, version=11).count() == 11
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(3), "a"))
+    # writer A reads snapshot v1, writer B commits v2 first; A's
+    # read-dependent commit must fail with TxnConflict, not publish
+    write_append(spark, root, _df(spark, [100], "b"))  # B wins the race
+    from computer_vision_foundations_spark.sources import acid
+
+    added = acid._write_data_files(_df(spark, [200], "c"), root)
+    with pytest.raises(TxnConflict):
+        acid._commit(root, "overwrite", added, [], expected_version=1)
+    # blind appends never conflict — they rebase automatically
+    write_append(spark, root, _df(spark, [300], "d"))
+    assert read_table(spark, root).count() == 5
+
+
+def test_create_refuses_existing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(spark, root, _df(spark, range(2), "a"))
+    with pytest.raises(FileExistsError):
+        create_table(spark, root, _df(spark, range(2), "a"))

@@ -237,3 +237,64 @@ def _registry_contract(reg):
     model, mv = reg.load("contract", stage="Production")
     assert mv.version == 2
     assert model.to_dict() == m1.to_dict()
+
+
+def test_model_server_live_endpoint():
+    """M8 live endpoint: the reference's client cell against a real
+    local HTTP server — bearer auth, records payload, predictions
+    response, 401/404/400 error paths."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from computer_vision_foundations_spark.ml.serving import ModelServer
+
+    pdf = pd.DataFrame(
+        {"path": ["a.jpg", "b.jpg"], "content": [b"\x10" * 32, b"\xf0" * 32]}
+    )
+    payload = to_rest_payload(pdf).encode("utf-8")
+    model = LogisticHead(weights=np.full(256, 0.1), bias=0.0)
+    with ModelServer(model, model_name="cv", token="secret") as url:
+        req = urllib.request.Request(
+            url,
+            data=payload,
+            headers={
+                "Authorization": "Bearer secret",
+                "Content-Type": "application/json",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            body = _json.loads(resp.read())
+        assert len(body["predictions"]) == 2
+        assert body["predictions"][1] > body["predictions"][0]
+
+        # wrong token -> 401
+        bad = urllib.request.Request(
+            url, data=payload, headers={"Authorization": "Bearer nope"}
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+
+        # wrong path -> 404
+        bad_url = url.replace("/cv/", "/other/")
+        req404 = urllib.request.Request(
+            bad_url, data=payload, headers={"Authorization": "Bearer secret"}
+        )
+        try:
+            urllib.request.urlopen(req404, timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # malformed body -> 400
+        req400 = urllib.request.Request(
+            url, data=b"not json", headers={"Authorization": "Bearer secret"}
+        )
+        try:
+            urllib.request.urlopen(req400, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400

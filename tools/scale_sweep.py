@@ -1,0 +1,169 @@
+"""Scaled differential sweep: the behavior sf0.1 cannot prove.
+
+Round-3 verdict ask: candidate-pair DENSITY grows super-linearly with
+corpus size, and that is the one scale behavior a fixed-SF gate never
+exercises. This tool derives a ~sf0.5-equivalent dataset from the
+PROVIDED sf0.1 fixtures (no synthetic data generation — each scaled
+table is R=5 tagged replicas of the real one):
+
+- ``documents``: replica k offsets ``doc_id`` by k·10_000 and appends
+  a replica token ``rk<k>`` to the text — so replicas are NEAR-dups of
+  their original (the realistic recrawl shape that stresses every pair
+  generator) but not byte-exact dups.
+- ``embeddings``: replica k offsets ``vec_id``; vectors unchanged
+  (exact-tie stress for the ANN tie-breaks).
+- ``events``: replica k offsets ``event_id`` and ``user_id``; the time
+  axis is unchanged, so per-window densities grow 5x.
+- everything else: copied through unchanged.
+
+Then it runs the heavy pair/ANN/dedup queries through the SAME
+differential harness as the driver gate (tools/oracle_check.py) at
+both sf0.1 and the scaled dir, and prints a pair-density growth table.
+Differential at scale: if a cap, a tie-break, or an overflow behaves
+differently at 25k docs than at 5k, Spark and DuckDB disagree and the
+sweep fails.
+
+Usage: python tools/scale_sweep.py [--replicas 5] [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from computer_vision_foundations_spark.sources.tables import TABLE_NAMES
+
+# Heavy pair generators, ANN families, dedup + the flagship composition.
+SWEEP_QUERIES = [
+    "q83_dedup_exact",
+    "q90_ngram_jaccard_pairs",
+    "q26_lsh_candidate_pairs",
+    "q49_simhash_near_dup_pairs",
+    "q42_winnow_near_dup_pairs",
+    "q48_lsh_verified_pairs",
+    "q94_dedup_clusters",
+    "q91_embedding_near_dup",
+    "q13_incremental_lsh",
+    "q46_incremental_dedup",
+    "q35_decontamination_pairs",
+    "q44_bloom_decontaminate",
+    "q27_knn_cosine",
+    "q33_lsh_ann",
+    "q36_multiprobe_lsh_ann",
+    "q89_ivf_ann",
+    "q29_pq_adc_knn",
+    "q50_ivf_pq_ann",
+    "q28_sq8_ann",
+    "q47_unigram_surprisal",
+    "q20_training_corpus",
+    "q82_sessionization",
+    "q86_time_rollup",
+]
+
+PAIR_QUERIES = {
+    "q90_ngram_jaccard_pairs",
+    "q26_lsh_candidate_pairs",
+    "q49_simhash_near_dup_pairs",
+    "q42_winnow_near_dup_pairs",
+    "q48_lsh_verified_pairs",
+    "q91_embedding_near_dup",
+    "q13_incremental_lsh",
+    "q35_decontamination_pairs",
+}
+
+
+def build_scaled_dir(base: str, out_dir: str, replicas: int) -> None:
+    con = duckdb.connect()
+    doc_off = 10_000
+    vec_off = 10_000
+    ev_off = 1_000_000
+    user_off = 1_000_000
+    for name in TABLE_NAMES:
+        src = os.path.join(base, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if name == "documents":
+            sql = " UNION ALL ".join(
+                f"SELECT doc_id + {k * doc_off} AS doc_id, "
+                + ("text" if k == 0 else f"text || ' rk{k}' AS text")
+                + ", lang, source, n_chars FROM t"
+                for k in range(replicas)
+            )
+        elif name == "embeddings":
+            sql = " UNION ALL ".join(
+                f"SELECT vec_id + {k * vec_off} AS vec_id, embedding, label FROM t"
+                for k in range(replicas)
+            )
+        elif name == "events":
+            sql = " UNION ALL ".join(
+                f"SELECT event_id + {k * ev_off} AS event_id, ts, "
+                f"user_id + {k * user_off} AS user_id, event_type, value, "
+                "props FROM t"
+                for k in range(replicas)
+            )
+        else:
+            shutil.copy(src, dst)
+            continue
+        con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}'")
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+
+
+def run_sweep(sf_dir: str, names: list[str]) -> dict[str, int]:
+    """Run oracle_check as the driver does; return {query: row_count}."""
+    proc = subprocess.run(
+        [sys.executable, "-u", os.path.join(os.path.dirname(__file__), "oracle_check.py"), sf_dir, *names],
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(proc.stdout[-4000:])
+    counts: dict[str, int] = {}
+    for m in re.finditer(r"^ok\s+(\S+): (\d+) rows match", proc.stdout, re.M):
+        counts[m.group(1)] = int(m.group(2))
+    failures = re.findall(r"^FAIL.*$", proc.stdout, re.M)
+    if failures or proc.returncode != 0:
+        for f in failures:
+            print(f, file=sys.stderr)
+        raise SystemExit(f"sweep FAILED at {sf_dir}: {len(failures)} failures")
+    return counts
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=5)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    scaled = tempfile.mkdtemp(prefix="scale_sweep_")
+    try:
+        build_scaled_dir(args.base, scaled, args.replicas)
+        print(f"# scaled dir: {scaled} ({args.replicas}x {args.base})")
+        base_counts = run_sweep(args.base, SWEEP_QUERIES)
+        scaled_counts = run_sweep(scaled, SWEEP_QUERIES)
+        print(f"\n{'query':35s} {'sf0.1':>9s} {'scaled':>9s} {'growth':>7s}")
+        for name in SWEEP_QUERIES:
+            b, s = base_counts.get(name), scaled_counts.get(name)
+            if b is None or s is None:
+                continue
+            g = f"{s / b:.1f}x" if b else "-"
+            tag = "  <- pair density" if name in PAIR_QUERIES else ""
+            print(f"{name:35s} {b:9d} {s:9d} {g:>7s}{tag}")
+        print(f"\nPASS: 0 failures / {len(SWEEP_QUERIES)} queries at both scales")
+        return 0
+    finally:
+        if args.keep:
+            print(f"# kept {scaled}")
+        else:
+            shutil.rmtree(scaled, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
