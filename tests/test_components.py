@@ -96,11 +96,18 @@ def test_nonconvergence_releases_blocks(spark):
     checkpoint blocks (ADVICE r3: the iteration-cap RuntimeError used
     to leak both in a long-lived session)."""
     jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+
+    def _ids():
+        return {
+            int(i) for i in jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = _ids()
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(edges, max_iter=1)
-    after = jsc.getPersistentRDDs().size()
-    assert after == before  # nothing survives a failed run
+    # id-set compare, not counts: an unrelated test's block may be
+    # ContextCleaner-GC'd between the two snapshots in a full-suite run
+    assert _ids() - before == set()  # nothing NEW survives a failed run
