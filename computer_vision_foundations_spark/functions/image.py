@@ -18,9 +18,10 @@ Decode backend (in priority order):
   PIL.ImageStat's definitions. JPEG bytes get REAL header metadata
   (SOF dimensions/bands), REAL EXIF (APP1/TIFF IFD parse), and — new
   in round 3 — REAL pixel statistics via the baseline entropy decoder
-  in ``functions/jpeg.py`` (Huffman + dequant + IDCT); progressive
-  JPEGs, which the baseline decoder rejects, are the only remaining
-  fallback case for real formats.
+  in ``functions/jpeg.py`` (Huffman + dequant + IDCT) — baseline
+  sequential AND, since round 4, progressive (SOF2: spectral
+  selection + successive approximation), so every standard
+  Huffman-coded JPEG decodes for real.
 - Anything else falls back to a clearly-marked DETERMINISTIC FAKE
   decoder that derives pseudo pixel statistics from the raw bytes so
   the Spark-side plumbing (schemas, Arrow batches, struct columns,
@@ -303,7 +304,7 @@ def _statistics_one(content: bytes) -> dict:
             pass
     if _png.is_jpeg(content):
         try:  # real baseline entropy decode (functions/jpeg.py);
-            # progressive/malformed streams fall through to the fake
+            # malformed/arithmetic-coded streams fall through to the fake
             px = _jpeg.decode_jpeg(content)["pixels"]
             if px.ndim == 2:
                 px = px[:, :, None]

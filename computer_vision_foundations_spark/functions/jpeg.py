@@ -2,7 +2,7 @@
 
 Round 2 left exactly one fake-decode path in the image UDFs: JPEG
 *pixel* statistics without Pillow (`functions/image.py`). This module
-closes it with a real ITU-T T.81 baseline sequential codec:
+closes it with a real ITU-T T.81 codec:
 
 - ``decode_jpeg``: full entropy decode — marker parse (DQT/SOF0/DHT/
   DRI/SOS), canonical Huffman decode of the stuffed scan stream with
@@ -13,10 +13,17 @@ closes it with a real ITU-T T.81 baseline sequential codec:
   downsample), vectorized forward DCT, quality-scaled Annex K quant
   tables, standard Annex K Huffman tables, byte stuffing, JFIF APP0.
 
-Baseline sequential only (SOF0/SOF1); progressive (SOF2) raises
-``ValueError`` so callers can fall back. The per-coefficient Huffman
-loop is Python — fine for the Arrow-batched UDF fixtures this backs;
-Pillow remains the fast path when installed (`functions/image.py`).
+Baseline sequential (SOF0/SOF1) and — since round 4 — progressive
+(SOF2, T.81 Annex G: spectral selection + successive approximation
+with EOB runs, DC/AC refinement passes, interleaved and
+non-interleaved scans). ``encode_jpeg(progressive=True)`` emits the
+libjpeg-shaped scan script carrying the IDENTICAL quantized
+coefficients as the baseline stream, so progressive decode is
+verifiable bit-for-bit against the independent baseline path.
+Arithmetic coding and hierarchical frames raise ``ValueError`` so
+callers can fall back. The per-coefficient Huffman loop is Python —
+fine for the Arrow-batched UDF fixtures this backs; Pillow remains
+the fast path when installed (`functions/image.py`).
 
 Reference parity: the decoded statistics feed the same declared schema
 as the reference's PIL path (`02_Data Ingest.py:223-252`); the quant /
@@ -345,6 +352,175 @@ def _huff_encode_block(
     return int(zz[0])
 
 
+# ------------------------------------------------------ progressive encode
+#
+# The libjpeg-shaped default script: DC first (Al=1) interleaved, AC
+# bands per component (Al=1), then one successive-approximation
+# refinement pass for DC and each component's AC band (Ah=1, Al=0).
+# Exercises every decoder path: spectral selection, EOB runs, ZRL in
+# refinement, and both DC/AC correction-bit algorithms (T.81 G.1.2).
+
+
+def _enc_ac_first_block(bw, blk, ss, se, al, ac_codes) -> None:
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        vals.append(t if v > 0 else -t)
+    lastnz = -1
+    for i, v in enumerate(vals):
+        if v:
+            lastnz = i
+    run = 0
+    for i in range(lastnz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw.put(c, ln)
+            run -= 16
+        size, code = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.put(c, ln)
+        bw.put(code, size)
+        run = 0
+    if lastnz < len(vals) - 1:
+        c, ln = ac_codes[0x00]  # EOB (run of exactly 1)
+        bw.put(c, ln)
+
+
+def _enc_ac_refine_block(bw, blk, ss, se, al, ac_codes) -> None:
+    """Mirror of the T.81 G.1.2.3 decoder walk: A = already-significant
+    (emit correction bit), B = newly significant at this bit (run
+    symbol + sign), C = still zero (counts toward runs)."""
+    ah = al + 1
+    kinds = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        a = abs(v)
+        if (a >> ah) != 0:
+            kinds.append(("A", (a >> al) & 1))
+        elif (a >> al) != 0:
+            kinds.append(("B", 1 if v > 0 else 0))
+        else:
+            kinds.append(("C", 0))
+    i, n = 0, len(kinds)
+    while i < n:
+        j, run, next_b = i, 0, -1
+        while j < n:
+            t = kinds[j][0]
+            if t == "C":
+                run += 1
+            elif t == "B":
+                next_b = j
+                break
+            j += 1
+        if next_b == -1:
+            c, ln = ac_codes[0x00]  # EOB + the band's remaining A bits
+            bw.put(c, ln)
+            for t, b in kinds[i:]:
+                if t == "A":
+                    bw.put(b, 1)
+            return
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL consumes exactly 16 C's
+            bw.put(c, ln)
+            eaten = 0
+            while eaten < 16:
+                t, b = kinds[i]
+                if t == "C":
+                    eaten += 1
+                elif t == "A":
+                    bw.put(b, 1)
+                i += 1
+            run -= 16
+        c, ln = ac_codes[(run << 4) | 1]
+        bw.put(c, ln)
+        bw.put(kinds[next_b][1], 1)  # sign: 1 = +1<<Al
+        for t, b in kinds[i:next_b]:
+            if t == "A":
+                bw.put(b, 1)
+        i = next_b + 1
+
+
+def _prog_entropy_scans(zz_per_comp, samp, nblocks, gray: bool, h: int, w: int):
+    """Yield (scan_comp_indices, ss, se, ah, al, entropy_bytes) for the
+    progressive scan script."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # Non-interleaved AC scans iterate each component's TRUE block grid
+    # (ceil(sampled dim / 8)); the storage grid is MCU-padded and may be
+    # larger — the decoder never reads AC for padded blocks.
+    def _ceil_div(a: int, b: int) -> int:
+        return -(-a // b)
+
+    _true_dims = [
+        (_ceil_div(_ceil_div(h * sv, vmax), 8), _ceil_div(_ceil_div(w * sh, hmax), 8))
+        for sh, sv in samp
+    ]
+    dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    dc_tabs = [dc_y] + [dc_c] * (len(samp) - 1)
+    ac_tabs = [ac_y] + [ac_c] * (len(samp) - 1)
+    mcu_rows = (nblocks[0][0] + samp[0][1] - 1) // samp[0][1]
+    mcu_cols = (nblocks[0][1] + samp[0][0] - 1) // samp[0][0]
+
+    def dc_scan(al_shift: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * len(samp)
+        for mr in range(mcu_rows):
+            for mc in range(mcu_cols):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            r = min(mr * sv + by, nblocks[ci][0] - 1)
+                            c = min(mc * sh + bx, nblocks[ci][1] - 1)
+                            dc = int(zz_per_comp[ci][r, c, 0])
+                            if refine:
+                                bw.put((dc >> al_shift) & 1, 1)
+                            else:
+                                v = dc >> al_shift  # arithmetic (DC point transform)
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                size, code = _magnitude(diff)
+                                hc, ln = dc_tabs[ci][size]
+                                bw.put(hc, ln)
+                                if size:
+                                    bw.put(code, size)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(ci: int, ss: int, se: int, al_shift: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        nby, nbx = _true_dims[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = zz_per_comp[ci][by, bx]
+                if refine:
+                    _enc_ac_refine_block(bw, blk, ss, se, al_shift, ac_tabs[ci])
+                else:
+                    _enc_ac_first_block(bw, blk, ss, se, al_shift, ac_tabs[ci])
+        bw.flush()
+        return bytes(bw.out)
+
+    all_comps = list(range(len(samp)))
+    yield (all_comps, 0, 0, 0, 1, dc_scan(1, False))
+    if gray:
+        yield ([0], 1, 63, 0, 1, ac_scan(0, 1, 63, 1, False))
+    else:
+        yield ([0], 1, 5, 0, 1, ac_scan(0, 1, 5, 1, False))
+        yield ([0], 6, 63, 0, 1, ac_scan(0, 6, 63, 1, False))
+        yield ([1], 1, 63, 0, 1, ac_scan(1, 1, 63, 1, False))
+        yield ([2], 1, 63, 0, 1, ac_scan(2, 1, 63, 1, False))
+    yield (all_comps, 0, 0, 1, 0, dc_scan(0, True))
+    for ci in all_comps:
+        yield ([ci], 1, 63, 1, 0, ac_scan(ci, 1, 63, 0, True))
+
+
 def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -368,11 +544,18 @@ def encode_jpeg(
     dpi: tuple[int, int] | None = None,
     app1: bytes | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline sequential JPEG bytes for (h, w) grayscale or (h, w, 3)
-    RGB uint8 pixels. ``subsampling``: '444' or '420' (color only).
-    ``app1``: raw APP1 payload (e.g. an Exif TIFF blob) inserted after
-    APP0 so `png.parse_jpeg_exif` round-trips."""
+    """JPEG bytes for (h, w) grayscale or (h, w, 3) RGB uint8 pixels —
+    baseline sequential (SOF0) by default, progressive (SOF2, the
+    libjpeg-shaped spectral-selection + successive-approximation scan
+    script) with ``progressive=True``. Both transmit the IDENTICAL
+    quantized coefficients, so the two decode bit-for-bit equal.
+    ``subsampling``: '444' or '420' (color only). ``app1``: raw APP1
+    payload (e.g. an Exif TIFF blob) inserted after APP0 so
+    `png.parse_jpeg_exif` round-trips."""
+    if progressive and restart_interval:
+        raise ValueError("restart markers unsupported with progressive=True")
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
@@ -435,27 +618,28 @@ def encode_jpeg(
     ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     enc_tabs = [(dc_y, ac_y)] + [(dc_c, ac_c)] * (len(planes) - 1)
 
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    mcu_rows = (nblocks[0][0] + samp[0][1] - 1) // samp[0][1]
-    mcu_cols = (nblocks[0][1] + samp[0][0] - 1) // samp[0][0]
-    mcu_count = 0
-    for mr in range(mcu_rows):
-        for mc in range(mcu_cols):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)])
-                preds = [0] * len(planes)
-            mcu_count += 1
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        r = min(mr * sv + by, nblocks[ci][0] - 1)
-                        c = min(mc * sh + bx, nblocks[ci][1] - 1)
-                        preds[ci] = _huff_encode_block(
-                            bw, zz_per_comp[ci][r, c], preds[ci], *enc_tabs[ci]
-                        )
-    bw.flush()
+    if not progressive:
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        mcu_rows = (nblocks[0][0] + samp[0][1] - 1) // samp[0][1]
+        mcu_cols = (nblocks[0][1] + samp[0][0] - 1) // samp[0][0]
+        mcu_count = 0
+        for mr in range(mcu_rows):
+            for mc in range(mcu_cols):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)])
+                    preds = [0] * len(planes)
+                mcu_count += 1
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            r = min(mr * sv + by, nblocks[ci][0] - 1)
+                            c = min(mc * sh + bx, nblocks[ci][1] - 1)
+                            preds[ci] = _huff_encode_block(
+                                bw, zz_per_comp[ci][r, c], preds[ci], *enc_tabs[ci]
+                            )
+        bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     xd, yd = dpi if dpi else (0, 0)
@@ -478,7 +662,7 @@ def encode_jpeg(
     sof = struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
-    out += b"\xff\xc0" + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + sof
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid) + bytes(
@@ -494,13 +678,26 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    sos = struct.pack(">HB", 6 + 2 * nf, nf)
-    for ci in range(nf):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + sos
-    out += bw.out
+    if progressive:
+        for comp_idx, ss, se, ah, al, entropy in _prog_entropy_scans(
+            zz_per_comp, samp, nblocks, gray, h, w
+        ):
+            ns = len(comp_idx)
+            sos = struct.pack(">HB", 6 + 2 * ns, ns)
+            for ci in comp_idx:
+                tid = 0 if ci == 0 else 1
+                sos += bytes([ci + 1, (tid << 4) | tid])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += b"\xff\xda" + sos
+            out += entropy
+    else:
+        sos = struct.pack(">HB", 6 + 2 * nf, nf)
+        for ci in range(nf):
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + sos
+        out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -518,6 +715,7 @@ def decode_jpeg(data: bytes) -> dict:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    prog_state = None
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -557,7 +755,7 @@ def decode_jpeg(data: bytes) -> dict:
                 vals = list(seg[i + 17 : i + 17 + nv])
                 htabs[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nf = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(
                 ">H", seg[3:5]
             )[0], seg[5]
@@ -565,9 +763,13 @@ def decode_jpeg(data: bytes) -> dict:
             for ci in range(nf):
                 cid, sf, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps, "prec": prec}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported")
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "prec": prec,
+                "progressive": marker == 0xC2,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG frame")
         elif marker == 0xDD:  # DRI
@@ -576,20 +778,67 @@ def decode_jpeg(data: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # non-interleaved baseline (one scan per component) is
-                # legal T.81 but unsupported here — raise so callers
-                # fall back instead of silently returning the Y plane
-                raise ValueError("multi-scan (non-interleaved) JPEG not supported")
             scan = []
             for ci in range(ns):
                 cs, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qtabs, htabs, restart_interval
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    # non-interleaved baseline (one scan per component) is
+                    # legal T.81 but unsupported here — raise so callers
+                    # fall back instead of silently returning the Y plane
+                    raise ValueError(
+                        "multi-scan (non-interleaved) JPEG not supported"
+                    )
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan, qtabs, htabs,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if prog_state is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcu_cols = -(-frame["w"] // (8 * hmax))
+                mcu_rows = -(-frame["h"] // (8 * vmax))
+                prog_state = {
+                    "bycomp": {
+                        c["id"]: {
+                            "c": c,
+                            "zz": np.zeros(
+                                (mcu_rows * c["v"], mcu_cols * c["h"], 64),
+                                dtype=np.int32,
+                            ),
+                            "nby": mcu_rows * c["v"],
+                            "nbx": mcu_cols * c["h"],
+                        }
+                        for c in frame["comps"]
+                    },
+                    "eobrun_box": {"eobrun": 0},
+                    "hmax": hmax,
+                    "vmax": vmax,
+                }
+            pscan = [
+                (prog_state["bycomp"][comp["id"]], dc_id, ac_id)
+                for comp, dc_id, ac_id in scan
+            ]
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seglen, frame, pscan, ss, se, ah, al,
+                htabs, restart_interval, prog_state,
             )
+            continue
         pos += 2 + seglen
+    if prog_state is not None:
+        comps = []
+        for c in frame["comps"]:
+            st = prog_state["bycomp"][c["id"]]
+            st["q"] = qtabs[c["tq"]].reshape(8, 8).astype(np.float64)
+            comps.append(st)
+        return _reconstruct_planes(
+            comps, frame["h"], frame["w"], prog_state["hmax"], prog_state["vmax"]
+        )
     raise ValueError("no scan found")
 
 
@@ -617,7 +866,6 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval) -> dict
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0
-    inv_zig = ZIGZAG  # zz index -> natural index
     for mr in range(mcu_rows):
         for mc in range(mcu_cols):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -630,10 +878,16 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval) -> dict
                     for bx in range(ch):
                         blk = st["zz"][mr * cv + by, mc * ch + bx]
                         preds[ci] = _decode_block(br, blk, preds[ci], st["dc"], st["ac"])
+    return _reconstruct_planes(comps, h, w, hmax, vmax)
+
+
+def _reconstruct_planes(comps, h, w, hmax, vmax) -> dict:
+    """Shared tail of baseline and progressive decode: dequantize the
+    accumulated zigzag coefficients, IDCT, upsample, color-convert."""
     planes = []
     for st in comps:
         nat = np.zeros((st["nby"], st["nbx"], 64), dtype=np.float64)
-        nat[:, :, inv_zig] = st["zz"]
+        nat[:, :, ZIGZAG] = st["zz"]
         coef = nat.reshape(st["nby"], st["nbx"], 8, 8) * st["q"]
         plane = _idct_blocks(coef) + 128.0
         # upsample by replication to full-resolution grid
@@ -649,6 +903,170 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval) -> dict
         px = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
         return {"pixels": px, "mode": "RGB"}
     raise ValueError(f"unsupported component count {len(planes)}")
+
+
+# ------------------------------------------------------- progressive decode
+#
+# T.81 Annex G (spectral selection + successive approximation), the
+# scan shapes libjpeg emits by default. Coefficients accumulate across
+# scans in the per-component zigzag arrays; reconstruction happens once
+# at EOI via the shared `_reconstruct_planes`.
+
+
+def _true_block_dims(frame, comp, hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved scans iterate the component's OWN block grid
+    (ceil(sampled dim / 8)), not the MCU-padded storage grid."""
+    ch = -(-frame["w"] * comp["h"] // hmax)
+    cv = -(-frame["h"] * comp["v"] // vmax)
+    return -(-cv // 8), -(-ch // 8)
+
+
+def _dec_dc_first(br, blk, pred: int, dc_tab, al: int) -> int:
+    size = br.huff(dc_tab)
+    diff = _extend(br.bits(size), size)
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _dec_ac_first(br, blk, ss: int, se: int, al: int, ac_tab, state: dict) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << r)
+            if r:
+                state["eobrun"] += br.bits(r)
+            state["eobrun"] -= 1  # this block is the run's first
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC index out of band")
+        blk[k] = _extend(br.bits(s), s) << al  # sign-magnitude point transform
+        k += 1
+
+
+def _dec_ac_refine(br, blk, ss: int, se: int, al: int, ac_tab, state: dict) -> None:
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        v = int(blk[k])
+        if br.bits(1):
+            blk[k] = v + (p1 if v > 0 else m1)
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break  # tail of this block refined below
+                # ZRL: r=15 -> skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if br.bits(1) else m1
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # correction bits for the band's remaining nonzeros
+            if int(blk[k]) != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, htabs, restart_interval, state
+) -> int:
+    """Decode one progressive SOS's entropy data into the persistent
+    coefficient state; returns the byte position after the scan."""
+    br = _BitReader(data, pos)
+    eob = state["eobrun_box"]
+    eob["eobrun"] = 0  # EOB runs never cross scans
+    interleaved = len(scan) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan must have Se=0")
+    if ss != 0 and len(scan) != 1:
+        raise ValueError("AC scans are single-component")
+    if interleaved:
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcu_cols = -(-frame["w"] // (8 * hmax))
+        mcu_rows = -(-frame["h"] // (8 * vmax))
+        preds = [0] * len(scan)
+        mcu_count = 0
+        for mr in range(mcu_rows):
+            for mc in range(mcu_cols):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    br.skip_restart()
+                    preds = [0] * len(scan)
+                mcu_count += 1
+                for ci, (st, dc_id, _) in enumerate(scan):
+                    cv, ch = st["c"]["v"], st["c"]["h"]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = st["zz"][mr * cv + by, mc * ch + bx]
+                            if ah == 0:
+                                preds[ci] = _dec_dc_first(
+                                    br, blk, preds[ci], htabs[(0, dc_id)], al
+                                )
+                            else:
+                                blk[0] = int(blk[0]) + (br.bits(1) << al)
+    else:
+        st, dc_id, ac_id = scan[0]
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        nby, nbx = _true_block_dims(frame, st["c"], hmax, vmax)
+        pred = 0
+        blk_count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if (
+                    restart_interval
+                    and blk_count
+                    and blk_count % restart_interval == 0
+                ):
+                    br.skip_restart()
+                    pred = 0
+                    eob["eobrun"] = 0
+                blk_count += 1
+                blk = st["zz"][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        pred = _dec_dc_first(br, blk, pred, htabs[(0, dc_id)], al)
+                    else:
+                        blk[0] = int(blk[0]) + (br.bits(1) << al)
+                elif ah == 0:
+                    _dec_ac_first(br, blk, ss, se, al, htabs[(1, ac_id)], eob)
+                else:
+                    _dec_ac_refine(br, blk, ss, se, al, htabs[(1, ac_id)], eob)
+    return br.pos
 
 
 def _decode_block(br, blk, pred, dc_tab, ac_tab) -> int:

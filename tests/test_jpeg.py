@@ -84,8 +84,9 @@ def test_header_and_exif_interop_with_png_module():
     assert parsed["GPSInfo"] == {"GPSLatitudeRef": "N"}
 
 
-def test_progressive_rejected():
-    # minimal SOI + SOF2 stub must raise, not mis-decode
+def test_progressive_stub_without_scan_rejected():
+    # SOF2 is decodable since round 4, but a stub with no SOS must
+    # still raise, not mis-decode
     blob = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + bytes(9) + b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_jpeg(blob)
@@ -161,3 +162,80 @@ def test_dhash_returns_none_on_undeclared_table_ids():
     i = bytes(b).find(b"\xff\xda")
     b[i + 6] = 0x33
     assert _dhash_one(bytes(b)) is None
+
+
+def test_progressive_roundtrip_equals_baseline():
+    """Progressive transmission reorders the SAME quantized
+    coefficients, so decode(progressive) must equal decode(baseline)
+    bit-for-bit — across shapes, modes, and subsampling (exercises
+    spectral selection, EOB runs, ZRL-in-refinement, and both DC/AC
+    successive-approximation passes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((8, 8), "444"),
+        ((24, 17), "444"),
+        ((33, 29, 3), "444"),
+        ((24, 24, 3), "420"),
+        ((37, 23, 3), "420"),
+        ((48, 31, 3), "422"),
+    ]
+    for shape, sub in cases:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        kw = {"quality": 85}
+        if len(shape) == 3:
+            kw["subsampling"] = sub
+        base = decode_jpeg(encode_jpeg(px, **kw))
+        prog = decode_jpeg(encode_jpeg(px, progressive=True, **kw))
+        assert prog["mode"] == base["mode"]
+        assert np.array_equal(prog["pixels"], base["pixels"]), (shape, sub)
+
+
+def test_progressive_sparse_and_flat_blocks():
+    """Mostly-flat images drive long EOB runs and zero bands; a single
+    hot block drives ZRL paths in both first and refinement passes."""
+    import numpy as np
+
+    px = np.full((40, 40), 128, dtype=np.uint8)
+    px[8:16, 8:16] = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    base = decode_jpeg(encode_jpeg(px, quality=60))
+    prog = decode_jpeg(encode_jpeg(px, quality=60, progressive=True))
+    assert np.array_equal(prog["pixels"], base["pixels"])
+
+
+def test_progressive_quality_sweep():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(19, 26, 3), dtype=np.uint8)
+    for q in (35, 75, 95, 100):
+        base = decode_jpeg(encode_jpeg(px, quality=q))
+        prog = decode_jpeg(encode_jpeg(px, quality=q, progressive=True))
+        assert np.array_equal(prog["pixels"], base["pixels"]), q
+
+
+def test_progressive_with_exif_metadata_chain():
+    """image_statistics/image_metadata must treat a progressive JPEG as
+    a real decode now (no fake fallback) and still read its EXIF."""
+    import numpy as np
+
+    from computer_vision_foundations_spark.functions import png as P
+
+    px = np.arange(48 * 48, dtype=np.uint8).reshape(48, 48) % 251
+    app1 = P.build_exif_app1({"Make": "ProgCam", "Model": "P1"})
+    blob = encode_jpeg(px, quality=90, progressive=True, app1=app1)
+    out = decode_jpeg(blob)
+    assert out["pixels"].shape == (48, 48)
+    assert P.parse_jpeg_exif(blob)["Make"] == "ProgCam"
+
+
+def test_progressive_restart_rejected_in_encoder():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        encode_jpeg(
+            np.zeros((8, 8), dtype=np.uint8),
+            restart_interval=2,
+            progressive=True,
+        )
