@@ -95,7 +95,7 @@ def test_nonconvergence_releases_blocks(spark):
     """Exceptional exit paths must release the edge-list AND label
     checkpoint blocks (ADVICE r3: the iteration-cap RuntimeError used
     to leak both in a long-lived session)."""
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc  # JavaSparkContext: returns a java.util.Map
 
     def _ids():
         return {

@@ -194,6 +194,19 @@ AUDIT = {
         "(TF-IDF budget); totals ride a 1-row broadcast crossJoin",
         ("BroadcastNestedLoopJoin",),
     ),
+    "z19_time_travel": (
+        "time-travel read resolves the version-2 snapshot from the "
+        "commit log driver-side; the plan is a PLAIN parquet scan of "
+        "exactly that snapshot's immutable files + one hash agg — no "
+        "log join, no extra shuffle",
+        (),
+    ),
+    "z20_acid_upsert": (
+        "copy-on-write MERGE already happened at write time (matched "
+        "files found by ONE broadcast semi-join on input_file_name); "
+        "the read-back is a plain snapshot scan + narrow projection",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
