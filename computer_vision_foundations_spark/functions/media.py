@@ -81,6 +81,25 @@ def _pcm_from_bytes(content: bytes) -> np.ndarray:
     return np.frombuffer(content, dtype=np.uint8).astype(np.int64) - 128
 
 
+def _decode_any_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode → ``(mono int64 PCM, sample_rate)``.
+
+    RIFF/WAVE bytes take the REAL codec (``functions/wav.py``; channel
+    0 of the decoded PCM — deterministic, no float mixdown); anything
+    else falls back to the documented fake so non-audio binaries keep
+    their pinned contract.
+    """
+    from computer_vision_foundations_spark.functions.wav import (
+        decode_wav,
+        is_wav,
+    )
+
+    if content and is_wav(content):
+        pcm, rate, _bits = decode_wav(content)
+        return pcm[:, 0].astype(np.int64), rate
+    return _pcm_from_bytes(content), FAKE_SAMPLE_RATE
+
+
 def _fake_n_frames(n_bytes: int) -> int:
     return 8 + n_bytes % 8
 
@@ -88,19 +107,37 @@ def _fake_n_frames(n_bytes: int) -> int:
 def with_audio_metadata(
     df: DataFrame, content_col: str = "content", out_col: str = "audio_meta"
 ) -> DataFrame:
-    """Typed audio metadata struct from the binary column (fake decode:
-    one sample per byte at 16 kHz mono). Narrow, Arrow-batched."""
+    """Typed audio metadata struct from the binary column. RIFF/WAVE
+    bytes get a REAL header-only parse (``functions/wav.py`` — rate,
+    channels, sample count from the fmt/data chunks, payload untouched);
+    other bytes keep the documented fake (one sample per byte at
+    16 kHz mono). Narrow, Arrow-batched."""
+    from computer_vision_foundations_spark.functions.wav import (
+        is_wav,
+        wav_metadata,
+    )
 
     @F.pandas_udf(AUDIO_METADATA_TYPE)
     def meta(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for contents in it:
-            n = contents.map(lambda b: len(b) if b is not None else 0)
+            rates, chans, counts = [], [], []
+            for b in contents:
+                if b and is_wav(bytes(b)):
+                    rate, ch, n = wav_metadata(bytes(b))
+                else:
+                    rate, ch, n = FAKE_SAMPLE_RATE, 1, len(b or b"")
+                rates.append(rate)
+                chans.append(ch)
+                counts.append(n)
+            counts_arr = np.asarray(counts, np.int64)
+            rates_arr = np.asarray(rates, np.int32)
             yield pd.DataFrame(
                 {
-                    "sample_rate": np.full(len(n), FAKE_SAMPLE_RATE, np.int32),
-                    "n_channels": np.ones(len(n), np.int32),
-                    "n_samples": n.astype("int64"),
-                    "duration_sec": n.astype("float64") / FAKE_SAMPLE_RATE,
+                    "sample_rate": rates_arr,
+                    "n_channels": np.asarray(chans, np.int32),
+                    "n_samples": counts_arr,
+                    "duration_sec": counts_arr.astype("float64")
+                    / rates_arr.astype("float64"),
                 }
             )
 
@@ -124,6 +161,82 @@ def audio_frame_energies(window: int = 64):
         return pd.Series(out)
 
     return f
+
+
+def wav_window_stats(window: int = 32):
+    """Arrow-batched UDF: binary → per-window stats over the REAL
+    decoded PCM — ``array<struct<widx:int, energy:bigint, zcr:int,
+    peak:int>>`` for each full non-overlapping window of channel 0.
+
+    Integer-exact by construction (energy = Σ s², zcr counts
+    within-window sign-bit transitions with ``s >= 0`` as positive,
+    peak = max |s|), so a SQL oracle can replay the whole
+    encode→decode→stats chain sample-for-sample. Non-WAV bytes use
+    the fake byte-PCM, keeping the UDF total.
+    """
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("widx", T.IntegerType()),
+                T.StructField("energy", T.LongType()),
+                T.StructField("zcr", T.IntegerType()),
+                T.StructField("peak", T.IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def f(contents: pd.Series) -> pd.Series:
+        out = []
+        for b in contents:
+            pcm, _rate = _decode_any_audio(bytes(b) if b else b"")
+            n_full = len(pcm) // window
+            w = pcm[: n_full * window].reshape(n_full, window)
+            energy = (w * w).sum(axis=1)
+            nonneg = w >= 0
+            zcr = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+            peak = np.abs(w).max(axis=1) if n_full else np.zeros(0, np.int64)
+            out.append(
+                [
+                    {
+                        "widx": int(i),
+                        "energy": int(energy[i]),
+                        "zcr": int(zcr[i]),
+                        "peak": int(peak[i]),
+                    }
+                    for i in range(n_full)
+                ]
+            )
+        return pd.Series(out)
+
+    return f
+
+
+def encode_text_wav(col, sample_rate: int = 8_000):
+    """Column helper: UTF-8 text → REAL 16-bit mono WAV bytes, sample
+    ``i`` = ``(byte_i − 128) · 256`` (int16-exact). The deterministic
+    text→PCM ramp makes the audio chain differentially testable: a SQL
+    engine replays the sample math straight from characters while
+    Spark runs the full encode→decode round trip (the z21 oracle)."""
+
+    @F.pandas_udf("binary")
+    def enc(texts: pd.Series) -> pd.Series:
+        from computer_vision_foundations_spark.functions.wav import (
+            encode_wav,
+        )
+
+        out = []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            pcm = (
+                np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+            ) * 256
+            out.append(
+                encode_wav(pcm.astype(np.int16), sample_rate, bits=16)
+            )
+        return pd.Series(out)
+
+    return enc(col)
 
 
 def with_video_metadata(

@@ -5450,6 +5450,100 @@ def z20_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z21_wav_audio_stats",
+    """
+    WITH samples AS (
+        SELECT doc_id, length(text) AS n, u.i AS i,
+               (ord(substr(text, CAST(u.i + 1 AS INTEGER), 1)) - 128) * 256 AS s
+        FROM documents, unnest(range(length(text))) u(i)
+        WHERE length(text) >= 32
+    ), seq AS (
+        SELECT doc_id, n, i, s, i // 32 AS widx,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samples
+    ), wstats AS (
+        SELECT doc_id, n, widx,
+               sum(s * s) AS energy,
+               sum(CASE WHEN i % 32 <> 0
+                         AND ((s >= 0) <> (prev >= 0))
+                   THEN 1 ELSE 0 END) AS zcr,
+               max(abs(s)) AS peak
+        FROM seq
+        WHERE widx < n // 32
+        GROUP BY doc_id, n, widx
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT)            AS sample_rate,
+           CAST(n AS BIGINT)               AS n_samples,
+           round(n / 8000.0, 6)            AS duration_sec,
+           CAST(count(*) AS BIGINT)        AS n_windows,
+           CAST(sum(energy) AS BIGINT)     AS total_energy,
+           CAST(sum(zcr) AS BIGINT)        AS total_zcr,
+           CAST(max(peak) AS BIGINT)       AS max_peak,
+           round(sqrt(sum(energy) * 1.0 / (count(*) * 32)), 6) AS rms
+    FROM wstats
+    GROUP BY doc_id, n
+    """,
+)
+def z21_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality with a REAL codec end-to-end: each document's
+    text becomes 16-bit PCM (sample = (byte−128)·256), is serialized
+    as a canonical RIFF/WAVE file (``functions/wav.py`` — from-scratch
+    struct packing, the audio twin of the PNG/JPEG codecs), then
+    DECODED back: ``with_audio_metadata`` does a real header-only
+    fmt/data-chunk parse and ``wav_window_stats`` computes per-window
+    energy / zero-crossing / peak over the decoded samples. All
+    integer-exact, so the DuckDB oracle replays the whole
+    encode→decode→stats chain straight from characters — a WAV writer
+    or parser bug (header sizes, alignment pad, sample width,
+    channel interleave) hash-fails. Reference parity: the typed-
+    metadata-over-binary model of `02_Data Ingest.py:191-199`,
+    extended to audio.
+
+    Scale shape: THREE narrow Arrow projections + per-row HOF
+    aggregation — no explode, no groupBy, zero shuffle; the WAV bytes
+    never leave the executor that made them."""
+    from computer_vision_foundations_spark.functions.media import (
+        encode_text_wav,
+        wav_window_stats,
+        with_audio_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 32
+    )
+    wav = docs.select(
+        "doc_id", encode_text_wav(F.col("text")).alias("content")
+    )
+    md = with_audio_metadata(wav)
+    ws = md.withColumn("ws", wav_window_stats(32)(F.col("content")))
+    zero = F.lit(0).cast("long")
+    return ws.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").cast("long").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.round("audio_meta.duration_sec", 6).alias("duration_sec"),
+        F.size("ws").cast("long").alias("n_windows"),
+        F.aggregate("ws", zero, lambda a, s: a + s["energy"]).alias(
+            "total_energy"
+        ),
+        F.aggregate("ws", zero, lambda a, s: a + s["zcr"]).alias(
+            "total_zcr"
+        ),
+        F.array_max(F.transform("ws", lambda s: s["peak"]))
+        .cast("long")
+        .alias("max_peak"),
+        F.round(
+            F.sqrt(
+                F.aggregate("ws", zero, lambda a, s: a + s["energy"])
+                / (F.size("ws") * F.lit(32))
+            ),
+            6,
+        ).alias("rms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -1,18 +1,29 @@
 """Audio/video multimodal plumbing (functions/media.py).
 
-The decode is a documented deterministic fake (no codecs in this
-container); what these tests pin is the REAL part: schemas, Arrow
-batch shapes, fan-out layout, null/empty handling, and the integer
-contract the differential oracles (q39/q40) replay.
+Raw (non-container) bytes use the documented deterministic fake;
+RIFF/WAVE bytes take the REAL from-scratch codec (functions/wav.py).
+These tests pin both: schemas, Arrow batch shapes, fan-out layout,
+null/empty handling, the integer contract the differential oracles
+replay, and the WAV round trip bit-for-bit.
 """
 
+import numpy as np
 import pyspark.sql.functions as F
 
 from computer_vision_foundations_spark.functions.media import (
     audio_frame_energies,
+    encode_text_wav,
     sample_video_frames,
+    wav_window_stats,
     with_audio_metadata,
     with_video_metadata,
+)
+from computer_vision_foundations_spark.functions.wav import (
+    decode_wav,
+    encode_wav,
+    is_wav,
+    resample_x2_linear,
+    wav_metadata,
 )
 
 
@@ -79,3 +90,107 @@ def test_sample_video_frames_layout(spark):
     assert all(abs(r.ts_sec - r.frame_idx / 24.0) < 1e-12 for r in f0)
     # empty payload: frames exist with key 0
     assert all(r.frame_key == 0 for r in by_doc[2])
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (functions/wav.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_16bit_mono():
+    x = ((np.arange(500, dtype=np.int64) * 2311) % 65536 - 32768).astype(
+        np.int16
+    )
+    b = encode_wav(x, 8000)
+    assert is_wav(b) and len(b) % 2 == 0
+    y, rate, bits = decode_wav(b)
+    assert (rate, bits, y.shape) == (8000, 16, (500, 1))
+    assert (y[:, 0] == x.astype(np.int32)).all()
+    assert wav_metadata(b) == (8000, 1, 500)
+
+
+def test_wav_roundtrip_stereo_and_8bit():
+    left = np.arange(-100, 100, dtype=np.int32)
+    st = np.stack([left, -left], axis=1).astype(np.int16)
+    y, rate, _ = decode_wav(encode_wav(st, 44_100))
+    assert rate == 44_100 and (y == st.astype(np.int32)).all()
+    x8 = np.arange(-128, 128, dtype=np.int64)
+    y8, _, bits8 = decode_wav(encode_wav(x8, 16_000, bits=8))
+    assert bits8 == 8 and (y8[:, 0] == x8).all()
+
+
+def test_wav_unknown_chunk_skip_and_pad():
+    """Foreign writers may put LIST/fact chunks before data; odd-sized
+    chunks carry a word-alignment pad byte the walker must skip."""
+    import struct
+
+    x = np.array([5, -5, 7], dtype=np.int16)
+    b = encode_wav(x, 8000)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = b[:12] + extra + b[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    y, rate, _ = decode_wav(patched)
+    assert rate == 8000 and y[:, 0].tolist() == [5, -5, 7]
+    assert wav_metadata(patched) == (8000, 1, 3)
+
+
+def test_wav_rejects_non_pcm_and_truncation():
+    import pytest
+    import struct
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    b = bytearray(encode_wav(np.array([1, 2], dtype=np.int16), 8000))
+    struct.pack_into("<H", b, 20, 3)  # wFormatTag = IEEE float
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+
+
+def test_resample_x2_linear_integer_contract():
+    r = resample_x2_linear(np.array([0, 10, -7]))
+    assert r.tolist() == [0, 5, 10, 1, -7, -7]
+    st = resample_x2_linear(np.array([[0, 100], [10, -100]]))
+    assert st.tolist() == [[0, 100], [5, 0], [10, -100], [10, -100]]
+    assert resample_x2_linear(np.zeros(0, dtype=np.int64)).tolist() == []
+
+
+def test_audio_metadata_real_wav_path(spark):
+    """RIFF bytes get the real header parse; raw bytes keep the fake."""
+    wav_bytes = encode_wav(
+        np.zeros((250, 2), dtype=np.int16), sample_rate=22_050
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_bytes)), (1, b"just bytes")],
+        "doc_id long, content binary",
+    )
+    out = {
+        r.doc_id: r.audio_meta for r in with_audio_metadata(df).collect()
+    }
+    assert out[0].sample_rate == 22_050 and out[0].n_channels == 2
+    assert out[0].n_samples == 250
+    assert abs(out[0].duration_sec - 250 / 22_050) < 1e-12
+    assert out[1].sample_rate == 16_000 and out[1].n_samples == 10
+
+
+def test_wav_window_stats_matches_numpy(spark):
+    """encode→decode→windowed stats equals direct numpy on the PCM."""
+    text = "The quick brown fox jumps over the lazy dog! " * 3
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = (
+        df.select(
+            wav_window_stats(32)(encode_text_wav(F.col("text"))).alias("ws")
+        )
+        .collect()[0]
+    )
+    pcm = (
+        np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64) - 128
+    ) * 256
+    n_full = len(pcm) // 32
+    w = pcm[: n_full * 32].reshape(n_full, 32)
+    assert len(row.ws) == n_full
+    for i, s in enumerate(row.ws):
+        assert s.widx == i
+        assert s.energy == int((w[i] * w[i]).sum())
+        nonneg = w[i] >= 0
+        assert s.zcr == int((nonneg[1:] != nonneg[:-1]).sum())
+        assert s.peak == int(np.abs(w[i]).max())
