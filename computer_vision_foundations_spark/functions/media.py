@@ -239,25 +239,84 @@ def encode_text_wav(col, sample_rate: int = 8_000):
     return enc(col)
 
 
+def encode_text_gif(col, frame_w: int = 4, frame_h: int = 4,
+                    delay_cs: int = 5):
+    """Column helper: UTF-8 text → REAL animated GIF89a bytes via the
+    from-scratch codec — a grayscale identity palette and one
+    ``frame_h×frame_w`` frame per ``frame_h·frame_w`` consecutive
+    bytes (remainder dropped), so decoded channel-0 pixels ARE the
+    text bytes. The deterministic fixture makes the video chain
+    differentially testable: a SQL engine replays the byte math while
+    Spark runs the full LZW encode→decode round trip (the z22
+    oracle). Texts too short for one frame yield NULL."""
+    fpx = frame_w * frame_h
+
+    @F.pandas_udf("binary")
+    def enc(texts: pd.Series) -> pd.Series:
+        from computer_vision_foundations_spark.functions.gif import (
+            encode_gif,
+        )
+
+        pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        out = []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            nf = len(b) // fpx
+            if nf == 0:
+                out.append(None)
+                continue
+            raw = np.frombuffer(b[: nf * fpx], dtype=np.uint8)
+            frames = [
+                raw[i * fpx : (i + 1) * fpx].reshape(frame_h, frame_w)
+                for i in range(nf)
+            ]
+            out.append(encode_gif(frames, pal, delays_cs=delay_cs))
+        return pd.Series(out)
+
+    return enc(col)
+
+
 def with_video_metadata(
     df: DataFrame, content_col: str = "content", out_col: str = "video_meta"
 ) -> DataFrame:
-    """Typed video metadata struct from the binary column (fake decode:
-    n_frames = 8 + len mod 8 at 24 fps, 64×64). Narrow, Arrow-batched."""
+    """Typed video metadata struct from the binary column. GIF bytes
+    get a REAL header walk (``functions/gif.py`` — dimensions and
+    frame count from the block structure, LZW payload skipped via
+    sub-block lengths; fps = 100 / first graphic-control delay);
+    other bytes keep the documented fake (n_frames = 8 + len mod 8 at
+    24 fps, 64×64). Narrow, Arrow-batched."""
+    from computer_vision_foundations_spark.functions.gif import (
+        gif_metadata,
+        is_gif,
+    )
 
     @F.pandas_udf(VIDEO_METADATA_TYPE)
     def meta(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for contents in it:
-            n = contents.map(
-                lambda b: _fake_n_frames(len(b)) if b is not None else 0
-            ).astype("int32")
+            ws, hs, ns, fps = [], [], [], []
+            for b in contents:
+                if b and is_gif(bytes(b)):
+                    gw, gh, gn, delay = gif_metadata(bytes(b))
+                    ws.append(gw)
+                    hs.append(gh)
+                    ns.append(gn)
+                    fps.append(100.0 / delay if delay > 0 else FAKE_FPS)
+                else:
+                    ws.append(64)
+                    hs.append(64)
+                    ns.append(_fake_n_frames(len(b)) if b is not None else 0)
+                    fps.append(FAKE_FPS)
+            n = np.asarray(ns, np.int32)
+            fps_arr = np.asarray(fps, np.float64)
             yield pd.DataFrame(
                 {
-                    "width": np.full(len(n), 64, np.int32),
-                    "height": np.full(len(n), 64, np.int32),
+                    "width": np.asarray(ws, np.int32),
+                    "height": np.asarray(hs, np.int32),
                     "n_frames": n,
-                    "fps": np.full(len(n), FAKE_FPS),
-                    "duration_sec": n.astype("float64") / FAKE_FPS,
+                    "fps": fps_arr,
+                    "duration_sec": n.astype("float64") / fps_arr,
                 }
             )
 
@@ -286,11 +345,35 @@ def sample_video_frames(
         ]
     )
 
+    from computer_vision_foundations_spark.functions.gif import (
+        decode_gif,
+        is_gif,
+    )
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, idxs, tss, keys = [], [], [], []
             for doc_id, b in zip(batch[id_col], batch[content_col]):
-                b = b or b""
+                b = bytes(b) if b else b""
+                if b and is_gif(b):
+                    # REAL decode: composited RGB frames; key = the
+                    # channel-0 pixel sum (mod 2^31 to stay int32),
+                    # ts from the cumulative graphic-control delays.
+                    frames, delays, _wh = decode_gif(b)
+                    t_cs = 0
+                    for i, (frame, d) in enumerate(zip(frames, delays)):
+                        if i % every_n == 0:
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            tss.append(t_cs / 100.0)
+                            keys.append(
+                                int(
+                                    frame[:, :, 0].sum(dtype=np.int64)
+                                    % 2_147_483_647
+                                )
+                            )
+                        t_cs += d
+                    continue
                 raw = np.frombuffer(b, dtype=np.uint8)
                 nf = _fake_n_frames(len(raw))
                 for i in range(0, nf, every_n):

@@ -5544,6 +5544,59 @@ def z21_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z22_gif_frame_sample",
+    """
+    WITH v AS (
+        SELECT doc_id, text, length(text) // 16 AS nf
+        FROM documents WHERE length(text) >= 16
+    ), fr AS (
+        SELECT doc_id, text, CAST(u.i AS INTEGER) AS i
+        FROM v, unnest(range(nf)) u(i)
+        WHERE u.i % 2 = 0
+    ), px AS (
+        SELECT doc_id, i,
+               ord(substr(text, CAST(i * 16 + j.j + 1 AS INTEGER), 1)) AS val
+        FROM fr, unnest(range(16)) j(j)
+    )
+    SELECT doc_id,
+           i                               AS frame_idx,
+           CAST(i * 5 AS DOUBLE) / 100.0   AS ts_sec,
+           CAST(sum(val) AS INTEGER)       AS frame_key
+    FROM px GROUP BY doc_id, i
+    """,
+)
+def z22_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality with a REAL codec end-to-end: each document's
+    text becomes an animated GIF89a (``functions/gif.py`` — the
+    from-scratch LZW codec; one 4×4 grayscale frame per 16 bytes,
+    5 cs delay), then ``sample_video_frames`` DECODES it (variable-
+    width LZW, sub-block walk, palette, compositing) and keeps every
+    2nd frame, emitting ``(doc_id, frame_idx, ts_sec, frame_key)``
+    with frame_key = the channel-0 pixel sum. The grayscale identity
+    palette makes decoded pixels equal text bytes, so the DuckDB
+    oracle replays the whole chain as character arithmetic — any LZW
+    bit-packing, code-width, palette or frame-layout bug hash-fails.
+    Reference parity: the frame-extraction shape of the reference's
+    media model (`02_Data Ingest.py:191-199`), video flavor.
+
+    Scale shape: one narrow Arrow projection (encode) + one narrow
+    ``mapInPandas`` fan-out (decode + sample) — no shuffle; GIF bytes
+    never leave the executor that built them."""
+    from computer_vision_foundations_spark.functions.media import (
+        encode_text_gif,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 16
+    )
+    gif = docs.select(
+        "doc_id", encode_text_gif(F.col("text")).alias("content")
+    )
+    return sample_video_frames(gif, "content", "doc_id", every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
