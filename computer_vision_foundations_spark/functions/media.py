@@ -212,12 +212,14 @@ def wav_window_stats(window: int = 32):
     return f
 
 
-def encode_text_wav(col, sample_rate: int = 8_000):
+def encode_text_wav(col, sample_rate: int = 8_000, scale: int = 256):
     """Column helper: UTF-8 text → REAL 16-bit mono WAV bytes, sample
-    ``i`` = ``(byte_i − 128) · 256`` (int16-exact). The deterministic
-    text→PCM ramp makes the audio chain differentially testable: a SQL
-    engine replays the sample math straight from characters while
-    Spark runs the full encode→decode round trip (the z21 oracle)."""
+    ``i`` = ``(byte_i − 128) · scale`` (int16-exact for scale ≤ 256).
+    The deterministic text→PCM ramp makes the audio chain
+    differentially testable: a SQL engine replays the sample math
+    straight from characters while Spark runs the full encode→decode
+    round trip (the z21/z23 oracles; z23 uses scale=1 to keep DFT
+    powers small enough for round-6 float comparison)."""
 
     @F.pandas_udf("binary")
     def enc(texts: pd.Series) -> pd.Series:
@@ -230,7 +232,7 @@ def encode_text_wav(col, sample_rate: int = 8_000):
             b = (t or "").encode("utf-8")
             pcm = (
                 np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
-            ) * 256
+            ) * scale
             out.append(
                 encode_wav(pcm.astype(np.int16), sample_rate, bits=16)
             )

@@ -5597,6 +5597,78 @@ def z22_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(gif, "content", "doc_id", every_n=2)
 
 
+@_register(
+    "z23_audio_spectrum",
+    """
+    WITH samples AS (
+        SELECT doc_id, length(text) AS n, u.i AS i,
+               CAST(ord(substr(text, CAST(u.i + 1 AS INTEGER), 1)) - 128
+                    AS DOUBLE) AS s
+        FROM documents, unnest(range(length(text))) u(i)
+        WHERE length(text) >= 8
+    ), framed AS (
+        SELECT doc_id, n, i // 8 AS fidx, i % 8 AS k, s
+        FROM samples WHERE i // 8 < n // 8
+    ), quad AS (
+        SELECT doc_id, fidx, fr.f AS f,
+               sum(s * cos(2 * pi() * k * fr.f / 8)) AS re,
+               sum(s * sin(2 * pi() * k * fr.f / 8)) AS im
+        FROM framed, (SELECT unnest(range(5)) AS f) fr
+        GROUP BY doc_id, fidx, fr.f
+    ), p AS (
+        SELECT doc_id, f, re * re + im * im AS pw FROM quad
+    )
+    SELECT doc_id,
+           CAST(count(*) / 5 AS BIGINT)                    AS n_frames,
+           round(sum(f * pw) / sum(pw), 6)                 AS centroid,
+           round(sum(CASE WHEN f <= 1 THEN pw ELSE 0 END)
+                 / sum(pw), 6)                             AS low_ratio
+    FROM p GROUP BY doc_id
+    """,
+)
+def z23_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real spectral feature extraction (``functions/dsp.py``): text →
+    small-amplitude PCM (byte−128) → REAL WAV encode→decode
+    (``functions/wav.py``) → rectangular-window rfft power spectra on
+    8-sample frames → per-doc spectral centroid and low-band ratio.
+    The UDF returns raw power SUMS and the centroid/ratio derive
+    relationally (one division each, O(1) magnitudes), so the DuckDB
+    oracle can replay the DFT as explicit cos/sin quadrature sums —
+    numpy's FFT and the naive trig DFT agree to ~1e-14 relative,
+    far inside the round-6 comparison. Ratios (not raw powers) are
+    compared precisely because raw power totals grow with corpus text
+    length and would eat the rounding margin.
+
+    Scale shape: two narrow Arrow projections (encode, spectra) —
+    no shuffle; fixed-width feature rows are all that leaves the
+    UDF."""
+    from computer_vision_foundations_spark.functions.dsp import (
+        audio_spectral_features,
+    )
+    from computer_vision_foundations_spark.functions.media import (
+        encode_text_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 8
+    )
+    wav = docs.select(
+        "doc_id",
+        encode_text_wav(F.col("text"), scale=1).alias("content"),
+    )
+    feats = wav.withColumn(
+        "sp", audio_spectral_features(8)(F.col("content"))
+    )
+    return feats.select(
+        "doc_id",
+        F.col("sp.n_frames").alias("n_frames"),
+        F.round(F.col("sp.weighted_power") / F.col("sp.total_power"), 6)
+        .alias("centroid"),
+        F.round(F.col("sp.low_power") / F.col("sp.total_power"), 6)
+        .alias("low_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
