@@ -5669,6 +5669,64 @@ def z23_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z24_bucketed_join",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           round(sum(o_totalprice), 2)     AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def z24_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables
+    (``sources/bucketed.py``): orders and customer are written
+    ``bucketBy(8, custkey)`` + ``sortBy`` into a scratch database,
+    then sort-merge-joined on the bucket key — the join itself plans
+    with NO Exchange on either side (pinned by
+    ``tests/test_bucketed.py``); the only shuffle left is the final
+    5-row segment aggregate. This is the pay-once-at-ingest answer
+    for repeated 100 TB fact⋈dim joins on a stable key; the oracle is
+    the plain relational join, so the bucketed layout must be
+    result-invisible."""
+    import os
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+    from computer_vision_foundations_spark.sources.tables import (
+        create_database,
+    )
+
+    root = tempfile.mkdtemp(prefix="bkt_")
+    db = "bkt_" + os.path.basename(root)[4:]
+    create_database(spark, db, location=root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    write_bucketed(
+        orders, f"{db}.orders_b", 8, ["o_custkey"], ["o_custkey"]
+    )
+    write_bucketed(
+        cust, f"{db}.customer_b", 8, ["o_custkey"], ["o_custkey"]
+    )
+    joined = colocated_join(
+        spark, f"{db}.orders_b", f"{db}.customer_b", on="o_custkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
