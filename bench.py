@@ -103,6 +103,12 @@ HEADLINE = [
     "q38_event_transitions",
     "q39_image_metadata",
     "q22_image_statistics",
+    "z19_time_travel",
+    "z20_acid_upsert",
+    "z21_wav_audio_stats",
+    "z22_gif_frame_sample",
+    "z23_audio_spectrum",
+    "z24_bucketed_join",
 ]
 
 

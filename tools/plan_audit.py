@@ -207,6 +207,28 @@ AUDIT = {
         "the read-back is a plain snapshot scan + narrow projection",
         (),
     ),
+    "z21_wav_audio_stats": (
+        "real WAV encode→decode→window-stats as narrow Arrow "
+        "projections + HOF array aggregation — ZERO shuffle; the WAV "
+        "bytes never leave the executor that made them",
+        (),
+    ),
+    "z22_gif_frame_sample": (
+        "real GIF LZW encode (Arrow projection) + decode/frame-sample "
+        "fan-out (mapInPandas) — narrow end to end, no shuffle",
+        (),
+    ),
+    "z23_audio_spectrum": (
+        "WAV encode + rfft power-sum features as narrow Arrow "
+        "projections; centroid/ratio derived in codegen — no shuffle",
+        (),
+    ),
+    "z24_bucketed_join": (
+        "bucketed sort-merge join: NO Exchange on either join side "
+        "(bucket layout from the catalog); the only shuffle is the "
+        "final 5-row segment aggregate",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
