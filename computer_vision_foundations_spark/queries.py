@@ -5727,6 +5727,62 @@ def z24_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z25_table_profile",
+    """
+    SELECT 'o_orderkey' AS column,
+           CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT)   AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT)     AS n_distinct,
+           round(CAST(min(o_orderkey) AS DOUBLE), 6)      AS min_num,
+           round(CAST(max(o_orderkey) AS DOUBLE), 6)      AS max_num,
+           CAST(NULL AS VARCHAR)                          AS min_str,
+           CAST(NULL AS VARCHAR)                          AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(CAST(min(o_custkey) AS DOUBLE), 6),
+           round(CAST(max(o_custkey) AS DOUBLE), 6),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 6), round(max(o_totalprice), 6),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    """,
+)
+def z25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (``operators/profile.py``): per-column
+    row/null/exact-distinct counts and extrema over orders in a SINGLE
+    aggregation job (multi-DISTINCT via one Expand; the 1-row wide
+    result reshapes to one-row-per-column with ``stack``). The oracle
+    is the per-column UNION ALL of direct aggregates, so Expand
+    semantics, null accounting and the numeric/string extrema split
+    are all hash-checked. At 100 TB the ``exact_ndv=False`` switch
+    swaps the Expand for HLL++ map-side sketches."""
+    from computer_vision_foundations_spark.operators.profile import (
+        profile_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
