@@ -109,6 +109,8 @@ HEADLINE = [
     "z22_gif_frame_sample",
     "z23_audio_spectrum",
     "z24_bucketed_join",
+    "z25_table_profile",
+    "z26_multimodal_manifest",
 ]
 
 

@@ -5783,6 +5783,107 @@ def z25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z26_multimodal_manifest",
+    """
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n_chars
+        FROM documents WHERE length(text) >= 32
+    ), chars AS (
+        SELECT doc_id, ord(u.c) AS v
+        FROM base, unnest(string_split(text, '')) u(c)
+    ), hist AS (
+        SELECT doc_id, v, count(*) AS c FROM chars GROUP BY doc_id, v
+    ), tot AS (
+        SELECT doc_id, sum(c) AS n FROM hist GROUP BY doc_id
+    ), ent AS (
+        SELECT h.doc_id,
+               round(-sum((h.c * 1.0 / t.n) * log2(h.c * 1.0 / t.n)), 6)
+                   AS png_entropy
+        FROM hist h JOIN tot t ON t.doc_id = h.doc_id
+        GROUP BY h.doc_id
+    ), samples AS (
+        SELECT doc_id, n_chars, u.i AS i,
+               (ord(substr(text, CAST(u.i + 1 AS INTEGER), 1)) - 128) * 256
+                   AS s
+        FROM base, unnest(range(length(text))) u(i)
+    ), seq AS (
+        SELECT doc_id, n_chars, i, s, i // 32 AS widx,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samples
+    ), zcr AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN i % 32 <> 0 AND widx < n_chars // 32
+                              AND ((s >= 0) <> (prev >= 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS audio_zcr
+        FROM seq GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_chars AS BIGINT)            AS n_chars,
+           ent.png_entropy                      AS png_entropy,
+           zcr.audio_zcr                        AS audio_zcr,
+           CAST(b.n_chars // 16 AS INTEGER)     AS video_n_frames,
+           (ent.png_entropy >= 3.0 AND b.n_chars >= 64) AS keep
+    FROM base b
+    JOIN ent ON ent.doc_id = b.doc_id
+    JOIN zcr ON zcr.doc_id = b.doc_id
+    """,
+)
+def z26_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal training-data manifest: ONE pass over documents
+    exercises all three real from-scratch codecs side by side — text
+    renders to a PNG whose decoded pixel entropy is the image-quality
+    signal (``functions/png.py``), to a WAV whose decoded per-window
+    zero-crossing total is the audio signal (``functions/wav.py``),
+    and to an animated GIF whose REAL header walk yields the frame
+    count (``functions/gif.py``) — then a composite keep/drop gate
+    (entropy ≥ 3 on the ROUNDED value, per the cross-engine float
+    filter rule; ≥ 64 chars) emits the curation manifest. Every
+    signal is replayed by the DuckDB oracle from characters, so the
+    full three-codec composition is hash-checked end to end.
+
+    Scale shape: four narrow Arrow projections over one scan — zero
+    shuffle, zero joins (all signals derive in-row); the Spark plan
+    is a single codegen+Arrow pipeline per partition."""
+    from computer_vision_foundations_spark.functions.image import (
+        encode_text_png,
+        get_image_statistics,
+    )
+    from computer_vision_foundations_spark.functions.media import (
+        encode_text_gif,
+        encode_text_wav,
+        wav_window_stats,
+        with_video_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 32
+    )
+    df = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            get_image_statistics(encode_text_png(F.col("text")))["entropy"],
+            6,
+        ).alias("png_entropy"),
+        wav_window_stats(32)(encode_text_wav(F.col("text"))).alias("ws"),
+        encode_text_gif(F.col("text")).alias("gif"),
+    )
+    df = with_video_metadata(df, "gif", "vm")
+    return df.select(
+        "doc_id",
+        "n_chars",
+        "png_entropy",
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda a, s: a + s["zcr"]
+        ).alias("audio_zcr"),
+        F.col("vm.n_frames").alias("video_n_frames"),
+        ((F.col("png_entropy") >= 3.0) & (F.col("n_chars") >= 64)).alias(
+            "keep"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
