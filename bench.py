@@ -111,6 +111,7 @@ HEADLINE = [
     "z24_bucketed_join",
     "z25_table_profile",
     "z26_multimodal_manifest",
+    "z27_pq_rerank",
 ]
 
 

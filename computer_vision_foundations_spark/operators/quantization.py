@@ -46,7 +46,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
-__all__ = ["pq_codebooks", "pq_encode", "pq_adc_topk", "ivf_pq_topk"]
+__all__ = [
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_rerank_topk",
+    "ivf_pq_topk",
+]
 
 
 def pq_codebooks(
@@ -165,6 +171,78 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_score", "rank")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ADC shortlist → exact-cosine re-rank (the IVFADC+R pattern,
+    Jégou et al. 2011): the cheap compressed-code scan keeps the top
+    ``shortlist`` candidates per probe, then ONLY those rows fetch
+    their float vectors for an exact cosine, and the final top-``k``
+    ranks by the exact score.
+
+    Returns ``(probe_id, neighbor_id, cos_sim, rank)`` — identical
+    schema to ``brute_force_knn``, so recall of the two-stage
+    pipeline is directly measurable against the exact baseline.
+
+    Scale shape: stage 1 is the ADC code scan (vectors never read);
+    stage 2 BROADCASTS the |probes|·shortlist id pairs against the
+    corpus — a map-side hash semi-join prunes the vector fetch to
+    exactly the shortlist rows, so the expensive float math touches
+    ``|probes| · shortlist`` vectors no matter how large the corpus.
+    One window shuffle per stage, nothing else.
+    """
+    from computer_vision_foundations_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+
+    short = pq_adc_topk(
+        corpus,
+        probes,
+        codebooks,
+        k=shortlist,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_digits=round_digits,
+    ).select("probe_id", "neighbor_id")
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(vec_col).alias("_cn"),
+    )
+    pvec = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        l2_norm(vec_col).alias("_pn"),
+    )
+    scored = (
+        cvec.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(pvec), "probe_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_norms("_pv", "_cv", "_pn", "_cn"),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
 
 

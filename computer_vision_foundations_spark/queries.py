@@ -5884,6 +5884,61 @@ def z26_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_rerank_oracle_sql() -> str:
+    score = " + ".join(
+        f"p.d{s}[c.codes[{s + 1}] + 1]" for s in range(_PQ_SUBS)
+    )
+    return f"""
+    {_pq_codes_cte()}
+    , short AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round({score}, 6) ASC, c.vec_id ASC) AS rank
+        FROM d p JOIN codes c ON p.vec_id < 5 AND c.vec_id <> p.vec_id) t
+      WHERE rank <= 50
+    )
+    SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+      SELECT s.probe_id, s.neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(pe.embedding AS DOUBLE[])),
+                   6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.probe_id
+               ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(pe.embedding AS DOUBLE[])), 6) DESC,
+                        s.neighbor_id ASC) AS rank
+      FROM short s
+      JOIN embeddings e  ON e.vec_id  = s.neighbor_id
+      JOIN embeddings pe ON pe.vec_id = s.probe_id) t
+    WHERE rank <= 10
+    """
+
+
+@_register("z27_pq_rerank", _pq_rerank_oracle_sql())
+def z27_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: PQ asymmetric-distance shortlist (top-50 per
+    probe over compressed codes — vectors never read) followed by an
+    exact-cosine re-rank of ONLY the shortlist rows
+    (``operators/quantization.pq_rerank_topk``; the IVFADC+R pattern,
+    Jégou et al. 2011). The oracle replays both stages — literal
+    codebooks for the ADC stage, ``list_cosine_similarity`` for the
+    re-rank — so shortlist membership AND final exact ranking are
+    hash-checked. Schema matches ``brute_force_knn`` (q27), making
+    two-stage recall directly measurable against the exact baseline."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    return pq_rerank_topk(emb, probes, cbs, k=10, shortlist=50)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -234,3 +234,70 @@ def test_sq8_degenerate_constant_dim(spark):
     out = {r.vec_id: r.sq_codes for r in sq8_encode(df, mins, maxs).collect()}
     assert out[1][0] == 0 and out[2][0] == 0  # constant dim -> code 0
     assert out[1][1] == 255 and out[2][1] == 0
+
+
+def test_pq_rerank_exact_scores_on_shortlist(spark, emb_df):
+    """Re-rank scores equal brute-force exact cosine, and with a
+    shortlist covering the whole corpus the two-stage result IS the
+    exact top-k (ADC approximation fully corrected)."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_rerank_topk,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        brute_force_knn,
+    )
+
+    cbs = pq_codebooks(DIM, SUBS, CENTS, SEED)
+    probes = emb_df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in brute_force_knn(emb_df, probes, k=5).collect()
+    }
+    # shortlist = corpus size → rerank must equal exact
+    full = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in pq_rerank_topk(
+            emb_df, probes, cbs, k=5, shortlist=100
+        ).collect()
+    }
+    assert full == exact
+    # tight shortlist: every returned score still equals the exact
+    # cosine for that pair (scores are never approximate after rerank)
+    tight = pq_rerank_topk(emb_df, probes, cbs, k=5, shortlist=8).collect()
+    exact_pairs = {
+        (r.probe_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_knn(emb_df, probes, k=39).collect()
+    }
+    assert tight
+    for r in tight:
+        assert exact_pairs[(r.probe_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_pq_rerank_recall_improves_over_adc(spark, emb_df):
+    """Two-stage recall@5 vs exact is at least the pure-ADC recall@5
+    (rerank can only fix orderings inside the shortlist)."""
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_rerank_topk,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        brute_force_knn,
+    )
+
+    cbs = pq_codebooks(DIM, SUBS, CENTS, SEED)
+    probes = emb_df.filter(F.col("vec_id") < 3)
+
+    def topset(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topset(brute_force_knn(emb_df, probes, k=5).collect())
+    adc = topset(pq_adc_topk(emb_df, probes, cbs, k=5).collect())
+    rr = topset(
+        pq_rerank_topk(emb_df, probes, cbs, k=5, shortlist=20).collect()
+    )
+    for p in exact:
+        r_adc = len(adc[p] & exact[p]) / 5
+        r_rr = len(rr[p] & exact[p]) / 5
+        assert r_rr >= r_adc

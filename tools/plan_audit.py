@@ -229,6 +229,26 @@ AUDIT = {
         "final 5-row segment aggregate",
         (),
     ),
+    "z25_table_profile": (
+        "whole profile = ONE aggregation job (multi-DISTINCT via a "
+        "single Expand) + a stack reshape of the 1-row result",
+        (),
+    ),
+    "z26_multimodal_manifest": (
+        "all three codec signals derive in-row: narrow Arrow "
+        "projections over one documents scan — zero joins, zero "
+        "shuffle",
+        (),
+    ),
+    "z27_pq_rerank": (
+        "stage 1 scans codes only (broadcast probe LUTs, the "
+        "sanctioned ADC product); stage 2 broadcasts the "
+        "|probes|·shortlist ids so the exact-cosine fetch is a "
+        "map-side pruned hash join — the corpus vectors never "
+        "shuffle. BroadcastNestedLoopJoin = the ADC scan, identical "
+        "to q29's allowlisted plan",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
