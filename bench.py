@@ -112,6 +112,7 @@ HEADLINE = [
     "z25_table_profile",
     "z26_multimodal_manifest",
     "z27_pq_rerank",
+    "z28_zorder_optimize",
 ]
 
 

@@ -5939,6 +5939,55 @@ def z27_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(emb, probes, cbs, k=10, shortlist=50)
 
 
+@_register(
+    "z28_zorder_optimize",
+    """
+    SELECT o_orderkey % 64 AS zx, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 64 < 8 AND o_custkey % 64 < 8
+    GROUP BY o_orderkey % 64
+    """,
+)
+def z28_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`OPTIMIZE ... ZORDER BY` on the transactional table format
+    (``sources/acid.py:optimize_zorder`` + ``operators/zorder.py``):
+    orders land scattered across small files, then one remove+add
+    commit rewrites the snapshot clustered by the Morton key of
+    (orderkey, custkey) buckets; the query then filters a z-box and
+    aggregates. The oracle replays the filter+aggregate straight from
+    the source table, so the rewrite must be exactly data-invariant —
+    a dropped/duplicated row or a bad interleave-driven partition
+    boundary hash-fails. Multi-column min/max pruning on the
+    clustered files is pinned by ``tests/test_acid.py``."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import (
+        create_table,
+        optimize_zorder,
+        read_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 64).alias("zx"),
+        (F.col("o_custkey") % 64).alias("zy"),
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="acid_zo_")
+    create_table(spark, root, orders.repartition(16))
+    optimize_zorder(spark, root, ["zx", "zy"], bits=6,
+                    target_file_bytes=64 * 1024)
+    snap = read_table(spark, root)
+    return (
+        snap.filter((F.col("zx") < 8) & (F.col("zy") < 8))
+        .groupBy("zx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

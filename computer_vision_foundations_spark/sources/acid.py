@@ -58,6 +58,7 @@ __all__ = [
     "delete_where",
     "upsert",
     "optimize",
+    "optimize_zorder",
     "vacuum",
 ]
 
@@ -386,6 +387,51 @@ def optimize(
     n_out = max(1, -(-total_bytes // target_file_bytes))
     added = _write_data_files(df.repartition(n_out), root)
     return _commit(root, "optimize", added, small, expected_version=current)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    bits: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the current snapshot clustered by a Morton z-order key
+    over ``cols`` (the `OPTIMIZE ... ZORDER BY` shape of log-structured
+    table formats): every data file afterwards spans a compact
+    multi-column range, so min/max footer stats prune multi-column
+    filters that a single sort column cannot. Data is unchanged; the
+    rewrite publishes as ONE remove+add commit, and time travel to any
+    earlier version still resolves to the original files.
+
+    ``cols`` must be non-negative integers in ``[0, 2^bits)`` (bucket
+    or quantize wider domains first — ``operators/zorder.zorder_key``
+    documents the interleave). At 100 TB, z-order the frequently
+    co-filtered dimensions of the biggest table once; every later scan
+    with those predicates reads a small file subset."""
+    from computer_vision_foundations_spark.operators.zorder import (
+        layout_by_zorder,
+    )
+
+    current = _resolve_version(root, None, None)
+    files = _snapshot_files(root, current)
+    if not files:
+        return current
+    paths = [os.path.join(root, f) for f in files]
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    clustered = layout_by_zorder(
+        spark.read.parquet(*paths), cols, bits=bits, n_files=n_out
+    )
+    added = _write_data_files(clustered, root)
+    return _commit(
+        root,
+        "optimize_zorder",
+        added,
+        files,
+        expected_version=current,
+        meta={"zorder_by": list(cols), "bits": bits},
+    )
 
 
 def vacuum(root: str, retain_last: int = 5) -> list[str]:

@@ -163,3 +163,54 @@ def test_create_refuses_existing(spark, tmp_path):
     create_table(spark, root, _df(spark, range(2), "a"))
     with pytest.raises(FileExistsError):
         create_table(spark, root, _df(spark, range(2), "a"))
+
+
+def test_optimize_zorder_clusters_without_changing_data(spark, tmp_path):
+    """OPTIMIZE ZORDER: one remove+add commit, identical data, earlier
+    versions untouched, and per-file min/max ranges on the z-ordered
+    columns are genuinely narrower than the global range."""
+    import pyarrow.parquet as pq
+
+    from computer_vision_foundations_spark.sources.acid import (
+        optimize_zorder,
+    )
+
+    root = str(tmp_path / "tz")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # scatter across many small files so the rewrite has work to do
+    v1 = create_table(spark, root, df.repartition(16))
+    before = sorted(r.payload for r in read_table(spark, root).collect())
+    v2 = optimize_zorder(
+        spark, root, ["x", "y"], bits=6, target_file_bytes=8 * 1024
+    )
+    assert v2 == v1 + 1
+    hist = table_history(root)
+    assert hist[-1]["action"] == "optimize_zorder"
+    assert hist[-1]["meta"]["zorder_by"] == ["x", "y"]
+    after = read_table(spark, root)
+    assert sorted(r.payload for r in after.collect()) == before
+    # time travel bypasses the rewrite
+    assert read_table(spark, root, version=v1).count() == 4096
+    # clustering evidence from parquet footers: mean per-file x-range
+    # is well under the global range (random layout would be ~full)
+    data_files = {
+        f for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".parquet")
+    }
+    current = {os.path.basename(f) for f in hist[-1]["added"]}
+    widths = []
+    for f in current:
+        md = pq.ParquetFile(os.path.join(root, "data", f)).metadata
+        lo, hi = 64, -1
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # x
+            lo = min(lo, col.statistics.min)
+            hi = max(hi, col.statistics.max)
+        widths.append(hi - lo)
+    assert len(widths) > 2
+    assert sum(widths) / len(widths) < 0.6 * 63
+    assert current <= data_files

@@ -249,6 +249,12 @@ AUDIT = {
         "to q29's allowlisted plan",
         ("BroadcastNestedLoopJoin",),
     ),
+    "z28_zorder_optimize": (
+        "the z-order rewrite already committed; the read-back is a "
+        "plain snapshot scan with the z-box filter pushed to parquet "
+        "footers + one small hash agg",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
