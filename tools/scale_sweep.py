@@ -67,6 +67,16 @@ SWEEP_QUERIES = [
     "q20_training_corpus",
     "q82_sessionization",
     "q86_time_rollup",
+    # round-4 additions: the media codecs are byte-linear (replicated
+    # text grows their work 5x with zero pair formation — the sweep
+    # proves the codecs stay exact on 5x the documents), the rerank
+    # composes two oracled stages, and the profiler counts must grow
+    # exactly as the replication predicts.
+    "z21_wav_audio_stats",
+    "z22_gif_frame_sample",
+    "z26_multimodal_manifest",
+    "z27_pq_rerank",
+    "z25_table_profile",
 ]
 
 PAIR_QUERIES = {
