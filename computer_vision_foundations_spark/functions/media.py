@@ -104,14 +104,13 @@ def _fake_n_frames(n_bytes: int) -> int:
     return 8 + n_bytes % 8
 
 
-def with_audio_metadata(
-    df: DataFrame, content_col: str = "content", out_col: str = "audio_meta"
-) -> DataFrame:
-    """Typed audio metadata struct from the binary column. RIFF/WAVE
+def audio_metadata_udf():
+    """Arrow-batched UDF behind ``with_audio_metadata`` (also the SQL
+    registration target, see ``register_media_functions``). RIFF/WAVE
     bytes get a REAL header-only parse (``functions/wav.py`` — rate,
     channels, sample count from the fmt/data chunks, payload untouched);
     other bytes keep the documented fake (one sample per byte at
-    16 kHz mono). Narrow, Arrow-batched."""
+    16 kHz mono)."""
     from computer_vision_foundations_spark.functions.wav import (
         is_wav,
         wav_metadata,
@@ -141,7 +140,16 @@ def with_audio_metadata(
                 }
             )
 
-    return df.withColumn(out_col, meta(F.col(content_col)))
+    return meta
+
+
+def with_audio_metadata(
+    df: DataFrame, content_col: str = "content", out_col: str = "audio_meta"
+) -> DataFrame:
+    """Typed audio metadata struct from the binary column (real WAV
+    header parse for RIFF bytes, documented fake otherwise — see
+    ``audio_metadata_udf``). Narrow, Arrow-batched."""
+    return df.withColumn(out_col, audio_metadata_udf()(F.col(content_col)))
 
 
 def audio_frame_energies(window: int = 64):
@@ -280,15 +288,13 @@ def encode_text_gif(col, frame_w: int = 4, frame_h: int = 4,
     return enc(col)
 
 
-def with_video_metadata(
-    df: DataFrame, content_col: str = "content", out_col: str = "video_meta"
-) -> DataFrame:
-    """Typed video metadata struct from the binary column. GIF bytes
-    get a REAL header walk (``functions/gif.py`` — dimensions and
-    frame count from the block structure, LZW payload skipped via
-    sub-block lengths; fps = 100 / first graphic-control delay);
-    other bytes keep the documented fake (n_frames = 8 + len mod 8 at
-    24 fps, 64×64). Narrow, Arrow-batched."""
+def video_metadata_udf():
+    """Arrow-batched UDF behind ``with_video_metadata`` (also the SQL
+    registration target). GIF bytes get a REAL header walk
+    (``functions/gif.py`` — dimensions and frame count from the block
+    structure, LZW payload skipped via sub-block lengths; fps = 100 /
+    first graphic-control delay); other bytes keep the documented fake
+    (n_frames = 8 + len mod 8 at 24 fps, 64×64)."""
     from computer_vision_foundations_spark.functions.gif import (
         gif_metadata,
         is_gif,
@@ -322,7 +328,29 @@ def with_video_metadata(
                 }
             )
 
-    return df.withColumn(out_col, meta(F.col(content_col)))
+    return meta
+
+
+def with_video_metadata(
+    df: DataFrame, content_col: str = "content", out_col: str = "video_meta"
+) -> DataFrame:
+    """Typed video metadata struct from the binary column (real GIF
+    header walk for GIF bytes, documented fake otherwise — see
+    ``video_metadata_udf``). Narrow, Arrow-batched."""
+    return df.withColumn(out_col, video_metadata_udf()(F.col(content_col)))
+
+
+def register_media_functions(spark) -> None:
+    """SQL registration for the audio/video modality so
+    ``expr("get_audio_metadata(content)")`` works — the same named-UDF
+    surface the reference exposes for images
+    (`02_Data Ingest.py:204,252`), extended to the other media types.
+    Registers: get_audio_metadata, get_video_metadata,
+    audio_frame_energies (window 64), wav_window_stats (window 32)."""
+    spark.udf.register("get_audio_metadata", audio_metadata_udf())
+    spark.udf.register("get_video_metadata", video_metadata_udf())
+    spark.udf.register("audio_frame_energies", audio_frame_energies(64))
+    spark.udf.register("wav_window_stats", wav_window_stats(32))
 
 
 def sample_video_frames(

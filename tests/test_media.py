@@ -194,3 +194,27 @@ def test_wav_window_stats_matches_numpy(spark):
         nonneg = w[i] >= 0
         assert s.zcr == int((nonneg[1:] != nonneg[:-1]).sum())
         assert s.peak == int(np.abs(w[i]).max())
+
+
+def test_register_media_functions_sql_surface(spark):
+    """Named-UDF SQL parity (the reference's spark.udf.register shape,
+    02_Data Ingest.py:204,252) for the audio/video modality."""
+    from computer_vision_foundations_spark.functions.media import (
+        register_media_functions,
+    )
+
+    register_media_functions(spark)
+    wav_bytes = encode_wav(np.zeros((100, 1), dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_bytes))], "doc_id long, content binary"
+    )
+    df.createOrReplaceTempView("media_sql_test")
+    row = spark.sql(
+        "SELECT get_audio_metadata(content) AS am,"
+        "       get_video_metadata(content) AS vm,"
+        "       wav_window_stats(content)   AS ws "
+        "FROM media_sql_test"
+    ).collect()[0]
+    assert row.am.sample_rate == 8000 and row.am.n_samples == 100
+    assert row.vm.fps == 24.0  # WAV bytes are not a GIF: fake video path
+    assert len(row.ws) == 3  # 100 samples // 32
