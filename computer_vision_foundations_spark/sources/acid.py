@@ -322,12 +322,18 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
 
 
 def upsert(
-    spark: SparkSession, root: str, updates: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    meta: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE: rows in ``updates`` replace same-key rows,
     new keys append — the batch twin of ``streaming/upsert.py``'s
     foreachBatch sink. Only files containing a matched key are
-    rewritten."""
+    rewritten. ``meta`` rides the commit record (the streaming sink
+    stores its ``{"txn": {app_id: batch_id}}`` watermark there for
+    replay-proof exactly-once)."""
     current = _resolve_version(root, None, None)
     files = _snapshot_files(root, current)
     if files:
@@ -357,7 +363,9 @@ def upsert(
     for p in parts[1:]:
         merged = merged.unionByName(p)
     added = _write_data_files(merged, root)
-    return _commit(root, "upsert", added, touched, expected_version=current)
+    return _commit(
+        root, "upsert", added, touched, expected_version=current, meta=meta
+    )
 
 
 def optimize(

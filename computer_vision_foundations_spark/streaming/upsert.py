@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["upsert_stream"]
+__all__ = ["upsert_stream", "stream_upsert_acid", "last_committed_batch"]
 
 
 def _existing_keys(spark: SparkSession, path: str, key_cols: list[str]):
@@ -84,6 +84,84 @@ def upsert_stream(
             )
             # first write must create the table dir for overwrite mode
             writer.parquet(output_path)
+
+    query = (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def last_committed_batch(root: str, app_id: str) -> int:
+    """Highest micro-batch id this ``app_id`` has committed into the
+    transactional table at ``root`` (−1 if none) — read from the
+    commit log's ``meta.txn`` records, the same idempotence ledger
+    log-structured formats keep for streaming writers."""
+    from computer_vision_foundations_spark.sources.acid import (
+        table_history,
+    )
+
+    last = -1
+    for c in table_history(root):
+        txn = (c.get("meta") or {}).get("txn") or {}
+        if app_id in txn:
+            last = max(last, int(txn[app_id]))
+    return last
+
+
+def stream_upsert_acid(
+    df: DataFrame,
+    root: str,
+    checkpoint_path: str,
+    key_cols: list[str],
+    app_id: str = "stream-upsert",
+    max_txn_retries: int = 5,
+):
+    """Streaming MERGE into the transactional table format
+    (``sources/acid.py``) with REPLAY-PROOF exactly-once: every
+    micro-batch commits as one copy-on-write upsert whose commit
+    record carries ``{"txn": {app_id: batch_id}}``. After a crash the
+    checkpoint may re-deliver an already-applied batch — the sink
+    consults the commit log first and SKIPS batch ids at or below the
+    app's high-water mark, so replays are no-ops (the idempotent-sink
+    half of exactly-once; Structured Streaming's checkpoint is the
+    at-least-once half). Concurrent writers surface as
+    ``TxnConflict``; the sink rebases and retries the batch up to
+    ``max_txn_retries`` times.
+
+    Runs availableNow and blocks until drained; returns the finished
+    StreamingQuery.
+    """
+    from computer_vision_foundations_spark.sources.acid import (
+        TxnConflict,
+        create_table,
+        upsert,
+    )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if not os.path.isdir(
+            os.path.join(root, "_txn_log")
+        ):  # first ever batch creates the table
+            create_table(spark, root, batch.dropDuplicates(key_cols))
+            return
+        if batch_id <= last_committed_batch(root, app_id):
+            return  # checkpoint replay of an applied batch: no-op
+        meta = {"txn": {app_id: int(batch_id)}}
+        updates = batch.dropDuplicates(key_cols)
+        for attempt in range(max_txn_retries):
+            try:
+                upsert(spark, root, updates, key_cols, meta=meta)
+                return
+            except TxnConflict:
+                if attempt == max_txn_retries - 1:
+                    raise
+                # another writer advanced the table: re-read and retry
 
     query = (
         df.writeStream.foreachBatch(_apply)

@@ -78,3 +78,97 @@ def test_replace_partitions_rewrites_only_touched_partition(spark, tmp_path):
     )
     rows = {r.day: (r.k, r.v) for r in spark.read.parquet(out).collect()}
     assert rows == {"d1": (1, "one"), "d2": (9, "two-revised")}
+
+
+def test_stream_upsert_acid_exactly_once(spark, tmp_path):
+    """Streaming MERGE into the transactional format: re-delivered
+    keys REPLACE (not skip), the commit log carries the per-app batch
+    watermark, and a simulated checkpoint replay of an applied batch
+    is a no-op (no duplicate rows, no extra version)."""
+    from computer_vision_foundations_spark.sources.acid import (
+        read_table,
+        table_history,
+    )
+    from computer_vision_foundations_spark.streaming.upsert import (
+        last_committed_batch,
+        stream_upsert_acid,
+    )
+
+    tmp = str(tmp_path)
+    src, root, ckpt = (os.path.join(tmp, d) for d in ("src", "t", "ckpt"))
+    os.makedirs(src)
+
+    _write_jsonl(
+        os.path.join(src, "a.json"),
+        [
+            {"k": 1, "v": "one", "day": "d1"},
+            {"k": 2, "v": "two", "day": "d1"},
+        ],
+    )
+    stream_upsert_acid(
+        _stream(spark, src), root, ckpt, key_cols=["k"], app_id="app"
+    )
+    assert {(r.k, r.v) for r in read_table(spark, root).collect()} == {
+        (1, "one"),
+        (2, "two"),
+    }
+
+    # second cycle: k=2 revised + k=3 new — MERGE semantics replace
+    _write_jsonl(
+        os.path.join(src, "b.json"),
+        [
+            {"k": 2, "v": "two-v2", "day": "d2"},
+            {"k": 3, "v": "three", "day": "d2"},
+        ],
+    )
+    stream_upsert_acid(
+        _stream(spark, src), root, ckpt, key_cols=["k"], app_id="app"
+    )
+    rows = {(r.k, r.v) for r in read_table(spark, root).collect()}
+    assert rows == {(1, "one"), (2, "two-v2"), (3, "three")}
+    wm = last_committed_batch(root, "app")
+    assert wm >= 1
+    n_versions = len(table_history(root))
+
+    # simulated crash-replay: re-apply an already-committed batch id
+    # through the same code path — must be a silent no-op
+    from computer_vision_foundations_spark.streaming import upsert as mod
+
+    batch = spark.createDataFrame(
+        [(2, "two-REPLAYED", "d2")], SCHEMA
+    )
+    # drive the foreachBatch body directly with a stale batch_id
+    captured = {}
+
+    def fake_foreach(fn):
+        captured["fn"] = fn
+
+        class _Q:
+            def option(self, *a, **k):
+                return self
+
+            def trigger(self, *a, **k):
+                return self
+
+            def start(self):
+                class _S:
+                    def awaitTermination(self_inner):
+                        fn(batch, wm)  # replayed batch id == watermark
+
+                return _S()
+
+        return _Q()
+
+    class _WS:
+        def foreachBatch(self, fn):
+            return fake_foreach(fn)
+
+    class _FakeStream:
+        writeStream = _WS()
+
+    mod.stream_upsert_acid(
+        _FakeStream(), root, ckpt, key_cols=["k"], app_id="app"
+    )
+    rows_after = {(r.k, r.v) for r in read_table(spark, root).collect()}
+    assert rows_after == rows  # replay changed nothing
+    assert len(table_history(root)) == n_versions  # and committed nothing
