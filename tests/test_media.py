@@ -218,3 +218,36 @@ def test_register_media_functions_sql_surface(spark):
     assert row.am.sample_rate == 8000 and row.am.n_samples == 100
     assert row.vm.fps == 24.0  # WAV bytes are not a GIF: fake video path
     assert len(row.ws) == 3  # 100 samples // 32
+
+
+def _wav_property_check(vals, rate, bits):
+    import numpy as np
+
+    if bits == 8:
+        arr = (np.asarray(vals, dtype=np.int64) % 256) - 128
+    else:
+        arr = (np.asarray(vals, dtype=np.int64) % 65536 - 32768).astype(
+            np.int16
+        )
+    y, got_rate, got_bits = decode_wav(encode_wav(arr, rate, bits=bits))
+    assert got_rate == rate and got_bits == bits
+    assert (y[:, 0] == arr.astype(np.int32)).all()
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: any int sequence round-trips bit-exactly at both
+    widths and arbitrary sample rates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1,
+                 max_size=500),
+        st.sampled_from([8_000, 16_000, 44_100, 48_000]),
+        st.sampled_from([8, 16]),
+    )
+    def inner(vals, rate, bits):
+        _wav_property_check(vals, rate, bits)
+
+    inner()
