@@ -28,6 +28,7 @@ Fake semantics (documented contract, pinned by tests and oracles):
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -87,7 +88,10 @@ def _decode_any_audio(content: bytes) -> tuple[np.ndarray, int]:
     RIFF/WAVE bytes take the REAL codec (``functions/wav.py``; channel
     0 of the decoded PCM — deterministic, no float mixdown); anything
     else falls back to the documented fake so non-audio binaries keep
-    their pinned contract.
+    their pinned contract. A CORRUPT container (magic present, body
+    malformed) also falls back instead of raising: one bad blob must
+    not kill a thousand-executor job — the fake path keeps the UDF
+    total and deterministic.
     """
     from computer_vision_foundations_spark.functions.wav import (
         decode_wav,
@@ -95,8 +99,11 @@ def _decode_any_audio(content: bytes) -> tuple[np.ndarray, int]:
     )
 
     if content and is_wav(content):
-        pcm, rate, _bits = decode_wav(content)
-        return pcm[:, 0].astype(np.int64), rate
+        try:
+            pcm, rate, _bits = decode_wav(content)
+            return pcm[:, 0].astype(np.int64), rate
+        except (ValueError, struct.error):
+            pass  # corrupt container: documented fake fallback below
     return _pcm_from_bytes(content), FAKE_SAMPLE_RATE
 
 
@@ -121,9 +128,13 @@ def audio_metadata_udf():
         for contents in it:
             rates, chans, counts = [], [], []
             for b in contents:
+                rate = None
                 if b and is_wav(bytes(b)):
-                    rate, ch, n = wav_metadata(bytes(b))
-                else:
+                    try:
+                        rate, ch, n = wav_metadata(bytes(b))
+                    except (ValueError, struct.error):
+                        rate = None  # corrupt container: fake below
+                if rate is None:
                     rate, ch, n = FAKE_SAMPLE_RATE, 1, len(b or b"")
                 rates.append(rate)
                 chans.append(ch)
@@ -305,8 +316,14 @@ def video_metadata_udf():
         for contents in it:
             ws, hs, ns, fps = [], [], [], []
             for b in contents:
+                parsed = None
                 if b and is_gif(bytes(b)):
-                    gw, gh, gn, delay = gif_metadata(bytes(b))
+                    try:
+                        parsed = gif_metadata(bytes(b))
+                    except (ValueError, struct.error, IndexError):
+                        parsed = None  # corrupt container: fake below
+                if parsed is not None:
+                    gw, gh, gn, delay = parsed
                     ws.append(gw)
                     hs.append(gh)
                     ns.append(gn)
@@ -385,11 +402,17 @@ def sample_video_frames(
             ids, idxs, tss, keys = [], [], [], []
             for doc_id, b in zip(batch[id_col], batch[content_col]):
                 b = bytes(b) if b else b""
+                decoded = None
                 if b and is_gif(b):
                     # REAL decode: composited RGB frames; key = the
                     # channel-0 pixel sum (mod 2^31 to stay int32),
                     # ts from the cumulative graphic-control delays.
-                    frames, delays, _wh = decode_gif(b)
+                    try:
+                        decoded = decode_gif(b)
+                    except (ValueError, struct.error, IndexError):
+                        decoded = None  # corrupt: fake sampler below
+                if decoded is not None:
+                    frames, delays, _wh = decoded
                     t_cs = 0
                     for i, (frame, d) in enumerate(zip(frames, delays)):
                         if i % every_n == 0:

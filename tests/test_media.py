@@ -251,3 +251,28 @@ def test_wav_roundtrip_property():
         _wav_property_check(vals, rate, bits)
 
     inner()
+
+
+def test_corrupt_containers_fall_back_not_crash(spark):
+    """A corrupt blob must NOT kill the job: RIFF/GIF magic with a
+    malformed body falls back to the documented fake paths in every
+    sniffed UDF (metadata, window stats, frame sampling)."""
+    from computer_vision_foundations_spark.functions.media import (
+        sample_video_frames,
+        with_video_metadata,
+    )
+
+    bad_wav = b"RIFF\xff\xff\xff\xffWAVEgarbage-no-chunks"
+    bad_gif = b"GIF89a\x05\x00"  # truncated before the screen packed byte
+    df = spark.createDataFrame(
+        [(0, bad_wav), (1, bad_gif)], "doc_id long, content binary"
+    )
+    am = {r.doc_id: r.audio_meta for r in with_audio_metadata(df).collect()}
+    assert am[0].sample_rate == 16_000  # fake path engaged
+    assert am[0].n_samples == len(bad_wav)
+    vm = {r.doc_id: r.video_meta for r in with_video_metadata(df).collect()}
+    assert vm[1].fps == 24.0 and vm[1].n_frames == 8 + len(bad_gif) % 8
+    ws = df.select(wav_window_stats(8)(F.col("content")).alias("w")).collect()
+    assert all(r.w is not None for r in ws)
+    frames = sample_video_frames(df, every_n=2).collect()
+    assert frames  # fake sampler produced rows for both blobs
