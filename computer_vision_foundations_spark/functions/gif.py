@@ -267,16 +267,26 @@ def _skip_subblocks(data: bytes, pos: int) -> int:
 
 def decode_gif(
     data: bytes,
+    max_pixels: int = 16_000_000,
 ) -> tuple[list[np.ndarray], list[int], tuple[int, int]]:
     """Full decode → ``(frames, delays_cs, (width, height))``.
 
     Each frame is the COMPOSITED canvas after that image: ``(h, w, 3)``
     uint8 RGB, honoring frame offsets, local palettes, transparency
     and disposal methods 0–3. Delay is the preceding graphic-control
-    extension's centisecond value (0 when absent)."""
+    extension's centisecond value (0 when absent).
+
+    ``max_pixels`` bounds every allocation against header bombs: a
+    30-byte blob can DECLARE a 65535×65535 canvas (12.9 GB of RGB) —
+    without the cap a corrupt file OOM-kills the executor before any
+    try/except can help. Raises ValueError (the fallback-able kind)
+    when the declared canvas, a frame rect, or total decoded frame
+    pixels exceed the budget."""
     if not is_gif(data):
         raise ValueError("not a GIF stream")
     w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if w * h > max_pixels:
+        raise ValueError(f"canvas {w}x{h} exceeds max_pixels budget")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -294,6 +304,7 @@ def decode_gif(
     delay = 0
     transparent = -1
     disposal = 0
+    total_pixels = 0
     end = len(data)
     while pos < end:
         block = data[pos]
@@ -316,6 +327,13 @@ def decode_gif(
         if block != 0x2C:  # unknown block: stop rather than misparse
             break
         left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        if fw * fh > max_pixels:
+            raise ValueError(f"frame {fw}x{fh} exceeds max_pixels budget")
+        # composited output copies the full canvas per frame — budget
+        # the SUM of all allocations, not just the biggest one
+        total_pixels += fw * fh + w * h
+        if total_pixels > 4 * max_pixels:
+            raise ValueError("total decoded frame pixels exceed budget")
         pos += 9
         pal = gct
         if ipacked & 0x80:

@@ -405,8 +405,8 @@ def sample_video_frames(
                 decoded = None
                 if b and is_gif(b):
                     # REAL decode: composited RGB frames; key = the
-                    # channel-0 pixel sum (mod 2^31 to stay int32),
-                    # ts from the cumulative graphic-control delays.
+                    # channel-0 pixel sum mod 2_147_483_647 (2^31 - 1,
+                    # to stay int32), ts from cumulative GC delays.
                     try:
                         decoded = decode_gif(b)
                     except (ValueError, struct.error, IndexError):

@@ -85,6 +85,22 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _validate_fmt(
+    audio_format: int, ch: int, sample_rate: int, bits: int
+) -> None:
+    """Shared header validation for decode_wav AND wav_metadata, so
+    the metadata and stats UDFs can never disagree on whether a blob
+    is decodable (and zero channels/rates can't divide-by-zero)."""
+    if audio_format != 1:
+        raise ValueError(f"unsupported wFormatTag {audio_format} (PCM only)")
+    if ch < 1:
+        raise ValueError(f"invalid channel count {ch}")
+    if sample_rate < 1:
+        raise ValueError(f"invalid sample rate {sample_rate}")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported bit depth {bits}")
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     """Parse a WAV file → ``(samples, sample_rate, bits)``.
 
@@ -115,8 +131,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
     if fmt is None or payload is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, ch, sample_rate, _rate, _align, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"unsupported wFormatTag {audio_format} (PCM only)")
+    _validate_fmt(audio_format, ch, sample_rate, bits)
     if bits == 16:
         flat = np.frombuffer(
             payload[: len(payload) // (2 * ch) * 2 * ch], dtype="<i2"
@@ -156,7 +171,8 @@ def wav_metadata(data: bytes) -> tuple[int, int, int]:
         pos += 8 + size + (size % 2)
     if fmt is None or data_size is None:
         raise ValueError("missing fmt or data chunk")
-    _, ch, sample_rate, _, _, bits = fmt
+    audio_format, ch, sample_rate, _, _, bits = fmt
+    _validate_fmt(audio_format, ch, sample_rate, bits)
     n_samples = data_size // (ch * (bits // 8))
     return sample_rate, ch, n_samples
 

@@ -64,7 +64,8 @@ def profile_table(
         t = dtypes[c]
         if not (t == "string" or t.startswith(_NUMERIC_PREFIXES)):
             raise ValueError(f"unsupported column type {c}: {t}")
-        col = F.col(c)
+        # backtick-quote so dotted names stay top-level columns
+        col = F.col("`" + c.replace("`", "``") + "`")
         nd = (
             F.count_distinct(col)
             if exact_ndv
@@ -97,8 +98,9 @@ def profile_table(
         else:
             num_lo, num_hi = f"__lo{i}", f"__hi{i}"
             str_lo, str_hi = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        lit = c.replace("'", "''")  # SQL-literal-safe column label
         parts.append(
-            f"'{c}', __rows, CAST(__n{i} AS BIGINT), "
+            f"'{lit}', __rows, CAST(__n{i} AS BIGINT), "
             f"CAST(__d{i} AS BIGINT), {num_lo}, {num_hi}, "
             f"{str_lo}, {str_hi}"
         )

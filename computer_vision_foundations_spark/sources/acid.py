@@ -231,12 +231,18 @@ def _commit(
         return target
 
 
-def create_table(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Create a transactional table from ``df`` (version 1)."""
+def create_table(
+    spark: SparkSession, root: str, df: DataFrame, meta: dict | None = None
+) -> int:
+    """Create a transactional table from ``df`` (version 1). ``meta``
+    entries merge into the commit record alongside the schema (the
+    streaming sink stores its txn watermark there so even the
+    table-creating batch is replay-proof)."""
     if _list_versions(root):
         raise FileExistsError(f"transactional table already exists at {root}")
     added = _write_data_files(df, root)
-    return _commit(root, "create", added, [], meta={"schema": df.schema.json()})
+    record = {"schema": df.schema.json(), **(meta or {})}
+    return _commit(root, "create", added, [], meta=record)
 
 
 def write_append(spark: SparkSession, root: str, df: DataFrame) -> int:

@@ -104,12 +104,11 @@ def last_committed_batch(root: str, app_id: str) -> int:
         table_history,
     )
 
-    last = -1
-    for c in table_history(root):
+    for c in reversed(table_history(root)):
         txn = (c.get("meta") or {}).get("txn") or {}
         if app_id in txn:
-            last = max(last, int(txn[app_id]))
-    return last
+            return int(txn[app_id])  # commits are ordered: newest wins
+    return -1
 
 
 def stream_upsert_acid(
@@ -141,14 +140,23 @@ def stream_upsert_acid(
         upsert,
     )
 
+    if max_txn_retries < 1:
+        raise ValueError("max_txn_retries must be >= 1")
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         import os
 
         if not os.path.isdir(
             os.path.join(root, "_txn_log")
-        ):  # first ever batch creates the table
-            create_table(spark, root, batch.dropDuplicates(key_cols))
+        ):  # first ever batch creates the table — and records its txn
+            # watermark, so a crash-replay of batch 0 is skipped too
+            create_table(
+                spark,
+                root,
+                batch.dropDuplicates(key_cols),
+                meta={"txn": {app_id: int(batch_id)}},
+            )
             return
         if batch_id <= last_committed_batch(root, app_id):
             return  # checkpoint replay of an applied batch: no-op

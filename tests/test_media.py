@@ -276,3 +276,59 @@ def test_corrupt_containers_fall_back_not_crash(spark):
     assert all(r.w is not None for r in ws)
     frames = sample_video_frames(df, every_n=2).collect()
     assert frames  # fake sampler produced rows for both blobs
+
+
+def test_wav_header_validation_no_zero_division(spark):
+    """Review findings: corrupt-but-magic headers (0 channels, 0 rate,
+    non-PCM, sub-byte depth) must raise the fallback-able ValueError
+    from BOTH wav_metadata and decode_wav — never ZeroDivisionError —
+    and the metadata UDF must fall back to the fake (no inf
+    durations)."""
+    import struct as st
+
+    import pytest
+
+    base = bytearray(encode_wav(np.array([1, 2, 3], dtype=np.int16), 8000))
+    cases = []
+    for field_off, value in ((22, 0), (24, 0), (20, 3), (34, 4)):
+        bad = bytearray(base)
+        st.pack_into("<H", bad, field_off, value)  # ch / rate / tag / bits
+        cases.append(bytes(bad))
+    for blob in cases:
+        with pytest.raises(ValueError):
+            wav_metadata(blob)
+        with pytest.raises(ValueError):
+            decode_wav(blob)
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(cases)], "doc_id long, content binary"
+    )
+    for r in with_audio_metadata(df).collect():
+        assert r.audio_meta.sample_rate == 16_000  # fake path
+        assert r.audio_meta.duration_sec < 1e9  # no Infinity
+
+
+def test_gif_header_bomb_bounded(spark):
+    """A 30-byte blob declaring a 65535x65535 canvas must raise the
+    fallback-able ValueError instead of allocating gigabytes."""
+    import struct as st
+
+    import pytest
+    from computer_vision_foundations_spark.functions.gif import decode_gif
+
+    bomb = bytearray(b"GIF89a")
+    bomb += st.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    bomb += b"\x2c" + st.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    bomb += b"\x08\x00\x3b"
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bomb))
+    # and the sniffed UDF path falls back instead of dying
+    df = spark.createDataFrame(
+        [(0, bytes(bomb))], "doc_id long, content binary"
+    )
+    from computer_vision_foundations_spark.functions.media import (
+        sample_video_frames,
+        with_video_metadata,
+    )
+
+    assert with_video_metadata(df).collect()[0].video_meta.fps in (24.0,)
+    assert sample_video_frames(df, every_n=2).collect()

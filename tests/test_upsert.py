@@ -172,3 +172,32 @@ def test_stream_upsert_acid_exactly_once(spark, tmp_path):
     rows_after = {(r.k, r.v) for r in read_table(spark, root).collect()}
     assert rows_after == rows  # replay changed nothing
     assert len(table_history(root)) == n_versions  # and committed nothing
+
+
+def test_stream_upsert_acid_guards_and_first_batch_watermark(spark, tmp_path):
+    """max_txn_retries<1 must raise (a 0-retry loop would silently
+    drop batches), and the table-CREATING batch records its txn
+    watermark so even batch 0 is replay-proof."""
+    import pytest
+
+    from computer_vision_foundations_spark.streaming.upsert import (
+        last_committed_batch,
+        stream_upsert_acid,
+    )
+
+    with pytest.raises(ValueError):
+        stream_upsert_acid(
+            None, str(tmp_path / "x"), str(tmp_path / "c"),
+            key_cols=["k"], max_txn_retries=0,
+        )
+
+    tmp = str(tmp_path)
+    src, root, ckpt = (os.path.join(tmp, d) for d in ("src", "t", "ckpt"))
+    os.makedirs(src)
+    _write_jsonl(
+        os.path.join(src, "a.json"), [{"k": 1, "v": "one", "day": "d1"}]
+    )
+    stream_upsert_acid(
+        _stream(spark, src), root, ckpt, key_cols=["k"], app_id="app"
+    )
+    assert last_committed_batch(root, "app") == 0  # batch 0 recorded
