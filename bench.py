@@ -113,6 +113,7 @@ HEADLINE = [
     "z26_multimodal_manifest",
     "z27_pq_rerank",
     "z28_zorder_optimize",
+    "z29_data_skipping",
 ]
 
 

@@ -5988,6 +5988,52 @@ def z28_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z29_data_skipping",
+    """
+    SELECT o_orderstatus,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 3000
+    GROUP BY o_orderstatus
+    """,
+)
+def z29_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log data skipping (``sources/acid.py:prune_files``):
+    orders land range-partitioned into many files, each commit records
+    per-file min/max footer stats in the transaction log, and the read
+    prunes non-intersecting files DRIVER-SIDE before Spark plans the
+    scan — the Delta-shaped file-statistics ledger. The query filter
+    re-applies the predicate, so pruning must be exactly conservative:
+    a file wrongly skipped loses rows and hash-fails against the plain
+    source-table oracle. Composes with ``optimize_zorder`` (z28),
+    which makes multi-column ranges tight."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import (
+        create_table,
+        read_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="acid_ds_")
+    create_table(
+        spark, root, orders.repartitionByRange(16, "o_orderkey")
+    )
+    snap = read_table(spark, root, prune={"o_orderkey": (1000, 3000)})
+    return (
+        snap.filter(F.col("o_orderkey").between(1000, 3000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

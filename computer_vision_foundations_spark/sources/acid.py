@@ -54,6 +54,7 @@ __all__ = [
     "write_append",
     "write_overwrite",
     "read_table",
+    "prune_files",
     "table_history",
     "delete_where",
     "upsert",
@@ -175,6 +176,58 @@ def _write_data_files(df: DataFrame, root: str) -> list[str]:
     return moved
 
 
+def _collect_file_stats(root: str, files: list[str]) -> dict:
+    """Per-file min/max/null-count column statistics from the parquet
+    footers of freshly-written files (a LOCAL metadata read — the
+    payload is not scanned). Stored in the commit record so later
+    reads can prune files driver-side without opening anything — the
+    data-skipping ledger log-structured table formats keep. Only
+    JSON-safe leaf types (ints, floats, strings) are recorded; columns
+    without footer stats are simply absent (readers must keep such
+    files)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return {}
+    out: dict = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                stats = col.statistics
+                if stats is None or not stats.has_min_max:
+                    continue
+                lo, hi = stats.min, stats.max
+                if isinstance(lo, bytes) or isinstance(hi, bytes):
+                    continue
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested leaves: skip (prune is top-level)
+                prev = cols.get(name)
+                if prev is None:
+                    cols[name] = [lo, hi]
+                else:
+                    cols[name] = [min(prev[0], lo), max(prev[1], hi)]
+        if cols:
+            out[rel] = cols
+    return out
+
+
+def _stats_for_snapshot(root: str, version: int) -> dict:
+    """Union of per-file stats from every commit up to ``version``
+    (files are immutable, so the add-time stats stay valid)."""
+    stats: dict = {}
+    for v in _list_versions(root):
+        if v > version:
+            break
+        rec = _read_commit(root, v)
+        stats.update(rec.get("add_stats") or {})
+    return stats
+
+
 def _commit(
     root: str,
     action: str,
@@ -183,6 +236,7 @@ def _commit(
     expected_version: int | None = None,
     checkpoint_every: int = 10,
     meta: dict | None = None,
+    add_stats: dict | None = None,
 ) -> int:
     """Atomically publish one commit; returns the committed version.
 
@@ -206,6 +260,7 @@ def _commit(
             "removed": removed,
             "ts": time.time(),
             "meta": meta or {},
+            "add_stats": add_stats or {},
         }
         tmp = os.path.join(_log_path(root), f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -242,13 +297,19 @@ def create_table(
         raise FileExistsError(f"transactional table already exists at {root}")
     added = _write_data_files(df, root)
     record = {"schema": df.schema.json(), **(meta or {})}
-    return _commit(root, "create", added, [], meta=record)
+    return _commit(
+        root, "create", added, [], meta=record,
+        add_stats=_collect_file_stats(root, added),
+    )
 
 
 def write_append(spark: SparkSession, root: str, df: DataFrame) -> int:
     """ACID append: all of ``df``'s files become visible atomically."""
     added = _write_data_files(df, root)
-    return _commit(root, "append", added, [])
+    return _commit(
+        root, "append", added, [],
+        add_stats=_collect_file_stats(root, added),
+    )
 
 
 def write_overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:
@@ -256,7 +317,34 @@ def write_overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:
     current = _resolve_version(root, None, None)
     removed = _snapshot_files(root, current)
     added = _write_data_files(df, root)
-    return _commit(root, "overwrite", added, removed, expected_version=current)
+    return _commit(
+        root, "overwrite", added, removed, expected_version=current,
+        add_stats=_collect_file_stats(root, added),
+    )
+
+
+def prune_files(
+    root: str, version: int, files: list[str], prune: dict
+) -> list[str]:
+    """Data skipping: keep only files whose commit-log min/max ranges
+    can intersect every ``{column: (lo, hi)}`` closed interval. Files
+    with no recorded stats for a column are KEPT (safe). Driver-side
+    metadata only — nothing is opened or scanned."""
+    stats = _stats_for_snapshot(root, version)
+    kept = []
+    for f in files:
+        cols = stats.get(f) or {}
+        keep = True
+        for col, (lo, hi) in prune.items():
+            rng = cols.get(col)
+            if rng is None:
+                continue
+            if rng[1] < lo or rng[0] > hi:
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
 
 
 def read_table(
@@ -264,11 +352,21 @@ def read_table(
     root: str,
     version: int | None = None,
     as_of_ts: float | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Snapshot read — latest by default, or time travel by ``version``
-    / ``as_of_ts`` (last commit at or before the timestamp)."""
+    / ``as_of_ts`` (last commit at or before the timestamp).
+
+    ``prune={"col": (lo, hi), ...}`` applies commit-log data skipping:
+    files whose recorded min/max cannot intersect the intervals are
+    dropped from the scan BEFORE Spark sees them (plan-time file-list
+    pruning; composes with ``optimize_zorder``, which makes the ranges
+    tight). Pruning is metadata-only and conservative — the caller
+    still applies its own row filter; equal results, fewer files."""
     v = _resolve_version(root, version, as_of_ts)
     files = _snapshot_files(root, v)
+    if prune:
+        files = prune_files(root, v, files, prune)
     if not files:
         # empty snapshot: reconstruct schema from the create commit
         schema = _read_commit(root, _list_versions(root)[0])["meta"].get("schema")
@@ -324,7 +422,10 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
         *[os.path.join(root, f) for f in touched]
     ).filter(~predicate)
     added = _write_data_files(survivors, root) if survivors.limit(1).count() else []
-    return _commit(root, "delete", added, touched, expected_version=current)
+    return _commit(
+        root, "delete", added, touched, expected_version=current,
+        add_stats=_collect_file_stats(root, added),
+    )
 
 
 def upsert(
@@ -370,7 +471,8 @@ def upsert(
         merged = merged.unionByName(p)
     added = _write_data_files(merged, root)
     return _commit(
-        root, "upsert", added, touched, expected_version=current, meta=meta
+        root, "upsert", added, touched, expected_version=current, meta=meta,
+        add_stats=_collect_file_stats(root, added),
     )
 
 
@@ -400,7 +502,10 @@ def optimize(
     df = spark.read.parquet(*[os.path.join(root, f) for f in small])
     n_out = max(1, -(-total_bytes // target_file_bytes))
     added = _write_data_files(df.repartition(n_out), root)
-    return _commit(root, "optimize", added, small, expected_version=current)
+    return _commit(
+        root, "optimize", added, small, expected_version=current,
+        add_stats=_collect_file_stats(root, added),
+    )
 
 
 def optimize_zorder(
@@ -445,6 +550,7 @@ def optimize_zorder(
         files,
         expected_version=current,
         meta={"zorder_by": list(cols), "bits": bits},
+        add_stats=_collect_file_stats(root, added),
     )
 
 

@@ -214,3 +214,61 @@ def test_optimize_zorder_clusters_without_changing_data(spark, tmp_path):
     assert len(widths) > 2
     assert sum(widths) / len(widths) < 0.6 * 63
     assert current <= data_files
+
+
+def test_data_skipping_prunes_files_same_results(spark, tmp_path):
+    """Commit-log file statistics: a pruned read scans strictly fewer
+    files yet filters to identical rows; files without stats are kept
+    (conservative), and skipping composes with OPTIMIZE ZORDER."""
+    from computer_vision_foundations_spark.sources.acid import (
+        optimize_zorder,
+        prune_files,
+        read_table,
+        write_append,
+    )
+    from computer_vision_foundations_spark.sources.acid import (
+        _resolve_version,
+        _snapshot_files,
+    )
+
+    root = str(tmp_path / "ds")
+    lo = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("b")
+    )
+    hi = spark.range(5000, 6000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("b")
+    )
+    create_table(spark, root, lo.repartition(4))
+    write_append(spark, root, hi.repartition(4))
+
+    v = _resolve_version(root, None, None)
+    all_files = _snapshot_files(root, v)
+    kept = prune_files(root, v, all_files, {"k": (0, 999)})
+    assert len(kept) < len(all_files)  # the hi files are skipped
+
+    pruned = read_table(spark, root, prune={"k": (0, 999)}).filter(
+        F.col("k") <= 999
+    )
+    plain = read_table(spark, root).filter(F.col("k") <= 999)
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in plain.collect()
+    )
+
+    # z-order the table on (b, k-bucket): pruning on b now works too
+    t2 = str(tmp_path / "ds2")
+    df = spark.range(0, 2048).select(
+        (F.col("id") % 64).alias("zx"),
+        ((F.col("id") * 13) % 64).alias("zy"),
+        F.col("id").alias("payload"),
+    )
+    create_table(spark, t2, df.repartition(8))
+    optimize_zorder(spark, t2, ["zx", "zy"], bits=6,
+                    target_file_bytes=4 * 1024)
+    v2 = _resolve_version(t2, None, None)
+    files2 = _snapshot_files(t2, v2)
+    kept2 = prune_files(t2, v2, files2, {"zx": (0, 7)})
+    assert len(kept2) < len(files2)
+    got = read_table(spark, t2, prune={"zx": (0, 7)}).filter(
+        F.col("zx") <= 7
+    )
+    assert got.count() == df.filter(F.col("zx") <= 7).count()

@@ -255,6 +255,12 @@ AUDIT = {
         "footers + one small hash agg",
         (),
     ),
+    "z29_data_skipping": (
+        "commit-log stats pruned the file list DRIVER-SIDE before "
+        "planning; the scan reads only intersecting files, filter "
+        "pushed, one small hash agg",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
