@@ -55,6 +55,7 @@ __all__ = [
     "write_overwrite",
     "read_table",
     "prune_files",
+    "table_schema",
     "table_history",
     "delete_where",
     "upsert",
@@ -303,11 +304,65 @@ def create_table(
     )
 
 
-def write_append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """ACID append: all of ``df``'s files become visible atomically."""
+def table_schema(root: str, version: int | None = None):
+    """The snapshot's schema: the most recent commit ≤ version that
+    recorded one (create, or a schema-evolving append/overwrite)."""
+    from pyspark.sql import types as T
+
+    v = _resolve_version(root, version, None)
+    for c in reversed(_list_versions(root)):
+        if c > v:
+            continue
+        schema = _read_commit(root, c)["meta"].get("schema")
+        if schema:
+            return T.StructType.fromJson(json.loads(schema))
+    raise LookupError(f"no schema recorded in {root}")
+
+
+def _check_schema(root: str, df: DataFrame, merge_schema: bool) -> dict:
+    """Schema ENFORCEMENT (the log-structured-format contract a plain
+    parquet directory lacks): an incoming batch must carry exactly the
+    table's columns with the same types, or the write is rejected —
+    silent drift is how petabyte tables rot. With ``merge_schema=True``
+    the batch may ADD new columns (evolution): the widened schema is
+    recorded in this commit's meta and old files read as NULL for the
+    new columns. Returns the meta fragment to attach ({} when the
+    schema is unchanged)."""
+    current = {f.name: f.dataType for f in table_schema(root).fields}
+    incoming = {f.name: f.dataType for f in df.schema.fields}
+    missing = set(current) - set(incoming)
+    extra = set(incoming) - set(current)
+    wrong = {
+        n for n in set(current) & set(incoming)
+        if current[n] != incoming[n]
+    }
+    if missing or wrong:
+        raise ValueError(
+            f"schema mismatch: missing={sorted(missing)} "
+            f"type-changed={sorted(wrong)}"
+        )
+    if extra:
+        if not merge_schema:
+            raise ValueError(
+                f"new columns {sorted(extra)} rejected — pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        return {"schema": df.schema.json()}
+    return {}
+
+
+def write_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    merge_schema: bool = False,
+) -> int:
+    """ACID append: all of ``df``'s files become visible atomically.
+    Schema-enforced; ``merge_schema=True`` permits adding columns."""
+    meta = _check_schema(root, df, merge_schema)
     added = _write_data_files(df, root)
     return _commit(
-        root, "append", added, [],
+        root, "append", added, [], meta=meta,
         add_stats=_collect_file_stats(root, added),
     )
 
@@ -367,6 +422,13 @@ def read_table(
     files = _snapshot_files(root, v)
     if prune:
         files = prune_files(root, v, files, prune)
+    n_schemas = len(
+        {
+            _read_commit(root, c)["meta"].get("schema")
+            for c in _list_versions(root)
+            if c <= v and _read_commit(root, c)["meta"].get("schema")
+        }
+    )
     if not files:
         # empty snapshot: reconstruct schema from the create commit
         schema = _read_commit(root, _list_versions(root)[0])["meta"].get("schema")
@@ -375,7 +437,13 @@ def read_table(
         return spark.createDataFrame(
             [], T.StructType.fromJson(json.loads(schema))
         )
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    reader = spark.read
+    if n_schemas > 1:
+        # evolved table: merge footer schemas so pre-evolution files
+        # surface NULL for later-added columns (paid only when the
+        # log actually recorded an evolution)
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
 def table_history(root: str) -> list[dict]:

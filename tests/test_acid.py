@@ -272,3 +272,42 @@ def test_data_skipping_prunes_files_same_results(spark, tmp_path):
         F.col("zx") <= 7
     )
     assert got.count() == df.filter(F.col("zx") <= 7).count()
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    """Appends must match the table schema exactly (missing columns
+    and type changes rejected); merge_schema=True permits ADDING
+    columns, records the widened schema in the log, and pre-evolution
+    rows read as NULL for the new column."""
+    from computer_vision_foundations_spark.sources.acid import (
+        table_schema,
+    )
+
+    root = str(tmp_path / "se")
+    create_table(spark, root, _df(spark, range(3), "a"))
+
+    with pytest.raises(ValueError):  # missing column
+        write_append(
+            spark, root,
+            spark.createDataFrame([(9, "x")], "id long, tag string"),
+        )
+    with pytest.raises(ValueError):  # type change
+        write_append(
+            spark, root,
+            spark.createDataFrame(
+                [(9, "x", 1)], "id long, tag string, v long"
+            ),
+        )
+    wide = spark.createDataFrame(
+        [(9, "b", 9.0, "extra")], "id long, tag string, v double, note string"
+    )
+    with pytest.raises(ValueError):  # new column without the flag
+        write_append(spark, root, wide)
+    write_append(spark, root, wide, merge_schema=True)
+    assert "note" in [f.name for f in table_schema(root).fields]
+    rows = {r.id: r for r in read_table(spark, root).collect()}
+    assert rows[9].note == "extra"
+    assert rows[0].note is None  # pre-evolution rows surface NULL
+    # enforcement now keys on the WIDENED schema
+    with pytest.raises(ValueError):
+        write_append(spark, root, _df(spark, range(1), "c"))
