@@ -202,7 +202,17 @@ def _collect_file_stats(root: str, files: list[str]) -> dict:
                 if stats is None or not stats.has_min_max:
                     continue
                 lo, hi = stats.min, stats.max
-                if isinstance(lo, bytes) or isinstance(hi, bytes):
+                # WHITELIST JSON-safe scalars: timestamps come back as
+                # datetime, decimals as Decimal, binaries as bytes —
+                # none survive json.dump, all are safely skippable
+                # (absent stats just means the file is never pruned
+                # on that column)
+                if not (
+                    isinstance(lo, (int, float, str))
+                    and isinstance(hi, (int, float, str))
+                    and not isinstance(lo, bool)
+                    and not isinstance(hi, bool)
+                ):
                     continue
                 name = col.path_in_schema
                 if "." in name:

@@ -311,3 +311,28 @@ def test_schema_enforcement_and_evolution(spark, tmp_path):
     # enforcement now keys on the WIDENED schema
     with pytest.raises(ValueError):
         write_append(spark, root, _df(spark, range(1), "c"))
+
+
+def test_file_stats_skip_non_json_types(spark, tmp_path):
+    """Timestamp/binary columns must not break commits: their footer
+    stats are non-JSON scalars (datetime/bytes) and are skipped, so
+    the file simply never prunes on those columns."""
+    from computer_vision_foundations_spark.sources.acid import (
+        _resolve_version,
+        _snapshot_files,
+        prune_files,
+    )
+
+    root = str(tmp_path / "ts")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.col("id").cast("string").cast("binary").alias("raw"),
+    )
+    create_table(spark, root, df)  # json.dump must not raise
+    v = _resolve_version(root, None, None)
+    files = _snapshot_files(root, v)
+    # int column stats present (prunable), ts/binary absent (kept)
+    assert prune_files(root, v, files, {"k": (100, 200)}) == []
+    assert prune_files(root, v, files, {"ts": (0, 1)}) == files
+    assert read_table(spark, root).count() == 10
