@@ -56,6 +56,7 @@ __all__ = [
     "read_table",
     "prune_files",
     "table_schema",
+    "table_changes",
     "table_history",
     "delete_where",
     "upsert",
@@ -454,6 +455,42 @@ def read_table(
         # log actually recorded an evolution)
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*[os.path.join(root, f) for f in files])
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+    fingerprint_col: str,
+) -> DataFrame:
+    """Change data feed between two committed versions: one row per
+    key whose membership or content changed — ``(key…, _change_type)``
+    with _change_type ∈ insert | delete | update (unchanged keys are
+    dropped). Derived by diffing the two immutable snapshots
+    (``operators/diff.snapshot_diff`` underneath): time travel makes
+    every version a first-class relation, so the feed needs no
+    write-path hooks and works retroactively over any version pair.
+    Only (key, 16-byte fingerprint) pairs shuffle — payloads never
+    cross the join, the same scale shape as the corpus diff."""
+    from computer_vision_foundations_spark.operators.diff import (
+        snapshot_diff,
+    )
+
+    if len(key_cols) != 1:
+        raise ValueError("table_changes keys on exactly one column")
+    key = key_cols[0]
+    old = read_table(spark, root, version=from_version)
+    new = read_table(spark, root, version=to_version)
+    status = snapshot_diff(old, new, id_col=key, text_col=fingerprint_col)
+    return status.filter(F.col("status") != "unchanged").select(
+        key,
+        F.when(F.col("status") == "added", "insert")
+        .when(F.col("status") == "removed", "delete")
+        .otherwise("update")
+        .alias("_change_type"),
+    )
 
 
 def table_history(root: str) -> list[dict]:

@@ -336,3 +336,40 @@ def test_file_stats_skip_non_json_types(spark, tmp_path):
     assert prune_files(root, v, files, {"k": (100, 200)}) == []
     assert prune_files(root, v, files, {"ts": (0, 1)}) == files
     assert read_table(spark, root).count() == 10
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """Change data feed between versions: inserts, deletes and updates
+    classified from the immutable snapshots (retroactive — no
+    write-path hooks)."""
+    from computer_vision_foundations_spark.sources.acid import (
+        table_changes,
+    )
+
+    root = str(tmp_path / "cdf")
+    create_table(spark, root, _df(spark, range(4), "a"))  # v1: 0..3
+    upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, "a2", 2.0), (9, "new", 9.0)], "id long, tag string, v double"
+        ),
+        ["id"],
+    )  # v2: update 2, insert 9
+    delete_where(spark, root, F.col("id") == 0)  # v3: delete 0
+
+    ch12 = {
+        (r.id, r._change_type)
+        for r in table_changes(spark, root, 1, 2, ["id"], "tag").collect()
+    }
+    assert ch12 == {(2, "update"), (9, "insert")}
+    ch23 = {
+        (r.id, r._change_type)
+        for r in table_changes(spark, root, 2, 3, ["id"], "tag").collect()
+    }
+    assert ch23 == {(0, "delete")}
+    ch13 = {
+        (r.id, r._change_type)
+        for r in table_changes(spark, root, 1, 3, ["id"], "tag").collect()
+    }
+    assert ch13 == {(2, "update"), (9, "insert"), (0, "delete")}
