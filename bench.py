@@ -114,6 +114,7 @@ HEADLINE = [
     "z27_pq_rerank",
     "z28_zorder_optimize",
     "z29_data_skipping",
+    "z30_knn_join",
 ]
 
 

@@ -97,6 +97,65 @@ def brute_force_knn(
     )
 
 
+def knn_join_blocked(
+    df: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Self kNN JOIN: for EVERY row, its ``k`` nearest cosine
+    neighbors among rows sharing ``block_col`` — the batch companion
+    to the probe-set ANN family (``brute_force_knn`` answers "nearest
+    to these probes"; this answers "nearest for everyone", the shape
+    dedup canonicalization, recommendation candidates and hard-negative
+    mining need).
+
+    Returns ``(qid, nid, cos_sim, rank)``; ties break on neighbor id
+    after rounding (total-order deterministic for the differential
+    oracle).
+
+    Scale shape: the block equi-join means pairs form only WITHIN
+    blocks — cross-block pairs never exist, so cost is Σ|block|², not
+    n². Pick the blocking from the data (labels/domains here; LSH
+    buckets or IVF cells via ``hyperplane_bucket``/``ivf_flat_knn``
+    when no natural key exists — same join shape). Norms are computed
+    per side BEFORE the join; one shuffle for the block join + one for
+    the per-query top-k window."""
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(vec_col).alias("_qn"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("_nv"),
+        l2_norm(vec_col).alias("_nn"),
+    )
+    scored = (
+        a.join(b, "_blk")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_norms("_qv", "_nv", "_qn", "_nn"),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cos_sim", "rank")
+    )
+
+
 def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [

@@ -6034,6 +6034,42 @@ def z29_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z30_knn_join",
+    """
+    SELECT qid, nid, cos_sim, rank FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                            CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                        b.vec_id ASC) AS rank
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id) t
+    WHERE rank <= 3
+    """,
+)
+def z30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked self kNN join (``operators/similarity.knn_join_blocked``):
+    every vector gets its top-3 cosine neighbors WITHIN its label
+    block — pairs never form across blocks, so cost is Σ|block|², not
+    n² (swap in LSH buckets / IVF cells as the block when no natural
+    key exists; identical join shape). The oracle replays the
+    block-join + exact cosine + deterministic tie-break, so the window
+    top-k over the blocked pair stream is hash-checked for every row
+    of the corpus, not just a probe set."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_blocked(emb, k=3, block_col="label")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -218,3 +218,38 @@ def test_mmr_prefilter_matches_full_pool(spark):
         )
     ]
     assert full == small
+
+
+def test_knn_join_blocked_matches_numpy(spark):
+    """Every row's blocked top-k equals numpy's within-block exact
+    ranking, and cross-block pairs never appear."""
+    import numpy as np
+
+    from computer_vision_foundations_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = rng.normal(size=(30, 8))
+    labels = [i % 3 for i in range(30)]
+    rows = [
+        (i, labels[i], [float(x) for x in vecs[i]]) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {}
+    for r in knn_join_blocked(df, k=2).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.nid, r.cos_sim))
+        assert labels[r.qid] == labels[r.nid]  # block respected
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(v32, axis=1)
+    for q in range(30):
+        cands = [
+            (round(float(v32[q] @ v32[j] / (norms[q] * norms[j])), 6), j)
+            for j in range(30)
+            if j != q and labels[j] == labels[q]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        want = [(r + 1, j, c) for r, (c, j) in enumerate(cands[:2])]
+        assert sorted(got[q]) == want, q

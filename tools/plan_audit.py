@@ -261,6 +261,12 @@ AUDIT = {
         "pushed, one small hash agg",
         (),
     ),
+    "z30_knn_join": (
+        "self kNN join: pairs form only inside the (label) block "
+        "equi-join — no cross product; norms precomputed per side; "
+        "one block-join shuffle + one per-query top-k window",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
