@@ -46,6 +46,24 @@ def _stack_f64(v: pd.Series) -> "np.ndarray":
     return np.vstack(v.to_numpy()).astype(np.float64)
 
 
+def _topk_per_query(
+    scored: DataFrame, k: int, query_col: str, neighbor_col: str,
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Shared top-k tail for every kNN entry point: rank by rounded
+    score desc then neighbor id asc (the total-order tie-break the
+    differential oracles replay) — ONE place, so tie-break/rounding
+    semantics can never desynchronize between entry points."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(neighbor_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, neighbor_col, score_col, "rank")
+    )
+
+
 def brute_force_knn(
     corpus: DataFrame,
     probes: DataFrame,
@@ -87,14 +105,7 @@ def brute_force_knn(
             ),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _topk_per_query(scored, k, "probe_id", "neighbor_id")
 
 
 def knn_join_blocked(
@@ -146,14 +157,7 @@ def knn_join_blocked(
             ),
         )
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("nid").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "cos_sim", "rank")
-    )
+    return _topk_per_query(scored, k, "qid", "nid")
 
 
 def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

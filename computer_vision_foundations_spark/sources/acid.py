@@ -228,14 +228,26 @@ def _collect_file_stats(root: str, files: list[str]) -> dict:
     return out
 
 
-def _stats_for_snapshot(root: str, version: int) -> dict:
+def _commits_upto(root: str, version: int) -> list[dict]:
+    """Every commit record ≤ ``version``, read ONCE per commit — the
+    shared pass read_table uses for both schema history and file
+    stats (one JSON open per commit per read, not one per use)."""
+    return [
+        _read_commit(root, v)
+        for v in _list_versions(root)
+        if v <= version
+    ]
+
+
+def _stats_for_snapshot(
+    root: str, version: int, commits: list[dict] | None = None
+) -> dict:
     """Union of per-file stats from every commit up to ``version``
     (files are immutable, so the add-time stats stay valid)."""
     stats: dict = {}
-    for v in _list_versions(root):
-        if v > version:
-            break
-        rec = _read_commit(root, v)
+    for rec in commits if commits is not None else _commits_upto(
+        root, version
+    ):
         stats.update(rec.get("add_stats") or {})
     return stats
 
@@ -369,23 +381,47 @@ def write_append(
     merge_schema: bool = False,
 ) -> int:
     """ACID append: all of ``df``'s files become visible atomically.
-    Schema-enforced; ``merge_schema=True`` permits adding columns."""
+    Schema-enforced; ``merge_schema=True`` permits adding columns.
+
+    Concurrency: a SCHEMA-EVOLVING append commits with the OCC guard
+    (``expected_version``) — two racing evolutions would otherwise
+    each record a schema lacking the other's column; the loser gets
+    ``TxnConflict`` and must re-validate. Plain appends stay blind
+    (auto-advance): racing a concurrent evolution is safe because
+    the evolved read path pins the latest recorded schema and reads
+    the plain append's files with NULL for the new columns."""
+    current = _resolve_version(root, None, None)
     meta = _check_schema(root, df, merge_schema)
     added = _write_data_files(df, root)
     return _commit(
         root, "append", added, [], meta=meta,
+        expected_version=current if meta else None,
         add_stats=_collect_file_stats(root, added),
     )
 
 
-def write_overwrite(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Atomic whole-table replace (readers see old or new, never a mix)."""
+def write_overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    merge_schema: bool = False,
+    replace_schema: bool = False,
+) -> int:
+    """Atomic whole-table replace (readers see old or new, never a
+    mix). Schema-enforced like append; ``replace_schema=True``
+    additionally allows a WHOLESALE schema change (every old file is
+    removed in the same commit, so there is no mixed-file hazard) and
+    records the new schema."""
     current = _resolve_version(root, None, None)
+    if replace_schema:
+        meta = {"schema": df.schema.json()}
+    else:
+        meta = _check_schema(root, df, merge_schema)
     removed = _snapshot_files(root, current)
     added = _write_data_files(df, root)
     return _commit(
         root, "overwrite", added, removed, expected_version=current,
-        add_stats=_collect_file_stats(root, added),
+        meta=meta, add_stats=_collect_file_stats(root, added),
     )
 
 
@@ -397,6 +433,10 @@ def prune_files(
     with no recorded stats for a column are KEPT (safe). Driver-side
     metadata only — nothing is opened or scanned."""
     stats = _stats_for_snapshot(root, version)
+    return _prune_with_stats(files, stats, prune)
+
+
+def _prune_with_stats(files: list[str], stats: dict, prune: dict) -> list[str]:
     kept = []
     for f in files:
         cols = stats.get(f) or {}
@@ -405,9 +445,15 @@ def prune_files(
             rng = cols.get(col)
             if rng is None:
                 continue
-            if rng[1] < lo or rng[0] > hi:
-                keep = False
-                break
+            try:
+                if rng[1] < lo or rng[0] > hi:
+                    keep = False
+                    break
+            except TypeError:
+                # bounds/stats type mismatch (e.g. numeric interval on
+                # a string column): CONSERVATIVE — keep the file; the
+                # caller's row filter decides
+                continue
         if keep:
             kept.append(f)
     return kept
@@ -429,31 +475,30 @@ def read_table(
     pruning; composes with ``optimize_zorder``, which makes the ranges
     tight). Pruning is metadata-only and conservative — the caller
     still applies its own row filter; equal results, fewer files."""
+    from pyspark.sql import types as T
+
     v = _resolve_version(root, version, as_of_ts)
     files = _snapshot_files(root, v)
-    if prune:
-        files = prune_files(root, v, files, prune)
-    n_schemas = len(
-        {
-            _read_commit(root, c)["meta"].get("schema")
-            for c in _list_versions(root)
-            if c <= v and _read_commit(root, c)["meta"].get("schema")
-        }
-    )
+    commits = _commits_upto(root, v)  # ONE pass over the log
+    schemas = [
+        c["meta"]["schema"] for c in commits if c["meta"].get("schema")
+    ]
+    if prune and files:
+        files = _prune_with_stats(
+            files, _stats_for_snapshot(root, v, commits), prune
+        )
     if not files:
-        # empty snapshot: reconstruct schema from the create commit
-        schema = _read_commit(root, _list_versions(root)[0])["meta"].get("schema")
-        from pyspark.sql import types as T
-
+        # empty snapshot: the LATEST recorded schema (evolution-aware)
         return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(schema))
+            [], T.StructType.fromJson(json.loads(schemas[-1]))
         )
     reader = spark.read
-    if n_schemas > 1:
-        # evolved table: merge footer schemas so pre-evolution files
-        # surface NULL for later-added columns (paid only when the
-        # log actually recorded an evolution)
-        reader = reader.option("mergeSchema", "true")
+    if len(set(schemas)) > 1:
+        # evolved table: pin the reader to the snapshot's recorded
+        # schema — pre-evolution files surface NULL for later-added
+        # columns, and (unlike footer mergeSchema) PRUNING can never
+        # change the returned schema
+        reader = reader.schema(T.StructType.fromJson(json.loads(schemas[-1])))
     return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
@@ -555,8 +600,11 @@ def upsert(
     foreachBatch sink. Only files containing a matched key are
     rewritten. ``meta`` rides the commit record (the streaming sink
     stores its ``{"txn": {app_id: batch_id}}`` watermark there for
-    replay-proof exactly-once)."""
+    replay-proof exactly-once). Updates must carry EXACTLY the table
+    schema (no evolution through the merge path — evolve with
+    ``write_append(merge_schema=True)`` first)."""
     current = _resolve_version(root, None, None)
+    _check_schema(root, updates, merge_schema=False)
     files = _snapshot_files(root, current)
     if files:
         # one distributed semi-join finds the touched files — update

@@ -373,3 +373,69 @@ def test_table_changes_feed(spark, tmp_path):
         for r in table_changes(spark, root, 1, 3, ["id"], "tag").collect()
     }
     assert ch13 == {(2, "update"), (9, "insert"), (0, "delete")}
+
+
+def test_schema_enforced_on_overwrite_and_upsert(spark, tmp_path):
+    """Review findings: overwrite and upsert must enforce the table
+    schema too; replace_schema=True permits a wholesale change (old
+    files leave in the same commit) and records the new schema."""
+    from computer_vision_foundations_spark.sources.acid import (
+        table_schema,
+        write_overwrite,
+    )
+
+    root = str(tmp_path / "se2")
+    create_table(spark, root, _df(spark, range(3), "a"))
+    other = spark.createDataFrame([(1, "x")], "id long, note string")
+    with pytest.raises(ValueError):
+        write_overwrite(spark, root, other)
+    with pytest.raises(ValueError):
+        upsert(spark, root, other, ["id"])
+    write_overwrite(spark, root, other, replace_schema=True)
+    assert [f.name for f in table_schema(root).fields] == ["id", "note"]
+    # appends now key on the REPLACED schema
+    write_append(spark, root, spark.createDataFrame(
+        [(2, "y")], "id long, note string"))
+    assert read_table(spark, root).count() == 2
+
+
+def test_pruned_read_keeps_evolved_schema(spark, tmp_path):
+    """Review finding: pruning must never change the returned schema —
+    an evolved column survives even when every post-evolution file is
+    skipped (reader pinned to the recorded schema, not footer merge)."""
+    root = str(tmp_path / "se3")
+    create_table(
+        spark, root,
+        spark.range(0, 100).select(F.col("id").alias("k"),
+                                   F.lit("t").alias("tag")),
+    )
+    write_append(
+        spark, root,
+        spark.range(5000, 5100).select(
+            F.col("id").alias("k"), F.lit("t").alias("tag"),
+            F.lit("n").alias("note")),
+        merge_schema=True,
+    )
+    pruned = read_table(spark, root, prune={"k": (0, 99)})
+    assert "note" in pruned.columns  # schema survives pruning
+    rows = pruned.filter(F.col("k") <= 99).collect()
+    assert len(rows) == 100 and all(r.note is None for r in rows)
+    # empty snapshot also reports the evolved schema
+    delete_where(spark, root, F.col("k") >= 0)
+    assert "note" in read_table(spark, root).columns
+
+
+def test_prune_type_mismatch_keeps_files(spark, tmp_path):
+    """Review finding: numeric bounds against a string column's stats
+    must conservatively keep files, not raise TypeError."""
+    from computer_vision_foundations_spark.sources.acid import (
+        _resolve_version,
+        _snapshot_files,
+        prune_files,
+    )
+
+    root = str(tmp_path / "se4")
+    create_table(spark, root, _df(spark, range(5), "a"))
+    v = _resolve_version(root, None, None)
+    files = _snapshot_files(root, v)
+    assert prune_files(root, v, files, {"tag": (0, 1)}) == files
