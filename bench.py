@@ -115,6 +115,7 @@ HEADLINE = [
     "z28_zorder_optimize",
     "z29_data_skipping",
     "z30_knn_join",
+    "z31_change_data_feed",
 ]
 
 

@@ -6070,6 +6070,65 @@ def z30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_blocked(emb, k=3, block_col="label")
 
 
+@_register(
+    "z31_change_data_feed",
+    """
+    SELECT o_orderkey, 'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 8 <> 1
+    UNION ALL
+    SELECT o_orderkey, 'update'
+    FROM orders WHERE o_orderkey % 16 = 0
+    UNION ALL
+    SELECT o_orderkey, 'delete'
+    FROM orders WHERE o_orderkey % 16 = 8
+    """,
+)
+def z31_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (``sources/acid.py:table_changes``) across a
+    four-commit history: create (orderkey%4==0), append the %4==1
+    slice, delete the %8==1 rows of it, upsert a status change onto
+    %16==0 and delete %16==8. The feed between version 1 and the tip
+    must classify exactly: inserts = surviving appended keys, updates
+    = rewritten-status keys, deletes = removed create-time keys —
+    with rows inserted-then-deleted WITHIN the window correctly
+    absent. The oracle replays the set algebra straight from the
+    source table, so snapshot resolution, fingerprint comparison and
+    the insert/update/delete classification are all hash-checked."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import (
+        create_table,
+        delete_where,
+        table_changes,
+        upsert,
+        write_append,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="acid_cdf_")
+    create_table(spark, root, orders.filter(F.col("o_orderkey") % 4 == 0))
+    write_append(
+        spark, root, orders.filter(F.col("o_orderkey") % 4 == 1)
+    )
+    delete_where(spark, root, F.col("o_orderkey") % 8 == 1)
+    upsert(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 16 == 0).select(
+            "o_orderkey",
+            F.lit("REVISED").alias("o_orderstatus"),
+            "o_totalprice",
+        ),
+        ["o_orderkey"],
+    )
+    delete_where(spark, root, F.col("o_orderkey") % 16 == 8)
+    return table_changes(
+        spark, root, 1, 5, ["o_orderkey"], "o_orderstatus"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -267,6 +267,12 @@ AUDIT = {
         "one block-join shuffle + one per-query top-k window",
         (),
     ),
+    "z31_change_data_feed": (
+        "CDF = full-outer join of two snapshots on (key, md5 "
+        "fingerprint) — payloads never cross the join; one keyed "
+        "shuffle",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
