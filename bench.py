@@ -116,6 +116,7 @@ HEADLINE = [
     "z29_data_skipping",
     "z30_knn_join",
     "z31_change_data_feed",
+    "z32_image_near_dup",
 ]
 
 

@@ -6129,6 +6129,101 @@ def z31_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_near_dup_oracle_sql(max_hamming: int = 6) -> str:
+    """Replay decode→dHash-rows→Hamming-band pairing. Bands are the 8
+    per-row bytes of the 64-bit dHash (band equality ⇔ row-byte
+    equality, same candidate set as the Spark fingerprint banding);
+    hamming sums per-row xor popcounts."""
+    row_exprs = []
+    for r in range(8):
+        terms = " + ".join(
+            f"(CASE WHEN p[{r * 9 + c + 1}] < p[{r * 9 + c + 2}] "
+            f"THEN {1 << c} ELSE 0 END)"
+            for c in range(8)
+        )
+        row_exprs.append(f"({terms})")
+    rows_arr = ", ".join(row_exprs)
+    ham = " + ".join(f"bit_count(xor(ra[{j}], rb[{j}]))" for j in range(1, 9))
+    return f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(1, 74),
+               i -> CASE WHEN i <= length(text)
+                    THEN ascii(substr(text, i, 1)) ELSE 0 END) AS p
+      FROM documents WHERE length(text) >= 72
+    ),
+    rws AS (
+      SELECT doc_id, [{rows_arr}] AS rows FROM px
+    ),
+    banded AS (
+      SELECT doc_id, rows, g.i AS band_idx,
+             rows[CAST(g.i + 1 AS INTEGER)] AS band_val
+      FROM rws CROSS JOIN generate_series(0, 7) AS g(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.rows AS ra, b.rows AS rb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand WHERE {ham} <= {max_hamming}
+    """
+
+
+@_register("z32_image_near_dup", _image_near_dup_oracle_sql())
+def z32_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-duplicate pairs — the CV-side dedup the
+    reference's domain needs: real 8×9 PNG encode → real decode →
+    64-bit dHash (q99's chain, full-grid docs only so no padding) →
+    Hamming-LSH banding via the generic ``simhash_pairs`` machinery
+    (8 byte-wide bands over the fingerprint; pigeonhole exact for
+    hamming ≤ 7, reported threshold 6). ``max_band_freq=None``
+    matches the oracle's uncapped pigeonhole (the cap stays ON by
+    default for corpus-scale callers — the z07 lesson). The oracle
+    replays decode, hash, banding and popcount from character codes,
+    so codec, fingerprint packing and pairing are all hash-checked.
+
+    Scale shape: identical to q49 — fingerprints collapse to DISTINCT
+    before banding, candidates are a (band, value) equi-join, and only
+    (id, 8-byte fp) rows shuffle."""
+    from computer_vision_foundations_spark.functions.image import (
+        encode_text_png_8x9,
+        image_dhash,
+    )
+    from computer_vision_foundations_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 72
+    )
+    dh = docs.select(
+        "doc_id",
+        image_dhash(encode_text_png_8x9(F.col("text"))).alias("dhash"),
+    )
+    fp = dh.select(
+        "doc_id",
+        (
+            F.shiftleft(
+                F.conv(F.substring("dhash", 1, 8), 16, 10).cast("long"), 32
+            ).bitwiseOR(
+                F.conv(F.substring("dhash", 9, 8), 16, 10).cast("long")
+            )
+        ).alias("fp"),
+    )
+    return simhash_pairs(
+        fp,
+        "fp",
+        "doc_id",
+        bits=64,
+        bands=8,
+        max_hamming=6,
+        max_band_freq=None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -273,6 +273,13 @@ AUDIT = {
         "shuffle",
         (),
     ),
+    "z32_image_near_dup": (
+        "image near-dup: PNG decode + dHash are narrow Arrow "
+        "projections; pairing is the generic Hamming band equi-join "
+        "over DISTINCT 8-byte fingerprints — no cross product, "
+        "images never shuffle",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
