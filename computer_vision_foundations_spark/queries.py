@@ -6224,6 +6224,141 @@ def z32_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z33_gopher_rules",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               string_split(text, chr(10)) AS lines,
+               len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               len(lines) AS n_lines,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0
+                   / greatest(len(toks), 1) AS mean_wl,
+               n_sym * 1.0 / greatest(len(toks), 1) AS symbol_ratio,
+               len(list_filter(lines,
+                   ln -> regexp_matches(ln, '^\s*[-*•]'))) * 1.0
+                   / greatest(len(lines), 1) AS bullet_ratio,
+               len(list_filter(lines,
+                   ln -> regexp_matches(ln, '(\.\.\.|…)\s*$'))) * 1.0
+                   / greatest(len(lines), 1) AS ellipsis_ratio,
+               len(list_filter(toks,
+                   w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+                   / greatest(len(toks), 1) AS alpha_ratio,
+               len(list_filter(toks,
+                   w -> list_contains(
+                       ['the','be','to','of','and','that',
+                        'have','with','a','in','is','it'],
+                       lower(w)))) AS n_stop
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT)   AS n_words,
+           round(mean_wl, 4)         AS mean_word_len,
+           round(symbol_ratio, 6)    AS symbol_ratio,
+           round(bullet_ratio, 6)    AS bullet_ratio,
+           round(ellipsis_ratio, 6)  AS ellipsis_ratio,
+           round(alpha_ratio, 6)     AS alpha_word_ratio,
+           CAST(n_stop AS BIGINT)    AS n_stopwords,
+           n_words >= 40 AND n_words <= 100000          AS rule_word_count,
+           mean_wl >= 3.0 AND mean_wl <= 10.0           AS rule_mean_word_len,
+           symbol_ratio < 0.1                           AS rule_symbol_ratio,
+           bullet_ratio < 0.9                           AS rule_bullet_lines,
+           ellipsis_ratio < 0.3                         AS rule_ellipsis_lines,
+           alpha_ratio >= 0.8                           AS rule_alpha_words,
+           n_stop >= 2                                  AS rule_stopwords,
+           (n_words >= 40 AND n_words <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0
+            AND symbol_ratio < 0.1
+            AND bullet_ratio < 0.9
+            AND ellipsis_ratio < 0.3
+            AND alpha_ratio >= 0.8
+            AND n_stop >= 2)                            AS passes_gopher
+    FROM s
+    """,
+)
+def z33_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality battery (Rae et al. 2021, appendix A)
+    over the documents table: all seven published rules — word count,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stopword floor — as per-rule flags plus
+    the conjunction, with every underlying statistic emitted for
+    corpus-QA reporting (``operators/quality_rules.py``). The word
+    floor is tuned to the fixture (40) so both outcomes appear; every
+    other threshold is the published default. Reference parity: the
+    metadata-predicate input gating of `03_Model Training.py`,
+    generalized to the text-corpus rule battery.
+
+    Scale shape: ZERO shuffles — the whole battery is higher-order
+    Catalyst expressions over ``split()`` arrays in one narrow
+    WholeStageCodegen projection; only flag rows leave the scan."""
+    from computer_vision_foundations_spark.operators.quality_rules import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, min_words=40)
+
+
+@_register(
+    "z34_paragraph_dedup",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), p AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS idx,
+               array_to_string(tk[u.i*3+1 : u.i*3+3], ' ') AS para
+        FROM toks, unnest(range((len(tk) + 2) // 3)) u(i)
+    ), h AS (
+        SELECT doc_id, idx, para, md5(para) AS ph FROM p
+    ), k AS (
+        SELECT ph, min(doc_id) AS keeper FROM h GROUP BY ph
+    ), f AS (
+        SELECT h.doc_id, h.idx, h.para,
+               h.doc_id = k.keeper AS kept
+        FROM h JOIN k USING (ph)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                     AS n_paras,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+                AS BIGINT)                              AS n_kept,
+           coalesce(string_agg(para, ' ' ORDER BY idx)
+                    FILTER (WHERE kept), '')            AS cleaned_text,
+           CAST(length(coalesce(string_agg(para, ' ' ORDER BY idx)
+                    FILTER (WHERE kept), '')) AS BIGINT) AS cleaned_len
+    FROM f GROUP BY doc_id
+    """,
+)
+def z34_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly (CCNet,
+    Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023): documents are
+    segmented into fixed 3-token paragraphs, each paragraph survives
+    only in the smallest doc_id containing its md5, and every document
+    is rebuilt from its surviving paragraphs in original order
+    (``operators/paragraphs.py``). The oracle replays segmentation,
+    keeper vote and ordered reassembly relationally, so the HOF
+    slicing, hash, join and array_sort reassembly are all value-checked
+    including the rebuilt text itself. Reference parity: sub-document
+    dedup is the text generalization of the reference's
+    duplicate-image screening stage.
+
+    Scale shape: keeper vote on a narrow (md5, id) projection — 16-byte
+    keys shuffle, bodies don't; bodies cross exactly two keyed shuffles
+    (hash equi-join + per-doc reassembly), the floor for reassembling
+    sub-document dedup."""
+    from computer_vision_foundations_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, para_words=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
