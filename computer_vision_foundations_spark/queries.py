@@ -6359,6 +6359,158 @@ def z34_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs, para_words=3)
 
 
+@_register(
+    "z35_scene_cuts",
+    """
+    WITH v AS (
+        SELECT doc_id, text, length(text) // 16 AS nf
+        FROM documents WHERE length(text) >= 32
+    ), fr AS (
+        SELECT doc_id, text, CAST(u.i AS INTEGER) AS i
+        FROM v, unnest(range(nf)) u(i)
+    ), px AS (
+        SELECT doc_id, i,
+               ord(substr(text, CAST(i * 16 + j.j + 1 AS INTEGER), 1)) AS val
+        FROM fr, unnest(range(16)) j(j)
+    ), k AS (
+        SELECT doc_id, i, CAST(sum(val) AS INTEGER) AS fk
+        FROM px GROUP BY doc_id, i
+    ), l AS (
+        SELECT doc_id, i, fk,
+               lag(fk) OVER (PARTITION BY doc_id ORDER BY i) AS pk
+        FROM k
+    )
+    SELECT doc_id,
+           i                                AS frame_idx,
+           CAST(i * 5 AS DOUBLE) / 100.0    AS ts_sec,
+           pk                               AS prev_key,
+           fk                               AS frame_key,
+           abs(fk - pk)                     AS delta
+    FROM l
+    WHERE pk IS NOT NULL AND abs(fk - pk) >= 150
+    """,
+)
+def z35_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection over the REAL GIF decode chain:
+    text → animated GIF89a (``functions/gif.py``) → full-frame decode
+    (``sample_video_frames`` with ``every_n=1``) → cut rows where the
+    channel-0 pixel-sum key jumps by ≥ 150 between consecutive frames
+    (``operators/video.py`` — the intensity-statistic comparison of
+    Boreczky & Rowe 1996). The identity grayscale palette makes decoded
+    pixels equal text bytes, so the oracle replays decode, frame keys,
+    lag and thresholding as character arithmetic — an LZW, palette,
+    compositing or window-ordering bug hash-fails. Reference parity:
+    the one-frame-per-shot reduction a video corpus needs before the
+    reference's featurization stage.
+
+    Scale shape: narrow encode + narrow decode fan-out, then ONE keyed
+    shuffle (per-video lag window over (id, idx, key) rows); pixels
+    never shuffle."""
+    from computer_vision_foundations_spark.functions.media import (
+        encode_text_gif,
+        sample_video_frames,
+    )
+    from computer_vision_foundations_spark.operators.video import (
+        detect_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 32
+    )
+    gif = docs.select(
+        "doc_id", encode_text_gif(F.col("text")).alias("content")
+    )
+    frames = sample_video_frames(gif, "content", "doc_id", every_n=1)
+    return detect_scene_cuts(frames, threshold=150)
+
+
+@_register(
+    "z36_audio_fingerprint_pairs",
+    """
+    WITH samples AS (
+        SELECT doc_id, length(text) AS n, u.i AS i,
+               (ord(substr(text, CAST(u.i + 1 AS INTEGER), 1)) - 128) AS s
+        FROM documents, unnest(range(length(text))) u(i)
+        WHERE length(text) >= 96
+    ), wstats AS (
+        SELECT doc_id, i // 32 AS widx, sum(s * s) AS e
+        FROM samples WHERE i // 32 < n // 32
+        GROUP BY doc_id, i // 32
+    ), nb AS (
+        SELECT doc_id, widx, e,
+               lag(e) OVER w AS pe, lead(e) OVER w AS ne
+        FROM wstats WINDOW w AS (PARTITION BY doc_id ORDER BY widx)
+    ), pk AS (
+        SELECT doc_id, widx, e FROM nb
+        WHERE pe IS NOT NULL AND ne IS NOT NULL AND e > pe AND e >= ne
+    ), tr AS (
+        SELECT doc_id, widx, e,
+               lead(widx, 1) OVER w AS w1, lead(widx, 2) OVER w AS w2,
+               lead(e, 1) OVER w AS e1, lead(e, 2) OVER w AS e2
+        FROM pk WINDOW w AS (PARTITION BY doc_id ORDER BY widx)
+    ), fp AS (
+        SELECT doc_id,
+               md5(concat(CAST(w1 - widx AS VARCHAR), '_',
+                          CAST(w2 - w1 AS VARCHAR), '_',
+                          CAST(length(bin(e)) AS VARCHAR), '_',
+                          CAST(length(bin(e1)) AS VARCHAR), '_',
+                          CAST(length(bin(e2)) AS VARCHAR))) AS f
+        FROM tr WHERE w2 IS NOT NULL
+    ), cap AS (
+        SELECT f FROM fp GROUP BY f HAVING count(*) <= 64
+    ), j AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM fp a JOIN cap USING (f) JOIN fp b USING (f)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT da AS id_a, db AS id_b,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM j GROUP BY da, db HAVING count(*) >= 2
+    """,
+)
+def z36_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by energy-landmark constellation
+    hashing (Wang 2003's delta-time scheme over integer-exact
+    features): text → REAL WAV encode→decode (``functions/wav.py``,
+    scale=1) → per-window integer energies → local-max peaks →
+    md5(dt1_dt2_m0_m1_m2) fingerprints over peak triples → capped
+    fingerprint equi-join → pairs sharing ≥ 2 fingerprints
+    (``operators/audio_fp.py``). Everything integer-exact, so the
+    oracle replays decode, windowing, peak picking, gap/magnitude
+    hashing, the ≤64 frequency cap and the match count — a codec,
+    window or banding bug hash-fails. Reference parity: the audio twin
+    of the duplicate-screening the reference does for images.
+
+    Scale shape: same discipline as MinHash/SimHash pairing — narrow
+    (id, md5) landmark rows, skew cap BEFORE the join, and only the
+    two per-clip analytic windows (one partitioning) plus the capped
+    equi-join shuffle; waveforms never leave the decode stage."""
+    from computer_vision_foundations_spark.functions.media import (
+        encode_text_wav,
+        wav_window_stats,
+    )
+    from computer_vision_foundations_spark.operators.audio_fp import (
+        audio_energy_landmarks,
+        audio_fingerprint_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 96
+    )
+    wav = docs.select(
+        "doc_id",
+        encode_text_wav(F.col("text"), scale=1).alias("content"),
+    )
+    ws = wav.withColumn("ws", wav_window_stats(32)(F.col("content")))
+    win = ws.select("doc_id", F.explode("ws").alias("s")).select(
+        "doc_id",
+        F.col("s.widx").alias("widx"),
+        F.col("s.energy").alias("energy"),
+    )
+    lm = audio_energy_landmarks(win)
+    return audio_fingerprint_pairs(lm, min_matches=2, max_fp_freq=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
