@@ -38,6 +38,10 @@ __all__ = [
     "CM_SLOT_SQL",
     "bloom_bits",
     "bloom_membership",
+    "kmv_registers",
+    "kmv_distinct",
+    "kmv_theta",
+    "KMV_FRAC_SQL",
 ]
 
 
@@ -259,3 +263,80 @@ def bloom_membership(
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_got"))
         .select(*keys, (F.col("_got") == F.col("_need")).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum values / bottom-k theta) distinct sketch
+# ---------------------------------------------------------------------------
+# The third classic mergeable sketch next to HLL (distinct counts) and
+# Count-Min (frequencies): keep the k SMALLEST hash values of a set
+# (Bar-Yossef et al. 2002; the Theta sketch of Dasgupta et al. 2016).
+# Unlike HLL, the retained hash SAMPLE supports set algebra — union by
+# re-taking the bottom-k of the merged sample, intersection/Jaccard by
+# counting shared hashes inside the merged bottom-k — which is what
+# cross-corpus overlap estimation needs. md5 hex ordering is identical
+# in Spark and DuckDB (lowercase, fixed 32 chars), and the fraction
+# uses the first 13 hex digits (52 bits — exactly a double mantissa),
+# so every estimate is bit-reproducible across engines.
+
+
+def kmv_theta(hash_col) -> "F.Column":
+    """Normalized position of an md5 hex string in [0, 1): first 13
+    hex digits over 16^13 (exact in a double; 16^13 = 2^52)."""
+    return F.conv(F.substring(hash_col, 1, 13), 16, 10).cast(
+        "long"
+    ) / F.lit(float(16**13))
+
+
+def KMV_FRAC_SQL(hash_sql: str) -> str:
+    """DuckDB twin of :func:`kmv_theta`."""
+    return f"(('0x' || substr({hash_sql}, 1, 13))::BIGINT / {float(16**13)!r})"
+
+
+def kmv_registers(
+    df: DataFrame, col: str, k: int = 256, keys: list[str] | None = None
+) -> DataFrame:
+    """Per-group KMV sketch as a relational register table:
+    ``keys + (pos, h)`` — the ``k`` smallest distinct md5 hashes of
+    ``col``, 1-based ``pos`` in hash order. Mergeable: the sketch of a
+    union is the bottom-k of the concatenated register tables (dedup +
+    re-rank), so per-partition/per-day sketches compose without
+    touching raw data again. Cost: one distinct on a narrow
+    (keys, 16-byte) projection with map-side partials, then a per-group
+    top-k window over ≤ |distinct| rows."""
+    keys = keys or []
+    h = F.md5(F.col(col).cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("h")
+    return (
+        df.select(*keys, h.alias("h"))
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    keys: list[str] | None = None,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate distinct ``col`` per group (relative error
+    ~1/sqrt(k-2)): exact when the group holds fewer than ``k``
+    distinct values (the sketch saw everything), else the KMV
+    estimator (k-1)/theta_k."""
+    keys = keys or []
+    regs = kmv_registers(df, col, k=k, keys=keys)
+    agg = regs.groupBy(*keys).agg(
+        F.count("*").alias("_n"),
+        F.max(F.when(F.col("pos") == k, kmv_theta(F.col("h")))).alias(
+            "_theta"
+        ),
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("_theta")
+    )
+    return agg.select(*keys, F.round(est, 4).alias(out_col))

@@ -6511,6 +6511,91 @@ def z36_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_pairs(lm, min_matches=2, max_fp_freq=64)
 
 
+@_register(
+    "z37_kmv_source_overlap",
+    """
+    WITH sh AS (
+        SELECT source, array_to_string(tk[u.i : u.i+2], '|') AS v
+        FROM (SELECT source, string_split(text, ' ') AS tk
+              FROM documents) t,
+             unnest(range(1, greatest(len(tk) - 2, 1) + 1)) u(i)
+    ), hx AS (
+        SELECT DISTINCT source, md5(v) AS h FROM sh
+    ), regs AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS pos
+        FROM hx QUALIFY pos <= 256
+    ), stats AS (
+        SELECT source, count(*) AS n,
+               max(CASE WHEN pos = 256 THEN
+                   ('0x' || substr(h, 1, 13))::BIGINT
+                   / 4503599627370496.0 END) AS tk
+        FROM regs GROUP BY source
+    ), st AS (
+        SELECT source, n,
+               CASE WHEN n < 256 THEN 1.0 ELSE tk END AS theta,
+               CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                    ELSE 255.0 / tk END AS est
+        FROM stats
+    ), sj AS (
+        SELECT a.source AS ga, b.source AS gb,
+               ('0x' || substr(a.h, 1, 13))::BIGINT
+               / 4503599627370496.0 AS frac
+        FROM regs a JOIN regs b ON a.h = b.h AND a.source < b.source
+    ), w AS (
+        SELECT sj.ga, sj.gb, sj.frac,
+               sa.theta AS ta, sa.est AS ea,
+               sb.theta AS tb, sb.est AS eb
+        FROM sj JOIN st sa ON sj.ga = sa.source
+                JOIN st sb ON sj.gb = sb.source
+    ), g AS (
+        SELECT ga, gb, count(*) AS c,
+               any_value(ea) AS ea, any_value(eb) AS eb,
+               any_value(least(ta, tb)) AS tmin
+        FROM w WHERE frac < least(ta, tb) GROUP BY ga, gb
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(c AS BIGINT)                        AS n_shared,
+           round(ea, 4)                             AS distinct_a,
+           round(eb, 4)                             AS distinct_b,
+           round(c / tmin, 4)                       AS intersect_est,
+           round(ea + eb - c / tmin, 4)             AS union_est,
+           round((c / tmin) / (ea + eb - c / tmin), 6) AS jaccard
+    FROM g
+    """,
+)
+def z37_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap from KMV/theta sketches: distinct
+    word-3-gram estimates per source plus pairwise intersection /
+    union / Jaccard estimates via the theta-sketch set algebra
+    (Bar-Yossef et al. 2002; Dasgupta et al. 2016) —
+    ``functions/sketches.kmv_registers`` + ``operators/overlap.py``.
+    The sketch keeps the 256 smallest md5 hashes per source; hash hex
+    ordering and the 52-bit hash fraction are bit-identical across
+    engines, so the oracle replays sketch construction, per-group
+    estimators, the shared-hash join below min-theta, and all three
+    set estimates exactly. This is the scale answer to "how redundant
+    are my crawl sources?" — no raw shingle set ever joins.
+
+    Scale shape: raw shingles are seen once by a narrow distinct;
+    everything downstream touches ≤ 256 rows per source (model-sized).
+    The pairwise stage is a hash equi-join of register tables plus a
+    broadcast of per-source scalars — never a group×group grid."""
+    from computer_vision_foundations_spark.functions.text import (
+        shingles_from_tokens,
+    )
+    from computer_vision_foundations_spark.operators.overlap import (
+        kmv_pairwise_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split(F.col("text"), " ").alias("tk"))
+    items = toks.select(
+        "source", F.explode(shingles_from_tokens(F.col("tk"), 3)).alias("v")
+    )
+    return kmv_pairwise_overlap(items, "v", "source", k=256)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
