@@ -117,6 +117,11 @@ HEADLINE = [
     "z30_knn_join",
     "z31_change_data_feed",
     "z32_image_near_dup",
+    "z33_gopher_rules",
+    "z34_paragraph_dedup",
+    "z35_scene_cuts",
+    "z36_audio_fingerprint_pairs",
+    "z37_kmv_source_overlap",
 ]
 
 

@@ -6596,6 +6596,143 @@ def z37_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pairwise_overlap(items, "v", "source", k=256)
 
 
+@_register(
+    "z38_token_budget_select",
+    """
+    WITH s AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks,
+                   w -> list_contains(
+                       ['the','be','to','of','and','that',
+                        'have','with','a','in','is','it'],
+                       lower(w)))) * 1.0
+                   / greatest(len(toks), 1), 6) AS quality
+        FROM s
+    ), w AS (
+        SELECT doc_id, source, quality, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM q
+    )
+    SELECT doc_id, source, quality,
+           CAST(n_tokens AS BIGINT)  AS n_tokens,
+           CAST(cum AS BIGINT)       AS cum_tokens,
+           cum <= 600                AS selected
+    FROM w
+    """,
+)
+def z38_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget selection (the "best N tokens per
+    source" specification every pretraining mix uses — FineWeb /
+    DataComp-LM style): documents rank best-first inside their source
+    by a stopword-density quality proxy (ties broken by id), and
+    ``selected`` marks the maximal greedy prefix whose cumulative
+    token count stays within the 600-token budget
+    (``operators/selection.py``). The oracle replays scoring, ranking
+    and the running-sum prefix rule exactly. Reference parity: the
+    capped/ordered training-input sampling of `03_Model Training.py`,
+    made distributed and deterministic.
+
+    Scale shape: ONE keyed shuffle — a per-domain cumulative-sum
+    window over narrow (id, domain, score, tokens) rows; bodies never
+    move, no joins, no driver state."""
+    from computer_vision_foundations_spark.operators.selection import (
+        quality_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(
+        *[
+            F.lit(w)
+            for w in [
+                "the", "be", "to", "of", "and", "that",
+                "have", "with", "a", "in", "is", "it",
+            ]
+        ]
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w))))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("quality"),
+    )
+    return quality_budget_select(
+        scored,
+        domain_col="source",
+        quality_col="quality",
+        tokens_col="n_tokens",
+        token_budget=600,
+    )
+
+
+@_register(
+    "z39_curriculum_order",
+    """
+    WITH b AS (
+        SELECT doc_id, n_chars AS difficulty,
+               1 + CAST(n_chars > 150 AS INTEGER)
+                 + CAST(n_chars > 250 AS INTEGER)
+                 + CAST(n_chars > 350 AS INTEGER) AS bucket
+        FROM documents
+    ), r AS (
+        SELECT doc_id, difficulty, bucket,
+               row_number() OVER (
+                   PARTITION BY bucket
+                   ORDER BY difficulty, doc_id) AS rnk
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(difficulty AS BIGINT)      AS difficulty,
+           CAST(bucket AS BIGINT)          AS bucket,
+           CAST(rnk AS BIGINT)             AS rank_in_bucket,
+           CAST(rnk * 4 + bucket AS BIGINT) AS curriculum_rank
+    FROM r
+    """,
+)
+def z39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved curriculum ordering (easy→hard with bucket
+    round-robin, the standard curriculum-learning data order): length
+    is the difficulty proxy, buckets come from explicit boundary
+    literals (150/250/350 chars) — NEVER a global ntile, which would
+    be a single-partition window — and ``curriculum_rank`` cycles the
+    four buckets once per round so any training prefix stays mixed
+    while average difficulty rises (``operators/selection.py``). The
+    oracle replays bucketing, per-bucket ranking and the interleave
+    formula exactly.
+
+    Scale shape: bucket assignment is a narrow codegen expression; the
+    only shuffle is the B-way per-bucket rank window; compose with the
+    deterministic shard assignment inside buckets at extreme scale."""
+    from computer_vision_foundations_spark.operators.selection import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curriculum_order(
+        docs,
+        [150, 250, 350],
+        difficulty_col=F.col("n_chars"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("difficulty").cast("long").alias("difficulty"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rank_in_bucket").cast("long").alias("rank_in_bucket"),
+        "curriculum_rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
