@@ -1,0 +1,94 @@
+"""Streaming similarity search against a persisted IVF-PQ index.
+
+The online half of the ANN lifecycle: the 100 TB corpus is encoded
+ONCE into the cell-partitioned code index (``operators/ann_index``),
+and query/probe vectors then arrive CONTINUOUSLY — embedding services,
+nightly enrichment drops, retrieval requests. This module serves them
+with Structured Streaming: a parquet file stream of probe vectors,
+each micro-batch answered by the stored codes (ADC top-k with dynamic
+partition pruning to the probed cells) and appended to a result sink.
+
+``foreachBatch`` is the right harness (same pattern as the streaming
+upsert): the per-batch probe set is small and broadcast, so every
+micro-batch costs one pruned scan of the code files its probes fan
+out to — the corpus is never re-encoded and never fully re-read.
+Checkpointing gives exactly-once result appends across restarts; the
+kill-and-resume test drives that path.
+
+Reference parity: the streaming inference sink of
+`04a_Model Deployment.py:248-269` (second Auto Loader consumer →
+scored parquet), with the scoring UDF replaced by index search.
+
+Scale shape: per batch — broadcast of the probe fan-out (|batch| ×
+n_probe_cells rows), one DPP-pruned scan of the probed cells' code
+files, one top-k aggregate. Nothing corpus-sized shuffles; driver
+state is the model-sized META (centroids + codebooks), loaded once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from computer_vision_foundations_spark.operators.ann_index import (
+    load_index_meta,
+    query_ivf_pq_index,
+)
+
+__all__ = ["probe_stream_schema", "run_streaming_ann"]
+
+
+def probe_stream_schema(dim: int) -> T.StructType:
+    """Schema for probe parquet drops: ``(vec_id, embedding[dim])``."""
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+
+def run_streaming_ann(
+    spark: SparkSession,
+    index_path: str,
+    probe_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    k: int = 10,
+    n_probe_cells: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain ``probe_dir`` (availableNow) through the persisted index:
+    each arriving probe file's vectors are answered with the same
+    ``(probe_id, neighbor_id, adc_distance, rank)`` contract as the
+    batch query and appended to ``output_path``. Restart-safe via the
+    stream checkpoint: replayed batches are not re-appended."""
+    meta = load_index_meta(index_path)
+    reader = (
+        spark.readStream.schema(probe_stream_schema(meta["dim"]))
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    probes = reader.parquet(probe_dir)
+
+    def answer(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        result = query_ivf_pq_index(
+            spark,
+            index_path,
+            batch,
+            k=k,
+            n_probe_cells=n_probe_cells,
+        )
+        result.write.mode("append").parquet(output_path)
+
+    (
+        probes.writeStream.foreachBatch(answer)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

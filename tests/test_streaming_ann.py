@@ -1,0 +1,100 @@
+"""Streaming ANN serving (streaming/ann.py): availableNow drain of a
+probe-vector file stream against the persisted IVF-PQ index —
+bit-equality with the batch query, incremental drops, and
+checkpointed no-replay restart."""
+
+import os
+
+import numpy as np
+
+from computer_vision_foundations_spark.operators.ann_index import (
+    build_ivf_pq_index,
+    query_ivf_pq_index,
+)
+from computer_vision_foundations_spark.operators.quantization import (
+    pq_codebooks,
+)
+from computer_vision_foundations_spark.streaming.ann import (
+    run_streaming_ann,
+)
+
+DIM, N_SUB, N_CENT, N_CELLS = 16, 4, 8, 6
+
+
+def _corpus(spark, n=80, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cbs = pq_codebooks(DIM, N_SUB, N_CENT, seed=7)
+    cents = [[float(x) for x in rng.normal(size=DIM)] for _ in range(N_CELLS)]
+    return df, cbs, cents
+
+
+def _drop_probes(df, probe_dir, ids):
+    df.filter(df.vec_id.isin(ids)).coalesce(1).write.mode(
+        "append"
+    ).parquet(probe_dir)
+
+
+def _setup(spark, tmp_path):
+    df, cbs, cents = _corpus(spark)
+    index = build_ivf_pq_index(df, str(tmp_path / "idx"), cbs, cents)
+    dirs = {
+        "probes": str(tmp_path / "probes"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(dirs["probes"], exist_ok=True)
+    return df, index, dirs
+
+
+def test_stream_matches_batch_query(spark, tmp_path):
+    df, index, d = _setup(spark, tmp_path)
+    _drop_probes(df, d["probes"], [0, 1, 2])
+    run_streaming_ann(
+        spark, index, d["probes"], d["out"], d["ckpt"], k=5, n_probe_cells=3
+    )
+    got = sorted(map(tuple, spark.read.parquet(d["out"]).collect()))
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, index, df.filter("vec_id in (0,1,2)"),
+                k=5, n_probe_cells=3,
+            ).collect(),
+        )
+    )
+    assert got == want  # bit-equal: same codes, same ADC math
+
+
+def test_incremental_drops_accumulate(spark, tmp_path):
+    df, index, d = _setup(spark, tmp_path)
+    _drop_probes(df, d["probes"], [0])
+    run_streaming_ann(
+        spark, index, d["probes"], d["out"], d["ckpt"], k=3, n_probe_cells=2
+    )
+    n1 = spark.read.parquet(d["out"]).count()
+    _drop_probes(df, d["probes"], [1, 2])
+    run_streaming_ann(
+        spark, index, d["probes"], d["out"], d["ckpt"], k=3, n_probe_cells=2
+    )
+    out = spark.read.parquet(d["out"])
+    assert out.count() == 3 * n1  # 3 probes answered, k rows each
+    assert out.select("probe_id").distinct().count() == 3
+
+
+def test_checkpoint_prevents_replay(spark, tmp_path):
+    df, index, d = _setup(spark, tmp_path)
+    _drop_probes(df, d["probes"], [0, 1])
+    run_streaming_ann(
+        spark, index, d["probes"], d["out"], d["ckpt"], k=4, n_probe_cells=2
+    )
+    first = spark.read.parquet(d["out"]).count()
+    # re-run with NO new probe files: checkpoint must append nothing
+    run_streaming_ann(
+        spark, index, d["probes"], d["out"], d["ckpt"], k=4, n_probe_cells=2
+    )
+    assert spark.read.parquet(d["out"]).count() == first
