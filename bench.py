@@ -122,6 +122,9 @@ HEADLINE = [
     "z35_scene_cuts",
     "z36_audio_fingerprint_pairs",
     "z37_kmv_source_overlap",
+    "z38_token_budget_select",
+    "z39_curriculum_order",
+    "z40_curation_pipeline",
 ]
 
 

@@ -6733,6 +6733,136 @@ def z39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z40_curation_pipeline",
+    """
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks, text
+        FROM documents
+    ), g AS (
+        SELECT doc_id, source, text FROM t
+        WHERE len(toks) BETWEEN 40 AND 100000
+          AND list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / greatest(len(toks), 1) BETWEEN 3.0 AND 10.0
+          AND (len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+              / greatest(len(toks), 1) < 0.1
+          AND len(list_filter(toks,
+                  w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+              / greatest(len(toks), 1) >= 0.8
+          AND len(list_filter(toks,
+                  w -> list_contains(
+                      ['the','be','to','of','and','that',
+                       'have','with','a','in','is','it'],
+                      lower(w)))) >= 2
+    ), tk AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tks FROM g
+    ), p AS (
+        SELECT doc_id, source, CAST(u.i AS INTEGER) AS idx,
+               array_to_string(tks[u.i*3+1 : u.i*3+3], ' ') AS para
+        FROM tk, unnest(range((len(tks) + 2) // 3)) u(i)
+    ), h AS (
+        SELECT doc_id, source, idx, para, md5(para) AS ph FROM p
+    ), kk AS (
+        SELECT ph, min(doc_id) AS keeper FROM h GROUP BY ph
+    ), f AS (
+        SELECT h.doc_id, h.source, h.idx, h.para,
+               h.doc_id = kk.keeper AS kept
+        FROM h JOIN kk USING (ph)
+    ), d AS (
+        SELECT doc_id, source,
+               count(*) AS n_paras,
+               sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+               coalesce(string_agg(para, ' ' ORDER BY idx)
+                        FILTER (WHERE kept), '') AS cleaned
+        FROM f GROUP BY doc_id, source
+    ), s AS (
+        SELECT doc_id, source, n_paras, n_kept,
+               CASE WHEN length(cleaned) = 0 THEN 0
+                    ELSE len(string_split(cleaned, ' ')) END AS n_tokens,
+               round(n_kept * 1.0 / n_paras, 6) AS quality
+        FROM d
+    ), w AS (
+        SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s
+    )
+    SELECT doc_id, source,
+           CAST(n_paras AS BIGINT)  AS n_paras,
+           CAST(n_kept AS BIGINT)   AS n_kept,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           quality,
+           CAST(cum AS BIGINT)      AS cum_tokens,
+           cum <= 400               AS selected
+    FROM w
+    """,
+)
+def z40_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline with a COMPLETE end-to-end oracle
+    (unlike q20's iterative composition, every stage here is closed-
+    form SQL): Gopher rule gate (line rules vacuous on the fixture's
+    single-line docs, so the battery reduces to its five active
+    rules) → cross-document paragraph dedup with reassembly → per-
+    source token-budget selection ranked by dedup-survival quality.
+    Exercises three new operators (``quality_rules``, ``paragraphs``,
+    ``selection``) composing through joins and windows exactly as a
+    production curation DAG would. Reference parity: the multi-stage
+    prepare-then-select flow of `02_Data Ingest.py` +
+    `03_Model Training.py`, text-corpus flavor.
+
+    Scale shape: the union of its stages' budgets — zero-shuffle rule
+    gate, two body shuffles + narrow keeper vote for the dedup, one
+    window for the budget; nothing new beyond the parts."""
+    from computer_vision_foundations_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+    from computer_vision_foundations_spark.operators.quality_rules import (
+        gopher_quality_flags,
+    )
+    from computer_vision_foundations_spark.operators.selection import (
+        quality_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, min_words=40)
+    kept = docs.join(
+        flags.where("passes_gopher").select("doc_id"), "doc_id"
+    )
+    deduped = paragraph_dedup(kept, para_words=3)
+    src = docs.select("doc_id", "source")
+    scored = deduped.join(src, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_paras",
+        "n_kept",
+        F.when(F.col("cleaned_len") == 0, F.lit(0))
+        .otherwise(F.size(F.split("cleaned_text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.round(F.col("n_kept") / F.col("n_paras"), 6).alias("quality"),
+    )
+    sel = quality_budget_select(
+        scored,
+        domain_col="source",
+        quality_col="quality",
+        tokens_col="n_tokens",
+        token_budget=400,
+    )
+    extra = scored.select("doc_id", "n_paras", "n_kept")
+    return sel.join(extra, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_paras",
+        "n_kept",
+        "n_tokens",
+        "quality",
+        "cum_tokens",
+        "selected",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
