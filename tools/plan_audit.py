@@ -280,6 +280,57 @@ AUDIT = {
         "images never shuffle",
         (),
     ),
+    "z33_gopher_rules": (
+        "Gopher battery: every rule is a higher-order Catalyst "
+        "expression over split() arrays — one narrow codegen "
+        "projection, ZERO shuffles",
+        (),
+    ),
+    "z34_paragraph_dedup": (
+        "paragraph dedup: keeper vote aggregates a narrow (md5, id) "
+        "projection; bodies cross exactly two keyed shuffles (hash "
+        "equi-join + per-doc reassembly)",
+        (),
+    ),
+    "z35_scene_cuts": (
+        "scene cuts: narrow GIF encode/decode projections, then ONE "
+        "keyed shuffle (per-video lag window over (id, idx, key)); "
+        "pixels never shuffle",
+        (),
+    ),
+    "z36_audio_fingerprint_pairs": (
+        "audio fingerprints: per-clip analytic windows share one "
+        "partitioning; pairs come from the frequency-capped "
+        "fingerprint equi-join — no cross product, waveforms never "
+        "shuffle",
+        (),
+    ),
+    "z37_kmv_source_overlap": (
+        "KMV overlap: one narrow distinct over (source, md5); "
+        "pairwise stage is a register-table self equi-join on the "
+        "hash plus broadcast per-source scalars — never a "
+        "group-grid",
+        (),
+    ),
+    "z38_token_budget_select": (
+        "token-budget selection: ONE keyed shuffle — the per-domain "
+        "cumulative-sum window over narrow scored rows",
+        (),
+    ),
+    "z39_curriculum_order": (
+        "curriculum order: bucket assignment is a narrow codegen "
+        "expression (boundary literals, no global ntile / no "
+        "SinglePartition window); only the B-way rank window "
+        "shuffles",
+        (),
+    ),
+    "z40_curation_pipeline": (
+        "curation pipeline: union of its stages' budgets — "
+        "zero-shuffle rule gate, narrow keeper vote + two body "
+        "shuffles for the dedup, one budget window; broadcast "
+        "doc_id joins between stages",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
