@@ -6863,6 +6863,97 @@ def z40_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z41_hard_negatives",
+    """
+    SELECT anchor_id, negative_id, cos_sim, rank FROM (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])),
+                   6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                            CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                        b.vec_id ASC) AS rank
+      FROM embeddings a JOIN embeddings b ON a.label <> b.label
+      WHERE a.vec_id < 20) t
+    WHERE rank <= 10
+    """,
+)
+def z41_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR/ANCE shape):
+    for each anchor vector, the 10 most cosine-similar corpus vectors
+    with a DIFFERENT label — the negatives that actually move a
+    retriever (``operators/negatives.py``, reusing the broadcast
+    brute-force join discipline of ``similarity.brute_force_knn``
+    plus the label-inequality pair filter). Exact, total-order
+    deterministic, fully oracled. Reference parity: the class-aware
+    pair construction the reference's training stage implies for its
+    labeled image corpus.
+
+    Scale shape: anchors broadcast (model-sized probe set), one corpus
+    scan, one per-anchor top-k window — the ANN-family contract; swap
+    the exact scan for the IVF/PQ index at corpus scale."""
+    from computer_vision_foundations_spark.operators.negatives import (
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return hard_negative_mining(emb, anchors, k=10)
+
+
+@_register(
+    "z42_label_noise",
+    """
+    WITH nn AS (
+      SELECT qid, cos_sim, rank FROM (
+        SELECT a.vec_id AS qid,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                              CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                          b.vec_id ASC) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id) t
+      WHERE rank <= 3
+    ), agg AS (
+      SELECT qid, max(rank) AS n_neighbors, min(cos_sim) AS weakest
+      FROM nn GROUP BY qid
+    )
+    SELECT e.vec_id                      AS vec_id,
+           e.label                       AS label,
+           weakest                       AS kth_sim,
+           CAST(n_neighbors AS BIGINT)   AS n_neighbors,
+           weakest < 0.2                 AS suspect
+    FROM agg JOIN embeddings e ON agg.qid = e.vec_id
+    """,
+)
+def z42_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-noise audit (deep k-NN auditing shape):
+    each vector's similarity to its 3rd-nearest SAME-label neighbor;
+    points weakly attached to their own class (``kth_sim < 0.2``, the
+    fixture's median) are suspect mislabels
+    (``operators/negatives.py`` over the blocked self-kNN join, so
+    pairs form only within classes — Σ|class|², never n²). Exact and
+    fully oracled end-to-end.
+
+    Scale shape: the blocked self-join's budget plus one per-point
+    aggregate; vectors shuffle only within their class block."""
+    from computer_vision_foundations_spark.operators.negatives import (
+        label_noise_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_noise_scores(emb, k=3, threshold=0.2)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
