@@ -6954,6 +6954,76 @@ def z42_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_noise_scores(emb, k=3, threshold=0.2)
 
 
+@_register(
+    "z43_image_augment",
+    """
+    WITH px AS (
+        SELECT doc_id,
+               ord(substr(text,
+                   CAST(2*(u.j // 4)*9 + 7 - 2*(u.j % 4) + 1 AS INTEGER),
+                   1)) AS v
+        FROM documents, unnest(range(16)) u(j)
+        WHERE length(text) >= 72
+    ), r AS (
+        SELECT doc_id, v,
+               row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn
+        FROM px
+    )
+    SELECT doc_id,
+           round(avg(v), 4)                           AS mean,
+           CAST(max(CASE WHEN rn = 9 THEN v END)
+                AS INTEGER)                           AS median,
+           CAST(min(v) AS INTEGER)                    AS pmin,
+           CAST(max(v) AS INTEGER)                    AS pmax
+    FROM r GROUP BY doc_id
+    """,
+)
+def z43_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image augmentation with TWO full codec round
+    trips: text → REAL 8×9 PNG → decode → center-crop 8×8 →
+    horizontal flip → nearest-neighbor resize to 4×4 → RE-ENCODE as a
+    real PNG → decode again → pixel statistics
+    (``functions/augment.py`` — the data-side subset of the
+    reference's resize-to-model-input step, `03_Model Training.py`).
+    Every transform is integer index arithmetic, so the oracle replays
+    the whole chain as character picks ``byte[2r·9 + (7−2c)]`` — a
+    crop-offset, flip-direction, resize-index or re-encode bug
+    hash-fails. Statistics follow ImageStat definitions (median = 9th
+    smallest of the 16 pixels).
+
+    Scale shape: two narrow Arrow projections (augment, stats) — no
+    shuffle; augmented bytes are smaller than inputs and never leave
+    the executor."""
+    from computer_vision_foundations_spark.functions.augment import (
+        augment_png_udf,
+    )
+    from computer_vision_foundations_spark.functions.image import (
+        encode_text_png_8x9,
+        with_image_statistics,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 72
+    )
+    png = docs.select(
+        "doc_id", encode_text_png_8x9(F.col("text")).alias("content")
+    )
+    aug = png.select(
+        "doc_id",
+        augment_png_udf((8, 8), True, (4, 4))(F.col("content")).alias(
+            "content"
+        ),
+    )
+    st = with_image_statistics(aug)
+    return st.select(
+        "doc_id",
+        F.round(F.col("statistics.mean")[0], 4).alias("mean"),
+        F.col("statistics.median")[0].alias("median"),
+        F.col("statistics.extrema")[0][0].alias("pmin"),
+        F.col("statistics.extrema")[0][1].alias("pmax"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
