@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.text import tokens
 
-__all__ = ["vocab_top_k", "pmi_bigrams"]
+__all__ = ["vocab_top_k", "pmi_bigrams", "zipf_fit"]
 
 
 def _token_stream(df: DataFrame, text_col: str) -> DataFrame:
@@ -131,4 +131,45 @@ def pmi_bigrams(
         scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(k)
         .select("bigram", "n_ab", "pmi")
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    v: int = 50,
+) -> DataFrame:
+    """Zipf's-law fit over the top-``v`` vocabulary — the standard
+    corpus-health diagnostic (natural text shows a log-log
+    rank-frequency slope near −1; scraped boilerplate and synthetic
+    spam bend it): least-squares regression of ``ln n`` on ``ln rank``
+    over the top-V terms, returning one row
+    ``(n_terms, slope, intercept, r2)`` rounded to 6.
+
+    Scale shape: inherits ``vocab_top_k``'s TakeOrderedAndProject
+    top-V (no global sort of the corpus-sized count table); the
+    regression is a scalar aggregate over V rows."""
+    top = vocab_top_k(df, text_col, k=v)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    agg = top.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    m = F.col("_m").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / m
+    varx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / m
+    vary = F.col("_syy") - F.col("_sy") * F.col("_sy") / m
+    slope = cov / varx
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / m
+    r2 = (cov * cov) / (varx * vary)
+    return agg.select(
+        F.col("_m").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
     )

@@ -7024,6 +7024,83 @@ def z43_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z44_k_anonymity",
+    """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) < 5             AS at_risk
+    FROM documents GROUP BY source, lang
+    """,
+)
+def z44_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier combinations (Sweeney
+    2002): every observed (source, lang) equivalence class with its
+    size and an ``at_risk`` flag for classes below k=5
+    (``operators/privacy.py``). The governance gate a corpus release
+    runs before publication; the reference's EXIF metadata (camera
+    make/model/timestamp) is exactly such a QI set. Oracle is the
+    direct relational replay.
+
+    Scale shape: ONE hash aggregate over narrow QI columns with
+    map-side partials; suppression joins the ≤(k−1)·|violations|-row
+    class table back broadcast (tested, not in this query)."""
+    from computer_vision_foundations_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_anonymity_report(docs, ["source", "lang"], k=5)
+
+
+@_register(
+    "z45_zipf_fit",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+        SELECT token, count(*) AS n FROM toks
+        WHERE token <> '' GROUP BY token
+    ), top AS (
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM c QUALIFY rank <= 50
+    ), l AS (
+        SELECT ln(CAST(rank AS DOUBLE)) AS x,
+               ln(CAST(n AS DOUBLE)) AS y
+        FROM top
+    ), a AS (
+        SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        FROM l
+    )
+    SELECT CAST(m AS BIGINT) AS n_terms,
+           round((sxy - sx*sy/m) / (sxx - sx*sx/m), 6) AS slope,
+           round((sy - (sxy - sx*sy/m) / (sxx - sx*sx/m) * sx) / m, 6)
+               AS intercept,
+           round(((sxy - sx*sy/m) * (sxy - sx*sy/m))
+                 / ((sxx - sx*sx/m) * (syy - sy*sy/m)), 6) AS r2
+    FROM a
+    """,
+)
+def z45_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic over the top-50 vocabulary: log-log
+    rank-frequency least-squares slope, intercept and r² — the
+    corpus-health number (natural text ≈ −1; boilerplate and
+    synthetic spam bend it) — ``operators/vocab.py:zipf_fit``. The
+    oracle replays the top-V ranking and the closed-form regression
+    with identical expression structure so the doubles agree at
+    round-6.
+
+    Scale shape: the corpus-sized token-count table is never globally
+    sorted (TakeOrderedAndProject top-V); the regression is a scalar
+    aggregate over V rows."""
+    from computer_vision_foundations_spark.operators.vocab import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, v=50)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -77,6 +77,20 @@ SWEEP_QUERIES = [
     "z26_multimodal_manifest",
     "z27_pq_rerank",
     "z25_table_profile",
+    # second round-4 wave: the paragraph/audio/image pair generators
+    # (near-dup replicas multiply shared paragraphs and fingerprints —
+    # the density stress the caps exist for), the sketch overlaps
+    # (5x replicas shift every per-source estimate), the
+    # window-ordered selection ops, and the composed curation DAG.
+    "z34_paragraph_dedup",
+    "z35_scene_cuts",
+    "z36_audio_fingerprint_pairs",
+    "z37_kmv_source_overlap",
+    "z38_token_budget_select",
+    "z40_curation_pipeline",
+    "z41_hard_negatives",
+    "z42_label_noise",
+    "z43_image_augment",
 ]
 
 PAIR_QUERIES = {
