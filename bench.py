@@ -125,6 +125,11 @@ HEADLINE = [
     "z38_token_budget_select",
     "z39_curriculum_order",
     "z40_curation_pipeline",
+    "z41_hard_negatives",
+    "z42_label_noise",
+    "z43_image_augment",
+    "z44_k_anonymity",
+    "z45_zipf_fit",
 ]
 
 

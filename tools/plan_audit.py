@@ -331,6 +331,35 @@ AUDIT = {
         "doc_id joins between stages",
         (),
     ),
+    "z41_hard_negatives": (
+        "hard negatives: the exact brute-force-probe baseline — the "
+        "broadcast nested loop against the (tiny) anchor set is the "
+        "intended plan (q27's idiom); swap in the IVF/PQ index for "
+        "the bucketed scale path",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z42_label_noise": (
+        "label noise: blocked self-kNN join — pairs form only within "
+        "class blocks (label equi-join), one per-point aggregate",
+        (),
+    ),
+    "z43_image_augment": (
+        "image augment: two narrow Arrow projections (augment with "
+        "codec round trip, stats) — no shuffle, no join",
+        (),
+    ),
+    "z44_k_anonymity": (
+        "k-anonymity: ONE hash aggregate over narrow QI columns with "
+        "map-side partials",
+        (),
+    ),
+    "z45_zipf_fit": (
+        "zipf fit: TakeOrderedAndProject top-V (no global sort of "
+        "the token-count table) + scalar regression aggregate over "
+        "V rows; BroadcastNestedLoopJoin is vocab_top_k's 1-ROW "
+        "broadcast total-count crossJoin (the scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
