@@ -310,7 +310,11 @@ def kmv_registers(
 
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("h")
     return (
-        df.select(*keys, h.alias("h"))
+        # NULL values hash to NULL, which Spark's window would rank
+        # FIRST (nulls-first asc) while SQL engines rank it last —
+        # exclude NULLs entirely: a NULL is not a set member
+        df.where(F.col(col).isNotNull())
+        .select(*keys, h.alias("h"))
         .distinct()
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= k)

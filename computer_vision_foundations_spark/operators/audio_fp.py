@@ -99,11 +99,14 @@ def audio_fingerprint_pairs(
     max_fp_freq: int | None = 64,
 ) -> DataFrame:
     """``(id_a, id_b, n_matches)`` with ``id_a < id_b`` — clip pairs
-    sharing at least ``min_matches`` fingerprints. Fingerprints held
-    by more than ``max_fp_freq`` landmark rows are dropped before the
-    join (skew cap, ON by default like every pair generator here);
-    pass ``None`` only for oracle-exact small-corpus checks."""
-    lm = landmarks.select(id_col, fp_col)
+    sharing at least ``min_matches`` DISTINCT fingerprints (a
+    fingerprint repeating inside a clip — periodic audio — counts
+    once, so n_matches is a set-overlap count, never multiplicative).
+    Fingerprints held by more than ``max_fp_freq`` clips are dropped
+    before the join (skew cap, ON by default like every pair
+    generator here); pass ``None`` only for oracle-exact
+    small-corpus checks."""
+    lm = landmarks.select(id_col, fp_col).distinct()
     if max_fp_freq is not None:
         freq = (
             lm.groupBy(fp_col)

@@ -5,11 +5,12 @@ any fuzzy matching runs: CCNet (Wenzek et al. 2020) hashes normalized
 paragraphs and drops every repeated one, RefinedWeb (Penedo et al.
 2023) removes exact-duplicate spans/paragraphs while keeping the rest
 of the document. The operator here implements the keeper-doc variant:
-a paragraph that occurs in several documents survives only in the
-smallest ``id`` (deterministic canonical keeper — the same convention
-as ``operators/dedup.py`` exact dedup), every other occurrence is cut,
-and each document is reassembled from its surviving paragraphs in
-original order.
+of all occurrences of a paragraph corpus-wide (across documents AND
+within one), only the lexicographically first — smallest ``id``, then
+smallest position — survives (deterministic canonical keeper, the
+same convention as ``operators/dedup.py`` exact dedup); every other
+occurrence is cut, and each document is reassembled from its
+surviving paragraphs in original order.
 
 Paragraph segmentation is deliberately simple and declarative — fixed
 runs of ``para_words`` whitespace tokens — so the whole chain (split,
@@ -19,10 +20,10 @@ expression changes, the dedup/reassembly machinery is identical.
 
 Scale shape: paragraph rows are built NARROW with higher-order
 functions (sequence → slice → explode, no UDF); the keeper vote
-aggregates an (md5, id) projection — 16-byte keys shuffle, paragraph
-bodies do not; bodies then cross exactly two keyed shuffles (the
-keeper equi-join on the hash, the per-document reassembly groupBy),
-which is the floor for any reassembling sub-document dedup. No
+aggregates an (md5, id, idx) projection — narrow keys shuffle,
+paragraph bodies do not; bodies then cross exactly two keyed shuffles
+(the keeper equi-join on the hash, the per-document reassembly
+groupBy), which is the floor for any reassembling sub-document dedup. No
 broadcast of anything corpus-sized; no driver state.
 """
 
@@ -64,18 +65,27 @@ def paragraph_dedup(
 ) -> DataFrame:
     """Cross-document paragraph dedup with reassembly: per document,
     ``(id, n_paras, n_kept, cleaned_text, cleaned_len)`` where a
-    paragraph is kept iff this document is the smallest id containing
-    its hash (so exactly one copy of every distinct paragraph survives
-    corpus-wide, and unique paragraphs are always kept)."""
+    paragraph is kept iff it is the lexicographically FIRST occurrence
+    of its hash corpus-wide (smallest doc id, then smallest position
+    within that doc) — so exactly one copy of every distinct paragraph
+    survives, within-document repeats included, and unique paragraphs
+    are always kept."""
     p = doc_paragraphs(df, text_col, id_col, para_words)
-    # keeper vote over a NARROW (hash, id) projection
+    # keeper vote over a NARROW (hash, id, idx) projection: the
+    # lexicographically first OCCURRENCE (min doc, then min position
+    # within it) wins, so within-keeper repeats are cut too — exactly
+    # one copy of every distinct paragraph survives corpus-wide
     keeper = (
-        p.select("para_hash", id_col)
+        p.select("para_hash", id_col, "para_idx")
         .groupBy("para_hash")
-        .agg(F.min(id_col).alias("_keeper"))
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_k")
+        )
     )
     flagged = p.join(keeper, "para_hash").withColumn(
-        "kept", F.col(id_col) == F.col("_keeper")
+        "kept",
+        (F.col(id_col) == F.col("_k")[id_col])
+        & (F.col("para_idx") == F.col("_k")["para_idx"]),
     )
     kept_sorted = F.array_sort(
         F.collect_list(

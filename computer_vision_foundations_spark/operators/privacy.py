@@ -52,12 +52,19 @@ def suppression_candidates(
     """The rows that must be suppressed (or generalized) to reach
     k-anonymity: every row whose QI class is smaller than ``k`` —
     ``(id, qi_cols...)``. Violating classes are broadcast (≤ (k−1)
-    rows each), so the corpus is filtered map-side."""
+    rows each), so the corpus is filtered map-side. The join is
+    null-safe: a NULL QI value forms an equivalence class like any
+    other (groupBy semantics), so its rows must match their violating
+    class too — plain equality would silently exempt them."""
     bad = (
         k_anonymity_report(df, qi_cols, k)
         .where("at_risk")
-        .select(*qi_cols)
+        .select(*[F.col(c).alias(f"_b_{c}") for c in qi_cols])
     )
-    return df.join(F.broadcast(bad), qi_cols, "left_semi").select(
+    cond = None
+    for c in qi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(bad), cond, "left_semi").select(
         id_col, *qi_cols
     )

@@ -50,11 +50,11 @@ def quality_budget_select(
     tokens_col: str = "n_tokens",
     token_budget: int = 10_000,
 ) -> DataFrame:
-    """Greedy per-domain selection under a token budget:
-    ``(id, domain, quality, n_tokens, cum_tokens, selected)`` where
-    documents are ranked best-first within their domain (quality desc,
-    id asc as the deterministic tie-break) and ``selected`` marks the
-    maximal prefix whose cumulative token count stays ≤ the budget.
+    """Greedy per-domain selection under a token budget: every input
+    column plus ``(cum_tokens, selected)`` where documents are ranked
+    best-first within their domain (quality desc, id asc as the
+    deterministic tie-break) and ``selected`` marks the maximal
+    prefix whose cumulative token count stays ≤ the budget.
     The first document of a domain is selected even if it alone
     exceeds the budget ONLY when it fits; oversized heads are cut like
     any other overflow (strict prefix rule, replayable in SQL)."""
@@ -64,11 +64,10 @@ def quality_budget_select(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(tokens_col).over(w)
+    # pass every input column through so composed pipelines (z40)
+    # don't have to re-join their own lineage to recover stage columns
     return df.select(
-        id_col,
-        domain_col,
-        quality_col,
-        tokens_col,
+        "*",
         cum.cast("long").alias("cum_tokens"),
         (cum <= token_budget).alias("selected"),
     )

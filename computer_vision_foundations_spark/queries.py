@@ -6316,12 +6316,11 @@ def z33_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks, unnest(range((len(tk) + 2) // 3)) u(i)
     ), h AS (
         SELECT doc_id, idx, para, md5(para) AS ph FROM p
-    ), k AS (
-        SELECT ph, min(doc_id) AS keeper FROM h GROUP BY ph
     ), f AS (
-        SELECT h.doc_id, h.idx, h.para,
-               h.doc_id = k.keeper AS kept
-        FROM h JOIN k USING (ph)
+        SELECT doc_id, idx, para,
+               row_number() OVER (
+                   PARTITION BY ph ORDER BY doc_id, idx) = 1 AS kept
+        FROM h
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT)                     AS n_paras,
@@ -6337,8 +6336,9 @@ def z33_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z34_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup with document reassembly (CCNet,
     Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023): documents are
-    segmented into fixed 3-token paragraphs, each paragraph survives
-    only in the smallest doc_id containing its md5, and every document
+    segmented into fixed 3-token paragraphs, only the first occurrence
+    of each paragraph corpus-wide (smallest doc_id, then position)
+    survives — within-doc repeats cut too — and every document
     is rebuilt from its surviving paragraphs in original order
     (``operators/paragraphs.py``). The oracle replays segmentation,
     keeper vote and ordered reassembly relationally, so the HOF
@@ -6449,7 +6449,7 @@ def z35_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(e, 1) OVER w AS e1, lead(e, 2) OVER w AS e2
         FROM pk WINDOW w AS (PARTITION BY doc_id ORDER BY widx)
     ), fp AS (
-        SELECT doc_id,
+        SELECT DISTINCT doc_id,
                md5(concat(CAST(w1 - widx AS VARCHAR), '_',
                           CAST(w2 - w1 AS VARCHAR), '_',
                           CAST(length(bin(e)) AS VARCHAR), '_',
@@ -6737,7 +6737,8 @@ def z39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z40_curation_pipeline",
     """
     WITH t AS (
-        SELECT doc_id, source, string_split(text, ' ') AS toks, text
+        SELECT doc_id, source, string_split(text, ' ') AS toks,
+               string_split(text, chr(10)) AS lines, text
         FROM documents
     ), g AS (
         SELECT doc_id, source, text FROM t
@@ -6747,6 +6748,12 @@ def z39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND (len(regexp_extract_all(text, '#'))
                + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
               / greatest(len(toks), 1) < 0.1
+          AND len(list_filter(lines,
+                  ln -> regexp_matches(ln, '^\\s*[-*•]'))) * 1.0
+              / greatest(len(lines), 1) < 0.9
+          AND len(list_filter(lines,
+                  ln -> regexp_matches(ln, '(\\.\\.\\.|…)\\s*$'))) * 1.0
+              / greatest(len(lines), 1) < 0.3
           AND len(list_filter(toks,
                   w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
               / greatest(len(toks), 1) >= 0.8
@@ -6763,12 +6770,11 @@ def z39_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tk, unnest(range((len(tks) + 2) // 3)) u(i)
     ), h AS (
         SELECT doc_id, source, idx, para, md5(para) AS ph FROM p
-    ), kk AS (
-        SELECT ph, min(doc_id) AS keeper FROM h GROUP BY ph
     ), f AS (
-        SELECT h.doc_id, h.source, h.idx, h.para,
-               h.doc_id = kk.keeper AS kept
-        FROM h JOIN kk USING (ph)
+        SELECT doc_id, source, idx, para,
+               row_number() OVER (
+                   PARTITION BY ph ORDER BY doc_id, idx) = 1 AS kept
+        FROM h
     ), d AS (
         SELECT doc_id, source,
                count(*) AS n_paras,
@@ -6843,15 +6849,16 @@ def z40_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.round(F.col("n_kept") / F.col("n_paras"), 6).alias("quality"),
     )
-    sel = quality_budget_select(
+    # quality_budget_select passes every input column through, so the
+    # stage columns (n_paras, n_kept) survive without re-joining the
+    # dedup lineage
+    return quality_budget_select(
         scored,
         domain_col="source",
         quality_col="quality",
         tokens_col="n_tokens",
         token_budget=400,
-    )
-    extra = scored.select("doc_id", "n_paras", "n_kept")
-    return sel.join(extra, "doc_id").select(
+    ).select(
         "doc_id",
         "source",
         "n_paras",

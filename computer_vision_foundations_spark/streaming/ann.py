@@ -12,8 +12,12 @@ partition pruning to the probed cells) and appended to a result sink.
 upsert): the per-batch probe set is small and broadcast, so every
 micro-batch costs one pruned scan of the code files its probes fan
 out to — the corpus is never re-encoded and never fully re-read.
-Checkpointing gives exactly-once result appends across restarts; the
-kill-and-resume test drives that path.
+foreachBatch is inherently at-least-once, so each batch writes to its
+own ``batch_id=N`` partition with overwrite semantics — a replayed
+batch overwrites its previous output instead of appending a
+duplicate, making the sink idempotent (effectively exactly-once for
+readers of the output root); the kill-and-resume test drives that
+path.
 
 Reference parity: the streaming inference sink of
 `04a_Model Deployment.py:248-269` (second Auto Loader consumer →
@@ -28,6 +32,7 @@ state is the model-sized META (centroids + codebooks), loaded once.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from computer_vision_foundations_spark.operators.ann_index import (
@@ -61,8 +66,14 @@ def run_streaming_ann(
     """Drain ``probe_dir`` (availableNow) through the persisted index:
     each arriving probe file's vectors are answered with the same
     ``(probe_id, neighbor_id, adc_distance, rank)`` contract as the
-    batch query and appended to ``output_path``. Restart-safe via the
-    stream checkpoint: replayed batches are not re-appended."""
+    batch query, written under ``output_path/batch_id=N``.
+    Restart-safe via the stream checkpoint AND idempotent under
+    replay: a re-executed batch overwrites its own partition, so a
+    crash between the sink write and the checkpoint commit cannot
+    duplicate results. Probe dimensions are validated against the
+    index META before scoring."""
+    import os
+
     meta = load_index_meta(index_path)
     reader = (
         spark.readStream.schema(probe_stream_schema(meta["dim"]))
@@ -76,6 +87,14 @@ def run_streaming_ann(
     def answer(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        bad = batch.where(
+            F.size("embedding") != F.lit(meta["dim"])
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"probe dim {len(bad[0]['embedding'])} != index dim "
+                f"{meta['dim']} (vec_id={bad[0]['vec_id']})"
+            )
         result = query_ivf_pq_index(
             spark,
             index_path,
@@ -83,7 +102,9 @@ def run_streaming_ann(
             k=k,
             n_probe_cells=n_probe_cells,
         )
-        result.write.mode("append").parquet(output_path)
+        result.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"batch_id={batch_id}")
+        )
 
     (
         probes.writeStream.foreachBatch(answer)

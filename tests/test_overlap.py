@@ -104,3 +104,15 @@ def test_sketch_is_mergeable(spark):
     d = {r["pos"]: r["h"] for r in direct.collect()}
     m = {r["pos"]: r["v"] for r in remerged.collect()}
     assert d == m
+
+
+def test_kmv_ignores_null_values(spark):
+    rows = [("a", "x"), ("a", "y"), ("a", None), ("a", "z")]
+    items = spark.createDataFrame(rows, ["g", "v"])
+    regs = kmv_registers(items, "v", k=8, keys=["g"]).collect()
+    # NULL is not a set member: 3 registers, positions 1..3, no NULL hash
+    assert len(regs) == 3
+    assert sorted(r["pos"] for r in regs) == [1, 2, 3]
+    assert all(r["h"] is not None for r in regs)
+    out = kmv_distinct(items, "v", k=8, keys=["g"]).collect()
+    assert out[0]["approx_distinct"] == 3.0

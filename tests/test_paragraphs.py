@@ -46,24 +46,20 @@ def test_counts_are_consistent(docs):
         assert r["cleaned_len"] == len(r["cleaned_text"])
 
 
-def test_one_survivor_per_distinct_paragraph(docs, spark):
+def test_exactly_one_survivor_per_distinct_paragraph(docs, spark):
     p = doc_paragraphs(docs, para_words=3)
     n_distinct = p.select("para_hash").distinct().count()
     total_kept = sum(r["n_kept"] for r in paragraph_dedup(docs).collect())
-    # doc 3 contains 'x y z' twice; the keeper keeps each distinct
-    # paragraph exactly once corpus-wide except within-keeper repeats
-    assert total_kept >= n_distinct
-    # every distinct hash appears in exactly one document's kept set
-    from pyspark.sql import functions as F
+    # first-occurrence keeper: exactly one copy corpus-wide, even when
+    # the keeper document itself repeats the paragraph (doc 3)
+    assert total_kept == n_distinct
 
-    keeper = p.groupBy("para_hash").agg(F.min("doc_id").alias("k"))
-    kept_docs = (
-        p.join(keeper, "para_hash")
-        .where(F.col("doc_id") == F.col("k"))
-        .select("para_hash", "doc_id")
-        .distinct()
-        .groupBy("para_hash")
-        .count()
-        .collect()
+
+def test_within_keeper_repeats_are_cut(spark):
+    # the ONLY doc containing 'a b c' repeats it: second copy is cut
+    df = spark.createDataFrame(
+        [(1, "a b c a b c x y z")], ["doc_id", "text"]
     )
-    assert all(r["count"] == 1 for r in kept_docs)
+    out = paragraph_dedup(df).collect()[0]
+    assert out["n_paras"] == 3 and out["n_kept"] == 2
+    assert out["cleaned_text"] == "a b c x y z"

@@ -68,3 +68,22 @@ def test_zipf_fit_flat_corpus_slope_zero(spark):
     out = zipf_fit(df, v=10).collect()[0]
     assert out["slope"] == pytest.approx(0.0, abs=1e-9)
     assert math.isnan(out["r2"]) or out["r2"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_null_qi_rows_are_suppression_candidates(spark):
+    rows = [
+        (1, "US", None), (2, "US", None),        # NULL-lang class of 2
+        (3, "US", "en"), (4, "US", "en"), (5, "US", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "country", "lang"])
+    rep = {
+        (r["country"], r["lang"]): r
+        for r in k_anonymity_report(df, ["country", "lang"], k=3).collect()
+    }
+    assert rep[("US", None)]["at_risk"]
+    ids = {
+        r["doc_id"]
+        for r in suppression_candidates(df, ["country", "lang"], k=3).collect()
+    }
+    # null-safe join: the NULL-keyed rows are NOT silently exempted
+    assert ids == {1, 2}

@@ -57,7 +57,14 @@ def test_stream_matches_batch_query(spark, tmp_path):
     run_streaming_ann(
         spark, index, d["probes"], d["out"], d["ckpt"], k=5, n_probe_cells=3
     )
-    got = sorted(map(tuple, spark.read.parquet(d["out"]).collect()))
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(d["out"])
+            .drop("batch_id")
+            .collect(),
+        )
+    )
     want = sorted(
         map(
             tuple,
