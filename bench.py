@@ -130,6 +130,7 @@ HEADLINE = [
     "z43_image_augment",
     "z44_k_anonymity",
     "z45_zipf_fit",
+    "z46_multimodal_consensus_pairs",
 ]
 
 

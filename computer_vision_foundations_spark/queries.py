@@ -7108,6 +7108,94 @@ def z45_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, v=50)
 
 
+def _consensus_oracle_sql() -> str:
+    """Composed oracle: the three modality pair sets are the already-
+    registered z32 / z36 / q49 oracles verbatim (each with its own
+    WITH chain, nested as subqueries), full-outer-merged on the pair
+    key. Consensus = present in ≥ 2 modalities."""
+    img = _ORACLES["z32_image_near_dup"]
+    aud = _ORACLES["z36_audio_fingerprint_pairs"]
+    txt = _ORACLES["q49_simhash_near_dup_pairs"]
+    return f"""
+    WITH img AS (SELECT id_a, id_b FROM ({img})),
+         aud AS (SELECT id_a, id_b FROM ({aud})),
+         txt AS (SELECT id_a, id_b FROM ({txt})),
+         u AS (SELECT id_a, id_b FROM img
+               UNION SELECT id_a, id_b FROM aud
+               UNION SELECT id_a, id_b FROM txt)
+    SELECT u.id_a, u.id_b,
+           i.id_a IS NOT NULL AS in_image,
+           a.id_a IS NOT NULL AS in_audio,
+           t.id_a IS NOT NULL AS in_text,
+           CAST((i.id_a IS NOT NULL)::INT
+                + (a.id_a IS NOT NULL)::INT
+                + (t.id_a IS NOT NULL)::INT AS BIGINT) AS n_modalities
+    FROM u LEFT JOIN img i USING (id_a, id_b)
+           LEFT JOIN aud a USING (id_a, id_b)
+           LEFT JOIN txt t USING (id_a, id_b)
+    WHERE (i.id_a IS NOT NULL)::INT + (a.id_a IS NOT NULL)::INT
+          + (t.id_a IS NOT NULL)::INT >= 2
+    """
+
+
+@_register("z46_multimodal_consensus_pairs", _consensus_oracle_sql())
+def z46_multimodal_consensus_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal duplicate consensus — the capstone composition of
+    the three modality-specific near-dup generators over the SAME
+    corpus: image dHash Hamming pairs (z32, real PNG decode), audio
+    energy-landmark fingerprint pairs (z36, real WAV decode), and
+    text SimHash pairs (q49). A pair flagged by ≥ 2 independent
+    modalities is a high-precision duplicate (the standard ensemble
+    trick: modality-specific false positives rarely coincide);
+    ``n_modalities`` grades confidence. The oracle nests the three
+    already-verified oracles verbatim and replays the consensus merge,
+    so this query re-verifies all three chains plus the merge in one
+    hash.
+
+    Scale shape: the union of the three generators' budgets; the
+    consensus itself joins PAIR tables (outputs, orders of magnitude
+    smaller than the corpus) on the pair key — three small hash
+    joins, nothing corpus-sized."""
+    t = F.lit(True)
+    img = z32_image_near_dup(spark, sf_dir).select(
+        "id_a", "id_b", t.alias("in_image")
+    )
+    aud = z36_audio_fingerprint_pairs(spark, sf_dir).select(
+        "id_a", "id_b", t.alias("in_audio")
+    )
+    txt = q49_simhash_near_dup_pairs(spark, sf_dir).select(
+        "id_a", "id_b", t.alias("in_text")
+    )
+    u = (
+        img.select("id_a", "id_b")
+        .union(aud.select("id_a", "id_b"))
+        .union(txt.select("id_a", "id_b"))
+        .distinct()
+    )
+    out = (
+        u.join(img, ["id_a", "id_b"], "left")
+        .join(aud, ["id_a", "id_b"], "left")
+        .join(txt, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("in_image", F.lit(False)).alias("in_image"),
+            F.coalesce("in_audio", F.lit(False)).alias("in_audio"),
+            F.coalesce("in_text", F.lit(False)).alias("in_text"),
+        )
+    )
+    n = (
+        F.col("in_image").cast("int")
+        + F.col("in_audio").cast("int")
+        + F.col("in_text").cast("int")
+    )
+    return out.withColumn("n_modalities", n.cast("long")).where(
+        F.col("n_modalities") >= 2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

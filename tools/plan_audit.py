@@ -360,6 +360,13 @@ AUDIT = {
         "broadcast total-count crossJoin (the scalar idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
+    "z46_multimodal_consensus_pairs": (
+        "multimodal consensus: inherits the three banded/capped pair "
+        "generators' budgets; the consensus merge joins PAIR tables "
+        "(generator outputs) on the pair key — small hash joins, "
+        "nothing corpus-sized crosses",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
