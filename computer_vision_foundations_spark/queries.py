@@ -7168,16 +7168,12 @@ def z46_multimodal_consensus_pairs(
     txt = q49_simhash_near_dup_pairs(spark, sf_dir).select(
         "id_a", "id_b", t.alias("in_text")
     )
-    u = (
-        img.select("id_a", "id_b")
-        .union(aud.select("id_a", "id_b"))
-        .union(txt.select("id_a", "id_b"))
-        .distinct()
-    )
+    # chained FULL OUTER joins (key columns coalesce under list-form
+    # join keys) evaluate each generator subtree exactly once — the
+    # union-then-left-join formulation would run every leg twice
     out = (
-        u.join(img, ["id_a", "id_b"], "left")
-        .join(aud, ["id_a", "id_b"], "left")
-        .join(txt, ["id_a", "id_b"], "left")
+        img.join(aud, ["id_a", "id_b"], "full")
+        .join(txt, ["id_a", "id_b"], "full")
         .select(
             "id_a",
             "id_b",
