@@ -131,6 +131,7 @@ HEADLINE = [
     "z44_k_anonymity",
     "z45_zipf_fit",
     "z46_multimodal_consensus_pairs",
+    "z47_hashed_features",
 ]
 
 

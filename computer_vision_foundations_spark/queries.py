@@ -7192,6 +7192,43 @@ def z46_multimodal_consensus_pairs(
     )
 
 
+@_register(
+    "z47_hashed_features",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 7))::BIGINT % 64 AS bucket,
+               CASE WHEN ('0x' || substr(md5(t), 8, 7))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks WHERE t <> ''
+    )
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, bucket HAVING sum(sgn) <> 0
+    """,
+)
+def z47_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009; the
+    HashingVectorizer / Vowpal Wabbit shape): signed 64-bucket hashed
+    bag-of-words as sparse ``(doc_id, bucket, weight)`` triples
+    (``functions/feature_hash.py``), the zero-coordination featurizer
+    — no vocabulary fit, no broadcast dictionary, so it is the one
+    text featurizer that needs NOTHING shared at 100 TB. Buckets and
+    signs use the portable md5 pair family, so the oracle replays the
+    featurization bit-for-bit.
+
+    Scale shape: one narrow token projection + ONE (id, bucket) hash
+    aggregate with map-side partials; only sparse triples shuffle."""
+    from computer_vision_foundations_spark.functions.feature_hash import (
+        hashed_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, d=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -360,6 +360,12 @@ AUDIT = {
         "broadcast total-count crossJoin (the scalar idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
+    "z47_hashed_features": (
+        "feature hashing: one narrow token projection + ONE "
+        "(id, bucket) hash aggregate with map-side partials; only "
+        "sparse triples shuffle",
+        (),
+    ),
     "z46_multimodal_consensus_pairs": (
         "multimodal consensus: inherits the three banded/capped pair "
         "generators' budgets; the consensus merge joins PAIR tables "
