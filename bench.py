@@ -132,6 +132,7 @@ HEADLINE = [
     "z45_zipf_fit",
     "z46_multimodal_consensus_pairs",
     "z47_hashed_features",
+    "z48_class_compactness",
 ]
 
 

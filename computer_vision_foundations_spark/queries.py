@@ -7229,6 +7229,56 @@ def z47_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(docs, d=64)
 
 
+@_register(
+    "z48_class_compactness",
+    """
+    WITH el AS (
+        SELECT vec_id, label, u.i AS i,
+               CAST(embedding[CAST(u.i + 1 AS INTEGER)] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(len(embedding))) u(i)
+    ), cent AS (
+        SELECT label, i, avg(x) AS c FROM el GROUP BY label, i
+    ), j AS (
+        SELECT el.vec_id, el.label, el.x, cent.c
+        FROM el JOIN cent USING (label, i)
+    ), pv AS (
+        SELECT vec_id, label,
+               sum(x * c) AS dot, sum(x * x) AS vv, sum(c * c) AS cc
+        FROM j GROUP BY vec_id, label
+    ), cz AS (
+        SELECT vec_id, label, cc,
+               CASE WHEN vv > 0 AND cc > 0
+                    THEN dot / (sqrt(vv) * sqrt(cc)) ELSE 0.0 END AS cos
+        FROM pv
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT)          AS n,
+           round(sqrt(any_value(cc)), 6)     AS centroid_norm,
+           round(avg(cos), 6)                AS mean_cos
+    FROM cz GROUP BY label
+    """,
+)
+def z48_class_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health report: per-class centroid norm and mean
+    member-to-centroid cosine (``operators/embedding_stats.py``) —
+    the separability diagnostic run before training and after every
+    re-embedding (compact classes predict linear-probe accuracy;
+    diffuse ones flag drift or label noise — the aggregate companion
+    to z42's per-point audit). Pure relational explode arithmetic
+    with floats promoted to double BEFORE any product, so the oracle
+    replays the identical expression shapes at round-6.
+
+    Scale shape: two keyed shuffles of narrow element rows; the
+    (|labels|·dim)-row centroid table is broadcast; vectors never
+    move whole."""
+    from computer_vision_foundations_spark.operators.embedding_stats import (
+        class_compactness,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return class_compactness(emb)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -366,6 +366,12 @@ AUDIT = {
         "sparse triples shuffle",
         (),
     ),
+    "z48_class_compactness": (
+        "class compactness: two keyed shuffles of narrow element "
+        "rows; the (labels x dim) centroid table is broadcast; "
+        "vectors never move whole",
+        (),
+    ),
     "z46_multimodal_consensus_pairs": (
         "multimodal consensus: inherits the three banded/capped pair "
         "generators' budgets; the consensus merge joins PAIR tables "
