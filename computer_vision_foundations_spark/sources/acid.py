@@ -252,6 +252,88 @@ def _stats_for_snapshot(
     return stats
 
 
+# --- Bloom-filter file skipping -------------------------------------------
+# min/max ranges prune RANGE predicates but are useless for point
+# lookups on high-cardinality unclustered columns (every file's range
+# covers the probe). The commit log therefore optionally records a
+# small per-file Bloom filter for caller-chosen columns — the same
+# design as Parquet/Delta bloom indexes, kept in the log so pruning
+# stays a driver-side metadata decision. Hash scheme = the engine's
+# portable md5 double-hash (functions/sketches._bloom_positions), so
+# the Spark build job and the Python membership check agree bit-|
+# for-bit. False positives only cost an un-skipped file; false
+# negatives are impossible, which the tests pin.
+
+_BLOOM_M, _BLOOM_K = 2048, 4
+
+
+def _collect_file_blooms(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    bloom_cols: list[str],
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict:
+    """Per-file per-column Bloom bit sets for freshly-committed files,
+    computed DISTRIBUTED (one Spark job over only the new files and
+    only the indexed columns; ≤ m bits ≈ a few KB per file·column come
+    back to the driver — commit-metadata-sized, never data-sized)."""
+    if not files or not bloom_cols:
+        return {}
+    from computer_vision_foundations_spark.functions.sketches import (
+        _bloom_positions,
+    )
+
+    paths = [os.path.join(root, f) for f in files]
+    df = spark.read.parquet(*paths)
+    out: dict = {}
+    for c in bloom_cols:
+        bits = (
+            df.select(
+                F.input_file_name().alias("_f"),
+                F.explode(
+                    _bloom_positions(F.col(c).cast("string"), m, k)
+                ).alias("bit"),
+            )
+            .distinct()
+            .groupBy("_f")
+            .agg(F.collect_list("bit").alias("bits"))
+            .collect()
+        )
+        for r in bits:
+            rel = os.path.relpath(r["_f"].replace("file:", ""), root)
+            out.setdefault(rel, {})[c] = {
+                "m": m,
+                "k": k,
+                "bits": sorted(int(b) for b in r["bits"]),
+            }
+    return out
+
+
+def _blooms_for_snapshot(
+    root: str, version: int, commits: list[dict] | None = None
+) -> dict:
+    blooms: dict = {}
+    for rec in commits if commits is not None else _commits_upto(
+        root, version
+    ):
+        blooms.update(rec.get("add_blooms") or {})
+    return blooms
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """Python twin of the Spark-side position scheme: md5 hex chars
+    [1..7]/[8..14] as h1/h2, positions (h1 + i·h2) mod m."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode()).hexdigest()
+    h1, h2 = int(d[:7], 16), int(d[7:14], 16)
+    bits = set(bloom["bits"])
+    m, k = bloom["m"], bloom["k"]
+    return all((h1 + i * h2) % m in bits for i in range(k))
+
+
 def _commit(
     root: str,
     action: str,
@@ -261,6 +343,7 @@ def _commit(
     checkpoint_every: int = 10,
     meta: dict | None = None,
     add_stats: dict | None = None,
+    add_blooms: dict | None = None,
 ) -> int:
     """Atomically publish one commit; returns the committed version.
 
@@ -285,6 +368,7 @@ def _commit(
             "ts": time.time(),
             "meta": meta or {},
             "add_stats": add_stats or {},
+            "add_blooms": add_blooms or {},
         }
         tmp = os.path.join(_log_path(root), f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -311,7 +395,11 @@ def _commit(
 
 
 def create_table(
-    spark: SparkSession, root: str, df: DataFrame, meta: dict | None = None
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Create a transactional table from ``df`` (version 1). ``meta``
     entries merge into the commit record alongside the schema (the
@@ -324,6 +412,9 @@ def create_table(
     return _commit(
         root, "create", added, [], meta=record,
         add_stats=_collect_file_stats(root, added),
+        add_blooms=_collect_file_blooms(
+            spark, root, added, bloom_cols or []
+        ),
     )
 
 
@@ -379,6 +470,7 @@ def write_append(
     root: str,
     df: DataFrame,
     merge_schema: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """ACID append: all of ``df``'s files become visible atomically.
     Schema-enforced; ``merge_schema=True`` permits adding columns.
@@ -397,6 +489,9 @@ def write_append(
         root, "append", added, [], meta=meta,
         expected_version=current if meta else None,
         add_stats=_collect_file_stats(root, added),
+        add_blooms=_collect_file_blooms(
+            spark, root, added, bloom_cols or []
+        ),
     )
 
 
@@ -426,14 +521,46 @@ def write_overwrite(
 
 
 def prune_files(
-    root: str, version: int, files: list[str], prune: dict
+    root: str,
+    version: int,
+    files: list[str],
+    prune: dict | None = None,
+    prune_eq: dict | None = None,
 ) -> list[str]:
     """Data skipping: keep only files whose commit-log min/max ranges
-    can intersect every ``{column: (lo, hi)}`` closed interval. Files
-    with no recorded stats for a column are KEPT (safe). Driver-side
-    metadata only — nothing is opened or scanned."""
-    stats = _stats_for_snapshot(root, version)
-    return _prune_with_stats(files, stats, prune)
+    can intersect every ``{column: (lo, hi)}`` closed interval
+    (``prune``) AND whose Bloom filter admits every ``{column: value}``
+    point probe (``prune_eq``; only for columns indexed with
+    ``bloom_cols`` at write time). Files with no recorded stats/bloom
+    for a column are KEPT (safe). Driver-side metadata only — nothing
+    is opened or scanned."""
+    files = _prune_with_stats(
+        files, _stats_for_snapshot(root, version), prune or {}
+    )
+    if prune_eq:
+        files = _prune_with_blooms(
+            files, _blooms_for_snapshot(root, version), prune_eq
+        )
+    return files
+
+
+def _prune_with_blooms(
+    files: list[str], blooms: dict, prune_eq: dict
+) -> list[str]:
+    kept = []
+    for f in files:
+        cols = blooms.get(f) or {}
+        keep = True
+        for col, value in prune_eq.items():
+            bloom = cols.get(col)
+            if bloom is None:
+                continue  # unindexed: conservative keep
+            if not _bloom_maybe_contains(bloom, value):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
 
 
 def _prune_with_stats(files: list[str], stats: dict, prune: dict) -> list[str]:

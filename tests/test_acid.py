@@ -439,3 +439,76 @@ def test_prune_type_mismatch_keeps_files(spark, tmp_path):
     v = _resolve_version(root, None, None)
     files = _snapshot_files(root, v)
     assert prune_files(root, v, files, {"tag": (0, 1)}) == files
+
+
+def test_bloom_file_skipping_point_lookup(spark, tmp_path):
+    from computer_vision_foundations_spark.sources import acid
+
+    root = str(tmp_path / "tbl_bloom")
+    # two disjoint key populations, committed separately -> 2+ files
+    a = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100)], ["id", "user"]
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(100, 200)], ["id", "user"]
+    ).coalesce(1)
+    acid.create_table(spark, root, a, bloom_cols=["user"])
+    v = acid.write_append(spark, root, b, bloom_cols=["user"])
+    files = acid._snapshot_files(root, v)
+    assert len(files) >= 2
+
+    # point probe for a key only in the first commit: bloom must drop
+    # every second-commit file (disjoint values -> no false positive
+    # would be needed, but allow them: assert at least one file pruned
+    # and never the one holding the key)
+    kept = acid.prune_files(root, v, files, prune_eq={"user": "u7"})
+    assert len(kept) < len(files)
+    got = (
+        acid.read_table(spark, root, version=v)
+        .filter("user = 'u7'")
+        .collect()
+    )
+    pruned_read = (
+        spark.read.parquet(
+            *[f"{root}/{f}" for f in kept]
+        )
+        .filter("user = 'u7'")
+        .collect()
+    )
+    assert [r["id"] for r in pruned_read] == [r["id"] for r in got] == [7]
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    from computer_vision_foundations_spark.sources import acid
+
+    root = str(tmp_path / "tbl_bloom_fn")
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(300)], ["id", "user"]
+    ).repartition(4)
+    v = acid.create_table(spark, root, df, bloom_cols=["user"])
+    files = acid._snapshot_files(root, v)
+    full = {
+        r["user"]: r["id"]
+        for r in acid.read_table(spark, root).collect()
+    }
+    for probe in ["k0", "k123", "k299"]:
+        kept = acid.prune_files(root, v, files, prune_eq={"user": probe})
+        rows = (
+            spark.read.parquet(*[f"{root}/{f}" for f in kept])
+            .filter(f"user = '{probe}'")
+            .collect()
+        )
+        assert len(rows) == 1 and rows[0]["id"] == full[probe]
+
+
+def test_unindexed_column_is_never_pruned(spark, tmp_path):
+    from computer_vision_foundations_spark.sources import acid
+
+    root = str(tmp_path / "tbl_bloom_un")
+    df = spark.createDataFrame([(1, "x")], ["id", "user"])
+    v = acid.create_table(spark, root, df)  # no bloom_cols
+    files = acid._snapshot_files(root, v)
+    kept = acid.prune_files(
+        root, v, files, prune_eq={"user": "definitely-absent"}
+    )
+    assert kept == files  # conservative: no bloom -> keep
