@@ -69,7 +69,12 @@ def class_compactness(
         .groupBy(label_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sqrt(F.first("_cc")), 6).alias("centroid_norm"),
+            # _cc is identical across members of a class when vectors
+            # share a dimension; MAX (not first) keeps the result
+            # deterministic if ragged vectors ever slip in — a ragged
+            # member sums fewer centroid components, so max = the
+            # full-dimension value
+            F.round(F.sqrt(F.max("_cc")), 6).alias("centroid_norm"),
             F.round(F.avg("_cos"), 6).alias("mean_cos"),
         )
     )

@@ -7253,7 +7253,7 @@ def z47_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(count(*) AS BIGINT)          AS n,
-           round(sqrt(any_value(cc)), 6)     AS centroid_norm,
+           round(sqrt(max(cc)), 6)           AS centroid_norm,
            round(avg(cos), 6)                AS mean_cos
     FROM cz GROUP BY label
     """,

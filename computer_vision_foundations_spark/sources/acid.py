@@ -267,6 +267,9 @@ def _stats_for_snapshot(
 _BLOOM_M, _BLOOM_K = 2048, 4
 
 
+_BLOOMABLE_TYPES = ("string", "int", "bigint", "smallint", "tinyint")
+
+
 def _collect_file_blooms(
     spark: SparkSession,
     root: str,
@@ -276,38 +279,76 @@ def _collect_file_blooms(
     k: int = _BLOOM_K,
 ) -> dict:
     """Per-file per-column Bloom bit sets for freshly-committed files,
-    computed DISTRIBUTED (one Spark job over only the new files and
-    only the indexed columns; ≤ m bits ≈ a few KB per file·column come
-    back to the driver — commit-metadata-sized, never data-sized)."""
+    computed DISTRIBUTED (ONE Spark job over only the new files, all
+    indexed columns in a single pass; ≤ m bits ≈ a few KB per
+    file·column come back to the driver — commit-metadata-sized, never
+    data-sized).
+
+    Only string and integer columns are indexable: for those, Spark's
+    cast-to-string and the driver probe's ``str(value)`` are
+    byte-identical, so the no-false-negative guarantee holds. Float /
+    boolean / timestamp columns render differently in the two runtimes
+    (``1.0E-7`` vs ``1e-07``, ``true`` vs ``True``) and are rejected
+    at build time rather than silently mis-pruned at read time."""
     if not files or not bloom_cols:
         return {}
+    from urllib.parse import unquote, urlparse
+
     from computer_vision_foundations_spark.functions.sketches import (
         _bloom_positions,
     )
 
     paths = [os.path.join(root, f) for f in files]
     df = spark.read.parquet(*paths)
-    out: dict = {}
+    dtypes = dict(df.dtypes)
     for c in bloom_cols:
-        bits = (
-            df.select(
-                F.input_file_name().alias("_f"),
-                F.explode(
-                    _bloom_positions(F.col(c).cast("string"), m, k)
-                ).alias("bit"),
+        if dtypes.get(c) not in _BLOOMABLE_TYPES:
+            raise ValueError(
+                f"bloom_cols: column {c!r} has type {dtypes.get(c)!r}; "
+                f"only {_BLOOMABLE_TYPES} render identically in Spark "
+                "and the driver probe"
             )
-            .distinct()
-            .groupBy("_f")
-            .agg(F.collect_list("bit").alias("bits"))
-            .collect()
+    def _tag(name):
+        # one-arg lambda factory: a two-parameter lambda would be
+        # treated by F.transform as the (element, index) form
+        return lambda b: F.struct(
+            F.lit(name).alias("col"), b.alias("bit")
         )
-        for r in bits:
-            rel = os.path.relpath(r["_f"].replace("file:", ""), root)
-            out.setdefault(rel, {})[c] = {
-                "m": m,
-                "k": k,
-                "bits": sorted(int(b) for b in r["bits"]),
-            }
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    _bloom_positions(F.col(c).cast("string"), m, k),
+                    _tag(c),
+                )
+                for c in bloom_cols
+            ]
+        )
+    )
+    rows = (
+        df.select(
+            F.input_file_name().alias("_f"), F.explode(tagged).alias("e")
+        )
+        .select("_f", F.col("e.col").alias("col"), F.col("e.bit").alias("bit"))
+        .distinct()
+        .groupBy("_f", "col")
+        .agg(F.collect_list("bit").alias("bits"))
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        # input_file_name returns a percent-encoded file URI; parse it
+        # properly instead of string-replacing "file:"
+        local = unquote(urlparse(r["_f"]).path) if "://" in r["_f"] or r[
+            "_f"
+        ].startswith("file:") else r["_f"]
+        rel = os.path.relpath(local, os.path.abspath(root))
+        out.setdefault(rel, {})[r["col"]] = {
+            "m": m,
+            "k": k,
+            "bits": sorted(int(b) for b in r["bits"]),
+        }
     return out
 
 
@@ -324,9 +365,15 @@ def _blooms_for_snapshot(
 
 def _bloom_maybe_contains(bloom: dict, value) -> bool:
     """Python twin of the Spark-side position scheme: md5 hex chars
-    [1..7]/[8..14] as h1/h2, positions (h1 + i·h2) mod m."""
+    [1..7]/[8..14] as h1/h2, positions (h1 + i·h2) mod m. Probes must
+    be str or int (the only types whose text form matches Spark's
+    cast-to-string — enforced at build time too)."""
     import hashlib
 
+    if not isinstance(value, (str, int)) or isinstance(value, bool):
+        raise TypeError(
+            f"bloom probe must be str or int, got {type(value).__name__}"
+        )
     d = hashlib.md5(str(value).encode()).hexdigest()
     h1, h2 = int(d[:7], 16), int(d[7:14], 16)
     bits = set(bloom["bits"])
@@ -501,6 +548,7 @@ def write_overwrite(
     df: DataFrame,
     merge_schema: bool = False,
     replace_schema: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Atomic whole-table replace (readers see old or new, never a
     mix). Schema-enforced like append; ``replace_schema=True``
@@ -517,6 +565,9 @@ def write_overwrite(
     return _commit(
         root, "overwrite", added, removed, expected_version=current,
         meta=meta, add_stats=_collect_file_stats(root, added),
+        add_blooms=_collect_file_blooms(
+            spark, root, added, bloom_cols or []
+        ),
     )
 
 
@@ -534,12 +585,13 @@ def prune_files(
     ``bloom_cols`` at write time). Files with no recorded stats/bloom
     for a column are KEPT (safe). Driver-side metadata only — nothing
     is opened or scanned."""
+    commits = _commits_upto(root, version)  # ONE pass over the log
     files = _prune_with_stats(
-        files, _stats_for_snapshot(root, version), prune or {}
+        files, _stats_for_snapshot(root, version, commits), prune or {}
     )
     if prune_eq:
         files = _prune_with_blooms(
-            files, _blooms_for_snapshot(root, version), prune_eq
+            files, _blooms_for_snapshot(root, version, commits), prune_eq
         )
     return files
 
@@ -771,6 +823,7 @@ def optimize(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Compact small files (the OPTIMIZE the streaming sink's
     small-file fan-out needs): pick the current snapshot's
@@ -795,6 +848,9 @@ def optimize(
     return _commit(
         root, "optimize", added, small, expected_version=current,
         add_stats=_collect_file_stats(root, added),
+        add_blooms=_collect_file_blooms(
+            spark, root, added, bloom_cols or []
+        ),
     )
 
 
@@ -804,6 +860,7 @@ def optimize_zorder(
     cols: list[str],
     bits: int = 16,
     target_file_bytes: int = 128 * 1024 * 1024,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot clustered by a Morton z-order key
     over ``cols`` (the `OPTIMIZE ... ZORDER BY` shape of log-structured
@@ -841,6 +898,9 @@ def optimize_zorder(
         expected_version=current,
         meta={"zorder_by": list(cols), "bits": bits},
         add_stats=_collect_file_stats(root, added),
+        add_blooms=_collect_file_blooms(
+            spark, root, added, bloom_cols or []
+        ),
     )
 
 

@@ -66,6 +66,12 @@ def write_webdataset_shards(
     order, zeroed tar timestamps/ownership."""
     meta_cols = meta_cols or []
     os.makedirs(path, exist_ok=True)
+    # a re-export must not leave stale shards behind (a smaller
+    # n_shards or different data would otherwise mix old samples into
+    # the new dataset on read-back)
+    for f in os.listdir(path):
+        if f.startswith("shard-") and f.endswith(".tar"):
+            os.remove(os.path.join(path, f))
 
     shard_expr = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
@@ -153,6 +159,8 @@ def read_webdataset(
                 ) as tf:
                     samples: dict[str, dict] = {}
                     for member in tf.getmembers():
+                        if not member.isfile():
+                            continue  # directories/links from foreign tools
                         stem, dot, suffix = member.name.rpartition(".")
                         if not dot:
                             continue

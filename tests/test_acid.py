@@ -512,3 +512,64 @@ def test_unindexed_column_is_never_pruned(spark, tmp_path):
         root, v, files, prune_eq={"user": "definitely-absent"}
     )
     assert kept == files  # conservative: no bloom -> keep
+
+
+def test_bloom_rejects_unrenderable_types(spark, tmp_path):
+    from computer_vision_foundations_spark.sources import acid
+
+    root = str(tmp_path / "tbl_bloom_ty")
+    df = spark.createDataFrame([(1, 0.5)], ["id", "score"])
+    with pytest.raises(ValueError, match="score"):
+        acid.create_table(spark, root, df, bloom_cols=["score"])
+
+
+def test_bloom_integer_column_round_trip(spark, tmp_path):
+    from computer_vision_foundations_spark.sources import acid
+
+    root = str(tmp_path / "tbl_bloom_int")
+    a = spark.createDataFrame([(i,) for i in range(50)], ["id"]).coalesce(1)
+    b = spark.createDataFrame(
+        [(i,) for i in range(1000, 1050)], ["id"]
+    ).coalesce(1)
+    acid.create_table(spark, root, a, bloom_cols=["id"])
+    v = acid.write_append(spark, root, b, bloom_cols=["id"])
+    files = acid._snapshot_files(root, v)
+    kept = acid.prune_files(root, v, files, prune_eq={"id": 1007})
+    assert len(kept) < len(files)
+    rows = (
+        spark.read.parquet(*[f"{root}/{f}" for f in kept])
+        .filter("id = 1007")
+        .collect()
+    )
+    assert len(rows) == 1
+
+
+def test_bloom_survives_overwrite_and_zorder(spark, tmp_path):
+    from computer_vision_foundations_spark.sources import acid
+
+    root = str(tmp_path / "tbl_bloom_ow")
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(40)], ["id", "user"]
+    )
+    acid.create_table(spark, root, df, bloom_cols=["user"])
+    v = acid.write_overwrite(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"w{i}") for i in range(40)], ["id", "user"]
+        ).repartition(2),
+        bloom_cols=["user"],
+    )
+    files = acid._snapshot_files(root, v)
+    blooms = acid._blooms_for_snapshot(root, v)
+    assert all(f in blooms for f in files)  # rewritten files re-indexed
+    kept = acid.prune_files(root, v, files, prune_eq={"user": "nope"})
+    # absent key: bloom may prune everything (no false negatives needed)
+    rows = []
+    if kept:
+        rows = (
+            spark.read.parquet(*[f"{root}/{f}" for f in kept])
+            .filter("user = 'nope'")
+            .collect()
+        )
+    assert rows == []
