@@ -74,3 +74,80 @@ def running_totals_stateful(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def approx_distinct_stateful(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "event_type",
+    k: int = 64,
+    key_type: str = "bigint",
+) -> DataFrame:
+    """Per-key streaming APPROXIMATE DISTINCT via a KMV bottom-k
+    sketch carried in the state store — the streaming twin of
+    ``functions/sketches.kmv_registers``: state is the k smallest md5
+    hex hashes of the values seen so far (mergeable, so each
+    micro-batch folds its new hashes into the stored sample), and
+    every batch emits the refreshed estimate.
+
+    Output rows (one per key seen in the batch):
+    ``(key, approx_distinct double, n_hashes bigint, batch_seq bigint)``
+    — exact while the key has seen < k distinct values (the sketch IS
+    the set), else the (k−1)/theta_k estimator with the 52-bit hash
+    fraction (identical math to the batch sketch, so a batch recompute
+    over the same data reproduces the streamed estimate bit-for-bit).
+
+    Scale: state is ≤ k·33 bytes per key, independent of stream
+    length — the property that makes per-key cardinality tracking
+    viable over unbounded streams where exact distinct state would
+    grow without bound.
+    """
+    import hashlib
+
+    out_schema = (
+        f"{key_col} {key_type}, approx_distinct double, "
+        "n_hashes bigint, batch_seq bigint"
+    )
+    state_schema = "hashes array<string>, b bigint"
+
+    def _estimate(hashes: list) -> float:
+        if len(hashes) < k:
+            return float(len(hashes))
+        theta = int(hashes[-1][:13], 16) / float(16**13)
+        return (k - 1) / theta
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hashes, b = (
+            (list(state.get[0]), state.get[1])
+            if state.exists
+            else ([], 0)
+        )
+        hs = set(hashes)
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue  # NULL is not a set member (batch parity)
+                hs.add(hashlib.md5(str(v).encode()).hexdigest())
+        hashes = sorted(hs)[:k]
+        b += 1
+        state.update((hashes, b))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "approx_distinct": [_estimate(hashes)],
+                "n_hashes": [len(hashes)],
+                "batch_seq": [b],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

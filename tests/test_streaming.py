@@ -440,3 +440,112 @@ def test_watermark_eviction_metric(spark, tmp_path):
         for so in p.get("stateOperators", [])
     )
     assert dropped >= 1
+
+
+def test_stateful_kmv_distinct_across_batches(spark, tmp_path):
+    """approx_distinct_stateful: the state-store KMV sketch is exact
+    below k, carries across micro-batches and restarts, and matches
+    the batch sketch estimator bit-for-bit on the same data."""
+    import hashlib
+
+    from computer_vision_foundations_spark.streaming.stateful import (
+        approx_distinct_stateful,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "kmv_ckpt")
+    os.makedirs(src)
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [{"user_id": 1, "event_type": t} for t in ["a", "b", "a"]],
+    )
+    _write_events_file(
+        os.path.join(src, "b2.json"),
+        [{"user_id": 1, "event_type": t} for t in ["b", "c"]],
+    )
+
+    collected = []
+
+    def run_cycle(k=64):
+        stream = (
+            spark.readStream.schema("user_id bigint, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        out = approx_distinct_stateful(
+            stream, "user_id", "event_type", k=k
+        )
+        (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, epoch: collected.extend(df.collect())
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_cycle()
+    u1 = sorted(
+        (r for r in collected if r.user_id == 1),
+        key=lambda r: r.batch_seq,
+    )
+    # below k the sketch is exact: 2 distinct after b1, 3 after b2
+    assert [(r.approx_distinct, r.n_hashes) for r in u1] == [
+        (2.0, 2), (3.0, 3),
+    ]
+
+    # restart on checkpoint: distinct count keeps accumulating
+    _write_events_file(
+        os.path.join(src, "b3.json"),
+        [{"user_id": 1, "event_type": "d"}, {"user_id": 2, "event_type": "x"}],
+    )
+    collected.clear()
+    run_cycle()
+    u1b = [r for r in collected if r.user_id == 1]
+    assert u1b and u1b[-1].approx_distinct == 4.0
+    u2 = [r for r in collected if r.user_id == 2]
+    assert u2 and u2[-1].approx_distinct == 1.0
+
+
+def test_stateful_kmv_matches_batch_estimator_above_k(spark, tmp_path):
+    """Above k the streamed estimate equals the batch KMV estimator
+    computed over the SAME accumulated values (identical hash math)."""
+    import hashlib
+
+    from computer_vision_foundations_spark.streaming.stateful import (
+        approx_distinct_stateful,
+    )
+
+    k = 8
+    values = [f"v{i}" for i in range(40)]
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "kmv_ckpt2")
+    os.makedirs(src)
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [{"user_id": 7, "event_type": v} for v in values],
+    )
+
+    collected = []
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string")
+        .json(src)
+    )
+    out = approx_distinct_stateful(stream, "user_id", "event_type", k=k)
+    (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = collected[-1].approx_distinct
+    hs = sorted(hashlib.md5(v.encode()).hexdigest() for v in set(values))[:k]
+    theta = int(hs[-1][:13], 16) / float(16**13)
+    assert got == (k - 1) / theta  # bit-identical estimator
+    assert collected[-1].n_hashes == k
