@@ -133,6 +133,7 @@ HEADLINE = [
     "z46_multimodal_consensus_pairs",
     "z47_hashed_features",
     "z48_class_compactness",
+    "z49_kmv_user_distinct",
 ]
 
 

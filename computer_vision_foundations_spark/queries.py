@@ -7279,6 +7279,55 @@ def z48_class_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return class_compactness(emb)
 
 
+@_register(
+    "z49_kmv_user_distinct",
+    """
+    WITH hx AS (
+        SELECT DISTINCT event_type,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+        SELECT event_type, h,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY h) AS pos
+        FROM hx QUALIFY pos <= 64
+    ), agg AS (
+        SELECT event_type, count(*) AS n,
+               max(CASE WHEN pos = 64 THEN
+                   ('0x' || substr(h, 1, 13))::BIGINT
+                   / 4503599627370496.0 END) AS tk
+        FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                      ELSE 63.0 / tk END, 4) AS approx_distinct
+    FROM agg
+    """,
+)
+def z49_kmv_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users via the KMV bottom-k
+    sketch (``functions/sketches.kmv_distinct``, k=64) — the batch
+    twin of the streaming state-store sketch
+    (``streaming/stateful.approx_distinct_stateful``, identical hash
+    math). With more distinct users per type than k the ESTIMATOR path is
+    active (unlike exact-below-k fixtures), so the oracle checks the
+    (k−1)/theta formula itself, bit-for-bit via the 52-bit hash
+    fraction. This is the per-key cardinality report (DAU per surface,
+    uniques per domain) that exact distinct cannot afford at stream
+    scale.
+
+    Scale shape: one narrow distinct over (key, 16-byte md5) with
+    map-side partials; everything after touches ≤ k rows per key."""
+    from computer_vision_foundations_spark.functions.sketches import (
+        kmv_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(
+        ev, "user_id", k=64, keys=["event_type"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

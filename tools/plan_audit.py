@@ -372,6 +372,12 @@ AUDIT = {
         "vectors never move whole",
         (),
     ),
+    "z49_kmv_user_distinct": (
+        "KMV distinct: one narrow distinct over (key, md5) with "
+        "map-side partials; per-key top-k window over sketch rows "
+        "only",
+        (),
+    ),
     "z46_multimodal_consensus_pairs": (
         "multimodal consensus: inherits the three banded/capped pair "
         "generators' budgets; the consensus merge joins PAIR tables "
