@@ -134,6 +134,7 @@ HEADLINE = [
     "z47_hashed_features",
     "z48_class_compactness",
     "z49_kmv_user_distinct",
+    "z50_bm25_ndcg",
 ]
 
 

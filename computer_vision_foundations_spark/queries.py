@@ -7328,6 +7328,102 @@ def z49_kmv_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ndcg_oracle_sql() -> str:
+    """Composed oracle: the verified q04 BM25 ranking nested verbatim,
+    graded relevance = count of query terms present in the document,
+    then the nDCG@10 metric replayed relationally."""
+    qv = ", ".join(
+        "({}, [{}])".format(
+            qid, ", ".join(f"'{t}'" for t in terms)
+        )
+        for qid, terms in _BM25_QUERIES
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT query_id, doc_id, rank FROM ({_bm25_oracle_sql()})
+    ), qv(query_id, terms) AS (VALUES {qv}),
+    qrp AS (
+        SELECT * FROM (
+            SELECT qv.query_id, d.doc_id,
+                   len(list_filter(qv.terms,
+                       t -> list_contains(
+                           string_split(d.text, ' '), t))) AS rel
+            FROM documents d CROSS JOIN qv) t
+        WHERE rel > 0
+    ), hits AS (
+        SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+        FROM ranked r LEFT JOIN qrp q
+          ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+        WHERE r.rank <= 10
+    ), dcg AS (
+        SELECT query_id,
+               sum((power(2.0, rel) - 1) / log2(rank + 1)) AS dcg
+        FROM hits GROUP BY 1
+    ), ideal AS (
+        SELECT query_id,
+               sum((power(2.0, rel) - 1) / log2(rk + 1)) AS idcg
+        FROM (
+            SELECT query_id, rel,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rel DESC, doc_id) AS rk
+            FROM qrp) t
+        WHERE rk <= 10 GROUP BY 1
+    )
+    SELECT d.query_id,
+           round(d.dcg, 6)                    AS dcg,
+           round(coalesce(i.idcg, 0.0), 6)    AS idcg,
+           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                      ELSE 0.0 END, 6)        AS ndcg
+    FROM dcg d LEFT JOIN ideal i USING (query_id)
+    """
+
+
+@_register("z50_bm25_ndcg", _ndcg_oracle_sql())
+def z50_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval quality metric: nDCG@10 of the BM25 ranking
+    (q04's exact pipeline) against graded relevance = how many of the
+    query's terms the document contains (Järvelin & Kekäläinen 2002;
+    ``operators/ir_eval.py``). Completes the evaluation family —
+    recall@k grades the ANN engines, PRF grades dedup candidates,
+    nDCG grades ranked text retrieval. The oracle nests the verified
+    BM25 oracle verbatim and replays judgment construction, the
+    discounted gains and the ideal re-ranking, so ranking AND metric
+    are one hash.
+
+    Scale shape: the BM25 budget plus joins over top-k rankings and
+    |queries|·|matching docs| judgment rows — model-sized metric
+    tables; one narrow hash join + a |queries|-row aggregate."""
+    from computer_vision_foundations_spark.operators.ir_eval import (
+        ndcg_at_k,
+    )
+    from computer_vision_foundations_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, terms array<string>"
+    )
+    ranked = bm25_topk(docs, queries_df, k=10)
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    qrels = (
+        toks.crossJoin(F.broadcast(queries_df))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(
+                F.filter(
+                    "terms",
+                    lambda t: F.array_contains(F.col("tk"), t),
+                )
+            ).alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+    )
+    return ndcg_at_k(ranked, qrels, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -378,6 +378,13 @@ AUDIT = {
         "only",
         (),
     ),
+    "z50_bm25_ndcg": (
+        "nDCG: BM25's budget (token semi-join vs broadcast query "
+        "vocab, 1-row stats BNLJ) + joins over top-k rankings and "
+        "model-sized judgment tables; the qrels crossJoin broadcasts "
+        "the 3-row query set (probe idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
     "z46_multimodal_consensus_pairs": (
         "multimodal consensus: inherits the three banded/capped pair "
         "generators' budgets; the consensus merge joins PAIR tables "
