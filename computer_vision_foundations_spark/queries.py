@@ -7424,6 +7424,72 @@ def z50_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_k(ranked, qrels, k=10)
 
 
+def _triangle_oracle_sql() -> str:
+    """Composed oracle: the verified q49 SimHash pair oracle is the
+    edge list, fed verbatim into the shared orientation + wedge-close
+    SQL twin (``operators/triangles.py``)."""
+    from computer_vision_foundations_spark.operators.triangles import (
+        triangles_oracle_sql,
+    )
+
+    return triangles_oracle_sql(
+        f"SELECT id_a, id_b FROM ({_ORACLES['q49_simhash_near_dup_pairs']})"
+    )
+
+
+@_register("z51_triangle_stats", _triangle_oracle_sql())
+def z51_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficients over the
+    SimHash near-duplicate pair graph (q49's exact edges) — the
+    cohesion audit between pair generation and destructive cluster
+    collapse: clique-like clusters (coefficient ≈ 1) are safe to
+    dedup, transitivity-stitched chains (few triangles) deserve
+    re-verification. Degree-oriented node-iterator (Suri &
+    Vassilvitskii, WWW 2011): orientation caps per-source wedges at
+    O(sqrt(m)), so the join is bounded m^1.5 — no "last reducer"
+    hub blowup — ``operators/triangles.py``.
+
+    Scale shape: shuffles carry (node, long) degrees and oriented id
+    pairs only; the close test is one left-semi equi-join; per-node
+    counts are a hash aggregate. No collect, no driver state."""
+    from computer_vision_foundations_spark.operators.triangles import (
+        triangle_stats,
+    )
+
+    pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
+    return triangle_stats(pairs, "id_a", "id_b")
+
+
+def _nb_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.nbayes import (
+        nb_oracle_sql,
+    )
+
+    return nb_oracle_sql()
+
+
+@_register("z52_naive_bayes_lang", _nb_oracle_sql())
+def z52_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained in one
+    corpus pass and applied to every document — the closed-form
+    member of the fastText-style quality/domain filter family every
+    curation pipeline runs (CCNet's language filter, GPT-3's
+    WebText-vs-CommonCrawl classifier) — ``operators/nbayes.py``.
+    Laplace α=1, resubstitution scoring, deterministic
+    (score DESC, class ASC) argmax.
+
+    Scale shape: the model is a |V|·|classes| broadcast; the token
+    stream shuffles once into per-doc bags; scoring is a broadcast
+    join + one keyed hash aggregate; the argmax is a |classes|-row
+    per-doc window. No driver state."""
+    from computer_vision_foundations_spark.operators.nbayes import (
+        nb_train_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_train_score(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
