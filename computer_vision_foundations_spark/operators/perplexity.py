@@ -35,6 +35,7 @@ __all__ = [
     "unigram_logprob_scores",
     "bigram_frequencies",
     "bigram_logprob_scores",
+    "kneser_ney_logprob_scores",
 ]
 
 
@@ -157,6 +158,85 @@ def bigram_logprob_scores(
         .crossJoin(F.broadcast(total))
         .join(bi, ["prev", "token"], "left")
         .join(prev_tot, "prev", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log2(p)).alias(out_col),
+        )
+    )
+
+
+def kneser_ney_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    out_col: str = "surprisal",
+) -> DataFrame:
+    """``(id, n_tokens, surprisal)`` under an interpolated Kneser-Ney
+    bigram LM — the smoothing the n-gram-LM literature (Chen &
+    Goodman 1999; KenLM's default) settled on, and a sharper
+    perplexity-proxy filter than Jelinek-Mercer because the backoff
+    distribution is the CONTINUATION probability, not raw frequency:
+    a token that appears millions of times after one fixed neighbor
+    ("Francisco" after "San") gets a small backoff weight.
+
+        p(t | prev) = max(c(prev,t) − D, 0) / c(prev,·)
+                      + D · N1+(prev,·) / c(prev,·) · p_cont(t)
+        p_cont(t)   = N1+(·,t) / N1+(·,·)
+
+    with N1+ the distinct-continuation counts and the document's
+    first token scored by the unigram MLE (p_cont can be zero for
+    tokens only ever seen document-initial; the unigram never is in
+    the self-scored form).
+
+    Scale shape — identical budget to :func:`bigram_logprob_scores`:
+    the model is three vocab-/bigram-sized hash aggregates (c(v,w),
+    its per-prev totals + distinct-fanout, per-token continuation
+    counts); scoring joins the (id, pos, prev, token) stream against
+    them and hash-aggregates per document. Text never survives the
+    tokenize projection; all model tables are id/count rows.
+    """
+    d = float(discount)
+    pos = _positioned_tokens(df, text_col, id_col)
+    uni = pos.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
+    total = uni.agg(F.sum("ucnt").cast("double").alias("_n_total"))
+    bi = (
+        pos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    # c(prev,·) and N1+(prev,·): one aggregate over the bigram table
+    prev_stats = bi.groupBy("prev").agg(
+        F.sum("bcnt").cast("double").alias("pcnt"),
+        F.count(F.lit(1)).cast("double").alias("fanout"),
+    )
+    # N1+(·,token) and N1+(·,·): continuation counts
+    cont = bi.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("ccnt")
+    )
+    cont_total = bi.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_bigrams")
+    )
+    p_uni = F.col("ucnt").cast("double") / F.col("_n_total")
+    p_cont = F.coalesce(F.col("ccnt"), F.lit(0.0)) / F.col("_n_bigrams")
+    disc = (
+        F.greatest(
+            F.coalesce(F.col("bcnt").cast("double"), F.lit(0.0))
+            - F.lit(d),
+            F.lit(0.0),
+        )
+        / F.col("pcnt")
+    )
+    backoff = F.lit(d) * F.col("fanout") / F.col("pcnt") * p_cont
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(disc + backoff)
+    return (
+        pos.join(uni, "token")
+        .crossJoin(F.broadcast(total))
+        .join(bi, ["prev", "token"], "left")
+        .join(prev_stats, "prev", "left")
+        .join(cont, "token", "left")
+        .crossJoin(F.broadcast(cont_total))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

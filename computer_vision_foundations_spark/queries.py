@@ -7490,6 +7490,73 @@ def z52_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_train_score(docs)
 
 
+@_register(
+    "z53_kneser_ney_surprisal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+               t[CAST(u.i AS INTEGER) + 1] AS token,
+               CASE WHEN u.i > 0 THEN t[CAST(u.i AS INTEGER)] END AS prev
+        FROM toks, unnest(range(len(t))) u(i)
+    ), uni AS (
+        SELECT token, count(*) AS ucnt FROM pos GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(ucnt) AS DOUBLE) AS n FROM uni
+    ), bi AS (
+        SELECT prev, token, count(*) AS bcnt FROM pos
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), pstats AS (
+        SELECT prev, CAST(sum(bcnt) AS DOUBLE) AS pcnt,
+               CAST(count(*) AS DOUBLE) AS fanout
+        FROM bi GROUP BY 1
+    ), cont AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS ccnt FROM bi GROUP BY 1
+    ), ctot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_bigrams FROM bi
+    )
+    SELECT p.doc_id, count(*) AS n_tokens,
+           round(avg(-log2(CASE WHEN p.prev IS NULL THEN u.ucnt / tot.n
+               ELSE greatest(coalesce(CAST(b.bcnt AS DOUBLE), 0.0)
+                             - {0.75!r}, 0.0) / ps.pcnt
+                    + {0.75!r} * ps.fanout / ps.pcnt
+                      * (coalesce(c.ccnt, 0.0) / ctot.n_bigrams)
+               END)), 6) AS surprisal
+    FROM pos p
+    JOIN uni u USING (token)
+    CROSS JOIN tot
+    LEFT JOIN bi b ON b.prev = p.prev AND b.token = p.token
+    LEFT JOIN pstats ps ON ps.prev = p.prev
+    LEFT JOIN cont c ON c.token = p.token
+    CROSS JOIN ctot
+    GROUP BY p.doc_id
+    """,
+)
+def z53_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal
+    (operators/perplexity.kneser_ney_logprob_scores) — the smoothing
+    KenLM/SRILM made standard (Chen & Goodman 1999), completing the
+    LM-filter ladder: q47 unigram → q11 Jelinek-Mercer → KN, whose
+    continuation-probability backoff separates genuinely productive
+    tokens from frequent-but-frozen collocation tails. D=0.75,
+    first token unigram-MLE. The oracle replays identical count
+    algebra and discount literals.
+
+    Scale shape: three bigram-table aggregates for the model, four
+    hash joins on the (id, pos, prev, token) stream, one per-doc
+    aggregate — the exact q11 budget plus one |vocab|-row join."""
+    from computer_vision_foundations_spark.operators.perplexity import (
+        kneser_ney_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = kneser_ney_logprob_scores(docs, "text", "doc_id", discount=0.75)
+    return out.select(
+        "doc_id", "n_tokens", F.round("surprisal", 6).alias("surprisal")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

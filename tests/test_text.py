@@ -170,3 +170,66 @@ def test_bigram_surprisal_ranks_shuffled_text_higher(spark):
     )
     out = {r.doc_id: r.surprisal for r in bigram_logprob_scores(docs).collect()}
     assert out[99] > out[0]
+
+
+def test_kneser_ney_matches_hand_computation(spark):
+    import math
+
+    from computer_vision_foundations_spark.operators.perplexity import (
+        kneser_ney_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a b b")], "doc_id long, text string"
+    )
+    d = 0.75
+    # uni: a=4,b=4, N=8; bi: ab:3, ba:1, aa:1, bb:1
+    # pcnt: a->4, b->2; fanout: a->2 (ab,aa), b->2 (ba,bb)
+    # cont: a<-{b,a} ccnt=2; b<-{a,b} ccnt=2; n_bigrams(distinct)=4
+    p_uni = {"a": 4 / 8, "b": 4 / 8}
+    bi = {("a", "b"): 3, ("b", "a"): 1, ("a", "a"): 1, ("b", "b"): 1}
+    pcnt = {"a": 4.0, "b": 2.0}
+    fanout = {"a": 2.0, "b": 2.0}
+    p_cont = {"a": 2 / 4, "b": 2 / 4}
+
+    def p(tok, prev):
+        if prev is None:
+            return p_uni[tok]
+        return (
+            max(bi.get((prev, tok), 0) - d, 0.0) / pcnt[prev]
+            + d * fanout[prev] / pcnt[prev] * p_cont[tok]
+        )
+
+    def doc_score(toks):
+        ps = [p(t, None if i == 0 else toks[i - 1]) for i, t in enumerate(toks)]
+        return -sum(math.log2(x) for x in ps) / len(ps)
+
+    out = {
+        r.doc_id: r
+        for r in kneser_ney_logprob_scores(docs, discount=d).collect()
+    }
+    assert out[1].n_tokens == 4
+    assert abs(out[1].surprisal - doc_score(["a", "b", "a", "b"])) < 1e-9
+    assert abs(out[2].surprisal - doc_score(["a", "a", "b", "b"])) < 1e-9
+
+
+def test_kneser_ney_downweights_frozen_collocations(spark):
+    from computer_vision_foundations_spark.operators.perplexity import (
+        kneser_ney_logprob_scores,
+    )
+
+    # "francisco" is frequent but only ever follows "san"; "the" is as
+    # frequent and follows many contexts. After an UNSEEN bigram
+    # (prev="new"), KN's continuation backoff must prefer "the".
+    corpus = [(i, "san francisco the city the bay new start") for i in range(6)]
+    probe_the = (99, "new the")
+    probe_fr = (98, "new francisco")
+    docs = spark.createDataFrame(
+        corpus + [probe_the, probe_fr], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.surprisal
+        for r in kneser_ney_logprob_scores(docs).collect()
+    }
+    # lower surprisal = higher probability for the productive token
+    assert out[99] < out[98]
