@@ -1,0 +1,130 @@
+"""Label-propagation communities over candidate-pair graphs.
+
+Connected components (`operators/components.py`) answers "what is
+transitively reachable"; label propagation (Raghavan, Albert &
+Kumara 2007 — the LPA in GraphX/GraphFrames) answers the finer
+question curation actually has: a giant component stitched together
+by a handful of borderline near-dup edges is NOT one duplicate
+family. LPA converges to densely-connected communities because each
+node adopts the label the *majority* of its neighbors carry — a
+single bridge edge can't recolor a whole cluster the way min-label
+propagation does.
+
+Determinism (the differential-oracle requirement): the synchronous
+variant — all nodes update from the round-r labels simultaneously —
+with argmax tie-broken by the SMALLEST label. Async/randomized LPA
+converges faster but is run-order dependent; synchronous fixed-round
+LPA is a pure function of the edge list, so the oracle unrolls the
+identical recurrence as one CTE per round.
+
+Spark-first shape, per round:
+- one shuffle of the symmetric edge list joined to the label table
+  (rows: (src, neighbor-label) pairs — ids and longs only);
+- one hash aggregate counting labels per node + one per-node window
+  (|labels per node| rows) for the deterministic argmax;
+- the label table is ``localCheckpoint``'d with explicit release —
+  the recurrence consumes each round's table once per join but the
+  lazy unroll would still re-analyze the whole history every round
+  (SCALE.md "Measured decisions" 2/10).
+
+Fixed ``n_rounds`` (default 4): candidate-pair graphs are
+small-diameter, and fixed rounds keep the oracle's unroll bounded —
+the same convention as PageRank/HITS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.components import (
+    _ckpt_rdd,
+    _release,
+)
+
+__all__ = ["label_propagation", "lpa_oracle_sql"]
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    n_rounds: int = 4,
+) -> DataFrame:
+    """``(node, community)`` after ``n_rounds`` synchronous LPA
+    rounds; labels start as node ids, each round every node takes the
+    most frequent neighbor label (ties → smallest)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym_rdd = _ckpt_rdd(sym)
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    labels = labels.localCheckpoint()
+    labels_rdd = _ckpt_rdd(labels)
+    w = Window.partitionBy("u").orderBy(
+        F.col("_n").desc(), F.col("community").asc()
+    )
+    try:
+        for _ in range(n_rounds):
+            nxt = (
+                sym.join(labels, sym["v"] == labels["node"])
+                .groupBy("u", "community")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(F.col("u").alias("node"), "community")
+            )
+            nxt = nxt.localCheckpoint()
+            _release(labels_rdd)
+            labels, labels_rdd = nxt, _ckpt_rdd(nxt)
+    finally:
+        _release(sym_rdd)
+    return labels.orderBy("node")
+
+
+def lpa_oracle_sql(
+    pairs_sql: str,
+    a: str = "id_a",
+    b: str = "id_b",
+    n_rounds: int = 4,
+) -> str:
+    """DuckDB twin: the identical synchronous recurrence unrolled as
+    one CTE per round (the PageRank/HITS oracle convention)."""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        rounds.append(
+            f"""l{r} AS (
+        SELECT u AS node, community FROM (
+            SELECT e.u, l.community, count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY e.u
+                       ORDER BY count(*) DESC, l.community ASC
+                   ) AS rn
+            FROM sym e JOIN l{r - 1} l ON l.node = e.v
+            GROUP BY e.u, l.community
+        ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    sym AS (
+        SELECT DISTINCT u, v FROM (
+            SELECT {a} AS u, {b} AS v FROM pairs WHERE {a} <> {b}
+            UNION ALL
+            SELECT {b} AS u, {a} AS v FROM pairs WHERE {a} <> {b}
+        )
+    ),
+    l0 AS (
+        SELECT DISTINCT u AS node, u AS community FROM sym
+    ),
+    {", ".join(rounds)}
+    SELECT node, community FROM l{n_rounds} ORDER BY node
+    """

@@ -7557,6 +7557,41 @@ def z53_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.lpa import (
+        lpa_oracle_sql,
+    )
+
+    return lpa_oracle_sql(
+        f"SELECT id_a, id_b FROM ({_ORACLES['q49_simhash_near_dup_pairs']})",
+        n_rounds=4,
+    )
+
+
+@_register("z54_lpa_communities", _lpa_oracle_sql())
+def z54_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007) over the SimHash near-duplicate pair graph — the
+    majority-vote refinement of connected components: a bridge edge
+    between two dense duplicate families no longer merges them, so
+    communities are the safer unit for destructive dedup than raw
+    components (``operators/lpa.py``; z51's triangle audit flags the
+    same risk, this operator resolves it). Deterministic smallest-
+    label tie-break; 4 fixed rounds; oracle unrolls the identical
+    recurrence one CTE per round.
+
+    Scale shape: per round ONE edge-list shuffle carrying (node,
+    label) longs + a per-node window over its label histogram;
+    label tables localCheckpoint with explicit release (the
+    components.py discipline)."""
+    from computer_vision_foundations_spark.operators.lpa import (
+        label_propagation,
+    )
+
+    pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
+    return label_propagation(pairs, "id_a", "id_b", n_rounds=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -1,0 +1,62 @@
+"""Label propagation communities (operators/lpa)."""
+
+from itertools import combinations
+
+from computer_vision_foundations_spark.operators.lpa import (
+    label_propagation,
+)
+
+
+def _communities(spark, edges, n_rounds=4):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: r["community"]
+        for r in label_propagation(df, n_rounds=n_rounds).collect()
+    }
+
+
+def test_clique_converges_to_one_community(spark):
+    out = _communities(spark, list(combinations(range(1, 5), 2)))
+    assert len(set(out.values())) == 1
+
+
+def test_bridged_cliques_stay_separate(spark):
+    # two K4 cliques joined by one bridge edge: connected components
+    # would merge them; majority-vote LPA must not.
+    left = list(combinations([1, 2, 3, 4], 2))
+    right = list(combinations([11, 12, 13, 14], 2))
+    out = _communities(spark, left + right + [(4, 11)])
+    assert len({out[n] for n in (1, 2, 3)}) == 1
+    assert len({out[n] for n in (12, 13, 14)}) == 1
+    assert out[1] != out[12]
+
+
+def test_matches_synchronous_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(90)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n in adj:
+            hist = {}
+            for m in adj[n]:
+                hist[labels[m]] = hist.get(labels[m], 0) + 1
+            best = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[n] = best
+        labels = nxt
+    out = _communities(spark, [(int(a), int(b)) for a, b in edges])
+    assert out == labels
