@@ -7592,6 +7592,42 @@ def z54_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, "id_a", "id_b", n_rounds=4)
 
 
+def _novelty_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.novelty import (
+        novelty_oracle_sql,
+    )
+
+    return novelty_oracle_sql(
+        cand_where="doc_id % 2 = 1", ref_where="doc_id % 2 = 0", k=3
+    )
+
+
+@_register("z55_ngram_novelty", _novelty_oracle_sql())
+def z55_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty of a candidate half-corpus against
+    the reference half (odd vs even doc ids as the stand-in snapshot
+    split): fraction of distinct word-3-gram shingles unseen in the
+    reference — the keep/drop signal for incoming crawl dumps and the
+    dual of decontamination (``operators/novelty.py``; Lee et al.
+    2022's train-set novelty at shingle granularity).
+
+    Scale shape: both sides reduce to (id, shingle) projections via
+    the shared zip_with shingle fold; novelty is ONE left-anti hash
+    join + a per-doc aggregate; bodies never shuffle."""
+    from computer_vision_foundations_spark.operators.novelty import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        k=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
