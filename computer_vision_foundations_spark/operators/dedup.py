@@ -180,6 +180,84 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 10_000,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-SUBSET pairs by shingle containment — the
+    doc-inside-doc case symmetric Jaccard systematically misses: a
+    paragraph quoted whole inside a 100× longer page has Jaccard
+    ≈ 1%, containment ≈ 100%. Broder's original resemblance paper
+    (1997) defines both; quote/wrapper detection and boilerplate
+    hunting need this one.
+
+    Returns ``(id_a, id_b, overlap, containment_a, containment_b)``
+    with id_a < id_b, where ``containment_a = |A∩B| / |A|`` (how much
+    of A is inside B), symmetrically for b, and ``overlap`` is their
+    max — the overlap coefficient ``|A∩B| / min(|A|,|B|)``; emitted
+    when overlap >= threshold.
+
+    Identical plan and skew discipline as
+    :func:`ngram_jaccard_pairs` (shared candidate machinery, only the
+    scoring expression differs): distinct-shingle explode →
+    equi-join → count common; ``max_shingle_freq`` caps hot-shingle
+    fan-out while dropped shingles still count in the denominators,
+    so scores for surviving pairs are exact.
+    """
+    shingled = _with_shingles(
+        df, text_col, id_col, "_id", k, repartition_to
+    ).withColumn("_size", F.size("_shingles"))
+
+    exploded = shingled.select(
+        "_id", "_size", F.explode("_shingles").alias("_shingle")
+    )
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded.count()
+    if max_shingle_freq is not None:
+        hot = (
+            exploded.groupBy("_shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+            .select("_shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "_shingle", "left_anti")
+
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_shingle"
+    )
+    b = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_shingle"
+    )
+    common = F.col("common").cast("double")
+    return (
+        a.join(b, "_shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "overlap",
+            common / F.least(F.col("size_a"), F.col("size_b")).cast("double"),
+        )
+        .filter(F.col("overlap") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("overlap", 6).alias("overlap"),
+            F.round(common / F.col("size_a").cast("double"), 6).alias(
+                "containment_a"
+            ),
+            F.round(common / F.col("size_b").cast("double"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
 def _minhash_wide(
     df: DataFrame,
     text_col: str,

@@ -101,7 +101,7 @@ def lpa_oracle_sql(
     rounds = []
     for r in range(1, n_rounds + 1):
         rounds.append(
-            f"""l{r} AS (
+            f"""l{r} AS MATERIALIZED (
         SELECT u AS node, community FROM (
             SELECT e.u, l.community, count(*) AS n,
                    row_number() OVER (
@@ -113,16 +113,20 @@ def lpa_oracle_sql(
         ) WHERE rn = 1
     )"""
         )
+    # sym and every round are MATERIALIZED: DuckDB inlines plain CTEs,
+    # so the pair generator would otherwise re-expand once per round —
+    # the oracle-engine analogue of the Spark lazy-unroll blowup
+    # (SCALE.md decision 10).
     return f"""
-    WITH pairs AS ({pairs_sql}),
-    sym AS (
+    WITH pairs AS MATERIALIZED ({pairs_sql}),
+    sym AS MATERIALIZED (
         SELECT DISTINCT u, v FROM (
             SELECT {a} AS u, {b} AS v FROM pairs WHERE {a} <> {b}
             UNION ALL
             SELECT {b} AS u, {a} AS v FROM pairs WHERE {a} <> {b}
         )
     ),
-    l0 AS (
+    l0 AS MATERIALIZED (
         SELECT DISTINCT u AS node, u AS community FROM sym
     ),
     {", ".join(rounds)}

@@ -142,18 +142,22 @@ def triangle_stats(
 def triangles_oracle_sql(pairs_sql: str, a: str = "id_a", b: str = "id_b") -> str:
     """DuckDB twin: identical orientation + wedge-close construction
     over ``pairs_sql`` (any SELECT producing the pair columns)."""
+    # pairs/e/deg/oriented are MATERIALIZED: DuckDB inlines plain
+    # CTEs and `oriented` is referenced three times (wedge sides +
+    # close test), which would re-expand the pair generator per
+    # reference.
     return f"""
-    WITH pairs AS ({pairs_sql}),
-    e AS (
+    WITH pairs AS MATERIALIZED ({pairs_sql}),
+    e AS MATERIALIZED (
         SELECT DISTINCT least({a}, {b}) AS u, greatest({a}, {b}) AS v
         FROM pairs WHERE {a} <> {b}
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT node, count(*) AS degree FROM (
             SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
         ) GROUP BY node
     ),
-    oriented AS (
+    oriented AS MATERIALIZED (
         SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
                     THEN e.u ELSE e.v END AS src,
                CASE WHEN (du.degree, e.u) < (dv.degree, e.v)

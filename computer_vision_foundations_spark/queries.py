@@ -7628,6 +7628,80 @@ def z55_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z56_containment_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh),
+    exf AS (SELECT * FROM ex
+            QUALIFY count(*) OVER (PARTITION BY shingle) <= 100)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*) / CAST(least(a.sz, b.sz) AS DOUBLE), 6) AS overlap,
+           round(count(*) / CAST(a.sz AS DOUBLE), 6) AS containment_a,
+           round(count(*) / CAST(b.sz AS DOUBLE), 6) AS containment_b
+    FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+    HAVING count(*) / CAST(least(a.sz, b.sz) AS DOUBLE) >= 0.5
+    """,
+)
+def z56_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset pairs by shingle containment
+    (operators/dedup.containment_pairs) — Broder-1997's second
+    resemblance measure, catching the doc-inside-doc duplicates
+    symmetric Jaccard (q90) misses: a paragraph quoted inside a 100×
+    longer page is Jaccard ≈ 1% but containment ≈ 100%. Same
+    candidate machinery and hot-shingle cap as q90; only the scoring
+    expression differs (overlap coefficient + both directional
+    containments), so the two queries differ exactly where the
+    operators do."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.5,
+        max_shingle_freq=100,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.kcore import (
+        kcore_oracle_sql,
+    )
+
+    return kcore_oracle_sql(
+        f"SELECT id_a, id_b FROM ({_ORACLES['q49_simhash_near_dup_pairs']})",
+        k=3,
+        n_rounds=8,
+    )
+
+
+@_register("z57_kcore_members", _kcore_oracle_sql())
+def z57_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the SimHash near-duplicate pair graph — iterative
+    degree peeling (Batagelj & Zaveršnik 2003) until every surviving
+    node keeps ≥ 3 neighbors: the "hard kernel" of each duplicate
+    family after weakly-attached stragglers are stripped, completing
+    the graph-cohesion kit (z51 triangles, z54 communities) —
+    ``operators/kcore.py``. 8 fixed peel rounds (monotone, no-op
+    after convergence); the oracle unrolls the identical peel one CTE
+    per round.
+
+    Scale shape: per round one degree hash-aggregate + two left-semi
+    induction joins, all on (node, node) long pairs; edge tables
+    localCheckpoint with explicit release."""
+    from computer_vision_foundations_spark.operators.kcore import k_core
+
+    pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
+    return k_core(pairs, "id_a", "id_b", k=3, n_rounds=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -476,3 +476,39 @@ def test_incremental_lsh_no_self_pair_on_reingest(spark):
         new, snap, n_hashes=8, bands=4, hash_fn="md5"
     ).collect()
     assert out == []  # identical id in snapshot+batch: not a dup of itself
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    page = quote + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "totally different text here")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, k=3, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # every shingle of the quote is inside the page
+    assert r["containment_a"] == 1.0
+    assert r["overlap"] == 1.0
+    assert r["containment_b"] < 0.2
+
+
+def test_containment_threshold_filters(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y z q r s t")],
+        "doc_id long, text string",
+    )
+    # shared shingle a|b|c -> overlap = 1/3 of the smaller set
+    assert containment_pairs(docs, k=3, threshold=0.5).count() == 0
+    got = containment_pairs(docs, k=3, threshold=0.3).collect()
+    assert len(got) == 1 and abs(got[0]["overlap"] - 1 / 3) < 1e-6
