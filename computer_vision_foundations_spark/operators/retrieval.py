@@ -35,7 +35,97 @@ from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.text import token_count, tokens
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "phrase_search"]
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Exact phrase matching via a positional inverted index — the
+    retrieval primitive BM25's bag-of-words scoring cannot express
+    (classic positional-postings evaluation, e.g. Manning et al.,
+    IIR §2.4): document d matches phrase [t0..tk-1] at position p iff
+    token(d, p+i) = ti for all i. Returns
+    ``(phrase_id, doc_id, n_matches)`` counting occurrences, one row
+    per (phrase, doc) with ≥ 1 match.
+
+    ``phrases``: ``(phrase_id, terms array<string>)`` — a SMALL frame
+    (broadcast). Spark-first shape, the BM25 discipline: the token
+    stream is semi-joined against the broadcast phrase VOCABULARY
+    before anything else, so only positions of phrase terms survive —
+    the (id, pos, term) postings shuffle is bounded by the phrase
+    terms' document frequency, never corpus size. Each phrase then
+    chains |terms|−1 self-equi-joins on (doc, pos offset) — all hash
+    joins on (id, pos) longs. Per-term postings join on the SAME doc
+    key, so AQE coalesces the chain into co-partitioned stages.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    postings = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.element_at(F.col("_toks"), i + 1).alias("term"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.term")
+
+    vocab = phrases.select(
+        F.explode(F.col(terms_col)).alias("term")
+    ).distinct()
+    postings = postings.join(F.broadcast(vocab), "term", "left_semi")
+
+    # (phrase_id, slot, term) rows — model-sized, broadcast per slot
+    slots = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.posexplode(F.col(terms_col)).alias("slot", "term"),
+    )
+    first = slots.where(F.col("slot") == 0).select("phrase_id", "term")
+    matches = postings.join(F.broadcast(first), "term").select(
+        "phrase_id", "doc_id", F.col("pos").alias("start")
+    )
+    n_slots = phrases.select(
+        F.max(F.size(F.col(terms_col)))
+    ).collect()[0][0]
+    for i in range(1, n_slots):
+        slot_i = slots.where(F.col("slot") == i).select(
+            "phrase_id", "term"
+        )
+        step = postings.join(F.broadcast(slot_i), "term").select(
+            "phrase_id",
+            "doc_id",
+            (F.col("pos") - F.lit(i)).alias("start"),
+        )
+        # phrases shorter than the longest keep their matches: only
+        # phrases that HAVE slot i are constrained by it
+        constrained = matches.join(
+            F.broadcast(
+                slot_i.select("phrase_id").distinct()
+            ),
+            "phrase_id",
+            "left_semi",
+        ).join(step, ["phrase_id", "doc_id", "start"], "left_semi")
+        unconstrained = matches.join(
+            F.broadcast(slot_i.select("phrase_id").distinct()),
+            "phrase_id",
+            "left_anti",
+        )
+        matches = constrained.unionByName(unconstrained)
+    return (
+        matches.groupBy("phrase_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("phrase_id", "doc_id")
+    )
 
 
 def bm25_topk(

@@ -7702,6 +7702,186 @@ def z57_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(pairs, "id_a", "id_b", k=3, n_rounds=8)
 
 
+_PHRASES = [
+    (0, ["hash", "join"]),
+    (1, ["table", "scan"]),
+    (2, ["sort", "merge", "join"]),
+]
+
+
+def _phrase_oracle_sql() -> str:
+    """Per-phrase list scan: count positions where k consecutive
+    tokens equal the phrase — the closed-form twin of the positional-
+    postings join chain."""
+    parts = []
+    for pid, terms in _PHRASES:
+        k = len(terms)
+        conds = " AND ".join(
+            f"t[CAST(i AS INTEGER) + {j}] = '{t}'"
+            for j, t in enumerate(terms)
+        )
+        parts.append(
+            f"""SELECT {pid} AS phrase_id, doc_id,
+               len(list_filter(range(1, len(t) + 1 - {k - 1}),
+                               i -> {conds})) AS n_matches
+        FROM toks"""
+        )
+    body = "\n        UNION ALL\n        ".join(parts)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+        {body}
+    )
+    SELECT phrase_id, doc_id, CAST(n_matches AS BIGINT) AS n_matches
+    FROM m WHERE n_matches > 0
+    ORDER BY phrase_id, doc_id
+    """
+
+
+@_register("z58_phrase_search", _phrase_oracle_sql())
+def z58_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index
+    (operators/retrieval.phrase_search) — the retrieval primitive
+    bag-of-words BM25 cannot express (positional postings, Manning
+    et al. IIR §2.4); mixed 2- and 3-term phrases verify the
+    variable-length join chain. The oracle counts consecutive-token
+    matches with a per-phrase list scan — same semantics, closed
+    form.
+
+    Scale shape: the token stream is semi-joined against the
+    broadcast phrase vocabulary BEFORE any shuffle (the BM25
+    discipline), then |terms|−1 co-partitioned (doc, pos) hash
+    joins; postings shuffle is bounded by phrase-term document
+    frequency."""
+    from computer_vision_foundations_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        _PHRASES, "phrase_id int, terms array<string>"
+    )
+    return phrase_search(docs, phrases)
+
+
+def _nb_report_oracle_sql() -> str:
+    return f"""
+    WITH preds AS MATERIALIZED ({_ORACLES["z52_naive_bayes_lang"]}),
+    pairs AS (
+        SELECT lang AS actual, predicted, count(*) AS n
+        FROM preds GROUP BY 1, 2
+    ),
+    tp AS (SELECT actual AS cls, n AS tp FROM pairs
+           WHERE actual = predicted),
+    at AS (SELECT actual AS cls, sum(n) AS support FROM pairs GROUP BY 1),
+    pt AS (SELECT predicted AS cls, sum(n) AS pred_n FROM pairs GROUP BY 1),
+    per0 AS (
+        SELECT COALESCE(at.cls, pt.cls) AS cls,
+               COALESCE(at.support, 0) AS support,
+               COALESCE(tp.tp, 0) AS tp,
+               COALESCE(pt.pred_n, 0) - COALESCE(tp.tp, 0) AS fp,
+               COALESCE(at.support, 0) - COALESCE(tp.tp, 0) AS fn
+        FROM at FULL JOIN pt ON at.cls = pt.cls
+        LEFT JOIN tp ON tp.cls = COALESCE(at.cls, pt.cls)
+    ),
+    pr AS (
+        SELECT cls, support, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS p,
+               CASE WHEN tp + fn > 0
+                    THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS r
+        FROM per0
+    ),
+    per AS (
+        SELECT cls, support, tp, fp, fn,
+               round(p, 6) AS precision, round(r, 6) AS recall,
+               round(CASE WHEN p + r > 0
+                          THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+        FROM pr
+    )
+    SELECT cls, CAST(support AS BIGINT) AS support,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, precision, recall, f1
+    FROM per
+    UNION ALL
+    SELECT '__macro__', CAST(sum(support) AS BIGINT),
+           CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+           CAST(sum(fn) AS BIGINT),
+           round(avg(precision), 6), round(avg(recall), 6),
+           round(avg(f1), 6)
+    FROM per
+    ORDER BY cls
+    """
+
+
+@_register("z59_nb_classification_report", _nb_report_oracle_sql())
+def z59_nb_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 + macro summary for the z52
+    Naive Bayes language classifier
+    (operators/cls_eval.classification_report) — the confusion-margin
+    metrics any classifier-as-corpus-filter needs before its keep/
+    drop decisions are trusted; completes the evaluation family
+    (recall@k → ANN, nDCG → ranking, PRF → dedup candidates, this →
+    classifiers). The oracle nests the verified z52 oracle and
+    replays the margin algebra.
+
+    Scale shape: corpus shuffles once as (actual, predicted) pairs;
+    everything after is |classes|²-row algebra."""
+    from computer_vision_foundations_spark.operators.cls_eval import (
+        classification_report,
+    )
+    from computer_vision_foundations_spark.operators.nbayes import (
+        nb_train_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = nb_train_score(docs)
+    return classification_report(preds, "lang", "predicted")
+
+
+def _auc_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.cls_eval import (
+        auc_oracle_sql,
+    )
+
+    return auc_oracle_sql(
+        f"""SELECT (d.lang = 'zh') AS label, s.surprisal AS score
+            FROM ({_ORACLES["z53_kneser_ney_surprisal"]}) s
+            JOIN documents d ON d.doc_id = s.doc_id"""
+    )
+
+
+@_register("z60_surprisal_auc", _auc_oracle_sql())
+def z60_surprisal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ROC-AUC (Mann-Whitney rank-sum identity, ½
+    credit for ties) of the z53 Kneser-Ney surprisal score as a
+    detector of zh-language documents
+    (operators/cls_eval.auc_score) — does the LM actually separate
+    the distribution it would gate? The oracle nests the verified
+    z53 oracle and replays the histogram cumulative fold.
+
+    Scale shape: the corpus contributes ONE hash aggregate into a
+    (score, n_pos, n_neg) histogram; the ordered fold runs over
+    distinct rounded scores — model-sized regardless of corpus."""
+    from computer_vision_foundations_spark.operators.cls_eval import (
+        auc_score,
+    )
+
+    scored = z53_kneser_ney_surprisal(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+    )
+    return auc_score(
+        scored.select(
+            (F.col("lang") == "zh").alias("label"),
+            F.col("surprisal").alias("score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
