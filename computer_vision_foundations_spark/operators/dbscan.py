@@ -1,0 +1,274 @@
+"""Density-based clustering (DBSCAN) over embedding columns.
+
+Ester et al. 1996, distributed the way MR-DBSCAN / NG-DBSCAN-style
+systems do it: make the ε-neighborhood join an EQUI-join via grid
+blocking, then reduce the cluster step to the engine's existing
+connected-components machinery. Complements the centroid family
+(`operators/clustering.py` k-means / SemDeDup blocking): density
+clustering finds arbitrarily-shaped dense regions and — unlike
+k-means — explicitly labels NOISE, which for corpus curation is the
+interesting output (off-manifold embeddings = decode junk, OCR
+garbage, adversarial spam).
+
+The three-phase relational shape:
+
+1. **ε-pair generation, grid-blocked.** Quantize ``block_dims`` of
+   the vector to cells of side ε. ``‖a−b‖ ≤ ε`` implies per-dim
+   ``|a_i − b_i| ≤ ε``, so matching pairs differ by ≤ 1 cell in every
+   blocked dim — replicating ONE side over the 3^p adjacent-cell
+   offsets makes candidate generation a plain equi-join on the cell
+   key (each true pair matches exactly one offset, so no dedup step).
+   The exact squared distance is an ascending-index ``aggregate(
+   zip_with())`` fold (the `functions/vectors.py` convention — bit-
+   comparable with the oracle's ``list_sum(list_transform())``).
+   Block on the highest-variance dims for selectivity; p trades
+   replication (3^p) against candidate density — the same knob as
+   every other blocked generator in `operators/dedup.py`.
+2. **Core test.** One hash aggregate counts ε-neighbors;
+   ``n + 1 ≥ min_pts`` (the point itself counts) marks cores.
+3. **Clusters.** Core-core pairs feed
+   `operators/components.connected_components` (min-label + pointer
+   jumping, localCheckpoint discipline); isolated cores keep their
+   own id. Border points (non-core with ≥ 1 core neighbor) take the
+   SMALLEST cluster label among their core neighbors — DBSCAN's
+   border assignment is famously order-dependent in the sequential
+   algorithm; the min rule makes it deterministic, which the
+   differential oracle requires. Everything else is noise
+   (cluster = −1).
+
+Shuffle budget: (cell-key, id, vector) rows through the blocked join
+— vectors cross once, replicated 3^p on one side; everything after is
+id/label pairs. No driver state, no collect beyond components'
+convergence scalar.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.vectors import (
+    to_double_array,
+)
+from computer_vision_foundations_spark.operators.components import (
+    connected_components,
+)
+
+__all__ = ["dbscan", "dbscan_oracle_sql"]
+
+
+def _eps_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    eps: float,
+    block_dims: tuple[int, ...],
+) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b and ‖a−b‖² ≤ ε² via the
+    adjacent-cell equi-join."""
+    v = to_double_array(vec_col)
+    cell_cols = [
+        F.floor(F.element_at(v, d + 1) / F.lit(float(eps)))
+        .cast("long")
+        .alias(f"_c{j}")
+        for j, d in enumerate(block_dims)
+    ]
+    pts = df.select(F.col(id_col).alias("_id"), v.alias("_v"), *cell_cols)
+
+    offsets = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(o).cast("long").alias(f"o{j}")
+                    for j, o in enumerate(offs)
+                ]
+            )
+            for offs in product((-1, 0, 1), repeat=len(block_dims))
+        ]
+    )
+    a = pts.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        *[F.col(f"_c{j}") for j in range(len(block_dims))],
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "id_a",
+        "_va",
+        *[
+            (F.col(f"_c{j}") + F.col(f"_o.o{j}")).alias(f"_c{j}")
+            for j in range(len(block_dims))
+        ],
+    )
+    b = pts.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        *[F.col(f"_c{j}") for j in range(len(block_dims))],
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x - y),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
+    )
+    return (
+        a.join(b, [f"_c{j}" for j in range(len(block_dims))])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dist_sq <= F.lit(float(eps) * float(eps)))
+        .select("id_a", "id_b")
+    )
+
+
+def dbscan(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1.2,
+    min_pts: int = 5,
+    block_dims: tuple[int, ...] = (0, 1),
+) -> DataFrame:
+    """``(vec_id, role, cluster)`` — role ∈ core/border/noise,
+    cluster = smallest member id of the density-connected component
+    (−1 for noise)."""
+    pairs = _eps_pairs(df, vec_col, id_col, eps, block_dims)
+    pairs = pairs.localCheckpoint()  # three consumers below
+
+    nbrs = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # left-join from the full point set: an isolated point has NO pair
+    # rows but is still core when min_pts == 1 (its neighborhood is
+    # itself)
+    cores = (
+        df.select(F.col(id_col).alias("node"))
+        .join(nbrs, "node", "left")
+        .where(F.coalesce(F.col("_n"), F.lit(0)) + 1 >= min_pts)
+        .select("node")
+    )
+
+    core_edges = pairs.join(
+        cores.select(F.col("node").alias("id_a")), "id_a", "left_semi"
+    ).join(cores.select(F.col("node").alias("id_b")), "id_b", "left_semi")
+    cc = connected_components(core_edges, "id_a", "id_b").select(
+        "node", F.col("component").alias("cluster")
+    )
+    # isolated cores (no core neighbor) are their own cluster
+    core_clusters = cores.join(cc, "node", "left").select(
+        "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster")
+    )
+
+    # border: non-core endpoint of a pair whose other endpoint is core
+    half = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    border = (
+        half.join(
+            core_clusters.select(
+                F.col("node").alias("id_b"), "cluster"
+            ),
+            "id_b",
+        )
+        .join(
+            core_clusters.select(F.col("node").alias("id_a")),
+            "id_a",
+            "left_anti",
+        )
+        .groupBy(F.col("id_a").alias("node"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+    ids = df.select(F.col(id_col).alias("node"))
+    labeled = core_clusters.select(
+        "node", F.lit("core").alias("role"), "cluster"
+    ).unionByName(
+        border.select("node", F.lit("border").alias("role"), "cluster")
+    )
+    return (
+        ids.join(labeled, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def dbscan_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    eps: float = 1.2,
+    min_pts: int = 5,
+) -> str:
+    """DuckDB twin. Deliberately UNBLOCKED — the quadratic join at
+    fixture scale — so a hash-match also proves the grid blocking
+    loses no ε-pair (the same oracle strategy as the fuzzy-join
+    z10). Clusters close under a recursive CTE; border/noise replay
+    the min-label rules."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))"
+    )
+    return f"""
+    WITH RECURSIVE emb AS MATERIALIZED (
+        SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS e
+        FROM {table}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib FROM emb a JOIN emb b
+          ON a.id < b.id
+        WHERE {d2} <= {eps!r} * {eps!r}
+    ),
+    nbrs AS (
+        SELECT node, count(*) AS n FROM (
+            SELECT ia AS node FROM pairs
+            UNION ALL SELECT ib FROM pairs
+        ) GROUP BY node
+    ),
+    cores AS MATERIALIZED (
+        SELECT e.id AS node FROM emb e
+        LEFT JOIN nbrs nb ON nb.node = e.id
+        WHERE COALESCE(nb.n, 0) + 1 >= {min_pts}
+    ),
+    core_edges AS MATERIALIZED (
+        SELECT ia AS u, ib AS v FROM pairs
+        WHERE ia IN (SELECT node FROM cores)
+          AND ib IN (SELECT node FROM cores)
+        UNION
+        SELECT ib, ia FROM pairs
+        WHERE ia IN (SELECT node FROM cores)
+          AND ib IN (SELECT node FROM cores)
+    ),
+    reach(node, r) AS (
+        SELECT node, node FROM cores
+        UNION
+        SELECT s.v, reach.r FROM reach JOIN core_edges s ON s.u = reach.node
+    ),
+    core_clusters AS MATERIALIZED (
+        SELECT node, min(r) AS cluster FROM reach GROUP BY node
+    ),
+    half AS (
+        SELECT ia AS u, ib AS v FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    border AS (
+        SELECT h.u AS node, min(c.cluster) AS cluster
+        FROM half h JOIN core_clusters c ON c.node = h.v
+        WHERE h.u NOT IN (SELECT node FROM cores)
+        GROUP BY h.u
+    )
+    SELECT t.{id_col},
+           CASE WHEN cc.node IS NOT NULL THEN 'core'
+                WHEN bo.node IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cc.cluster, bo.cluster, -1) AS cluster
+    FROM {table} t
+    LEFT JOIN core_clusters cc ON cc.node = t.{id_col}
+    LEFT JOIN border bo ON bo.node = t.{id_col}
+    ORDER BY t.{id_col}
+    """

@@ -7882,6 +7882,35 @@ def z60_surprisal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dbscan_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.dbscan import (
+        dbscan_oracle_sql,
+    )
+
+    return dbscan_oracle_sql(eps=1.2, min_pts=5)
+
+
+@_register("z61_dbscan_clusters", _dbscan_oracle_sql())
+def z61_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN (Ester et al. 1996) over the embedding
+    table — density clustering with an explicit NOISE label, the
+    off-manifold-junk detector the centroid family can't express
+    (``operators/dbscan.py``). ε=1.2, min_pts=5, blocking on the
+    first two dims; clusters close through the engine's own
+    connected-components operator; border points take the smallest
+    core-neighbor label (determinism rule). The oracle runs the
+    UNBLOCKED quadratic join + a recursive-CTE closure, so the hash
+    also proves the grid join loses no ε-pair.
+
+    Scale shape: vectors cross once through the 3^p adjacent-cell
+    equi-join; core test and labels are id-pair algebra; components
+    ride the checkpointed min-label loop."""
+    from computer_vision_foundations_spark.operators.dbscan import dbscan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dbscan(emb, "embedding", "vec_id", eps=1.2, min_pts=5)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------
