@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["classification_report", "auc_score", "auc_oracle_sql"]
+__all__ = [
+    "classification_report",
+    "auc_score",
+    "auc_oracle_sql",
+    "calibration_bins",
+]
 
 
 def classification_report(
@@ -176,3 +181,42 @@ def auc_oracle_sql(scored_sql: str, label: str = "label", score: str = "score") 
            round(sum(u) / CAST(sum(np) * sum(nn) AS DOUBLE), 6) AS auc
     FROM c
     """
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram table ``(bin, bin_lo, n, n_pos,
+    frac_pos)``: scores bucketed into fixed-width bins
+    (``bin = floor(score / bin_width)``), each with its positive
+    rate. Fixed-width bins, not quantiles, by design: quantile
+    binning needs a global rank of the corpus, fixed-width is ONE
+    hash aggregate with map-side combine and the bin boundaries are
+    plan literals — the deterministic, shuffle-light shape (the
+    drift/histogram operators' convention). ``frac_pos`` rounded 6.
+    """
+    b = F.floor(F.col(score_col) / F.lit(float(bin_width))).cast("long")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias(
+                "n_pos"
+            ),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * F.lit(float(bin_width)), 6).alias(
+                "bin_lo"
+            ),
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos") / F.col("n").cast("double"), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quality_budget_select", "curriculum_order"]
+__all__ = ["quality_budget_select", "curriculum_order", "keep_best_per_cluster"]
 
 
 def quality_budget_select(
@@ -118,4 +118,53 @@ def curriculum_order(
         (rib * n_buckets + F.col("bucket"))
         .cast("long")
         .alias("curriculum_rank"),
+    )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: for every duplicate cluster
+    keep the HIGHEST-scoring member (score desc, id asc tie-break)
+    instead of the smallest id the dedup operators default to — the
+    curation-correct policy (drop the truncated/boilerplate copies,
+    keep the cleanest one; RefinedWeb and book-dedup pipelines pick
+    canonical docs by quality, not arrival order).
+
+    ``clusters``: ``(id, cluster)`` membership (e.g. from
+    ``operators/components.dedup_clusters``); ``quality``: ``(id,
+    score)``. Rows absent from ``clusters`` are treated as singleton
+    clusters of themselves (never dropped). Returns
+    ``(id, cluster, score, keep)``.
+
+    Scale shape: one equi-join on the id + one per-cluster window over
+    member rows — the same budget as the min-id rule; quality never
+    shuffles more than (id, double) rows."""
+    c = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cluster")
+    )
+    q = quality.select(
+        F.col(id_col).alias("_id"), F.col(score_col).alias("_score")
+    )
+    joined = q.join(c, "_id", "left").select(
+        "_id",
+        F.coalesce(F.col("_cluster"), F.col("_id")).alias("_cluster"),
+        "_score",
+    )
+    w = Window.partitionBy("_cluster").orderBy(
+        F.col("_score").desc(), F.col("_id").asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cluster").alias(cluster_col),
+            F.col("_score").alias(score_col),
+            (F.col("_rn") == 1).alias("keep"),
+        )
+        .orderBy(id_col)
     )

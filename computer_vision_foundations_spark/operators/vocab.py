@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.text import tokens
 
-__all__ = ["vocab_top_k", "pmi_bigrams", "zipf_fit"]
+__all__ = ["vocab_top_k", "pmi_bigrams", "zipf_fit", "heaps_fit"]
 
 
 def _token_stream(df: DataFrame, text_col: str) -> DataFrame:
@@ -171,5 +171,77 @@ def zipf_fit(
         F.col("_m").cast("long").alias("n_terms"),
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit — the companion diagnostic to :func:`zipf_fit`:
+    vocabulary growth ``V(n) ≈ K·n^β`` against tokens seen, with
+    natural text showing β ≈ 0.4–0.6. A corpus whose β collapses
+    toward 0 is saturating (re-crawls, template spam add tokens but
+    no types); β near 1 means the "vocabulary" never repeats
+    (serial numbers, hashes — tokenizer-hostile content). Returns
+    ``(n_points, beta, log_k, r2)``: the log-log least-squares fit
+    of cumulative distinct types against cumulative tokens measured
+    after every document in ``id_col`` order.
+
+    Spark-first shape: a token's FIRST document is one hash
+    aggregate (min doc per token — vocab-sized); per-doc token and
+    new-type counts are two more; the cumulative pass is a window
+    over the DOC-level table (|docs| narrow rows — aggregate-sized,
+    same budget as the funnel/retention windows), never the token
+    stream; the regression is the zipf_fit scalar fold."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.split(F.col(text_col), " ")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    per_doc = toks.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_n_toks")
+    )
+    first_doc = toks.groupBy("token").agg(F.min("_doc").alias("_doc"))
+    new_types = first_doc.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("_n_new")
+    )
+    w = Window.orderBy("_doc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_doc.join(new_types, "_doc", "left")
+        .select(
+            "_doc",
+            F.sum("_n_toks").over(w).alias("_cum_toks"),
+            F.sum(F.coalesce(F.col("_n_new"), F.lit(0)))
+            .over(w)
+            .alias("_cum_types"),
+        )
+    )
+    x = F.log(F.col("_cum_toks").cast("double"))
+    y = F.log(F.col("_cum_types").cast("double"))
+    agg = cum.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    m = F.col("_m").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / m
+    varx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / m
+    vary = F.col("_syy") - F.col("_sy") * F.col("_sy") / m
+    beta = cov / varx
+    log_k = (F.col("_sy") - beta * F.col("_sx")) / m
+    r2 = (cov * cov) / (varx * vary)
+    return agg.select(
+        F.col("_m").cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(log_k, 6).alias("log_k"),
         F.round(r2, 6).alias("r2"),
     )

@@ -7911,6 +7911,153 @@ def z61_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(emb, "embedding", "vec_id", eps=1.2, min_pts=5)
 
 
+@_register(
+    "z62_heaps_fit",
+    """
+    WITH toks AS (
+        SELECT doc_id AS d, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), t AS (
+        SELECT * FROM toks WHERE token <> ''
+    ), per_doc AS (
+        SELECT d, count(*) AS n_toks FROM t GROUP BY d
+    ), first_doc AS (
+        SELECT token, min(d) AS d FROM t GROUP BY token
+    ), new_types AS (
+        SELECT d, count(*) AS n_new FROM first_doc GROUP BY d
+    ), cum AS (
+        SELECT p.d,
+               sum(p.n_toks) OVER (ORDER BY p.d) AS cum_toks,
+               sum(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.d) AS cum_types
+        FROM per_doc p LEFT JOIN new_types nt ON nt.d = p.d
+    ), l AS (
+        SELECT ln(CAST(cum_toks AS DOUBLE)) AS x,
+               ln(CAST(cum_types AS DOUBLE)) AS y
+        FROM cum
+    ), a AS (
+        SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        FROM l
+    )
+    SELECT CAST(m AS BIGINT) AS n_points,
+           round((sxy - sx*sy/m) / (sxx - sx*sx/m), 6) AS beta,
+           round((sy - (sxy - sx*sy/m) / (sxx - sx*sx/m) * sx) / m, 6)
+               AS log_k,
+           round(((sxy - sx*sy/m) * (sxy - sx*sy/m))
+                 / ((sxx - sx*sx/m) * (syy - sy*sy/m)), 6) AS r2
+    FROM a
+    """,
+)
+def z62_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (operators/vocab.heaps_fit) —
+    the companion corpus-health number to z45's Zipf slope: β near 0
+    means the crawl is saturating (re-crawls add tokens, no types);
+    β near 1 means tokenizer-hostile never-repeating vocabulary. One
+    cumulative pass over the DOC-level table in doc_id order; the
+    oracle replays the identical first-occurrence algebra and
+    closed-form regression.
+
+    Scale shape: three token-stream hash aggregates (per-doc counts,
+    vocab first-docs, per-doc new types); the window runs over |docs|
+    narrow rows, never tokens."""
+    from computer_vision_foundations_spark.operators.vocab import heaps_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_fit(docs)
+
+
+def _calibration_oracle_sql() -> str:
+    return f"""
+    WITH preds AS MATERIALIZED ({_ORACLES["z52_naive_bayes_lang"]}),
+    s AS (
+        SELECT (predicted = lang) AS label, log_score AS score
+        FROM preds
+    )
+    SELECT CAST(floor(score / 10.0) AS BIGINT) AS bin,
+           round(CAST(floor(score / 10.0) AS BIGINT) * 10.0, 6) AS bin_lo,
+           count(*) AS n,
+           CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           round(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+    FROM s GROUP BY 1 ORDER BY 1
+    """
+
+
+@_register("z63_nb_calibration", _calibration_oracle_sql())
+def z63_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the z52 Naive Bayes classifier
+    (operators/cls_eval.calibration_bins): correctness rate per
+    fixed-width joint-log-likelihood bin — does higher model
+    confidence actually mean more correct predictions? Fixed-width
+    bins (plan literals) rather than quantiles by design: no global
+    rank of the corpus, ONE hash aggregate. The oracle nests the
+    verified z52 oracle."""
+    from computer_vision_foundations_spark.operators.cls_eval import (
+        calibration_bins,
+    )
+    from computer_vision_foundations_spark.operators.nbayes import (
+        nb_train_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = nb_train_score(docs)
+    return calibration_bins(
+        preds.select(
+            (F.col("predicted") == F.col("lang")).alias("label"),
+            F.col("log_score").alias("score"),
+        ),
+        bin_width=10.0,
+    )
+
+
+def _best_of_cluster_oracle_sql() -> str:
+    return f"""
+    WITH clusters AS MATERIALIZED ({_ORACLES["q94_dedup_clusters"]}),
+    q AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+               CAST(d.n_chars AS DOUBLE) AS score
+        FROM documents d
+        LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component, score,
+           row_number() OVER (
+               PARTITION BY component ORDER BY score DESC, doc_id ASC
+           ) = 1 AS keep
+    FROM q ORDER BY doc_id
+    """
+
+
+@_register("z64_keep_best_of_cluster", _best_of_cluster_oracle_sql())
+def z64_keep_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection
+    (operators/selection.keep_best_per_cluster): for each q94
+    near-duplicate cluster keep the highest-quality member (here:
+    longest document, the RefinedWeb keep-the-fullest-copy policy)
+    instead of the smallest-id default; unclustered docs are
+    singleton keepers. The oracle nests the verified q94
+    recursive-closure oracle.
+
+    Scale shape: one id equi-join + one per-cluster window — the
+    min-id rule's exact budget."""
+    from computer_vision_foundations_spark.operators.components import (
+        dedup_clusters,
+    )
+    from computer_vision_foundations_spark.operators.selection import (
+        keep_best_per_cluster,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q26_lsh_candidate_pairs(spark, sf_dir)
+    clusters = dedup_clusters(pairs).select("doc_id", "component")
+    quality = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    return keep_best_per_cluster(
+        clusters, quality, "doc_id", "component", "score"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -75,3 +75,20 @@ def test_auc_matches_sklearn_formula_on_mixed_data(spark):
     row = auc_score(df).collect()[0]
     assert (row["n_pos"], row["n_neg"]) == (4, 4)
     assert row["auc"] == pytest.approx(want)
+
+
+def test_calibration_bins_fixed_width(spark):
+    from computer_vision_foundations_spark.operators.cls_eval import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(True, -1.0), (False, -1.5), (True, -12.0), (True, -19.9)],
+        "label boolean, score double",
+    )
+    out = {
+        r["bin"]: (r["bin_lo"], r["n"], r["n_pos"], r["frac_pos"])
+        for r in calibration_bins(df, bin_width=10.0).collect()
+    }
+    assert out[-1] == (-10.0, 2, 1, 0.5)
+    assert out[-2] == (-20.0, 2, 2, 1.0)

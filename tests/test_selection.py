@@ -88,3 +88,30 @@ def test_no_global_single_partition_window(spark):
     )
     # bucketed window partitions by bucket, never SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_keep_best_per_cluster(spark):
+    from computer_vision_foundations_spark.operators.selection import (
+        keep_best_per_cluster,
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 2.0), (99, 0.5)],
+        "doc_id long, score double",
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in keep_best_per_cluster(clusters, quality).collect()
+    }
+    # cluster 1: 2 and 3 tie on score -> smallest id (2) wins
+    assert out[2] == (1, True) and out[3] == (1, False)
+    assert out[1] == (1, False)
+    # cluster 10: higher score wins
+    assert out[11] == (10, True) and out[10] == (10, False)
+    # unclustered doc is its own singleton keeper
+    assert out[99] == (99, True)
