@@ -135,6 +135,20 @@ HEADLINE = [
     "z48_class_compactness",
     "z49_kmv_user_distinct",
     "z50_bm25_ndcg",
+    "z51_triangle_stats",
+    "z52_naive_bayes_lang",
+    "z53_kneser_ney_surprisal",
+    "z54_lpa_communities",
+    "z55_ngram_novelty",
+    "z56_containment_pairs",
+    "z57_kcore_members",
+    "z58_phrase_search",
+    "z59_nb_classification_report",
+    "z60_surprisal_auc",
+    "z61_dbscan_clusters",
+    "z62_heaps_fit",
+    "z63_nb_calibration",
+    "z64_keep_best_of_cluster",
 ]
 
 

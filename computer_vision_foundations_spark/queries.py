@@ -8058,6 +8058,34 @@ def z64_keep_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsd_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.divergence import (
+        jsd_oracle_sql,
+    )
+
+    return jsd_oracle_sql()
+
+
+@_register("z65_source_divergence", _jsd_oracle_sql())
+def z65_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    distributions (operators/divergence.source_jsd) — the
+    information-theoretic mixture diagnostic: which domains actually
+    differ, and by how much, before z14/q15 assign them separate
+    weights. Laplace-smoothed over the shared vocabulary; natural-log
+    JSD ≤ ln 2.
+
+    Scale shape: one token-stream hash aggregate; the distribution
+    grid and its token self-join are |V|·|sources|(²) rows —
+    model-sized; one final pair aggregate."""
+    from computer_vision_foundations_spark.operators.divergence import (
+        source_jsd,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_jsd(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

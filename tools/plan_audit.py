@@ -392,6 +392,83 @@ AUDIT = {
         "nothing corpus-sized crosses",
         (),
     ),
+    "z51_triangle_stats": (
+        "triangles: degree-oriented node-iterator — wedge self-join "
+        "+ left-semi close test, all equi-joins on id pairs; "
+        "orientation bounds wedges at m^1.5 (no last-reducer hub)",
+        (),
+    ),
+    "z52_naive_bayes_lang": (
+        "NB: model is a broadcast |V|x|classes| table; token stream "
+        "shuffles once into per-doc bags; argmax is a |classes|-row "
+        "per-doc window; the only BNLJs are 1-row scalar broadcasts "
+        "(vocab size, doc count — the sanctioned crossJoin idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z53_kneser_ney_surprisal": (
+        "KN bigram: three bigram-table model aggregates + four hash "
+        "joins on the (id, pos, prev, token) stream; 1-row totals "
+        "ride broadcast crossJoins (scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z55_ngram_novelty": (
+        "novelty: one left-anti hash join on (id, shingle) "
+        "projections; bodies never shuffle",
+        (),
+    ),
+    "z56_containment_pairs": (
+        "containment: q90's capped shingle equi-join machinery, only "
+        "the scoring expression differs",
+        (),
+    ),
+    "z58_phrase_search": (
+        "phrase search: token stream semi-joined against broadcast "
+        "phrase vocab BEFORE any shuffle; then co-partitioned "
+        "(doc, pos-offset) hash-join chain",
+        (),
+    ),
+    "z59_nb_classification_report": (
+        "classification report: corpus shuffles once as (actual, "
+        "predicted) pairs; margins are |classes|^2-row algebra; "
+        "inherits z52's 1-row scalar-broadcast BNLJs",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z60_surprisal_auc": (
+        "AUC: corpus contributes one hash aggregate into the score "
+        "histogram; ordered fold over distinct rounded scores only "
+        "(model-sized single partition, documented); inherits z53's "
+        "1-row totals crossJoins (scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z61_dbscan_clusters": (
+        "DBSCAN: 3^p adjacent-cell equi-join for eps-pairs (vectors "
+        "cross once); core/border/noise are id-pair algebra; "
+        "clusters ride the checkpointed components loop",
+        (),
+    ),
+    "z62_heaps_fit": (
+        "Heaps fit: token-stream hash aggregates; cumulative window "
+        "over |docs| narrow rows; scalar regression fold",
+        (),
+    ),
+    "z63_nb_calibration": (
+        "calibration: fixed-width bins are plan literals — one hash "
+        "aggregate, no global rank; inherits z52's 1-row "
+        "scalar-broadcast BNLJs",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z64_keep_best_of_cluster": (
+        "keeper selection: one id equi-join + one per-cluster "
+        "window; same budget as the min-id rule",
+        (),
+    ),
+    "z65_source_divergence": (
+        "JSD: one token-stream hash aggregate; the smoothed "
+        "distribution grid and its token self-join are "
+        "|V|x|sources|(^2) model-sized rows; 1-row vocab-size "
+        "broadcast is the scalar crossJoin idiom",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
