@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["nb_train_score", "nb_oracle_sql"]
+__all__ = ["nb_train_score", "nb_fit_score", "nb_oracle_sql", "nb_cv_oracle_sql"]
 
 
 def nb_train_score(
@@ -128,6 +128,101 @@ def nb_train_score(
     )
 
 
+def nb_fit_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    class_col: str = "lang",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Generalized train/score split (the cross-validation form of
+    :func:`nb_train_score`): fit the model on ``train``, score
+    ``score``. Out-of-vocabulary tokens — impossible under
+    resubstitution, routine under CV — get the smoothing floor
+    ``ln(α / (N_k + α·V))`` (a zero-count cell of the training
+    grid), so scores stay finite and OOV-heavy documents rank low in
+    every class. Same returns and scale shape as the resubstitution
+    form: the model is broadcast, score-side bags shuffle once."""
+    toks_tr = train.select(
+        F.col(class_col).alias("cls"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    class_tok = toks_tr.groupBy("cls", "tok").agg(
+        F.count(F.lit(1)).alias("c_kw")
+    )
+    class_tot = toks_tr.groupBy("cls").agg(F.count(F.lit(1)).alias("n_k"))
+    vocab = toks_tr.select("tok").distinct()
+    vocab_n = vocab.agg(F.countDistinct("tok").alias("v"))
+    priors = (
+        train.groupBy(F.col(class_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_docs_k"))
+        .crossJoin(F.broadcast(train.agg(F.count(F.lit(1)).alias("n_docs"))))
+        .select(
+            "cls",
+            F.log(F.col("n_docs_k") / F.col("n_docs")).alias("prior"),
+        )
+    )
+    classes = class_tot.join(F.broadcast(vocab_n), how="cross")
+    model = (
+        vocab.crossJoin(F.broadcast(classes))
+        .join(class_tok, ["cls", "tok"], "left")
+        .select(
+            "cls",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("c_kw"), F.lit(0)) + F.lit(alpha))
+                / (F.col("n_k") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    bags = (
+        score.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n_dw"))
+    )
+    oov_floor = F.log(
+        F.lit(alpha) / (F.col("n_k") + F.lit(alpha) * F.col("v"))
+    )
+    scores = (
+        bags.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(model), ["cls", "tok"], "left")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.sum(
+                F.col("n_dw") * F.coalesce(F.col("logp"), oov_floor)
+            ).alias("ll")
+        )
+        .join(F.broadcast(priors), "cls")
+        .select(
+            "doc_id",
+            "cls",
+            (F.col("ll") + F.col("prior")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cls").alias("predicted"),
+            F.round("score", 6).alias("log_score"),
+        )
+    )
+    return (
+        score.select(F.col(id_col).alias("doc_id"), F.col(class_col))
+        .join(best, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def nb_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
@@ -189,4 +284,98 @@ def nb_oracle_sql(
     FROM {table} d
     JOIN best b ON b.doc_id = d.{id_col} AND b.rn = 1
     ORDER BY d.{id_col}
+    """
+
+
+def nb_cv_oracle_sql(
+    k: int = 3,
+    seed: int = 7,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    class_col: str = "lang",
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin of k-fold cross-validated :func:`nb_fit_score`
+    accuracy: one MATERIALIZED pipeline block per fold (train on the
+    other k−1 folds, score the held-out fold, OOV floor included),
+    then per-fold accuracy. The fold expression is
+    ``operators/split.kfold_assignment``'s portable md5 slice."""
+    fold = (
+        f"CAST(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) "
+        f"|| ':{seed}'), 1, 7)) AS BIGINT) % {k} AS INT)"
+    )
+    blocks = [
+        f"""folded AS MATERIALIZED (
+        SELECT {id_col} AS doc_id, {text_col} AS text,
+               {class_col} AS cls, {fold} AS fold
+        FROM {table}
+    )"""
+    ]
+    fold_results = []
+    for i in range(k):
+        blocks.append(
+            f"""toks_tr{i} AS MATERIALIZED (
+        SELECT cls, tok FROM (
+            SELECT cls, unnest(string_split(text, ' ')) AS tok
+            FROM folded WHERE fold <> {i}
+        ) WHERE tok <> ''
+    ),
+    ct{i} AS (SELECT cls, tok, count(*) AS c_kw FROM toks_tr{i} GROUP BY 1, 2),
+    tot{i} AS (SELECT cls, count(*) AS n_k FROM toks_tr{i} GROUP BY 1),
+    voc{i} AS (SELECT DISTINCT tok FROM toks_tr{i}),
+    vn{i} AS (SELECT count(*) AS v FROM voc{i}),
+    pri{i} AS (
+        SELECT cls, ln(count(*) * 1.0 /
+                   (SELECT count(*) FROM folded WHERE fold <> {i})) AS prior
+        FROM folded WHERE fold <> {i} GROUP BY cls
+    ),
+    model{i} AS MATERIALIZED (
+        SELECT t.cls, voc{i}.tok,
+               ln((COALESCE(c.c_kw, 0) + {alpha})
+                  / (t.n_k + {alpha} * vn{i}.v)) AS logp
+        FROM voc{i} CROSS JOIN tot{i} t CROSS JOIN vn{i}
+        LEFT JOIN ct{i} c ON c.cls = t.cls AND c.tok = voc{i}.tok
+    ),
+    bags{i} AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS n_dw FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM folded WHERE fold = {i}
+        ) WHERE tok <> '' GROUP BY 1, 2
+    ),
+    sc{i} AS (
+        SELECT b.doc_id, t.cls,
+               sum(b.n_dw * COALESCE(m.logp,
+                   ln({alpha} / (t.n_k + {alpha} * vn{i}.v)))) AS ll
+        FROM bags{i} b
+        CROSS JOIN tot{i} t
+        CROSS JOIN vn{i}
+        LEFT JOIN model{i} m ON m.cls = t.cls AND m.tok = b.tok
+        GROUP BY 1, 2, t.n_k, vn{i}.v
+    ),
+    best{i} AS (
+        SELECT doc_id, cls AS predicted FROM (
+            SELECT s.doc_id, s.cls,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id
+                       ORDER BY (s.ll + p.prior) DESC, s.cls ASC
+                   ) AS rn
+            FROM sc{i} s JOIN pri{i} p ON p.cls = s.cls
+        ) WHERE rn = 1
+    ),
+    res{i} AS (
+        SELECT {i} AS fold, count(*) AS n,
+               CAST(sum(CASE WHEN b.predicted = f.cls
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM best{i} b JOIN folded f ON f.doc_id = b.doc_id
+    )"""
+        )
+        fold_results.append(f"SELECT * FROM res{i}")
+    union = "\n    UNION ALL\n    ".join(fold_results)
+    return f"""
+    WITH {", ".join(blocks)},
+    r AS ({union})
+    SELECT fold, n, n_correct,
+           round(n_correct / CAST(n AS DOUBLE), 6) AS accuracy
+    FROM r ORDER BY fold
     """

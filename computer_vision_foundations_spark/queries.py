@@ -8086,6 +8086,67 @@ def z65_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_jsd(docs)
 
 
+def _nb_cv_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.nbayes import (
+        nb_cv_oracle_sql,
+    )
+
+    return nb_cv_oracle_sql(k=3, seed=7)
+
+
+@_register("z66_nb_crossval", _nb_cv_oracle_sql())
+def z66_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold cross-validated Naive Bayes accuracy
+    (operators/nbayes.nb_fit_score over
+    operators/split.kfold_assignment folds) — the evaluation hygiene
+    resubstitution (z52) can't give: each fold is scored by a model
+    that never saw it, with the OOV smoothing floor exercised for
+    real. Per-fold ``(fold, n, n_correct, accuracy)``. The oracle
+    replays all three train/score pipelines as MATERIALIZED blocks
+    with the portable md5 fold split.
+
+    Scale shape: k model builds (each the z52 budget over (k−1)/k of
+    the corpus); the folds are a pure hash function — no shuffle to
+    split."""
+    from computer_vision_foundations_spark.operators.nbayes import (
+        nb_fit_score,
+    )
+    from computer_vision_foundations_spark.operators.split import (
+        kfold_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    folded = kfold_assignment(docs, "doc_id", k=3, seed=7)
+    parts = []
+    for i in range(3):
+        preds = nb_fit_score(
+            folded.where(F.col("fold") != i),
+            folded.where(F.col("fold") == i),
+        )
+        parts.append(
+            preds.agg(
+                F.lit(i).alias("fold"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(
+                        F.col("predicted") == F.col("lang"), 1
+                    ).otherwise(0)
+                ).alias("n_correct"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.select(
+        "fold",
+        "n",
+        "n_correct",
+        F.round(
+            F.col("n_correct") / F.col("n").cast("double"), 6
+        ).alias("accuracy"),
+    ).orderBy("fold")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

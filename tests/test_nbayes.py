@@ -3,6 +3,7 @@
 import math
 
 from computer_vision_foundations_spark.operators.nbayes import (
+    nb_fit_score,
     nb_train_score,
 )
 
@@ -66,3 +67,60 @@ def test_empty_tokens_ignored(spark):
     )
     rows = nb_train_score(df).collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
+
+def _fit_score_ref(train_docs, doc_tokens, cls, alpha=1.0):
+    """Plain-Python twin of nb_fit_score: model from train_docs only,
+    OOV tokens get the zero-count smoothing floor."""
+    toks = [(c, t) for _, body, c in train_docs for t in body.split()]
+    vocab = {t for _, t in toks}
+    n_k = {}
+    c_kw = {}
+    for c, t in toks:
+        n_k[c] = n_k.get(c, 0) + 1
+        c_kw[(c, t)] = c_kw.get((c, t), 0) + 1
+    prior = math.log(
+        sum(1 for _, _, c in train_docs if c == cls) / len(train_docs)
+    )
+    s = prior
+    for t in doc_tokens:
+        s += math.log(
+            (c_kw.get((cls, t), 0) + alpha)
+            / (n_k[cls] + alpha * len(vocab))
+        )
+    return s
+
+
+def test_fit_score_matches_resubstitution_on_same_data(spark):
+    df = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string"
+    )
+    resub = {
+        r["doc_id"]: (r["predicted"], r["log_score"])
+        for r in nb_train_score(df).collect()
+    }
+    split = {
+        r["doc_id"]: (r["predicted"], r["log_score"])
+        for r in nb_fit_score(df, df).collect()
+    }
+    assert resub == split
+
+
+def test_fit_score_oov_floor(spark):
+    train = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string"
+    )
+    # held-out doc with one in-vocab and one OOV token
+    held = spark.createDataFrame(
+        [(99, "spark quux", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = nb_fit_score(train, held).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    scores = {
+        c: _fit_score_ref(DOCS, ["spark", "quux"], c)
+        for c in ("en", "es")
+    }
+    want = max(sorted(scores), key=lambda c: scores[c])
+    assert r["predicted"] == want
+    assert abs(r["log_score"] - round(scores[want], 6)) < 1e-6
