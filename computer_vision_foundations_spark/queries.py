@@ -4336,8 +4336,20 @@ def q98_dedup_candidate_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup config at scale (band/row counts tune this curve). Purely
     relational composition of two already-verified queries; the oracle
     composes both oracle bodies."""
-    truth = q90_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    cand = q26_lsh_candidate_pairs(spark, sf_dir).select("id_a", "id_b")
+    # Each pair generator is consumed twice (the hit join and its own
+    # count) — materialize the id-pair tables once instead of
+    # re-running shingling + banding per consumer (triangles.py
+    # discipline; the blocks are (long, long) rows).
+    truth = (
+        q90_ngram_jaccard_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cand = (
+        q26_lsh_candidate_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     hit = truth.join(cand, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )
