@@ -1,0 +1,99 @@
+"""Lexical diversity indices per corpus slice.
+
+The mixture family weighs domains by VOLUME (operators/mixture.py) and
+by DIVERGENCE (operators/divergence.py); this operator measures each
+slice's internal variety — is a source a thousand near-identical
+boilerplate pages or a genuinely diverse crawl? Three standard
+ecology-borrowed indices over the slice's unigram distribution:
+
+- Shannon entropy ``H = −Σ p·ln p`` (nats) — the token-level
+  information rate, the same number a compression-based quality
+  filter bounds;
+- normalized entropy ``H / ln |V_slice|`` ∈ [0, 1] — comparable
+  across slices with different vocabularies;
+- Simpson index ``Σ p²`` — the probability two random tokens
+  coincide (1/Simpson is the "effective vocabulary size").
+
+Spark-first shape: one token-stream hash aggregate to (group, token)
+counts, one group aggregate of the index sums — the token stream
+shuffles once, outputs are |groups| rows. All in codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["group_diversity", "diversity_oracle_sql"]
+
+
+def group_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """``(grp, n_toks, n_vocab, entropy, norm_entropy, simpson)`` per
+    group — floats rounded to 6."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n_toks")
+    return (
+        counts.withColumn(
+            "n_toks", F.sum("c").over(Window.partitionBy("grp"))
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("n_toks").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) > 1,
+                    -F.sum(p * F.log(p))
+                    / F.log(F.count(F.lit(1)).cast("double")),
+                ),
+                6,
+            ).alias("norm_entropy"),
+            F.round(F.sum(p * p), 6).alias("simpson"),
+        )
+        .orderBy("grp")
+    )
+
+
+def diversity_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin — identical index algebra."""
+    return f"""
+    WITH toks AS (
+        SELECT {group_col} AS grp,
+               unnest(string_split({text_col}, ' ')) AS tok
+        FROM {table}
+    ), t AS (
+        SELECT * FROM toks WHERE tok <> ''
+    ), counts AS (
+        SELECT grp, tok, count(*) AS c FROM t GROUP BY 1, 2
+    ), withn AS (
+        SELECT grp, c,
+               sum(c) OVER (PARTITION BY grp) AS n_toks
+        FROM counts
+    )
+    SELECT grp, CAST(max(n_toks) AS BIGINT) AS n_toks, count(*) AS n_vocab,
+           round(-sum((c / CAST(n_toks AS DOUBLE))
+                      * ln(c / CAST(n_toks AS DOUBLE))), 6) AS entropy,
+           round(CASE WHEN count(*) > 1 THEN
+                     -sum((c / CAST(n_toks AS DOUBLE))
+                          * ln(c / CAST(n_toks AS DOUBLE)))
+                     / ln(CAST(count(*) AS DOUBLE))
+                 END, 6) AS norm_entropy,
+           round(sum((c / CAST(n_toks AS DOUBLE))
+                     * (c / CAST(n_toks AS DOUBLE))), 6) AS simpson
+    FROM withn GROUP BY grp ORDER BY grp
+    """

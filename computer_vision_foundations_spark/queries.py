@@ -8159,6 +8159,152 @@ def z66_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold")
 
 
+def _mad_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.outliers import (
+        mad_outlier_oracle_sql,
+    )
+
+    return mad_outlier_oracle_sql()
+
+
+@_register("z67_mad_outliers", _mad_oracle_sql())
+def z67_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier summary
+    (operators/outliers.mad_outlier_summary): exact median + MAD and
+    the modified-z-score flag counts — the monitoring aggregate whose
+    location/scale the outliers themselves cannot corrupt.
+
+    Scale shape: two exact-percentile hash aggregates over the narrow
+    (key, value) projection, each joined back by BROADCAST; the
+    percentile buffers are per-key — switch to percentile_approx for
+    unbounded keys (documented in the module)."""
+    from computer_vision_foundations_spark.operators.outliers import (
+        mad_outlier_summary,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return mad_outlier_summary(events)
+
+
+def _ewma_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.smoothing import (
+        ewma_oracle_sql,
+    )
+
+    return ewma_oracle_sql()
+
+
+@_register("z68_ewma_level", _ewma_oracle_sql())
+def z68_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA level after the last event
+    (operators/smoothing.ewma_by_key) — the sequential recursion
+    s_t = αx_t + (1−α)s_{t−1} run as its ONE-PASS closed form
+    (window weights + keyed aggregate), no loop, no UDF.
+
+    Scale shape: a single shuffle on the key shared by the window
+    sort and the final aggregate."""
+    from computer_vision_foundations_spark.operators.smoothing import (
+        ewma_by_key,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_by_key(events)
+
+
+def _walks_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.walks import (
+        seeded_walks_oracle_sql,
+    )
+
+    return seeded_walks_oracle_sql()
+
+
+@_register("z69_seeded_walks", _walks_oracle_sql())
+def z69_seeded_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded deterministic random walks over the observed
+    event-type transition graph (operators/walks.seeded_walks) — the
+    replayable sampling primitive behind DeepWalk/node2vec: the
+    per-step choice is argmin md5(seed|step|src|dst), so a 100 TB walk
+    job is exactly reproducible and differential-testable.
+
+    Scale shape: one window pass builds the edge list; each step is a
+    node-sized min_by choice table broadcast-joined to the frontier."""
+    from computer_vision_foundations_spark.operators.walks import (
+        seeded_walks,
+        transition_edges,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return seeded_walks(transition_edges(events), steps=4, seed=7)
+
+
+def _kappa_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.agreement import (
+        kappa_algebra_sql,
+    )
+
+    labeled = f"""
+    WITH scored AS (
+      SELECT lang,
+             {_lang_score_sql(STOPWORDS['de'])} AS score_de,
+             {_lang_score_sql(STOPWORDS['en'])} AS score_en,
+             {_lang_score_sql(STOPWORDS['es'])} AS score_es,
+             {_lang_score_sql(STOPWORDS['fr'])} AS score_fr
+      FROM documents),
+    labeled AS (
+      SELECT lang AS a,
+             CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                  WHEN score_fr = greatest(score_de, score_en, score_es, score_fr) THEN 'fr'
+                  WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                  WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                  ELSE 'de' END AS b
+      FROM scored)"""
+    return labeled + kappa_algebra_sql("labeled")
+
+
+@_register("z70_kappa_agreement", _kappa_oracle_sql())
+def z70_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled lang column and the stopword
+    language-ID heuristic (operators/agreement.cohens_kappa over
+    functions/text.language_score_columns) — chance-corrected
+    agreement, the honest version of q62's confusion matrix.
+
+    Scale shape: one shuffle of a two-column projection; marginals are
+    |classes|-sized and broadcast."""
+    from computer_vision_foundations_spark.operators.agreement import (
+        cohens_kappa,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = language_score_columns(docs, "text")
+    return cohens_kappa(labeled, "lang", "lang_guess")
+
+
+def _diversity_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.diversity import (
+        diversity_oracle_sql,
+    )
+
+    return diversity_oracle_sql()
+
+
+@_register("z71_source_diversity", _diversity_oracle_sql())
+def z71_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity indices per source
+    (operators/diversity.group_diversity): Shannon entropy, normalized
+    entropy, Simpson index over each slice's unigram distribution —
+    detects boilerplate-heavy sources before they get mixture weight.
+
+    Scale shape: one token-stream shuffle into (grp, tok) counts, one
+    |groups|-row aggregate."""
+    from computer_vision_foundations_spark.operators.diversity import (
+        group_diversity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_diversity(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -1,0 +1,48 @@
+"""Lexical diversity indices (operators/diversity)."""
+
+import math
+
+import pytest
+
+from computer_vision_foundations_spark.operators.diversity import (
+    group_diversity,
+)
+
+
+def test_uniform_distribution_maxes_entropy(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "u"), (2, "x x x x", "k")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["grp"]: r for r in group_diversity(df).collect()}
+    u = got["u"]
+    assert u["n_toks"] == 4 and u["n_vocab"] == 4
+    assert u["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert u["norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+    assert u["simpson"] == pytest.approx(0.25, abs=1e-6)
+    k = got["k"]
+    # single token: entropy 0, simpson 1, norm_entropy undefined (NULL)
+    assert k["entropy"] == 0.0
+    assert k["simpson"] == 1.0
+    assert k["norm_entropy"] is None
+
+
+def test_skewed_beats_uniform_on_simpson(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b", "s"), (2, "a b c d", "u")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["grp"]: r for r in group_diversity(df).collect()}
+    assert got["s"]["simpson"] > got["u"]["simpson"]
+    assert got["s"]["entropy"] < got["u"]["entropy"]
+    # hand value: p = (3/4, 1/4)
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got["s"]["entropy"] == pytest.approx(want, abs=1e-6)
+
+
+def test_empty_tokens_are_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b", "g")], "doc_id long, text string, source string"
+    )
+    r = group_diversity(df).collect()[0]
+    assert r["n_toks"] == 2 and r["n_vocab"] == 2
