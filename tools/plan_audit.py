@@ -469,6 +469,38 @@ AUDIT = {
         "broadcast is the scalar crossJoin idiom",
         ("BroadcastNestedLoopJoin",),
     ),
+    "z66_nb_crossval": (
+        "k-fold NB: each fold is the z52 budget (token-stream hash "
+        "agg + model-sized broadcast); folds split by a pure hash "
+        "function, no shuffle to assign them",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z67_mad_outliers": (
+        "two exact-percentile hash aggregates over the narrow "
+        "(key, value) projection; key-sized stats broadcast back",
+        (),
+    ),
+    "z68_ewma_level": (
+        "EWMA closed form: one key shuffle shared by the window "
+        "sort and the final aggregate; no loop, no UDF",
+        (),
+    ),
+    "z69_seeded_walks": (
+        "each step is a node-sized min_by choice table broadcast "
+        "to the frontier; edge list built by one window pass",
+        (),
+    ),
+    "z70_kappa_agreement": (
+        "one shuffle of a two-column projection; |classes|-sized "
+        "marginals broadcast; final row is the 1-row scalar "
+        "crossJoin idiom",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z71_source_diversity": (
+        "one token-stream shuffle into (grp, tok) counts; "
+        "|groups|-row output aggregate",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
