@@ -156,6 +156,11 @@ HEADLINE = [
     "z69_seeded_walks",
     "z70_kappa_agreement",
     "z71_source_diversity",
+    "z72_trend_spearman",
+    "z73_benford_values",
+    "z74_hourly_autocorr",
+    "z75_cusum_changepoint",
+    "z76_kaplan_meier",
 ]
 
 

@@ -8314,6 +8314,135 @@ def z71_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_diversity(docs)
 
 
+def _spearman_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.rank_corr import (
+        spearman_oracle_sql,
+    )
+
+    return spearman_oracle_sql()
+
+
+@_register("z72_trend_spearman", _spearman_oracle_sql())
+def z72_trend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Spearman correlation between event time and
+    value (operators/rank_corr.spearman_by_group) — the monotonic
+    trend detector (Mann-Kendall's practical cousin): average ranks
+    for ties, Pearson over the rank pairs.
+
+    Scale shape: two rank windows + one correlation aggregate, all
+    partitioned by the same key — one shuffle total, no UDF."""
+    from computer_vision_foundations_spark.operators.rank_corr import (
+        spearman_by_group,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return spearman_by_group(events, "ts", "value")
+
+
+def _benford_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.benford import (
+        benford_oracle_sql,
+    )
+
+    return benford_oracle_sql()
+
+
+@_register("z73_benford_values", _benford_oracle_sql())
+def z73_benford_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit histogram of event values vs Benford's
+    law with per-digit chi-square contributions
+    (operators/benford.benford_digits) — the forensic data-quality
+    screen for fabricated/truncated numeric columns.
+
+    Scale shape: one projection + one 9-row aggregate; the
+    expectation grid is a broadcast 9-row sequence."""
+    from computer_vision_foundations_spark.operators.benford import (
+        benford_digits,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return benford_digits(events, "value")
+
+
+def _autocorr_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.timeseries import (
+        autocorr_oracle_sql,
+    )
+
+    return autocorr_oracle_sql()
+
+
+@_register("z74_hourly_autocorr", _autocorr_oracle_sql())
+def z74_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly-count series
+    (operators/timeseries.lag1_autocorr) — does the volume have
+    momentum/seasonality, i.e. does the anomaly detector need a
+    seasonal baseline?
+
+    Scale shape: one shuffle into (key, hour) counts; the lag window
+    reuses the same partitioning."""
+    from computer_vision_foundations_spark.operators.timeseries import (
+        lag1_autocorr,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return lag1_autocorr(events)
+
+
+def _cusum_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.timeseries import (
+        cusum_oracle_sql,
+    )
+
+    return cusum_oracle_sql()
+
+
+@_register("z75_cusum_changepoint", _cusum_oracle_sql())
+def z75_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline max-CUSUM changepoint per event type
+    (operators/timeseries.cusum_changepoint): the hour maximizing
+    |Σ(x−x̄)| over the hourly-count series plus the σ̂√n-normalized
+    statistic — Page's test in its batch form, the drift family's
+    "WHEN did it change" answer.
+
+    Scale shape: one shuffle into (key, hour) counts; global-stat and
+    prefix-sum windows share the key partitioning; sequential window
+    sums are bit-identical across engines."""
+    from computer_vision_foundations_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(events)
+
+
+def _km_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.survival import (
+        km_oracle_sql,
+    )
+
+    return km_oracle_sql()
+
+
+@_register("z76_kaplan_meier", _km_oracle_sql())
+def z76_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over user activity spans
+    (operators/survival.kaplan_meier): lifetimes = hours between a
+    user's first and last event, censored when the last event is
+    within 24 h of the corpus horizon — the censoring-correct version
+    of the cohort retention grid.
+
+    Scale shape: one keyed aggregate builds spans; the life table is
+    |distinct durations| rows, so its windows are model-sized."""
+    from computer_vision_foundations_spark.operators.survival import (
+        activity_spans,
+        kaplan_meier,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return kaplan_meier(activity_spans(events))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

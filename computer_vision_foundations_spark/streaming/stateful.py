@@ -151,3 +151,105 @@ def approx_distinct_stateful(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def topk_spacesaving_stateful(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 8,
+    key_type: str = "string",
+) -> DataFrame:
+    """Per-key streaming TOP-K heavy hitters via the Space-Saving
+    algorithm (Metwally, Agrawal & El Abbadi, ICDT 2005) carried in
+    the state store — the streaming twin of the batch Count-Min
+    heavy-hitter query (q88), with deterministic per-item error
+    bounds instead of probabilistic ones.
+
+    State per key is exactly k (item, count, error) counters. On each
+    arriving value: tracked → increment; untracked with free slots →
+    new counter; untracked and full → evict the MINIMUM counter
+    (ties: lexicographically smallest item, so replay is
+    deterministic), inherit its count as the new item's error. The
+    classic guarantees hold: every item with true frequency
+    > N/k is tracked, and for each counter
+    ``count − error ≤ true ≤ count``. While a key has seen ≤ k
+    distinct values the counts are EXACT (error 0) — the parity a
+    batch groupBy.count() replay can check bit-for-bit.
+
+    Output rows, one per (key, tracked item) per batch:
+    ``(key, item string, count bigint, error bigint, batch_seq
+    bigint)``. Use ``outputMode("update")`` sinks.
+
+    Scale: state is k·(item + 16 bytes) per key, independent of
+    stream length — the bounded-state property that makes per-key
+    frequency tracking viable where an exact per-item count table
+    would grow with the item universe.
+    """
+    out_schema = (
+        f"{key_col} {key_type}, item string, count bigint, "
+        "error bigint, batch_seq bigint"
+    )
+    state_schema = (
+        "items array<string>, counts array<bigint>, "
+        "errors array<bigint>, b bigint"
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errors, b = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+                state.get[3],
+            )
+        else:
+            items, counts, errors, b = [], [], [], 0
+        slot = {it: i for i, it in enumerate(items)}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                it = str(v)
+                i = slot.get(it)
+                if i is not None:
+                    counts[i] += 1
+                elif len(items) < k:
+                    slot[it] = len(items)
+                    items.append(it)
+                    counts.append(1)
+                    errors.append(0)
+                else:
+                    # evict the deterministic minimum counter
+                    m = min(
+                        range(len(items)),
+                        key=lambda j: (counts[j], items[j]),
+                    )
+                    del slot[items[m]]
+                    slot[it] = m
+                    errors[m] = counts[m]
+                    counts[m] += 1
+                    items[m] = it
+        b += 1
+        state.update((items, counts, errors, b))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(items),
+                "item": items,
+                "count": counts,
+                "error": errors,
+                "batch_seq": [b] * len(items),
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -61,3 +61,31 @@ def test_isolated_core_cluster_is_own_id(spark):
     out = _run(spark, pts, eps=0.5, min_pts=1)
     assert out[9] == ("core", 9)
     assert out[1] == ("core", 1) and out[2] == ("core", 1)
+
+
+def test_blas_pair_path_equals_join_path(spark):
+    """The cogrouped matmul prefilter + exact re-check emits exactly
+    the join path's pair set (the matmul is never the decider)."""
+    import random
+
+    from computer_vision_foundations_spark.operators.dbscan import (
+        _eps_pairs,
+        _eps_pairs_blas,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for eps in (0.6, 1.1):
+        a = set(
+            map(tuple, _eps_pairs(df, "embedding", "vec_id", eps, (0, 1)).collect())
+        )
+        b = set(
+            map(
+                tuple,
+                _eps_pairs_blas(df, "embedding", "vec_id", eps, (0, 1)).collect(),
+            )
+        )
+        assert a == b and a

@@ -549,3 +549,113 @@ def test_stateful_kmv_matches_batch_estimator_above_k(spark, tmp_path):
     theta = int(hs[-1][:13], 16) / float(16**13)
     assert got == (k - 1) / theta  # bit-identical estimator
     assert collected[-1].n_hashes == k
+
+
+def test_stateful_spacesaving_exact_below_k_and_across_batches(
+    spark, tmp_path
+):
+    """topk_spacesaving_stateful: exact counts (error 0) while a key
+    has seen <= k distinct items, cumulative across micro-batches and
+    checkpoint restarts."""
+    from computer_vision_foundations_spark.streaming.stateful import (
+        topk_spacesaving_stateful,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "ss_ckpt")
+    os.makedirs(src)
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [{"user_id": u, "event_type": "t"} for u in [1, 1, 2]],
+    )
+    _write_events_file(
+        os.path.join(src, "b2.json"),
+        [{"user_id": u, "event_type": "t"} for u in [1, 3]],
+    )
+
+    collected = []
+
+    def run_cycle(k=8):
+        stream = (
+            spark.readStream.schema("user_id bigint, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        out = topk_spacesaving_stateful(
+            stream, "event_type", "user_id", k=k
+        )
+        (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, epoch: collected.extend(df.collect())
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_cycle()
+    last = {
+        r.item: (r["count"], r.error)
+        for r in collected
+        if r.batch_seq == 2
+    }
+    # cumulative exact counts: user 1 seen 3x, 2 once, 3 once
+    assert last == {"1": (3, 0), "2": (1, 0), "3": (1, 0)}
+
+    # restart from checkpoint: state carries
+    _write_events_file(
+        os.path.join(src, "b3.json"),
+        [{"user_id": 2, "event_type": "t"}],
+    )
+    collected.clear()
+    run_cycle()
+    last = {
+        r.item: r["count"] for r in collected if r.batch_seq == 3
+    }
+    assert last["2"] == 2 and last["1"] == 3
+
+
+def test_stateful_spacesaving_bounds_hold_under_eviction(
+    spark, tmp_path
+):
+    """With k smaller than the item universe, the Space-Saving
+    guarantees hold: count-error <= true <= count for every tracked
+    item, and the overall top item is tracked."""
+    from computer_vision_foundations_spark.streaming.stateful import (
+        topk_spacesaving_stateful,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "ss2_ckpt")
+    os.makedirs(src)
+    # heavy item 100 (7x), then a tail of singletons forcing eviction
+    vals = [100] * 7 + list(range(1, 10))
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [{"user_id": v, "event_type": "t"} for v in vals],
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = topk_spacesaving_stateful(stream, "event_type", "user_id", k=4)
+    collected = []
+    (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    true = {str(v): vals.count(v) for v in set(vals)}
+    tracked = {r.item: (r["count"], r.error) for r in collected}
+    assert len(tracked) == 4
+    assert "100" in tracked  # the heavy hitter survives eviction
+    for it, (cnt, err) in tracked.items():
+        assert cnt - err <= true[it] <= cnt

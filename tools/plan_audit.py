@@ -501,6 +501,39 @@ AUDIT = {
         "|groups|-row output aggregate",
         (),
     ),
+    "z72_trend_spearman": (
+        "two rank windows + one corr aggregate, all on the same key "
+        "partitioning — one shuffle total",
+        (),
+    ),
+    "z73_benford_values": (
+        "one projection + 9-row aggregate; 9-row expectation grid "
+        "broadcast (1-row total is the scalar crossJoin idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z74_hourly_autocorr": (
+        "one shuffle into (key, hour) counts; lag window reuses the "
+        "key partitioning",
+        (),
+    ),
+    "z75_cusum_changepoint": (
+        "one shuffle into (key, hour) counts; stat/prefix/pick "
+        "windows share the key partitioning",
+        (),
+    ),
+    "z76_kaplan_meier": (
+        "one keyed aggregate for spans; the life-table windows run "
+        "over |distinct durations| rows (model-sized, single "
+        "partition by design); 1-row horizon broadcast is the scalar "
+        "crossJoin idiom",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z51_triangle_stats": (
+        "collapsed path: quotient-graph enumeration + closed-form "
+        "expansion; shuffles carry class ids and (node, cls) rows, "
+        "never clique-sized pair sets",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
