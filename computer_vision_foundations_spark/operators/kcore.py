@@ -37,18 +37,19 @@ from computer_vision_foundations_spark.operators.components import (
     _release,
 )
 
-__all__ = ["k_core", "kcore_oracle_sql"]
+__all__ = ["k_core", "k_core_collapsed", "kcore_oracle_sql"]
 
 
 def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    return (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-        .distinct()
-    )
+    # filter self-loops BEFORE mirroring: the reversed half must not
+    # reintroduce them (quotient edge lists genuinely contain
+    # same-class rows)
+    base = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    return base.unionByName(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
 
 
 def k_core(
@@ -85,6 +86,119 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("degree"))
         .orderBy("node")
     )
+
+
+def k_core_collapsed(
+    pairs: DataFrame,
+    classes: DataFrame,
+    node_col: str = "node",
+    cls_col: str = "cls",
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 3,
+    n_rounds: int = 8,
+) -> DataFrame:
+    """``k_core`` for graphs whose adjacency is a pure function of a
+    class key — same output, quotient-sized rounds.
+
+    Same structural-equivalence contract as
+    ``triangles.triangle_stats_collapsed`` (identical neighborhoods;
+    mutual adjacency when the class has ≥ 2 members). Because
+    same-class nodes always have IDENTICAL degrees, peeling kills or
+    keeps whole classes per round, so the peel runs on the weighted
+    quotient: ``deg_i = (w_i − 1) + Σ_{j~i, j alive} w_j``. Rounds
+    stop early at the fixpoint (the peel is monotone, so the
+    fixed-round naive result is identical). Each round touches
+    quotient-sized tables only — on dedup graphs that's the distinct-
+    fingerprint count, not the clique-expanded edge count.
+    """
+    cmap = classes.select(
+        F.col(node_col).alias("node"), F.col(cls_col).alias("cls")
+    ).localCheckpoint()
+    w = cmap.groupBy("cls").agg(F.count(F.lit(1)).alias("w"))
+    ca = cmap.select(F.col("node").alias(src), F.col("cls").alias("_ca"))
+    cb = cmap.select(F.col("node").alias(dst), F.col("cls").alias("_cb"))
+    qsym = _sym(
+        pairs.join(ca, src).join(cb, dst), "_ca", "_cb"
+    ).localCheckpoint()
+    # alive classes: participate in the graph at all
+    in_graph = qsym.select(F.col("u").alias("cls")).distinct()
+    alive = (
+        w.join(in_graph, "cls", "left_semi")
+        .unionByName(w.where(F.col("w") >= 2))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive_rdd = _ckpt_rdd(alive)
+    n_alive = alive.count()
+    try:
+        for _ in range(n_rounds):
+            wj = alive.select(
+                F.col("cls").alias("v"), F.col("w").alias("wj")
+            )
+            nbr_sum = (
+                qsym.join(
+                    alive.select(F.col("cls").alias("u")),
+                    "u",
+                    "left_semi",
+                )
+                .join(wj, "v")
+                .groupBy("u")
+                .agg(F.sum("wj").alias("s"))
+            )
+            deg = (
+                alive.join(
+                    nbr_sum.select(F.col("u").alias("cls"), "s"),
+                    "cls",
+                    "left",
+                )
+                .select(
+                    "cls",
+                    "w",
+                    (
+                        F.col("w")
+                        - 1
+                        + F.coalesce(F.col("s"), F.lit(0))
+                    ).alias("deg"),
+                )
+            )
+            nxt = deg.where(F.col("deg") >= k).select("cls", "w")
+            nxt = nxt.localCheckpoint()
+            n_next = nxt.count()
+            _release(alive_rdd)
+            alive, alive_rdd = nxt, _ckpt_rdd(nxt)
+            if n_next == n_alive:
+                break  # fixpoint: further rounds are no-ops
+            n_alive = n_next
+        # final degrees over the surviving quotient
+        wj = alive.select(F.col("cls").alias("v"), F.col("w").alias("wj"))
+        nbr_sum = (
+            qsym.join(
+                alive.select(F.col("cls").alias("u")), "u", "left_semi"
+            )
+            .join(wj, "v")
+            .groupBy("u")
+            .agg(F.sum("wj").alias("s"))
+        )
+        final = alive.join(
+            nbr_sum.select(F.col("u").alias("cls"), "s"), "cls", "left"
+        ).select(
+            "cls",
+            (
+                F.col("w") - 1 + F.coalesce(F.col("s"), F.lit(0))
+            ).alias("degree"),
+        )
+        # the last alive/cmap blocks stay checkpointed: the returned
+        # lazy frame still reads them (k_core's convention — priors
+        # are released each round, the final table is not)
+        return (
+            cmap.join(final, "cls")
+            .select("node", "degree")
+            .orderBy("node")
+        )
+    except Exception:
+        _release(alive_rdd)
+        raise
 
 
 def kcore_oracle_sql(

@@ -7710,17 +7710,31 @@ def z57_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     node keeps ≥ 3 neighbors: the "hard kernel" of each duplicate
     family after weakly-attached stragglers are stripped, completing
     the graph-cohesion kit (z51 triangles, z54 communities) —
-    ``operators/kcore.py``. 8 fixed peel rounds (monotone, no-op
-    after convergence); the oracle unrolls the identical peel one CTE
-    per round.
+    ``operators/kcore.py``. Runs the structural-equivalence COLLAPSED
+    peel (same contract as z51): same-fingerprint nodes always share
+    a degree, so whole classes peel together and the rounds run on
+    the weighted quotient graph with a fixpoint early-stop — the
+    clique-dense edge list never re-materializes per round. The
+    oracle unrolls the identical NAIVE peel one CTE per round, so the
+    quotient simulation is value-hash-verified.
 
-    Scale shape: per round one degree hash-aggregate + two left-semi
-    induction joins, all on (node, node) long pairs; edge tables
+    Scale shape: per round one quotient degree aggregate + one
+    left-semi + weight join, all on class ids; quotient tables
     localCheckpoint with explicit release."""
-    from computer_vision_foundations_spark.operators.kcore import k_core
+    from computer_vision_foundations_spark.operators.kcore import (
+        k_core_collapsed,
+    )
 
     pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
-    return k_core(pairs, "id_a", "id_b", k=3, n_rounds=8)
+    fingerprints = q92_simhash(spark, sf_dir)
+    return k_core_collapsed(
+        pairs,
+        fingerprints,
+        node_col="doc_id",
+        cls_col="simhash",
+        k=3,
+        n_rounds=8,
+    )
 
 
 _PHRASES = [

@@ -69,3 +69,55 @@ def test_matches_networkx_style_reference(spark):
     want = {n: len(ns) for n, ns in adj.items() if ns}
     out = _core(spark, [(int(a), int(b)) for a, b in edges], k=k, n_rounds=12)
     assert out == want
+
+
+def test_collapsed_matches_naive_on_class_graphs(spark):
+    """k_core_collapsed over class-determined graphs (structural
+    equivalence) equals the naive peel, including unconverged and
+    early-stopped configurations."""
+    import random
+    from itertools import combinations
+
+    from computer_vision_foundations_spark.operators.kcore import (
+        k_core,
+        k_core_collapsed,
+    )
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n_cls = rng.randint(3, 6)
+        classes, node = {}, 0
+        for c in range(n_cls):
+            for _ in range(rng.randint(1, 4)):
+                classes[node] = c
+                node += 1
+        adj = {
+            frozenset(p)
+            for p in combinations(range(n_cls), 2)
+            if rng.random() < 0.45
+        }
+        pairs = []
+        nodes = sorted(classes)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                cu, cv = classes[u], classes[v]
+                if cu == cv or frozenset((cu, cv)) in adj:
+                    pairs.append((u, v))
+        if not pairs:
+            continue
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        cdf = spark.createDataFrame(
+            list(classes.items()), "node long, cls long"
+        )
+        for k, rounds in ((2, 8), (3, 2)):
+            naive = {
+                tuple(r)
+                for r in k_core(pdf, k=k, n_rounds=rounds).collect()
+            }
+            fast = {
+                tuple(r)
+                for r in k_core_collapsed(
+                    pdf, cdf, k=k, n_rounds=rounds
+                ).collect()
+            }
+            assert fast == naive, f"trial {trial} k={k} diverged"
