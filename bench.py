@@ -161,6 +161,8 @@ HEADLINE = [
     "z74_hourly_autocorr",
     "z75_cusum_changepoint",
     "z76_kaplan_meier",
+    "z77_silhouette",
+    "z78_davies_bouldin",
 ]
 
 

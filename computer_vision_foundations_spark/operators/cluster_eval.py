@@ -154,7 +154,7 @@ def davies_bouldin(
     )
     r = (
         si.join(F.broadcast(mdf), "i")
-        .join(sj, "j")
+        .join(sj, "j", "left")  # empty j → NULL term → NULL max
         .groupBy("i", "n", "si")
         .agg(
             F.max(
@@ -244,6 +244,6 @@ def davies_bouldin_oracle_sql(
            round(max((si.s + sj.s) / m.m), 6) AS r
     FROM scat si
     JOIN m ON m.i = si.cluster
-    JOIN scat sj ON sj.cluster = m.j
+    LEFT JOIN scat sj ON sj.cluster = m.j
     GROUP BY si.cluster ORDER BY si.cluster
     """

@@ -8457,6 +8457,76 @@ def z76_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(activity_spans(events))
 
 
+# Cluster-evaluation centroids: the seeded-gaussian stand-ins scaled
+# to the embedding table's data range (σ ≈ 0.12) so the partition is
+# non-degenerate. Deterministic → the oracle embeds the same literals.
+_CE_DIM, _CE_K, _CE_SEED, _CE_SCALE = 64, 8, 42, 0.15
+
+
+def _ce_centroids() -> list[list[float]]:
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    return [
+        [_CE_SCALE * x for x in c]
+        for c in random_centroids(_CE_DIM, _CE_K, _CE_SEED)
+    ]
+
+
+def _silhouette_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.cluster_eval import (
+        silhouette_oracle_sql,
+    )
+
+    return silhouette_oracle_sql("embeddings", "embedding", _ce_centroids())
+
+
+@_register("z77_silhouette", _silhouette_oracle_sql())
+def z77_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (Hruschka 2004 centroid form;
+    operators/cluster_eval.simplified_silhouette) — the one-pass
+    validation loop for the clustering family: s=(b−a)/max(a,b) from
+    own-centroid vs nearest-other-centroid distance, averaged per
+    cluster. Centroids are plan literals (the IVF/PQ convention).
+
+    Scale shape: one narrow codegen pass computes (cluster, a, b); one
+    |k|-row aggregate. The corpus shuffles once as three columns."""
+    from computer_vision_foundations_spark.operators.cluster_eval import (
+        simplified_silhouette,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simplified_silhouette(emb, _ce_centroids(), "embedding")
+
+
+def _db_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.cluster_eval import (
+        davies_bouldin_oracle_sql,
+    )
+
+    return davies_bouldin_oracle_sql(
+        "embeddings", "embedding", _ce_centroids()
+    )
+
+
+@_register("z78_davies_bouldin", _db_oracle_sql())
+def z78_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality report
+    (operators/cluster_eval.davies_bouldin): per-cluster scatter S_i
+    and R_i = max_j (S_i+S_j)/M_ij over the literal centroid-distance
+    table; avg(r) is the DB index (lower = tighter/better separated).
+
+    Scale shape: the same one-pass (cluster, a) aggregate as z77 plus
+    a |k|² broadcast join of literals."""
+    from computer_vision_foundations_spark.operators.cluster_eval import (
+        davies_bouldin,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return davies_bouldin(emb, _ce_centroids(), "embedding")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -534,6 +534,16 @@ AUDIT = {
         "never clique-sized pair sets",
         (),
     ),
+    "z77_silhouette": (
+        "literal-centroid distances in one narrow codegen pass; "
+        "|k|-row aggregate",
+        (),
+    ),
+    "z78_davies_bouldin": (
+        "same one-pass scatter aggregate + |k|^2 broadcast literal "
+        "join",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
