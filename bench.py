@@ -163,6 +163,7 @@ HEADLINE = [
     "z76_kaplan_meier",
     "z77_silhouette",
     "z78_davies_bouldin",
+    "z79_isolation_scores",
 ]
 
 

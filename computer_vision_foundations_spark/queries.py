@@ -8527,6 +8527,47 @@ def z78_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return davies_bouldin(emb, _ce_centroids(), "embedding")
 
 
+_IF_TREES, _IF_DEPTH, _IF_SEED = 8, 6, 7
+
+
+def _if_trees() -> list[dict]:
+    from computer_vision_foundations_spark.operators.iforest import (
+        random_cut_trees,
+    )
+
+    return random_cut_trees(
+        _CE_DIM, n_trees=_IF_TREES, max_depth=_IF_DEPTH, seed=_IF_SEED
+    )
+
+
+def _iforest_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.iforest import (
+        isolation_oracle_sql,
+    )
+
+    return isolation_oracle_sql(_if_trees())
+
+
+@_register("z79_isolation_scores", _iforest_oracle_sql())
+def z79_isolation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest anomaly scores over the embedding table
+    (operators/iforest.isolation_scores, Liu 2008 scoring): ensemble-
+    mean random-cut leaf depth → 2^(−avg/c(256)). The registered
+    member uses seeded DATA-INDEPENDENT box-refined cuts so the eight
+    trees are plan literals and the oracle replays them as nested
+    CASEs; the classic sample-trained construction (iforest_fit) is
+    pytest-verified.
+
+    Scale shape: one narrow projection per row — no shuffle, no UDF,
+    no join; the model is codegen'd literal comparisons."""
+    from computer_vision_foundations_spark.operators.iforest import (
+        isolation_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return isolation_scores(emb, _if_trees(), "embedding", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -544,6 +544,11 @@ AUDIT = {
         "join",
         (),
     ),
+    "z79_isolation_scores": (
+        "literal random-cut trees as nested CASEs in one narrow "
+        "projection — no shuffle, no UDF, no join",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
