@@ -164,6 +164,9 @@ HEADLINE = [
     "z77_silhouette",
     "z78_davies_bouldin",
     "z79_isolation_scores",
+    "z80_quantile_norm",
+    "z81_char_entropy",
+    "z82_mutual_knn",
 ]
 
 

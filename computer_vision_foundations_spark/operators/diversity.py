@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_diversity", "diversity_oracle_sql"]
+__all__ = [
+    "group_diversity",
+    "diversity_oracle_sql",
+    "doc_char_entropy",
+    "char_entropy_oracle_sql",
+]
 
 
 def group_diversity(
@@ -96,4 +101,65 @@ def diversity_oracle_sql(
            round(sum((c / CAST(n_toks AS DOUBLE))
                      * (c / CAST(n_toks AS DOUBLE))), 6) AS simpson
     FROM withn GROUP BY grp ORDER BY grp
+    """
+
+
+def doc_char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, n_chars_m, char_entropy)`` per document — Shannon
+    entropy (nats) of the CHARACTER distribution, the junk detector
+    the per-slice token indices can't give: binary blobs and
+    keyboard-mash score far from prose (English text ≈ 2.9–3.1 nats),
+    constant-fill padding scores ≈ 0. Rounded 6.
+
+    Scale shape: the character stream shuffles once into
+    (id, char) counts; one per-doc aggregate. All codegen."""
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = Window.partitionBy("id")
+    p = F.col("c").cast("double") / F.sum("c").over(tot)
+    return (
+        counts.withColumn("p", p)
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_chars_m"),
+            F.round(
+                -F.sum(F.col("p") * F.log("p")), 6
+            ).alias("char_entropy"),
+        )
+        .orderBy("id")
+    )
+
+
+def char_entropy_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`doc_char_entropy`."""
+    return f"""
+    WITH chars AS (
+        SELECT {id_col} AS id,
+               unnest(string_split({text_col}, '')) AS ch
+        FROM {table}
+    ), c AS (
+        SELECT * FROM chars WHERE ch <> ''
+    ), counts AS (
+        SELECT id, ch, count(*) AS c FROM c GROUP BY 1, 2
+    ), withp AS (
+        SELECT id, c,
+               c / CAST(sum(c) OVER (PARTITION BY id) AS DOUBLE) AS p
+        FROM counts
+    )
+    SELECT id, CAST(sum(c) AS BIGINT) AS n_chars_m,
+           round(-sum(p * ln(p)), 6) AS char_entropy
+    FROM withp GROUP BY id ORDER BY id
     """

@@ -1,0 +1,123 @@
+"""Cross-source quantile normalization of score columns.
+
+Mixing corpora means mixing INCOMPARABLE score scales: source A's
+quality classifier saturates at 0.9, source B's tops out at 0.4, and
+any global threshold silently keeps one and drops the other. Quantile
+normalization (the microarray-analysis standard, Bolstad 2003) fixes
+it by replacing each value with the GLOBAL distribution's value at
+the same within-source rank fraction — after the transform every
+source has the same score distribution, and one threshold means one
+thing.
+
+Relational form (exact, engine-agnostic):
+
+- within each source: ``p = percent_rank()`` (0..1, the min-max
+  anchored fraction);
+- globally: the sorted score table with row numbers 1..n;
+- the mapped value is the linear interpolation of the global sorted
+  values at position ``1 + p·(n−1)`` — two integer equi-joins
+  (floor/ceil row) + one lerp, exactly ``quantile_cont`` semantics
+  evaluated at a per-row p.
+
+Spark-first shape: one window per source for p; the global sort is a
+single window over the score projection (n rows of (rn, value) — the
+same budget any global quantile pays); two broadcast-friendly integer
+joins. No UDF, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["quantile_normalize", "qnorm_oracle_sql"]
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, grp, score, qnorm)`` — the score mapped onto the global
+    distribution at its within-group rank fraction, rounded 6."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).cast("double").alias("score"),
+    ).where(F.col(score_col).isNotNull())
+    p = F.percent_rank().over(
+        Window.partitionBy("grp").orderBy("score", "id")
+    )
+    ranked = base.select("id", "grp", "score", p.alias("p"))
+    g = Window.orderBy("score", "id")
+    glob = base.select(
+        F.row_number().over(g).alias("rn"),
+        F.col("score").alias("gv"),
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    pos = F.lit(1.0) + F.col("p") * (F.col("n") - F.lit(1))
+    with_pos = ranked.crossJoin(F.broadcast(n)).select(
+        "id",
+        "grp",
+        "score",
+        F.floor(pos).cast("long").alias("lo_rn"),
+        F.ceil(pos).cast("long").alias("hi_rn"),
+        (pos - F.floor(pos)).alias("frac"),
+    )
+    lo = glob.select(F.col("rn").alias("lo_rn"), F.col("gv").alias("lo_v"))
+    hi = glob.select(F.col("rn").alias("hi_rn"), F.col("gv").alias("hi_v"))
+    return (
+        with_pos.join(lo, "lo_rn")
+        .join(hi, "hi_rn")
+        .select(
+            "id",
+            "grp",
+            "score",
+            F.round(
+                F.col("lo_v")
+                + F.col("frac") * (F.col("hi_v") - F.col("lo_v")),
+                6,
+            ).alias("qnorm"),
+        )
+        .orderBy("id")
+    )
+
+
+def qnorm_oracle_sql(
+    table: str = "documents",
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin — identical rank fractions, row-number grid, and
+    lerp."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id, {group_col} AS grp,
+               CAST({score_col} AS DOUBLE) AS score
+        FROM {table} WHERE {score_col} IS NOT NULL
+    ), ranked AS (
+        SELECT id, grp, score,
+               percent_rank() OVER (
+                   PARTITION BY grp ORDER BY score, id) AS p
+        FROM base
+    ), gq AS (
+        SELECT row_number() OVER (ORDER BY score, id) AS rn,
+               score AS gv
+        FROM base
+    ), n AS (SELECT count(*) AS n FROM base),
+    with_pos AS (
+        SELECT id, grp, score,
+               CAST(floor(1.0 + p * (n - 1)) AS BIGINT) AS lo_rn,
+               CAST(ceil(1.0 + p * (n - 1)) AS BIGINT) AS hi_rn,
+               (1.0 + p * (n - 1)) - floor(1.0 + p * (n - 1)) AS frac
+        FROM ranked CROSS JOIN n
+    )
+    SELECT id, grp, score,
+           round(lo.gv + frac * (hi.gv - lo.gv), 6) AS qnorm
+    FROM with_pos
+    JOIN gq lo ON lo.rn = with_pos.lo_rn
+    JOIN gq hi ON hi.rn = with_pos.hi_rn
+    ORDER BY id
+    """

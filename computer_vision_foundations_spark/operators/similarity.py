@@ -528,3 +528,38 @@ def multiprobe_lsh_knn(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-kNN pairs: ``(id_a, id_b, cos_sim)`` with id_a <
+    id_b where EACH is in the other's blocked top-k — the symmetric
+    trust filter on top of :func:`knn_join_blocked` (one-directional
+    neighbors include hubness artifacts; mutual pairs are the standard
+    high-precision edge set for dedup canonicalization and
+    de-noised nearest-neighbor graphs, e.g. reciprocal-rank matching
+    in image retrieval).
+
+    Scale shape: the kNN join's budget plus one self-equi-join of the
+    (qid, nid) edge list on the reversed key — edges are id pairs,
+    never vectors."""
+    knn = knn_join_blocked(df, k, block_col, vec_col, id_col)
+    e = knn.select("qid", "nid", "cos_sim")
+    rev = e.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
+    )
+    return (
+        e.join(rev, ["qid", "nid"], "left_semi")
+        .where(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("id_a"),
+            F.col("nid").alias("id_b"),
+            "cos_sim",
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -8568,6 +8568,87 @@ def z79_isolation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isolation_scores(emb, _if_trees(), "embedding", "vec_id")
 
 
+def _qnorm_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.qnorm import (
+        qnorm_oracle_sql,
+    )
+
+    return qnorm_oracle_sql()
+
+
+@_register("z80_quantile_norm", _qnorm_oracle_sql())
+def z80_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths
+    (operators/qnorm.quantile_normalize, Bolstad 2003): each value is
+    replaced by the GLOBAL distribution's value at its within-source
+    rank fraction, making one quality threshold mean the same thing
+    in every source before mixture weighting.
+
+    Scale shape: one per-source rank window, one global sort window
+    over the score projection, two integer equi-joins for the lerp —
+    no UDF, no collect."""
+    from computer_vision_foundations_spark.operators.qnorm import (
+        quantile_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "n_chars", "source", "doc_id")
+
+
+def _char_entropy_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.diversity import (
+        char_entropy_oracle_sql,
+    )
+
+    return char_entropy_oracle_sql()
+
+
+@_register("z81_char_entropy", _char_entropy_oracle_sql())
+def z81_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (operators/diversity.doc_char_entropy) — the byte-level junk
+    detector (binary blobs, keyboard mash, constant padding) that
+    complements the token-level quality battery (q66, z33).
+
+    Scale shape: the character stream shuffles once into (id, char)
+    counts; one per-doc aggregate."""
+    from computer_vision_foundations_spark.operators.diversity import (
+        doc_char_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_char_entropy(docs)
+
+
+def _mutual_knn_oracle_sql() -> str:
+    return f"""
+    WITH knn AS MATERIALIZED ({_ORACLES['z30_knn_join']})
+    SELECT a.qid AS id_a, a.nid AS id_b, a.cos_sim
+    FROM knn a JOIN knn b ON b.qid = a.nid AND b.nid = a.qid
+    WHERE a.qid < a.nid
+    ORDER BY 1, 2
+    """
+
+
+@_register("z82_mutual_knn", _mutual_knn_oracle_sql())
+def z82_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN pairs over the blocked self-kNN join
+    (operators/similarity.mutual_knn_pairs): keep (a, b) only when
+    EACH is in the other's top-3 — the de-hubbed high-precision edge
+    set retrieval systems use for re-ranking and dedup
+    canonicalization. The oracle nests z30's verified kNN twin and
+    replays the reciprocity join.
+
+    Scale shape: z30's blocked-join budget + one id-pair self-join;
+    vectors never cross the reciprocity join."""
+    from computer_vision_foundations_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(emb, k=3, block_col="label")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -253,3 +253,83 @@ def topk_spacesaving_stateful(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_drift_stateful(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    alpha: float = 0.1,
+    threshold: float = 3.0,
+    min_n: int = 10,
+    key_type: str = "string",
+) -> DataFrame:
+    """Per-key streaming drift alarm: the state store carries the
+    EWMA level AND an EWMA of squared deviations (an exponentially-
+    forgetting variance — the streaming twin of the batch pair
+    `operators/smoothing.ewma_by_key` + `operators/timeseries.
+    cusum_changepoint`); a micro-batch whose mean deviates from the
+    carried level by more than ``threshold·σ̂`` raises the alarm flag.
+    Values update the level AFTER the test, so a genuine jump cannot
+    mask itself by dragging the baseline along within its own batch.
+
+    Output rows, one per (key, batch): ``(key, batch_mean double,
+    level double, sigma double, n_seen bigint, alarm boolean,
+    batch_seq bigint)``. No alarms before ``min_n`` observations (the
+    variance estimate needs burn-in). State is four scalars per key.
+    """
+    out_schema = (
+        f"{key_col} {key_type}, batch_mean double, level double, "
+        "sigma double, n_seen bigint, alarm boolean, batch_seq bigint"
+    )
+    state_schema = "level double, var double, n bigint, b bigint"
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        level, var, n, b = (
+            state.get if state.exists else (0.0, 0.0, 0, 0)
+        )
+        vals: list[float] = []
+        for pdf in pdfs:
+            vals.extend(float(v) for v in pdf[value_col] if v is not None)
+        if not vals:
+            return
+        batch_mean = sum(vals) / len(vals)
+        sigma = var**0.5
+        alarm = bool(
+            n >= min_n
+            and sigma > 0
+            and abs(batch_mean - level) > threshold * sigma
+        )
+        for v in vals:
+            if n == 0:
+                level, var = v, 0.0
+            else:
+                d = v - level
+                level += alpha * d
+                var = (1 - alpha) * (var + alpha * d * d)
+            n += 1
+        b += 1
+        state.update((level, var, n, b))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "batch_mean": [batch_mean],
+                "level": [level],
+                "sigma": [sigma],
+                "n_seen": [n],
+                "alarm": [alarm],
+                "batch_seq": [b],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

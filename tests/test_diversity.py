@@ -46,3 +46,25 @@ def test_empty_tokens_are_dropped(spark):
     )
     r = group_diversity(df).collect()[0]
     assert r["n_toks"] == 2 and r["n_vocab"] == 2
+
+
+def test_doc_char_entropy(spark):
+    import math
+
+    from computer_vision_foundations_spark.operators.diversity import (
+        doc_char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaa", "s"), (2, "abcd", "s"), (3, "aabb", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["id"]: (r["n_chars_m"], r["char_entropy"])
+        for r in doc_char_entropy(df).collect()
+    }
+    assert got[1] == (4, 0.0)  # constant fill
+    assert got[2][1] == pytest.approx(math.log(4), abs=1e-6)
+    assert got[3][1] == pytest.approx(math.log(2), abs=1e-6)
+    # diversity orders as expected
+    assert got[1][1] < got[3][1] < got[2][1]

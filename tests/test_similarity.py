@@ -253,3 +253,32 @@ def test_knn_join_blocked_matches_numpy(spark):
         cands.sort(key=lambda t: (-t[0], t[1]))
         want = [(r + 1, j, c) for r, (c, j) in enumerate(cands[:2])]
         assert sorted(got[q]) == want, q
+
+
+def test_mutual_knn_pairs_reciprocity(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        knn_join_blocked,
+        mutual_knn_pairs,
+    )
+
+    # 1-d layout in one block: 0 at x=0, 1 at x=1, 2 at x=10, 3 at x=11
+    # with k=1: 0↔1 mutual, 2↔3 mutual; nothing else
+    rows = [
+        (0, [1.0, 0.00], "g"),
+        (1, [1.0, 0.02], "g"),
+        (2, [1.0, 0.50], "g"),
+        (3, [1.0, 0.52], "g"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_pairs(df, k=1, block_col="label").collect()
+    }
+    assert got == {(0, 1), (2, 3)}
+    # every mutual pair is a subset of the one-directional edges
+    knn = {
+        (r["qid"], r["nid"])
+        for r in knn_join_blocked(df, 1, "label").collect()
+    }
+    for a, b in got:
+        assert (a, b) in knn and (b, a) in knn

@@ -4,6 +4,8 @@ checkpoint-restart idempotence (reference ST1-ST4,
 
 import os
 
+import pytest
+
 from computer_vision_foundations_spark.plans.pipeline import (
     IngestConfig,
     PipelineConfig,
@@ -659,3 +661,64 @@ def test_stateful_spacesaving_bounds_hold_under_eviction(
     assert "100" in tracked  # the heavy hitter survives eviction
     for it, (cnt, err) in tracked.items():
         assert cnt - err <= true[it] <= cnt
+
+
+def test_stateful_ewma_drift_alarm(spark, tmp_path):
+    """ewma_drift_stateful: no alarm during burn-in or on-level
+    batches; a level jump after burn-in raises the alarm; the level
+    updates AFTER the test so the jump can't hide itself."""
+    from computer_vision_foundations_spark.streaming.stateful import (
+        ewma_drift_stateful,
+    )
+
+    tmp = str(tmp_path)
+    src = os.path.join(tmp, "events")
+    ckpt = os.path.join(tmp, "drift_ckpt")
+    os.makedirs(src)
+    # batch 1: 20 values ~ 10 with small wiggle (burn-in, no alarm)
+    _write_events_file(
+        os.path.join(src, "b1.json"),
+        [
+            {"event_type": "t", "value": 10.0 + (i % 3) * 0.1}
+            for i in range(20)
+        ],
+    )
+    # batch 2: on-level -> no alarm
+    _write_events_file(
+        os.path.join(src, "b2.json"),
+        [{"event_type": "t", "value": 10.1} for _ in range(5)],
+    )
+    collected = []
+
+    def run_cycle():
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        out = ewma_drift_stateful(stream, "event_type", "value")
+        (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, epoch: collected.extend(df.collect())
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_cycle()
+    assert not any(r.alarm for r in collected)  # burn-in + on-level
+
+    # batch 3 (after a checkpoint restart): jump to 50 -> alarm
+    _write_events_file(
+        os.path.join(src, "b3.json"),
+        [{"event_type": "t", "value": 50.0} for _ in range(5)],
+    )
+    collected.clear()
+    run_cycle()
+    (last,) = collected
+    assert last.alarm and last.batch_seq == 3
+    assert last.n_seen == 30
+    assert last.batch_mean == pytest.approx(50.0)

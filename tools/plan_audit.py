@@ -549,6 +549,22 @@ AUDIT = {
         "projection — no shuffle, no UDF, no join",
         (),
     ),
+    "z80_quantile_norm": (
+        "per-source rank window + one global sort window over the "
+        "score projection + two integer lerp joins; 1-row n is the "
+        "scalar crossJoin idiom",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z81_char_entropy": (
+        "character stream shuffles once into (id, char) counts; one "
+        "per-doc aggregate",
+        (),
+    ),
+    "z82_mutual_knn": (
+        "z30's blocked-join budget + one id-pair reciprocity "
+        "self-join; vectors never cross it",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -91,6 +91,25 @@ SWEEP_QUERIES = [
     "z41_hard_negatives",
     "z42_label_noise",
     "z43_image_augment",
+    # fifth/sixth/seventh round-4 waves: the keyed statistics run over
+    # 5x-densified event streams (every per-hour window holds 5x the
+    # rows; percentile/rank/window algebra must agree at the new
+    # densities), the token-stream indices see 5x documents, and the
+    # isolation/cluster scorers scan 5x embeddings with exact-replica
+    # ties. z51/z57/z61 are deliberately absent: their DIFFERENTIAL
+    # twins are output-bound (naive per-node triangles / peeling /
+    # unblocked quadratic ε-join) and blow up in the oracle engine at
+    # the 39M-edge 5x pair graph — the Spark side's scale behavior is
+    # exactly what the quotient/BLAS designs fix, verified by
+    # randomized parity tests + the 1x differential gate.
+    "z67_mad_outliers",
+    "z68_ewma_level",
+    "z71_source_diversity",
+    "z72_trend_spearman",
+    "z75_cusum_changepoint",
+    "z76_kaplan_meier",
+    "z77_silhouette",
+    "z79_isolation_scores",
 ]
 
 PAIR_QUERIES = {
