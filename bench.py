@@ -167,6 +167,9 @@ HEADLINE = [
     "z80_quantile_norm",
     "z81_char_entropy",
     "z82_mutual_knn",
+    "z83_shipping_priority",
+    "z84_returned_item_losses",
+    "z85_small_qty_revenue",
 ]
 
 

@@ -8649,6 +8649,145 @@ def z82_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_knn_pairs(emb, k=3, block_col="label")
 
 
+@_register(
+    "z83_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def z83_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the classic
+    3-table star join + grouped revenue + top-10, the OLAP pattern
+    every relational engine is graded on. Deterministic tie-break by
+    (o_orderdate, l_orderkey).
+
+    Scale shape: customer/orders dimensions broadcast against the
+    lineitem fact scan; ship/order-date filters push into parquet;
+    one grouped aggregate + TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
+@_register(
+    "z84_returned_item_losses",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def z84_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): which customers
+    drive return losses — dimension joins + a selective fact filter +
+    grouped top-20.
+
+    Scale shape: the l_returnflag filter pushes into the fact scan;
+    customer/orders broadcast; one grouped aggregate +
+    TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "z85_small_qty_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN (
+        SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    ) t ON l_partkey = t.pk
+    WHERE l_quantity < t.qty_cut
+    """,
+)
+def z85_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the classic
+    correlated-aggregate-decorrelated-to-a-join pattern — revenue of
+    line items below 20 % of their part's average quantity.
+
+    Scale shape: the correlated subquery runs ONCE as a per-part
+    aggregate (|parts| rows) and joins back on the part key — the
+    decorrelation Catalyst is trusted for elsewhere (q04 exists)
+    spelled explicitly; the fact scans twice, never quadratically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(cut, li["l_partkey"] == cut["pk"])
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -565,6 +565,21 @@ AUDIT = {
         "self-join; vectors never cross it",
         (),
     ),
+    "z83_shipping_priority": (
+        "TPC-H Q3: dimensions broadcast against the fact scan, date "
+        "filters pushed, grouped agg + TakeOrderedAndProject",
+        (),
+    ),
+    "z84_returned_item_losses": (
+        "TPC-H Q10: selective fact filter pushed; broadcast "
+        "dimensions; grouped top-20",
+        (),
+    ),
+    "z85_small_qty_revenue": (
+        "TPC-H Q17: correlated aggregate decorrelated to one "
+        "per-part aggregate joined back on the key",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
