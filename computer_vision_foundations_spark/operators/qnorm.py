@@ -19,10 +19,14 @@ Relational form (exact, engine-agnostic):
   (floor/ceil row) + one lerp, exactly ``quantile_cont`` semantics
   evaluated at a per-row p.
 
-Spark-first shape: one window per source for p; the global sort is a
-single window over the score projection (n rows of (rn, value) — the
-same budget any global quantile pays); two broadcast-friendly integer
-joins. No UDF, no collect.
+Spark-first shape: one window per source for p; the GLOBAL row
+numbering is two-phase (range-partition on the sort key →
+per-partition row_number + broadcast cumulative offsets), so no
+single task ever sorts the whole corpus — the naive
+``Window.orderBy`` global window funnels everything through one
+partition, which is exactly the 100 TB bottleneck this avoids; two
+broadcast-friendly integer joins finish the lerp. The only collect is
+the partition-count list (|partitions| longs).
 """
 
 from __future__ import annotations
@@ -30,7 +34,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantile_normalize", "qnorm_oracle_sql"]
+__all__ = [
+    "global_row_number",
+    "quantile_normalize",
+    "qnorm_oracle_sql",
+]
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out: str = "rn"
+) -> DataFrame:
+    """Scale-safe global 1-based row numbering by ``order_cols``
+    (must be a TOTAL order — include a unique tiebreaker).
+
+    ``Window.orderBy`` with no partition key moves the entire input
+    through ONE task; this instead range-partitions on the key
+    (non-overlapping sorted ranges), numbers within each partition,
+    and adds broadcast cumulative offsets — identical output, and
+    every task sorts only its slice. The offsets collect is
+    |partitions| rows.
+    """
+    part = df.repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["c"]
+        for r in part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pid in sorted(offsets)
+                for x in (pid, offsets[pid])
+            ]
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return part.withColumn(
+        out, (F.row_number().over(w) + off_expr).cast("long")
+    ).drop("_pid")
 
 
 def quantile_normalize(
@@ -50,10 +100,8 @@ def quantile_normalize(
         Window.partitionBy("grp").orderBy("score", "id")
     )
     ranked = base.select("id", "grp", "score", p.alias("p"))
-    g = Window.orderBy("score", "id")
-    glob = base.select(
-        F.row_number().over(g).alias("rn"),
-        F.col("score").alias("gv"),
+    glob = global_row_number(base, ["score", "id"]).select(
+        "rn", F.col("score").alias("gv")
     )
     n = base.agg(F.count(F.lit(1)).alias("n"))
     pos = F.lit(1.0) + F.col("p") * (F.col("n") - F.lit(1))

@@ -61,3 +61,29 @@ def test_output_distributions_match_across_sources(spark):
         by_src.setdefault(r["grp"], []).append(r["qnorm"])
     # after the transform both sources span the same global range
     assert sorted(by_src["a"]) == sorted(by_src["b"])
+
+
+def test_global_row_number_equals_single_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from computer_vision_foundations_spark.operators.qnorm import (
+        global_row_number,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 20)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, ["v", "id"]).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
