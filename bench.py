@@ -170,6 +170,8 @@ HEADLINE = [
     "z83_shipping_priority",
     "z84_returned_item_losses",
     "z85_small_qty_revenue",
+    "z86_market_basket",
+    "z87_chi2_tokens",
 ]
 
 

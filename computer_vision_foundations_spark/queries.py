@@ -8788,6 +8788,62 @@ def z85_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basket_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.basket import (
+        basket_oracle_sql,
+    )
+
+    return basket_oracle_sql(
+        "lineitem", "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+@_register("z86_market_basket", _basket_oracle_sql())
+def z86_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items
+    (operators/basket.basket_pair_rules): support, confidence, lift
+    for part pairs co-purchased in ≥2 orders — pair formation only
+    INSIDE a basket (the join is output-bound; mega-baskets capped).
+
+    Scale shape: one basket-key self-join + three hash aggregates;
+    item/basket totals broadcast back."""
+    from computer_vision_foundations_spark.operators.basket import (
+        basket_pair_rules,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pair_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+def _chi2_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.feature_select import (
+        chi2_oracle_sql,
+    )
+
+    return chi2_oracle_sql()
+
+
+@_register("z87_chi2_tokens", _chi2_oracle_sql())
+def z87_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token-vs-language feature relevance
+    (operators/feature_select.chi2_tokens): the top-50 tokens whose
+    document-level presence/absence contingency against the class
+    column carries label signal — the feature-selection gate in
+    front of the z52/z47 classifier featurizers.
+
+    Scale shape: one tokenize shuffle into (token, class) presence
+    counts; everything after is |V|·|classes| model-sized grid
+    algebra; top-k via TakeOrderedAndProject."""
+    from computer_vision_foundations_spark.operators.feature_select import (
+        chi2_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_tokens(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -580,6 +580,17 @@ AUDIT = {
         "per-part aggregate joined back on the key",
         (),
     ),
+    "z86_market_basket": (
+        "basket-key self-join (pairs only within a basket, "
+        "mega-basket cap) + three hash aggregates; totals broadcast",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z87_chi2_tokens": (
+        "one tokenize shuffle into (token, class) presence counts; "
+        "model-sized |V|x|classes| grid; TakeOrderedAndProject "
+        "top-k; |classes|-row broadcast",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
