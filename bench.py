@@ -172,6 +172,9 @@ HEADLINE = [
     "z85_small_qty_revenue",
     "z86_market_basket",
     "z87_chi2_tokens",
+    "z88_incremental_agg",
+    "z89_scd2_history",
+    "z90_ab_ztest",
 ]
 
 

@@ -8844,6 +8844,102 @@ def z87_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_tokens(docs)
 
 
+_INC_CUTOFF = "2024-01-15"
+
+
+def _incremental_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.incremental import (
+        incremental_oracle_sql,
+    )
+
+    return incremental_oracle_sql()
+
+
+@_register("z88_incremental_agg", _incremental_oracle_sql())
+def z88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/incremental.merge_grouped): the per-event-type
+    count/sum snapshot over events BEFORE the cutoff merged with the
+    delta aggregate of events AFTER it. The oracle is deliberately
+    the FULL RECOMPUTE over all rows — the strongest differential
+    statement available: any drift between the incremental path and
+    ground truth hash-fails.
+
+    Scale shape: each side partial-aggregates map-side; the merge is
+    one |groups|-sized full-outer join; history is scanned once."""
+    from computer_vision_foundations_spark.operators.incremental import (
+        grouped_snapshot,
+        merge_grouped,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp_ntz")
+    snap = grouped_snapshot(
+        events.where(F.col("ts") < cutoff), ["event_type"], "value"
+    )
+    delta = grouped_snapshot(
+        events.where(F.col("ts") >= cutoff), ["event_type"], "value"
+    )
+    merged = merge_grouped(snap, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+    ).orderBy("event_type")
+
+
+def _scd2_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.scd import (
+        scd2_oracle_sql,
+    )
+
+    return scd2_oracle_sql()
+
+
+@_register("z89_scd2_history", _scd2_oracle_sql())
+def z89_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity-interval history of each user's event-type
+    observations (operators/scd.scd2_history): consecutive unchanged
+    observations collapse into one episode; ``valid_to`` closes at the
+    next episode's start, NULL while current — the warehouse
+    dimensional pattern next to the CDC reader (z31).
+
+    Scale shape: one shuffle on the entity key shared by the
+    change-flag (lag) and interval-close (lead) windows."""
+    from computer_vision_foundations_spark.operators.scd import (
+        scd2_history,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_history(events)
+
+
+def _abtest_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.abtest import (
+        abtest_oracle_sql,
+    )
+
+    return abtest_oracle_sql()
+
+
+@_register("z90_ab_ztest", _abtest_oracle_sql())
+def z90_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over deterministic hash-bucketed A/B
+    groups (operators/abtest.ab_conversion_ztest): assignment =
+    salted-md5 parity of the user id (coordination-free, replayable),
+    conversion = any purchase event, pooled-variance z — the
+    experimentation readout, assignment replayed in the oracle.
+
+    Scale shape: one keyed aggregate (user → converted), one 2-row
+    aggregate, scalar algebra."""
+    from computer_vision_foundations_spark.operators.abtest import (
+        ab_conversion_ztest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return ab_conversion_ztest(events)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -591,6 +591,21 @@ AUDIT = {
         "top-k; |classes|-row broadcast",
         ("BroadcastNestedLoopJoin",),
     ),
+    "z88_incremental_agg": (
+        "both sides partial-aggregate map-side; the merge is one "
+        "|groups|-sized full-outer join",
+        (),
+    ),
+    "z89_scd2_history": (
+        "one entity-key shuffle shared by the lag change-flag and "
+        "lead interval-close windows",
+        (),
+    ),
+    "z90_ab_ztest": (
+        "one keyed user aggregate + 2-row group aggregate; final row "
+        "is the scalar crossJoin idiom",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
