@@ -175,6 +175,11 @@ HEADLINE = [
     "z88_incremental_agg",
     "z89_scd2_history",
     "z90_ab_ztest",
+    "z91_theil_sen_trend",
+    "z92_seasonality_strength",
+    "z93_pareto_abc",
+    "z94_gini_revenue",
+    "z95_lexical_richness",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Concentration analytics: Pareto/ABC classes and the Gini index.
+
+How concentrated is revenue across parts, traffic across domains,
+tokens across a vocabulary? Two canonical answers:
+
+- **ABC (Pareto) classification** — rank units by value, take the
+  cumulative share, label A (first 80 %), B (to 95 %), C (rest): the
+  inventory-management classic, and the corpus-curation question
+  "which domains do 80 % of my tokens come from".
+- **Gini index** — twice the area between the Lorenz curve and the
+  diagonal, computed exactly by the sorted form
+  ``G = Σ_i (2i − n − 1)·x_i / (n·Σx)`` — 0 = perfectly even,
+  →1 = one unit holds everything.
+
+Both need a GLOBAL value ranking, which at scale must not funnel
+through one window task: ranks come from
+``operators/qnorm.global_row_number`` (range-partition + offsets).
+After the per-unit reduction everything is |units|-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.qnorm import (
+    global_row_number,
+)
+
+__all__ = ["abc_classes", "gini_index", "abc_oracle_sql", "gini_oracle_sql"]
+
+
+def _unit_values(
+    df: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    return df.groupBy(F.col(unit_col).alias("unit")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("v")
+    )
+
+
+def abc_classes(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """``(unit, v, cum_share, cls)`` — units ranked by value DESC
+    (ties by unit), cumulative share of the total, class A/B/C by the
+    cuts (a unit is A when the cumulative share UP TO AND INCLUDING
+    it is ≤ a_cut, or it is the first crossing — the standard
+    inclusive rule, deterministic on both engines). Floats rounded 6.
+    """
+    uv = _unit_values(df, unit_col, value_col)
+    ranked = global_row_number(
+        uv.select("unit", (-F.col("v")).alias("_neg"), "v"),
+        ["_neg", "unit"],
+    ).drop("_neg")
+    w = Window.orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = uv.agg(F.sum("v").alias("t"))
+    # prev share = (running sum − own value) / total, subtracted
+    # BEFORE the division: 80/100 is exact where 0.95 − 0.15 is not,
+    # and an exact-boundary unit must not flip class on a ulp.
+    cum = ranked.crossJoin(F.broadcast(tot)).select(
+        "unit",
+        "v",
+        (F.sum("v").over(w) / F.col("t")).alias("cum_share"),
+        (
+            (F.sum("v").over(w) - F.col("v")) / F.col("t")
+        ).alias("_prev"),
+    )
+    prev = F.col("_prev")
+    cls = (
+        F.when(prev < F.lit(a_cut), F.lit("A"))
+        .when(prev < F.lit(b_cut), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cum.select(
+        "unit",
+        F.round("v", 2).alias("v"),
+        F.round("cum_share", 6).alias("cum_share"),
+        cls.alias("cls"),
+    ).orderBy("unit")
+
+
+def gini_index(
+    df: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """One row ``(n_units, gini)`` — the exact sorted-form Gini of
+    per-unit value totals, rounded 6 (NULL when the total is 0)."""
+    uv = _unit_values(df, unit_col, value_col)
+    ranked = global_row_number(uv, ["v", "unit"])
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("v").alias("t"),
+        F.sum(
+            (2 * F.col("rn") - 1) * F.col("v")
+        ).alias("wsum"),  # Σ(2i−1)x_i; the (n+1)Σx term folds below
+    )
+    # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx  (the -1 is already inside wsum)
+    g = (F.col("wsum") - F.col("n_units") * F.col("t")) / (
+        F.col("n_units") * F.col("t")
+    )
+    return agg.select(
+        "n_units",
+        F.round(F.when(F.col("t") > 0, g), 6).alias("gini"),
+    )
+
+
+def abc_oracle_sql(
+    table: str,
+    unit_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> str:
+    """DuckDB twin — identical ranking, cumulative share, and the
+    inclusive first-crossing class rule."""
+    return f"""
+    WITH uv AS (
+        SELECT {unit_col} AS unit,
+               sum(CAST({value_col} AS DOUBLE)) AS v
+        FROM {table} GROUP BY 1
+    ), t AS (SELECT sum(v) AS t FROM uv),
+    cum AS (
+        SELECT unit, v,
+               sum(v) OVER (ORDER BY v DESC, unit
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) / t.t AS cum_share,
+               (sum(v) OVER (ORDER BY v DESC, unit
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - v) / t.t AS prev_share
+        FROM uv CROSS JOIN t
+    )
+    SELECT unit, round(v, 2) AS v,
+           round(cum_share, 6) AS cum_share,
+           CASE WHEN prev_share < {a_cut} THEN 'A'
+                WHEN prev_share < {b_cut} THEN 'B'
+                ELSE 'C' END AS cls
+    FROM cum ORDER BY unit
+    """
+
+
+def gini_oracle_sql(
+    table: str, unit_col: str, value_col: str
+) -> str:
+    """DuckDB twin — the same sorted-form algebra."""
+    return f"""
+    WITH uv AS (
+        SELECT {unit_col} AS unit,
+               sum(CAST({value_col} AS DOUBLE)) AS v
+        FROM {table} GROUP BY 1
+    ), ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v, unit) AS rn
+        FROM uv
+    )
+    SELECT count(*) AS n_units,
+           round(CASE WHEN sum(v) > 0 THEN
+               (sum((2 * rn - 1) * v) - count(*) * sum(v))
+               / (count(*) * sum(v)) END, 6) AS gini
+    FROM ranked
+    """

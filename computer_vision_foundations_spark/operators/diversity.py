@@ -29,6 +29,8 @@ __all__ = [
     "diversity_oracle_sql",
     "doc_char_entropy",
     "char_entropy_oracle_sql",
+    "lexical_richness",
+    "richness_oracle_sql",
 ]
 
 
@@ -162,4 +164,78 @@ def char_entropy_oracle_sql(
     SELECT id, CAST(sum(c) AS BIGINT) AS n_chars_m,
            round(-sum(p * ln(p)), 6) AS char_entropy
     FROM withp GROUP BY id ORDER BY id
+    """
+
+
+def lexical_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """``(grp, n_toks, n_vocab, hapax_ratio, yule_k)`` per group —
+    the lexical-richness pair corpus linguists report next to entropy:
+    ``hapax_ratio`` = fraction of vocabulary seen exactly once (high
+    in natural text, near-zero in template spam), and Yule's K
+    ``= 10⁴·(Σ_r r²·V_r − N) / N²`` over the frequency spectrum
+    (repetition-heavy text scores high; K is length-robust where
+    type-token ratios are not). Rounded 6.
+
+    Scale shape: one token-stream shuffle into (grp, token) counts,
+    one frequency-spectrum aggregate — the same budget as
+    :func:`group_diversity`."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.round(
+                F.sum(
+                    F.when(F.col("c") == 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+            F.round(
+                F.lit(10_000.0)
+                * (
+                    F.sum(F.col("c") * F.col("c")) - F.sum("c")
+                ).cast("double")
+                / (F.sum("c") * F.sum("c")).cast("double"),
+                6,
+            ).alias("yule_k"),
+        )
+        .orderBy("grp")
+    )
+
+
+def richness_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`lexical_richness`."""
+    return f"""
+    WITH toks AS (
+        SELECT {group_col} AS grp,
+               unnest(string_split({text_col}, ' ')) AS tok
+        FROM {table}
+    ), t AS (
+        SELECT * FROM toks WHERE tok <> ''
+    ), counts AS (
+        SELECT grp, tok, count(*) AS c FROM t GROUP BY 1, 2
+    )
+    SELECT grp, CAST(sum(c) AS BIGINT) AS n_toks,
+           count(*) AS n_vocab,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS hapax_ratio,
+           round(10000.0 * CAST(sum(c * c) - sum(c) AS DOUBLE)
+                 / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS yule_k
+    FROM counts GROUP BY grp ORDER BY grp
     """

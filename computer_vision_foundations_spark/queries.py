@@ -8940,6 +8940,133 @@ def z90_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_conversion_ztest(events)
 
 
+def _theil_sen_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.timeseries import (
+        theil_sen_oracle_sql,
+    )
+
+    return theil_sen_oracle_sql()
+
+
+@_register("z91_theil_sen_trend", _theil_sen_oracle_sql())
+def z91_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type
+    (operators/timeseries.theil_sen_slope): the exact median of all
+    pairwise hourly-count slopes — the magnitude companion to the
+    z72 Spearman direction test, immune to single outlier buckets.
+
+    Scale shape: pair formation is within-key over BUCKET-COUNT rows
+    (granularity-bounded, executor-local quadratic), one exact-
+    percentile aggregate."""
+    from computer_vision_foundations_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return theil_sen_slope(events)
+
+
+def _seasonality_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.timeseries import (
+        seasonality_oracle_sql,
+    )
+
+    return seasonality_oracle_sql()
+
+
+@_register("z92_seasonality_strength", _seasonality_oracle_sql())
+def z92_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type
+    (operators/timeseries.seasonality_strength): mean-per-slot
+    profile, strength = max(0, 1 − var(residual)/var(series)) — the
+    FPP decomposition-strength number that decides whether the z75
+    changepoint detector needs a seasonal baseline first.
+
+    Scale shape: two keyed aggregates after the hourly reduction."""
+    from computer_vision_foundations_spark.operators.timeseries import (
+        seasonality_strength,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonality_strength(events)
+
+
+def _abc_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.concentration import (
+        abc_oracle_sql,
+    )
+
+    return abc_oracle_sql("lineitem", "l_partkey", "l_extendedprice")
+
+
+@_register("z93_pareto_abc", _abc_oracle_sql())
+def z93_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by revenue
+    (operators/concentration.abc_classes): rank by value, cumulative
+    share, A/B/C at 80 %/95 % with the inclusive first-crossing rule —
+    the inventory classic, and the corpus question "which domains do
+    80 % of my tokens come from".
+
+    Scale shape: one per-unit reduction, scale-safe global ranking
+    (range-partition + offsets), one |units|-row cumulative window."""
+    from computer_vision_foundations_spark.operators.concentration import (
+        abc_classes,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return abc_classes(li, "l_partkey", "l_extendedprice")
+
+
+def _gini_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.concentration import (
+        gini_oracle_sql,
+    )
+
+    return gini_oracle_sql("lineitem", "l_partkey", "l_extendedprice")
+
+
+@_register("z94_gini_revenue", _gini_oracle_sql())
+def z94_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini index of revenue concentration across parts
+    (operators/concentration.gini_index, sorted form
+    Σ(2i−n−1)xᵢ/(n·Σx)) — 0 = even, →1 = winner-takes-all; the
+    scalar summary of z93's Lorenz curve.
+
+    Scale shape: per-unit reduction + the scale-safe global ranking +
+    one aggregate."""
+    from computer_vision_foundations_spark.operators.concentration import (
+        gini_index,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return gini_index(li, "l_partkey", "l_extendedprice")
+
+
+def _richness_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.diversity import (
+        richness_oracle_sql,
+    )
+
+    return richness_oracle_sql()
+
+
+@_register("z95_lexical_richness", _richness_oracle_sql())
+def z95_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax ratio + Yule's K per source
+    (operators/diversity.lexical_richness) — the frequency-spectrum
+    richness pair (length-robust, unlike raw type-token ratios) that
+    separates natural text from template spam before mixture
+    weighting.
+
+    Scale shape: one token-stream shuffle, one spectrum aggregate."""
+    from computer_vision_foundations_spark.operators.diversity import (
+        lexical_richness,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_richness(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -68,3 +68,25 @@ def test_doc_char_entropy(spark):
     assert got[3][1] == pytest.approx(math.log(2), abs=1e-6)
     # diversity orders as expected
     assert got[1][1] < got[3][1] < got[2][1]
+
+
+def test_lexical_richness(spark):
+    from computer_vision_foundations_spark.operators.diversity import (
+        lexical_richness,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "rich"),     # all hapax
+            (2, "x x x x y", "spam"),   # heavy repetition
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["grp"]: r for r in lexical_richness(df).collect()}
+    rich, spam = got["rich"], got["spam"]
+    assert rich["hapax_ratio"] == 1.0
+    # Yule's K for all-hapax text: 10^4*(N - N)/N^2 = 0
+    assert rich["yule_k"] == 0.0
+    assert spam["hapax_ratio"] == pytest.approx(0.5)
+    # spam: counts {x:4, y:1}, K = 1e4*(16+1-5)/25 = 4800
+    assert spam["yule_k"] == pytest.approx(4800.0)

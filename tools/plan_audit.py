@@ -606,6 +606,29 @@ AUDIT = {
         "is the scalar crossJoin idiom",
         ("BroadcastNestedLoopJoin",),
     ),
+    "z91_theil_sen_trend": (
+        "within-key pair join over bucket-count rows "
+        "(granularity-bounded), exact-percentile aggregate",
+        (),
+    ),
+    "z92_seasonality_strength": (
+        "two keyed aggregates after the hourly reduction",
+        (),
+    ),
+    "z93_pareto_abc": (
+        "per-unit reduction + range-partitioned global ranking + "
+        "one |units|-row cumulative window; 1-row total crossJoin",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z94_gini_revenue": (
+        "per-unit reduction + range-partitioned ranking + one "
+        "aggregate",
+        (),
+    ),
+    "z95_lexical_richness": (
+        "one token-stream shuffle, one frequency-spectrum aggregate",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
