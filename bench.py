@@ -180,6 +180,9 @@ HEADLINE = [
     "z93_pareto_abc",
     "z94_gini_revenue",
     "z95_lexical_richness",
+    "z96_record_linkage",
+    "z97_dp_noisy_counts",
+    "z98_poisson_bootstrap",
 ]
 
 

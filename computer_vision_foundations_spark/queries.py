@@ -9067,6 +9067,126 @@ def z95_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_richness(docs)
 
 
+_FS_FIELDS_SQL = [
+    ("a.s_name = b.s_name", 0.95, 0.001),
+    ("a.s_nationkey = b.s_nationkey", 0.9, 0.04),
+    ("abs(a.s_acctbal - b.s_acctbal) <= 100", 0.8, 0.05),
+]
+
+
+def _linkage_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.linkage import (
+        fs_weight_sql,
+    )
+
+    w = fs_weight_sql(_FS_FIELDS_SQL)
+    return f"""
+    WITH pairs AS MATERIALIZED ({_ORACLES['z10_fuzzy_name_pairs']}),
+    scored AS (
+        SELECT pairs.id_a, pairs.id_b, round({w}, 6) AS weight
+        FROM pairs
+        JOIN supplier a ON a.s_suppkey = pairs.id_a
+        JOIN supplier b ON b.s_suppkey = pairs.id_b
+    )
+    SELECT id_a, id_b, weight,
+           CASE WHEN weight >= 2.0 THEN 'match'
+                WHEN weight >= 0.0 THEN 'review'
+                ELSE 'reject' END AS decision
+    FROM scored ORDER BY id_a, id_b
+    """
+
+
+@_register("z96_record_linkage", _linkage_oracle_sql())
+def z96_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over the blocked
+    fuzzy candidate pairs (operators/linkage.fs_link_scores composing
+    z10's generator): per-field agreement bits weighted by literal
+    log2(m/u) evidence, summed into match/review/reject — the Splink
+    decision model. The oracle nests z10's verified quadratic twin and
+    replays the weight algebra.
+
+    Scale shape: candidates stay blocked (never quadratic); scoring
+    is two id equi-joins + codegen algebra."""
+    from computer_vision_foundations_spark.operators.linkage import (
+        fs_link_scores,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = z10_fuzzy_name_pairs(spark, sf_dir).select("id_a", "id_b")
+    fields = [
+        (F.col("s_name_a") == F.col("s_name_b"), 0.95, 0.001, "name"),
+        (
+            F.col("s_nationkey_a") == F.col("s_nationkey_b"),
+            0.9,
+            0.04,
+            "nation",
+        ),
+        (
+            F.abs(F.col("s_acctbal_a") - F.col("s_acctbal_b"))
+            <= F.lit(100),
+            0.8,
+            0.05,
+            "acctbal",
+        ),
+    ]
+    return fs_link_scores(pairs, sup, "s_suppkey", fields)
+
+
+def _laplace_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.resample import (
+        laplace_oracle_sql,
+    )
+
+    return laplace_oracle_sql()
+
+
+@_register("z97_dp_noisy_counts", _laplace_oracle_sql())
+def z97_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy grouped counts
+    (operators/resample.laplace_noisy_counts): sensitivity-1 counts
+    plus b=1/ε Laplace noise from a seeded hash uniform — the
+    privacy-ACCOUNTING plumbing (a real deployment swaps the public
+    seed for a secret noise source; documented in the module).
+
+    Scale shape: one grouped count + one hash expression per group
+    row."""
+    from computer_vision_foundations_spark.operators.resample import (
+        laplace_noisy_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return laplace_noisy_counts(events, "event_type")
+
+
+def _bootstrap_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.resample import (
+        bootstrap_oracle_sql,
+    )
+
+    return bootstrap_oracle_sql(n_replicas=50)
+
+
+@_register("z98_poisson_bootstrap", _bootstrap_oracle_sql())
+def z98_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence intervals for per-event-type
+    mean value via the POISSON bootstrap (Chamandy 2012 — the
+    distributed bootstrap: per-row Poisson(1) replica weights from a
+    seeded hash, i.i.d., no global resample coordinate), 50 replicas.
+
+    Scale shape: the replica explode is map-side narrow rows into one
+    (key, replica) aggregate; the CI is an exact percentile over
+    |replicas| means per key — no shuffle carries more than
+    (key, b, double)."""
+    from computer_vision_foundations_spark.operators.resample import (
+        poisson_bootstrap_ci,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        events, "value", "event_id", "event_type", n_replicas=50
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -629,6 +629,20 @@ AUDIT = {
         "one token-stream shuffle, one frequency-spectrum aggregate",
         (),
     ),
+    "z96_record_linkage": (
+        "blocked fuzzy candidates + two id equi-joins + codegen "
+        "weight algebra",
+        (),
+    ),
+    "z97_dp_noisy_counts": (
+        "one grouped count + one hash expression per group row",
+        (),
+    ),
+    "z98_poisson_bootstrap": (
+        "replica explode is map-side narrow rows; (key, replica) "
+        "aggregate + exact percentile over |replicas| means",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
