@@ -183,6 +183,7 @@ HEADLINE = [
     "z96_record_linkage",
     "z97_dp_noisy_counts",
     "z98_poisson_bootstrap",
+    "z99_waiting_suppliers",
 ]
 
 

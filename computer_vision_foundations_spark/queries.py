@@ -9187,6 +9187,95 @@ def z98_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "z99_waiting_suppliers",
+    """
+    SELECT l1.l_suppkey AS suppkey, count(*) AS n_waiting
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY l1.l_suppkey
+    ORDER BY n_waiting DESC, suppkey
+    LIMIT 25
+    """,
+)
+def z99_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT-EXISTS double correlated-subquery pattern — the
+    hardest standard decorrelation an OLAP engine is graded on — here
+    expressed as one left-semi and one left-anti join against
+    per-order extremes, never a per-row subquery.
+
+    Scale shape: the multi-supplier test is a per-order aggregate
+    (count distinct suppliers) semi-joined back; the "last to ship"
+    test compares against the per-order max OTHER-supplier shipdate —
+    both are |orders|-sized aggregates, the fact scans a bounded
+    number of times, no nested loops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    l1 = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    # EXISTS other-supplier rows: orders with >= 2 distinct suppliers
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .where(F.col("_ns") >= 2)
+        .select("l_orderkey")
+    )
+    l1 = l1.join(multi, "l_orderkey", "left_semi")
+    # NOT EXISTS a later-shipping OTHER supplier == this row's
+    # shipdate >= max shipdate among OTHER suppliers of the order.
+    # "max excluding self" over per-supplier maxes: reduce to one row
+    # per (order, supplier) first, then top-1 / runner-up per order —
+    # the argmax-supplier trick breaks on raw rows when a supplier
+    # ships an order on several dates.
+    smax = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_smax")
+    )
+    top1 = smax.groupBy("l_orderkey").agg(
+        F.max(F.struct("_smax", "l_suppkey")).alias("_m1")
+    ).select(
+        "l_orderkey",
+        F.col("_m1._smax").alias("_d1"),
+        F.col("_m1.l_suppkey").alias("_s1"),
+    )
+    runner = (
+        smax.join(top1, "l_orderkey")
+        .where(F.col("l_suppkey") != F.col("_s1"))
+        .groupBy("l_orderkey")
+        .agg(F.max("_smax").alias("_d2"))
+    )
+    cand = l1.join(top1, "l_orderkey").join(
+        runner, "l_orderkey", "left"
+    )
+    other_max = F.when(
+        F.col("_s1") != F.col("l_suppkey"), F.col("_d1")
+    ).otherwise(F.col("_d2"))
+    kept = cand.where(
+        other_max.isNull() | (other_max <= F.col("l_shipdate"))
+    )
+    return (
+        kept.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_waiting"))
+        .orderBy(F.col("n_waiting").desc(), "suppkey")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

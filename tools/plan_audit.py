@@ -643,6 +643,12 @@ AUDIT = {
         "aggregate + exact percentile over |replicas| means",
         (),
     ),
+    "z99_waiting_suppliers": (
+        "TPC-H Q21: EXISTS/NOT-EXISTS as one left-semi + per-order "
+        "max-excluding-self aggregates over per-supplier maxes; no "
+        "per-row subqueries, no nested loops",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
