@@ -184,6 +184,7 @@ HEADLINE = [
     "z97_dp_noisy_counts",
     "z98_poisson_bootstrap",
     "z99_waiting_suppliers",
+    "za01_markov_attribution",
 ]
 
 

@@ -9276,6 +9276,35 @@ def z99_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.attribution import (
+        attribution_oracle_sql,
+    )
+
+    return attribution_oracle_sql()
+
+
+@_register("za01_markov_attribution", _attribution_oracle_sql())
+def za01_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect channel attribution (Anderl 2014;
+    operators/attribution.markov_attribution): user journeys truncate
+    at first purchase, a first-order chain with absorbing CONV/NULL
+    is estimated, and each channel is credited by how much start→CONV
+    reach drops when transitions into it retarget NULL — computed for
+    ALL removal scenarios at once as a scenario dimension through 12
+    fixed value-iteration rounds (the PageRank unroll convention).
+
+    Scale shape: one corpus-scale window pass + transition aggregate;
+    the scenario grid and every iteration round are |channels|²-sized
+    broadcast joins."""
+    from computer_vision_foundations_spark.operators.attribution import (
+        markov_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return markov_attribution(events)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

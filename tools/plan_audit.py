@@ -649,6 +649,12 @@ AUDIT = {
         "per-row subqueries, no nested loops",
         (),
     ),
+    "za01_markov_attribution": (
+        "one journey window pass + transition aggregate; scenario "
+        "grid and 12 iteration rounds are model-sized broadcast "
+        "joins",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
