@@ -185,6 +185,8 @@ HEADLINE = [
     "z98_poisson_bootstrap",
     "z99_waiting_suppliers",
     "za01_markov_attribution",
+    "za02_geohash_cells",
+    "za03_geo_radius_pairs",
 ]
 
 

@@ -9305,6 +9305,94 @@ def za01_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_attribution(events)
 
 
+# Synthetic user coordinates: ~20 city clusters derived from user_id
+# with pure integer/decimal arithmetic (identical in both engines);
+# |lat| <= 50 keeps the radius-join cell bound valid.
+_GEO_EXPR = (
+    "CAST(-50.0 + (user_id % 20) * 5.0 + (user_id % 83) / 100.0 "
+    "AS DOUBLE) AS lat, "
+    "CAST(-100.0 + (user_id % 20) * 9.0 + (user_id % 79) / 100.0 "
+    "AS DOUBLE) AS lon"
+)
+_GEO_PTS_SPARK = (
+    "SELECT user_id AS id, " + _GEO_EXPR
+    + " FROM (SELECT DISTINCT user_id FROM {events})"
+)
+_GEO_PTS_SQL = (
+    "SELECT user_id AS id, " + _GEO_EXPR
+    + " FROM (SELECT DISTINCT user_id FROM events)"
+)
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("_geo_events")
+    return spark.sql(_GEO_PTS_SPARK.format(events="_geo_events"))
+
+
+def _geohash_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.geo import (
+        geohash_sql,
+    )
+
+    gh = geohash_sql("lat", "lon", precision=6)
+    return f"""
+    WITH pts AS ({_GEO_PTS_SQL})
+    SELECT id, round(lat, 6) AS lat, round(lon, 6) AS lon,
+           {gh} AS gh
+    FROM pts ORDER BY id
+    """
+
+
+@_register("za02_geohash_cells", _geohash_oracle_sql())
+def za02_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding of per-user coordinates
+    (operators/geo.geohash): the closed-form Morton-interleaved
+    base32 cell key (no loop, no UDF) — sortable, prefix-joinable,
+    truncation-coarsenable. The oracle replays the identical integer
+    algebra bit for bit.
+
+    Scale shape: one codegen projection."""
+    from computer_vision_foundations_spark.operators.geo import geohash
+
+    pts = _geo_points(spark, sf_dir)
+    return pts.select(
+        "id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        geohash(F.col("lat"), F.col("lon"), precision=6).alias("gh"),
+    ).orderBy("id")
+
+
+def _radius_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.geo import (
+        radius_oracle_sql,
+    )
+
+    return radius_oracle_sql(_GEO_PTS_SQL, radius_km=60.0)
+
+
+@_register("za03_geo_radius_pairs", _radius_oracle_sql())
+def za03_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users within 60 km of each other
+    (operators/geo.radius_pairs): the DBSCAN grid discipline on the
+    globe — latitude/longitude cells sized for the radius at the
+    data's worst latitude, 3×3 adjacent-cell equi-join, exact
+    haversine verify. The oracle runs the QUADRATIC haversine join,
+    so a hash match proves the blocking loses no pair.
+
+    Scale shape: (cell, id, coords) rows with 9× one-side
+    replication; no cross-cell candidates."""
+    from computer_vision_foundations_spark.operators.geo import (
+        radius_pairs,
+    )
+
+    pts = _geo_points(spark, sf_dir)
+    return radius_pairs(
+        pts, "id", "lat", "lon", radius_km=60.0, max_abs_lat=55.0
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

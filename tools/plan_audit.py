@@ -655,6 +655,16 @@ AUDIT = {
         "joins",
         ("BroadcastNestedLoopJoin",),
     ),
+    "za02_geohash_cells": (
+        "closed-form Morton interleave + base32 in one codegen "
+        "projection",
+        (),
+    ),
+    "za03_geo_radius_pairs": (
+        "lat/lon cell equi-join with 3x3 one-side replication; "
+        "exact haversine verify; no cross-cell candidates",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
