@@ -451,3 +451,78 @@ def test_jpeg_roundtrip_bounded_error(spark, h, w_, seed, quality, color):
     else:
         assert err.max() <= 135  # noise at q85 worst case stays bounded
         assert err.mean() < 40
+
+
+@_prop
+@given(
+    xs=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_ewma_closed_form_equals_recursion(spark, xs, alpha):
+    """The window closed form reproduces the sequential recursion for
+    any series and smoothing factor."""
+    from computer_vision_foundations_spark.operators.smoothing import (
+        ewma_by_key,
+    )
+
+    rows = [(1, i, float(i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, value double"
+    )
+    got = ewma_by_key(df, alpha=alpha).collect()[0]["ewma"]
+    s = xs[0]
+    for x in xs[1:]:
+        s = alpha * x + (1 - alpha) * s
+    assert got == pytest.approx(round(s, 6), abs=1e-5)
+
+
+@_prop
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_quantile_norm_is_idempotent_on_single_source(spark, vals):
+    """With one source, every value maps onto (its own) global
+    quantile — the transform is the identity up to ties."""
+    from computer_vision_foundations_spark.operators.qnorm import (
+        quantile_normalize,
+    )
+
+    rows = [(i, "s", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    for r in quantile_normalize(df, "n_chars").collect():
+        # ties may map onto a tied neighbor's (equal) value
+        assert r["qnorm"] == pytest.approx(float(r["score"]), abs=1e-6)
+
+
+@_prop
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gini_bounds_and_translation(spark, vals):
+    """0 <= G < 1 for positive values; constant vectors give 0."""
+    from computer_vision_foundations_spark.operators.concentration import (
+        gini_index,
+    )
+
+    rows = [(f"u{i}", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "unit string, v double")
+    g = gini_index(df, "unit", "v").collect()[0]["gini"]
+    assert -1e-6 <= g < 1.0
+    const = spark.createDataFrame(
+        [(f"u{i}", 5.0) for i in range(len(vals))], "unit string, v double"
+    )
+    assert gini_index(const, "unit", "v").collect()[0]["gini"] == pytest.approx(
+        0.0, abs=1e-6
+    )
