@@ -86,26 +86,37 @@ def poisson_bootstrap_ci(
         F.col(id_col).cast("string").alias("_id"),
         F.col(value_col).cast("double").alias("x"),
     ).where(F.col(value_col).isNotNull())
-    reps = base.select(
-        "key",
-        "x",
-        "_id",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(n_replicas - 1))
-        ).alias("b"),
+    # All B replica weights as ONE per-row array (no B× row explode —
+    # measured 7.3 s → ~2 s at sf0.1 for B=50): the per-replica sums
+    # are 2B unrolled aggregate expressions with map-side combine,
+    # the kmeans per-dimension-sum pattern.
+    warr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_replicas - 1)),
+        lambda b: _pois_weight(
+            _hash_unit(F.lit(str(seed)), F.col("_id"), b)
+        ).cast("double"),
     )
-    u = _hash_unit(F.lit(str(seed)), F.col("_id"), F.col("b"))
-    weighted = reps.select(
-        "key", "b", "x", _pois_weight(u).alias("w")
+    with_w = base.select("key", "x", warr.alias("_w"))
+    sums = with_w.groupBy("key").agg(
+        *[
+            F.sum(
+                F.element_at("_w", b + 1) * F.col("x")
+            ).alias(f"_swx{b}")
+            for b in range(n_replicas)
+        ],
+        *[
+            F.sum(F.element_at("_w", b + 1)).alias(f"_sw{b}")
+            for b in range(n_replicas)
+        ],
     )
-    rep_means = (
-        weighted.groupBy("key", "b")
-        .agg(
-            (
-                F.sum(F.col("w") * F.col("x"))
-                / F.sum("w").cast("double")
-            ).alias("m")
-        )
+    means_arr = F.array(
+        *[
+            F.col(f"_swx{b}") / F.col(f"_sw{b}")
+            for b in range(n_replicas)
+        ]
+    )
+    rep_means = sums.select(
+        "key", F.posexplode(means_arr).alias("b", "m")
     )
     cis = rep_means.groupBy("key").agg(
         F.round(F.expr(f"percentile(m, {lo_q!r})"), 6).alias("ci_lo"),
