@@ -187,6 +187,7 @@ HEADLINE = [
     "za01_markov_attribution",
     "za02_geohash_cells",
     "za03_geo_radius_pairs",
+    "za04_kde_density",
 ]
 
 

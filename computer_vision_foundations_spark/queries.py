@@ -9393,6 +9393,39 @@ def za03_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_KDE_GRID = [float(g) for g in range(0, 201, 20)]
+_KDE_H = 15.0
+
+
+def _kde_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.density import (
+        kde_oracle_sql,
+    )
+
+    return kde_oracle_sql(
+        "events", "value", "event_type", _KDE_GRID, _KDE_H
+    )
+
+
+@_register("za04_kde_density", _kde_oracle_sql())
+def za04_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel density estimate of event values per type at a
+    literal grid (operators/density.kde_at_grid) — the bin-artifact-
+    free distribution curve, distributed as |grid| unrolled aggregate
+    sums with map-side combine (the k-means/bootstrap unroll
+    pattern). Fixed bandwidth keeps the estimate a pure literal
+    function (Silverman's rule would need a per-key σ pre-pass).
+
+    Scale shape: one shuffle of (key, value); everything else is
+    codegen."""
+    from computer_vision_foundations_spark.operators.density import (
+        kde_at_grid,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return kde_at_grid(events, "value", "event_type", _KDE_GRID, _KDE_H)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -665,6 +665,11 @@ AUDIT = {
         "exact haversine verify; no cross-cell candidates",
         (),
     ),
+    "za04_kde_density": (
+        "|grid| unrolled kernel sums with map-side combine; one "
+        "shuffle of (key, value)",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
