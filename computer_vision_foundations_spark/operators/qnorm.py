@@ -53,10 +53,22 @@ def global_row_number(
     and adds broadcast cumulative offsets — identical output, and
     every task sorts only its slice. The offsets collect is
     |partitions| rows.
+
+    The range-partitioned frame is materialized ONCE
+    (localCheckpoint) before anything reads it: RangePartitioner
+    derives its sampling seed from the RDD id, so the offsets job and
+    the ranking job would otherwise re-sample DIFFERENT boundaries —
+    offsets against one partitioning applied to another silently
+    corrupts global ranks (caught by the 5× sweep at sf0.1; sf0.01
+    was too small to diverge).
     """
-    part = df.repartitionByRange(
-        df.sparkSession.sparkContext.defaultParallelism, *order_cols
-    ).withColumn("_pid", F.spark_partition_id())
+    part = (
+        df.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism, *order_cols
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     counts = {
         r["_pid"]: r["c"]
         for r in part.groupBy("_pid")

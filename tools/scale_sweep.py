@@ -110,6 +110,16 @@ SWEEP_QUERIES = [
     "z76_kaplan_meier",
     "z77_silhouette",
     "z79_isolation_scores",
+    # closing waves: the incremental-merge-vs-recompute statement at
+    # 5x density, the concentration pair over 5x parts, the scenario
+    # value iteration over 5x-denser journeys, and the KDE kernel
+    # sums. za03's quadratic haversine oracle is excluded for the
+    # same output-bound reason as z51/z57/z61.
+    "z88_incremental_agg",
+    "z93_pareto_abc",
+    "z94_gini_revenue",
+    "za01_markov_attribution",
+    "za04_kde_density",
 ]
 
 PAIR_QUERIES = {
