@@ -188,6 +188,9 @@ HEADLINE = [
     "za02_geohash_cells",
     "za03_geo_radius_pairs",
     "za04_kde_density",
+    "za05_wilson_intervals",
+    "za06_ols_trend",
+    "za07_ks_two_sample",
 ]
 
 

@@ -1,0 +1,297 @@
+"""Classical statistics over keyed slices: Wilson intervals, per-key
+OLS, and the two-sample Kolmogorov-Smirnov statistic.
+
+The inference kit the A/B test (operators/abtest.py) and bootstrap
+(operators/resample.py) belong to, completed with three closed-form
+standards — all pure aggregate/window algebra, all oracle-replayable:
+
+- **Wilson score interval** (1927): the binomial proportion CI that
+  behaves at small n and extreme rates where the naive ±z√(pq/n)
+  Wald interval collapses — the right bar to draw on every
+  conversion-rate dashboard.
+- **per-key OLS** — slope/intercept/R² by the closed form over
+  (Σx, Σy, Σxy, Σx², Σy²): the classical trend companion to the
+  robust Theil-Sen (z91); one aggregate per key.
+- **two-sample Kolmogorov-Smirnov D** — ``max |F₁ − F₂|`` over the
+  pooled sample: the distribution-free "did the distribution
+  change?" test behind data-drift monitors, computed with two
+  cumulative-count windows over the sorted union (right-continuous
+  ECDFs evaluated AT sample points, ties pooled per value — the
+  textbook convention both engines replay identically).
+
+Spark-first shape: Wilson/OLS are single keyed aggregates; KS
+shuffles the two-column value stream once and runs two same-ordered
+windows. No UDF, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "wilson_intervals",
+    "ols_by_key",
+    "ks_two_sample",
+    "wilson_oracle_sql",
+    "ols_oracle_sql",
+    "ks_oracle_sql",
+]
+
+
+def wilson_intervals(
+    events: DataFrame,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    convert_value: str = "purchase",
+    z: float = 1.959964,
+) -> DataFrame:
+    """``(key, n, conv, rate, wilson_lo, wilson_hi)`` — per FIRST-SEEN
+    key of each user (their entry channel), the fraction of users who
+    ever convert, with the Wilson score interval. Rounded 6."""
+    w = Window.partitionBy(user_col).orderBy("ts", "event_id")
+    first = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_conv",
+            F.max(
+                F.when(F.col(event_col) == convert_value, 1).otherwise(0)
+            ).over(Window.partitionBy(user_col)),
+        )
+        .where(F.col("_rn") == 1)
+        .select(F.col(key_col).alias("key"), F.col("_conv").alias("c"))
+    )
+    agg = first.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("conv")
+    )
+    p = F.col("conv") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    z2 = z * z
+    center = (p + F.lit(z2) / (2.0 * nn)) / (1.0 + F.lit(z2) / nn)
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nn
+            + F.lit(z2) / (4.0 * nn * nn)
+        )
+        / (1.0 + F.lit(z2) / nn)
+    )
+    return agg.select(
+        "key",
+        "n",
+        "conv",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("key")
+
+
+def wilson_oracle_sql(
+    table: str = "events",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+    convert_value: str = "purchase",
+    z: float = 1.959964,
+) -> str:
+    """DuckDB twin — identical entry-channel derivation + algebra."""
+    z2 = z * z
+    return f"""
+    WITH marked AS (
+        SELECT {user_col} AS u, {key_col} AS key,
+               row_number() OVER (PARTITION BY {user_col}
+                                  ORDER BY ts, event_id) AS rn,
+               max(CASE WHEN {event_col} = '{convert_value}'
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY {user_col}) AS c
+        FROM {table}
+    ), agg AS (
+        SELECT key, count(*) AS n, CAST(sum(c) AS BIGINT) AS conv
+        FROM marked WHERE rn = 1 GROUP BY key
+    )
+    SELECT key, n, conv,
+           round(conv / CAST(n AS DOUBLE), 6) AS rate,
+           round(((conv / CAST(n AS DOUBLE)) + {z2!r} / (2.0 * n))
+                 / (1.0 + {z2!r} / n)
+                 - {z!r} * sqrt((conv / CAST(n AS DOUBLE))
+                                * (1.0 - conv / CAST(n AS DOUBLE)) / n
+                                + {z2!r} / (4.0 * n * n))
+                   / (1.0 + {z2!r} / n), 6) AS wilson_lo,
+           round(((conv / CAST(n AS DOUBLE)) + {z2!r} / (2.0 * n))
+                 / (1.0 + {z2!r} / n)
+                 + {z!r} * sqrt((conv / CAST(n AS DOUBLE))
+                                * (1.0 - conv / CAST(n AS DOUBLE)) / n
+                                + {z2!r} / (4.0 * n * n))
+                   / (1.0 + {z2!r} / n), 6) AS wilson_hi
+    FROM agg ORDER BY key
+    """
+
+
+def ols_by_key(
+    events: DataFrame,
+    x_col: str = "ts",
+    y_col: str = "value",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """``(key, n, slope, intercept, r2)`` — closed-form least squares
+    of y on x. x is hours SINCE THE KEY'S FIRST observation: raw
+    epoch-hours (~5·10⁵) wreck the population moments with
+    catastrophic cancellation (engines' covar/var algorithms then
+    disagree beyond the rounding convention — measured), and an
+    intercept at epoch 0 is meaningless anyway; centered, the
+    intercept is the fitted value at the series start and the slope
+    is per-hour, matching z91. NULL slope/r2 on zero x-variance.
+    Rounded 6."""
+    raw = events.select(
+        F.col(key_col).alias("key"),
+        (F.unix_timestamp(F.col(x_col)) / F.lit(3600.0)).alias("_xr"),
+        F.col(y_col).cast("double").alias("y"),
+    ).where(F.col(y_col).isNotNull())
+    base = raw.withColumn(
+        "x",
+        F.col("_xr") - F.min("_xr").over(Window.partitionBy("key")),
+    )
+    agg = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.covar_pop("x", "y").alias("sxy"),
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("y").alias("syy"),
+    )
+    slope = F.when(F.col("sxx") > 0, F.col("sxy") / F.col("sxx"))
+    r2 = F.when(
+        (F.col("sxx") > 0) & (F.col("syy") > 0),
+        (F.col("sxy") * F.col("sxy"))
+        / (F.col("sxx") * F.col("syy")),
+    )
+    return agg.select(
+        "key",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        # intercept = my − slope·mx amplifies the engines' covar/var
+        # last-ulp differences by the mean-x magnitude — rounded 4
+        # (the averages convention), slope/r2 stay at 6
+        F.round(F.col("my") - slope * F.col("mx"), 4).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("key")
+
+
+def ols_oracle_sql(
+    table: str = "events",
+    x_col: str = "ts",
+    y_col: str = "value",
+    key_col: str = "event_type",
+) -> str:
+    """DuckDB twin — same moment algebra (epoch hours)."""
+    return f"""
+    WITH raw AS (
+        SELECT {key_col} AS key,
+               epoch({x_col}) / 3600.0 AS xr,
+               CAST({y_col} AS DOUBLE) AS y
+        FROM {table} WHERE {y_col} IS NOT NULL
+    ), base AS (
+        SELECT key,
+               xr - min(xr) OVER (PARTITION BY key) AS x,
+               y
+        FROM raw
+    ), agg AS (
+        SELECT key, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+               covar_pop(x, y) AS sxy, var_pop(x) AS sxx,
+               var_pop(y) AS syy
+        FROM base GROUP BY key
+    )
+    SELECT key, n,
+           round(CASE WHEN sxx > 0 THEN sxy / sxx END, 6) AS slope,
+           round(my - (CASE WHEN sxx > 0 THEN sxy / sxx END) * mx, 4)
+               AS intercept,
+           round(CASE WHEN sxx > 0 AND syy > 0
+                      THEN sxy * sxy / (sxx * syy) END, 6) AS r2
+    FROM agg ORDER BY key
+    """
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """One row ``(n_a, n_b, ks_d)`` — the two-sample KS statistic
+    between the two groups' value distributions, rounded 6."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+    ).where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    )
+    counts = base.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    na = F.max(F.when(F.col("g") == group_a, F.col("n")))
+    nb = F.max(F.when(F.col("g") == group_b, F.col("n")))
+    tot = counts.agg(na.alias("n_a"), nb.alias("n_b"))
+    # pool per distinct value (ties collapse), cumulative counts
+    per_val = base.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("fa") / F.col("n_a").cast("double")
+                - F.col("fb") / F.col("n_b").cast("double")
+            )
+        ).alias("d")
+    )
+    return tot.crossJoin(F.broadcast(d)).select(
+        "n_a", "n_b", F.round("d", 6).alias("ks_d")
+    )
+
+
+def ks_oracle_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB twin — identical pooled-ECDF construction."""
+    return f"""
+    WITH base AS (
+        SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS x
+        FROM {table}
+        WHERE {value_col} IS NOT NULL
+          AND {group_col} IN ('{group_a}', '{group_b}')
+    ), tot AS (
+        SELECT max(CASE WHEN g = '{group_a}' THEN n END) AS n_a,
+               max(CASE WHEN g = '{group_b}' THEN n END) AS n_b
+        FROM (SELECT g, count(*) AS n FROM base GROUP BY g)
+    ), per_val AS (
+        SELECT x,
+               sum(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN g = '{group_b}' THEN 1 ELSE 0 END) AS cb
+        FROM base GROUP BY x
+    ), cum AS (
+        SELECT sum(ca) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fa,
+               sum(cb) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fb
+        FROM per_val
+    )
+    SELECT tot.n_a, tot.n_b,
+           round(max(abs(fa / CAST(tot.n_a AS DOUBLE)
+                         - fb / CAST(tot.n_b AS DOUBLE))), 6) AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.n_a, tot.n_b
+    """

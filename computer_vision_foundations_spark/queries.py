@@ -9426,6 +9426,84 @@ def za04_kde_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kde_at_grid(events, "value", "event_type", _KDE_GRID, _KDE_H)
 
 
+def _wilson_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        wilson_oracle_sql,
+    )
+
+    return wilson_oracle_sql()
+
+
+@_register("za05_wilson_intervals", _wilson_oracle_sql())
+def za05_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate per entry channel with Wilson score intervals
+    (operators/stats_tests.wilson_intervals) — the binomial CI that
+    stays honest at small n and extreme rates, the bar every
+    funnel/conversion dashboard should draw instead of the Wald
+    interval.
+
+    Scale shape: one user-key window pass for (entry channel,
+    converted), one keyed aggregate, scalar algebra."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        wilson_intervals,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return wilson_intervals(events)
+
+
+def _ols_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        ols_oracle_sql,
+    )
+
+    return ols_oracle_sql()
+
+
+@_register("za06_ols_trend", _ols_oracle_sql())
+def za06_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value on time
+    (operators/stats_tests.ols_by_key): closed-form slope/intercept/R²
+    from population moments — the classical estimator beside the
+    robust Theil-Sen (z91) and the rank Spearman (z72); slope per
+    hour for comparability.
+
+    Scale shape: one keyed moments aggregate; everything else is
+    scalar algebra in codegen."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        ols_by_key,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return ols_by_key(events)
+
+
+def _ks_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        ks_oracle_sql,
+    )
+
+    return ks_oracle_sql("events", "value", "event_type", "click", "error")
+
+
+@_register("za07_ks_two_sample", _ks_oracle_sql())
+def za07_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    error value distributions (operators/stats_tests.ks_two_sample) —
+    the distribution-free drift test behind data-quality monitors:
+    max pooled-ECDF gap, ties collapsed per distinct value.
+
+    Scale shape: the two-column stream shuffles once into per-value
+    counts; two same-ordered cumulative windows over the distinct
+    values; one max aggregate."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        ks_two_sample,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return ks_two_sample(events, "value", "event_type", "click", "error")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""Classical statistics kit (operators/stats_tests)."""
+
+from datetime import datetime, timedelta
+
+import math
+
+import pytest
+
+from computer_vision_foundations_spark.operators.stats_tests import (
+    ks_two_sample,
+    ols_by_key,
+    wilson_intervals,
+)
+
+
+def test_wilson_matches_hand_formula(spark):
+    # 3 users enter via 'click' (2 convert), 2 via 'view' (0 convert)
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(u, seq):
+        nonlocal eid
+        for i, t in enumerate(seq):
+            rows.append((u, base + timedelta(minutes=i), t, eid))
+            eid += 1
+
+    add(1, ["click", "purchase"])
+    add(2, ["click", "purchase"])
+    add(3, ["click"])
+    add(4, ["view"])
+    add(5, ["view", "click"])
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+    got = {r["key"]: r for r in wilson_intervals(df).collect()}
+    r = got["click"]
+    assert (r["n"], r["conv"]) == (3, 2)
+    z = 1.959964
+    p, n = 2 / 3, 3.0
+    center = (p + z * z / (2 * n)) / (1 + z * z / n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / (
+        1 + z * z / n
+    )
+    assert r["wilson_lo"] == pytest.approx(center - half, abs=1e-6)
+    assert r["wilson_hi"] == pytest.approx(center + half, abs=1e-6)
+    # CI is inside [0, 1] even at rate 0 (the Wald interval wouldn't be)
+    v = got["view"]
+    assert v["rate"] == 0.0 and v["wilson_lo"] == 0.0 and v["wilson_hi"] > 0
+
+
+def test_ols_recovers_planted_line(spark):
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("k", base + timedelta(hours=h), 3.0 * h + 7.0, h)
+        for h in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double, event_id long"
+    )
+    r = ols_by_key(df).collect()[0]
+    assert r["slope"] == pytest.approx(3.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+    # x is centered at the key's first observation → intercept is the
+    # fitted value at the series start
+    assert r["intercept"] == pytest.approx(7.0, abs=1e-6)
+
+
+def test_ks_extremes(spark):
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v) + 100.0) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = ks_two_sample(df, "value", "event_type", "a", "b").collect()[0]
+    assert r["ks_d"] == 1.0  # disjoint supports
+    same = spark.createDataFrame(
+        [("a", float(v % 5)) for v in range(20)]
+        + [("b", float(v % 5)) for v in range(20)],
+        "event_type string, value double",
+    )
+    r2 = ks_two_sample(same, "value", "event_type", "a", "b").collect()[0]
+    assert r2["ks_d"] == 0.0  # identical distributions
+
+
+def test_ks_matches_scipy_style_hand_case(spark):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [3.0, 4.0, 5.0, 6.0]
+    df = spark.createDataFrame(
+        [("a", x) for x in a] + [("b", x) for x in b],
+        "event_type string, value double",
+    )
+    r = ks_two_sample(df, "value", "event_type", "a", "b").collect()[0]
+    # ECDF gap is max at x=2: Fa=0.5, Fb=0 -> D=0.5
+    assert r["ks_d"] == pytest.approx(0.5)

@@ -670,6 +670,20 @@ AUDIT = {
         "shuffle of (key, value)",
         (),
     ),
+    "za05_wilson_intervals": (
+        "one user-key window pass + keyed aggregate + scalar algebra",
+        (),
+    ),
+    "za06_ols_trend": (
+        "per-key centering window + one moments aggregate",
+        (),
+    ),
+    "za07_ks_two_sample": (
+        "one shuffle into per-value counts; two same-ordered "
+        "cumulative windows over distinct values; 1-row totals "
+        "crossJoin",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
