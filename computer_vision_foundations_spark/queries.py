@@ -9504,6 +9504,57 @@ def za07_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(events, "value", "event_type", "click", "error")
 
 
+_BFS_SEEDS = [1, 2, 3]
+_BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    from computer_vision_foundations_spark.operators.bfs import (
+        bfs_oracle_sql,
+    )
+
+    return bfs_oracle_sql(_PR_EDGES_SQL, _BFS_SEEDS, _BFS_HOPS)
+
+
+@_register("za08_bfs_distances", _bfs_oracle())
+def za08_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 4-hop BFS distances (operators/bfs.bfs_distances)
+    over the q07 supplier↔customer trade graph from literal seed
+    suppliers {1,2,3} — the TrustRank-style "hops from a trusted
+    seed" quality prior. Level-synchronous frontier expansion with a
+    visited-set anti-join so no node re-expands; the oracle replays
+    the equivalent min-over-unrolled-levels formulation, so a hash
+    match proves the pruning drops nothing.
+
+    Scale shape: per level one (node)-keyed equi-join shuffle + one
+    distinct + one anti-join; frontiers are localCheckpoint'd, never
+    collected."""
+    from computer_vision_foundations_spark.operators.bfs import (
+        bfs_distances,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    fwd = pairs.select(
+        F.col("l_suppkey").alias("src"), (-F.col("o_custkey")).alias("dst")
+    )
+    back = pairs.filter(F.col("n_items") >= 2).select(
+        (-F.col("o_custkey")).alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return bfs_distances(
+        fwd.unionByName(back), _BFS_SEEDS, n_hops=_BFS_HOPS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -684,6 +684,12 @@ AUDIT = {
         "crossJoin",
         ("BroadcastNestedLoopJoin",),
     ),
+    "za08_bfs_distances": (
+        "per level one node-keyed equi-join + distinct + visited "
+        "anti-join; frontiers localCheckpoint'd (final plan unions "
+        "materialized level RDDs)",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
