@@ -9555,6 +9555,34 @@ def za08_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _textrank_oracle() -> str:
+    from computer_vision_foundations_spark.operators.textrank import (
+        textrank_oracle_sql,
+    )
+
+    return textrank_oracle_sql()
+
+
+@_register("za09_textrank_keywords", _textrank_oracle())
+def za09_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators/textrank.py): weighted
+    PageRank over the word-adjacency graph (Mihalcea & Tarau 2004) —
+    the unsupervised topical-keyword signal for corpus curation.
+    Top-20 words, rank rounded 6, word-ascending tiebreak; the oracle
+    unrolls the identical recurrence as r0..r5 CTEs.
+
+    Scale shape: one zip_with adjacency explode + one hash aggregate
+    builds the graph (checkpointed once); each round is one
+    (word)-keyed equi-join + hash aggregate carrying (word, double)
+    only."""
+    from computer_vision_foundations_spark.operators.textrank import (
+        textrank_keywords,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

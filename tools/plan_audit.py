@@ -690,6 +690,12 @@ AUDIT = {
         "materialized level RDDs)",
         (),
     ),
+    "za09_textrank_keywords": (
+        "zip_with adjacency explode + one graph aggregate "
+        "(checkpointed); 5 rounds of word-keyed equi-join + hash "
+        "aggregate on (word, double); TakeOrdered top-20",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
