@@ -9583,6 +9583,37 @@ def za09_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(docs)
 
 
+def _ppjoin_oracle() -> str:
+    from computer_vision_foundations_spark.operators.ppjoin import (
+        prefix_jaccard_oracle_sql,
+    )
+
+    return prefix_jaccard_oracle_sql(_SHINGLES_SQL, threshold=0.5)
+
+
+@_register("za10_prefix_jaccard_pairs", _ppjoin_oracle())
+def za10_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard≥0.5 near-dup pairs via PPJoin prefix filtering
+    (operators/ppjoin.py): rarest-first prefixes + length filter prune
+    candidates WITHOUT the q90 frequency-cap approximation — hot
+    stop-shingles leave every prefix by construction. The oracle runs
+    the reference QUADRATIC all-shingle join (no cap, no prefix), so
+    a hash match proves the pruning lossless.
+
+    Scale shape: one freq aggregate + one shingle-keyed annotate join
+    + per-DOC window (never global) + prefix self-equi-join; exact
+    verify joins carry only candidate ids + shingle arrays."""
+    from computer_vision_foundations_spark.operators.ppjoin import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

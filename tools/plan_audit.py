@@ -696,6 +696,12 @@ AUDIT = {
         "aggregate on (word, double); TakeOrdered top-20",
         (),
     ),
+    "za10_prefix_jaccard_pairs": (
+        "freq aggregate + shingle-keyed annotate join + per-doc "
+        "window prefix cut + prefix self-equi-join with length "
+        "filter; exact array_intersect verify on candidate ids only",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
