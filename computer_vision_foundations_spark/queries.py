@@ -9614,6 +9614,55 @@ def za10_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "za11_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
+             CAST(avg(value) AS DOUBLE) AS type_avg
+      FROM events GROUP BY event_type)
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value / d.type_n), 6) AS ipw_activity,
+           round(sum(e.value - d.type_avg), 4) AS excess_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.user_id
+    """,
+)
+def za11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inverse-propensity activity via a SALTED shuffle join
+    (operators/skewjoin.salted_join): events join their event-type
+    stats dim on (event_type, salt) with the dim replicated 8×, so a
+    hot event type spreads over 8 reducers instead of stalling one.
+    The oracle is the PLAIN join — a hash match certifies salting
+    changes nothing but the shuffle layout.
+
+    Scale shape: fact shuffle keys are (type, salt); dim replication
+    is explode(sequence) — 8 rows per dim row, no driver loop; final
+    user aggregate is an independent shuffle."""
+    from computer_vision_foundations_spark.operators.skewjoin import (
+        salted_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        F.avg("value").alias("type_avg"),
+    )
+    joined = salted_join(
+        events, dim, "event_type", salt_from="event_id", n_salts=8
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value") / F.col("type_n")), 6
+        ).alias("ipw_activity"),
+        F.round(
+            F.sum(F.col("value") - F.col("type_avg")), 4
+        ).alias("excess_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

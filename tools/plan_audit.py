@@ -702,6 +702,11 @@ AUDIT = {
         "filter; exact array_intersect verify on candidate ids only",
         (),
     ),
+    "za11_salted_skew_join": (
+        "(type, salt)-keyed ShuffledHashJoin with 8x exploded dim; "
+        "codegen xxhash64 salt; independent user-keyed aggregate",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
