@@ -9663,6 +9663,34 @@ def za11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maxsim_oracle() -> str:
+    from computer_vision_foundations_spark.operators.late_interaction import (
+        maxsim_oracle_sql,
+    )
+
+    return maxsim_oracle_sql()
+
+
+@_register("za12_maxsim_topk", _maxsim_oracle())
+def za12_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval
+    (operators/late_interaction.maxsim_topk): each 64-float embedding
+    is read as 8 pseudo-token vectors × 8 dims (flat array + shape,
+    SURVEY §1.2) and scored MaxSim = Σ_i max_j cos(q_i, d_j) against
+    3 probe docs; top-10 per probe. The 8×8 cosine grid is a static
+    JVM expression over array slices — no explode, no Python.
+
+    Scale shape: map-side corpus scan ⋈ broadcast probes; the only
+    shuffle is the per-probe top-k window."""
+    from computer_vision_foundations_spark.operators.late_interaction import (
+        maxsim_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return maxsim_topk(emb, probes, n_tokens=8, dim=8, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -707,6 +707,12 @@ AUDIT = {
         "codegen xxhash64 salt; independent user-keyed aggregate",
         (),
     ),
+    "za12_maxsim_topk": (
+        "map-side corpus scan x broadcast 3-probe set (intended, as "
+        "q27); static 8x8 slice-cosine grid in one JVM expression; "
+        "only shuffle is the per-probe top-k window",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
