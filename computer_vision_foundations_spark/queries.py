@@ -9691,6 +9691,70 @@ def za12_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(emb, probes, n_tokens=8, dim=8, k=10)
 
 
+def _seqmine_oracle() -> str:
+    from computer_vision_foundations_spark.operators.seqmine import (
+        consecutive_patterns_oracle_sql,
+    )
+
+    return consecutive_patterns_oracle_sql()
+
+
+@_register("za13_sequential_patterns", _seqmine_oracle())
+def za13_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive event-type 2- and 3-gram patterns per user timeline
+    (operators/seqmine.consecutive_patterns) with occurrence counts
+    and distinct-user support — the ORDERED counterpart of the z86
+    basket rules (PrefixSpan level-1/2 shapes).
+
+    Scale shape: one per-user lead window + one pattern aggregate —
+    two shuffles regardless of pattern length; no time self-joins,
+    no explode."""
+    from computer_vision_foundations_spark.operators.seqmine import (
+        consecutive_patterns,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return consecutive_patterns(events)
+
+
+def _coverage_oracle() -> str:
+    from computer_vision_foundations_spark.operators.intervals import (
+        interval_coverage_oracle_sql,
+    )
+
+    return interval_coverage_oracle_sql(
+        "SELECT user_id AS k, epoch_us(ts) AS st,"
+        " epoch_us(ts) + 300 * 1000000 AS en, event_id AS tb FROM events"
+    )
+
+
+@_register("za14_active_coverage", _coverage_oracle())
+def za14_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active wall-clock via interval merge
+    (operators/intervals.interval_coverage): each event opens a 5-min
+    activity interval; overlaps are merged into islands (running-max
+    gaps-and-islands) so coverage never double-counts. Exact BIGINT
+    microsecond arithmetic — no float drift.
+
+    Scale shape: one per-user sort shared by both window passes, one
+    island aggregate, one key aggregate; no time-range self-join."""
+    from computer_vision_foundations_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("st"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(300 * 1_000_000)
+        ).alias("en"),
+        "event_id",
+    )
+    return interval_coverage(iv, "user_id", "st", "en", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -713,6 +713,18 @@ AUDIT = {
         "only shuffle is the per-probe top-k window",
         ("BroadcastNestedLoopJoin",),
     ),
+    "za13_sequential_patterns": (
+        "one per-user lead window + one pattern hash aggregate with "
+        "distinct-user count — two shuffles regardless of n-gram "
+        "length",
+        (),
+    ),
+    "za14_active_coverage": (
+        "one per-user sort shared by both window passes + island "
+        "aggregate + key aggregate; exact BIGINT microseconds; no "
+        "time-range self-join",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
