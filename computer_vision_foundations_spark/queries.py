@@ -9755,6 +9755,33 @@ def za14_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_coverage(iv, "user_id", "st", "en", "event_id")
 
 
+def _rfm_oracle() -> str:
+    from computer_vision_foundations_spark.operators.rfm import (
+        rfm_oracle_sql,
+    )
+
+    return rfm_oracle_sql()
+
+
+@_register("za15_rfm_segments", _rfm_oracle())
+def za15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/rfm.rfm_segments):
+    quintile scores for recency/frequency/monetary via the scale-safe
+    global row numbering of qnorm (range partition + broadcast
+    offsets — never a single-task global window), exact integer
+    quintile formula, segment rollup.
+
+    Scale shape: one orders→customer aggregate; three range
+    partitionings of the small customer table; one (r,f,m) hash
+    aggregate."""
+    from computer_vision_foundations_spark.operators.rfm import (
+        rfm_segments,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(orders)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

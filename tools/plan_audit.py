@@ -725,6 +725,13 @@ AUDIT = {
         "time-range self-join",
         (),
     ),
+    "za15_rfm_segments": (
+        "orders aggregate + three range partitionings of the small "
+        "customer table (scale-safe global rank, never a single-task "
+        "window) + (r,f,m) hash aggregate; 1-row anchor/count "
+        "broadcasts",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
