@@ -9782,6 +9782,58 @@ def za15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(orders)
 
 
+_LOGREG_SRC_SQL = """
+    SELECT l_quantity / 50.0 AS qty_s,
+           l_discount * 10.0 AS disc_s,
+           l_extendedprice / 100000.0 AS price_s,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+"""
+
+
+def _logreg_oracle() -> str:
+    from computer_vision_foundations_spark.operators.logreg import (
+        logistic_gd_oracle_sql,
+    )
+
+    return logistic_gd_oracle_sql(
+        _LOGREG_SRC_SQL,
+        ["qty_s", "disc_s", "price_s"],
+        "y",
+        lr=0.5,
+        n_iter=5,
+        feature_names=["qty_s", "disc_s", "price_s"],
+    )
+
+
+@_register("za16_logistic_gd", _logreg_oracle())
+def za16_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (operators/logreg.logistic_gd):
+    5 exact full-batch GD steps predicting l_returnflag='R' from
+    scaled quantity/discount/price. Per step, executors compute the
+    batch gradient as one map-side-combined aggregate; only the 4
+    weights visit the driver (the allreduce shape of
+    ml/distributed.py). The oracle replays the ENTIRE training run as
+    unrolled w0..w5 SQL CTEs — gradient, fold, and log-loss certified
+    cross-engine.
+
+    Scale shape: n_iter scans with partial aggregation; no shuffle of
+    data rows at all (aggregate-only); model state is 4 doubles."""
+    from computer_vision_foundations_spark.operators.logreg import (
+        logistic_gd,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 50.0).alias("qty_s"),
+        (F.col("l_discount") * 10.0).alias("disc_s"),
+        (F.col("l_extendedprice") / 100000.0).alias("price_s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return logistic_gd(
+        li, ["qty_s", "disc_s", "price_s"], "y", lr=0.5, n_iter=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -732,6 +732,12 @@ AUDIT = {
         "broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
+    "za16_logistic_gd": (
+        "aggregate-only training: per GD step one scan with map-side "
+        "partial gradient sums; data rows never shuffle; model state "
+        "is 4 driver doubles folded back as literals",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
