@@ -9834,6 +9834,48 @@ def za16_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holt_oracle() -> str:
+    from computer_vision_foundations_spark.operators.holt import (
+        holt_oracle_sql,
+    )
+
+    return holt_oracle_sql(
+        "SELECT event_type AS key, date_trunc('hour', ts) AS ord,"
+        " avg(value) AS y FROM events GROUP BY 1, 2"
+    )
+
+
+@_register("za17_holt_trend", _holt_oracle())
+def za17_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (operators/holt.holt_linear) over
+    each event type's hourly mean-value series — level + slope + one-
+    step forecast. The coupled recurrence is genuinely sequential
+    (no finite windowable closed form), so this is the documented
+    Arrow case: applyInPandas per key over pre-aggregated buckets;
+    the oracle walks the identical recurrence with a RECURSIVE CTE.
+
+    Scale shape: one (key, hour) pre-aggregate shrinks events to one
+    row per bucket BEFORE the Python stage; keys distribute across
+    executors; per-key state is two doubles."""
+    from computer_vision_foundations_spark.operators.holt import (
+        holt_linear,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        F.col("event_type").alias("key"),
+        F.date_trunc("hour", "ts").alias("ord"),
+    ).agg(F.avg("value").alias("y"))
+    out = holt_linear(series, "key", "ord", "y")
+    return out.select(
+        "key",
+        "n_points",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

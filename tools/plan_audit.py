@@ -738,6 +738,12 @@ AUDIT = {
         "is 4 driver doubles folded back as literals",
         (),
     ),
+    "za17_holt_trend": (
+        "(key, hour) pre-aggregate BEFORE the Python stage; "
+        "sequential recurrence in Arrow-batched applyInPandas (FlatMap"
+        "GroupsInPandas), keys distributed",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
