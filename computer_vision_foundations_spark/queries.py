@@ -9876,6 +9876,59 @@ def za17_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKYLINE_SRC_SQL = """
+    SELECT o_custkey AS key,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             AS ord,
+           o_totalprice AS val,
+           o_orderkey AS order_key
+    FROM orders
+"""
+
+
+def _skyline_oracle() -> str:
+    from computer_vision_foundations_spark.operators.skyline import (
+        skyline_oracle_sql,
+    )
+
+    return skyline_oracle_sql(
+        _SKYLINE_SRC_SQL,
+        "key, ord, round(val, 2) AS val, order_key",
+    )
+
+
+@_register("za18_skyline", _skyline_oracle())
+def za18_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 2-D skyline (operators/skyline.skyline_2d): the
+    orders on each customer's Pareto frontier of (earliest date,
+    highest price) — no other order of the same customer is both
+    at-least-as-early and at-least-as-expensive with one strict. The
+    window rewrite (RANGE frame to 1 PRECEDING + same-ord MAX) is
+    hash-verified against the oracle's quadratic NOT-EXISTS truth.
+
+    Scale shape: one (key)-partitioned sort feeds both window passes
+    (Catalyst collapses them into one shuffle); no self-join — the
+    naive formulation is O(k²) per key and exists only oracle-side."""
+    from computer_vision_foundations_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).alias("ord"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderkey").alias("order_key"),
+    )
+    out = skyline_2d(src, "key", "ord", "val")
+    return out.select(
+        "key", "ord", F.round("val", 2).alias("val"), "order_key"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization
 # ---------------------------------------------------------------------------

@@ -744,6 +744,12 @@ AUDIT = {
         "GroupsInPandas), keys distributed",
         (),
     ),
+    "za18_skyline": (
+        "one (key)-partitioned sort feeds both window passes "
+        "(strictly-earlier RANGE frame + same-ord MAX); no self-join "
+        "— the quadratic NOT-EXISTS truth exists only oracle-side",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
