@@ -49,41 +49,41 @@ HEADLINE = [
     "q26_lsh_candidate_pairs",
     "q27_knn_cosine",
     "q91_embedding_near_dup",
-    "q33_lsh_ann",
-    "q36_multiprobe_lsh_ann",
+    "z29_lsh_ann",
+    "z32_multiprobe_lsh_ann",
     "q89_ivf_ann",
-    "q29_pq_adc_knn",
+    "z26_pq_adc_knn",
     "q50_ivf_pq_ann",
-    "q28_sq8_ann",
+    "z22_sq8_ann",
     "q93_winnow_fingerprints",
-    "q42_winnow_near_dup_pairs",
+    "z57_winnow_near_dup_pairs",
     "q84_asof_enrich",
     "q85_range_join_error_window",
     "q86_time_rollup",
     "q87_hll_distinct",
     "q88_count_min_heavy_hitters",
     "q47_unigram_surprisal",
-    "q46_incremental_dedup",
-    "q24_multiprobe_recall",
+    "za12_incremental_dedup",
+    "z20_multiprobe_recall",
     "z15_event_funnel",
-    "q48_lsh_verified_pairs",
+    "za16_lsh_verified_pairs",
     "q96_retention_cohorts",
     "q95_gap_fill_locf",
     "q97_bpe_merges",
     "q94_dedup_clusters",
     "q20_training_corpus",
     "z14_mixture_sample",
-    "q32_mixture_epochs",
+    "z28_mixture_epochs",
     "q35_decontamination_pairs",
     "z17_quality_gate",
     "z18_shard_assignment",
-    "q40_vocab_coverage",
-    "q41_pmi_bigrams",
+    "z51_vocab_coverage",
+    "z54_pmi_bigrams",
     "q49_simhash_near_dup_pairs",
     "q07_pagerank",
     "q17_semantic_dedup",
-    "q44_bloom_decontaminate",
-    "q45_weighted_sample",
+    "za10_bloom_decontaminate",
+    "za11_weighted_sample",
     "q05_duplicated_spans",
     "q06_random_projection",
     "q09_pca_covariance",
@@ -103,20 +103,20 @@ HEADLINE = [
     "q38_event_transitions",
     "q39_image_metadata",
     "q22_image_statistics",
-    "z19_time_travel",
-    "z20_acid_upsert",
-    "z21_wav_audio_stats",
-    "z22_gif_frame_sample",
+    "q03_time_travel",
+    "q24_acid_upsert",
+    "q25_wav_audio_stats",
+    "q28_gif_frame_sample",
     "z23_audio_spectrum",
     "z24_bucketed_join",
     "z25_table_profile",
-    "z26_multimodal_manifest",
+    "q29_multimodal_manifest",
     "z27_pq_rerank",
-    "z28_zorder_optimize",
-    "z29_data_skipping",
+    "q32_zorder_optimize",
+    "q33_data_skipping",
     "z30_knn_join",
-    "z31_change_data_feed",
-    "z32_image_near_dup",
+    "q34_change_data_feed",
+    "q36_image_near_dup",
     "z33_gopher_rules",
     "z34_paragraph_dedup",
     "z35_scene_cuts",
@@ -135,13 +135,13 @@ HEADLINE = [
     "z48_class_compactness",
     "z49_kmv_user_distinct",
     "z50_bm25_ndcg",
-    "z51_triangle_stats",
+    "q40_triangle_stats",
     "z52_naive_bayes_lang",
     "z53_kneser_ney_surprisal",
-    "z54_lpa_communities",
+    "q41_lpa_communities",
     "z55_ngram_novelty",
     "z56_containment_pairs",
-    "z57_kcore_members",
+    "q42_kcore_members",
     "z58_phrase_search",
     "z59_nb_classification_report",
     "z60_surprisal_auc",
@@ -294,10 +294,15 @@ def bench_streaming_ingest(spark) -> tuple[int, float, float, int, float]:
             run_scoring_stream,
         )
 
-        # Same stall-robust min-of-N as the query loop: each timed
+        # Same stall-robust min-of-N as the query loop, but streaming
+        # cycles ALWAYS run >= 3 (SPARK_GRAFT_STREAM_REPEATS): round 4's
+        # driver record halved vs round 3 on a single contended sample
+        # (ingest 406 -> 215 files/s against SCALE.md's own 230-391
+        # files/s host-variance band) — best-of-3 makes the recorded
+        # number the steady-state throughput, not the stall. Each timed
         # cycle gets a fresh checkpoint (availableNow is exactly-once
         # per checkpoint) over the SAME landing dir.
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_STREAM_REPEATS", "3"))
         ingest_samples, score_samples = [], []
         for i in range(max(1, repeats)):
             cfg = _cfg(f"main{i}", landing)
@@ -329,38 +334,49 @@ def bench_streaming_ingest(spark) -> tuple[int, float, float, int, float]:
             file=sys.stderr,
         )
 
-        # Kill-and-resume cycle (ST3 bench evidence): interrupt a fresh
+        # Kill-and-resume cycles (ST3 bench evidence): interrupt a fresh
         # checkpoint's run after ONE committed micro-batch (512 of the
         # files), then time the resume to completion and verify the
         # union is exactly-once. Reported time covers the resume only —
-        # the number an operator cares about after a crash.
+        # the number an operator cares about after a crash. Same
+        # best-of-N as the timed ingest, each cycle fully ISOLATED in
+        # its own restart{i}/ subtree (own landing-read, checkpoint,
+        # output) so no state leaks between the interrupted run, the
+        # resume, and the timed ingest cycles above.
         from computer_vision_foundations_spark.streaming.ingest import (
             run_ingest_interrupted,
         )
 
-        rcfg = _cfg("restart", landing)
-        committed = run_ingest_interrupted(spark, rcfg, stop_after_batches=1)
-        n_partial = spark.read.parquet(rcfg.sink.output_path).count()
-        t2 = time.time()
-        run_ingest(spark, rcfg)
-        restart_sec = time.time() - t2
-        out = spark.read.parquet(rcfg.sink.output_path)
-        n_after = out.count()
-        n_distinct = out.select("path").distinct().count()
-        assert n_after == n_files, f"resume wrote {n_after} of {n_files}"
-        assert n_distinct == n_files, "duplicates across restart"
-        print(
-            f"# streaming restart: {committed} batch committed pre-kill, "
-            f"{n_partial} rows partial, resume {round(restart_sec, 2)}s, "
-            f"exactly-once verified ({n_after} rows, {n_distinct} distinct)",
-            file=sys.stderr,
-        )
+        restart_samples, resumed_counts = [], []
+        for i in range(max(1, repeats)):
+            rcfg = _cfg(f"restart{i}", landing)
+            committed = run_ingest_interrupted(
+                spark, rcfg, stop_after_batches=1
+            )
+            n_partial = spark.read.parquet(rcfg.sink.output_path).count()
+            t2 = time.time()
+            run_ingest(spark, rcfg)
+            restart_samples.append(time.time() - t2)
+            out = spark.read.parquet(rcfg.sink.output_path)
+            n_after = out.count()
+            n_distinct = out.select("path").distinct().count()
+            assert n_after == n_files, f"resume wrote {n_after} of {n_files}"
+            assert n_distinct == n_files, "duplicates across restart"
+            resumed_counts.append(n_files - n_partial)
+            print(
+                f"# streaming restart[{i}]: {committed} batch committed "
+                f"pre-kill, {n_partial} rows partial, resume "
+                f"{round(restart_samples[-1], 2)}s, exactly-once verified "
+                f"({n_after} rows, {n_distinct} distinct)",
+                file=sys.stderr,
+            )
+        best = restart_samples.index(min(restart_samples))
         return (
             n_files,
             min(ingest_samples),
             min(score_samples),
-            n_files - n_partial,
-            restart_sec,
+            resumed_counts[best],
+            restart_samples[best],
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -371,7 +387,8 @@ def bench_streaming_window_agg(spark) -> tuple[int, float]:
     stream → watermark → tumbling window count/sum (ST5 family), noop
     sink, availableNow. Exercises the StateStore + watermark machinery
     the ST5 tests verify semantically; reports events/sec. Min over
-    SPARK_GRAFT_BENCH_REPEATS cycles like everything else."""
+    SPARK_GRAFT_STREAM_REPEATS (>=3) cycles like the other streaming
+    metrics."""
     import shutil
     import tempfile
 
@@ -389,7 +406,7 @@ def bench_streaming_window_agg(spark) -> tuple[int, float]:
         data_dir = os.path.join(tmp, "in")
         os.makedirs(data_dir)
         shutil.copy(src, os.path.join(data_dir, "events.parquet"))
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_STREAM_REPEATS", "3"))
         samples = []
         for i in range(max(1, repeats)):
             stream = spark.readStream.schema(schema).parquet(data_dir)
@@ -495,6 +512,9 @@ def main() -> int:
                 "metric": "headline_detail",
                 "queries": timings,
                 "streaming": {
+                    "best_of": int(
+                        os.environ.get("SPARK_GRAFT_STREAM_REPEATS", "3")
+                    ),
                     "files": n_stream_files,
                     "files_per_sec": round(n_stream_files / stream_sec, 1),
                     "score_files_per_sec": round(

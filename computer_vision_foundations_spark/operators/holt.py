@@ -27,6 +27,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 __all__ = ["holt_linear", "holt_oracle_sql"]
 
@@ -67,11 +68,19 @@ def holt_linear(
             }
         )
 
-    return df.groupBy(key_col).applyInPandas(
-        fit,
-        "key string, n_points bigint, level double, trend double,"
-        " forecast double",
+    # derive the key field's type from the input schema so non-string
+    # keys (e.g. bigint user ids) round-trip through Arrow unchanged
+    key_type = df.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("key", key_type),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
     )
+    return df.groupBy(key_col).applyInPandas(fit, out_schema)
 
 
 def holt_oracle_sql(

@@ -101,12 +101,26 @@ def random_projection(
     return df.withColumn(out_col, proj)
 
 
+# Fixed-point grid for the exact Gramian: components are quantized to
+# 1e-6 (floor(x*1e6 + 0.5), i.e. round-half-up — the one rounding rule
+# numpy, Spark SQL and DuckDB all express identically), accumulated in
+# int64 per partition, and summed across partitions as DECIMAL(38,0).
+# Integer addition is associative, so the reduction is PARTITION-ORDER
+# FREE — the driver-hash flake class (float sum → round boundary flip)
+# is structurally impossible. Overflow headroom: |q| ≤ |x|·1e6, so for
+# unit-scale embeddings a per-partition int64 Σq_i·q_j stays exact up
+# to ~9e6 rows/partition per unit of |x|² — far above any sane
+# maxPartitionBytes split; the cross-partition DECIMAL(38,0) sum has
+# 1e38 headroom.
+_GRAM_SCALE = 1_000_000
+
+
 _GRAM_SCHEMA = T.StructType(
     [
         T.StructField("i", T.IntegerType()),
         T.StructField("j", T.IntegerType()),
-        T.StructField("sxy", T.DoubleType()),
-        T.StructField("sx", T.DoubleType()),
+        T.StructField("sxy", T.LongType()),
+        T.StructField("sx", T.LongType()),
         T.StructField("n", T.LongType()),
     ]
 )
@@ -121,9 +135,10 @@ def _partial_gramian(vec_col: str):
             if len(pdf) == 0:
                 continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            g = x.T @ x
+            q = np.floor(x * float(_GRAM_SCALE) + 0.5).astype(np.int64)
+            g = q.T @ q  # int64 matmul: exact, order-free
             gram = g if gram is None else gram + g
-            s = x.sum(axis=0)
+            s = q.sum(axis=0)
             sums = s if sums is None else sums + s
             count += len(pdf)
         if gram is None:
@@ -137,7 +152,11 @@ def _partial_gramian(vec_col: str):
                 "sxy": gram.ravel(),
                 # the sum vector rides the diagonal rows to avoid a
                 # second pass; n likewise
-                "sx": np.where(ii.ravel() == jj.ravel(), sums[ii.ravel()], 0.0),
+                "sx": np.where(
+                    ii.ravel() == jj.ravel(),
+                    sums[ii.ravel()],
+                    np.int64(0),
+                ),
                 "n": np.full(d * d, count, dtype=np.int64),
             }
         )
@@ -158,11 +177,12 @@ def _gramian_totals(df: DataFrame, vec_col: str) -> DataFrame:
     parts = df.select(vec_col).mapInPandas(
         _partial_gramian(vec_col), schema=_GRAM_SCHEMA
     )
+    dec = T.DecimalType(38, 0)
     return (
         parts.groupBy("i", "j")
         .agg(
-            F.sum("sxy").alias("sxy"),
-            F.sum("sx").alias("sx_diag"),
+            F.sum(F.col("sxy").cast(dec)).alias("sxy"),
+            F.sum(F.col("sx").cast(dec)).alias("sx_diag"),
             F.sum("n").alias("n"),
         )
         .localCheckpoint()
@@ -175,12 +195,22 @@ def covariance_matrix(
     """(i, j, cov) rows of the population covariance of an
     ``array<float>`` column — the distributed stage of PCA, exposed
     relationally so it differential-checks against a SQL oracle.
-    cov(i,j) = E[x_i x_j] − E[x_i]·E[x_j]. Exactly one pass over the
-    corpus; everything after the Gramian aggregate is d²-row algebra
-    (means join is a d-row broadcast)."""
+    cov(i,j) = E[x_i x_j] − E[x_i]·E[x_j] on the 1e-6 fixed-point grid
+    (see ``_GRAM_SCALE``): the sums are exact integers, so the result
+    is identical under ANY partitioning — no float-reduction-order
+    flake. Exactly one pass over the corpus; everything after the
+    Gramian aggregate is d²-row algebra (means join is a d-row
+    broadcast). The float ops (two divides, one multiply, one round)
+    run on exact-integer inputs in a fixed expression order, so any
+    IEEE-754 engine reproduces them bit-for-bit."""
     tot = _gramian_totals(df, vec_col)
     means = tot.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("mi"), (F.col("sx_diag") / F.col("n")).alias("mean")
+        F.col("i").alias("mi"),
+        (
+            F.col("sx_diag").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(_GRAM_SCALE))
+        ).alias("mean"),
     )
     cov = (
         tot.join(
@@ -203,7 +233,10 @@ def covariance_matrix(
             "i",
             "j",
             (
-                F.col("sxy") / F.col("n") - F.col("mean_i") * F.col("mean_j")
+                F.col("sxy").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(float(_GRAM_SCALE) * float(_GRAM_SCALE))
+                - F.col("mean_i") * F.col("mean_j")
             ).alias("cov"),
         )
     )
@@ -223,12 +256,13 @@ def pca_fit(
     rows = _gramian_totals(df, vec_col).collect()
     d = max(r["i"] for r in rows) + 1
     n_total = rows[0]["n"]
+    scale2 = float(_GRAM_SCALE) * float(_GRAM_SCALE)
     sxy = np.zeros((d, d))
     mu = np.zeros(d)
     for r in rows:
-        sxy[r["i"], r["j"]] = r["sxy"]
+        sxy[r["i"], r["j"]] = float(r["sxy"]) / scale2
         if r["i"] == r["j"]:
-            mu[r["i"]] = r["sx_diag"] / n_total
+            mu[r["i"]] = float(r["sx_diag"]) / n_total / float(_GRAM_SCALE)
     cov = sxy / n_total - np.outer(mu, mu)
     cov = (cov + cov.T) / 2.0  # symmetrize float noise
     evals, evecs = np.linalg.eigh(cov)

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "global_row_number",
+    "global_cumulative_sums",
     "quantile_normalize",
     "qnorm_oracle_sql",
 ]
@@ -93,6 +94,63 @@ def global_row_number(
     return part.withColumn(
         out, (F.row_number().over(w) + off_expr).cast("long")
     ).drop("_pid")
+
+
+def global_cumulative_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Scale-safe GLOBAL running sums of ``sum_cols`` in ``order_cols``
+    order (must be a total order) — the cumulative-sum twin of
+    `global_row_number`, for ECDF-style constructions (e.g. the KS
+    statistic's pooled cumulative counts).
+
+    Same two-phase shape: range-partition on the sort key
+    (non-overlapping sorted ranges, materialized once so the offsets
+    job and the window job see the SAME boundaries), per-partition
+    window sums, plus broadcast per-partition prefix offsets. The only
+    collect is |partitions| rows of per-partition totals. Integer
+    inputs stay exact (order-free); float inputs inherit the usual
+    reduction-order caveat — callers feeding the driver hash should
+    sum integers.
+    """
+    part = (
+        df.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism, *order_cols
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = (
+        part.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    offsets: dict[int, dict[str, float]] = {}
+    acc = {c: 0 for c in sum_cols}
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = dict(acc)
+        for c in sum_cols:
+            acc[c] += row[c] or 0
+    w = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = part
+    for c in sum_cols:
+        off = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for pid in sorted(offsets)
+                    for x in (pid, offsets[pid][c])
+                ]
+            ),
+            F.col("_pid"),
+        )
+        out = out.withColumn(c + suffix, F.sum(c).over(w) + off)
+    return out.drop("_pid")
 
 
 def quantile_normalize(

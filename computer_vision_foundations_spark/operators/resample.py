@@ -200,7 +200,16 @@ def laplace_noisy_counts(
     counts = df.groupBy(F.col(group_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    u = _hash_unit(F.lit(str(seed)), F.col("key"))
+    # clamp u into (0, 1): the 28-bit hash slice CAN be exactly 0
+    # (p ≈ 2^-28 per key), where ln(1-2|u-½|) = ln(0) — NULL on Spark,
+    # -inf on DuckDB. Clamp identically on both sides (oracle below).
+    u = F.greatest(
+        F.least(
+            _hash_unit(F.lit(str(seed)), F.col("key")),
+            F.lit(1.0 - 2.0**-28),
+        ),
+        F.lit(2.0**-28),
+    )
     centered = u - F.lit(0.5)
     b = 1.0 / epsilon
     noise = (
@@ -223,9 +232,13 @@ def laplace_oracle_sql(
 ) -> str:
     """DuckDB twin — identical inverse-CDF algebra."""
     b = 1.0 / epsilon
-    u = (
+    u_raw = (
         f"CAST(('0x' || substr(md5('{seed}' || '|' || key), 1, 7)) "
         f"AS BIGINT) / {float(1 << 28)!r}"
+    )
+    # same (0, 1) clamp as laplace_noisy_counts — ln(0) guard
+    u = (
+        f"greatest(least({u_raw}, {1.0 - 2.0**-28!r}), {2.0**-28!r})"
     )
     return f"""
     WITH counts AS (

@@ -220,7 +220,14 @@ def ks_two_sample(
     group_b: str,
 ) -> DataFrame:
     """One row ``(n_a, n_b, ks_d)`` — the two-sample KS statistic
-    between the two groups' value distributions, rounded 6."""
+    between the two groups' value distributions, rounded 6.
+
+    Scale shape: the pooled ECDF needs a GLOBAL cumulative count in
+    value order; a bare ``Window.orderBy`` would funnel every distinct
+    value through one task (for continuous columns, distinct ≈ rows),
+    so the running counts use the two-phase range-partition +
+    broadcast-offset pattern (`qnorm.global_cumulative_sums`) — exact
+    integer sums, no single-task sort."""
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("x"),
@@ -237,12 +244,13 @@ def ks_two_sample(
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
     )
-    w = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from computer_vision_foundations_spark.operators.qnorm import (
+        global_cumulative_sums,
     )
-    cum = per_val.select(
-        F.sum("ca").over(w).alias("fa"),
-        F.sum("cb").over(w).alias("fb"),
+
+    cum = global_cumulative_sums(per_val, ["x"], ["ca", "cb"]).select(
+        F.col("ca_cum").alias("fa"),
+        F.col("cb_cum").alias("fb"),
     )
     d = cum.crossJoin(F.broadcast(tot)).agg(
         F.max(

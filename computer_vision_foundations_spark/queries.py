@@ -1228,8 +1228,8 @@ def _multiprobe_oracle_sql() -> str:
     """
 
 
-@_register("q36_multiprobe_lsh_ann", _multiprobe_oracle_sql())
-def q36_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z32_multiprobe_lsh_ann", _multiprobe_oracle_sql())
+def z32_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-10 (operators/similarity.multiprobe_lsh_knn):
     probes additionally visit the 2 neighboring buckets with the
     tightest hyperplane margins — the recall of more tables at the
@@ -1255,8 +1255,8 @@ def q36_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q33_lsh_ann", _lsh_oracle_sql())
-def q33_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z29_lsh_ann", _lsh_oracle_sql())
+def z29_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 neighbors for probes vec_id<5
     (operators/similarity.lsh_bucketed_knn). The scale path for huge
     probe sets: bucketed equi-join on (table, bucket) — never a cross
@@ -1663,7 +1663,7 @@ def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q42_winnow_near_dup_pairs",
+    "z57_winnow_near_dup_pairs",
     f"""
     WITH padded AS (
       SELECT doc_id,
@@ -1715,7 +1715,7 @@ def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_shared >= 2
     """,
 )
-def q42_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z57_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document near-duplicate pairs by shared winnowing
     fingerprints (operators/dedup.winnow_near_duplicates): local
     substring matching robust to edits/reorderings, as a fingerprint
@@ -2826,8 +2826,8 @@ def _pq_adc_oracle_sql() -> str:
     """
 
 
-@_register("q25_pq_codes", _pq_codes_oracle_sql())
-def q25_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z21_pq_codes", _pq_codes_oracle_sql())
+def z21_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (operators/quantization.pq_encode):
     every embedding compressed to 8 nearest-centroid codes from seeded
     per-subvector codebooks — the representation the ADC scan reads at
@@ -2849,8 +2849,8 @@ def q25_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q29_pq_adc_knn", _pq_adc_oracle_sql())
-def q29_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z26_pq_adc_knn", _pq_adc_oracle_sql())
+def z26_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-10 per probe
     (operators/quantization.pq_adc_topk): probes precompute a 128-entry
     distance LUT, candidates are scored by 8 array lookups over their
@@ -2946,8 +2946,8 @@ def _mixture_epochs_oracle_sql() -> str:
     """
 
 
-@_register("q32_mixture_epochs", _mixture_epochs_oracle_sql())
-def q32_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z28_mixture_epochs", _mixture_epochs_oracle_sql())
+def z28_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture sampling WITH repetition
     (operators/mixture.mixture_sample_with_repetition): under-target
     domains upsample by whole epochs plus a hash-selected remainder,
@@ -2971,7 +2971,7 @@ def q32_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars", "epoch")
 
 
-def _ann_recall_oracle_sql(approx_key: str = "q33_lsh_ann") -> str:
+def _ann_recall_oracle_sql(approx_key: str = "z29_lsh_ann") -> str:
     """Recall of an ANN index against brute-force ground truth,
     composed from the two queries' own oracle bodies (nested-WITH
     derived tables are standard SQL; DuckDB executes them as-is)."""
@@ -2991,8 +2991,8 @@ def _ann_recall_oracle_sql(approx_key: str = "q33_lsh_ann") -> str:
     """
 
 
-@_register("q34_ann_recall", _ann_recall_oracle_sql())
-def q34_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z31_ann_recall", _ann_recall_oracle_sql())
+def z31_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation as a relational operator
     (operators/evaluation.ann_recall): recall@10 of the hyperplane-LSH
     index (q33) against brute-force ground truth (q27), per probe.
@@ -3003,7 +3003,7 @@ def q34_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ann_recall(
-        q33_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+        z29_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
     )
 
 
@@ -3122,7 +3122,7 @@ def z18_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q40_vocab_coverage",
+    "z51_vocab_coverage",
     """
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -3141,7 +3141,7 @@ def z18_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM top
     """,
 )
-def q40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z51_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 vocabulary with cumulative corpus coverage
     (operators/vocab.vocab_top_k). The top-V runs as
     TakeOrderedAndProject (per-partition heaps, no global sort of the
@@ -3154,7 +3154,7 @@ def q40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q41_pmi_bigrams",
+    "z54_pmi_bigrams",
     """
     WITH toked AS (
       SELECT string_split(text, ' ') AS t FROM documents
@@ -3184,7 +3184,7 @@ def q40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY pmi DESC, bigram ASC LIMIT 50
     """,
 )
-def q41_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z54_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI collocations over adjacent token pairs
     (operators/vocab.pmi_bigrams): two hash aggregates + two equi-joins
     on token; only (token, count) rows shuffle. Both engines compute
@@ -3563,8 +3563,8 @@ def q01_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, recency], k=10)
 
 
-@_register("q03_ivf_pq_recall", _ann_recall_oracle_sql("q50_ivf_pq_ann"))
-def q03_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("z19_ivf_pq_recall", _ann_recall_oracle_sql("q50_ivf_pq_ann"))
+def z19_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the composed IVF-PQ index (q50) against brute-force
     cosine ground truth (q27) via operators/evaluation.ann_recall — the
     quality dial a real deployment tunes (n_probe_cells × codebook
@@ -3579,9 +3579,9 @@ def q03_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q24_multiprobe_recall", _ann_recall_oracle_sql("q36_multiprobe_lsh_ann")
+    "z20_multiprobe_recall", _ann_recall_oracle_sql("z32_multiprobe_lsh_ann")
 )
-def q24_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of multi-probe LSH (q36) against brute-force ground
     truth (q27): the evidence that probe-side bucket fan-out buys
     recall without touching the corpus index (compare with q34, the
@@ -3592,7 +3592,7 @@ def q24_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ann_recall(
-        q36_multiprobe_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+        z32_multiprobe_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
     )
 
 
@@ -3819,7 +3819,7 @@ def z12_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q43_domain_cap",
+    "za08_domain_cap",
     f"""
     SELECT doc_id, source, sample_rank FROM (
       SELECT doc_id, source,
@@ -3830,7 +3830,7 @@ def z12_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE sample_rank <= 15
     """,
 )
-def q43_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za08_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (operators/sample.group_cap_sample):
     at most 15 docs per source, picked by seeded hash order — the
     head-domain bound every web-corpus mixture applies before
@@ -3847,7 +3847,7 @@ def q43_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q45_weighted_sample",
+    "za11_weighted_sample",
     f"""
     SELECT doc_id, source, n_chars,
            round(pow({_HASH_UNIT_SQL}, 1.0 / n_chars), 7) AS sample_key
@@ -3856,7 +3856,7 @@ def q43_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def q45_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted fixed-size sample
     (operators/sample.weighted_sample_k): Efraimidis–Spirakis A-ES
     keyed on the seeded hash unit (key = u^(1/n_chars), keep the 100
@@ -3882,7 +3882,7 @@ _BLOOM_H2 = "('0x' || substr(md5(s), 8, 7))::BIGINT"
 
 
 @_register(
-    "q44_bloom_decontaminate",
+    "za10_bloom_decontaminate",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     e AS (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
@@ -3915,7 +3915,7 @@ _BLOOM_H2 = "('0x' || substr(md5(s), 8, 7))::BIGINT"
     FROM hits
     """,
 )
-def q44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za10_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination pre-screen
     (functions/sketches.bloom_bits/bloom_membership): the eval set's
     3-gram shingles populate a 2^16-bit Bloom filter (Kirsch–
@@ -3968,7 +3968,7 @@ def q44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q46_incremental_dedup",
+    "za12_incremental_dedup",
     """
     WITH fp AS (
       SELECT doc_id,
@@ -3990,7 +3990,7 @@ def q44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN old o USING (fingerprint)
     """,
 )
-def q46_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup
     (operators/dedup.incremental_exact_duplicates): the daily-crawl
     flow — an existing fingerprint snapshot (here: every 5th doc,
@@ -4049,7 +4049,7 @@ _SQ_DIM = 64
 
 
 @_register(
-    "q28_sq8_ann",
+    "z22_sq8_ann",
     f"""
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4091,7 +4091,7 @@ _SQ_DIM = 64
     WHERE rank <= 10
     """,
 )
-def q28_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z22_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization (SQ8, FAISS IndexScalarQuantizer shape):
     per-dimension min/max from ONE unrolled aggregate (model-sized
     collect), uint8 encode as a narrow codegen projection, then top-10
@@ -4197,8 +4197,8 @@ def _verified_pairs_oracle_sql() -> str:
     """
 
 
-@_register("q48_lsh_verified_pairs", _verified_pairs_oracle_sql())
-def q48_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za16_lsh_verified_pairs", _verified_pairs_oracle_sql())
+def za16_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate verification (operators/dedup.edit_similarity_pairs):
     the MinHash-LSH candidates of q26 scored by normalized edit
     similarity over 200-char prefixes — the verify-before-drop stage a
@@ -4622,19 +4622,28 @@ def q06_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_pca_covariance",
     """
     WITH x AS (
+        -- same 1e-6 fixed-point grid as operators/projection.py
+        -- (_GRAM_SCALE): floor(x*1e6 + 0.5) = round-half-up, then all
+        -- sums are exact integers, so the result is reduction-order
+        -- free on BOTH engines.
         SELECT vec_id, CAST(u.i AS INTEGER) AS i,
-               CAST(embedding[CAST(u.i AS INTEGER) + 1] AS DOUBLE) AS xi
+               CAST(floor(CAST(embedding[CAST(u.i AS INTEGER) + 1] AS DOUBLE)
+                          * 1000000.0 + 0.5) AS BIGINT) AS q
         FROM embeddings, unnest(range(len(embedding))) u(i)
     ), n AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+        SELECT count(*) AS n FROM embeddings
     ), m AS (
-        SELECT i, avg(xi) AS mu FROM x GROUP BY i
+        SELECT i, sum(q) AS sq FROM x GROUP BY i
     ), g AS (
-        SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy
+        SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS sxy
         FROM x a JOIN x b USING (vec_id)
         GROUP BY a.i, b.i
     )
-    SELECT g.i, g.j, round(g.sxy / n.n - mi.mu * mj.mu, 6) AS cov
+    SELECT g.i, g.j,
+           round(CAST(g.sxy AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e12
+                 - (CAST(mi.sq AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e6)
+                   * (CAST(mj.sq AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e6),
+                 6) AS cov
     FROM g
     CROSS JOIN n
     JOIN m mi ON mi.i = g.i
@@ -4646,7 +4655,10 @@ def q09_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     64×64 population covariance of the embedding corpus via ONE
     Arrow-batched partial-Gramian pass (`mapInPandas` emits d² partial
     sums per PARTITION — model-sized rows, never per-document) and a
-    (i, j) hash aggregate. The driver-side eigensolve that consumes
+    (i, j) hash aggregate. Accumulation is EXACT fixed-point (1e-6
+    grid, int64 partials, DECIMAL(38,0) cross-partition sums), so the
+    driver hash cannot flip with partition order — the round-4 flake
+    class is structurally closed. The driver-side eigensolve that consumes
     this matrix is pytest-verified (orthonormality, variance order,
     reconstruction); this query differential-checks the part that
     actually touches 100 TB. Oracle computes the same covariance by
@@ -5366,7 +5378,7 @@ def q19_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z19_time_travel",
+    "q03_time_travel",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -5375,7 +5387,7 @@ def q19_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
 )
-def z19_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional-table time travel (`sources/acid.py` — the
     Delta-shaped log-structured format over plain parquet): create a
     table from orders with o_orderkey%4==0 (v1), ACID-append the
@@ -5406,7 +5418,7 @@ def z19_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z20_acid_upsert",
+    "q24_acid_upsert",
     """
     SELECT c_custkey,
            CASE WHEN c_custkey % 10 = 0 THEN 'PLATINUM'
@@ -5418,7 +5430,7 @@ def z19_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT -1 AS c_custkey, 'PLATINUM' AS c_mktsegment, 0.0 AS c_acctbal
     """,
 )
-def z20_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE (`sources/acid.py:upsert` — the batch twin
     of the streaming foreachBatch upsert): customers land as a
     transactional table, an update batch promotes every 10th customer
@@ -5463,7 +5475,7 @@ def z20_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z21_wav_audio_stats",
+    "q25_wav_audio_stats",
     """
     WITH samples AS (
         SELECT doc_id, length(text) AS n, u.i AS i,
@@ -5498,7 +5510,7 @@ def z20_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id, n
     """,
 )
-def z21_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality with a REAL codec end-to-end: each document's
     text becomes 16-bit PCM (sample = (byte−128)·256), is serialized
     as a canonical RIFF/WAVE file (``functions/wav.py`` — from-scratch
@@ -5557,7 +5569,7 @@ def z21_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z22_gif_frame_sample",
+    "q28_gif_frame_sample",
     """
     WITH v AS (
         SELECT doc_id, text, length(text) // 16 AS nf
@@ -5578,7 +5590,7 @@ def z21_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, i
     """,
 )
-def z22_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality with a REAL codec end-to-end: each document's
     text becomes an animated GIF89a (``functions/gif.py`` — the
     from-scratch LZW codec; one 4×4 grayscale frame per 16 bytes,
@@ -5796,7 +5808,7 @@ def z25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z26_multimodal_manifest",
+    "q29_multimodal_manifest",
     """
     WITH base AS (
         SELECT doc_id, text, length(text) AS n_chars
@@ -5841,7 +5853,7 @@ def z25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN zcr ON zcr.doc_id = b.doc_id
     """,
 )
-def z26_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal training-data manifest: ONE pass over documents
     exercises all three real from-scratch codecs side by side — text
     renders to a PNG whose decoded pixel entropy is the image-quality
@@ -5952,7 +5964,7 @@ def z27_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z28_zorder_optimize",
+    "q32_zorder_optimize",
     """
     SELECT o_orderkey % 64 AS zx, count(*) AS n,
            round(sum(o_totalprice), 2) AS total_price
@@ -5961,7 +5973,7 @@ def z27_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderkey % 64
     """,
 )
-def z28_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`OPTIMIZE ... ZORDER BY` on the transactional table format
     (``sources/acid.py:optimize_zorder`` + ``operators/zorder.py``):
     orders land scattered across small files, then one remove+add
@@ -6001,7 +6013,7 @@ def z28_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z29_data_skipping",
+    "q33_data_skipping",
     """
     SELECT o_orderstatus,
            count(*)                    AS n,
@@ -6011,7 +6023,7 @@ def z28_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
 )
-def z29_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-log data skipping (``sources/acid.py:prune_files``):
     orders land range-partitioned into many files, each commit records
     per-file min/max footer stats in the transaction log, and the read
@@ -6083,7 +6095,7 @@ def z30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "z31_change_data_feed",
+    "q34_change_data_feed",
     """
     SELECT o_orderkey, 'insert' AS _change_type
     FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 8 <> 1
@@ -6095,7 +6107,7 @@ def z30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders WHERE o_orderkey % 16 = 8
     """,
 )
-def z31_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed (``sources/acid.py:table_changes``) across a
     four-commit history: create (orderkey%4==0), append the %4==1
     slice, delete the %8==1 rows of it, upsert a status change onto
@@ -6184,8 +6196,8 @@ def _image_near_dup_oracle_sql(max_hamming: int = 6) -> str:
     """
 
 
-@_register("z32_image_near_dup", _image_near_dup_oracle_sql())
-def z32_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q36_image_near_dup", _image_near_dup_oracle_sql())
+def q36_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual IMAGE near-duplicate pairs — the CV-side dedup the
     reference's domain needs: real 8×9 PNG encode → real decode →
     64-bit dHash (q99's chain, full-grid docs only so no padding) →
@@ -7125,7 +7137,7 @@ def _consensus_oracle_sql() -> str:
     registered z32 / z36 / q49 oracles verbatim (each with its own
     WITH chain, nested as subqueries), full-outer-merged on the pair
     key. Consensus = present in ≥ 2 modalities."""
-    img = _ORACLES["z32_image_near_dup"]
+    img = _ORACLES["q36_image_near_dup"]
     aud = _ORACLES["z36_audio_fingerprint_pairs"]
     txt = _ORACLES["q49_simhash_near_dup_pairs"]
     return f"""
@@ -7171,7 +7183,7 @@ def z46_multimodal_consensus_pairs(
     smaller than the corpus) on the pair key — three small hash
     joins, nothing corpus-sized."""
     t = F.lit(True)
-    img = z32_image_near_dup(spark, sf_dir).select(
+    img = q36_image_near_dup(spark, sf_dir).select(
         "id_a", "id_b", t.alias("in_image")
     )
     aud = z36_audio_fingerprint_pairs(spark, sf_dir).select(
@@ -7449,8 +7461,8 @@ def _triangle_oracle_sql() -> str:
     )
 
 
-@_register("z51_triangle_stats", _triangle_oracle_sql())
-def z51_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q40_triangle_stats", _triangle_oracle_sql())
+def q40_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + local clustering coefficients over the
     SimHash near-duplicate pair graph (q49's exact edges) — the
     cohesion audit between pair generation and destructive cluster
@@ -7589,8 +7601,8 @@ def _lpa_oracle_sql() -> str:
     )
 
 
-@_register("z54_lpa_communities", _lpa_oracle_sql())
-def z54_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q41_lpa_communities", _lpa_oracle_sql())
+def q41_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al.
     2007) over the SimHash near-duplicate pair graph — the
     majority-vote refinement of connected components: a bridge edge
@@ -7703,8 +7715,8 @@ def _kcore_oracle_sql() -> str:
     )
 
 
-@_register("z57_kcore_members", _kcore_oracle_sql())
-def z57_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q42_kcore_members", _kcore_oracle_sql())
+def q42_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the SimHash near-duplicate pair graph — iterative
     degree peeling (Batagelj & Zaveršnik 2003) until every surviving
     node keeps ≥ 3 neighbors: the "hard kernel" of each duplicate
@@ -9516,8 +9528,8 @@ def _bfs_oracle() -> str:
     return bfs_oracle_sql(_PR_EDGES_SQL, _BFS_SEEDS, _BFS_HOPS)
 
 
-@_register("za08_bfs_distances", _bfs_oracle())
-def za08_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q43_bfs_distances", _bfs_oracle())
+def q43_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source 4-hop BFS distances (operators/bfs.bfs_distances)
     over the q07 supplier↔customer trade graph from literal seed
     suppliers {1,2,3} — the TrustRank-style "hops from a trusted
@@ -9591,8 +9603,8 @@ def _ppjoin_oracle() -> str:
     return prefix_jaccard_oracle_sql(_SHINGLES_SQL, threshold=0.5)
 
 
-@_register("za10_prefix_jaccard_pairs", _ppjoin_oracle())
-def za10_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q44_prefix_jaccard_pairs", _ppjoin_oracle())
+def q44_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard≥0.5 near-dup pairs via PPJoin prefix filtering
     (operators/ppjoin.py): rarest-first prefixes + length filter prune
     candidates WITHOUT the q90 frequency-cap approximation — hot
@@ -9615,7 +9627,7 @@ def za10_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za11_salted_skew_join",
+    "q45_salted_skew_join",
     """
     WITH dim AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
@@ -9629,7 +9641,7 @@ def za10_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e.user_id
     """,
 )
-def za11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inverse-propensity activity via a SALTED shuffle join
     (operators/skewjoin.salted_join): events join their event-type
     stats dim on (event_type, salt) with the dim replicated 8×, so a
@@ -9671,8 +9683,8 @@ def _maxsim_oracle() -> str:
     return maxsim_oracle_sql()
 
 
-@_register("za12_maxsim_topk", _maxsim_oracle())
-def za12_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q46_maxsim_topk", _maxsim_oracle())
+def q46_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style late-interaction retrieval
     (operators/late_interaction.maxsim_topk): each 64-float embedding
     is read as 8 pseudo-token vectors × 8 dims (flat array + shape,
@@ -9806,8 +9818,8 @@ def _logreg_oracle() -> str:
     )
 
 
-@_register("za16_logistic_gd", _logreg_oracle())
-def za16_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q48_logistic_gd", _logreg_oracle())
+def q48_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression (operators/logreg.logistic_gd):
     5 exact full-batch GD steps predicting l_returnflag='R' from
     scaled quantity/discount/price. Per step, executors compute the

@@ -58,3 +58,17 @@ def test_holt_exact_on_linear_series(spark):
 def test_holt_drops_singleton_series(spark):
     got = _run(spark, {"one": [5.0], "two": [1.0, 2.0]})
     assert "one" not in got and "two" in got
+
+
+def test_holt_bigint_key_roundtrips(spark):
+    # the output 'key' field derives its type from the input key
+    # column — bigint keys must come back as ints, not strings
+    rows = [
+        Row(k=1001, t=i, y=float(v))
+        for i, v in enumerate([3.0, 5.0, 4.0, 6.0])
+    ]
+    df = spark.createDataFrame(rows)
+    out = holt_linear(df, "k", "t", "y")
+    assert out.schema["key"].dataType.simpleString() == "bigint"
+    got = {r["key"]: r for r in out.collect()}
+    assert 1001 in got and got[1001]["n_points"] == 4

@@ -35,9 +35,9 @@ AUDIT = {
         "plan; q33/q36 are the bucketed scale paths that avoid it",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q33_lsh_ann": ("candidates via (table, bucket) equi-join; no cross product", ()),
+    "z29_lsh_ann": ("candidates via (table, bucket) equi-join; no cross product", ()),
     "q89_ivf_ann": ("cell equi-join touches n_probe/n_cells of the corpus; probes broadcast", ()),
-    "q29_pq_adc_knn": (
+    "z26_pq_adc_knn": (
         "the ADC scan reads codes, not vectors; probe LUTs broadcast — the "
         "corpus×probe product over compressed codes is the intended scan "
         "(compose with q36's IVF cells to prune it)",
@@ -71,7 +71,7 @@ AUDIT = {
         "of unrolled per-dimension sums with map-side combine",
         (),
     ),
-    "q42_winnow_near_dup_pairs": (
+    "z57_winnow_near_dup_pairs": (
         "fingerprint equi-join with the document-frequency cap; Arrow-batched "
         "fingerprinting, only (id, fp) rows shuffle",
         (),
@@ -81,7 +81,7 @@ AUDIT = {
         "within-cluster equi-join — cross-cluster pairs never form",
         (),
     ),
-    "q44_bloom_decontaminate": (
+    "za10_bloom_decontaminate": (
         "bloom bits broadcast; probes are (id, int) rows; corpus text "
         "never shuffles",
         (),
@@ -90,16 +90,16 @@ AUDIT = {
         "TakeOrderedAndProject (per-partition top-k), not a global sort",
         (),
     ),
-    "q45_weighted_sample": (
+    "za11_weighted_sample": (
         "A-ES weighted sampling is the same TakeOrderedAndProject shape",
         (),
     ),
-    "q36_multiprobe_lsh_ann": (
+    "z32_multiprobe_lsh_ann": (
         "probe-side bucket fan-out ×(1+n_flip); candidates still a "
         "(table, bucket) equi-join — no cross product",
         (),
     ),
-    "q28_sq8_ann": (
+    "z22_sq8_ann": (
         "SQ8 scan reads uint8 codes only; the probe×corpus product over "
         "codes with broadcast probes is the intended scan (same family "
         "as q29's ADC)",
@@ -194,26 +194,26 @@ AUDIT = {
         "(TF-IDF budget); totals ride a 1-row broadcast crossJoin",
         ("BroadcastNestedLoopJoin",),
     ),
-    "z19_time_travel": (
+    "q03_time_travel": (
         "time-travel read resolves the version-2 snapshot from the "
         "commit log driver-side; the plan is a PLAIN parquet scan of "
         "exactly that snapshot's immutable files + one hash agg — no "
         "log join, no extra shuffle",
         (),
     ),
-    "z20_acid_upsert": (
+    "q24_acid_upsert": (
         "copy-on-write MERGE already happened at write time (matched "
         "files found by ONE broadcast semi-join on input_file_name); "
         "the read-back is a plain snapshot scan + narrow projection",
         (),
     ),
-    "z21_wav_audio_stats": (
+    "q25_wav_audio_stats": (
         "real WAV encode→decode→window-stats as narrow Arrow "
         "projections + HOF array aggregation — ZERO shuffle; the WAV "
         "bytes never leave the executor that made them",
         (),
     ),
-    "z22_gif_frame_sample": (
+    "q28_gif_frame_sample": (
         "real GIF LZW encode (Arrow projection) + decode/frame-sample "
         "fan-out (mapInPandas) — narrow end to end, no shuffle",
         (),
@@ -234,7 +234,7 @@ AUDIT = {
         "single Expand) + a stack reshape of the 1-row result",
         (),
     ),
-    "z26_multimodal_manifest": (
+    "q29_multimodal_manifest": (
         "all three codec signals derive in-row: narrow Arrow "
         "projections over one documents scan — zero joins, zero "
         "shuffle",
@@ -249,13 +249,13 @@ AUDIT = {
         "to q29's allowlisted plan",
         ("BroadcastNestedLoopJoin",),
     ),
-    "z28_zorder_optimize": (
+    "q32_zorder_optimize": (
         "the z-order rewrite already committed; the read-back is a "
         "plain snapshot scan with the z-box filter pushed to parquet "
         "footers + one small hash agg",
         (),
     ),
-    "z29_data_skipping": (
+    "q33_data_skipping": (
         "commit-log stats pruned the file list DRIVER-SIDE before "
         "planning; the scan reads only intersecting files, filter "
         "pushed, one small hash agg",
@@ -267,13 +267,13 @@ AUDIT = {
         "one block-join shuffle + one per-query top-k window",
         (),
     ),
-    "z31_change_data_feed": (
+    "q34_change_data_feed": (
         "CDF = full-outer join of two snapshots on (key, md5 "
         "fingerprint) — payloads never cross the join; one keyed "
         "shuffle",
         (),
     ),
-    "z32_image_near_dup": (
+    "q36_image_near_dup": (
         "image near-dup: PNG decode + dHash are narrow Arrow "
         "projections; pairing is the generic Hamming band equi-join "
         "over DISTINCT 8-byte fingerprints — no cross product, "
@@ -392,7 +392,7 @@ AUDIT = {
         "nothing corpus-sized crosses",
         (),
     ),
-    "z51_triangle_stats": (
+    "q40_triangle_stats": (
         "triangles: degree-oriented node-iterator — wedge self-join "
         "+ left-semi close test, all equi-joins on id pairs; "
         "orientation bounds wedges at m^1.5 (no last-reducer hub)",
@@ -528,7 +528,7 @@ AUDIT = {
         "crossJoin idiom",
         ("BroadcastNestedLoopJoin",),
     ),
-    "z51_triangle_stats": (
+    "q40_triangle_stats": (
         "collapsed path: quotient-graph enumeration + closed-form "
         "expansion; shuffles carry class ids and (node, cls) rows, "
         "never clique-sized pair sets",
@@ -684,7 +684,7 @@ AUDIT = {
         "crossJoin",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za08_bfs_distances": (
+    "q43_bfs_distances": (
         "per level one node-keyed equi-join + distinct + visited "
         "anti-join; frontiers localCheckpoint'd (final plan unions "
         "materialized level RDDs)",
@@ -696,18 +696,18 @@ AUDIT = {
         "aggregate on (word, double); TakeOrdered top-20",
         (),
     ),
-    "za10_prefix_jaccard_pairs": (
+    "q44_prefix_jaccard_pairs": (
         "freq aggregate + shingle-keyed annotate join + per-doc "
         "window prefix cut + prefix self-equi-join with length "
         "filter; exact array_intersect verify on candidate ids only",
         (),
     ),
-    "za11_salted_skew_join": (
+    "q45_salted_skew_join": (
         "(type, salt)-keyed ShuffledHashJoin with 8x exploded dim; "
         "codegen xxhash64 salt; independent user-keyed aggregate",
         (),
     ),
-    "za12_maxsim_topk": (
+    "q46_maxsim_topk": (
         "map-side corpus scan x broadcast 3-probe set (intended, as "
         "q27); static 8x8 slice-cosine grid in one JVM expression; "
         "only shuffle is the per-probe top-k window",
@@ -732,7 +732,7 @@ AUDIT = {
         "broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za16_logistic_gd": (
+    "q48_logistic_gd": (
         "aggregate-only training: per GD step one scan with map-side "
         "partial gradient sums; data rows never shuffle; model state "
         "is 4 driver doubles folded back as literals",
