@@ -132,18 +132,28 @@ def prepare_training_corpus(
             id_col, text_col
         )
 
+    # Persist at BOTH sides of exact dedup. The dedup stage consumes
+    # the pre-dedup frame TWICE (keep-min hash agg + semi-join probe),
+    # so without the first cache the scan → quality → surprisal →
+    # domain-cap prefix replays in full inside the agg (measured ~3 s
+    # of the composition at sf0.1; at 100 TB a whole corpus re-scan).
+    # The post-dedup frame then feeds 5+ consumers (LSH candidates —
+    # inside which connected components re-reads it across label
+    # rounds — span/DSIR gates, decontamination, the final anti-joins),
+    # so it gets its own cache and the pre-dedup one is released as
+    # soon as it's materialized.
+    pre = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    pre.count()  # eager: consumers inside one job race cache population
+
     # 2. exact dedup: keep each distinct content's min id
-    keepers = exact_duplicates(kept, text_col, id_col).select(
+    keepers = exact_duplicates(pre, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    kept = kept.join(keepers, id_col, "left_semi")
-    # The filtered+exact-deduped corpus feeds BOTH the LSH candidate
-    # pipeline (inside which connected components re-reads it across
-    # label rounds) and the final anti-join — persist so the
-    # scan→quality→dedup prefix runs once, not per consumer (measured
-    # 31.8 s → see bench: the recompute dominated the composition).
-    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
-    kept.count()  # eager: consumers inside one job race cache population
+    kept = pre.join(keepers, id_col, "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    kept.count()
+    pre.unpersist()
 
     # 2b. substring-span gate: drop documents dominated by verbatim
     # cross-document spans (the Lee et al. signal — boilerplate and

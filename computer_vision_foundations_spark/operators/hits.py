@@ -13,10 +13,12 @@ Spark-first shape per round — same discipline as PageRank:
   (node, double) rows only;
 - the L2 norm is a broadcast 1-row aggregate crossJoin'd back, never
   a driver collect;
-- each half-step is ``localCheckpoint``'d with explicit block release:
-  the recurrence reads every score table twice (join + norm), so a
-  lazy unroll doubles the logical plan per consumer per round — the
-  measured 2^n blowup of SCALE.md "Measured decisions" 10.
+- each half-step's RAW sums are ``localCheckpoint``'d with explicit
+  block release (a lazy unroll doubles the logical plan per consumer
+  per round — the measured 2^n blowup of SCALE.md "Measured
+  decisions" 10), while the normalization stays lazy on top of the
+  checkpoint: normalizing BEFORE the checkpoint evaluated each edge
+  join twice per round (norm agg + value side — measured, round 5).
 
 The oracle twin (:func:`hits_oracle_sql`) unrolls the same recurrence
 as a0/h0..a{n}/h{n} CTEs with identical double arithmetic, so the
@@ -77,34 +79,43 @@ def hits(
     hubs_rdd = None
     auths = None
     auths_rdd = None
+    # Checkpoint the RAW half-step sums and leave normalization lazy:
+    # `_l2_normalize` reads its input twice (norm agg + value side), so
+    # checkpointing AFTER it evaluated each edge join twice per
+    # materialization. With the checkpoint on the raw sums, every edge
+    # join runs exactly once per half-step and the norm is a cheap
+    # node-sized agg over the checkpoint (measured q10: 16.8 s → see
+    # SCALE.md — the edge join dominated, the norm agg is noise).
     for _ in range(n_iter):
         a_raw = (
-            e.join(hubs.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").alias("a"))
-        )
-        new_a = (
-            nodes.join(a_raw, "node", "left")
+            nodes.join(
+                e.join(hubs.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("h").alias("a")),
+                "node",
+                "left",
+            )
             .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+            .localCheckpoint()
         )
-        new_a = _l2_normalize(new_a, "a").localCheckpoint()
         _release(auths_rdd)
-        auths_rdd = _ckpt_rdd(new_a)
-        auths = new_a
+        auths_rdd = _ckpt_rdd(a_raw)
+        auths = _l2_normalize(a_raw, "a")
 
         h_raw = (
-            e.join(auths.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").alias("h"))
-        )
-        new_h = (
-            nodes.join(h_raw, "node", "left")
+            nodes.join(
+                e.join(auths.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("a").alias("h")),
+                "node",
+                "left",
+            )
             .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+            .localCheckpoint()
         )
-        new_h = _l2_normalize(new_h, "h").localCheckpoint()
         _release(hubs_rdd)
-        hubs_rdd = _ckpt_rdd(new_h)
-        hubs = new_h
+        hubs_rdd = _ckpt_rdd(h_raw)
+        hubs = _l2_normalize(h_raw, "h")
 
     out = (
         nodes.join(hubs, "node", "left")

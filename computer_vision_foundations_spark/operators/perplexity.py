@@ -138,13 +138,23 @@ def bigram_logprob_scores(
     machinery). Self-scored form: the model is fit on ``df`` itself.
     """
     pos = _positioned_tokens(df, text_col, id_col)
-    uni = pos.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
-    total = uni.agg(F.sum("ucnt").cast("double").alias("_n_total"))
-    bi = (
-        pos.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "token")
+    # ONE corpus-sized aggregate fits the whole model: grouping
+    # (prev, token) WITH the NULL-prev rows (document-initial tokens)
+    # makes the unigram table a derived sum over the bigram table —
+    # exact integer counts, identical values — so the corpus is
+    # tokenized+shuffled once for the model instead of once per
+    # sub-model (uni + bi separately = 2 full passes; measured q11
+    # 12.4 s → see SCALE.md). The aggregate is model-sized (|distinct
+    # bigrams| rows), so the checkpoint that lets its three consumers
+    # share it is cheap.
+    bi_all = (
+        pos.groupBy("prev", "token")
         .agg(F.count(F.lit(1)).alias("bcnt"))
+        .localCheckpoint()
     )
+    uni = bi_all.groupBy("token").agg(F.sum("bcnt").alias("ucnt"))
+    total = uni.agg(F.sum("ucnt").cast("double").alias("_n_total"))
+    bi = bi_all.filter(F.col("prev").isNotNull())
     prev_tot = bi.groupBy("prev").agg(
         F.sum("bcnt").cast("double").alias("pcnt")
     )

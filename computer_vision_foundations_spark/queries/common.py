@@ -1,0 +1,71 @@
+"""Query registry: every implemented operator as (PySpark impl, DuckDB oracle).
+
+This is the engine's differential-test surface (SURVEY §5): each entry
+pairs a DataFrame pipeline built from the package's operators with an
+ANSI-SQL equivalent the driver runs on DuckDB over the same parquet
+tables. Column names and types are aligned on both sides; floating
+aggregates are rounded identically so order-insensitive value hashes
+match across engines.
+
+Conventions:
+- every callable takes ``(spark, sf_dir)`` and returns a DataFrame
+- every computed column is aliased identically in Spark and SQL
+- sums rounded to 2, averages to 4, ratios/similarities to 6 digits
+- deterministic total order is never required (driver hash is
+  order-insensitive) but ties in top-k/rank are always broken by id
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.functions.filename import with_parsed_filename
+from computer_vision_foundations_spark.functions.text import (
+    STOPWORDS,
+    language_score_columns,
+    quality_columns,
+)
+from computer_vision_foundations_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_from_hashes,
+)
+from computer_vision_foundations_spark.operators.score import score_with
+from computer_vision_foundations_spark.operators.similarity import brute_force_knn
+from computer_vision_foundations_spark.operators.split import (
+    deterministic_split,
+    train_test_split,
+)
+from computer_vision_foundations_spark.sources.tables import load_table
+from computer_vision_foundations_spark.streaming.windows import (
+    sessionized,
+    tumbling_counts,
+)
+
+QuerySpec = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QuerySpec] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QuerySpec) -> QuerySpec:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QuerySpec]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -48,21 +48,21 @@ SWEEP_QUERIES = [
     "q90_ngram_jaccard_pairs",
     "q26_lsh_candidate_pairs",
     "q49_simhash_near_dup_pairs",
-    "q42_winnow_near_dup_pairs",
-    "q48_lsh_verified_pairs",
+    "z57_winnow_near_dup_pairs",
+    "za16_lsh_verified_pairs",
     "q94_dedup_clusters",
     "q91_embedding_near_dup",
     "q13_incremental_lsh",
-    "q46_incremental_dedup",
+    "za12_incremental_dedup",
     "q35_decontamination_pairs",
-    "q44_bloom_decontaminate",
+    "za10_bloom_decontaminate",
     "q27_knn_cosine",
-    "q33_lsh_ann",
-    "q36_multiprobe_lsh_ann",
+    "z29_lsh_ann",
+    "z32_multiprobe_lsh_ann",
     "q89_ivf_ann",
-    "q29_pq_adc_knn",
+    "z26_pq_adc_knn",
     "q50_ivf_pq_ann",
-    "q28_sq8_ann",
+    "z22_sq8_ann",
     "q47_unigram_surprisal",
     "q20_training_corpus",
     "q82_sessionization",
@@ -72,9 +72,9 @@ SWEEP_QUERIES = [
     # proves the codecs stay exact on 5x the documents), the rerank
     # composes two oracled stages, and the profiler counts must grow
     # exactly as the replication predicts.
-    "z21_wav_audio_stats",
-    "z22_gif_frame_sample",
-    "z26_multimodal_manifest",
+    "q25_wav_audio_stats",
+    "q28_gif_frame_sample",
+    "q29_multimodal_manifest",
     "z27_pq_rerank",
     "z25_table_profile",
     # second round-4 wave: the paragraph/audio/image pair generators
@@ -126,8 +126,8 @@ PAIR_QUERIES = {
     "q90_ngram_jaccard_pairs",
     "q26_lsh_candidate_pairs",
     "q49_simhash_near_dup_pairs",
-    "q42_winnow_near_dup_pairs",
-    "q48_lsh_verified_pairs",
+    "z57_winnow_near_dup_pairs",
+    "za16_lsh_verified_pairs",
     "q91_embedding_near_dup",
     "q13_incremental_lsh",
     "q35_decontamination_pairs",
