@@ -38,6 +38,8 @@ __all__ = [
     "jl_sign_matrix",
     "random_projection",
     "covariance_matrix",
+    "cross_gramian",
+    "procrustes_fit",
     "pca_fit",
     "pca_project",
 ]
@@ -243,6 +245,110 @@ def covariance_matrix(
     if decimals is not None:
         cov = cov.withColumn("cov", F.round("cov", decimals))
     return cov
+
+
+_XGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("sxy", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _partial_cross(x_col: str, y_col: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        count = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[x_col]])
+            y = np.array([np.asarray(v, dtype=np.float64) for v in pdf[y_col]])
+            qx = np.floor(x * float(_GRAM_SCALE) + 0.5).astype(np.int64)
+            qy = np.floor(y * float(_GRAM_SCALE) + 0.5).astype(np.int64)
+            g = qx.T @ qy  # (dx, dy) int64 — exact, order-free
+            gram = g if gram is None else gram + g
+            count += len(pdf)
+        if gram is None:
+            return
+        dx, dy = gram.shape
+        ii, jj = np.meshgrid(np.arange(dx), np.arange(dy), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "sxy": gram.ravel(),
+                "n": np.full(dx * dy, count, dtype=np.int64),
+            }
+        )
+
+    return fn
+
+
+def cross_gramian(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    decimals: int | None = 6,
+) -> DataFrame:
+    """``(i, j, m)`` rows of M = (1/n)·Σ x·yᵀ between two vector
+    columns — the distributed stage of orthogonal Procrustes alignment
+    (Schönemann 1966): aligning two embedding SPACES (a re-trained
+    encoder, a projected index vs its source) needs only this dx×dy
+    moment matrix; the rotation itself is a model-sized driver SVD
+    (:func:`procrustes_fit`). Same exact fixed-point reduction as
+    :func:`covariance_matrix` — 1e-6 grid, int64 per partition,
+    DECIMAL(38,0) across partitions — so the result is identical under
+    any partitioning, and a SQL oracle replays it as integer sums.
+    One corpus pass; only dx·dy cells ever shuffle."""
+    parts = df.select(x_col, y_col).mapInPandas(
+        _partial_cross(x_col, y_col), schema=_XGRAM_SCHEMA
+    )
+    dec = T.DecimalType(38, 0)
+    tot = parts.groupBy("i", "j").agg(
+        F.sum(F.col("sxy").cast(dec)).alias("sxy"),
+        F.sum("n").alias("n"),
+    )
+    m = (
+        F.col("sxy").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(float(_GRAM_SCALE) * float(_GRAM_SCALE))
+    )
+    out = tot.select("i", "j", m.alias("m"))
+    if decimals is not None:
+        out = out.withColumn("m", F.round("m", decimals))
+    return out
+
+
+def procrustes_fit(
+    df: DataFrame, x_col: str, y_col: str
+) -> dict:
+    """Orthogonal Procrustes: the rotation Ω = U·Vᵀ (from the SVD of
+    the cross-Gramian M = Σ x·yᵀ) minimizing ‖XΩ − Y‖_F over
+    orthogonal Ω. Distributed work is ONE exact cross-Gramian pass;
+    the SVD is dx×dy driver-side (model-sized, like the PCA
+    eigensolve). Returns {'rotation': [dx][dy], 'singular_values':
+    [...]} with sign-canonicalized factors so results are
+    deterministic across BLAS builds."""
+    rows = cross_gramian(df, x_col, y_col, decimals=None).collect()
+    dx = max(r["i"] for r in rows) + 1
+    dy = max(r["j"] for r in rows) + 1
+    m = np.zeros((dx, dy))
+    for r in rows:
+        m[r["i"], r["j"]] = float(r["m"])
+    u, s, vt = np.linalg.svd(m, full_matrices=False)
+    # canonical signs: largest-|entry| of each left vector positive
+    for k in range(u.shape[1]):
+        if u[np.argmax(np.abs(u[:, k])), k] < 0:
+            u[:, k] = -u[:, k]
+            vt[k] = -vt[k]
+    omega = u @ vt
+    return {
+        "rotation": omega.tolist(),
+        "singular_values": s.tolist(),
+    }
 
 
 def pca_fit(

@@ -2342,3 +2342,169 @@ def za18_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "ord", F.round("val", 2).alias("val"), "order_key"
     )
+
+
+def _expectations_oracle() -> str:
+    from computer_vision_foundations_spark.operators.expectations import (
+        expectations_oracle_sql,
+    )
+
+    blocks = expectations_oracle_sql("lineitem", _LINEITEM_EXPECTATIONS_SQL)
+    # referential-integrity block appended with the same output shape
+    return f"""
+    {blocks}
+    UNION ALL
+    SELECT 'orders_customer_fk' AS constraint,
+           (SELECT count(*) FROM orders) AS n_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS violations,
+           round(CASE WHEN (SELECT count(*) FROM orders) > 0
+                      THEN 1.0 - (SELECT count(*) FROM orders o
+                                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                                    WHERE c.c_custkey = o.o_custkey))
+                           / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+                      ELSE 1.0 END, 6) AS pass_rate
+    """
+
+
+_LINEITEM_EXPECTATIONS_SQL = {
+    "qty_range": "l_quantity BETWEEN 1 AND 50",
+    "price_positive": "l_extendedprice > 0",
+    "discount_range": "l_discount BETWEEN 0 AND 0.1",
+    "tax_range": "l_tax BETWEEN 0 AND 0.08",
+    "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    "linestatus_domain": "l_linestatus IN ('O', 'F')",
+    "shipdate_present": "l_shipdate IS NOT NULL",
+}
+
+
+@_register("za19_expectations", _expectations_oracle())
+def za19_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations
+    (operators/expectations.py) — the systematic form of the
+    reference's manual load validation (`02_Data Ingest.py` display /
+    count checks; the platform's Delta-Live-Tables "expectations"
+    shape): seven row-local constraints over lineitem evaluated in ONE
+    aggregate pass (map-side counting, a single scan), plus an
+    orders→customer referential-integrity expectation as a keys-only
+    anti-join — per constraint: row count, violations, pass rate.
+    NULL constraint values count as violations on both engines."""
+    from computer_vision_foundations_spark.operators.expectations import (
+        check_expectations,
+        referential_integrity,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    constraints = {
+        "qty_range": F.col("l_quantity").between(1, 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_range": F.col("l_discount").between(0, 0.1),
+        "tax_range": F.col("l_tax").between(0, 0.08),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "linestatus_domain": F.col("l_linestatus").isin("O", "F"),
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+    }
+    rows = check_expectations(li, constraints)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    fk = referential_integrity(
+        orders, customer, "o_custkey", "c_custkey", "orders_customer_fk"
+    )
+    return rows.unionByName(fk)
+
+
+_XG_OUT_DIM, _XG_SEED = 16, 99
+
+
+def _cross_gramian_oracle() -> str:
+    from computer_vision_foundations_spark.operators.projection import (
+        jl_sign_matrix,
+    )
+
+    rows = jl_sign_matrix(64, _XG_OUT_DIM, _XG_SEED)
+    y_list = ", ".join(
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(x) for x in row)}]), 6)"
+        for row in rows
+    )
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+               [{y_list}] AS y
+        FROM embeddings
+    ), n AS (
+        SELECT count(*) AS n FROM proj
+    ), xs AS (
+        SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+               CAST(floor(x[CAST(u.i AS INTEGER) + 1] * 1000000.0 + 0.5)
+                    AS BIGINT) AS qx,
+               y
+        FROM proj, unnest(range(len(x))) u(i)
+    ), cells AS (
+        SELECT i, CAST(v.j AS INTEGER) AS j,
+               qx * CAST(floor(y[CAST(v.j AS INTEGER) + 1] * 1000000.0 + 0.5)
+                         AS BIGINT) AS t
+        FROM xs, unnest(range(len(y))) v(j)
+    )
+    SELECT cells.i, cells.j,
+           round(CAST(sum(t) AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e12, 6) AS m
+    FROM cells CROSS JOIN n
+    GROUP BY cells.i, cells.j, n.n
+    """
+
+
+@_register("za20_procrustes_gramian", _cross_gramian_oracle())
+def za20_procrustes_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed stage of orthogonal Procrustes embedding-space
+    alignment (operators/projection.cross_gramian): the 64×16 moment
+    matrix M = (1/n)·Σ x·yᵀ between the embedding corpus and its
+    seeded JL projection — the input to the model-sized driver SVD
+    that aligns a re-trained embedding space to the old index
+    (procrustes_fit, pytest-verified for orthogonality + alignment
+    error). Same exact fixed-point reduction as q09 (1e-6 grid, int64
+    partials, DECIMAL(38,0) sums): partition-order invariant by
+    construction, ONE corpus pass, only 1024 cells shuffle."""
+    from computer_vision_foundations_spark.operators.projection import (
+        cross_gramian,
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(
+        emb, "embedding", out_dim=_XG_OUT_DIM, seed=_XG_SEED
+    )
+    return cross_gramian(proj, "embedding", "projected")
+
+
+def _conformal_oracle() -> str:
+    from computer_vision_foundations_spark.operators.conformal import (
+        conformal_oracle_sql,
+    )
+
+    return conformal_oracle_sql(
+        "events", "value", "event_type", "event_id",
+        alpha=0.1, cal_frac=0.5, seed=7,
+    )
+
+
+@_register("za21_conformal_band", _conformal_oracle())
+def za21_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction band (operators/conformal.py):
+    conformalize a per-event-type mean baseline on a seeded
+    hash-deterministic calibration split of the events stream, report
+    the band half-width q̂ (the exact ⌈(n+1)(1−α)⌉-th smallest
+    calibration residual — scale-safe two-phase global rank, no
+    single-task sort) and the achieved coverage on the held-out half.
+    Every aggregate on the exact 1e-6 grid: nothing in the pipeline
+    depends on float reduction order."""
+    from computer_vision_foundations_spark.operators.conformal import (
+        conformal_band,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return conformal_band(
+        ev, "value", "event_type", "event_id",
+        alpha=0.1, cal_frac=0.5, seed=7,
+    )
