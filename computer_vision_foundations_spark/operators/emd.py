@@ -1,0 +1,125 @@
+"""Exact 1-D Wasserstein-1 (earth mover's) distance between two
+empirical distributions.
+
+For 1-D distributions W1 has a closed form: the integral of the
+absolute difference of the two CDFs,
+
+    W1 = ∫ |F_A(x) − F_B(x)| dx
+       = Σ_support |F_A(x_i) − F_B(x_i)| · (x_{i+1} − x_i),
+
+so it needs no optimal-transport solver — one histogram per side, a
+merge of the supports, and a cumulative window. W1 complements the
+repo's KS statistic (za07: max CDF gap — shape-sensitive, scale-free)
+by measuring HOW FAR mass moved in value units, the quantity a
+mixture-rebalancing decision actually needs.
+
+Spark-first + determinism design: each side reduces to |support| rows
+via a map-side-combinable count groupBy (integers); the CDFs are
+per-row scalar divisions of exact integers; the cross-support
+reduction sums contributions quantized to the 1e-6 grid as BIGINT —
+no float reduction order anywhere. One full-outer join on the support
+value, one ordered window over the (tiny) merged support.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["wasserstein_1d", "wasserstein_oracle_sql"]
+
+_SCALE = 1_000_000
+
+
+def wasserstein_1d(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One row ``(n_a, n_b, w1)``: exact earth mover's distance
+    between the two frames' integer-valued ``value_col``
+    distributions."""
+    ha = (
+        a.select(value_col.cast("long").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    hb = (
+        b.select(value_col.cast("long").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = ha.join(hb, "x", "full_outer").select(
+        "x",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.partitionBy().orderBy("x")
+    cum = merged.select(
+        "x",
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+        F.lead("x").over(w_next).alias("next_x"),
+    ).filter(F.col("next_x").isNotNull())
+    gap = (F.col("next_x") - F.col("x")).cast("double")
+    diff = F.abs(
+        F.col("cuma").cast("double") / F.col("na").cast("double")
+        - F.col("cumb").cast("double") / F.col("nb").cast("double")
+    )
+    contrib_q = F.floor(diff * gap * _SCALE + F.lit(0.5)).cast("long")
+    return cum.select(
+        "na", "nb", contrib_q.alias("_cq")
+    ).agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.sum("_cq").cast("double") / F.lit(float(_SCALE)), round_digits
+        ).alias("w1"),
+    )
+
+
+def wasserstein_oracle_sql(
+    a_sql: str,
+    b_sql: str,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin over two sources each yielding a single integer
+    ``x`` column — same merge, same scalar CDF expression tree, same
+    quantized reduction."""
+    return f"""
+    WITH ha AS (
+        SELECT x, count(*) AS ca FROM ({a_sql}) GROUP BY 1
+    ), hb AS (
+        SELECT x, count(*) AS cb FROM ({b_sql}) GROUP BY 1
+    ), merged AS (
+        SELECT coalesce(ha.x, hb.x) AS x,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        FROM ha FULL OUTER JOIN hb ON ha.x = hb.x
+    ), cum AS (
+        SELECT x,
+               CAST(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cumb,
+               CAST(sum(ca) OVER () AS BIGINT) AS na,
+               CAST(sum(cb) OVER () AS BIGINT) AS nb,
+               lead(x) OVER (ORDER BY x) AS next_x
+        FROM merged
+    )
+    SELECT max(na) AS n_a, max(nb) AS n_b,
+           round(CAST(sum(CAST(floor(abs(CAST(cuma AS DOUBLE)
+                                         / CAST(na AS DOUBLE)
+                                         - CAST(cumb AS DOUBLE)
+                                           / CAST(nb AS DOUBLE))
+                                     * CAST(next_x - x AS DOUBLE)
+                                     * {_SCALE} + 0.5) AS BIGINT))
+                      AS DOUBLE) / {_SCALE}.0, {round_digits}) AS w1
+    FROM cum WHERE next_x IS NOT NULL
+    """

@@ -18,6 +18,7 @@ from computer_vision_foundations_spark.queries import (  # noqa: F401
     part_b,
     part_c,
     part_d,
+    part_e,
 )
 
 

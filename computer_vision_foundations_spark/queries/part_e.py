@@ -1,0 +1,272 @@
+"""Registry slice — see computer_vision_foundations_spark/queries/__init__.py.
+
+Round-6 wave: ML-platform feature/eval operators (histogram split
+finding, out-of-fold target encoding, WoE/IV, isotonic calibration,
+CUPED), distribution-shift measures (PSI, 1-D Wasserstein), density
+outliers (blocked LOF) and item-item collaborative filtering.
+"""
+from __future__ import annotations
+
+from computer_vision_foundations_spark.queries.common import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _register,
+    load_table,
+)
+
+
+# ---------------------------------------------------------------------------
+# za22 — item-item collaborative filtering (operators/cf.py)
+# ---------------------------------------------------------------------------
+
+def _item_cf_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.cf import (
+        item_cosine_oracle_sql,
+    )
+
+    inner = item_cosine_oracle_sql(
+        "SELECT o_custkey AS bk, l_partkey AS it FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey",
+        min_cooc=3,
+    )
+    return f"""
+    SELECT * FROM ({inner})
+    ORDER BY cosine DESC, item_a, item_b LIMIT 100
+    """
+
+
+@_register("za22_item_cf", _item_cf_oracle_sql())
+def za22_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (operators/cf.item_cosine_pairs):
+    cosine similarity of part-incidence vectors over customer baskets,
+    computed without materializing any vector — co-occurrence is a
+    self-equi-join of the distinct (customer, part) relation, norms are
+    per-part basket counts. Top-100 pairs by similarity (tie: item
+    ids); baskets over 100 distinct items are dropped by the skew cap
+    that is part of the operator contract and mirrored in the oracle.
+
+    Scale shape: fan-out is quadratic in BASKET size (capped), never
+    corpus size; shuffles carry (basket, item) ids only; cosine is
+    integer-count / exact sqrt — no float reduction anywhere."""
+    from computer_vision_foundations_spark.operators.cf import (
+        item_cosine_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    baskets = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.col("o_custkey").alias("bk"), F.col("l_partkey").alias("it")
+    )
+    pairs = item_cosine_pairs(baskets, "bk", "it", min_cooc=3)
+    return pairs.orderBy(
+        F.desc("cosine"), "item_a", "item_b"
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# za23 — histogram split finding (operators/treesplit.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_Y = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y"
+_SPLIT_MELTED_SQL = f"""
+    SELECT 'quantity' AS feature, CAST(l_quantity AS INT) AS bin,
+           {_SPLIT_Y} FROM lineitem
+    UNION ALL
+    SELECT 'discount_pct', CAST(floor(l_discount * 100 + 0.5) AS INT),
+           {_SPLIT_Y} FROM lineitem
+    UNION ALL
+    SELECT 'ship_month', CAST(month(l_shipdate) AS INT),
+           {_SPLIT_Y} FROM lineitem
+"""
+
+
+def _split_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.treesplit import (
+        best_splits_oracle_sql,
+    )
+
+    return best_splits_oracle_sql(_SPLIT_MELTED_SQL)
+
+
+@_register("za23_histogram_split", _split_oracle_sql())
+def za23_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XGBoost-style histogram split finding
+    (operators/treesplit.histogram_best_splits): bin three lineitem
+    features, build per-(feature, bin) label histograms in ONE
+    map-side-combinable pass, and scan the bins-sized histogram for the
+    weighted-Gini-minimizing threshold per feature — the distributed
+    tree-growing primitive, where the 100 TB fact table costs exactly
+    one hash aggregation however many thresholds are evaluated.
+
+    Determinism: all cumulative quantities are integers; the Gini
+    score is a per-row scalar over them with an identical operation
+    tree in both engines."""
+    from computer_vision_foundations_spark.operators.treesplit import (
+        histogram_best_splits,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_best_splits(
+        li,
+        {
+            "quantity": F.col("l_quantity"),
+            "discount_pct": F.floor(F.col("l_discount") * 100 + 0.5),
+            "ship_month": F.month("l_shipdate"),
+        },
+        (F.col("l_returnflag") == "R"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# za24 / za25 — leakage-free encoding + WoE/IV (operators/encoding.py)
+# ---------------------------------------------------------------------------
+
+def _target_enc_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.encoding import (
+        target_encoding_oracle_sql,
+    )
+
+    return target_encoding_oracle_sql(
+        "orders", "o_orderpriority", "o_totalprice", "o_orderkey",
+        k=5, smoothing=10.0, seed=11,
+    )
+
+
+@_register("za24_target_encoding", _target_enc_oracle_sql())
+def za24_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding
+    (operators/encoding.oof_target_encoding): encode order priority by
+    the smoothed mean total price of the OTHER four hash folds — the
+    leakage-free categorical encoder every tabular training pipeline
+    needs. Folds come from the portable seeded md5 hash unit
+    (partition-invariant, SQL-replayable); sums are DECIMAL-exact on
+    the 1e-6 grid, so no float reduction order exists.
+
+    Scale shape: one map-side-combinable groupBy to |cat|·K rows;
+    everything downstream is model-sized."""
+    from computer_vision_foundations_spark.operators.encoding import (
+        oof_target_encoding,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    return oof_target_encoding(
+        od, "o_orderpriority", "o_totalprice", "o_orderkey",
+        k=5, smoothing=10.0, seed=11,
+    )
+
+
+_WOE_SRC_SQL = """
+    SELECT CAST(least(floor((l_quantity - 1) / 10), 4) AS INT) AS bin,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+"""
+
+
+def _woe_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.encoding import (
+        woe_iv_oracle_sql,
+    )
+
+    return woe_iv_oracle_sql(_WOE_SRC_SQL)
+
+
+@_register("za25_woe_iv", _woe_oracle_sql())
+def za25_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value
+    (operators/encoding.woe_iv) for quantity bins against the
+    return flag — the credit-scoring-style feature screen: per-bin
+    log-odds vs global odds, and IV = Σ (good% − bad%)·WoE. The
+    cross-bin IV reduction is summed on the 1e-6 grid as BIGINT, so
+    the one place a float sum could depend on partition order is
+    integer-exact instead.
+
+    Scale shape: one groupBy to |bins| rows; windows over bins only."""
+    from computer_vision_foundations_spark.operators.encoding import woe_iv
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return woe_iv(
+        li,
+        F.least(F.floor((F.col("l_quantity") - 1) / 10), F.lit(4)),
+        (F.col("l_returnflag") == "R"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# za26 / za27 — distribution shift: PSI + 1-D Wasserstein
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_SQL = "CAST(least(floor(value / 50), 9) AS INT) AS bin"
+_PSI_CUT = "2024-01-16 00:00:00"
+
+
+def _psi_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.psi import (
+        psi_oracle_sql,
+    )
+
+    return psi_oracle_sql(
+        f"SELECT {_PSI_BIN_SQL} FROM events "
+        f"WHERE ts < TIMESTAMP '{_PSI_CUT}'",
+        f"SELECT {_PSI_BIN_SQL} FROM events "
+        f"WHERE ts >= TIMESTAMP '{_PSI_CUT}'",
+    )
+
+
+@_register("za26_psi_drift", _psi_oracle_sql())
+def za26_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/psi.psi_bins) of the
+    event-value distribution, first vs second half of the month — the
+    standard scorecard/feature drift gauge, reported as the per-bin
+    decomposition plus the grid-exact total. Complements KS (za07, max
+    CDF gap) and JS divergence (z65, entropy) with the operationally
+    thresholded measure.
+
+    Scale shape: two count groupBys to |bins| rows, one full-outer
+    join on bin, quantized cross-bin reduction — the 100 TB cost is
+    the two scans."""
+    from computer_vision_foundations_spark.operators.psi import psi_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    bin_col = F.least(F.floor(F.col("value") / 50), F.lit(9))
+    return psi_bins(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        bin_col,
+    )
+
+
+def _w1_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.emd import (
+        wasserstein_oracle_sql,
+    )
+
+    return wasserstein_oracle_sql(
+        "SELECT n_chars AS x FROM documents WHERE source = 'src0'",
+        "SELECT n_chars AS x FROM documents WHERE source = 'src1'",
+    )
+
+
+@_register("za27_wasserstein_shift", _w1_oracle_sql())
+def za27_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth mover's distance (operators/emd.wasserstein_1d)
+    between two sources' document-length distributions — closed-form
+    W1 = ∫|F_A − F_B| via merged-support CDFs, no transport solver.
+    Measures HOW FAR mass moved in value units (KS za07 only says how
+    high the CDF gap peaks), which is what a mixture-rebalancing
+    decision needs.
+
+    Scale shape: each side reduces map-side to |support| rows; one
+    full-outer join + one ordered window over the merged support;
+    cross-support reduction on the 1e-6 grid."""
+    from computer_vision_foundations_spark.operators.emd import (
+        wasserstein_1d,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wasserstein_1d(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+        F.col("n_chars"),
+    )
