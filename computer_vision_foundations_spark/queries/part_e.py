@@ -270,3 +270,94 @@ def za27_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src1"),
         F.col("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za28 / za29 / za30 — LOF, isotonic calibration, CUPED
+# ---------------------------------------------------------------------------
+
+def _lof_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.lof import (
+        lof_oracle_sql,
+    )
+
+    return lof_oracle_sql()
+
+
+@_register("za28_lof_outliers", _lof_oracle_sql())
+def za28_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (operators/lof.lof_scores) over the
+    blocked cosine kNN graph: top-20 locally isolated embeddings —
+    the density-based junk detector complementing the isolation
+    forest's global splits (z79). Distances on the 1e-6 grid,
+    reachability sums BIGINT, lrd an exact integer division: no float
+    reduction order anywhere.
+
+    Scale shape: the blocked kNN join's Σ|block|² budget; after the
+    join everything is (id, BIGINT) edges through three equi-joins."""
+    from computer_vision_foundations_spark.operators.lof import lof_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lof_scores(emb, k=5, block_col="label")
+
+
+_ISO_SRC_SQL = """
+    SELECT CAST(floor(l_discount * 100 + 0.5) AS INT) AS bin,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+"""
+
+
+def _iso_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.isotonic import (
+        isotonic_oracle_sql,
+    )
+
+    return isotonic_oracle_sql(_ISO_SRC_SQL)
+
+
+@_register("za29_isotonic_calibration", _iso_oracle_sql())
+def za29_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration fit
+    (operators/isotonic.isotonic_calibration) of return rate against
+    discount bins, via the order-free minimax closed form
+    iso(k) = max_{i≤k} min_{j≥k} mean(y[i..j]) — one data pass to a
+    |bins| histogram, then an O(B³) bins-only join; segment means are
+    single divisions of exact integers, so both engines agree
+    bit-for-bit. The monotone recalibration a serving stack applies
+    on top of z63's diagnostic table."""
+    from computer_vision_foundations_spark.operators.isotonic import (
+        isotonic_calibration,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return isotonic_calibration(
+        li,
+        F.floor(F.col("l_discount") * 100 + 0.5),
+        (F.col("l_returnflag") == "R"),
+    )
+
+
+def _cuped_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.cuped import (
+        cuped_oracle_sql,
+    )
+
+    return cuped_oracle_sql()
+
+
+@_register("za30_cuped_lift", _cuped_oracle_sql())
+def za30_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout
+    (operators/cuped.cuped_lift): per-user pre/post event value on the
+    1e-6 grid, hash-unit assignment, pooled θ = cov(X,Y)/var(X) from
+    DECIMAL-exact moment sums, raw vs adjusted lift and the r²
+    variance-reduction ratio — the estimator an experimentation
+    platform ships on top of the plain z-test (z90).
+
+    Scale shape: one groupBy to |users| rows + one six-moment global
+    aggregate; every reduction is integer/decimal-exact."""
+    from computer_vision_foundations_spark.operators.cuped import cuped_lift
+
+    ev = load_table(spark, sf_dir, "events")
+    return cuped_lift(ev)

@@ -750,6 +750,49 @@ AUDIT = {
         "— the quadratic NOT-EXISTS truth exists only oracle-side",
         (),
     ),
+    "za22_item_cf": (
+        "basket-capped pair generation as ONE self-equi-join on the "
+        "basket key (fan-out quadratic in basket size, never corpus "
+        "size); norms join back on item ids; global top-100 is "
+        "TakeOrderedAndProject, no single-task sort",
+        (),
+    ),
+    "za23_histogram_split": (
+        "XGBoost histogram trick: one explode + one map-side-"
+        "combinable hash aggregate down to |features|x|bins| rows; "
+        "the split search windows over the tiny histogram only",
+        (),
+    ),
+    "za24_target_encoding": (
+        "one hash aggregate to |cat|xK rows; the global prior is a "
+        "1-row broadcast (the nested-loop join is a scalar "
+        "cross-join by construction)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za26_psi_drift": (
+        "two count aggregates to |bins| rows + one full-outer bin "
+        "join; the cross-bin PSI reduction is a quantized BIGINT sum "
+        "— the 100 TB cost is the two scans",
+        (),
+    ),
+    "za28_lof_outliers": (
+        "blocked kNN join (pairs only within label blocks) + three "
+        "id-keyed equi-joins carrying (id, BIGINT) edges; top-20 via "
+        "TakeOrderedAndProject",
+        (),
+    ),
+    "za29_isotonic_calibration": (
+        "one data pass to an 11-row histogram; the O(B^2)/O(B^3) "
+        "minimax joins are over BINS only — the cartesians are "
+        "11x11 rows by construction, constant at any corpus scale",
+        ("CartesianProduct", "BroadcastNestedLoopJoin"),
+    ),
+    "za30_cuped_lift": (
+        "one groupBy to |users| rows + one six-moment global "
+        "aggregate of DECIMAL-exact sums; nothing downstream is "
+        "data-sized",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
