@@ -46,8 +46,8 @@ HEADLINE = [
     "q83_dedup_exact",
     "q66_text_quality",
     "q90_ngram_jaccard_pairs",
-    "q26_lsh_candidate_pairs",
-    "q27_knn_cosine",
+    "za23_lsh_candidate_pairs",
+    "za24_knn_cosine",
     "q91_embedding_near_dup",
     "z29_lsh_ann",
     "z32_multiprobe_lsh_ann",
@@ -62,7 +62,7 @@ HEADLINE = [
     "q86_time_rollup",
     "q87_hll_distinct",
     "q88_count_min_heavy_hitters",
-    "q47_unigram_surprisal",
+    "za30_unigram_surprisal",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",
@@ -74,7 +74,7 @@ HEADLINE = [
     "q20_training_corpus",
     "z14_mixture_sample",
     "z28_mixture_epochs",
-    "q35_decontamination_pairs",
+    "za27_decontamination_pairs",
     "z17_quality_gate",
     "z18_shard_assignment",
     "z51_vocab_coverage",
@@ -85,22 +85,22 @@ HEADLINE = [
     "za10_bloom_decontaminate",
     "za11_weighted_sample",
     "q05_duplicated_spans",
-    "q06_random_projection",
+    "za19_random_projection",
     "q09_pca_covariance",
     "q10_hits_scores",
     "q11_bigram_surprisal",
     "q12_dsir_weights",
     "q13_incremental_lsh",
     "q14_cdc_dedup",
-    "q15_temperature_mixture",
-    "q18_skew_profile",
+    "za20_temperature_mixture",
+    "za21_skew_profile",
     "q19_persisted_ivf_pq",
-    "q21_mmr_diverse_topk",
+    "za22_mmr_diverse_topk",
     "q23_corpus_report",
-    "q30_volume_drift",
-    "q31_corpus_diff",
-    "q37_temporal_split",
-    "q38_event_transitions",
+    "za25_volume_drift",
+    "za26_corpus_diff",
+    "za28_temporal_split",
+    "za29_event_transitions",
     "q39_image_metadata",
     "q22_image_statistics",
     "q03_time_travel",

@@ -741,7 +741,7 @@ def q63_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q26_lsh_candidate_pairs",
+    "za23_lsh_candidate_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     sig AS (
@@ -764,7 +764,7 @@ def q63_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND a.doc_id < b.doc_id
     """,
 )
-def q26_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za23_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding: candidate pairs sharing ≥1 of 4 bands of an
     8-hash signature (operators/dedup.minhash_lsh_candidate_pairs),
     with the hot-bucket cap on (mirrored by the oracle's QUALIFY)."""
@@ -783,7 +783,7 @@ def q26_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q27_knn_cosine",
+    "za24_knn_cosine",
     """
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5)
     SELECT probe_id, neighbor_id, cos_sim, rank FROM (
@@ -800,7 +800,7 @@ def q26_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rank <= 10
     """,
 )
-def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za24_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-10 cosine neighbors for probes vec_id<5
     (operators/similarity.brute_force_knn): broadcast probes, JVM-side
     vector math, single window shuffle."""
@@ -1992,7 +1992,7 @@ def q88_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_oracle_sql() -> str:
-    pairs_sql = _ORACLES["q26_lsh_candidate_pairs"]
+    pairs_sql = _ORACLES["za23_lsh_candidate_pairs"]
     return f"""
     WITH RECURSIVE pairs AS ({pairs_sql}),
     sym AS (
@@ -2023,7 +2023,7 @@ def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_clusters,
     )
 
-    pairs = q26_lsh_candidate_pairs(spark, sf_dir)
+    pairs = za23_lsh_candidate_pairs(spark, sf_dir)
     return dedup_clusters(pairs)
 
 

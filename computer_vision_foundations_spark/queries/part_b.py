@@ -23,8 +23,8 @@ from computer_vision_foundations_spark.queries.part_a import (  # noqa: F401
     _minhash_perm_sql,
     _simhash_oracle_sql,
     _training_corpus_oracle_sql,
-    q26_lsh_candidate_pairs,
-    q27_knn_cosine,
+    za23_lsh_candidate_pairs,
+    za24_knn_cosine,
     q90_ngram_jaccard_pairs,
     q92_simhash,
     z29_lsh_ann,
@@ -340,7 +340,7 @@ def _ann_recall_oracle_sql(approx_key: str = "z29_lsh_ann") -> str:
     """Recall of an ANN index against brute-force ground truth,
     composed from the two queries' own oracle bodies (nested-WITH
     derived tables are standard SQL; DuckDB executes them as-is)."""
-    exact = _ORACLES["q27_knn_cosine"]
+    exact = _ORACLES["za24_knn_cosine"]
     approx = _ORACLES[approx_key]
     return f"""
     SELECT p.probe_id, coalesce(h.n_hits, 0) AS n_hits,
@@ -368,12 +368,12 @@ def z31_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ann_recall(
-        z29_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+        z29_lsh_ann(spark, sf_dir), za24_knn_cosine(spark, sf_dir), k=10
     )
 
 
 @_register(
-    "q35_decontamination_pairs",
+    "za27_decontamination_pairs",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     e AS (SELECT doc_id AS eval_id, len(shingles) AS esize, shingles
@@ -391,7 +391,7 @@ def z31_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(common AS DOUBLE) / CAST(esize AS DOUBLE) >= 0.04
     """,
 )
-def q35_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za27_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination
     (operators/decontaminate.contamination_pairs): training docs
     sharing >=4% of an eval doc's 3-gram shingles (eval set = every
@@ -901,8 +901,8 @@ def _rrf_oracle_sql(k: int = 10, rrf_k: int = 60, recency_n: int = 50) -> str:
     """
 
 
-@_register("q01_rrf_fusion", _rrf_oracle_sql())
-def q01_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za18_rrf_fusion", _rrf_oracle_sql())
+def za18_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval fusion (operators/retrieval.rrf_fuse):
     reciprocal-rank fusion of the BM25 top-10 (q04) with a recency
     prior (50 newest docs per query) — rank-only combination, no score
@@ -939,7 +939,7 @@ def z19_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ann_recall(
-        q50_ivf_pq_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+        q50_ivf_pq_ann(spark, sf_dir), za24_knn_cosine(spark, sf_dir), k=10
     )
 
 
@@ -957,7 +957,7 @@ def z20_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ann_recall(
-        z32_multiprobe_lsh_ann(spark, sf_dir), q27_knn_cosine(spark, sf_dir), k=10
+        z32_multiprobe_lsh_ann(spark, sf_dir), za24_knn_cosine(spark, sf_dir), k=10
     )
 
 
@@ -1377,7 +1377,7 @@ def za12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q47_unigram_surprisal",
+    "za30_unigram_surprisal",
     """
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -1390,7 +1390,7 @@ def za12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.doc_id
     """,
 )
-def q47_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za30_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring
     (operators/perplexity.unigram_logprob_scores): mean unigram
     surprisal per document under the corpus's own token distribution —
@@ -1546,7 +1546,7 @@ def z16_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _verified_pairs_oracle_sql() -> str:
     """Compose the q26 candidate oracle with the levenshtein verify
     stage (prefix-capped, both engines' classic DP distance)."""
-    cand = _ORACLES["q26_lsh_candidate_pairs"]
+    cand = _ORACLES["za23_lsh_candidate_pairs"]
     return f"""
     WITH cand AS ({cand}),
     t AS (SELECT doc_id, substr(text, 1, 200) AS txt FROM documents)
@@ -1677,7 +1677,7 @@ def _dedup_prf_oracle_sql() -> str:
     against exact Jaccard≥0.5 ground truth (the jaccard query's
     oracle), composed end-to-end."""
     truth = _ORACLES["q90_ngram_jaccard_pairs"]
-    cand = _ORACLES["q26_lsh_candidate_pairs"]
+    cand = _ORACLES["za23_lsh_candidate_pairs"]
     return f"""
     WITH truth AS (SELECT id_a, id_b FROM ({truth}) t0),
     cand AS (SELECT id_a, id_b FROM ({cand}) c0),
@@ -1711,7 +1711,7 @@ def q98_dedup_candidate_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     cand = (
-        q26_lsh_candidate_pairs(spark, sf_dir)
+        za23_lsh_candidate_pairs(spark, sf_dir)
         .select("id_a", "id_b")
         .localCheckpoint()
     )
@@ -1959,8 +1959,8 @@ def _jl_oracle_sql() -> str:
     return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
 
 
-@_register("q06_random_projection", _jl_oracle_sql())
-def q06_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za19_random_projection", _jl_oracle_sql())
+def za19_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection 64→8 dims
     (`operators/projection.py`): seeded ±1/√k sign matrix embedded as
     plan literals, projection as a JVM HOF fold — one narrow codegen
@@ -2313,7 +2313,7 @@ def q14_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q15_temperature_mixture",
+    "za20_temperature_mixture",
     """
     WITH sizes AS (
         SELECT source AS domain, CAST(count(*) AS DOUBLE) AS n
@@ -2329,7 +2329,7 @@ def q14_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM powed CROSS JOIN z
     """,
 )
-def q15_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za20_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture weights
     (operators/mixture.temperature_fractions — the UniMax/mT5
     multilingual sampling recipe): mixing weight ∝ size^(1/T) with
@@ -2350,7 +2350,7 @@ def q15_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q18_skew_profile",
+    "za21_skew_profile",
     """
     WITH counts AS (
         SELECT o_custkey AS key, count(*) AS n_rows
@@ -2368,7 +2368,7 @@ def q15_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def q18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za21_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic (operators/skew.skew_profile): the
     top-10 heaviest orders.o_custkey values with their row share and a
     suggested salt factor — the pre-flight check before deciding
@@ -2462,7 +2462,7 @@ def q23_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q30_volume_drift",
+    "za25_volume_drift",
     """
     WITH daily AS (
         SELECT event_type AS category,
@@ -2491,7 +2491,7 @@ def q23_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM win
     """,
 )
-def q30_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za25_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-category daily-volume drift detection
     (operators/drift.volume_drift): trailing-7-day z-score with the
     current day EXCLUDED from its own baseline — the standard cheap

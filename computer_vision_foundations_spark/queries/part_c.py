@@ -31,7 +31,7 @@ from computer_vision_foundations_spark.queries.part_b import (  # noqa: F401
 
 
 @_register(
-    "q31_corpus_diff",
+    "za26_corpus_diff",
     """
     WITH old AS (
         SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 3
@@ -50,7 +50,7 @@ from computer_vision_foundations_spark.queries.part_b import (  # noqa: F401
     GROUP BY 1
     """,
 )
-def q31_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za26_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (operators/diff.py): the added / removed /
     modified / unchanged audit between two dataset versions — here the
     old version drops every doc_id ≡ 3 (mod 11) and the new version
@@ -72,7 +72,7 @@ def q31_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q37_temporal_split",
+    "za28_temporal_split",
     """
     SELECT CASE WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
                 WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
@@ -84,7 +84,7 @@ def q31_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def q37_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za28_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged temporal split (operators/split.temporal_split): train ≤
     2024-01-20, test ≥ 2024-01-22, the 2-day embargo gap 'purged' so
     boundary leakage cannot contaminate evaluation — the leakage-free
@@ -106,7 +106,7 @@ def q37_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q38_event_transitions",
+    "za29_event_transitions",
     """
     WITH seq AS (
         SELECT user_id, event_type AS from_type,
@@ -125,7 +125,7 @@ def q37_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
 )
-def q38_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za29_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions between consecutive events per
     user (operators/funnel.event_transition_matrix): counts +
     per-from_type probabilities — the behavioral twin of the text
@@ -200,8 +200,8 @@ def _mmr_oracle() -> str:
     )
 
 
-@_register("q21_mmr_diverse_topk", _mmr_oracle())
-def q21_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za22_mmr_diverse_topk", _mmr_oracle())
+def za22_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-k (`operators/mmr.py` — Carbonell & Goldstein
     1998): greedy λ·relevance − (1−λ)·max-sim selection, k=10 λ=0.7,
     relevance = cosine to probe vec_id=0 over candidates 1..200.

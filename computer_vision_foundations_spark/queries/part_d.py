@@ -14,7 +14,7 @@ from computer_vision_foundations_spark.queries.common import (  # noqa: F401
 from computer_vision_foundations_spark.queries.part_a import (  # noqa: F401
     _SHINGLES_SQL,
     _lang_score_sql,
-    q26_lsh_candidate_pairs,
+    za23_lsh_candidate_pairs,
     q92_simhash,
     z10_fuzzy_name_pairs,
 )
@@ -498,7 +498,7 @@ def z64_keep_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = q26_lsh_candidate_pairs(spark, sf_dir)
+    pairs = za23_lsh_candidate_pairs(spark, sf_dir)
     clusters = dedup_clusters(pairs).select("doc_id", "component")
     quality = docs.select(
         "doc_id", F.col("n_chars").cast("double").alias("score")
@@ -2312,8 +2312,8 @@ def _skyline_oracle() -> str:
     )
 
 
-@_register("za18_skyline", _skyline_oracle())
-def za18_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q01_skyline", _skyline_oracle())
+def q01_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer 2-D skyline (operators/skyline.skyline_2d): the
     orders on each customer's Pareto frontier of (earliest date,
     highest price) — no other order of the same customer is both
@@ -2380,8 +2380,8 @@ _LINEITEM_EXPECTATIONS_SQL = {
 }
 
 
-@_register("za19_expectations", _expectations_oracle())
-def za19_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q06_expectations", _expectations_oracle())
+def q06_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations
     (operators/expectations.py) — the systematic form of the
     reference's manual load validation (`02_Data Ingest.py` display /
@@ -2455,8 +2455,8 @@ def _cross_gramian_oracle() -> str:
     """
 
 
-@_register("za20_procrustes_gramian", _cross_gramian_oracle())
-def za20_procrustes_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q15_procrustes_gramian", _cross_gramian_oracle())
+def q15_procrustes_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed stage of orthogonal Procrustes embedding-space
     alignment (operators/projection.cross_gramian): the 64×16 moment
     matrix M = (1/n)·Σ x·yᵀ between the embedding corpus and its
@@ -2489,8 +2489,8 @@ def _conformal_oracle() -> str:
     )
 
 
-@_register("za21_conformal_band", _conformal_oracle())
-def za21_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q18_conformal_band", _conformal_oracle())
+def q18_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction band (operators/conformal.py):
     conformalize a per-event-type mean baseline on a seeded
     hash-deterministic calibration split of the events stream, report

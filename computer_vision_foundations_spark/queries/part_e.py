@@ -36,8 +36,8 @@ def _item_cf_oracle_sql() -> str:
     """
 
 
-@_register("za22_item_cf", _item_cf_oracle_sql())
-def za22_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q21_item_cf", _item_cf_oracle_sql())
+def q21_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering (operators/cf.item_cosine_pairs):
     cosine similarity of part-incidence vectors over customer baskets,
     computed without materializing any vector — co-occurrence is a
@@ -89,8 +89,8 @@ def _split_oracle_sql() -> str:
     return best_splits_oracle_sql(_SPLIT_MELTED_SQL)
 
 
-@_register("za23_histogram_split", _split_oracle_sql())
-def za23_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q26_histogram_split", _split_oracle_sql())
+def q26_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XGBoost-style histogram split finding
     (operators/treesplit.histogram_best_splits): bin three lineitem
     features, build per-(feature, bin) label histograms in ONE
@@ -133,8 +133,8 @@ def _target_enc_oracle_sql() -> str:
     )
 
 
-@_register("za24_target_encoding", _target_enc_oracle_sql())
-def za24_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q27_target_encoding", _target_enc_oracle_sql())
+def q27_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-fold out-of-fold target encoding
     (operators/encoding.oof_target_encoding): encode order priority by
     the smoothed mean total price of the OTHER four hash folds — the
@@ -171,8 +171,8 @@ def _woe_oracle_sql() -> str:
     return woe_iv_oracle_sql(_WOE_SRC_SQL)
 
 
-@_register("za25_woe_iv", _woe_oracle_sql())
-def za25_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q30_woe_iv", _woe_oracle_sql())
+def q30_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight of evidence + information value
     (operators/encoding.woe_iv) for quantity bins against the
     return flag — the credit-scoring-style feature screen: per-bin
@@ -213,8 +213,8 @@ def _psi_oracle_sql() -> str:
     )
 
 
-@_register("za26_psi_drift", _psi_oracle_sql())
-def za26_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q31_psi_drift", _psi_oracle_sql())
+def q31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index (operators/psi.psi_bins) of the
     event-value distribution, first vs second half of the month — the
     standard scorecard/feature drift gauge, reported as the per-bin
@@ -248,8 +248,8 @@ def _w1_oracle_sql() -> str:
     )
 
 
-@_register("za27_wasserstein_shift", _w1_oracle_sql())
-def za27_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q35_wasserstein_shift", _w1_oracle_sql())
+def q35_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-D earth mover's distance (operators/emd.wasserstein_1d)
     between two sources' document-length distributions — closed-form
     W1 = ∫|F_A − F_B| via merged-support CDFs, no transport solver.
@@ -284,8 +284,8 @@ def _lof_oracle_sql() -> str:
     return lof_oracle_sql()
 
 
-@_register("za28_lof_outliers", _lof_oracle_sql())
-def za28_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q37_lof_outliers", _lof_oracle_sql())
+def q37_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Outlier Factor (operators/lof.lof_scores) over the
     blocked cosine kNN graph: top-20 locally isolated embeddings —
     the density-based junk detector complementing the isolation
@@ -316,8 +316,8 @@ def _iso_oracle_sql() -> str:
     return isotonic_oracle_sql(_ISO_SRC_SQL)
 
 
-@_register("za29_isotonic_calibration", _iso_oracle_sql())
-def za29_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q38_isotonic_calibration", _iso_oracle_sql())
+def q38_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration fit
     (operators/isotonic.isotonic_calibration) of return rate against
     discount bins, via the order-free minimax closed form
@@ -346,8 +346,8 @@ def _cuped_oracle_sql() -> str:
     return cuped_oracle_sql()
 
 
-@_register("za30_cuped_lift", _cuped_oracle_sql())
-def za30_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q47_cuped_lift", _cuped_oracle_sql())
+def q47_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced experiment readout
     (operators/cuped.cuped_lift): per-user pre/post event value on the
     1e-6 grid, hash-unit assignment, pooled θ = cov(X,Y)/var(X) from

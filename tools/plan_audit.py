@@ -28,8 +28,8 @@ AUDIT = {
     "q75_region_revenue": ("star join: every dimension broadcast, fact side never shuffles for the join", ()),
     "q81_top3_orders_per_customer": ("single shuffle for the ranking window", ()),
     "q83_dedup_exact": ("dedup as hash-agg on 16-byte md5 keys; document bodies never shuffle", ()),
-    "q26_lsh_candidate_pairs": ("banded equi-join, no cartesian; signature agg is whole-stage codegen", ()),
-    "q27_knn_cosine": (
+    "za23_lsh_candidate_pairs": ("banded equi-join, no cartesian; signature agg is whole-stage codegen", ()),
+    "za24_knn_cosine": (
         "brute-force kNN IS an all-pairs product by definition — the broadcast "
         "nested loop with the (tiny) probe set built is the intended baseline "
         "plan; q33/q36 are the bucketed scale paths that avoid it",
@@ -121,7 +121,7 @@ AUDIT = {
         "partitions by document",
         (),
     ),
-    "q06_random_projection": (
+    "za19_random_projection": (
         "JL projection is ONE narrow codegen projection — sign matrix as "
         "literals, no shuffle, no Python",
         (),
@@ -137,12 +137,12 @@ AUDIT = {
         "BroadcastNestedLoopJoin = the 1-row total crossJoin idiom",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q30_volume_drift": (
+    "za25_volume_drift": (
         "hash agg to category x day (the reduction), one window shuffle "
         "on category",
         (),
     ),
-    "q38_event_transitions": (
+    "za29_event_transitions": (
         "lead window on the per-user timeline + one hash agg; "
         "(user, type) rows only",
         (),
@@ -159,7 +159,7 @@ AUDIT = {
         "linear left-semi join",
         (),
     ),
-    "q15_temperature_mixture": (
+    "za20_temperature_mixture": (
         "|domains|-row aggregate + broadcast 1-row normalizer; the "
         "corpus never shuffles. BroadcastNestedLoopJoin = the 1-row "
         "scalar crossJoin idiom",
@@ -189,7 +189,7 @@ AUDIT = {
         "only d^2 partial-sum rows shuffle; means join is d-row broadcast",
         (),
     ),
-    "q47_unigram_surprisal": (
+    "za30_unigram_surprisal": (
         "frequency model = one hash agg; token stream joins it "
         "(TF-IDF budget); totals ride a 1-row broadcast crossJoin",
         ("BroadcastNestedLoopJoin",),
@@ -744,50 +744,50 @@ AUDIT = {
         "GroupsInPandas), keys distributed",
         (),
     ),
-    "za18_skyline": (
+    "q01_skyline": (
         "one (key)-partitioned sort feeds both window passes "
         "(strictly-earlier RANGE frame + same-ord MAX); no self-join "
         "— the quadratic NOT-EXISTS truth exists only oracle-side",
         (),
     ),
-    "za22_item_cf": (
+    "q21_item_cf": (
         "basket-capped pair generation as ONE self-equi-join on the "
         "basket key (fan-out quadratic in basket size, never corpus "
         "size); norms join back on item ids; global top-100 is "
         "TakeOrderedAndProject, no single-task sort",
         (),
     ),
-    "za23_histogram_split": (
+    "q26_histogram_split": (
         "XGBoost histogram trick: one explode + one map-side-"
         "combinable hash aggregate down to |features|x|bins| rows; "
         "the split search windows over the tiny histogram only",
         (),
     ),
-    "za24_target_encoding": (
+    "q27_target_encoding": (
         "one hash aggregate to |cat|xK rows; the global prior is a "
         "1-row broadcast (the nested-loop join is a scalar "
         "cross-join by construction)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za26_psi_drift": (
+    "q31_psi_drift": (
         "two count aggregates to |bins| rows + one full-outer bin "
         "join; the cross-bin PSI reduction is a quantized BIGINT sum "
         "— the 100 TB cost is the two scans",
         (),
     ),
-    "za28_lof_outliers": (
+    "q37_lof_outliers": (
         "blocked kNN join (pairs only within label blocks) + three "
         "id-keyed equi-joins carrying (id, BIGINT) edges; top-20 via "
         "TakeOrderedAndProject",
         (),
     ),
-    "za29_isotonic_calibration": (
+    "q38_isotonic_calibration": (
         "one data pass to an 11-row histogram; the O(B^2)/O(B^3) "
         "minimax joins are over BINS only — the cartesians are "
         "11x11 rows by construction, constant at any corpus scale",
         ("CartesianProduct", "BroadcastNestedLoopJoin"),
     ),
-    "za30_cuped_lift": (
+    "q47_cuped_lift": (
         "one groupBy to |users| rows + one six-moment global "
         "aggregate of DECIMAL-exact sums; nothing downstream is "
         "data-sized",

@@ -46,7 +46,7 @@ from computer_vision_foundations_spark.sources.tables import TABLE_NAMES
 SWEEP_QUERIES = [
     "q83_dedup_exact",
     "q90_ngram_jaccard_pairs",
-    "q26_lsh_candidate_pairs",
+    "za23_lsh_candidate_pairs",
     "q49_simhash_near_dup_pairs",
     "z57_winnow_near_dup_pairs",
     "za16_lsh_verified_pairs",
@@ -54,16 +54,16 @@ SWEEP_QUERIES = [
     "q91_embedding_near_dup",
     "q13_incremental_lsh",
     "za12_incremental_dedup",
-    "q35_decontamination_pairs",
+    "za27_decontamination_pairs",
     "za10_bloom_decontaminate",
-    "q27_knn_cosine",
+    "za24_knn_cosine",
     "z29_lsh_ann",
     "z32_multiprobe_lsh_ann",
     "q89_ivf_ann",
     "z26_pq_adc_knn",
     "q50_ivf_pq_ann",
     "z22_sq8_ann",
-    "q47_unigram_surprisal",
+    "za30_unigram_surprisal",
     "q20_training_corpus",
     "q82_sessionization",
     "q86_time_rollup",
@@ -124,13 +124,13 @@ SWEEP_QUERIES = [
 
 PAIR_QUERIES = {
     "q90_ngram_jaccard_pairs",
-    "q26_lsh_candidate_pairs",
+    "za23_lsh_candidate_pairs",
     "q49_simhash_near_dup_pairs",
     "z57_winnow_near_dup_pairs",
     "za16_lsh_verified_pairs",
     "q91_embedding_near_dup",
     "q13_incremental_lsh",
-    "q35_decontamination_pairs",
+    "za27_decontamination_pairs",
 }
 
 
