@@ -111,10 +111,18 @@ def cuped_lift(
     cov_n = n * sxy - sx * sy
     varx_n = n * sxx - sx * sx
     vary_n = n * syy - sy * sy
-    theta = cov_n / varx_n
-    lift_raw = (syt / nt - syc / nc) / g
-    lift_cuped = lift_raw - theta * ((sxt / nt - sxc / nc) / g)
-    var_red = (cov_n * cov_n) / (varx_n * vary_n)
+    # Degenerate-input contract: a constant pre-period covariate
+    # (varx_n == 0, e.g. no events before cutover) or an empty arm
+    # (nt == 0 or nc == 0) yields NULL theta/lift/var_reduction rather
+    # than an ANSI DIVIDE_BY_ZERO error — nullif() on every
+    # denominator, mirrored verbatim in the oracle. All quantities are
+    # exact integers cast to double, so the == 0 test is exact.
+    theta = cov_n / F.nullif(varx_n, F.lit(0.0))
+    lift_raw = (syt / F.nullif(nt, F.lit(0.0)) - syc / F.nullif(nc, F.lit(0.0))) / g
+    lift_cuped = lift_raw - theta * (
+        (sxt / F.nullif(nt, F.lit(0.0)) - sxc / F.nullif(nc, F.lit(0.0))) / g
+    )
+    var_red = (cov_n * cov_n) / F.nullif(varx_n * vary_n, F.lit(0.0))
     return mom.select(
         F.col("nt").alias("n_treat"),
         (F.col("n") - F.col("nt")).alias("n_ctrl"),
@@ -170,31 +178,34 @@ def cuped_oracle_sql(
            CAST(n - nt AS BIGINT) AS n_ctrl,
            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0),
                  {round_digits}) AS theta,
-           round((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
-                  - CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE))
+           round((CAST(syt AS DOUBLE) / NULLIF(CAST(nt AS DOUBLE), 0.0)
+                  - CAST(sy - syt AS DOUBLE)
+                    / NULLIF(CAST(n - nt AS DOUBLE), 0.0))
                  / {_SCALE}.0, {round_digits}) AS lift_raw,
-           round((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
-                  - CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE))
+           round((CAST(syt AS DOUBLE) / NULLIF(CAST(nt AS DOUBLE), 0.0)
+                  - CAST(sy - syt AS DOUBLE)
+                    / NULLIF(CAST(n - nt AS DOUBLE), 0.0))
                  / {_SCALE}.0
                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                   * ((CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)
-                       - CAST(sx - sxt AS DOUBLE) / CAST(n - nt AS DOUBLE))
+                    / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                   * ((CAST(sxt AS DOUBLE) / NULLIF(CAST(nt AS DOUBLE), 0.0)
+                       - CAST(sx - sxt AS DOUBLE)
+                         / NULLIF(CAST(n - nt AS DOUBLE), 0.0))
                       / {_SCALE}.0),
                  {round_digits}) AS lift_cuped,
            round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0),
                  {round_digits}) AS var_reduction
     FROM mom
     """

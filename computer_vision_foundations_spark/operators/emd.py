@@ -1,5 +1,6 @@
 """Exact 1-D Wasserstein-1 (earth mover's) distance between two
-empirical distributions.
+empirical distributions (exact rational accumulation — see design
+note below; the float divide happens once, after the integer sum).
 
 For 1-D distributions W1 has a closed form: the integral of the
 absolute difference of the two CDFs,
@@ -14,11 +15,15 @@ by measuring HOW FAR mass moved in value units, the quantity a
 mixture-rebalancing decision actually needs.
 
 Spark-first + determinism design: each side reduces to |support| rows
-via a map-side-combinable count groupBy (integers); the CDFs are
-per-row scalar divisions of exact integers; the cross-support
-reduction sums contributions quantized to the 1e-6 grid as BIGINT —
-no float reduction order anywhere. One full-outer join on the support
-value, one ordered window over the (tiny) merged support.
+via a map-side-combinable count groupBy (integers); the reduction is
+EXACT RATIONAL arithmetic — Σ |cuma·nb − cumb·na| · gap accumulated as
+DECIMAL(38,0) (all integers, no float anywhere in the sum), divided by
+na·nb once at the end, so the only float ops are one divide and one
+round on exact-integer inputs: bit-identical under any partitioning
+and on any IEEE-754 engine, and truly exact (the earlier per-row 1e-6
+quantization accumulated up to 0.5e-6 error per support value). One
+full-outer join on the support value, one ordered window over the
+(tiny) merged support.
 """
 
 from __future__ import annotations
@@ -68,19 +73,22 @@ def wasserstein_1d(
         F.sum("cb").over(w_all).alias("nb"),
         F.lead("x").over(w_next).alias("next_x"),
     ).filter(F.col("next_x").isNotNull())
-    gap = (F.col("next_x") - F.col("x")).cast("double")
-    diff = F.abs(
-        F.col("cuma").cast("double") / F.col("na").cast("double")
-        - F.col("cumb").cast("double") / F.col("nb").cast("double")
-    )
-    contrib_q = F.floor(diff * gap * _SCALE + F.lit(0.5)).cast("long")
-    return cum.select(
-        "na", "nb", contrib_q.alias("_cq")
-    ).agg(
+    dec = "decimal(38,0)"
+    # |F_A − F_B|·gap over a common denominator na·nb: the numerator
+    # |cuma·nb − cumb·na|·gap is an exact integer (DECIMAL(38,0) —
+    # headroom: ≤ na·nb·(x_max − x_min), ~1e18 at sf0.1), so the sum is
+    # reduction-order free; ONE divide by na·nb at the end.
+    num = F.abs(
+        F.col("cuma").cast(dec) * F.col("nb").cast(dec)
+        - F.col("cumb").cast(dec) * F.col("na").cast(dec)
+    ) * (F.col("next_x") - F.col("x")).cast(dec)
+    return cum.select("na", "nb", num.alias("_num")).agg(
         F.max("na").alias("n_a"),
         F.max("nb").alias("n_b"),
         F.round(
-            F.sum("_cq").cast("double") / F.lit(float(_SCALE)), round_digits
+            F.sum("_num").cast("double")
+            / (F.max("na").cast("double") * F.max("nb").cast("double")),
+            round_digits,
         ).alias("w1"),
     )
 
@@ -114,12 +122,12 @@ def wasserstein_oracle_sql(
         FROM merged
     )
     SELECT max(na) AS n_a, max(nb) AS n_b,
-           round(CAST(sum(CAST(floor(abs(CAST(cuma AS DOUBLE)
-                                         / CAST(na AS DOUBLE)
-                                         - CAST(cumb AS DOUBLE)
-                                           / CAST(nb AS DOUBLE))
-                                     * CAST(next_x - x AS DOUBLE)
-                                     * {_SCALE} + 0.5) AS BIGINT))
-                      AS DOUBLE) / {_SCALE}.0, {round_digits}) AS w1
+           -- exact rational: HUGEINT numerator sum, one divide at the end
+           round(CAST(sum(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)
+                              - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))
+                          * CAST(next_x - x AS HUGEINT))
+                      AS DOUBLE)
+                 / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)),
+                 {round_digits}) AS w1
     FROM cum WHERE next_x IS NOT NULL
     """

@@ -55,7 +55,22 @@ def lof_scores(
 ) -> DataFrame:
     """Top-``top`` outliers by LOF over the blocked cosine kNN graph:
     ``(vec_id, k_dist, lof)``, ties broken by id. ``|N(p)|`` is the
-    actual neighbor count (< k only in blocks smaller than k+1)."""
+    actual neighbor count (< k only in blocks smaller than k+1).
+
+    Two deliberate deviations from canonical LOF semantics:
+
+    - **Singleton blocks are unscored.** A row whose block contains no
+      other row produces no kNN edge and is absent from the output
+      (kNN is block-local by design — the 100 TB shape). Pre-merge
+      tiny blocks if every row must receive a score.
+    - **Tie handling at rank k.** The neighborhood is exactly the k
+      kept edges (rank ≤ k, ties beyond rank k EXCLUDED, order broken
+      by id), and k-dist is the max distance over those k edges —
+      canonical LOF would include every point at distance == k-dist.
+      Deterministic and oracle-replayable; scores can differ from the
+      textbook definition only when exact distance ties straddle
+      rank k on the 1e-6 grid.
+    """
     knn = knn_join_blocked(df, k, block_col, vec_col, id_col)
     qd = knn.select(
         "qid",

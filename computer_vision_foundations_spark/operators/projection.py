@@ -243,7 +243,11 @@ def covariance_matrix(
         )
     )
     if decimals is not None:
-        cov = cov.withColumn("cov", F.round("cov", decimals))
+        # + 0.0 normalizes IEEE negative zero: DuckDB's round() can emit
+        # -0.0 where Spark emits +0.0 (equal under ==, different under the
+        # driver's byte-level value hash — the r5/r6 q09 red). Exact no-op
+        # for every other double.
+        cov = cov.withColumn("cov", F.round("cov", decimals) + F.lit(0.0))
     return cov
 
 

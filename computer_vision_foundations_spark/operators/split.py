@@ -64,12 +64,35 @@ def deterministic_split(
 
 
 def bernoulli_sample(
-    df: DataFrame, fraction: float, seed: int = 42
+    df: DataFrame, fraction: float, seed: int = 42, id_col: str | None = None
 ) -> DataFrame:
     """SA2: seeded Bernoulli row sample (reference
     `04a_Model Deployment.py:313` — unseeded there; ours always seeds
-    for reproducibility). A narrow per-partition filter — no shuffle."""
-    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+    for reproducibility). A narrow per-partition filter — no shuffle.
+
+    With ``id_col`` (the recommended form), membership is a PURE
+    FUNCTION of (id, seed): keep iff the first 13 hex chars of
+    ``md5(id || ':seed')`` — a uniform 52-bit integer, exactly
+    representable in a double — fall below ``fraction * 16^13``.
+    Partition- and engine-independent (the r5 determinism sweep showed
+    ``df.sample`` yields 1497 vs 1451 rows across partitioning
+    regimes), replayable in ANSI SQL, so the oracle can verify exact
+    membership rather than row counts. Without ``id_col`` falls back
+    to Spark's per-partition XORShift sampler (kept for API parity;
+    row set then depends on partitioning — documented, not a bug).
+    """
+    if id_col is None:
+        return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")).cast("binary")),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return df.filter(h < F.lit(float(fraction) * float(16 ** 13)))
 
 
 def kfold_assignment(

@@ -1288,16 +1288,29 @@ def q67_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q68_bernoulli_sample")
+@_register(
+    "q68_bernoulli_sample",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':7'), 1, 13))
+               AS BIGINT) < 0.1 * 4503599627370496.0
+    """,
+)
 def q68_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA2: seeded Bernoulli sample (reference `04a_Model
-    Deployment.py:313`). Spark's per-partition XORShift sampler is not
-    replayable in SQL, so this entry is rows-only; determinism and
-    fraction bounds are pytest-verified in tests/test_transform_sinks.py."""
+    Deployment.py:313`). Membership is a pure function of
+    (o_orderkey, seed) — keep iff the 52-bit md5 slice falls under
+    fraction·2^52 (`operators/split.py` bernoulli_sample id_col path),
+    so the row SET is identical under any partitioning or engine —
+    the r5 determinism sweep flagged the previous `df.sample` wrapper
+    as partition-dependent (1497 vs 1451 rows). Full SQL oracle
+    (upgraded from rows-only); fraction bounds pytest-verified in
+    tests/test_transform_sinks.py."""
     from computer_vision_foundations_spark.operators.split import bernoulli_sample
 
     orders = load_table(spark, sf_dir, "orders")
-    return bernoulli_sample(orders, 0.1, seed=7).select(
+    return bernoulli_sample(orders, 0.1, seed=7, id_col="o_orderkey").select(
         "o_orderkey", "o_orderstatus"
     )
 

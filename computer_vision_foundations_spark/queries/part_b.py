@@ -2005,10 +2005,12 @@ def za19_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.i, b.i
     )
     SELECT g.i, g.j,
+           -- + 0.0 normalizes -0.0 (DuckDB round() emits it at exact-zero
+           -- cells; Spark emits +0.0 — byte-hash mismatch, r5/r6 driver red)
            round(CAST(g.sxy AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e12
                  - (CAST(mi.sq AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e6)
                    * (CAST(mj.sq AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e6),
-                 6) AS cov
+                 6) + 0.0 AS cov
     FROM g
     CROSS JOIN n
     JOIN m mi ON mi.i = g.i

@@ -19,7 +19,7 @@ def test_min_cooc_filters(spark):
     rows = [(1, "A"), (1, "B"), (2, "A"), (2, "C")]
     df = spark.createDataFrame(rows, ["bk", "it"])
     assert item_cosine_pairs(df, "bk", "it", min_cooc=2).count() == 0
-    assert item_cosine_pairs(df, "bk", "it", min_cooc=1).count() == 3
+    assert item_cosine_pairs(df, "bk", "it", min_cooc=1).count() == 2
 
 
 def test_basket_cap_drops_whale_baskets(spark):

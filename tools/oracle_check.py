@@ -3,8 +3,8 @@
 Mimics the driver's correctness gate so failures surface before a
 round ends: for every entry in ``queries()`` with an ``oracle_sql()``
 twin, run both at the given scale factor and compare row count, sorted
-column names, and values (rows sorted by all columns; floats compared
-exactly after the queries' own rounding, with a 1e-9 fallback report).
+column names, and values (rows sorted by all columns; floats compared BIT-EXACTLY —
+sign of zero included — to mirror the driver's byte-level value hash).
 
 Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
 """
@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 import time
 
@@ -60,7 +61,10 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        # BIT-EXACT, mirroring the driver's byte-level value hash: under
+        # plain == a -0.0/+0.0 difference passes locally but fails the
+        # driver (the r5/r6 q09 red). struct.pack exposes the sign bit.
+        return struct.pack("<d", a) == struct.pack("<d", b)
     return a == b
 
 
