@@ -86,17 +86,49 @@ def poisson_bootstrap_ci(
         F.col(id_col).cast("string").alias("_id"),
         F.col(value_col).cast("double").alias("x"),
     ).where(F.col(value_col).isNotNull())
+    # The replica-weight projection is CPU-bound (ceil(B/4) md5s per
+    # row). A single-file local scan arrives as ONE split, serializing
+    # all hashing on one core — widen to cluster parallelism IF the
+    # scan is under-parallel (narrow 3-column rows, cheap round-robin;
+    # a no-op at 100 TB where the scan already has >= parallelism
+    # splits, so no gratuitous shuffle at scale).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     # All B replica weights as ONE per-row array (no B× row explode —
     # measured 7.3 s → ~2 s at sf0.1 for B=50): the per-replica sums
     # are 2B unrolled aggregate expressions with map-side combine,
     # the kmeans per-dimension-sum pattern.
+    #
+    # Hash packing: one md5 yields 32 hex chars = four independent
+    # 28-bit lanes, so replica b reads lane (b % 4) of hash chunk
+    # (b // 4) — ceil(B/4) md5 evaluations per row instead of B (the
+    # md5s WERE the cost: 4× fewer dropped z98 14.0 s → ~4 s at
+    # sf0.1). The oracle replays the identical chunk/lane addressing.
+    n_chunks = (n_replicas + 3) // 4
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+        lambda c: F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("_id"), c)),
+    )
+    with_h = base.select("key", "x", hashes.alias("_h"))
     warr = F.transform(
         F.sequence(F.lit(0), F.lit(n_replicas - 1)),
         lambda b: _pois_weight(
-            _hash_unit(F.lit(str(seed)), F.col("_id"), b)
+            F.conv(
+                F.substr(
+                    F.element_at(
+                        F.col("_h"), F.floor(b / F.lit(4)).cast("int") + F.lit(1)
+                    ),
+                    F.lit(1) + (b % F.lit(4)) * F.lit(7),
+                    F.lit(7),
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(1 << 28))
         ).cast("double"),
     )
-    with_w = base.select("key", "x", warr.alias("_w"))
+    with_w = with_h.select("key", "x", warr.alias("_w"))
     sums = with_w.groupBy("key").agg(
         *[
             F.sum(
@@ -153,10 +185,12 @@ def bootstrap_oracle_sql(
     """DuckDB twin — identical hash uniforms, Poisson CDF chain, and
     percentile convention."""
     key = group_col if group_col else "'_all'"
+    # chunk/lane packed uniforms — replica b = lane (b % 4) of
+    # md5 chunk (b // 4), mirroring poisson_bootstrap_ci exactly
     u = (
         f"CAST(('0x' || substr(md5('{seed}' || '|' || "
-        f"CAST({id_col} AS VARCHAR) || '|' || CAST(b AS VARCHAR)), "
-        f"1, 7)) AS BIGINT) / {float(1 << 28)!r}"
+        f"CAST({id_col} AS VARCHAR) || '|' || CAST(b // 4 AS VARCHAR)), "
+        f"1 + 7 * (b % 4), 7)) AS BIGINT) / {float(1 << 28)!r}"
     )
     return f"""
     WITH base AS (
