@@ -63,6 +63,8 @@ HEADLINE = [
     "q87_hll_distinct",
     "q88_count_min_heavy_hitters",
     "za30_unigram_surprisal",
+    "za31_pii_redaction",
+    "za32_sessionization",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

@@ -361,3 +361,108 @@ def q47_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cuped_lift(ev)
+
+
+# ---------------------------------------------------------------------------
+# za31 — PII scan/redaction (operators/pii.py)
+# ---------------------------------------------------------------------------
+
+_PII_SRC_SQL = """
+    SELECT c_custkey AS id,
+           c_mktsegment || ' reach ' || c_name || ' <'
+           || lower(replace(c_name, '#', '.')) || '@corp.example.com> tel '
+           || CAST(10 + c_custkey % 90 AS VARCHAR) || '-'
+           || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+           || ' from 10.'
+           || CAST(c_custkey % 256 AS VARCHAR) || '.0.'
+           || CAST(c_custkey % 100 AS VARCHAR) AS txt
+    FROM customer
+"""
+
+
+def _pii_oracle() -> str:
+    from computer_vision_foundations_spark.operators.pii import (
+        pii_oracle_sql,
+    )
+
+    return pii_oracle_sql(_PII_SRC_SQL)
+
+
+@_register("za31_pii_redaction", _pii_oracle())
+def za31_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py): per-document
+    email/phone/IPv4 counts and the md5 of the masked text — the
+    audit-and-scrub stage a training-data pipeline runs first. The
+    `documents` corpus is synthetic word-salad with no PII, so the
+    fixture text is built deterministically from `customer` columns
+    (phone/email/IP all derived from c_name/c_custkey) IDENTICALLY on both engines — the differential
+    check then proves pattern-match parity across Java regex and RE2
+    on text that actually exercises all three detectors.
+
+    Scale shape: one narrow codegen projection (3 regexp_count +
+    3 chained regexp_replace + md5), no shuffle; bodies never leave
+    the scan stage — only counts and a 32-char hash."""
+    from computer_vision_foundations_spark.operators.pii import pii_scan
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    txt = F.concat(
+        F.col("c_mktsegment"),
+        F.lit(" reach "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@corp.example.com> tel "),
+        (k % 90 + 10).cast("string"),
+        F.lit("-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((k * 13) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (k % 256).cast("string"),
+        F.lit(".0."),
+        (k % 100).cast("string"),
+    )
+    src = cust.select(k.alias("id"), txt.alias("txt"))
+    return pii_scan(src, "txt", "id")
+
+
+# ---------------------------------------------------------------------------
+# za32 — batch sessionization (operators/sessionize.py)
+# ---------------------------------------------------------------------------
+
+def _session_oracle() -> str:
+    from computer_vision_foundations_spark.operators.sessionize import (
+        session_oracle_sql,
+    )
+
+    return session_oracle_sql(gap_seconds=1800)
+
+
+@_register("za32_sessionization", _session_oracle())
+def za32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (operators/sessionize.py) at the
+    PER-SESSION grain — (user, session_idx, n_events, duration_us,
+    n_types) — one level finer than q82_sessionization's per-user
+    session COUNTS: this is the rollup that turns a raw event log into
+    bounded session documents (durations, type diversity) for
+    training-data pipelines. Batch twin of the streaming session
+    windows (`streaming/windows.py`); (ts, event_id)
+    ordering and exact integer-microsecond gap arithmetic make the
+    lag/cumsum recurrence a pure function of the data on both engines.
+
+    Scale shape: one user-hash exchange reused by the lag window, the
+    cumulative sum, and the (user, session) aggregate; shuffled rows
+    are (user, long, id, type) only."""
+    from computer_vision_foundations_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", "event_id", "event_type", gap_seconds=1800
+    )

@@ -45,6 +45,50 @@ def files_per_trigger_for_bytes(
     return max(1, (bytes_per_core * parallelism) // max(1, avg_file_bytes))
 
 
+def calibrate_files_per_trigger(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "*.jpg",
+    recursive: bool = True,
+    bytes_per_core: int = DEFAULT_BYTES_PER_CORE_PER_TRIGGER,
+    sample_files: int = 1024,
+    safety: float = 1.25,
+) -> int:
+    """MEASURED byte-based admission: sample the landing zone's actual
+    file sizes and convert the byte budget to a file count.
+
+    The static :func:`files_per_trigger_for_bytes` assumes the
+    reference's ~220 KB/image; a landing zone of 4 K thumbnails or
+    40 MB RAW frames makes that cap off by 100× in either direction —
+    this is the other half of Auto Loader's ``maxBytesPerTrigger``
+    that a file-count cap alone can't replicate. Sampling reads ONLY
+    the ``length`` column of ≤ ``sample_files`` files (binaryFile
+    supports column pruning — content bytes are never loaded), so
+    calibration is a driver-cheap listing + tiny scan, safe to re-run
+    per stream start. ``safety`` > 1 shrinks the admitted count so a
+    heavier-than-sampled tail can't blow the per-core budget.
+
+    Returns the static default-based count when the prefix is empty
+    (first trigger on a brand-new landing zone).
+    """
+    from pyspark.sql import functions as F
+
+    sample = (
+        read_binary_files(spark, path, glob, recursive)
+        .select("length")
+        .limit(max(1, sample_files))
+    )
+    row = sample.agg(F.avg("length").alias("avg_bytes")).collect()[0]
+    avg = row["avg_bytes"]
+    if avg is None or avg <= 0:
+        # empty prefix: no measurement to calibrate with — the static
+        # default IS the estimate, so no extra safety factor on top
+        return files_per_trigger_for_bytes(spark, bytes_per_core)
+    return files_per_trigger_for_bytes(
+        spark, bytes_per_core, int(avg * safety)
+    )
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,
@@ -66,6 +110,7 @@ def read_binary_stream(
     recursive: bool = True,
     max_files_per_trigger: int | None = None,
     coalesce_partitions: int | None = None,
+    calibrate: bool = False,
 ) -> DataFrame:
     """Streaming read of binary files with file-count admission control.
 
@@ -83,7 +128,11 @@ def read_binary_stream(
         reader = reader.option("pathGlobFilter", glob)
     reader = reader.option("recursiveFileLookup", str(recursive).lower())
     if max_files_per_trigger is None:
-        max_files_per_trigger = files_per_trigger_for_bytes(spark)
+        max_files_per_trigger = (
+            calibrate_files_per_trigger(spark, path, glob, recursive)
+            if calibrate
+            else files_per_trigger_for_bytes(spark)
+        )
     reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(path)
     if coalesce_partitions is not None:

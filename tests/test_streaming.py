@@ -722,3 +722,42 @@ def test_stateful_ewma_drift_alarm(spark, tmp_path):
     assert last.alarm and last.batch_seq == 3
     assert last.n_seen == 30
     assert last.batch_mean == pytest.approx(50.0)
+
+
+def test_calibrate_files_per_trigger_measures_sizes(spark, tmp_path):
+    from computer_vision_foundations_spark.sources.binaryfile import (
+        DEFAULT_BYTES_PER_CORE_PER_TRIGGER,
+        calibrate_files_per_trigger,
+        files_per_trigger_for_bytes,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(8):
+        (land / f"f{i}.jpg").write_bytes(b"x" * 1024)  # 1 KiB each
+    n = calibrate_files_per_trigger(
+        spark, str(land), glob="*.jpg", bytes_per_core=1024 * 1024,
+        safety=1.0,
+    )
+    par = spark.sparkContext.defaultParallelism
+    # 1 MiB/core budget at 1 KiB/file -> 1024 files per core
+    assert n == 1024 * par
+    # safety factor shrinks the admitted count
+    n_safe = calibrate_files_per_trigger(
+        spark, str(land), glob="*.jpg", bytes_per_core=1024 * 1024,
+        safety=2.0,
+    )
+    assert n_safe == 512 * par
+
+
+def test_calibrate_empty_prefix_falls_back_to_static(spark, tmp_path):
+    from computer_vision_foundations_spark.sources.binaryfile import (
+        calibrate_files_per_trigger,
+        files_per_trigger_for_bytes,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert calibrate_files_per_trigger(
+        spark, str(empty), glob="*.jpg"
+    ) == files_per_trigger_for_bytes(spark)

@@ -793,6 +793,18 @@ AUDIT = {
         "data-sized",
         (),
     ),
+    "za31_pii_redaction": (
+        "PII scan/redact is ONE narrow whole-stage-codegen projection "
+        "(3 regexp_count + 3 regexp_replace + md5) straight off the "
+        "scan; no shuffle, bodies reduced to counts + a 32-char hash",
+        (),
+    ),
+    "za32_sessionization": (
+        "one user-hash exchange reused by the lag window, the "
+        "cumulative sum, and the (user, session) aggregate; shuffled "
+        "rows are (user, long, id, type) only",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
