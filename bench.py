@@ -65,6 +65,8 @@ HEADLINE = [
     "za30_unigram_surprisal",
     "za31_pii_redaction",
     "za32_sessionization",
+    "za33_feature_hashing",
+    "za34_histogram_quantiles",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

@@ -1,0 +1,160 @@
+"""Mergeable fixed-bin histogram quantiles — the scale path for
+percentiles.
+
+Exact percentiles need a global sort (or Spark's exact ``percentile``,
+which collects per-group value multisets); at 100 TB the production
+answer is a MERGEABLE sketch: reduce the column to a fixed number of
+equi-width bins (map-side combinable counts, constant-size state per
+partition — the same contract as the HLL/count-min entries q87/q88),
+then answer any quantile from the bin CDF with a guaranteed
+``±bin_width`` error. Two narrow passes: (min, max) then the
+histogram aggregate; nothing data-sized moves.
+
+Determinism contract: the bin of a value is
+``min(floor((x - lo) / w), B-1)`` with ``w = (hi - lo) / B`` — a
+fixed IEEE-754 expression tree over the exact (lo, hi) aggregates, so
+both engines bin every row identically (no midpoint/interpolation
+convention to disagree on — that is exactly why the sketch is
+differentially testable while engine-native ``percentile`` /
+``quantile_cont`` implementations are not guaranteed bit-equal).
+
+The rank convention is explicit: quantile q reads the first bin whose
+cumulative count reaches ``ceil(q * n)``; the answer is the bin's
+[lo_edge, hi_edge] bracket plus its midpoint as the point estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["histogram_quantiles", "histogram_quantile_oracle_sql"]
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 4096,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_digits: int = 6,
+) -> DataFrame:
+    """``(q, bin, est, lo_edge, hi_edge, n)`` per requested quantile.
+
+    ``est`` is the bin midpoint; the true quantile lies in
+    ``[lo_edge, hi_edge]`` (width = (max-min)/n_bins). Degenerate
+    constant column (max == min) puts all mass in bin 0 with a
+    zero-width bracket.
+    """
+    x = F.col(value_col).cast("double")
+    ext = df.where(x.isNotNull()).agg(
+        F.min(x).alias("lo"),
+        F.max(x).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        df.where(x.isNotNull())
+        .join(F.broadcast(ext))
+        .select(
+            F.when(
+                F.col("hi") == F.col("lo"), F.lit(0)
+            )
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (x - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                    ),
+                    F.lit(n_bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = binned.select("bin", F.sum("c").over(wcum).alias("cum")).join(
+        F.broadcast(ext)
+    )
+    # ONE pass for all quantiles: explode the (tiny) q list against the
+    # <= n_bins CDF rows, keep rows at/past the ceil-rank, min(bin) per q
+    qrows = (
+        cdf.select(
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            "bin",
+            "cum",
+            "lo",
+            "hi",
+            "n",
+        )
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "lo", "hi", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    zero_w = F.col("hi") == F.col("lo")
+    lo_edge = F.when(zero_w, F.col("lo")).otherwise(
+        F.col("lo") + F.col("bin") * w
+    )
+    hi_edge = F.when(zero_w, F.col("lo")).otherwise(
+        F.col("lo") + (F.col("bin") + 1) * w
+    )
+    return qrows.select(
+        "q",
+        "bin",
+        F.round((lo_edge + hi_edge) / 2.0, round_digits).alias("est"),
+        F.round(lo_edge, round_digits).alias("lo_edge"),
+        F.round(hi_edge, round_digits).alias("hi_edge"),
+        "n",
+    ).orderBy("q")
+
+
+def histogram_quantile_oracle_sql(
+    src_sql: str,
+    n_bins: int = 4096,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin over a source yielding one ``x`` column —
+    identical binning expression, identical ceil-rank convention."""
+    q_values = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+    WITH src AS (
+        SELECT CAST(x AS DOUBLE) AS x FROM ({src_sql}) WHERE x IS NOT NULL
+    ), ext AS (
+        SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM src
+    ), binned AS (
+        SELECT CAST(CASE WHEN ext.hi = ext.lo THEN 0
+                    ELSE least(floor((x - ext.lo)
+                               / ((ext.hi - ext.lo) / {float(n_bins)!r})),
+                               {n_bins - 1})
+               END AS INT) AS bin,
+               count(*) AS c
+        FROM src CROSS JOIN ext GROUP BY 1
+    ), cdf AS (
+        SELECT bin, sum(c) OVER (ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM binned
+    ), hits AS (
+        SELECT qq.q AS q,
+               (SELECT min(bin) FROM cdf, ext
+                WHERE cum >= ceil(qq.q * ext.n)) AS bin
+        FROM (VALUES {q_values}) qq(q)
+    )
+    SELECT q, bin,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE ((lo + bin * ((hi - lo) / {float(n_bins)!r}))
+                       + (lo + (bin + 1) * ((hi - lo) / {float(n_bins)!r})))
+                      / 2.0 END, {round_digits}) AS est,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE lo + bin * ((hi - lo) / {float(n_bins)!r})
+                 END, {round_digits}) AS lo_edge,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE lo + (bin + 1) * ((hi - lo) / {float(n_bins)!r})
+                 END, {round_digits}) AS hi_edge,
+           n
+    FROM hits CROSS JOIN ext ORDER BY q
+    """

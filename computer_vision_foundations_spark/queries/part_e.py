@@ -466,3 +466,73 @@ def za32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(
         ev, "user_id", "ts", "event_id", "event_type", gap_seconds=1800
     )
+
+
+# ---------------------------------------------------------------------------
+# za33 — feature hashing audit (operators/feature_hash.py)
+# ---------------------------------------------------------------------------
+
+def _feature_hash_oracle() -> str:
+    from computer_vision_foundations_spark.operators.feature_hash import (
+        feature_hash_oracle_sql,
+    )
+
+    return feature_hash_oracle_sql(dim=1024, seed=5)
+
+
+@_register("za33_feature_hashing", _feature_hash_oracle())
+def za33_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization audit (operators/feature_hash.py):
+    per-feature-index distinct-token collisions, occurrence mass, and
+    the ±1-signed sum at D=1024 over the document corpus — the
+    stateless, vocabulary-free featurizer a 100 TB text pipeline uses
+    instead of fitting a dictionary (Weinberger et al. 2009).
+
+    Scale shape: token explode → ONE vocab-sized count aggregate →
+    md5 index/sign over |vocab| rows → D-row stats; bodies never
+    shuffle, the only data-sized stage is map-side combinable."""
+    from computer_vision_foundations_spark.operators.feature_hash import (
+        hashed_feature_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_feature_audit(docs, "text", "doc_id", dim=1024, seed=5)
+
+
+# ---------------------------------------------------------------------------
+# za34 — histogram-sketch quantiles (operators/quantile_sketch.py)
+# ---------------------------------------------------------------------------
+
+def _hq_oracle() -> str:
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        histogram_quantile_oracle_sql,
+    )
+
+    return histogram_quantile_oracle_sql(
+        "SELECT l_extendedprice AS x FROM lineitem",
+        n_bins=4096,
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+@_register("za34_histogram_quantiles", _hq_oracle())
+def za34_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch
+    (operators/quantile_sketch.py): p50/p90/p99 of l_extendedprice
+    from a 4096-bin histogram CDF with a ±bin_width bracket —
+    completes the sketch family (q87 HLL distinct, q88 count-min heavy
+    hitters) with the quantile member; constant-size aggregate state,
+    no global sort, explicit ceil-rank convention so both engines
+    agree bit-for-bit (engine-native percentile interpolations are
+    not comparable).
+
+    Scale shape: two narrow passes (extrema, then bin counts with
+    map-side combine); everything after is <= n_bins rows."""
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        histogram_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", n_bins=4096, qs=(0.5, 0.9, 0.99)
+    )

@@ -44,12 +44,13 @@ from computer_vision_foundations_spark import get_spark
 from computer_vision_foundations_spark.queries import oracle_sql, queries
 from oracle_check import _canon  # same canonicalization as the gate mimic
 
-# Spark's Bernoulli sampler draws per-partition seeded randoms, so its
-# ROW COUNT legitimately varies with scan splits — which is exactly why
-# these entries are rows-only (no value hash) in the driver gate. They
-# are reported, not flagged.
+# Spark's sampleBy draws per-partition seeded randoms, so its ROW
+# COUNT legitimately varies with scan splits — which is exactly why
+# the entry is rows-only (no value hash) in the driver gate. It is
+# reported, not flagged. (q68_bernoulli_sample left this set in round
+# 7: membership is now a pure function of (o_orderkey, seed) — split.py
+# id_col path — so it must survive the full exact-diff.)
 EXPECTED_PARTITION_DEPENDENT = {
-    "q68_bernoulli_sample",
     "q65_sampleby_split",
 }
 

@@ -805,6 +805,20 @@ AUDIT = {
         "rows are (user, long, id, type) only",
         (),
     ),
+    "za33_feature_hashing": (
+        "token explode feeds ONE vocab-sized map-side-combinable "
+        "count; md5 index/sign computed once per DISTINCT token; "
+        "bodies never shuffle",
+        (),
+    ),
+    "za34_histogram_quantiles": (
+        "two narrow passes (extrema broadcast, bin counts with "
+        "map-side combine); CDF window + quantile lookup run on "
+        "<= n_bins rows — the BNLJ is the 1-ROW (lo, hi, n) extrema "
+        "broadcast joined conditionless onto the scan, the same "
+        "scalar-broadcast idiom as the norm joins",
+        ("BroadcastNestedLoopJoin",),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
