@@ -64,6 +64,12 @@ def k_core(
     (monotone, so extra rounds are no-ops)."""
     sym = _sym(edges, src, dst).localCheckpoint()
     sym_rdd = _ckpt_rdd(sym)
+    # the checkpoint is eager, so counting the checkpointed block is
+    # free — and the peel is MONOTONE (edges only leave), so an
+    # unchanged edge count IS the fixpoint: stop early with an output
+    # identical to the fixed-round unroll (the oracle's 8 rounds are
+    # no-ops past convergence). Same discipline as k_core_collapsed.
+    prev_cnt = sym.count()
     try:
         for _ in range(n_rounds):
             keep = (
@@ -78,6 +84,10 @@ def k_core(
             nxt = nxt.localCheckpoint()
             _release(sym_rdd)
             sym, sym_rdd = nxt, _ckpt_rdd(nxt)
+            cnt = sym.count()
+            if cnt == prev_cnt:
+                break
+            prev_cnt = cnt
     except Exception:
         _release(sym_rdd)
         raise

@@ -91,6 +91,14 @@ def _positioned_tokens(
     transform + explode; text never survives past this projection.
     ``id_col=None`` omits the identity column entirely (for model
     aggregates that need only the pairs)."""
+    from computer_vision_foundations_spark.operators.parallelism import (
+        widen_if_under_parallel,
+    )
+
+    # tokenize+struct-explode is the CPU-heavy stage of every LM query;
+    # widen an under-parallel (single-split) scan first — no-op at
+    # scale (operators/parallelism.py)
+    df = widen_if_under_parallel(df)
     toks = tokens(text_col)
     structs = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 1),

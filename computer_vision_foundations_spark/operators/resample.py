@@ -87,14 +87,13 @@ def poisson_bootstrap_ci(
         F.col(value_col).cast("double").alias("x"),
     ).where(F.col(value_col).isNotNull())
     # The replica-weight projection is CPU-bound (ceil(B/4) md5s per
-    # row). A single-file local scan arrives as ONE split, serializing
-    # all hashing on one core — widen to cluster parallelism IF the
-    # scan is under-parallel (narrow 3-column rows, cheap round-robin;
-    # a no-op at 100 TB where the scan already has >= parallelism
-    # splits, so no gratuitous shuffle at scale).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    # row) — widen an under-parallel scan (no-op at scale; see
+    # operators/parallelism.py).
+    from computer_vision_foundations_spark.operators.parallelism import (
+        widen_if_under_parallel,
+    )
+
+    base = widen_if_under_parallel(base)
     # All B replica weights as ONE per-row array (no B× row explode —
     # measured 7.3 s → ~2 s at sf0.1 for B=50): the per-replica sums
     # are 2B unrolled aggregate expressions with map-side combine,

@@ -914,7 +914,15 @@ def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit fingerprints are value-hash-checked bit-for-bit against
     DuckDB. The xxhash64 variant (simhash_column) remains the
     engine-internal scale default and is pytest-covered."""
-    docs = load_table(spark, sf_dir, "documents")
+    from computer_vision_foundations_spark.operators.parallelism import (
+        widen_if_under_parallel,
+    )
+
+    # fingerprinting is CPU-bound (|tokens| md5s + 32 bit votes/doc):
+    # widen a single-split scan so it uses every core (no-op at scale)
+    docs = widen_if_under_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     tok = F.array_distinct(F.split("text", " "))
     d = lambda t: F.md5(t.cast("binary"))
     hashed = docs.select(
