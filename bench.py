@@ -63,10 +63,10 @@ HEADLINE = [
     "q87_hll_distinct",
     "q88_count_min_heavy_hitters",
     "za30_unigram_surprisal",
-    "za31_pii_redaction",
-    "za32_sessionization",
-    "za33_feature_hashing",
-    "za34_histogram_quantiles",
+    "q33_pii_redaction",
+    "q44_sessionization",
+    "q43_feature_hashing",
+    "q46_histogram_quantiles",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",
@@ -117,7 +117,7 @@ HEADLINE = [
     "q29_multimodal_manifest",
     "z27_pq_rerank",
     "q32_zorder_optimize",
-    "q33_data_skipping",
+    "za31_data_skipping",
     "z30_knn_join",
     "q34_change_data_feed",
     "q36_image_near_dup",

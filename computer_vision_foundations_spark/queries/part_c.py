@@ -901,7 +901,7 @@ def q32_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q33_data_skipping",
+    "za31_data_skipping",
     """
     SELECT o_orderstatus,
            count(*)                    AS n,
@@ -911,7 +911,7 @@ def q32_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
 )
-def q33_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za31_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-log data skipping (``sources/acid.py:prune_files``):
     orders land range-partitioned into many files, each commit records
     per-file min/max footer stats in the transaction log, and the read

@@ -1931,8 +1931,8 @@ def _bfs_oracle() -> str:
     return bfs_oracle_sql(_PR_EDGES_SQL, _BFS_SEEDS, _BFS_HOPS)
 
 
-@_register("q43_bfs_distances", _bfs_oracle())
-def q43_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za33_bfs_distances", _bfs_oracle())
+def za33_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source 4-hop BFS distances (operators/bfs.bfs_distances)
     over the q07 supplier↔customer trade graph from literal seed
     suppliers {1,2,3} — the TrustRank-style "hops from a trusted
@@ -2006,8 +2006,8 @@ def _ppjoin_oracle() -> str:
     return prefix_jaccard_oracle_sql(_SHINGLES_SQL, threshold=0.5)
 
 
-@_register("q44_prefix_jaccard_pairs", _ppjoin_oracle())
-def q44_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za32_prefix_jaccard_pairs", _ppjoin_oracle())
+def za32_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard≥0.5 near-dup pairs via PPJoin prefix filtering
     (operators/ppjoin.py): rarest-first prefixes + length filter prune
     candidates WITHOUT the q90 frequency-cap approximation — hot
@@ -2086,8 +2086,8 @@ def _maxsim_oracle() -> str:
     return maxsim_oracle_sql()
 
 
-@_register("q46_maxsim_topk", _maxsim_oracle())
-def q46_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za34_maxsim_topk", _maxsim_oracle())
+def za34_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style late-interaction retrieval
     (operators/late_interaction.maxsim_topk): each 64-float embedding
     is read as 8 pseudo-token vectors × 8 dims (flat array + shape,

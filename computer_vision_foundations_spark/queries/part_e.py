@@ -390,8 +390,8 @@ def _pii_oracle() -> str:
     return pii_oracle_sql(_PII_SRC_SQL)
 
 
-@_register("za31_pii_redaction", _pii_oracle())
-def za31_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q33_pii_redaction", _pii_oracle())
+def q33_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pii.py): per-document
     email/phone/IPv4 counts and the md5 of the masked text — the
     audit-and-scrub stage a training-data pipeline runs first. The
@@ -443,8 +443,8 @@ def _session_oracle() -> str:
     return session_oracle_sql(gap_seconds=1800)
 
 
-@_register("za32_sessionization", _session_oracle())
-def za32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q44_sessionization", _session_oracle())
+def q44_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (operators/sessionize.py) at the
     PER-SESSION grain — (user, session_idx, n_events, duration_us,
     n_types) — one level finer than q82_sessionization's per-user
@@ -480,8 +480,8 @@ def _feature_hash_oracle() -> str:
     return feature_hash_oracle_sql(dim=1024, seed=5)
 
 
-@_register("za33_feature_hashing", _feature_hash_oracle())
-def za33_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q43_feature_hashing", _feature_hash_oracle())
+def q43_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization audit (operators/feature_hash.py):
     per-feature-index distinct-token collisions, occurrence mass, and
     the ±1-signed sum at D=1024 over the document corpus — the
@@ -515,8 +515,8 @@ def _hq_oracle() -> str:
     )
 
 
-@_register("za34_histogram_quantiles", _hq_oracle())
-def za34_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q46_histogram_quantiles", _hq_oracle())
+def q46_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-bin quantile sketch
     (operators/quantile_sketch.py): p50/p90/p99 of l_extendedprice
     from a 4096-bin histogram CDF with a ±bin_width bracket —

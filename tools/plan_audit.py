@@ -255,7 +255,7 @@ AUDIT = {
         "footers + one small hash agg",
         (),
     ),
-    "q33_data_skipping": (
+    "za31_data_skipping": (
         "commit-log stats pruned the file list DRIVER-SIDE before "
         "planning; the scan reads only intersecting files, filter "
         "pushed, one small hash agg",
@@ -684,7 +684,7 @@ AUDIT = {
         "crossJoin",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q43_bfs_distances": (
+    "za33_bfs_distances": (
         "per level one node-keyed equi-join + distinct + visited "
         "anti-join; frontiers localCheckpoint'd (final plan unions "
         "materialized level RDDs)",
@@ -696,7 +696,7 @@ AUDIT = {
         "aggregate on (word, double); TakeOrdered top-20",
         (),
     ),
-    "q44_prefix_jaccard_pairs": (
+    "za32_prefix_jaccard_pairs": (
         "freq aggregate + shingle-keyed annotate join + per-doc "
         "window prefix cut + prefix self-equi-join with length "
         "filter; exact array_intersect verify on candidate ids only",
@@ -707,7 +707,7 @@ AUDIT = {
         "codegen xxhash64 salt; independent user-keyed aggregate",
         (),
     ),
-    "q46_maxsim_topk": (
+    "za34_maxsim_topk": (
         "map-side corpus scan x broadcast 3-probe set (intended, as "
         "q27); static 8x8 slice-cosine grid in one JVM expression; "
         "only shuffle is the per-probe top-k window",
@@ -793,25 +793,25 @@ AUDIT = {
         "data-sized",
         (),
     ),
-    "za31_pii_redaction": (
+    "q33_pii_redaction": (
         "PII scan/redact is ONE narrow whole-stage-codegen projection "
         "(3 regexp_count + 3 regexp_replace + md5) straight off the "
         "scan; no shuffle, bodies reduced to counts + a 32-char hash",
         (),
     ),
-    "za32_sessionization": (
+    "q44_sessionization": (
         "one user-hash exchange reused by the lag window, the "
         "cumulative sum, and the (user, session) aggregate; shuffled "
         "rows are (user, long, id, type) only",
         (),
     ),
-    "za33_feature_hashing": (
+    "q43_feature_hashing": (
         "token explode feeds ONE vocab-sized map-side-combinable "
         "count; md5 index/sign computed once per DISTINCT token; "
         "bodies never shuffle",
         (),
     ),
-    "za34_histogram_quantiles": (
+    "q46_histogram_quantiles": (
         "two narrow passes (extrema broadcast, bin counts with "
         "map-side combine); CDF window + quantile lookup run on "
         "<= n_bins rows — the BNLJ is the 1-ROW (lo, hi, n) extrema "
