@@ -28,6 +28,9 @@ from computer_vision_foundations_spark.functions.text import (
     language_score_columns,
     quality_columns,
 )
+from computer_vision_foundations_spark.operators.parallelism import (
+    widen_if_under_parallel,
+)
 from computer_vision_foundations_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidate_pairs,

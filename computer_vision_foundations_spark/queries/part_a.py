@@ -1033,7 +1033,15 @@ def q22_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >= 9 serves the 9-byte JPEG fixture; the corpus's minimum text
     # length is 48 chars (TESTDATA), so this excludes NO documents —
     # the PNG chain's coverage is unchanged from its length>0 form.
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 9)
+    from computer_vision_foundations_spark.operators.parallelism import (
+        widen_if_under_parallel,
+    )
+
+    # two pure-Python codecs per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.length("text") >= 9)
     out = docs.withColumn(
         "statistics", get_image_statistics(encode_text_png(F.col("text")))
     ).withColumn(

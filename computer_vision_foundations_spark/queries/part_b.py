@@ -52,7 +52,14 @@ def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepare_training_corpus,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from computer_vision_foundations_spark.operators.parallelism import (
+        widen_if_under_parallel,
+    )
+
+    # the pipeline's first stages (tokenize-heavy quality + surprisal
+    # gates, MinHash signatures) are CPU-bound projections: widen a
+    # single-split scan before fan-in (no-op at scale)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents"))
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return prepare_training_corpus(
@@ -403,7 +410,14 @@ def za27_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from computer_vision_foundations_spark.operators.parallelism import (
+        widen_if_under_parallel,
+    )
+
+    # the pipeline's first stages (tokenize-heavy quality + surprisal
+    # gates, MinHash signatures) are CPU-bound projections: widen a
+    # single-split scan before fan-in (no-op at scale)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents"))
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return contamination_pairs(train, eval_df, k=3, min_frac=0.04)
@@ -1781,7 +1795,13 @@ def q99_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from computer_vision_foundations_spark.operators.parallelism import (
+        widen_if_under_parallel,
+    )
+
+    # pure-Python encode+decode per row: widen a single-split scan
+    # first (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         image_dhash(encode_text_png_8x9(F.col("text"))).alias("dhash"),

@@ -8,6 +8,7 @@ from computer_vision_foundations_spark.queries.common import (  # noqa: F401
     _ORACLES,
     _register,
     load_table,
+    widen_if_under_parallel,
 )
 from computer_vision_foundations_spark.queries.part_a import (  # noqa: F401
     _IVF_CELLS,
@@ -165,7 +166,9 @@ def q39_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         get_image_metadata,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 9)
+    # pure-Python codec per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents")).filter(F.length("text") >= 9)
     out = docs.withColumn(
         "metadata",
         get_image_metadata(
@@ -422,7 +425,9 @@ def q25_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_audio_metadata,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # pure-Python codec per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 32
     )
     wav = docs.select(
@@ -500,7 +505,9 @@ def q28_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # pure-Python codec per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 16
     )
     gif = docs.select(
@@ -561,7 +568,9 @@ def z23_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_text_wav,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # pure-Python codec per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 8
     )
     wav = docs.select(
@@ -768,7 +777,9 @@ def q29_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_video_metadata,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # pure-Python codec per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 32
     )
     df = docs.select(
@@ -1108,7 +1119,9 @@ def q36_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # pure-Python codec per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 72
     )
     dh = docs.select(
@@ -1326,7 +1339,9 @@ def z35_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_scene_cuts,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # pure-Python codec per row: widen a single-split scan first
+    # (no-op at scale - operators/parallelism.py)
+    docs = widen_if_under_parallel(load_table(spark, sf_dir, "documents")).filter(
         F.length("text") >= 32
     )
     gif = docs.select(
