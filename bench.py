@@ -67,6 +67,7 @@ HEADLINE = [
     "q44_sessionization",
     "q43_feature_hashing",
     "q46_histogram_quantiles",
+    "za35_compaction_plan",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

@@ -536,3 +536,50 @@ def q46_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         li, "l_extendedprice", n_bins=4096, qs=(0.5, 0.9, 0.99)
     )
+
+
+# ---------------------------------------------------------------------------
+# za35 — compaction planning (operators/compaction.py)
+# ---------------------------------------------------------------------------
+
+_COMPACT_SRC_SQL = """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS key,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS bytes
+    FROM orders GROUP BY 1
+"""
+_COMPACT_TARGET = 50_000_000
+
+
+def _compaction_oracle() -> str:
+    from computer_vision_foundations_spark.operators.compaction import (
+        compaction_oracle_sql,
+    )
+
+    return compaction_oracle_sql(_COMPACT_SRC_SQL, _COMPACT_TARGET)
+
+
+@_register("za35_compaction_plan", _compaction_oracle())
+def za35_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/compaction.py): pack
+    a key-sorted file listing into contiguous ~target-byte groups via
+    exclusive-prefix-sum binning — the OPTIMIZE-style maintenance op
+    that keeps a streaming-ingested 100 TB table readable without
+    destroying its clustering (pairs with za31_data_skipping's
+    min/max pruning and z11's z-order layout). The fixture listing is
+    one synthetic 'file' per order date (bytes = that day's integer
+    revenue mass); keys are unique by construction, which the binning
+    recurrence requires and the docstring documents.
+
+    Scale shape: the plan runs on the FILE LISTING (metadata rows),
+    never data — one sort + one running-sum window + one aggregate."""
+    from computer_vision_foundations_spark.operators.compaction import (
+        compaction_plan,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.col("o_orderdate").cast("date").cast("string").alias("key")
+    ).agg(
+        F.sum(F.floor("o_totalprice").cast("long")).alias("bytes")
+    )
+    return compaction_plan(files, "key", "bytes", _COMPACT_TARGET)

@@ -811,6 +811,12 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
+    "za35_compaction_plan": (
+        "the plan runs on the metadata listing only: one sort + one "
+        "running-sum window + one aggregate; data files never move "
+        "in the planning job",
+        (),
+    ),
     "q46_histogram_quantiles": (
         "two narrow passes (extrema broadcast, bin counts with "
         "map-side combine); CDF window + quantile lookup run on "
