@@ -68,6 +68,8 @@ HEADLINE = [
     "q43_feature_hashing",
     "q46_histogram_quantiles",
     "za35_compaction_plan",
+    "za36_join_skew_stats",
+    "za37_zipf_fit",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

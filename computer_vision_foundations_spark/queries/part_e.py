@@ -583,3 +583,69 @@ def za35_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor("o_totalprice").cast("long")).alias("bytes")
     )
     return compaction_plan(files, "key", "bytes", _COMPACT_TARGET)
+
+
+# ---------------------------------------------------------------------------
+# za36 — join-skew preflight (operators/skewstats.py)
+# ---------------------------------------------------------------------------
+
+def _skewstats_oracle() -> str:
+    from computer_vision_foundations_spark.operators.skewstats import (
+        join_skew_oracle_sql,
+    )
+
+    return join_skew_oracle_sql(
+        "SELECT l_orderkey AS k FROM lineitem",
+        "SELECT o_orderkey AS k FROM orders",
+        top_k=5,
+    )
+
+
+@_register("za36_join_skew_stats", _skewstats_oracle())
+def za36_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew preflight (operators/skewstats.py): per-key
+    cardinalities on both sides of the lineitem⋈orders join, the
+    EXACT inner-join output size Σ n_a·n_b computed from the two
+    count tables (no join performed), the hottest key's contribution,
+    and the top-5 keys' share — the number that decides between a
+    plain hash join, AQE skew splitting, and q45's salting at 100 TB.
+
+    Scale shape: two map-side-combinable counts + a |keys|-row join
+    of COUNT tables + a 1-row roll-up; strictly cheaper than the join
+    it diagnoses, nothing data-sized shuffles."""
+    from computer_vision_foundations_spark.operators.skewstats import (
+        join_skew_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return join_skew_stats(li, orders, "l_orderkey", "o_orderkey", top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# za37 — Zipf fit (operators/zipf.py)
+# ---------------------------------------------------------------------------
+
+def _zipf_oracle() -> str:
+    from computer_vision_foundations_spark.operators.zipf import (
+        zipf_oracle_sql,
+    )
+
+    return zipf_oracle_sql(n_ranks=256)
+
+
+@_register("za37_zipf_fit", _zipf_oracle())
+def za37_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit (operators/zipf.py): OLS slope/intercept/r² of
+    log-frequency vs log-rank over the 256 most frequent tokens —
+    with Heaps' law (z62) the pair of classic vocabulary diagnostics
+    that flag templated/machine-generated corpora (natural text:
+    slope ≈ −1, high r²). Deterministic (cnt DESC, token ASC)
+    ranking; identical ln/OLS expression tree on both engines.
+
+    Scale shape: one token count with map-side combine, one top-N
+    rank window over |vocab| rows, one 1-row moment aggregate."""
+    from computer_vision_foundations_spark.operators.zipf import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", n_ranks=256)

@@ -1,0 +1,54 @@
+"""Join-skew preflight and Zipf-fit unit tests."""
+
+import math
+
+from computer_vision_foundations_spark.operators.skewstats import (
+    join_skew_stats,
+)
+from computer_vision_foundations_spark.operators.zipf import zipf_fit
+
+
+def test_join_skew_exact_output_size(spark):
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)], ["k"]
+    )
+    right = spark.createDataFrame([("a",)] * 4 + [("b",)], ["k"])
+    r = join_skew_stats(left, right, "k", "k", top_k=1).collect()[0]
+    # 'c' has no right match: keys = {a, b}; out = 3*4 + 2*1 = 14
+    assert (r.n_keys, r.out_rows, r.max_key_rows) == (2, 14, 12)
+    assert r.top_share == round(12 / 14, 6)
+    # cross-check against the actual join
+    assert left.join(right, "k").count() == r.out_rows
+
+
+def test_join_skew_uniform_has_low_top_share(spark):
+    left = spark.createDataFrame([(i % 10,) for i in range(100)], ["k"])
+    r = join_skew_stats(left, left, "k", "k", top_k=1).collect()[0]
+    assert r.n_keys == 10
+    assert r.top_share == round(1 / 10, 6)
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    # freq(rank) = 2^20 // rank**1 is not exact after int floor, so
+    # build y = C * r^-2 exactly representable: counts = (N/r)^2 won't
+    # be integers either. Instead synthesize tokens whose counts are
+    # round(C * r^-1) and assert slope ~ -1 within tolerance.
+    rows = []
+    C = 1024
+    for r in range(1, 33):
+        tok = f"t{r:03d}"
+        rows += [(tok,)] * max(1, round(C / r))
+    df = spark.createDataFrame([(" ".join(t for (t,) in rows),)], ["text"])
+    out = zipf_fit(df, "text", n_ranks=32).collect()[0]
+    assert out.n_ranks == 32
+    assert abs(out.slope + 1.0) < 0.05
+    assert out.r2 > 0.999
+
+
+def test_zipf_rank_ties_broken_by_token(spark):
+    # equal counts: rank order must be by token asc -> deterministic fit
+    df = spark.createDataFrame([("b a c b a c",)], ["text"])
+    a = zipf_fit(df, "text", n_ranks=3).collect()
+    b = zipf_fit(df, "text", n_ranks=3).collect()
+    assert a == b
+    assert math.isnan(a[0].slope) or a[0].slope == 0.0  # flat counts

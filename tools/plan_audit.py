@@ -811,6 +811,16 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
+    "za36_join_skew_stats": (
+        "preflight never performs the join: two count aggregates, a "
+        "|keys|-row join of count tables, a 1-row roll-up",
+        (),
+    ),
+    "za37_zipf_fit": (
+        "one map-side-combinable token count + top-N rank window over "
+        "|vocab| rows + 1-row OLS moments; bodies never shuffle",
+        (),
+    ),
     "za35_compaction_plan": (
         "the plan runs on the metadata listing only: one sort + one "
         "running-sum window + one aggregate; data files never move "
