@@ -813,8 +813,10 @@ AUDIT = {
     ),
     "za36_join_skew_stats": (
         "preflight never performs the join: two count aggregates, a "
-        "|keys|-row join of count tables, a 1-row roll-up",
-        (),
+        "|keys|-row join of count tables, a 1-row roll-up - the BNLJ "
+        "is the conditionless 1-ROW x 1-ROW (totals x top-k) "
+        "broadcast merge, the scalar-broadcast idiom",
+        ("BroadcastNestedLoopJoin",),
     ),
     "za37_zipf_fit": (
         "one map-side-combinable token count + top-N rank window over "
