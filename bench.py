@@ -70,6 +70,7 @@ HEADLINE = [
     "za35_compaction_plan",
     "za36_join_skew_stats",
     "za37_zipf_fit",
+    "za38_grouped_quantiles",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["histogram_quantiles", "histogram_quantile_oracle_sql"]
+__all__ = [
+    "histogram_quantiles",
+    "histogram_quantile_oracle_sql",
+    "grouped_histogram_quantiles",
+    "grouped_histogram_quantile_oracle_sql",
+]
 
 
 def histogram_quantiles(
@@ -157,4 +162,142 @@ def histogram_quantile_oracle_sql(
                  END, {round_digits}) AS hi_edge,
            n
     FROM hits CROSS JOIN ext ORDER BY q
+    """
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 1024,
+    qs: tuple[float, ...] = (0.5, 0.99),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group sketch quantiles: ``(grp, q, bin, est, lo_edge,
+    hi_edge, n)`` — the monitoring shape (p50/p99 of a metric per
+    segment) with per-group bin edges from per-group extrema.
+
+    Same contract as :func:`histogram_quantiles`, per group: the only
+    data-sized stages are the two group-keyed aggregates (extrema,
+    bin counts), both map-side combinable; the CDF window and the
+    quantile lookup run on ``|groups| x n_bins`` rows. Groups are the
+    aggregate key, so skew follows group cardinalities, not value
+    distributions."""
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col).alias("grp")
+    src = df.where(x.isNotNull()).select(g, x.alias("x"))
+    ext = src.groupBy("grp").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        src.join(F.broadcast(ext), "grp")
+        .select(
+            "grp",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                    ),
+                    F.lit(n_bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = binned.select(
+        "grp", "bin", F.sum("c").over(wcum).alias("cum")
+    ).join(F.broadcast(ext), "grp")
+    qrows = (
+        cdf.select(
+            "grp",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            "bin",
+            "cum",
+            "lo",
+            "hi",
+            "n",
+        )
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("grp", "q", "lo", "hi", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    zero_w = F.col("hi") == F.col("lo")
+    lo_edge = F.when(zero_w, F.col("lo")).otherwise(
+        F.col("lo") + F.col("bin") * w
+    )
+    hi_edge = F.when(zero_w, F.col("lo")).otherwise(
+        F.col("lo") + (F.col("bin") + 1) * w
+    )
+    return qrows.select(
+        "grp",
+        "q",
+        "bin",
+        F.round((lo_edge + hi_edge) / 2.0, round_digits).alias("est"),
+        F.round(lo_edge, round_digits).alias("lo_edge"),
+        F.round(hi_edge, round_digits).alias("hi_edge"),
+        "n",
+    ).orderBy("grp", "q")
+
+
+def grouped_histogram_quantile_oracle_sql(
+    src_sql: str,
+    n_bins: int = 1024,
+    qs: tuple[float, ...] = (0.5, 0.99),
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin over a source yielding ``(grp, x)``."""
+    q_values = ", ".join(f"({q!r})" for q in qs)
+    wexpr = f"((hi - lo) / {float(n_bins)!r})"
+    return f"""
+    WITH src AS (
+        SELECT grp, CAST(x AS DOUBLE) AS x FROM ({src_sql})
+        WHERE x IS NOT NULL
+    ), ext AS (
+        SELECT grp, min(x) AS lo, max(x) AS hi, count(*) AS n
+        FROM src GROUP BY grp
+    ), binned AS (
+        SELECT src.grp AS grp,
+               CAST(CASE WHEN ext.hi = ext.lo THEN 0
+                    ELSE least(floor((x - ext.lo)
+                               / ((ext.hi - ext.lo) / {float(n_bins)!r})),
+                               {n_bins - 1})
+               END AS INT) AS bin,
+               count(*) AS c
+        FROM src JOIN ext USING (grp) GROUP BY 1, 2
+    ), cdf AS (
+        SELECT grp, bin,
+               sum(c) OVER (PARTITION BY grp ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM binned
+    ), hits AS (
+        SELECT cdf.grp AS grp, qq.q AS q, min(bin) AS bin
+        FROM cdf
+        JOIN ext ON ext.grp = cdf.grp
+        CROSS JOIN (VALUES {q_values}) qq(q)
+        WHERE cum >= ceil(qq.q * ext.n)
+        GROUP BY 1, 2
+    )
+    SELECT grp, q, bin,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE ((lo + bin * {wexpr}) + (lo + (bin + 1) * {wexpr}))
+                      / 2.0 END, {round_digits}) AS est,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE lo + bin * {wexpr} END, {round_digits}) AS lo_edge,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE lo + (bin + 1) * {wexpr} END, {round_digits}) AS hi_edge,
+           n
+    FROM hits JOIN ext USING (grp) ORDER BY grp, q
     """

@@ -649,3 +649,40 @@ def za37_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return zipf_fit(docs, "text", n_ranks=256)
+
+
+# ---------------------------------------------------------------------------
+# za38 — per-group sketch quantiles (operators/quantile_sketch.py)
+# ---------------------------------------------------------------------------
+
+def _ghq_oracle() -> str:
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        grouped_histogram_quantile_oracle_sql,
+    )
+
+    return grouped_histogram_quantile_oracle_sql(
+        "SELECT event_type AS grp, value AS x FROM events",
+        n_bins=1024,
+        qs=(0.5, 0.99),
+    )
+
+
+@_register("za38_grouped_quantiles", _ghq_oracle())
+def za38_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment sketch quantiles
+    (operators/quantile_sketch.grouped_histogram_quantiles): p50/p99
+    of event value per event type from 1024-bin per-group histograms —
+    q46's mergeable-sketch contract in the shape monitoring actually
+    uses (metric percentiles per segment, map-side-combinable state
+    per group, no per-group sort).
+
+    Scale shape: two group-keyed map-side-combinable aggregates;
+    everything after is |groups| x n_bins rows."""
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        grouped_histogram_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_histogram_quantiles(
+        ev, "value", "event_type", n_bins=1024, qs=(0.5, 0.99)
+    )

@@ -53,3 +53,41 @@ def test_histogram_sketch_merges(spark):
         q_merged.est,
         q_merged.n,
     )
+
+
+def test_grouped_quantiles_matches_single_group(spark):
+    """A single-group input must reproduce histogram_quantiles."""
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        grouped_histogram_quantiles,
+        histogram_quantiles,
+    )
+
+    df = spark.range(1, 501).select(
+        F.lit("g").alias("grp"), F.col("id").cast("double").alias("v")
+    )
+    a = histogram_quantiles(df, "v", n_bins=64, qs=(0.5, 0.99)).collect()
+    b = grouped_histogram_quantiles(
+        df, "v", "grp", n_bins=64, qs=(0.5, 0.99)
+    ).collect()
+    assert [(r.q, r.bin, r.est, r.n) for r in a] == [
+        (r.q, r.bin, r.est, r.n) for r in b
+    ]
+
+
+def test_grouped_quantiles_brackets_per_group(spark):
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        grouped_histogram_quantiles,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(i)) for i in range(1000, 1101)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {
+        (r.grp, r.q): r
+        for r in grouped_histogram_quantiles(
+            df, "v", "grp", n_bins=32, qs=(0.5,)
+        ).collect()
+    }
+    assert out[("a", 0.5)].lo_edge <= 50 <= out[("a", 0.5)].hi_edge
+    assert out[("b", 0.5)].lo_edge <= 1050 <= out[("b", 0.5)].hi_edge

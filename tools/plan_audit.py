@@ -811,6 +811,11 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
+    "za38_grouped_quantiles": (
+        "two group-keyed map-side-combinable aggregates; the per-group "
+        "CDF window and quantile lookup run on |groups| x n_bins rows",
+        (),
+    ),
     "za36_join_skew_stats": (
         "preflight never performs the join: two count aggregates, a "
         "|keys|-row join of count tables, a 1-row roll-up - the BNLJ "
