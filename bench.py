@@ -71,6 +71,7 @@ HEADLINE = [
     "za36_join_skew_stats",
     "za37_zipf_fit",
     "za38_grouped_quantiles",
+    "za39_hll_shard_merge",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from computer_vision_foundations_spark.functions.hashing import md5_hash_pair
 
 __all__ = [
+    "hll_estimate_from_registers",
+    "hll_merge",
     "hll_registers",
     "hll_count_distinct",
     "HLL_ORACLE_TEMPLATE",
@@ -70,19 +72,18 @@ def hll_registers(
     )
 
 
-def hll_count_distinct(
-    df: DataFrame,
-    col: str,
+def hll_estimate_from_registers(
+    regs: DataFrame,
     p: int = 10,
     keys: list[str] | None = None,
     out_col: str = "approx_distinct",
 ) -> DataFrame:
-    """Approximate distinct ``col`` per ``keys`` group (std error
-    ~1.04/sqrt(2^p), ~3.3% at p=10). Two hash aggregates: raw →
-    registers (fixed 2^p rows/group), registers → one row/group."""
+    """FFGM estimate from a register table (the second half of
+    :func:`hll_count_distinct`, exposed so MERGED registers — see
+    :func:`hll_merge` — can be estimated with the identical
+    expression tree)."""
     keys = keys or []
     m = 1 << p
-    regs = hll_registers(df, col, p=p, keys=keys)
     agg = regs.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("_s_nonempty"),
         F.count("*").alias("_nonempty"),
@@ -93,6 +94,35 @@ def hll_count_distinct(
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
     return agg.select(*keys, F.round(est, 4).alias(out_col))
+
+
+def hll_merge(
+    regs: DataFrame, group_keys: list[str] | None = None
+) -> DataFrame:
+    """Merge register tables by max-per-bucket — HLL's defining
+    property (max is associative/commutative/idempotent), which is
+    what makes the sketch shardable across a cluster: union the
+    per-shard register tables, one bucket-keyed max aggregate.
+    ``group_keys`` are the OUTPUT keys to keep (drop the shard key to
+    merge everything)."""
+    group_keys = group_keys or []
+    return regs.groupBy(*group_keys, "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 10,
+    keys: list[str] | None = None,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate distinct ``col`` per ``keys`` group (std error
+    ~1.04/sqrt(2^p), ~3.3% at p=10). Two hash aggregates: raw →
+    registers (fixed 2^p rows/group), registers → one row/group."""
+    regs = hll_registers(df, col, p=p, keys=keys)
+    return hll_estimate_from_registers(regs, p=p, keys=keys, out_col=out_col)
 
 
 # DuckDB mirror of the full pipeline; format with src (a FROM-able

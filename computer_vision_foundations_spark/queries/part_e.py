@@ -686,3 +686,89 @@ def za38_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_histogram_quantiles(
         ev, "value", "event_type", n_bins=1024, qs=(0.5, 0.99)
     )
+
+
+# ---------------------------------------------------------------------------
+# za39 — HLL shard-merge (functions/sketches.hll_merge)
+# ---------------------------------------------------------------------------
+
+def _hll_merge_oracle() -> str:
+    # replay: per-source registers -> max-merge -> FFGM estimate, and
+    # the direct single-pass estimate; they must be EXACTLY equal
+    # (max is associative), which the value hash then proves.
+    m = 1 << 10
+    from computer_vision_foundations_spark.functions.sketches import _alpha
+
+    alpha = _alpha(m)
+    est = (
+        f"round(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m}"
+        f" / (s_nonempty + ({m} - nonempty)) <= 2.5 * {m}"
+        f" AND {m} - nonempty > 0"
+        f" THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - nonempty))"
+        f" ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m}"
+        f" / (s_nonempty + ({m} - nonempty)) END, 4)"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT source,
+             ('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 7))::BIGINT
+                 % {m} AS bucket,
+             29 - length(bin(('0x' || substr(md5(CAST(text AS VARCHAR)),
+                                             8, 7))::BIGINT)) AS rho
+      FROM documents
+    ),
+    shard_regs AS (
+      SELECT source, bucket, max(rho) AS m_j FROM hashed GROUP BY 1, 2
+    ),
+    merged_regs AS (
+      SELECT bucket, max(m_j) AS m_j FROM shard_regs GROUP BY 1
+    ),
+    merged AS (
+      SELECT sum(power(2.0, -m_j)) AS s_nonempty, count(*) AS nonempty
+      FROM merged_regs
+    ),
+    direct_regs AS (
+      SELECT bucket, max(rho) AS m_j FROM hashed GROUP BY 1
+    ),
+    direct AS (
+      SELECT sum(power(2.0, -m_j)) AS s_nonempty, count(*) AS nonempty
+      FROM direct_regs
+    ),
+    ns AS (SELECT count(DISTINCT source) AS n_shards FROM documents)
+    SELECT ns.n_shards AS n_shards,
+           (SELECT {est} FROM merged) AS merged_distinct,
+           (SELECT {est} FROM direct) AS direct_distinct
+    FROM ns
+    """
+
+
+@_register("za39_hll_shard_merge", _hll_merge_oracle())
+def za39_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL shard-merge (functions/sketches.hll_merge): per-source
+    register tables max-merged into one sketch, estimated with the
+    identical FFGM expression as the direct single-pass sketch — the
+    two estimates are EXACTLY equal (register max is associative),
+    and the value hash proves it. This is the property that lets a
+    1000-executor cluster sketch each shard independently and merge
+    2^p-row register tables instead of reshuffling raw data — the
+    distributed contract of the whole sketch family (q87 HLL, q88
+    count-min, q46 histogram).
+
+    Scale shape: shard-keyed register aggregate (map-side combine,
+    <= shards x 2^p rows) -> bucket-keyed max -> 1-row estimate."""
+    from computer_vision_foundations_spark.functions.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard_regs = hll_registers(docs, "text", p=10, keys=["source"])
+    merged = hll_estimate_from_registers(
+        hll_merge(shard_regs), p=10, out_col="merged_distinct"
+    )
+    direct = hll_estimate_from_registers(
+        hll_registers(docs, "text", p=10), p=10, out_col="direct_distinct"
+    )
+    n_shards = docs.agg(F.countDistinct("source").alias("n_shards"))
+    return n_shards.join(F.broadcast(merged)).join(F.broadcast(direct))

@@ -91,3 +91,24 @@ def test_grouped_quantiles_brackets_per_group(spark):
     }
     assert out[("a", 0.5)].lo_edge <= 50 <= out[("a", 0.5)].hi_edge
     assert out[("b", 0.5)].lo_edge <= 1050 <= out[("b", 0.5)].hi_edge
+
+
+def test_hll_merge_equals_direct(spark):
+    """Shard-merge losslessness: per-shard registers max-merged give
+    EXACTLY the single-pass sketch (max associativity)."""
+    from computer_vision_foundations_spark.functions.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(500)], ["shard", "v"]
+    )
+    merged = hll_estimate_from_registers(
+        hll_merge(hll_registers(df, "v", p=6, keys=["shard"])), p=6
+    ).collect()[0][0]
+    direct = hll_estimate_from_registers(
+        hll_registers(df, "v", p=6), p=6
+    ).collect()[0][0]
+    assert merged == direct

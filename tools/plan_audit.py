@@ -811,6 +811,13 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
+    "za39_hll_shard_merge": (
+        "shard-keyed register aggregate (<= shards x 2^p rows) -> "
+        "bucket max-merge -> 1-row estimates; raw data shuffles once "
+        "as (source, bucket, rho) ints - the BNLJs are the "
+        "conditionless 1-ROW estimate broadcasts",
+        ("BroadcastNestedLoopJoin",),
+    ),
     "za38_grouped_quantiles": (
         "two group-keyed map-side-combinable aggregates; the per-group "
         "CDF window and quantile lookup run on |groups| x n_bins rows",
