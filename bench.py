@@ -72,6 +72,7 @@ HEADLINE = [
     "za37_zipf_fit",
     "za38_grouped_quantiles",
     "za39_hll_shard_merge",
+    "za40_stratified_hash_sample",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

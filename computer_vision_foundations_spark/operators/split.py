@@ -95,6 +95,48 @@ def bernoulli_sample(
     return df.filter(h < F.lit(float(fraction) * float(16 ** 13)))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    label_col: str,
+    fractions: dict,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic ``sampleBy``: keep a row iff its 52-bit md5 unit
+    (pure function of (id, seed) — the ``bernoulli_sample`` id_col
+    construction) falls under its stratum's fraction.
+
+    The portable twin of ``train_test_split``'s faithful ``sampleBy``
+    (whose per-partition XORShift draw makes the row SET
+    partition-dependent — the q65 rows-only caveat): same per-stratum
+    fraction semantics, but membership survives repartitioning,
+    engine swaps, and reruns, so downstream splits are reproducible
+    and SQL-replayable. Strata absent from ``fractions`` are dropped
+    (sampleBy's contract). One narrow projection, no shuffle."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f":{seed}")
+                ).cast("binary")
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    expr = None
+    for label, frac in sorted(fractions.items()):
+        t = F.lit(float(frac) * float(16 ** 13))
+        expr = (
+            F.when(F.col(label_col) == F.lit(label), t)
+            if expr is None
+            else expr.when(F.col(label_col) == F.lit(label), t)
+        )
+    return df.filter(h < expr)
+
+
 def kfold_assignment(
     df,
     id_col: str,

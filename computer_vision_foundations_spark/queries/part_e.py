@@ -772,3 +772,46 @@ def za39_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_shards = docs.agg(F.countDistinct("source").alias("n_shards"))
     return n_shards.join(F.broadcast(merged)).join(F.broadcast(direct))
+
+
+# ---------------------------------------------------------------------------
+# za40 — deterministic stratified sampling (operators/split.py)
+# ---------------------------------------------------------------------------
+
+_STRAT_FRACS = {"O": 0.2, "F": 0.5, "P": 0.8}
+_STRAT_SEED = 19
+
+
+def _strat_oracle() -> str:
+    th = " ".join(
+        f"WHEN o_orderstatus = '{k}' THEN {float(v) * float(16 ** 13)!r}"
+        for k, v in sorted(_STRAT_FRACS.items())
+    )
+    return f"""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                   || ':{_STRAT_SEED}'), 1, 13)) AS BIGINT)
+          < CASE {th} END
+    """
+
+
+@_register("za40_stratified_hash_sample", _strat_oracle())
+def za40_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampleBy (operators/split.stratified_hash_sample):
+    per-stratum fractions {O: 0.2, F: 0.5, P: 0.8} with membership a
+    pure function of (o_orderkey, seed) — the portable twin of the
+    q65 faithful sampleBy whose per-partition XORShift draw keeps it
+    rows-only forever. Full value-hash oracle: the exact row SET
+    matches across engines and partitionings, which is what
+    reproducible downstream training splits require.
+
+    Scale shape: one narrow projection, no shuffle, no fit pass."""
+    from computer_vision_foundations_spark.operators.split import (
+        stratified_hash_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return stratified_hash_sample(
+        orders, "o_orderstatus", _STRAT_FRACS, "o_orderkey", seed=_STRAT_SEED
+    ).select("o_orderkey", "o_orderstatus")

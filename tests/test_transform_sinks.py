@@ -245,3 +245,82 @@ def test_compact_parquet_dir_partitioned(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 1000
     assert {r.p for r in out.select("p").distinct().collect()} == {0, 1, 2}
+
+
+def test_stratified_hash_sample_fractions_and_purity(spark):
+    from computer_vision_foundations_spark.operators.split import (
+        stratified_hash_sample,
+    )
+
+    rows = [(i, "A" if i % 2 == 0 else "B") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "lab"])
+    out = stratified_hash_sample(
+        df, "lab", {"A": 0.1, "B": 0.6}, "id", seed=3
+    )
+    got = {r["lab"]: 0 for r in out.select("lab").distinct().collect()}
+    counts = {
+        r["lab"]: r["n"]
+        for r in out.groupBy("lab").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # fraction targets within a loose binomial band (1000 per stratum)
+    assert 60 <= counts["A"] <= 160
+    assert 510 <= counts["B"] <= 690
+    # purity: repartitioning does not change the row set
+    a = {tuple(r) for r in out.collect()}
+    b = {
+        tuple(r)
+        for r in stratified_hash_sample(
+            df.repartition(13), "lab", {"A": 0.1, "B": 0.6}, "id", seed=3
+        ).collect()
+    }
+    assert a == b
+    # strata not in fractions are dropped
+    df2 = spark.createDataFrame([(1, "C")], ["id", "lab"])
+    assert (
+        stratified_hash_sample(df2, "lab", {"A": 0.5}, "id").count() == 0
+    )
+
+
+def test_cms_and_bloom_shard_merge(spark):
+    """Count-min counters ADD across shards; bloom bits OR across
+    shards - both merges must equal the single-pass sketch."""
+    from functools import reduce
+
+    from computer_vision_foundations_spark.functions.sketches import (
+        bloom_bits,
+        count_min_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4, f"t{i % 50}") for i in range(400)], ["shard", "term"]
+    )
+    # CMS: per-shard register tables summed == direct registers
+    direct = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in count_min_registers(df, "term", d=2, w=64).collect()
+    }
+    parts = [
+        count_min_registers(df.where(F.col("shard") == s), "term", d=2, w=64)
+        for s in range(4)
+    ]
+    merged_df = reduce(lambda a, b: a.unionByName(b), parts)
+    merged = {
+        (r["row"], r["slot"]): r["cnt"]
+        for r in merged_df.groupBy("row", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == direct
+    # Bloom: OR of per-shard bit sets == direct bit set
+    direct_bits = {
+        r["bit"] for r in bloom_bits(df, "term", m=512, k=3).collect()
+    }
+    shard_bits = set()
+    for s in range(4):
+        shard_bits |= {
+            r["bit"]
+            for r in bloom_bits(
+                df.where(F.col("shard") == s), "term", m=512, k=3
+            ).collect()
+        }
+    assert shard_bits == direct_bits

@@ -811,6 +811,11 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
+    "za40_stratified_hash_sample": (
+        "one narrow projection (md5 threshold per stratum), no "
+        "shuffle, no fit pass - the portable sampleBy",
+        (),
+    ),
     "za39_hll_shard_merge": (
         "shard-keyed register aggregate (<= shards x 2^p rows) -> "
         "bucket max-merge -> 1-row estimates; raw data shuffles once "
