@@ -44,7 +44,12 @@ def compaction_plan(
     group_id = floor(exclusive-prefix-sum(bytes) / target): a file
     whose cumulative start crosses a target boundary opens the next
     group, so every group's byte total lies in
-    (target − max_file, target + max_file)."""
+    (target − max_file, target + max_file).
+
+    ``key_col`` MUST be unique per file (a path or range id — true of
+    any real listing): the running sum orders by it alone, and
+    duplicate keys would make the prefix sum tie-order-dependent
+    across engines."""
     w = Window.orderBy(key_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -73,6 +73,10 @@ def pii_scan(
     differentially proves the masked STRING is byte-identical across
     engines without shipping document bodies through the gate (the
     same bodies-stay-narrow discipline as the dedup family).
+
+    NULL text propagates NULL counts and hash on BOTH engines
+    (regexp_count/regexp_replace/md5 are all NULL-strict in Spark and
+    DuckDB alike), so the differential contract holds with no guard.
     """
     t = F.col(text_col)
     return df.select(

@@ -47,6 +47,12 @@ def sessionize(
     New session ⇔ no previous event OR strictly more than
     ``gap_seconds`` since it (boundary exactly == gap stays in the
     same session — documented, oracle-identical).
+
+    NULL timestamps: rows with NULL ``ts_col`` are ORDER-AMBIGUOUS
+    across engines (Spark sorts NULLS FIRST ascending, DuckDB NULLS
+    LAST), so the differential contract only holds on non-null
+    timestamps — filter them upstream if the source can contain any
+    (the fixture event log cannot).
     """
     # parquet TIMESTAMP_NTZ: cast to TIMESTAMP under the engine's fixed
     # UTC session zone — wall-clock-identical, so unix_micros equals
