@@ -73,6 +73,7 @@ HEADLINE = [
     "za38_grouped_quantiles",
     "za39_hll_shard_merge",
     "za40_stratified_hash_sample",
+    "za41_negative_sampling",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

@@ -815,3 +815,61 @@ def za40_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         orders, "o_orderstatus", _STRAT_FRACS, "o_orderkey", seed=_STRAT_SEED
     ).select("o_orderkey", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# za41 — contrastive negative sampling (operators/negatives.py)
+# ---------------------------------------------------------------------------
+
+_NEG_PAIRS_SQL = """
+    SELECT doc_id AS anchor,
+           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos
+    FROM documents
+    QUALIFY pos IS NOT NULL
+"""
+
+
+def _neg_oracle() -> str:
+    from computer_vision_foundations_spark.operators.negatives import (
+        negative_samples_oracle_sql,
+    )
+
+    return negative_samples_oracle_sql(
+        _NEG_PAIRS_SQL,
+        "SELECT doc_id AS id FROM documents",
+        k=4,
+        seed=13,
+    )
+
+
+@_register("za41_negative_sampling", _neg_oracle())
+def za41_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling
+    (operators/negatives.py): 4 hash-drawn negatives per
+    (anchor, positive) pair over the dense doc-id space — negative j
+    of (a, p) is md5(a|p|j|seed) mod N, a pure function of the pair,
+    so every epoch/engine/partitioning regenerates identical
+    negatives with no RNG state and no second corpus pass (the
+    sampler the InfoNCE-style training-data stage actually needs at
+    100 TB). Positives here are within-source consecutive docs (the
+    cheap domain-contrastive pairing); any pair table composes.
+
+    Scale shape: one narrow k-explode projection + a 1-row corpus
+    count broadcast; collision slots dropped locally (loss 2k/N)."""
+    from computer_vision_foundations_spark.operators.negatives import (
+        negative_samples,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("anchor"),
+            F.lead("doc_id").over(w).alias("pos"),
+        )
+        .where(F.col("pos").isNotNull())
+    )
+    return negative_samples(
+        pairs, docs, "anchor", "pos", "doc_id", k=4, seed=13
+    )

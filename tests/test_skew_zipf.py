@@ -2,6 +2,8 @@
 
 import math
 
+from pyspark.sql import functions as F
+
 from computer_vision_foundations_spark.operators.skewstats import (
     join_skew_stats,
 )
@@ -52,3 +54,37 @@ def test_zipf_rank_ties_broken_by_token(spark):
     b = zipf_fit(df, "text", n_ranks=3).collect()
     assert a == b
     assert math.isnan(a[0].slope) or a[0].slope == 0.0  # flat counts
+
+
+def test_negative_sampling_pure_and_collision_free(spark):
+    from computer_vision_foundations_spark.operators.negatives import (
+        negative_samples,
+    )
+
+    corpus = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (5, 6), (50, 51)], ["anchor", "pos"]
+    )
+    out = negative_samples(
+        pairs, corpus, "anchor", "pos", "doc_id", k=8, seed=7
+    )
+    rows = out.collect()
+    # negatives never equal their pair's anchor/positive, stay in range
+    for r in rows:
+        assert r.neg not in (r.anchor, r.pos)
+        assert 0 <= r.neg < 100
+    # at most k per pair (collisions dropped, not redrawn)
+    from collections import Counter
+
+    per_pair = Counter((r.anchor, r.pos) for r in rows)
+    assert all(v <= 8 for v in per_pair.values())
+    # purity: identical under repartitioning and reruns
+    again = negative_samples(
+        pairs.repartition(5), corpus, "anchor", "pos", "doc_id", k=8, seed=7
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # different seed -> different draws (overwhelmingly)
+    other = negative_samples(
+        pairs, corpus, "anchor", "pos", "doc_id", k=8, seed=8
+    ).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))

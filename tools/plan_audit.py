@@ -811,6 +811,12 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
+    "za41_negative_sampling": (
+        "one k-explode hash projection per pair + a 1-row corpus "
+        "count broadcast (the conditionless BNLJ); no RNG state, no "
+        "second corpus pass",
+        ("BroadcastNestedLoopJoin",),
+    ),
     "za40_stratified_hash_sample": (
         "one narrow projection (md5 threshold per stratum), no "
         "shuffle, no fit pass - the portable sampleBy",
