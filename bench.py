@@ -74,6 +74,7 @@ HEADLINE = [
     "za39_hll_shard_merge",
     "za40_stratified_hash_sample",
     "za41_negative_sampling",
+    "za42_event_disorder",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",

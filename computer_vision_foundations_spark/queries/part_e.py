@@ -873,3 +873,76 @@ def za41_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(
         pairs, docs, "anchor", "pos", "doc_id", k=4, seed=13
     )
+
+
+# ---------------------------------------------------------------------------
+# za42 — event-time disorder / watermark planning (operators/disorder.py)
+# ---------------------------------------------------------------------------
+
+# the synthetic event log arrives perfectly ordered (event_id order ==
+# ts order), so the audit would be degenerate; simulate ingest jitter
+# DETERMINISTICALLY — arrival = event time + md5(event_id) % 120 s —
+# identically on both engines, giving the diagnostic real disorder to
+# measure (a jitter bound of 120 s must yield p95 <= 120 s).
+_JITTER_US = 120_000_000
+
+_DISORDER_SRC = f"""(
+    SELECT user_id, ts, event_id,
+           epoch_us(ts)
+           + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % {_JITTER_US} AS arr
+    FROM events
+) jittered"""
+
+
+def _disorder_oracle() -> str:
+    from computer_vision_foundations_spark.operators.disorder import (
+        disorder_oracle_sql,
+    )
+
+    return disorder_oracle_sql(
+        table=_DISORDER_SRC,
+        arrival_col="arr",
+        tiebreak_col="event_id",
+        qs=(0.5, 0.95),
+    )
+
+
+@_register("za42_event_disorder", _disorder_oracle())
+def za42_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit (operators/disorder.py): per-user
+    lateness of each event behind the max event time among
+    earlier-ARRIVING events, under a deterministic simulated ingest
+    jitter (arrival = event time + md5(event_id) % 120 s — the
+    synthetic log is otherwise perfectly ordered). Output:
+    out-of-order fraction, p50/p95 lateness as EXACT ceil-rank order
+    statistics in integer microseconds, and the max. This is the
+    measurement that justifies a watermark delay
+    (`streaming/windows.py`): p95_late IS "the delay that keeps 95%
+    of late data", and the 120 s jitter bound caps every statistic.
+
+    Scale shape: one key-partitioned running-max window (the
+    sessionize exchange); the quantile selection runs on the
+    |late-events| lateness values only."""
+    from computer_vision_foundations_spark.operators.disorder import (
+        event_disorder_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("event_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _JITTER_US
+    )
+    arr = (
+        F.unix_micros(F.col("ts").cast("timestamp")) + jitter
+    ).alias("arr")
+    src = ev.select("user_id", "ts", "event_id", arr)
+    return event_disorder_stats(
+        src, "user_id", "ts", "arr", tiebreak_col="event_id", qs=(0.5, 0.95)
+    )

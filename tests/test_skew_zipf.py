@@ -88,3 +88,40 @@ def test_negative_sampling_pure_and_collision_free(spark):
         pairs, corpus, "anchor", "pos", "doc_id", k=8, seed=8
     ).collect()
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_event_disorder_ordered_feed_is_clean(spark):
+    import datetime
+
+    from computer_vision_foundations_spark.operators.disorder import (
+        event_disorder_stats,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(seconds=i), i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "arr"])
+    r = event_disorder_stats(df, "u", "ts", "arr", qs=(0.5,)).collect()[0]
+    assert (r.n_events, r.n_late, r.frac_late) == (20, 0, 0.0)
+    assert r.p50_late_us is None and r.max_late_us is None
+
+
+def test_event_disorder_measures_known_lateness(spark):
+    import datetime
+
+    from computer_vision_foundations_spark.operators.disorder import (
+        event_disorder_stats,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # arrival order: t=0, t=10, then a straggler with t=3 (7s late)
+    rows = [
+        (1, base, 0),
+        (1, base + datetime.timedelta(seconds=10), 1),
+        (1, base + datetime.timedelta(seconds=3), 2),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "arr"])
+    r = event_disorder_stats(df, "u", "ts", "arr", qs=(0.5,)).collect()[0]
+    assert (r.n_events, r.n_late) == (3, 1)
+    assert r.p50_late_us == 7_000_000 == r.max_late_us

@@ -811,6 +811,12 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
+    "za42_event_disorder": (
+        "one key-partitioned running-max window; quantile selection "
+        "runs on |late-events| rows; the BNLJs are the 1-ROW stat "
+        "broadcasts",
+        ("BroadcastNestedLoopJoin",),
+    ),
     "za41_negative_sampling": (
         "one k-explode hash projection per pair + a 1-row corpus "
         "count broadcast (the conditionless BNLJ); no RNG state, no "
