@@ -15,12 +15,26 @@ Per-KEY disorder, deliberately: a global arrival order is a
 single-sequence notion that does not exist on a 1000-executor ingest
 — real feeds measure disorder per shard/partition key and take the
 max over keys (the watermark must cover the worst shard). The
-per-key running max is one partitioned window; everything global is
-rank selection over the |late-events| lateness values.
+per-key running max is one partitioned window.
+
+Quantile selection is EXACT (value at rank ceil(q·n)) but computed
+WITHOUT a global sort window: a mergeable fixed-bin histogram (the
+operators/quantile_sketch.py shape — map-side combinable bin counts,
+≤ ``n_bins`` rows of state) locates the bin containing each target
+rank, then a second pass ranks only the DISTINCT lateness values
+INSIDE the (≤ len(qs)) target bins, with the cumulative window
+partitioned BY BIN. Nothing data-sized ever passes through a single
+task: the two data-sized stages are map-side-combinable aggregates,
+and the within-bin window sees at most (bin value-domain width)
+distinct integer values per target bin. Because bins partition the
+value order, ``min{v : count(late_us <= v) >= r}`` restricted to the
+target bin equals the global order statistic — the histogram narrows
+the search, it never approximates.
 
 All arithmetic is exact integer microseconds; the quantiles are ORDER
 STATISTICS (value at rank ceil(q·n), ties broken by value order), not
-interpolated — replayable bit-for-bit in SQL.
+interpolated — replayable bit-for-bit in SQL (the oracle keeps the
+direct global-rank form, which is exactly equivalent).
 """
 
 from __future__ import annotations
@@ -38,6 +52,7 @@ def event_disorder_stats(
     arrival_col: str,
     tiebreak_col: str | None = None,
     qs: tuple[float, ...] = (0.5, 0.95),
+    n_bins: int = 4096,
 ) -> DataFrame:
     """One row: ``n_events, n_late, frac_late`` + one ``p{q}_late_us``
     column per requested quantile (over LATE events only — NULL when
@@ -46,7 +61,10 @@ def event_disorder_stats(
 
     ``tiebreak_col`` resolves equal arrival values deterministically
     (pass the unique ingest id); the quantile VALUE is tie-stable
-    regardless (equal lateness values are adjacent in rank order)."""
+    regardless (equal lateness values are adjacent in rank order).
+
+    At production scale, persist the lateness projection before
+    calling (the audit re-scans it once per phase)."""
     order = [F.col(arrival_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
@@ -60,24 +78,95 @@ def event_disorder_stats(
         (F.max(us).over(w) - us).alias("late_us")
     )
     lates = late.where(F.col("late_us") > 0)
-    wr = Window.orderBy("late_us")
-    ranked = lates.select(
-        "late_us", F.row_number().over(wr).alias("_r")
-    )
-    n_late = lates.agg(
+    total = late.agg(F.count(F.lit(1)).alias("n_events"))
+    ext = lates.agg(
         F.count(F.lit(1)).alias("n_late"),
+        F.min("late_us").alias("_lo"),
         F.max("late_us").alias("max_late_us"),
     )
-    total = late.agg(F.count(F.lit(1)).alias("n_events"))
-    out = total.join(F.broadcast(n_late))
+    # --- phase 1: mergeable histogram over lateness values -----------
+    # bin(v) = min(floor((v - lo) / w), B-1): monotone nondecreasing in
+    # v, so bins partition the value order and cumulative bin counts
+    # bracket every rank. groupBy(bin) is map-side combinable;
+    # everything after it is <= n_bins rows.
+    v = F.col("late_us").cast("double")
+    lo_d = F.col("_lo").cast("double")
+    binw = (
+        F.col("max_late_us").cast("double") - lo_d
+    ) / F.lit(float(n_bins))
+    bin_expr = (
+        F.when(F.col("max_late_us") == F.col("_lo"), F.lit(0))
+        .otherwise(F.least(F.floor((v - lo_d) / binw), F.lit(n_bins - 1)))
+        .cast("int")
+        .alias("bin")
+    )
+    binned = (
+        lates.join(F.broadcast(ext))
+        .select(bin_expr)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = binned.select(
+        "bin",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    # target bin per quantile: first bin whose cumulative count reaches
+    # rank r = ceil(q * n_late) — runs on <= n_bins rows
+    qrows = (
+        cdf.join(F.broadcast(ext.select("n_late")))
+        .select(
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            "bin",
+            "cum",
+            "n_late",
+        )
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_late")))
+        .groupBy("q", "n_late")
+        .agg(F.min("bin").alias("bin"))
+    )
+    tsel = qrows.join(cdf.select("bin", "cum_before"), "bin").select(
+        "q",
+        "bin",
+        "cum_before",
+        F.ceil(F.col("q") * F.col("n_late")).alias("_rank"),
+    )
+    # --- phase 2: exact order statistic inside the target bins -------
+    # scan only rows landing in the <= len(qs) target bins (left-semi
+    # on a broadcast bin list), reduce to DISTINCT (bin, value) counts
+    # (map-side combinable), rank per bin: the window is partitioned by
+    # bin over distinct integer values — bounded by the bin's value
+    # domain, never by n.
+    within = (
+        lates.join(F.broadcast(ext))
+        .select(bin_expr, "late_us")
+        .join(F.broadcast(tsel.select("bin").distinct()), "bin", "left_semi")
+        .groupBy("bin", "late_us")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = (
+        Window.partitionBy("bin")
+        .orderBy("late_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picks = (
+        within.select("bin", "late_us", F.sum("c").over(wv).alias("cw"))
+        .join(F.broadcast(tsel), "bin")
+        .where(F.col("cum_before") + F.col("cw") >= F.col("_rank"))
+        .groupBy("q")
+        .agg(F.min("late_us").alias("p"))
+    )
+    out = total.join(F.broadcast(ext.select("n_late", "max_late_us")))
     for q in qs:
         # agg(max) over the <=1 matching row: empty input still yields
         # ONE row (NULL), so a disorder-free feed reports NULL
         # percentiles instead of annihilating the cross join
         pick = (
-            ranked.join(F.broadcast(n_late.select("n_late")))
-            .where(F.col("_r") == F.ceil(F.lit(q) * F.col("n_late")))
-            .agg(F.max("late_us").alias(f"p{int(q * 100)}_late_us"))
+            picks.where(F.col("q") == F.lit(float(q)))
+            .agg(F.max("p").alias(f"p{int(q * 100)}_late_us"))
         )
         out = out.join(F.broadcast(pick))
     return out.select(
@@ -100,8 +189,10 @@ def disorder_oracle_sql(
     tiebreak_col: str | None = None,
     qs: tuple[float, ...] = (0.5, 0.95),
 ) -> str:
-    """DuckDB twin — identical per-key running max, identical
-    ceil-rank order-statistic selection."""
+    """DuckDB twin — identical per-key running max; the quantile is
+    the SAME ceil-rank order statistic, written in its direct
+    global-rank form (fine at oracle SF; the engine's histogram-
+    narrowed selection returns the identical value)."""
     pcols = ", ".join(
         f"""(SELECT max(late_us) FROM (
                SELECT late_us, row_number() OVER (ORDER BY late_us) AS _r

@@ -46,8 +46,14 @@ def join_skew_stats(
     cb = right.groupBy(F.col(right_key).alias("k")).agg(
         F.count(F.lit(1)).alias("nb")
     )
+    # na·nb in DECIMAL(38,0) (the emd.py overflow pattern): a hot key
+    # at 100 TB scale (~3e9 rows per side) squares past int64; BIGINT
+    # would silently wrap in non-ANSI Spark while DuckDB's sum()
+    # promotes to HUGEINT — a cross-engine divergence exactly in the
+    # skewed regime this preflight exists to catch.
+    dec = "decimal(38,0)"
     per_key = ca.join(cb, "k").select(
-        "k", (F.col("na") * F.col("nb")).alias("rows")
+        "k", (F.col("na").cast(dec) * F.col("nb").cast(dec)).alias("rows")
     )
     # top-k hottest keys, ties broken by key for determinism
     topk = (
@@ -62,8 +68,8 @@ def join_skew_stats(
     )
     return tot.join(F.broadcast(topk)).select(
         "n_keys",
-        "out_rows",
-        "max_key_rows",
+        F.col("out_rows").cast("long").alias("out_rows"),
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
         F.round(
             F.col("top_rows").cast("double") / F.col("out_rows").cast("double"),
             6,
@@ -83,7 +89,11 @@ def join_skew_oracle_sql(
     ), cb AS (
         SELECT k, count(*) AS nb FROM ({right_sql}) GROUP BY k
     ), per_key AS (
-        SELECT ca.k AS k, na * nb AS rows FROM ca JOIN cb USING (k)
+        -- HUGEINT product before summing: mirrors the engine's
+        -- DECIMAL(38,0) accumulation so a hot key cannot wrap int64
+        SELECT ca.k AS k,
+               CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) AS rows
+        FROM ca JOIN cb USING (k)
     ), topk AS (
         SELECT CAST(sum(rows) AS BIGINT) AS top_rows FROM (
             SELECT rows FROM per_key

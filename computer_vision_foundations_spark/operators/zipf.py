@@ -65,9 +65,13 @@ def zipf_fit(
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
     varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / varx_n
+    # NULLIF-guard the variance denominators (the cuped.py pattern):
+    # a degenerate corpus with <2 distinct tokens gives varx_n = 0 and
+    # would raise DIVIDE_BY_ZERO under ANSI Spark; NULL propagates to
+    # (slope, intercept, r2) identically on both engines instead.
+    slope = cov_n / F.nullif(varx_n, F.lit(0.0))
     intercept = (F.col("sy") - slope * F.col("sx")) / n
-    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    r2 = (cov_n * cov_n) / F.nullif(varx_n * vary_n, F.lit(0.0))
     return mom.select(
         F.col("n").alias("n_ranks"),
         F.round(slope, round_digits).alias("slope"),
@@ -105,15 +109,16 @@ def zipf_oracle_sql(
     )
     SELECT n AS n_ranks,
            round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                 / (CAST(n AS DOUBLE) * sxx - sx * sx),
+                 / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0),
                  {round_digits}) AS slope,
            round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                        / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0))
+                       * sx)
                  / CAST(n AS DOUBLE), {round_digits}) AS intercept,
            round(((CAST(n AS DOUBLE) * sxy - sx * sy)
                   * (CAST(n AS DOUBLE) * sxy - sx * sy))
-                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-                    * (CAST(n AS DOUBLE) * syy - sy * sy)),
+                 / NULLIF((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0),
                  {round_digits}) AS r2
     FROM mom
     """

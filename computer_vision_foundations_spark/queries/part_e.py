@@ -364,7 +364,7 @@ def q47_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za31 — PII scan/redaction (operators/pii.py)
+# q33_pii_redaction — PII scan/redaction (operators/pii.py)
 # ---------------------------------------------------------------------------
 
 _PII_SRC_SQL = """
@@ -432,7 +432,7 @@ def q33_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za32 — batch sessionization (operators/sessionize.py)
+# q44_sessionization — batch sessionization (operators/sessionize.py)
 # ---------------------------------------------------------------------------
 
 def _session_oracle() -> str:
@@ -469,7 +469,7 @@ def q44_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za33 — feature hashing audit (operators/feature_hash.py)
+# q43_feature_hashing — feature hashing audit (operators/feature_hash.py)
 # ---------------------------------------------------------------------------
 
 def _feature_hash_oracle() -> str:
@@ -500,7 +500,7 @@ def q43_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za34 — histogram-sketch quantiles (operators/quantile_sketch.py)
+# q46_histogram_quantiles — histogram-sketch quantiles (operators/quantile_sketch.py)
 # ---------------------------------------------------------------------------
 
 def _hq_oracle() -> str:

@@ -653,8 +653,20 @@ def read_table(
     dropped from the scan BEFORE Spark sees them (plan-time file-list
     pruning; composes with ``optimize_zorder``, which makes the ranges
     tight). Pruning is metadata-only and conservative — the caller
-    still applies its own row filter; equal results, fewer files."""
+    still applies its own row filter; equal results, fewer files.
+
+    A path carrying a REAL ``_delta_log`` (a table written by actual
+    Delta Lake) is routed to ``sources/delta_reader.py`` — same
+    snapshot/time-travel semantics over the public protocol. ``prune``
+    is ignored there (a no-op optimization; results are identical)."""
     from pyspark.sql import types as T
+
+    from computer_vision_foundations_spark.sources import delta_reader
+
+    if delta_reader.is_delta_table(root):
+        return delta_reader.read_delta(
+            spark, root, version=version, as_of_ts=as_of_ts
+        )
 
     v = _resolve_version(root, version, as_of_ts)
     files = _snapshot_files(root, v)

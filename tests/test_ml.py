@@ -218,7 +218,6 @@ def test_mlflow_registry_import_guard(tmp_path):
     _registry_contract(MlflowModelRegistry(tracking_uri=f"file://{tmp_path}/mlruns"))
 
 
-@pytest.mark.skipif(False, reason="directory backend always available")
 def test_directory_registry_contract(tmp_path):
     _registry_contract(ModelRegistry(str(tmp_path / "reg")))
 

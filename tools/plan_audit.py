@@ -812,9 +812,11 @@ AUDIT = {
         (),
     ),
     "za42_event_disorder": (
-        "one key-partitioned running-max window; quantile selection "
-        "runs on |late-events| rows; the BNLJs are the 1-ROW stat "
-        "broadcasts",
+        "one key-partitioned running-max window; exact quantiles via "
+        "the mergeable 4096-bin histogram (map-side-combinable bin "
+        "counts; cum window over <=4096 rows) + a within-target-bin "
+        "distinct-value rank PARTITIONED BY BIN — no n-scaled global "
+        "window anywhere; the BNLJs are the 1-ROW stat broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
     "za41_negative_sampling": (
