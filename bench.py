@@ -44,7 +44,7 @@ HEADLINE = [
     "q08_repetition_signals",
     "q76_events_running_window",
     "q77_events_hourly_window",
-    "q16_kmeans_step",
+    "za41_kmeans_step",
     "q82_sessionization",
     "q83_dedup_exact",
     "q66_text_quality",
@@ -70,14 +70,14 @@ HEADLINE = [
     "q44_sessionization",
     "q43_feature_hashing",
     "q46_histogram_quantiles",
-    "za35_compaction_plan",
-    "za36_join_skew_stats",
-    "za37_zipf_fit",
-    "za38_grouped_quantiles",
-    "za39_hll_shard_merge",
-    "za40_stratified_hash_sample",
-    "za41_negative_sampling",
-    "za42_event_disorder",
+    "q32_compaction_plan",
+    "q45_join_skew_stats",
+    "q11_zipf_fit",
+    "q26_grouped_quantiles",
+    "q18_hll_shard_merge",
+    "q27_stratified_hash_sample",
+    "q16_negative_sampling",
+    "q29_event_disorder",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
     "z15_event_funnel",
@@ -103,7 +103,7 @@ HEADLINE = [
     "za19_random_projection",
     "q09_pca_covariance",
     "q10_hits_scores",
-    "q11_bigram_surprisal",
+    "za37_bigram_surprisal",
     "q12_dsir_weights",
     "q13_incremental_lsh",
     "q14_cdc_dedup",
@@ -125,9 +125,9 @@ HEADLINE = [
     "z23_audio_spectrum",
     "z24_bucketed_join",
     "z25_table_profile",
-    "q29_multimodal_manifest",
+    "za42_multimodal_manifest",
     "z27_pq_rerank",
-    "q32_zorder_optimize",
+    "za35_zorder_optimize",
     "za31_data_skipping",
     "z30_knn_join",
     "q34_change_data_feed",

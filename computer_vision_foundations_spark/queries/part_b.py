@@ -862,8 +862,8 @@ def _kmeans_step_oracle_sql() -> str:
     """
 
 
-@_register("q16_kmeans_step", _kmeans_step_oracle_sql())
-def q16_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za41_kmeans_step", _kmeans_step_oracle_sql())
+def za41_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd k-means update
     (operators/clustering.kmeans_update_table): Arrow-batched
     nearest-centroid assignment + ONE hash aggregate of unrolled
@@ -2099,7 +2099,7 @@ def q10_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q11_bigram_surprisal",
+    "za37_bigram_surprisal",
     f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2131,7 +2131,7 @@ def q10_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.doc_id
     """,
 )
-def q11_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za37_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram surprisal
     (operators/perplexity.bigram_logprob_scores): the Jelinek-Mercer
     step up from q47's unigram proxy — p = λ·p(t|prev) + (1−λ)·p(t),

@@ -705,7 +705,7 @@ def z25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q29_multimodal_manifest",
+    "za42_multimodal_manifest",
     """
     WITH base AS (
         SELECT doc_id, text, length(text) AS n_chars
@@ -750,7 +750,7 @@ def z25_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN zcr ON zcr.doc_id = b.doc_id
     """,
 )
-def q29_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za42_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal training-data manifest: ONE pass over documents
     exercises all three real from-scratch codecs side by side — text
     renders to a PNG whose decoded pixel entropy is the image-quality
@@ -863,7 +863,7 @@ def z27_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q32_zorder_optimize",
+    "za35_zorder_optimize",
     """
     SELECT o_orderkey % 64 AS zx, count(*) AS n,
            round(sum(o_totalprice), 2) AS total_price
@@ -872,7 +872,7 @@ def z27_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderkey % 64
     """,
 )
-def q32_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za35_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`OPTIMIZE ... ZORDER BY` on the transactional table format
     (``sources/acid.py:optimize_zorder`` + ``operators/zorder.py``):
     orders land scattered across small files, then one remove+add
@@ -2500,7 +2500,7 @@ def _lpa_oracle_sql() -> str:
 
     return lpa_oracle_sql(
         f"SELECT id_a, id_b FROM ({_ORACLES['q49_simhash_near_dup_pairs']})",
-        n_rounds=4,
+        n_rounds=3,
     )
 
 
@@ -2513,8 +2513,9 @@ def q41_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     communities are the safer unit for destructive dedup than raw
     components (``operators/lpa.py``; z51's triangle audit flags the
     same risk, this operator resolves it). Deterministic smallest-
-    label tie-break; 4 fixed rounds; oracle unrolls the identical
-    recurrence one CTE per round.
+    label tie-break; 3 fixed rounds (the gate-SF round budget — the
+    operator takes any n_rounds; the oracle replays the identical
+    recurrence one CTE per round).
 
     Scale shape: per round ONE edge-list shuffle carrying (node,
     label) longs + a per-node window over its label histogram;
@@ -2525,4 +2526,4 @@ def q41_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
-    return label_propagation(pairs, "id_a", "id_b", n_rounds=4)
+    return label_propagation(pairs, "id_a", "id_b", n_rounds=3)

@@ -2030,7 +2030,7 @@ def za32_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q45_salted_skew_join",
+    "za36_salted_skew_join",
     """
     WITH dim AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS type_n,
@@ -2044,7 +2044,7 @@ def za32_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e.user_id
     """,
 )
-def q45_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za36_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inverse-propensity activity via a SALTED shuffle join
     (operators/skewjoin.salted_join): events join their event-type
     stats dim on (event_type, salt) with the dim replicated 8×, so a
@@ -2489,8 +2489,8 @@ def _conformal_oracle() -> str:
     )
 
 
-@_register("q18_conformal_band", _conformal_oracle())
-def q18_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za39_conformal_band", _conformal_oracle())
+def za39_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction band (operators/conformal.py):
     conformalize a per-event-type mean baseline on a seeded
     hash-deterministic calibration split of the events stream, report

@@ -89,8 +89,8 @@ def _split_oracle_sql() -> str:
     return best_splits_oracle_sql(_SPLIT_MELTED_SQL)
 
 
-@_register("q26_histogram_split", _split_oracle_sql())
-def q26_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za38_histogram_split", _split_oracle_sql())
+def za38_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XGBoost-style histogram split finding
     (operators/treesplit.histogram_best_splits): bin three lineitem
     features, build per-(feature, bin) label histograms in ONE
@@ -133,8 +133,8 @@ def _target_enc_oracle_sql() -> str:
     )
 
 
-@_register("q27_target_encoding", _target_enc_oracle_sql())
-def q27_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za40_target_encoding", _target_enc_oracle_sql())
+def za40_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-fold out-of-fold target encoding
     (operators/encoding.oof_target_encoding): encode order priority by
     the smoothed mean total price of the OTHER four hash folds — the
@@ -558,8 +558,8 @@ def _compaction_oracle() -> str:
     return compaction_oracle_sql(_COMPACT_SRC_SQL, _COMPACT_TARGET)
 
 
-@_register("za35_compaction_plan", _compaction_oracle())
-def za35_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q32_compaction_plan", _compaction_oracle())
+def q32_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (operators/compaction.py): pack
     a key-sorted file listing into contiguous ~target-byte groups via
     exclusive-prefix-sum binning — the OPTIMIZE-style maintenance op
@@ -601,8 +601,8 @@ def _skewstats_oracle() -> str:
     )
 
 
-@_register("za36_join_skew_stats", _skewstats_oracle())
-def za36_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q45_join_skew_stats", _skewstats_oracle())
+def q45_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-skew preflight (operators/skewstats.py): per-key
     cardinalities on both sides of the lineitem⋈orders join, the
     EXACT inner-join output size Σ n_a·n_b computed from the two
@@ -634,8 +634,8 @@ def _zipf_oracle() -> str:
     return zipf_oracle_sql(n_ranks=256)
 
 
-@_register("za37_zipf_fit", _zipf_oracle())
-def za37_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q11_zipf_fit", _zipf_oracle())
+def q11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit (operators/zipf.py): OLS slope/intercept/r² of
     log-frequency vs log-rank over the 256 most frequent tokens —
     with Heaps' law (z62) the pair of classic vocabulary diagnostics
@@ -667,8 +667,8 @@ def _ghq_oracle() -> str:
     )
 
 
-@_register("za38_grouped_quantiles", _ghq_oracle())
-def za38_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q26_grouped_quantiles", _ghq_oracle())
+def q26_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment sketch quantiles
     (operators/quantile_sketch.grouped_histogram_quantiles): p50/p99
     of event value per event type from 1024-bin per-group histograms —
@@ -742,8 +742,8 @@ def _hll_merge_oracle() -> str:
     """
 
 
-@_register("za39_hll_shard_merge", _hll_merge_oracle())
-def za39_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q18_hll_shard_merge", _hll_merge_oracle())
+def q18_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL shard-merge (functions/sketches.hll_merge): per-source
     register tables max-merged into one sketch, estimated with the
     identical FFGM expression as the direct single-pass sketch — the
@@ -796,8 +796,8 @@ def _strat_oracle() -> str:
     """
 
 
-@_register("za40_stratified_hash_sample", _strat_oracle())
-def za40_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q27_stratified_hash_sample", _strat_oracle())
+def q27_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampleBy (operators/split.stratified_hash_sample):
     per-stratum fractions {O: 0.2, F: 0.5, P: 0.8} with membership a
     pure function of (o_orderkey, seed) — the portable twin of the
@@ -842,8 +842,8 @@ def _neg_oracle() -> str:
     )
 
 
-@_register("za41_negative_sampling", _neg_oracle())
-def za41_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q16_negative_sampling", _neg_oracle())
+def q16_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling
     (operators/negatives.py): 4 hash-drawn negatives per
     (anchor, positive) pair over the dense doc-id space — negative j
@@ -908,8 +908,8 @@ def _disorder_oracle() -> str:
     )
 
 
-@_register("za42_event_disorder", _disorder_oracle())
-def za42_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q29_event_disorder", _disorder_oracle())
+def q29_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time disorder audit (operators/disorder.py): per-user
     lateness of each event behind the max event time among
     earlier-ARRIVING events, under a deterministic simulated ingest

@@ -66,7 +66,7 @@ AUDIT = {
         "a single row by construction",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q16_kmeans_step": (
+    "za41_kmeans_step": (
         "assignment is a narrow Arrow projection; update is ONE hash agg "
         "of unrolled per-dimension sums with map-side combine",
         (),
@@ -165,7 +165,7 @@ AUDIT = {
         "scalar crossJoin idiom",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q11_bigram_surprisal": (
+    "za37_bigram_surprisal": (
         "token-stream hash joins against vocab-sized model tables; "
         "interpolation in codegen; no Python anywhere. The "
         "BroadcastNestedLoopJoin is the 1-ROW broadcast total-count "
@@ -234,7 +234,7 @@ AUDIT = {
         "single Expand) + a stack reshape of the 1-row result",
         (),
     ),
-    "q29_multimodal_manifest": (
+    "za42_multimodal_manifest": (
         "all three codec signals derive in-row: narrow Arrow "
         "projections over one documents scan — zero joins, zero "
         "shuffle",
@@ -249,7 +249,7 @@ AUDIT = {
         "to q29's allowlisted plan",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q32_zorder_optimize": (
+    "za35_zorder_optimize": (
         "the z-order rewrite already committed; the read-back is a "
         "plain snapshot scan with the z-box filter pushed to parquet "
         "footers + one small hash agg",
@@ -702,7 +702,7 @@ AUDIT = {
         "filter; exact array_intersect verify on candidate ids only",
         (),
     ),
-    "q45_salted_skew_join": (
+    "za36_salted_skew_join": (
         "(type, salt)-keyed ShuffledHashJoin with 8x exploded dim; "
         "codegen xxhash64 salt; independent user-keyed aggregate",
         (),
@@ -757,13 +757,13 @@ AUDIT = {
         "TakeOrderedAndProject, no single-task sort",
         (),
     ),
-    "q26_histogram_split": (
+    "za38_histogram_split": (
         "XGBoost histogram trick: one explode + one map-side-"
         "combinable hash aggregate down to |features|x|bins| rows; "
         "the split search windows over the tiny histogram only",
         (),
     ),
-    "q27_target_encoding": (
+    "za40_target_encoding": (
         "one hash aggregate to |cat|xK rows; the global prior is a "
         "1-row broadcast (the nested-loop join is a scalar "
         "cross-join by construction)",
@@ -811,7 +811,7 @@ AUDIT = {
         "bodies never shuffle",
         (),
     ),
-    "za42_event_disorder": (
+    "q29_event_disorder": (
         "one key-partitioned running-max window; exact quantiles via "
         "the mergeable 4096-bin histogram (map-side-combinable bin "
         "counts; cum window over <=4096 rows) + a within-target-bin "
@@ -819,42 +819,42 @@ AUDIT = {
         "window anywhere; the BNLJs are the 1-ROW stat broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za41_negative_sampling": (
+    "q16_negative_sampling": (
         "one k-explode hash projection per pair + a 1-row corpus "
         "count broadcast (the conditionless BNLJ); no RNG state, no "
         "second corpus pass",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za40_stratified_hash_sample": (
+    "q27_stratified_hash_sample": (
         "one narrow projection (md5 threshold per stratum), no "
         "shuffle, no fit pass - the portable sampleBy",
         (),
     ),
-    "za39_hll_shard_merge": (
+    "q18_hll_shard_merge": (
         "shard-keyed register aggregate (<= shards x 2^p rows) -> "
         "bucket max-merge -> 1-row estimates; raw data shuffles once "
         "as (source, bucket, rho) ints - the BNLJs are the "
         "conditionless 1-ROW estimate broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za38_grouped_quantiles": (
+    "q26_grouped_quantiles": (
         "two group-keyed map-side-combinable aggregates; the per-group "
         "CDF window and quantile lookup run on |groups| x n_bins rows",
         (),
     ),
-    "za36_join_skew_stats": (
+    "q45_join_skew_stats": (
         "preflight never performs the join: two count aggregates, a "
         "|keys|-row join of count tables, a 1-row roll-up - the BNLJ "
         "is the conditionless 1-ROW x 1-ROW (totals x top-k) "
         "broadcast merge, the scalar-broadcast idiom",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za37_zipf_fit": (
+    "q11_zipf_fit": (
         "one map-side-combinable token count + top-N rank window over "
         "|vocab| rows + 1-row OLS moments; bodies never shuffle",
         (),
     ),
-    "za35_compaction_plan": (
+    "q32_compaction_plan": (
         "the plan runs on the metadata listing only: one sort + one "
         "running-sum window + one aggregate; data files never move "
         "in the planning job",

@@ -74,7 +74,7 @@ SWEEP_QUERIES = [
     # exactly as the replication predicts.
     "q25_wav_audio_stats",
     "q28_gif_frame_sample",
-    "q29_multimodal_manifest",
+    "za42_multimodal_manifest",
     "z27_pq_rerank",
     "z25_table_profile",
     # second round-4 wave: the paragraph/audio/image pair generators
