@@ -126,6 +126,8 @@ HEADLINE = [
     "z24_bucketed_join",
     "z25_table_profile",
     "za42_multimodal_manifest",
+    "za43_stream_upsert",
+    "za44_stream_ann",
     "z27_pq_rerank",
     "za35_zorder_optimize",
     "za31_data_skipping",

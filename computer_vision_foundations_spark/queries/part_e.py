@@ -946,3 +946,166 @@ def q29_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_disorder_stats(
         src, "user_id", "ts", "arr", tiebreak_col="event_id", qs=(0.5, 0.95)
     )
+
+
+# ---------------------------------------------------------------------------
+# za43 — streaming foreachBatch upsert ≡ batch MERGE (streaming/upsert.py)
+# ---------------------------------------------------------------------------
+
+def _stream_upsert_oracle() -> str:
+    from computer_vision_foundations_spark.queries.common import _ORACLES
+
+    # the STREAMING path must land exactly where the batch MERGE does,
+    # so the oracle IS q24's merged-table statement
+    return _ORACLES["q24_acid_upsert"]
+
+
+@_register("za43_stream_upsert", _stream_upsert_oracle())
+def za43_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE equivalence (`streaming/upsert.py:
+    stream_upsert_acid` — the foreachBatch sink with the per-app txn
+    watermark): q24's update set is delivered as THREE micro-batches
+    (key-disjoint parquet drops, maxFilesPerTrigger=1) through an
+    availableNow stream into the transactional table, and the drained
+    table must hash-match the single batch MERGE — q24's oracle
+    verifies the streaming path end-to-end (checkpoint, foreachBatch,
+    per-batch copy-on-write upsert, txn ledger). This upgrades the
+    ST-family upsert sink from pytest-attested to differential-gate
+    attested.
+
+    Scale shape: per micro-batch ONE broadcast semi-join locates the
+    files holding matched keys (q24's shape); batches are
+    key-disjoint so the drained result is order-independent."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import (
+        create_table,
+        read_table,
+    )
+    from computer_vision_foundations_spark.streaming.upsert import (
+        stream_upsert_acid,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="stream_up_root_")
+    create_table(spark, root, cust)
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("PLATINUM").alias("c_mktsegment"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "PLATINUM", 0.0)],
+                "c_custkey long, c_mktsegment string, c_acctbal double",
+            )
+        )
+    )
+    landing = tempfile.mkdtemp(prefix="stream_up_landing_")
+    for i in range(3):  # key-disjoint drops -> 3 micro-batches
+        updates.where(
+            F.pmod(F.col("c_custkey"), F.lit(3)) == i
+        ).coalesce(1).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, c_mktsegment string, c_acctbal double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    stream_upsert_acid(
+        stream,
+        root,
+        tempfile.mkdtemp(prefix="stream_up_ckpt_"),
+        ["c_custkey"],
+        app_id="za43",
+    )
+    return read_table(spark, root).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# za44 — streaming ANN serving ≡ batch index query (streaming/ann.py)
+# ---------------------------------------------------------------------------
+
+def _stream_ann_oracle() -> str:
+    from computer_vision_foundations_spark.queries.common import _ORACLES
+
+    # the probe stream must answer exactly what the batch index query
+    # answers, so the oracle IS q19/q50's composed IVF-PQ statement
+    return _ORACLES["q19_persisted_ivf_pq"]
+
+
+@_register("za44_stream_ann", _stream_ann_oracle())
+def za44_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-serving equivalence (`streaming/ann.py:
+    run_streaming_ann`): q19's five probe vectors arrive as TWO
+    parquet drops (maxFilesPerTrigger=1) against the SAME persisted
+    IVF-PQ index, each micro-batch answered by a DPP-pruned ADC scan
+    and written to its own ``batch_id=N`` partition; the union of the
+    drained sink must hash-match the one-shot batch query — q19's
+    oracle verifies the streaming serving path end-to-end. Ranks are
+    per-probe, and probes are batch-disjoint, so the union is
+    order-independent. This upgrades the ST-family ANN sink from
+    pytest-attested to differential-gate attested.
+
+    Scale shape: per batch — broadcast probe fan-out, one pruned scan
+    of the probed cells' code files, one top-k window per probe."""
+    import tempfile
+
+    from computer_vision_foundations_spark.operators.ann_index import (
+        build_ivf_pq_index,
+    )
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_codebooks,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+    from computer_vision_foundations_spark.queries.part_b import (
+        _IVF_CELLS,
+        _IVF_DIM,
+        _IVF_PROBE_CELLS,
+        _IVF_SEED,
+        _PQ_CENTROIDS,
+        _PQ_DIM,
+        _PQ_SEED,
+        _PQ_SUBS,
+    )
+    from computer_vision_foundations_spark.streaming.ann import (
+        run_streaming_ann,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    cents = random_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    path = build_ivf_pq_index(
+        emb, tempfile.mkdtemp(prefix="stream_ann_idx_"), cbs, cents
+    )
+    probe_dir = tempfile.mkdtemp(prefix="stream_ann_probes_")
+    probes = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    for lo, hi in ((0, 2), (2, 5)):  # two probe drops -> 2 batches
+        probes.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(probe_dir)
+    out_dir = tempfile.mkdtemp(prefix="stream_ann_out_")
+    run_streaming_ann(
+        spark,
+        path,
+        probe_dir,
+        out_dir,
+        tempfile.mkdtemp(prefix="stream_ann_ckpt_"),
+        k=10,
+        n_probe_cells=_IVF_PROBE_CELLS,
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "neighbor_id", "adc_score", "rank"
+    )

@@ -193,23 +193,39 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=5)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of SWEEP_QUERIES (e.g. the pair/ANN "
+        "families for high-replica runs where the full list's oracle "
+        "cost is prohibitive)",
+    )
     args = ap.parse_args()
+    sweep_queries = (
+        [q for q in args.only.split(",") if q] if args.only else SWEEP_QUERIES
+    )
+    unknown = set(sweep_queries) - set(SWEEP_QUERIES)
+    if unknown:
+        raise SystemExit(f"--only names not in SWEEP_QUERIES: {sorted(unknown)}")
 
     scaled = tempfile.mkdtemp(prefix="scale_sweep_")
     try:
         build_scaled_dir(args.base, scaled, args.replicas)
         print(f"# scaled dir: {scaled} ({args.replicas}x {args.base})")
-        base_counts = run_sweep(args.base, SWEEP_QUERIES)
-        scaled_counts = run_sweep(scaled, SWEEP_QUERIES)
+        base_counts = run_sweep(args.base, sweep_queries)
+        scaled_counts = run_sweep(scaled, sweep_queries)
         print(f"\n{'query':35s} {'sf0.1':>9s} {'scaled':>9s} {'growth':>7s}")
-        for name in SWEEP_QUERIES:
+        for name in sweep_queries:
             b, s = base_counts.get(name), scaled_counts.get(name)
             if b is None or s is None:
                 continue
             g = f"{s / b:.1f}x" if b else "-"
             tag = "  <- pair density" if name in PAIR_QUERIES else ""
             print(f"{name:35s} {b:9d} {s:9d} {g:>7s}{tag}")
-        print(f"\nPASS: 0 failures / {len(SWEEP_QUERIES)} queries at both scales")
+        print(
+            f"\nPASS: 0 failures / {len(sweep_queries)} queries at both "
+            f"scales (replicas={args.replicas})"
+        )
         return 0
     finally:
         if args.keep:
