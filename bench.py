@@ -128,6 +128,10 @@ HEADLINE = [
     "za42_multimodal_manifest",
     "za43_stream_upsert",
     "za44_stream_ann",
+    "za45_hill_tail_index",
+    "za46_embedding_isotropy",
+    "za47_t_closeness",
+    "za48_stream_interval_join",
     "z27_pq_rerank",
     "za35_zorder_optimize",
     "za31_data_skipping",

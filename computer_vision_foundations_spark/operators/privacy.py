@@ -22,10 +22,15 @@ usually broadcastable; payloads never shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "suppression_candidates"]
+__all__ = [
+    "k_anonymity_report",
+    "suppression_candidates",
+    "t_closeness_report",
+    "t_closeness_oracle_sql",
+]
 
 
 def k_anonymity_report(
@@ -68,3 +73,229 @@ def suppression_candidates(
     return df.join(F.broadcast(bad), cond, "left_semi").select(
         id_col, *qi_cols
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    n_bins: int = 64,
+    scale: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the distributional upgrade of ``k_anonymity_report``: a QI
+    equivalence class leaks when the SENSITIVE attribute's
+    distribution inside the class sits far from the global one, even
+    if the class is large. Distance is the 1-D earth mover's distance
+    over an ordered ``n_bins`` equi-width binning of the sensitive
+    values (the standard numeric-attribute EMD of the paper),
+    normalized by ``n_bins - 1`` so t ∈ [0, 1]. One row per class:
+    ``qi_cols + (class_size, t_dist, t_close)``.
+
+    Exactness (the emd.py discipline): sensitive values quantize to
+    integers (``floor(v·scale + 0.5)``), bins come from the exact
+    global (lo, hi), and the CDF gap |cumC·n_g − cumG·n_c| is an exact
+    DECIMAL(38,0) integer — ONE divide by n_c·n_g·(B−1) at the end, so
+    the report is reduction-order free and bit-replayable in SQL.
+
+    Scale shape: one hash aggregate to (class, bin) counts, a
+    broadcast of the ≤ n_bins-row global histogram crossed with the
+    |classes|-row table (|classes|·n_bins rows of audit state — never
+    data), one per-class cumulative window. Payloads never shuffle."""
+    q = F.floor(F.col(sensitive_col).cast("double") * scale + 0.5).cast(
+        "long"
+    )
+    rows = df.select(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in qi_cols]).alias(
+            "_cls"
+        ),
+        *[F.col(c) for c in qi_cols],
+        q.alias("_q"),
+    ).where(F.col("_q").isNotNull())
+    ext = rows.agg(
+        F.min("_q").alias("lo"),
+        F.max("_q").alias("hi"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    binw = (F.col("hi").cast("double") - F.col("lo").cast("double")) / F.lit(
+        float(n_bins)
+    )
+    bin_expr = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("_q").cast("double") - F.col("lo").cast("double"))
+                    / binw
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    binned = rows.join(F.broadcast(ext)).select(
+        "_cls", *[F.col(c) for c in qi_cols], bin_expr
+    )
+    wg = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wnext = Window.orderBy("bin")
+    gbins = (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cg"))
+        .select(
+            "bin",
+            F.sum("cg").over(wg).alias("cum_g"),
+            # gap to the next PRESENT bin (the emd.py lead-gap): CDFs
+            # are constant between support points, so each term weighs
+            # by the bin distance it spans; the last point spans none
+            (F.lead("bin").over(wnext) - F.col("bin")).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    classes = binned.groupBy(
+        "_cls", *[F.col(c) for c in qi_cols]
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    cbins = binned.groupBy("_cls", "bin").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    spine = classes.select("_cls", "class_size").join(
+        F.broadcast(gbins)
+    )  # |classes| x (<= n_bins present bins): the audit-state cross
+    wc = (
+        Window.partitionBy("_cls")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    cdf = (
+        spine.join(cbins, ["_cls", "bin"], "left")
+        .select(
+            "_cls",
+            "class_size",
+            "bin",
+            "cum_g",
+            "gap",
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+        .select(
+            "_cls",
+            "class_size",
+            "bin",
+            "cum_g",
+            "gap",
+            F.sum("cc").over(wc).alias("cum_c"),
+        )
+    )
+    num = (
+        cdf.join(F.broadcast(ext.select("n_g")))
+        .groupBy("_cls", "class_size", "n_g")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c").cast(dec) * F.col("n_g").cast(dec)
+                    - F.col("cum_g").cast(dec)
+                    * F.col("class_size").cast(dec)
+                )
+                * F.col("gap").cast(dec)
+            ).alias("_num")
+        )
+    )
+    t_dist = F.round(
+        F.col("_num").cast("double")
+        / (
+            F.col("class_size").cast("double")
+            * F.col("n_g").cast("double")
+            * F.lit(float(n_bins - 1))
+        ),
+        round_digits,
+    ) + 0.0
+    return (
+        num.join(classes.drop("class_size"), "_cls")
+        .select(
+            *qi_cols,
+            "class_size",
+            t_dist.alias("t_dist"),
+            (t_dist <= F.lit(float(t))).alias("t_close"),
+        )
+        .orderBy(*qi_cols)
+    )
+
+
+def t_closeness_oracle_sql(
+    table: str,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    n_bins: int = 64,
+    scale: int = 100,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin — identical quantization, binning, exact-integer
+    CDF algebra (HUGEINT for DECIMAL(38,0))."""
+    qi = ", ".join(qi_cols)
+    return f"""
+    WITH rows_q AS (
+        SELECT {qi},
+               CAST(floor(CAST({sensitive_col} AS DOUBLE) * {scale} + 0.5)
+                    AS BIGINT) AS q
+        FROM {table}
+        WHERE {sensitive_col} IS NOT NULL
+    ), ext AS (
+        SELECT min(q) AS lo, max(q) AS hi, count(*) AS n_g FROM rows_q
+    ), binned AS (
+        SELECT {qi},
+               CAST(CASE WHEN ext.hi = ext.lo THEN 0
+                    ELSE least(floor((CAST(q AS DOUBLE) - CAST(lo AS DOUBLE))
+                               / ((CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE))
+                                  / {float(n_bins)!r})),
+                               {n_bins - 1})
+               END AS INT) AS bin
+        FROM rows_q CROSS JOIN ext
+    ), gbins0 AS (
+        SELECT bin, sum(count(*)) OVER (ORDER BY bin
+                                        ROWS UNBOUNDED PRECEDING) AS cum_g
+        FROM binned GROUP BY bin
+    ), gbins AS (
+        SELECT bin, cum_g,
+               lead(bin) OVER (ORDER BY bin) - bin AS gap
+        FROM gbins0
+        QUALIFY lead(bin) OVER (ORDER BY bin) IS NOT NULL
+    ), classes AS (
+        SELECT {qi}, count(*) AS class_size FROM binned GROUP BY {qi}
+    ), cbins AS (
+        SELECT {qi}, bin, count(*) AS cc FROM binned GROUP BY {qi}, bin
+    ), cdf AS (
+        SELECT c.*, g.bin AS bin, g.cum_g AS cum_g, g.gap AS gap,
+               sum(coalesce(cb.cc, 0)) OVER (
+                   PARTITION BY {", ".join("c." + x for x in qi_cols)}
+                   ORDER BY g.bin ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM classes c
+        CROSS JOIN gbins g
+        LEFT JOIN cbins cb
+          ON g.bin = cb.bin
+         AND {" AND ".join(f"c.{x} IS NOT DISTINCT FROM cb.{x}" for x in qi_cols)}
+    ), num AS (
+        SELECT {qi}, class_size,
+               sum(abs(CAST(cum_c AS HUGEINT) * CAST(n_g AS HUGEINT)
+                       - CAST(cum_g AS HUGEINT)
+                         * CAST(class_size AS HUGEINT))
+                   * CAST(gap AS HUGEINT)) AS nm,
+               max(n_g) AS n_g
+        FROM cdf CROSS JOIN ext
+        GROUP BY {qi}, class_size
+    )
+    SELECT {qi}, class_size,
+           round(CAST(nm AS DOUBLE)
+                 / (CAST(class_size AS DOUBLE) * CAST(n_g AS DOUBLE)
+                    * {float(n_bins - 1)!r}), {round_digits}) + 0.0 AS t_dist,
+           (round(CAST(nm AS DOUBLE)
+                  / (CAST(class_size AS DOUBLE) * CAST(n_g AS DOUBLE)
+                     * {float(n_bins - 1)!r}), {round_digits}) + 0.0)
+               <= {float(t)!r} AS t_close
+    FROM num
+    ORDER BY {qi}
+    """

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zipf_fit", "zipf_oracle_sql"]
+__all__ = [
+    "zipf_fit",
+    "zipf_oracle_sql",
+    "hill_tail_index",
+    "hill_oracle_sql",
+]
 
 
 def zipf_fit(
@@ -121,4 +126,93 @@ def zipf_oracle_sql(
                           * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0),
                  {round_digits}) AS r2
     FROM mom
+    """
+
+
+def hill_tail_index(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 256,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hill estimator of the token-frequency tail index (Hill 1975):
+    over the k largest counts X(1) >= ... >= X(k) with threshold
+    X(k+1), H = mean(ln X(i) - ln X(k+1)) and alpha = 1/H — the
+    standard heavy-tail exponent check next to the Zipf OLS fit
+    (``zipf_fit``): OLS fits the whole top-of-vocabulary curve, Hill
+    measures only the extreme tail, so corpora that are Zipf-like in
+    the bulk but truncated/inflated at the head (boilerplate spam,
+    templated text) separate the two diagnostics.
+
+    Determinism: ranks from row_number ordered by (cnt DESC, token
+    ASC); H is a mean over a FIXED k rows, reduced in one single-row
+    aggregate; NULLIF guards the degenerate all-equal-counts corpus
+    (H = 0) on both engines.
+
+    Scale shape: identical to ``zipf_fit`` — one map-side-combinable
+    token count, one top-(k+1) rank window over |vocab| rows, one
+    k-row aggregate. Document bodies never shuffle."""
+    toks = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = toks.select(
+        "cnt", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k + 1)
+    thresh = ranked.where(F.col("rank") == k + 1).select(
+        F.col("cnt").alias("x_k1")
+    )
+    top = ranked.where(F.col("rank") <= k)
+    agg = top.join(F.broadcast(thresh)).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.avg(
+            F.log(F.col("cnt").cast("double"))
+            - F.log(F.col("x_k1").cast("double"))
+        ).alias("h"),
+    )
+    return agg.select(
+        "k_used",
+        F.round("h", round_digits).alias("hill_h"),
+        F.round(
+            F.lit(1.0) / F.nullif(F.col("h"), F.lit(0.0)), round_digits
+        ).alias("tail_index"),
+    )
+
+
+def hill_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 256,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin — identical tokenization, ranking and mean."""
+    return f"""
+    WITH toks AS (
+        SELECT t.tok AS tok
+        FROM {table},
+             unnest(string_split_regex(lower({text_col}), '\\s+')) t(tok)
+        WHERE t.tok <> ''
+    ), counts AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+        FROM counts
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, tok ASC) <= {k + 1}
+    ), thresh AS (
+        SELECT cnt AS x_k1 FROM ranked WHERE rank = {k + 1}
+    ), agg AS (
+        SELECT count(*) AS k_used,
+               avg(ln(CAST(cnt AS DOUBLE)) - ln(CAST(x_k1 AS DOUBLE))) AS h
+        FROM ranked CROSS JOIN thresh WHERE rank <= {k}
+    )
+    SELECT k_used,
+           round(h, {round_digits}) AS hill_h,
+           round(1.0 / NULLIF(h, 0.0), {round_digits}) AS tail_index
+    FROM agg
     """

@@ -1109,3 +1109,220 @@ def za44_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "probe_id", "neighbor_id", "adc_score", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# za45 — Hill tail-index estimator (operators/zipf.py)
+# ---------------------------------------------------------------------------
+
+def _hill_oracle() -> str:
+    from computer_vision_foundations_spark.operators.zipf import (
+        hill_oracle_sql,
+    )
+
+    return hill_oracle_sql("documents", "text", k=256)
+
+
+@_register("za45_hill_tail_index", _hill_oracle())
+def za45_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the token-frequency tail index (Hill 1975 —
+    `operators/zipf.py:hill_tail_index`): alpha = 1 / mean(ln X(i) −
+    ln X(k+1)) over the k=256 largest token counts. The extreme-tail
+    companion to za37's full-curve Zipf OLS: a templated/spammy corpus
+    can keep a plausible OLS slope while its Hill index drifts, so the
+    pair separates bulk shape from tail shape.
+
+    Scale shape: one map-side-combinable token count, one top-(k+1)
+    rank window over |vocab| rows, one k-row aggregate."""
+    from computer_vision_foundations_spark.operators.zipf import (
+        hill_tail_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hill_tail_index(docs, "text", k=256)
+
+
+# ---------------------------------------------------------------------------
+# za46 — embedding isotropy audit (operators/embedding_stats.py)
+# ---------------------------------------------------------------------------
+
+def _isotropy_oracle() -> str:
+    from computer_vision_foundations_spark.operators.embedding_stats import (
+        isotropy_oracle_sql,
+    )
+
+    return isotropy_oracle_sql("embeddings", "embedding")
+
+
+@_register("za46_embedding_isotropy", _isotropy_oracle())
+def za46_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit (`operators/embedding_stats.py:
+    embedding_isotropy` — Ethayarajh 2019 / Mu & Viswanath 2018):
+    mean raw norm, ||mean unit vector||, and the all-pairs mean cosine
+    computed WITHOUT forming pairs via ||Σu||² = Σᵢⱼ⟨uᵢ,uⱼ⟩. The
+    pre-flight for every cosine-based family here (dedup q17/q91, ANN
+    q19/q50, MMR): an anisotropic space inflates all cosines and
+    invalidates fixed thresholds.
+
+    Exactness: q09's fixed-point discipline — 1e-6 grids, integer /
+    DECIMAL(38,0) reductions only, so the audit is reduction-order
+    free and bit-replayable in SQL.
+
+    Scale shape: row-local quantize/normalize, one posexplode into a
+    dim-keyed integer aggregate + one global aggregate; no pair
+    formation, vectors never shuffle whole."""
+    from computer_vision_foundations_spark.operators.embedding_stats import (
+        embedding_isotropy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_isotropy(emb, "embedding")
+
+
+# ---------------------------------------------------------------------------
+# za47 — t-closeness privacy audit (operators/privacy.py)
+# ---------------------------------------------------------------------------
+
+def _tclose_oracle() -> str:
+    from computer_vision_foundations_spark.operators.privacy import (
+        t_closeness_oracle_sql,
+    )
+
+    return t_closeness_oracle_sql(
+        "customer", ["c_mktsegment"], "c_acctbal",
+        t=0.02, n_bins=64, scale=100,
+    )
+
+
+@_register("za47_t_closeness", _tclose_oracle())
+def za47_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 —
+    `operators/privacy.py:t_closeness_report`), completing the privacy
+    ladder above z44's k-anonymity: per market-segment equivalence
+    class, the exact binned earth mover's distance between the class's
+    account-balance distribution and the global one (64 equi-width
+    bins over cents-quantized balances, gap-weighted CDF algebra in
+    DECIMAL(38,0) — the emd.py discipline), flagged against t=0.02.
+    k-anonymity says classes are big enough; t-closeness says their
+    sensitive values don't single them out anyway.
+
+    Scale shape: one (class, bin) hash aggregate, a broadcast
+    ≤64-row global histogram crossed with the |classes| table, one
+    per-class cumulative window — payloads never shuffle."""
+    from computer_vision_foundations_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return t_closeness_report(
+        cust, ["c_mktsegment"], "c_acctbal", t=0.02, n_bins=64, scale=100
+    )
+
+
+# ---------------------------------------------------------------------------
+# za48 — stream-stream interval join ≡ batch interval join
+# (streaming/joins.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za48_stream_interval_join",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def za48_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join equivalence
+    (`streaming/joins.py:stream_interval_join` — ST5 family): clicks
+    and purchases arrive as two TIME-ORDERED file drops per side
+    (maxFilesPerTrigger=1 → multi-batch, so join state genuinely
+    crosses micro-batch boundaries), inner-joined on user with
+    purchase time in [click, click + 1 hour] under 3-hour watermarks;
+    the drained append sink must hash-match the plain batch interval
+    join — upgrading the stream-stream join from pytest-attested to
+    differential-gate attested. Time-ordered drops + watermark delay
+    > join window guarantee no state eviction can drop a cross-batch
+    match, so streaming output == batch output exactly.
+
+    Scale shape: state ~ rate x (watermark + window) per side; the
+    join itself is the keyed state-store lookup, nothing corpus-sized
+    shuffles twice."""
+    import tempfile
+
+    from computer_vision_foundations_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")
+    ).first()["m"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("cts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    cl_dir = tempfile.mkdtemp(prefix="ssj_clicks_")
+    pu_dir = tempfile.mkdtemp(prefix="ssj_purch_")
+    for half in (  # time-ordered drops: earlier half first
+        lambda d, c: d.where(c <= F.lit(med)),
+        lambda d, c: d.where(c > F.lit(med)),
+    ):
+        half(clicks, F.col("cts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(cl_dir)
+        half(purchases, F.col("pts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(pu_dir)
+    cs = (
+        spark.readStream.schema("user_id long, click_id long, cts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cl_dir)
+    )
+    ps = (
+        spark.readStream.schema(
+            "p_user_id long, purchase_id long, pts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(pu_dir)
+    )
+    joined = stream_interval_join(
+        cs.withColumnRenamed("user_id", "juser"),
+        ps.withColumnRenamed("p_user_id", "juser"),
+        on="juser",
+        left_ts="cts",
+        right_ts="pts",
+        watermark="3 hours",
+        lower="0 seconds",
+        upper="1 hour",
+    )
+    out_dir = tempfile.mkdtemp(prefix="ssj_out_")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ssj_ckpt_")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        F.col("juser").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+    )
