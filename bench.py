@@ -132,6 +132,7 @@ HEADLINE = [
     "za46_embedding_isotropy",
     "za47_t_closeness",
     "za48_stream_interval_join",
+    "za49_kcenter_coreset",
     "z27_pq_rerank",
     "za35_zorder_optimize",
     "za31_data_skipping",

@@ -1326,3 +1326,37 @@ def za48_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za49 — k-center coreset selection (operators/coreset.py)
+# ---------------------------------------------------------------------------
+
+def _kcenter_oracle() -> str:
+    from computer_vision_foundations_spark.operators.coreset import (
+        kcenter_oracle_sql,
+    )
+
+    return kcenter_oracle_sql("embeddings", "embedding", "vec_id", k=8)
+
+
+@_register("za49_kcenter_coreset", _kcenter_oracle())
+def za49_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset by farthest-point traversal (Gonzalez 1985;
+    Sener & Savarese 2018 — `operators/coreset.py`): 8-point diversity
+    cover of the embedding table, seeded at the smallest id, ties to
+    the smallest id, distances as EXACT squared 1e-6-grid integers —
+    the whole greedy SEQUENCE is a pure function of the table and the
+    oracle replays it one MATERIALIZED CTE per round. The
+    diversity-first complement to MMR (za22), DSIR (q12) and
+    curriculum order (z39) in the data-selection kit.
+
+    Scale shape: k scans, each a codegen least()-of-literals distance
+    projection + TakeOrderedAndProject(1); driver state is the k
+    selected vectors."""
+    from computer_vision_foundations_spark.operators.coreset import (
+        kcenter_coreset,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "embedding", "vec_id", k=8)

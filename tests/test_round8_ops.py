@@ -107,3 +107,23 @@ def test_t_closeness_constant_sensitive_degenerates_empty(spark):
     )
     # single support point: no gaps, no measurable distance
     assert t_closeness_report(df, ["seg"], "val").count() == 0
+
+
+def test_kcenter_sequence_hand_case(spark):
+    from computer_vision_foundations_spark.operators.coreset import (
+        kcenter_coreset,
+    )
+
+    # 1-D points: ids 1..4 at 0, 1, 10, 100 -> seed id1(0); farthest
+    # is id4(100); then id3(10, min dist to {0,100} = 100 in grid^2
+    # units 1e12*100^2... verify sequence + exact d2)
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [100.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_coreset(df, k=3).collect()
+    assert [(r["round"], r["vec_id"]) for r in rows] == [(1, 1), (2, 4), (3, 3)]
+    g = 1_000_000
+    assert rows[0]["d2"] is None
+    assert rows[1]["d2"] == (100 * g) ** 2          # dist(4, 1)
+    assert rows[2]["d2"] == (10 * g) ** 2           # min(dist(3,1), dist(3,4))

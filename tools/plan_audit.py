@@ -234,6 +234,25 @@ AUDIT = {
         "single Expand) + a stack reshape of the 1-row result",
         (),
     ),
+    "za45_hill_tail_index": (
+        "one map-side-combinable token count, one top-(k+1) rank "
+        "window over |vocab| rows, one k-row aggregate; the BNLJ is "
+        "the 1-row threshold broadcast",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za46_embedding_isotropy": (
+        "row-local quantize/normalize, ONE posexplode into a dim-keyed "
+        "integer aggregate + one global aggregate; no pair formation; "
+        "the BNLJ is the 1-row ssq broadcast",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za47_t_closeness": (
+        "one (class, bin) hash agg; broadcast <=64-row global "
+        "histogram crossed with the |classes| table; per-class "
+        "cumulative window; payloads never shuffle. BNLJ = the 1-row "
+        "extrema/n_g broadcasts and the |classes| x bins audit cross",
+        ("BroadcastNestedLoopJoin",),
+    ),
     "za42_multimodal_manifest": (
         "all three codec signals derive in-row: narrow Arrow "
         "projections over one documents scan — zero joins, zero "
