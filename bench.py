@@ -126,12 +126,10 @@ HEADLINE = [
     "z24_bucketed_join",
     "z25_table_profile",
     "za42_multimodal_manifest",
-    "za43_stream_upsert",
     "za44_stream_ann",
     "za45_hill_tail_index",
     "za46_embedding_isotropy",
     "za47_t_closeness",
-    "za48_stream_interval_join",
     "za49_kcenter_coreset",
     "z27_pq_rerank",
     "za35_zorder_optimize",
