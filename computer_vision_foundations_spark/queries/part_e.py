@@ -539,7 +539,7 @@ def q46_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za35 — compaction planning (operators/compaction.py)
+# q32_compaction_plan — compaction planning (operators/compaction.py)
 # ---------------------------------------------------------------------------
 
 _COMPACT_SRC_SQL = """
@@ -586,7 +586,7 @@ def q32_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za36 — join-skew preflight (operators/skewstats.py)
+# q45_join_skew_stats — join-skew preflight (operators/skewstats.py)
 # ---------------------------------------------------------------------------
 
 def _skewstats_oracle() -> str:
@@ -623,7 +623,7 @@ def q45_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za37 — Zipf fit (operators/zipf.py)
+# q11_zipf_fit — Zipf fit (operators/zipf.py)
 # ---------------------------------------------------------------------------
 
 def _zipf_oracle() -> str:
@@ -652,7 +652,7 @@ def q11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za38 — per-group sketch quantiles (operators/quantile_sketch.py)
+# q26_grouped_quantiles — per-group sketch quantiles (operators/quantile_sketch.py)
 # ---------------------------------------------------------------------------
 
 def _ghq_oracle() -> str:
@@ -689,7 +689,7 @@ def q26_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za39 — HLL shard-merge (functions/sketches.hll_merge)
+# q18_hll_shard_merge — HLL shard-merge (functions/sketches.hll_merge)
 # ---------------------------------------------------------------------------
 
 def _hll_merge_oracle() -> str:
@@ -775,7 +775,7 @@ def q18_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za40 — deterministic stratified sampling (operators/split.py)
+# q27_stratified_hash_sample — deterministic stratified sampling (operators/split.py)
 # ---------------------------------------------------------------------------
 
 _STRAT_FRACS = {"O": 0.2, "F": 0.5, "P": 0.8}
@@ -818,7 +818,7 @@ def q27_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za41 — contrastive negative sampling (operators/negatives.py)
+# q16_negative_sampling — contrastive negative sampling (operators/negatives.py)
 # ---------------------------------------------------------------------------
 
 _NEG_PAIRS_SQL = """
@@ -876,7 +876,7 @@ def q16_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za42 — event-time disorder / watermark planning (operators/disorder.py)
+# q29_event_disorder — event-time disorder / watermark planning (operators/disorder.py)
 # ---------------------------------------------------------------------------
 
 # the synthetic event log arrives perfectly ordered (event_id order ==
