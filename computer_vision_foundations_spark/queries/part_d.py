@@ -135,13 +135,22 @@ def q42_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round one quotient degree aggregate + one
     left-semi + weight join, all on class ids; quotient tables
-    localCheckpoint with explicit release."""
+    localCheckpoint with explicit release. The fingerprint table is
+    computed ONCE (eager localCheckpoint) and shared by the pair
+    generator and the class map — the tokenize+hash pipeline used to
+    run twice (round-8 measured: ~1.5 s off the sf0.1 time)."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        simhash_pairs,
+    )
     from computer_vision_foundations_spark.operators.kcore import (
         k_core_collapsed,
     )
 
-    pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
-    fingerprints = q92_simhash(spark, sf_dir)
+    fingerprints = q92_simhash(spark, sf_dir).localCheckpoint()
+    # q49's exact parameters, over the shared fingerprint block
+    pairs = simhash_pairs(
+        fingerprints, "simhash", "doc_id", bits=32, bands=4, max_hamming=3
+    )
     return k_core_collapsed(
         pairs,
         fingerprints,
