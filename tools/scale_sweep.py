@@ -169,15 +169,74 @@ def build_scaled_dir(base: str, out_dir: str, replicas: int) -> None:
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
 
 
+# Queries whose SCALED output exceeds driver-collect capacity (the
+# comparison harness's limit, not the engine's): at 25 replicas the
+# exact-replica SimHash pair graph is O(replicas^2)-hundreds of
+# millions of rows — Spark computes it fine, but oracle_check
+# materializes BOTH sides on the driver to compare. These compare via
+# a DISTRIBUTED order-free checksum instead: per-row
+# md5(canonical string) -> 52-bit int, summed engine-side on both
+# engines (the md5-lane portability trick), plus the exact count.
+CHECKSUM_QUERIES = {"q49_simhash_near_dup_pairs"}
+
+
+def checksum_compare(sf_dir: str, name: str) -> int:
+    """Distributed count+checksum differential for huge outputs;
+    returns the row count, raises on mismatch."""
+    from pyspark.sql import functions as F
+
+    from computer_vision_foundations_spark import get_spark
+    from computer_vision_foundations_spark.queries import (
+        oracle_sql,
+        queries,
+    )
+
+    spark = get_spark("scale_sweep_checksum")
+    df = queries()[name](spark, sf_dir)
+    cols = sorted(df.columns)
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    lane = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 13), 16, 10)
+    agg = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lane.cast("decimal(38,0)")).alias("ck"),
+    ).first()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    ocols = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    n_o, ck_o = con.execute(
+        f"""SELECT count(*),
+                   sum(CAST(CAST(('0x' || substr(md5({ocols}), 1, 13))
+                       AS BIGINT) AS HUGEINT))
+            FROM ({oracle_sql()[name]})"""
+    ).fetchone()
+    assert agg["n"] == n_o, f"{name}: count {agg['n']} != oracle {n_o}"
+    assert int(agg["ck"]) == int(ck_o), (
+        f"{name}: checksum {agg['ck']} != oracle {ck_o}"
+    )
+    print(f"ok   {name}: {agg['n']} rows match (checksum)", flush=True)
+    return int(agg["n"])
+
+
 def run_sweep(sf_dir: str, names: list[str]) -> dict[str, int]:
-    """Run oracle_check as the driver does; return {query: row_count}."""
+    """Run oracle_check as the driver does; return {query: row_count}.
+    CHECKSUM_QUERIES compare via the distributed checksum instead."""
+    ck_names = [n for n in names if n in CHECKSUM_QUERIES]
+    names = [n for n in names if n not in CHECKSUM_QUERIES]
+    counts: dict[str, int] = {}
+    for n in ck_names:
+        counts[n] = checksum_compare(sf_dir, n)
+    if not names:
+        return counts
     proc = subprocess.run(
         [sys.executable, "-u", os.path.join(os.path.dirname(__file__), "oracle_check.py"), sf_dir, *names],
         capture_output=True,
         text=True,
     )
     sys.stderr.write(proc.stdout[-4000:])
-    counts: dict[str, int] = {}
     for m in re.finditer(r"^ok\s+(\S+): (\d+) rows match", proc.stdout, re.M):
         counts[m.group(1)] = int(m.group(2))
     failures = re.findall(r"^FAIL.*$", proc.stdout, re.M)
