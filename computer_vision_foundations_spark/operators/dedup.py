@@ -30,7 +30,7 @@ never collect to the driver:
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.hashing import (
@@ -472,14 +472,63 @@ def simhash_pairs(
     members.count()  # eager: consumers inside one job race cache population
     fps = members.select("_fp").distinct()
 
-    # 1. hamming-0 pairs within each identical-fingerprint group: a
-    # plain self-equi-join on the fingerprint (output-sized, no fanout)
-    ma = members.select(F.col("_id").alias("id_a"), "_fp")
-    mb = members.select(F.col("_id").alias("id_b"), "_fp")
+    # 1. hamming-0 pairs within each identical-fingerprint group.
+    # BLOCKED self-join (round 8 — found by the 25x replica sweep): a
+    # plain equi-join on the fingerprint routes a hot exact-dup class
+    # of m members through ONE reducer that must emit m^2/2 pairs (a
+    # 250k-member class = 31e9 pairs in one straggler task). Members
+    # are split into blocks of _SAME_BLOCK rows; the join key becomes
+    # (fp, block_a, block_b) — the left side carries each member to
+    # the block pairs where its block is the SMALLER one, the right
+    # side to those where it is the LARGER one, so every unordered
+    # member pair meets exactly once (same-block pairs meet in both
+    # orientations and the id filter keeps one) and no task ever holds
+    # more than _SAME_BLOCK^2 pairs. Output set is identical; for
+    # classes <= _SAME_BLOCK the plan degenerates to the old one.
+    _SAME_BLOCK = 2048
+    wblk = Window.partitionBy("_fp").orderBy("_id")
+    blocked = members.select(
+        "_id",
+        "_fp",
+        ((F.row_number().over(wblk) - 1) / F.lit(_SAME_BLOCK))
+        .cast("int")
+        .alias("_blk"),
+        (
+            F.ceil(
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("_fp").rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                / F.lit(float(_SAME_BLOCK))
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("_maxblk"),
+    )
+    sl = blocked.select(
+        F.col("_id").alias("id_l"),
+        "_fp",
+        F.col("_blk").alias("_ba"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_maxblk"))).alias("_bb"),
+    )
+    sr = blocked.select(
+        F.col("_id").alias("id_r"),
+        "_fp",
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_ba"),
+        F.col("_blk").alias("_bb"),
+    )
     same = (
-        ma.join(mb, "_fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+        sl.join(sr, ["_fp", "_ba", "_bb"])
+        .where(
+            (F.col("_ba") < F.col("_bb")) | (F.col("id_l") < F.col("id_r"))
+        )
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
 
     # 2. candidate DISTINCT-fingerprint pairs via the band equi-join
