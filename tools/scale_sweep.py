@@ -192,6 +192,12 @@ def checksum_compare(sf_dir: str, name: str) -> int:
     )
 
     spark = get_spark("scale_sweep_checksum")
+    # AQE coalescing sizes stages by MAP-side stats; a pair generator's
+    # input is tiny but its JOIN OUTPUT is the billion-row product, so
+    # coalescing packs the expansion + md5 into 1-2 straggler tasks
+    # (observed: 30+ min single task at 25 replicas). Keep the stage
+    # wide for this harness session.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     df = queries()[name](spark, sf_dir)
     cols = sorted(df.columns)
     canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
