@@ -73,9 +73,17 @@ def connected_components(
     component = smallest node id reachable. Raises if not converged
     within ``max_iter`` rounds (pathological diameter — pre-split the
     graph or raise the cap)."""
+    # explode-mirror (round 8): one reference to the upstream pipeline
+    # instead of two (see lpa.py — the union-of-two-selects form
+    # computed the pair generator twice before the checkpoint)
     sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
     # materialize ONCE with a flat plan (see module docstring: persist
     # alone leaves the upstream logical plan to be re-analyzed every
     # round)

@@ -44,12 +44,22 @@ def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # filter self-loops BEFORE mirroring: the reversed half must not
     # reintroduce them (quotient edge lists genuinely contain
     # same-class rows)
-    base = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).where(F.col("u") != F.col("v"))
-    return base.unionByName(
-        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # explode-mirror (round 8): unionByName(base, base.select) embeds
+    # the upstream pipeline twice in the plan — it ran twice wherever
+    # the caller had not checkpointed it first
+    return (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+    )
 
 
 def k_core(

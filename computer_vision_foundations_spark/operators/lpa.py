@@ -50,19 +50,34 @@ def label_propagation(
     src: str = "id_a",
     dst: str = "id_b",
     n_rounds: int = 4,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """``(node, community)`` after ``n_rounds`` synchronous LPA
     rounds; labels start as node ids, each round every node takes the
     most frequent neighbor label (ties → smallest)."""
+    # explode-mirror, NOT unionByName(select, select): a union of two
+    # selects of the same frame embeds the (expensive) upstream pair
+    # pipeline TWICE in the plan — it ran twice before the checkpoint
+    # (round-8 measured: ~2.5 s of q41's fixed cost at sf0.1)
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
         )
-        .distinct()
-        .localCheckpoint()
+        .select("_e.u", "_e.v")
     )
+    if not edges_distinct:
+        # duplicate edges would double-count votes; skip the shuffle
+        # only when the caller ATTESTS unique unordered pairs (every
+        # pair generator here emits each pair once) — the mirror of a
+        # unique pair set is unique
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
     sym_rdd = _ckpt_rdd(sym)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("community")

@@ -2526,4 +2526,8 @@ def q41_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
-    return label_propagation(pairs, "id_a", "id_b", n_rounds=3)
+    # simhash_pairs emits each unordered pair exactly once -> skip the
+    # symmetrize-distinct shuffle (operator contract knob)
+    return label_propagation(
+        pairs, "id_a", "id_b", n_rounds=3, edges_distinct=True
+    )
