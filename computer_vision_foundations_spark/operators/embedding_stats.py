@@ -140,13 +140,7 @@ def embedding_isotropy(
             .alias("qnorm"),
         )
     )
-    per_vec = rows.select(
-        "qnorm",
-        F.aggregate(
-            F.col("qu"), F.lit(0).cast(dec), lambda acc, v: acc + (v * v).cast(dec)
-        ).alias("selfsq"),
-        F.posexplode("qu").alias("i", "v"),
-    )
+    per_vec = rows.select(F.posexplode("qu").alias("i", "v"))
     dims = per_vec.groupBy("i").agg(F.sum("v").alias("s"))
     ssq = dims.agg(
         F.sum(F.col("s").cast(dec) * F.col("s").cast(dec)).alias("ssq")

@@ -200,7 +200,13 @@ def checksum_compare(sf_dir: str, name: str) -> int:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     df = queries()[name](spark, sf_dir)
     cols = sorted(df.columns)
-    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    # NULL-sentinel BEFORE concat: Spark concat_ws SKIPS nulls while
+    # DuckDB || nullifies the whole string — without the coalesce a
+    # nullable column would silently diverge the checksums
+    canon = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00N")) for c in cols],
+    )
     lane = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 13), 16, 10)
     agg = df.select(
         F.count(F.lit(1)).alias("n"),
@@ -212,7 +218,9 @@ def checksum_compare(sf_dir: str, name: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{os.path.join(sf_dir, t + '.parquet')}'"
         )
-    ocols = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    ocols = " || '|' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'N')" for c in cols
+    )
     n_o, ck_o = con.execute(
         f"""SELECT count(*),
                    sum(CAST(CAST(('0x' || substr(md5({ocols}), 1, 13))
