@@ -8,12 +8,14 @@ pipeline keeps needing one-row-to-many expansions with real logic
 (sentence segmentation, record exploding) that pure ``explode(...)``
 expressions cannot express.
 
-UDTFs evaluate row-at-a-time in the Python worker — the SLOW path.
-Use them for driver-visible convenience and LATERAL-join ergonomics;
-the hot-path equivalents stay as array expressions (chunk_documents)
-or Arrow-batched pandas UDFs (winnow_udf). A UDTF yielding one row
-per input row costs like a row-pickled UDF, so keep the fan-out
-meaningful.
+UDTF ``eval`` logic is per-row Python, but ``useArrow=True`` moves
+the worker transport to Arrow record batches (Spark 4's
+arrow-optimized UDTF path — the plan shows an Arrow, not pickled,
+Python node), so rows cross the JVM/Python boundary in columnar
+batches. The hot-path equivalents still stay as array expressions
+(chunk_documents) or Arrow-batched pandas UDFs (winnow_udf); reach
+for a UDTF when LATERAL-join ergonomics or stateful row fan-out is
+the point.
 """
 
 from __future__ import annotations
@@ -27,7 +29,10 @@ __all__ = ["SplitSentences", "register_udtfs"]
 _SENT_RE = re.compile(r"(?<=[.!?]) +")
 
 
-@udtf(returnType="sent_idx: int, sentence: string, n_words: int")
+@udtf(
+    returnType="sent_idx: int, sentence: string, n_words: int",
+    useArrow=True,
+)
 class SplitSentences:
     """``split_sentences(text)``: one output row per sentence
     (split at sentence-final punctuation + space), with its index

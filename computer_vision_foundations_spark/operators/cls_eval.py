@@ -25,8 +25,12 @@ Spark-first shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.qnorm import (
+    global_cumulative_sums,
+)
 
 __all__ = [
     "classification_report",
@@ -130,22 +134,27 @@ def auc_score(
 ) -> DataFrame:
     """One row ``(n_pos, n_neg, auc)`` — ROC-AUC via the rank-sum
     identity over the (score, n_pos, n_neg) histogram; ties get the
-    conventional ½ credit. ``label_col`` is boolean."""
+    conventional ½ credit. ``label_col`` is boolean.
+
+    The "negatives strictly below" cumulative routes through
+    ``qnorm.global_cumulative_sums``: the histogram has one row per
+    DISTINCT score, which for a continuous (unrounded) score column
+    is ≈ |rows| — a naive global ``Window.orderBy`` would funnel the
+    whole table through one task (round-8 verdict #3). Integer
+    counts keep the two-phase sum exact."""
     hist = df.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("nn"),
     )
-    w = (
-        Window.orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    contrib = hist.select(
+    # inclusive cumulative, then subtract own nn → strictly-below
+    cum = global_cumulative_sums(hist, ["s"], ["nn"])
+    contrib = cum.select(
         "np",
         "nn",
         (
             F.col("np")
             * (
-                F.coalesce(F.sum("nn").over(w), F.lit(0))
+                (F.col("nn_cum") - F.col("nn"))
                 + F.col("nn") / F.lit(2.0)
             )
         ).alias("u"),

@@ -59,14 +59,20 @@ def kcenter_coreset(
     for _ in range(1, k):
         sel_vecs = [c[1] for c in chosen]
         sel_ids = [c[0] for c in chosen]
+        # each squared term accumulates in DECIMAL(38,0): long*long
+        # silently wraps in non-ANSI Spark once components reach
+        # ~1e3 raw (1e9 on the grid, 1e18 per term) while the DuckDB
+        # oracle's sum promotes to HUGEINT — the skewstats/emd
+        # overflow pattern (round-9 advice)
+        dec = "decimal(38,0)"
         dists = [
             F.aggregate(
                 F.zip_with(
                     F.col("q"),
                     F.array(*[F.lit(int(v)) for v in vec]),
-                    lambda a, b: (a - b) * (a - b),
+                    lambda a, b: (a - b).cast(dec) * (a - b).cast(dec),
                 ),
-                F.lit(0).cast("long"),
+                F.lit(0).cast(dec),
                 lambda acc, v: acc + v,
             )
             for vec in sel_vecs
@@ -118,7 +124,8 @@ def kcenter_oracle_sql(
         SELECT vid AS vec_id, CAST(md AS BIGINT) AS d2 FROM (
             SELECT vid, min(pd) AS md FROM (
                 SELECT a.vid AS vid, s.vec_id AS sid,
-                       CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS pd
+                       sum(CAST(a.q - b.q AS HUGEINT)
+                           * CAST(a.q - b.q AS HUGEINT)) AS pd
                 FROM qx a
                 CROSS JOIN ({prev_sel}) s
                 JOIN qx b ON b.vid = s.vec_id AND b.i = a.i

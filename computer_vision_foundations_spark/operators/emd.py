@@ -28,8 +28,12 @@ full-outer join on the support value, one ordered window over the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.operators.qnorm import (
+    global_cumulative_sums,
+)
 
 __all__ = ["wasserstein_1d", "wasserstein_oracle_sql"]
 
@@ -60,19 +64,30 @@ def wasserstein_1d(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    w_all = Window.partitionBy()
-    w_cum = Window.partitionBy().orderBy("x").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # The merged support is |distinct values|-sized — data-sized for
+    # a continuous source — so the CDFs, the totals, and the next-
+    # support lead all avoid single-task global windows: two-phase
+    # range-partitioned cumulative sums + boundary-filled lead
+    # (qnorm.global_cumulative_sums), totals as a 1-row broadcast
+    # (the scalar crossJoin idiom).
+    tot = merged.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    w_next = Window.partitionBy().orderBy("x")
-    cum = merged.select(
-        "x",
-        F.sum("ca").over(w_cum).alias("cuma"),
-        F.sum("cb").over(w_cum).alias("cumb"),
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum("cb").over(w_all).alias("nb"),
-        F.lead("x").over(w_next).alias("next_x"),
-    ).filter(F.col("next_x").isNotNull())
+    cum = (
+        global_cumulative_sums(
+            merged, ["x"], ["ca", "cb"], lead_col="x", lead_out="next_x"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.col("ca_cum").alias("cuma"),
+            F.col("cb_cum").alias("cumb"),
+            "na",
+            "nb",
+            "next_x",
+        )
+        .filter(F.col("next_x").isNotNull())
+    )
     dec = "decimal(38,0)"
     # |F_A − F_B|·gap over a common denominator na·nb: the numerator
     # |cuma·nb − cumb·na|·gap is an exact integer (DECIMAL(38,0) —

@@ -107,10 +107,24 @@ def t_closeness_report(
     q = F.floor(F.col(sensitive_col).cast("double") * scale + 0.5).cast(
         "long"
     )
-    rows = df.select(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in qi_cols]).alias(
-            "_cls"
+    # Injective class key: to_json(struct(...)) with nulls kept —
+    # concat_ws SKIPS NULLs, so ('a', NULL) and (NULL, 'a') would
+    # collide into one class (and an embedded separator char would
+    # merge distinct tuples); JSON keeps the field names, quotes and
+    # escapes values, and writes explicit nulls, so the encoding is
+    # injective on the QI tuple and matches the oracle's
+    # IS NOT DISTINCT FROM grouping.
+    cls_key = F.to_json(
+        F.struct(
+            *[
+                F.col(c).cast("string").alias(f"c{i}")
+                for i, c in enumerate(qi_cols)
+            ]
         ),
+        {"ignoreNullFields": "false"},
+    )
+    rows = df.select(
+        cls_key.alias("_cls"),
         *[F.col(c) for c in qi_cols],
         q.alias("_q"),
     ).where(F.col("_q").isNotNull())

@@ -101,6 +101,8 @@ def global_cumulative_sums(
     order_cols: list[str],
     sum_cols: list[str],
     suffix: str = "_cum",
+    lead_col: str | None = None,
+    lead_out: str = "_lead",
 ) -> DataFrame:
     """Scale-safe GLOBAL running sums of ``sum_cols`` in ``order_cols``
     order (must be a total order) — the cumulative-sum twin of
@@ -115,6 +117,14 @@ def global_cumulative_sums(
     inputs stay exact (order-free); float inputs inherit the usual
     reduction-order caveat — callers feeding the driver hash should
     sum integers.
+
+    ``lead_col`` additionally emits ``lead_out`` = the NEXT row's
+    value of that column in global ``order_cols`` order (NULL on the
+    global last row) without a single-task window: within-partition
+    ``lead`` plus a broadcast {pid → next non-empty partition's first
+    value} map for each partition's last row — the scale-safe twin of
+    ``F.lead().over(Window.orderBy(...))`` for support-gap
+    constructions (EMD/W1).
     """
     part = (
         df.repartitionByRange(
@@ -123,9 +133,14 @@ def global_cumulative_sums(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
+    firsts = (
+        [F.min_by(F.col(lead_col), F.struct(*order_cols)).alias("_first")]
+        if lead_col
+        else []
+    )
     totals = (
         part.groupBy("_pid")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .agg(*[F.sum(c).alias(c) for c in sum_cols], *firsts)
         .collect()
     )
     offsets: dict[int, dict[str, float]] = {}
@@ -150,6 +165,27 @@ def global_cumulative_sums(
             F.col("_pid"),
         )
         out = out.withColumn(c + suffix, F.sum(c).over(w) + off)
+    if lead_col:
+        # pid -> first lead_col value of the NEXT non-empty partition;
+        # lead_col must be non-null (a mid-partition NULL would be
+        # indistinguishable from the partition-boundary fill case)
+        by_pid = {r["_pid"]: r["_first"] for r in totals}
+        ne = sorted(by_pid)
+        nxt = {p: by_pid[q] for p, q in zip(ne, ne[1:])}
+        wl = Window.partitionBy("_pid").orderBy(*order_cols)
+        fill = (
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for p in sorted(nxt) for x in (p, nxt[p])]
+                ),
+                F.col("_pid"),
+            )
+            if nxt
+            else F.lit(None)
+        )
+        out = out.withColumn(
+            lead_out, F.coalesce(F.lead(lead_col).over(wl), fill)
+        )
     return out.drop("_pid")
 
 

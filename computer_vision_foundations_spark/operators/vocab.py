@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.functions.text import tokens
+from computer_vision_foundations_spark.operators.qnorm import (
+    global_cumulative_sums,
+)
 
 __all__ = ["vocab_top_k", "pmi_bigrams", "zipf_fit", "heaps_fit"]
 
@@ -192,10 +195,13 @@ def heaps_fit(
 
     Spark-first shape: a token's FIRST document is one hash
     aggregate (min doc per token — vocab-sized); per-doc token and
-    new-type counts are two more; the cumulative pass is a window
-    over the DOC-level table (|docs| narrow rows — aggregate-sized,
-    same budget as the funnel/retention windows), never the token
-    stream; the regression is the zipf_fit scalar fold."""
+    new-type counts are two more; the cumulative pass routes through
+    ``qnorm.global_cumulative_sums`` (range-partition + broadcast
+    prefix offsets) because the doc-level table is CORPUS-sized —
+    a naive ``Window.orderBy`` would sort every document in one task
+    (the round-8 verdict's finding); integer counts keep the
+    two-phase sum exact; the regression is the zipf_fit scalar
+    fold."""
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(
@@ -209,18 +215,17 @@ def heaps_fit(
     new_types = first_doc.groupBy("_doc").agg(
         F.count(F.lit(1)).alias("_n_new")
     )
-    w = Window.orderBy("_doc").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    joined = per_doc.join(new_types, "_doc", "left").select(
+        "_doc",
+        "_n_toks",
+        F.coalesce(F.col("_n_new"), F.lit(0)).alias("_n_new"),
     )
-    cum = (
-        per_doc.join(new_types, "_doc", "left")
-        .select(
-            "_doc",
-            F.sum("_n_toks").over(w).alias("_cum_toks"),
-            F.sum(F.coalesce(F.col("_n_new"), F.lit(0)))
-            .over(w)
-            .alias("_cum_types"),
-        )
+    cum = global_cumulative_sums(
+        joined, ["_doc"], ["_n_toks", "_n_new"]
+    ).select(
+        "_doc",
+        F.col("_n_toks_cum").alias("_cum_toks"),
+        F.col("_n_new_cum").alias("_cum_types"),
     )
     x = F.log(F.col("_cum_toks").cast("double"))
     y = F.log(F.col("_cum_types").cast("double"))

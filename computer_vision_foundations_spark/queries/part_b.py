@@ -932,12 +932,22 @@ def za18_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id int, terms array<string>"
     )
     bm = bm25_topk(docs, queries_df, k=10)
-    w = Window.partitionBy("query_id").orderBy(F.col("doc_id").desc())
-    recency = (
+    # the recency prior is QUERY-INDEPENDENT: rank the 50 newest docs
+    # ONCE (TakeOrderedAndProject — no per-query corpus window, which
+    # would funnel |docs| rows through one task per query), then cross
+    # the 50-row list with the broadcast query ids — both cross sides
+    # are constant-bounded
+    top50 = (
         docs.select("doc_id")
-        .crossJoin(queries_df.select("query_id").distinct())
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        .orderBy(F.col("doc_id").desc())
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("doc_id").desc())),
+        )
+    )
+    recency = top50.crossJoin(
+        F.broadcast(queries_df.select("query_id").distinct())
     )
     return rrf_fuse([bm, recency], k=10)
 

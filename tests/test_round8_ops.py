@@ -127,3 +127,26 @@ def test_kcenter_sequence_hand_case(spark):
     assert rows[0]["d2"] is None
     assert rows[1]["d2"] == (100 * g) ** 2          # dist(4, 1)
     assert rows[2]["d2"] == (10 * g) ** 2           # min(dist(3,1), dist(3,4))
+
+
+def test_t_closeness_null_and_separator_qi_classes_stay_distinct(spark):
+    # round-9 advice fix: the class key must be INJECTIVE on the QI
+    # tuple. concat_ws skips NULLs, so ('a', NULL) and (NULL, 'a')
+    # collided into one class, and a QI value containing the
+    # separator character merged distinct tuples. Each of the four
+    # tuples below must stay its own equivalence class.
+    rows = (
+        [("a", None, 0.0)] * 4
+        + [(None, "a", 9.0)] * 4
+        + [("x\x1fy", "z", 0.0)] * 4
+        + [("x", "y\x1fz", 9.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, val double")
+    out = t_closeness_report(df, ["q1", "q2"], "val", n_bins=8).collect()
+    assert len(out) == 4  # no class merging
+    assert all(r["class_size"] == 4 for r in out)
+    # each class sits entirely at one extreme of a 50/50 global
+    # split, so every class has the SAME (maximal) distance — a
+    # merged class would average out to something smaller
+    dists = {r["t_dist"] for r in out}
+    assert len(dists) == 1 and dists.pop() > 0.0

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -21,6 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from computer_vision_foundations_spark import get_spark
 from computer_vision_foundations_spark.queries import queries
+
+# Whitelist token: an Exchange SinglePartition that feeds a Sort
+# (± Window) is the one-task global-sort shape that killed
+# heaps_fit/abc_classes at scale (round-8 verdict #1/#2) — only
+# acceptable when the sorted input is provably bounded (bin
+# histograms, k rows after TakeOrderedAndProject, |classes|-sized
+# folds); annotating queries state the bound in their claim.
+SP_SORT_OK = "SinglePartitionSort"
 
 # name -> (claim, allowed operators that would otherwise be flagged)
 AUDIT = {
@@ -107,8 +116,9 @@ AUDIT = {
     ),
     "z15_event_funnel": (
         "funnel = scan-pruned type filter + ONE shuffle on user + "
-        "linear sorted-fold state machine; no self-joins per step",
-        (),
+        "linear sorted-fold state machine; no self-joins per step"
+        "; the conversion window runs over the |steps|-row (plan-literal constant) per-step table",
+        (SP_SORT_OK,),
     ),
     "q95_gap_fill_locf": (
         "per-key grid via sequence explode — no global calendar cross "
@@ -250,8 +260,9 @@ AUDIT = {
         "one (class, bin) hash agg; broadcast <=64-row global "
         "histogram crossed with the |classes| table; per-class "
         "cumulative window; payloads never shuffle. BNLJ = the 1-row "
-        "extrema/n_g broadcasts and the |classes| x bins audit cross",
-        ("BroadcastNestedLoopJoin",),
+        "extrema/n_g broadcasts and the |classes| x bins audit cross"
+        "; the SinglePartition sorts fold <=64-row bin histograms / |classes|-row tables",
+        ("BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
     "za42_multimodal_manifest": (
         "all three codec signals derive in-row: narrow Arrow "
@@ -411,12 +422,6 @@ AUDIT = {
         "nothing corpus-sized crosses",
         (),
     ),
-    "q40_triangle_stats": (
-        "triangles: degree-oriented node-iterator — wedge self-join "
-        "+ left-semi close test, all equi-joins on id pairs; "
-        "orientation bounds wedges at m^1.5 (no last-reducer hub)",
-        (),
-    ),
     "z52_naive_bayes_lang": (
         "NB: model is a broadcast |V|x|classes| table; token stream "
         "shuffles once into per-doc bags; argmax is a |classes|-row "
@@ -545,7 +550,7 @@ AUDIT = {
         "over |distinct durations| rows (model-sized, single "
         "partition by design); 1-row horizon broadcast is the scalar "
         "crossJoin idiom",
-        ("BroadcastNestedLoopJoin",),
+        ("BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
     "q40_triangle_stats": (
         "collapsed path: quotient-graph enumeration + closed-form "
@@ -803,8 +808,9 @@ AUDIT = {
     "q38_isotonic_calibration": (
         "one data pass to an 11-row histogram; the O(B^2)/O(B^3) "
         "minimax joins are over BINS only — the cartesians are "
-        "11x11 rows by construction, constant at any corpus scale",
-        ("CartesianProduct", "BroadcastNestedLoopJoin"),
+        "11x11 rows by construction, constant at any corpus scale"
+        "; the SinglePartition sorts run over the 11-row bin table",
+        ("CartesianProduct", "BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
     "q47_cuped_lift": (
         "one groupBy to |users| rows + one six-moment global "
@@ -835,8 +841,9 @@ AUDIT = {
         "the mergeable 4096-bin histogram (map-side-combinable bin "
         "counts; cum window over <=4096 rows) + a within-target-bin "
         "distinct-value rank PARTITIONED BY BIN — no n-scaled global "
-        "window anywhere; the BNLJs are the 1-ROW stat broadcasts",
-        ("BroadcastNestedLoopJoin",),
+        "window anywhere; the BNLJs are the 1-ROW stat broadcasts"
+        "; the SinglePartition sorts fold <=4096-bin histograms",
+        ("BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
     "q16_negative_sampling": (
         "one k-explode hash projection per pair + a 1-row corpus "
@@ -876,20 +883,165 @@ AUDIT = {
     "q32_compaction_plan": (
         "the plan runs on the metadata listing only: one sort + one "
         "running-sum window + one aggregate; data files never move "
-        "in the planning job",
-        (),
+        "in the planning job"
+        "; the SinglePartition sort orders the metadata file listing (|files|, not |rows|)",
+        (SP_SORT_OK,),
     ),
     "q46_histogram_quantiles": (
         "two narrow passes (extrema broadcast, bin counts with "
         "map-side combine); CDF window + quantile lookup run on "
         "<= n_bins rows — the BNLJ is the 1-ROW (lo, hi, n) extrema "
         "broadcast joined conditionless onto the scan, the same "
-        "scalar-broadcast idiom as the norm joins",
+        "scalar-broadcast idiom as the norm joins"
+        "; the SinglePartition sort folds <= n_bins rows",
+        ("BroadcastNestedLoopJoin", SP_SORT_OK),
+    ),
+    "q06_expectations": (
+        "rule battery is narrow codegen over the scan; the BNLJ is the "
+        "1-row totals crossJoin (scalar idiom, plan shows Keys: [] "
+        "aggregate build)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "q12_dsir_weights": (
+        "hashed n-gram importance weights: vocab-sized model joins; the "
+        "BNLJ is the 1-row normalizer crossJoin (scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "q20_training_corpus": (
+        "9-stage corpus composition: every BNLJ in the union is a 1-row "
+        "total/normalizer crossJoin (all builds are Keys: [] aggregates, "
+        "rowCount=1 in the AQE stats); doc-id set joins between stages "
+        "are broadcast HASH semi/anti-joins, not nested loops",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "q51_semi_anti_customers": (
+        "semi/anti joins broadcast the filtered order keys; the BNLJ is "
+        "the 1-row count crossJoin of the summary row (scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "q98_dedup_candidate_prf": (
+        "PRF fold of the pair generator vs truth: two 1-row count "
+        "crossJoins (scalar idiom) — candidate/truth sets join on id "
+        "pairs, never cross",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z19_ivf_pq_recall": (
+        "recall@10 harness: inherits za24's sanctioned brute-force "
+        "ground-truth product (broadcast TINY probe set x corpus — the "
+        "intended exact baseline) on both the index and truth branches",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z20_multiprobe_recall": (
+        "same recall harness as z19: the BNLJs are za24's broadcast "
+        "tiny-probe exact baseline, by design",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z31_ann_recall": (
+        "same recall harness as z19/z20: BNLJs are the sanctioned "
+        "tiny-probe brute-force truth product",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z51_vocab_coverage": (
+        "coverage vs a TakeOrdered top-k vocab; the BNLJ is the 1-row "
+        "total-token crossJoin (scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "z54_pmi_bigrams": (
+        "PMI: bigram/unigram model tables join on token keys; the two "
+        "BNLJs are 1-row corpus-total crossJoins (scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za18_rrf_fusion": (
+        "RRF fusion: recency prior ranks the 50 newest docs ONCE "
+        "(TakeOrderedAndProject, query-independent) then crosses the "
+        "50-row list with the broadcast |queries|-row id set — both "
+        "cross sides constant-bounded; the other BNLJ is BM25's 1-row "
+        "stats crossJoin; the 50-row rank window is post-limit bounded",
+        ("BroadcastNestedLoopJoin", SP_SORT_OK),
+    ),
+    "za21_skew_profile": (
+        "join-skew preflight: per-key count tables only; the BNLJ is "
+        "the 1-row totals crossJoin (scalar idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za39_conformal_band": (
+        "conformal band: q-hat is the rn == k(n_cal) row of the "
+        "range-partitioned global ranking — a 1-ROW table by "
+        "construction; both BNLJs broadcast that scalar state "
+        "(n_cal, q_hat) onto the eval reduction",
         ("BroadcastNestedLoopJoin",),
     ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# Whitelist token for the third rule: an Exchange SinglePartition that
+# feeds a Sort (± Window) is the one-task global-sort shape that
+# killed heaps_fit/abc_classes at scale (round-8 verdict #1/#2) — it
+# is only acceptable when the sorted input is provably bounded (bin
+# histograms, k rows after TakeOrderedAndProject, |classes|-sized
+# folds). Queries that own such a bounded site annotate it here, with
+# the bound stated in their claim text.
+
+# middle part may contain parens inside bracketed attr lists
+# (e.g. "ReusedExchange [count(1)#450L] (39)") but never ':'/'='
+# (which mark detail lines, not tree lines); AQE-materialized stages
+# append ", Statistics(sizeInBytes=…, rowCount=…)" after the id
+_TREE_NODE = re.compile(
+    r"^([ :+\-|]*)\*?\s*([A-Za-z][A-Za-z0-9_]*)([^:=]*?)\((\d+)\)"
+    r"(?:,\s*Statistics\(.*\))?\s*$"
+)
+_DETAIL_HDR = re.compile(r"^\((\d+)\) Exchange\b")
+
+
+def singlepartition_sort_sites(plan: str) -> list[str]:
+    """Node ids of every ``Exchange SinglePartition`` whose tree
+    parent is a Sort, labeled with what sits above the Sort
+    (``Window`` = the one-task cumulative/rank shape, else a global
+    one-task sort). 1-row final-aggregate SinglePartition exchanges
+    (parent HashAggregate) are NOT flagged — those are scalar folds.
+    """
+    sp_ids: set[str] = set()
+    cur: str | None = None
+    for ln in plan.splitlines():
+        m = _DETAIL_HDR.match(ln)
+        if m:
+            cur = m.group(1)
+        elif ln.startswith("(") and ") " in ln[:8]:
+            cur = None
+        elif cur and "Arguments: SinglePartition" in ln:
+            sp_ids.add(cur)
+    # tree: parent = nearest preceding line with smaller indent
+    tree: list[tuple[int, str, str]] = []
+    for ln in plan.splitlines():
+        if ln.startswith("("):  # detail header, not a tree line
+            continue
+        m = _TREE_NODE.match(ln)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(4)))
+
+    def parent_idx(idx: int) -> int | None:
+        d = tree[idx][0]
+        for j in range(idx - 1, -1, -1):
+            if tree[j][0] < d:
+                return j
+        return None
+
+    sites: list[str] = []
+    for i, (d, name, nid) in enumerate(tree):
+        if name != "Exchange" or nid not in sp_ids:
+            continue
+        pi = parent_idx(i)
+        if pi is None or tree[pi][1] != "Sort":
+            continue
+        gi = parent_idx(pi)
+        kind = (
+            "Sort+Window"
+            if gi is not None and tree[gi][1].startswith("Window")
+            else "global Sort"
+        )
+        sites.append(f"{nid}:{kind}")
+    return sites
 
 
 def main() -> int:
@@ -903,7 +1055,17 @@ def main() -> int:
         "grepped automatically — regenerate after operator changes.\n",
     ]
     failures = 0
-    for name, (claim, allowed) in AUDIT.items():
+    # full-registry coverage: queries without a hand-written claim
+    # still get every automated check — a violation can't hide in an
+    # unaudited query (round-8 verdict #2).
+    audited = dict(AUDIT)
+    for name in qs:
+        if name not in audited:
+            audited[name] = (
+                "no per-query claim recorded — automated checks only",
+                (),
+            )
+    for name, (claim, allowed) in audited.items():
         df = qs[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -917,6 +1079,22 @@ def main() -> int:
             ok = bad not in plan
             checks.append(f"- [{'x' if ok else ' '}] no {bad}")
             failures += 0 if ok else 1
+        sp_sites = singlepartition_sort_sites(plan)
+        if sp_sites and SP_SORT_OK in allowed:
+            checks.append(
+                f"- [x] {len(sp_sites)} SinglePartition Sort site(s) "
+                f"BOUNDED BY DESIGN (see note): {', '.join(sp_sites)}"
+            )
+        elif sp_sites:
+            checks.append(
+                "- [ ] Exchange SinglePartition feeding a Sort over "
+                f"possibly data-sized input: {', '.join(sp_sites)}"
+            )
+            failures += 1
+        else:
+            checks.append(
+                "- [x] no SinglePartition global Sort/Window over the data path"
+            )
         if "BatchEvalPython" in plan:
             checks.append("- [ ] row-pickled Python UDF present (should be Arrow)")
             failures += 1
