@@ -322,26 +322,29 @@ def q03_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q24_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Copy-on-write MERGE (`sources/acid.py:upsert` — the batch twin
-    of the streaming foreachBatch upsert): customers land as a
-    transactional table, an update batch promotes every 10th customer
-    (same key -> replace) and inserts one new key (-1); only files
-    containing a matched key are rewritten (found by ONE broadcast
-    semi-join over input_file_name, no table shuffle). The oracle
+    """Copy-on-write MERGE on the REAL Delta log format
+    (`sources/delta_writer.delta_upsert` — the batch twin of the
+    streaming foreachBatch upsert): customers land as a
+    `_delta_log`-format table, an update batch promotes every 10th
+    customer (same key -> replace) and inserts one new key (-1); only
+    files containing a matched key are rewritten (found by ONE
+    broadcast semi-join over input_file_name, no table shuffle), and
+    the read-back goes through the protocol reader
+    (`sources/delta_reader`, routed by acid.read_table). The oracle
     replays the merge as a CASE projection + the inserted row."""
     import tempfile
 
-    from computer_vision_foundations_spark.sources.acid import (
-        create_table,
-        read_table,
-        upsert,
+    from computer_vision_foundations_spark.sources.acid import read_table
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_create,
+        delta_upsert as upsert,
     )
 
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     root = tempfile.mkdtemp(prefix="acid_up_")
-    create_table(spark, root, cust)
+    delta_create(spark, root, cust)
     updates = (
         cust.filter(F.col("c_custkey") % 10 == 0)
         .select(

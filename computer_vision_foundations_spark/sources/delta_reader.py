@@ -44,9 +44,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.parse
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
@@ -192,7 +194,9 @@ def _apply_checkpoint(
             .selectExpr("add.path AS path", "add.partitionValues AS pv")
             .collect()
         ):
-            state["files"][r["path"]] = dict(r["pv"] or {})
+            state["files"][urllib.parse.unquote(r["path"])] = dict(
+                r["pv"] or {}
+            )
 
 
 def delta_snapshot(
@@ -216,7 +220,13 @@ def delta_snapshot(
             f"version {v} not in log (latest is {latest})"
         )
     state: dict = {"files": {}, "metaData": None, "protocol": None}
-    ckpt_v = max((c for c in ckpts if c <= v), default=None)
+    # fast path: _last_checkpoint names the newest checkpoint, saving
+    # the full-listing max on long logs; trust it only when the named
+    # version is usable for THIS snapshot (<= v and actually present),
+    # else fall back to the listing
+    ckpt_v = _read_last_checkpoint(root)
+    if ckpt_v is None or ckpt_v > v or ckpt_v not in ckpts:
+        ckpt_v = max((c for c in ckpts if c <= v), default=None)
     if ckpt_v is not None:
         _apply_checkpoint(spark, ckpts[ckpt_v], state)
     replayed = 0
@@ -232,11 +242,17 @@ def delta_snapshot(
                 state["protocol"] = action["protocol"]
             elif "add" in action:
                 a = action["add"]
-                state["files"][a["path"]] = dict(
+                # add.path is percent-encoded per PROTOCOL.md — decode
+                # it ONCE at ingest so file resolution works for paths
+                # with spaces/colons; removes decode symmetrically, so
+                # the state keys stay consistent
+                state["files"][urllib.parse.unquote(a["path"])] = dict(
                     a.get("partitionValues") or {}
                 )
             elif "remove" in action:
-                state["files"].pop(action["remove"]["path"], None)
+                state["files"].pop(
+                    urllib.parse.unquote(action["remove"]["path"]), None
+                )
     _check_protocol(state["protocol"], state["metaData"])
     meta = state["metaData"]
     if meta is None:
@@ -274,6 +290,25 @@ def _version_at(root: str, commits: list[int], ts: float) -> int:
     return best
 
 
+def _hive_partition_of(rel: str) -> dict | None:
+    """Parse a relative data-file path's hive-layout directory
+    segments into a partition dict; None when any directory segment
+    is not ``name=value`` (non-hive layout). Values percent-decode
+    (Hive/Spark ``escapePathName``); ``__HIVE_DEFAULT_PARTITION__``
+    means NULL."""
+    pv: dict = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" not in seg:
+            return None
+        k, _, val = seg.partition("=")
+        pv[k] = (
+            None
+            if val == "__HIVE_DEFAULT_PARTITION__"
+            else urllib.parse.unquote(val)
+        )
+    return pv
+
+
 def read_delta(
     spark: SparkSession,
     root: str,
@@ -282,20 +317,68 @@ def read_delta(
 ) -> DataFrame:
     """Snapshot/time-travel read of a real-format Delta table.
 
-    Unpartitioned: one ``spark.read.schema(committed).parquet(files)``.
-    Partitioned: same scan with ``basePath`` so the hive-layout
-    partition directories are parsed, CAST to the committed schema's
-    partition types (never inferred). Empty snapshot returns an empty
-    frame with the committed schema."""
+    Partition values come from the AUTHORITATIVE ``add.
+    partitionValues`` in the log, not from directory-name inference:
+    when every live file's hive-layout directories AGREE with its
+    logged partitionValues (the layout Spark/delta-spark writes —
+    verified driver-side, cheap string work), the scan uses
+    ``basePath`` recovery (one reader, partition columns CAST to the
+    committed types); otherwise — non-hive paths, or values the
+    directory encoding mangles — each partition-value group is
+    scanned separately with its logged values attached as typed
+    literals and the groups unioned, so the log always wins. Empty
+    snapshot returns an empty frame with the committed schema."""
     snap = delta_snapshot(root, spark, version=version, as_of_ts=as_of_ts)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
-    paths = [os.path.join(root, p) for p in snap.files]
-    reader = spark.read.schema(snap.schema)
-    if snap.partition_columns:
-        reader = reader.option("basePath", root)
-    # ordered output columns = committed schema order
-    return reader.parquet(*paths).select(*[f.name for f in snap.schema.fields])
+    out_cols = [f.name for f in snap.schema.fields]
+    if not snap.partition_columns:
+        return (
+            spark.read.schema(snap.schema)
+            .parquet(*[os.path.join(root, p) for p in snap.files])
+            .select(*out_cols)
+        )
+    pcols = snap.partition_columns
+    hive_ok = all(
+        _hive_partition_of(rel) == {k: pv.get(k) for k in pv}
+        and set(pv) == set(pcols)
+        for rel, pv in snap.files.items()
+    )
+    if hive_ok:
+        return (
+            spark.read.schema(snap.schema)
+            .option("basePath", root)
+            .parquet(*[os.path.join(root, p) for p in snap.files])
+            .select(*out_cols)
+        )
+    # layout-independent fallback: group live files by their LOGGED
+    # partition values, scan each group once, attach the values as
+    # literals cast via the committed schema, union the groups —
+    # |groups| = live partitions in the snapshot
+    ptypes = {f.name: f.dataType for f in snap.schema.fields}
+    dfields = T.StructType(
+        [f for f in snap.schema.fields if f.name not in pcols]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for rel, pv in snap.files.items():
+        groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(rel)
+    parts = []
+    for vals, rels in sorted(groups.items()):
+        g = spark.read.schema(dfields).parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        for c, raw in zip(pcols, vals):
+            g = g.withColumn(
+                c,
+                (
+                    F.lit(None) if raw is None else F.lit(raw)
+                ).cast(ptypes[c]),
+            )
+        parts.append(g.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def delta_history(root: str) -> list[dict]:

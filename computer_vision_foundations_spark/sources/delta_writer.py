@@ -1,0 +1,562 @@
+"""Write half of the Delta Lake protocol adapter: create / append /
+overwrite / copy-on-write MERGE and DELETE that emit a REAL
+``_delta_log`` (JSON commits, a struct-per-action parquet checkpoint
+every ``checkpoint_every`` commits, ``_last_checkpoint``), so a table
+written by this engine opens in actual delta-spark — closing the
+interop gap left when round 8 shipped only the read adapter
+(``sources/delta_reader.py``).
+
+Format per the PUBLIC protocol specification (delta.io PROTOCOL.md;
+Armbrust et al., VLDB 2020), mirroring the reference's Delta-everywhere
+persistence (reference ``02_Data Ingest.py:273-282``,
+``04a_Model Deployment.py:264-269``):
+
+- commit ``_delta_log/<20-digit version>.json``, one action per line:
+  ``commitInfo`` (timestamp ms, operation), ``metaData`` (id,
+  format=parquet, schemaString = Spark schema JSON, partitionColumns)
+  and ``protocol`` (1, 2) on create, ``add`` (URL-encoded relative
+  path, partitionValues, size, modificationTime, dataChange, stats
+  JSON with numRecords) and ``remove`` (path, deletionTimestamp,
+  dataChange) afterwards;
+- atomic publish: hard-link of a fully-written temp file onto the next
+  version name — POSIX ``link`` fails EEXIST when the version is
+  taken, which IS the optimistic-concurrency check (same primitive as
+  ``sources/acid.py``; on object stores the equivalent is
+  put-if-absent);
+- checkpoint ``<v>.checkpoint.parquet`` every ``checkpoint_every``
+  commits: struct columns (txn, add, remove, metaData, protocol), one
+  action per row — live adds + latest metaData/protocol (remove
+  tombstones are not carried: this adapter never vacuums by
+  tombstone age, and snapshot reconstruction from adds alone is
+  exact) — plus the ``_last_checkpoint`` pointer.
+
+Data layout: partitioned tables write hive-style ``col=value/``
+directories whose data files EXCLUDE the partition columns (per
+protocol — values live in ``add.partitionValues``); ``add.path`` is
+percent-encoded with ``/`` and ``=`` kept literal, exactly what
+``delta_reader`` percent-decodes.
+
+Scale notes: the log carries file lists only; the copy-on-write MERGE
+finds touched files with ONE broadcast semi-join over
+``input_file_name()`` (update keys broadcast, table rows never
+shuffle) and rewrites only those, the same 10⁶-file-survivable shape
+as ``acid.upsert``. Checkpoint writing is a driver-side pyarrow write
+of the |files|-row action list — megabytes at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.sources import delta_reader
+
+__all__ = [
+    "delta_create",
+    "delta_append",
+    "delta_overwrite",
+    "delta_upsert",
+    "delta_delete_where",
+    "DeltaCommitConflict",
+]
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+_CHECKPOINT_EVERY = 10
+
+
+class DeltaCommitConflict(RuntimeError):
+    """Another writer committed this version first; rebase and retry."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_delta_log")
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _encode_path(rel: str) -> str:
+    """Percent-encode a table-relative path for ``add.path`` /
+    ``remove.path`` — '/' and '=' stay literal (hive layout reads
+    naturally in the log), everything URI-unsafe is escaped;
+    ``delta_reader`` unquotes symmetrically."""
+    return urllib.parse.quote(rel, safe="/=")
+
+
+def _hive_escape(value: str) -> str:
+    """Escape one partition VALUE for its directory name — the same
+    character set Spark/Hive escape (``escapePathName``): anything
+    that would break a path or the ``k=v`` split becomes ``%xx``."""
+    out = []
+    for ch in value:
+        if ch.isalnum() or ch in "-_.":
+            out.append(ch)
+        else:
+            out.append(f"%{ord(ch):02X}")
+    return "".join(out)
+
+
+def _write_data_files(
+    df: DataFrame, root: str, partition_cols: list[str]
+) -> list[tuple[str, dict, int, int]]:
+    """Write ``df``'s data files under ``root``; returns
+    ``(relative_path, partitionValues, size, numRecords)`` per file.
+
+    Spark writes to a scratch dir (partitionBy for partitioned
+    tables), files are MOVED under root with fresh unique names —
+    invisible to readers until the commit references them. Row counts
+    come from the parquet footer (a local metadata read)."""
+    import pyarrow.parquet as pq
+
+    scratch = os.path.join(root, f"_scratch-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(scratch)
+    out: list[tuple[str, dict, int, int]] = []
+    for dirpath, _dirs, files in os.walk(scratch):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, f)
+            reldir = os.path.relpath(dirpath, scratch)
+            pv: dict = {}
+            if reldir != ".":
+                for seg in reldir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pv[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+            segs = [
+                f"{k}={_hive_escape(v) if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                for k, v in pv.items()
+            ]
+            rel = "/".join(segs + [f"part-{uuid.uuid4().hex}.parquet"])
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+            if n_rows == 0:
+                continue  # empty task output: real Delta logs no add
+            dst = os.path.join(root, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            out.append((rel, pv, os.path.getsize(dst), n_rows))
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def _add_action(rel: str, pv: dict, size: int, n_rows: int, ts: int) -> dict:
+    return {
+        "add": {
+            "path": _encode_path(rel),
+            "partitionValues": {
+                k: (None if v is None else str(v)) for k, v in pv.items()
+            },
+            "size": size,
+            "modificationTime": ts,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": n_rows}),
+        }
+    }
+
+
+def _remove_action(encoded_path: str, ts: int) -> dict:
+    return {
+        "remove": {
+            "path": encoded_path,
+            "deletionTimestamp": ts,
+            "dataChange": True,
+        }
+    }
+
+
+def _publish(
+    root: str,
+    version: int,
+    actions: list[dict],
+    operation: str,
+    ts: int,
+) -> None:
+    """Atomically publish commit ``version`` (hard-link EEXIST race)."""
+    log = _log_dir(root)
+    os.makedirs(log, exist_ok=True)
+    lines = [
+        json.dumps({"commitInfo": {"timestamp": ts, "operation": operation}})
+    ] + [json.dumps(a) for a in actions]
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = os.path.join(log, f"{version:020d}.json")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        os.remove(tmp)
+        raise DeltaCommitConflict(
+            f"version {version} committed concurrently under {root}"
+        ) from None
+    os.remove(tmp)
+
+
+def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
+    """Struct-per-action parquet checkpoint of the snapshot at
+    ``version`` + the ``_last_checkpoint`` pointer (driver-side
+    pyarrow write of the |files|-row action list)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = delta_reader.delta_snapshot(root, spark, version=version)
+    # re-read the raw actions for metaData/protocol fidelity
+    state_meta, state_proto = None, None
+    for v in range(0, version + 1):
+        p = os.path.join(_log_dir(root), f"{v:020d}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "metaData" in a:
+                    state_meta = a["metaData"]
+                elif "protocol" in a:
+                    state_proto = a["protocol"]
+    if state_meta is None or state_proto is None:
+        raise ValueError(f"no metaData/protocol in log under {root}")
+
+    pv_type = pa.map_(pa.string(), pa.string())
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_type),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    remove_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    txn_type = pa.struct(
+        [("appId", pa.string()), ("version", pa.int64())]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_type = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    files = sorted(snap.files.items())
+    n = len(files) + 2
+    adds = [None, None] + [
+        {
+            "path": _encode_path(rel),
+            "partitionValues": [
+                (k, None if v is None else str(v)) for k, v in pv.items()
+            ],
+            "size": None,
+            "modificationTime": None,
+            "dataChange": False,
+            "stats": None,
+        }
+        for rel, pv in files
+    ]
+    metas = [
+        {
+            "id": state_meta.get("id"),
+            "format": {"provider": "parquet"},
+            "schemaString": state_meta["schemaString"],
+            "partitionColumns": list(state_meta.get("partitionColumns") or []),
+            "configuration": [],
+            "createdTime": state_meta.get("createdTime"),
+        }
+    ] + [None] * (n - 1)
+    protos = [None] + [
+        {
+            "minReaderVersion": state_proto.get("minReaderVersion", 1),
+            "minWriterVersion": state_proto.get("minWriterVersion", 2),
+        }
+    ] + [None] * (n - 2)
+    tbl = pa.table(
+        {
+            "txn": pa.array([None] * n, txn_type),
+            "add": pa.array(adds, add_type),
+            "remove": pa.array([None] * n, remove_type),
+            "metaData": pa.array(metas, meta_type),
+            "protocol": pa.array(protos, proto_type),
+        }
+    )
+    log = _log_dir(root)
+    pq.write_table(tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet"))
+    ptmp = os.path.join(log, f".tmp-lc-{uuid.uuid4().hex}")
+    with open(ptmp, "w") as fh:
+        json.dump({"version": version, "size": n}, fh)
+    os.rename(ptmp, os.path.join(log, "_last_checkpoint"))
+
+
+def _maybe_checkpoint(
+    root: str, spark: SparkSession, version: int, checkpoint_every: int
+) -> None:
+    if version > 0 and version % checkpoint_every == 0:
+        _write_checkpoint(root, spark, version)
+
+
+def _latest_version(root: str) -> int | None:
+    log = _log_dir(root)
+    if not os.path.isdir(log):
+        return None
+    vs = [
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
+    ]
+    return max(vs) if vs else None
+
+
+def _check_schema(snap, df: DataFrame) -> None:
+    """Delta-style schema ENFORCEMENT: the batch must carry exactly
+    the committed columns and types (evolution is out of this
+    writer's scope — rewrite with ``delta_overwrite`` to change the
+    schema)."""
+    current = {f.name: f.dataType for f in snap.schema.fields}
+    incoming = {f.name: f.dataType for f in df.schema.fields}
+    if current != incoming:
+        missing = sorted(set(current) - set(incoming))
+        extra = sorted(set(incoming) - set(current))
+        wrong = sorted(
+            n
+            for n in set(current) & set(incoming)
+            if current[n] != incoming[n]
+        )
+        raise ValueError(
+            f"schema mismatch vs committed Delta schema: "
+            f"missing={missing} extra={extra} type-changed={wrong}"
+        )
+
+
+def delta_create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """Create a real-format Delta table at ``root`` (version 0 —
+    Delta versions are 0-based, unlike ``acid.py``'s 1-based log)."""
+    if delta_reader.is_delta_table(root):
+        raise FileExistsError(f"Delta table already exists at {root}")
+    pcols = list(partition_by or [])
+    ts = _now_ms()
+    meta = {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": df.schema.json(),
+        "partitionColumns": pcols,
+        "configuration": {},
+        "createdTime": ts,
+    }
+    files = _write_data_files(df, root, pcols)
+    actions = [{"metaData": meta}, {"protocol": dict(_PROTOCOL)}] + [
+        _add_action(rel, pv, size, n, ts) for rel, pv, size, n in files
+    ]
+    _publish(root, 0, actions, "WRITE", ts)
+    return 0
+
+
+def delta_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """ACID append: all of ``df``'s files appear in one commit."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    _check_schema(snap, df)
+    ts = _now_ms()
+    files = _write_data_files(
+        df.select(*[f.name for f in snap.schema.fields]),
+        root,
+        snap.partition_columns,
+    )
+    actions = [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    v = snap.version + 1
+    _publish(root, v, actions, "WRITE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+def delta_overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """Atomic whole-table replace; the new schema is recorded (Delta's
+    ``overwriteSchema`` shape — every old file is removed in the same
+    commit, so there is no mixed-file hazard)."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    ts = _now_ms()
+    actions: list[dict] = []
+    if df.schema.json() != snap.schema.json():
+        meta = {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": snap.partition_columns,
+            "configuration": {},
+            "createdTime": ts,
+        }
+        actions.append({"metaData": meta})
+    files = _write_data_files(df, root, snap.partition_columns)
+    actions += [
+        _remove_action(_encode_path(rel), ts) for rel in sorted(snap.files)
+    ]
+    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    v = snap.version + 1
+    _publish(root, v, actions, "OVERWRITE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+def _touched_files(
+    spark: SparkSession, root: str, snap, keys: DataFrame, key_cols: list[str]
+) -> list[str]:
+    """Relative paths of snapshot files containing any update key —
+    ONE broadcast semi-join over ``input_file_name()``; update keys
+    broadcast, table rows never shuffle, result is file-count-sized."""
+    if not snap.files:
+        return []
+    paths = {
+        os.path.abspath(os.path.join(root, rel)): rel for rel in snap.files
+    }
+    reader = spark.read.schema(snap.schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", root)
+    hit = (
+        reader.parquet(*paths)
+        .withColumn("_f", F.input_file_name())
+        .join(F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    out = []
+    for r in hit:
+        p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
+        rel = paths.get(os.path.abspath(p))
+        if rel is None:  # pragma: no cover - defensive
+            raise ValueError(f"scan returned unknown file {r['_f']}")
+        out.append(rel)
+    return sorted(out)
+
+
+def delta_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """Copy-on-write MERGE on the real log format: rows in ``updates``
+    replace same-key rows, new keys append; only files containing a
+    matched key are rewritten and swapped in ONE remove+add commit —
+    the Delta ``MERGE INTO`` shape, same algorithm as
+    ``acid.upsert``."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    _check_schema(snap, updates)
+    ts = _now_ms()
+    touched = _touched_files(spark, root, snap, updates, key_cols)
+    cols = [f.name for f in snap.schema.fields]
+    parts = [updates.select(*cols)]
+    if touched:
+        reader = spark.read.schema(snap.schema)
+        if snap.partition_columns:
+            reader = reader.option("basePath", root)
+        old = reader.parquet(*[os.path.join(root, rel) for rel in touched])
+        parts.append(
+            old.join(updates.select(*key_cols), key_cols, "left_anti").select(
+                *cols
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    files = _write_data_files(merged, root, snap.partition_columns)
+    actions = [_remove_action(_encode_path(rel), ts) for rel in touched]
+    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    v = snap.version + 1
+    _publish(root, v, actions, "MERGE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+def delta_delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """Copy-on-write DELETE: rewrite only files containing matching
+    rows, swap in one atomic commit. Returns the current version
+    unchanged when nothing matches."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    ts = _now_ms()
+    if not snap.files:
+        return snap.version
+    paths = [os.path.join(root, rel) for rel in snap.files]
+    reader = spark.read.schema(snap.schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", root)
+    hit = (
+        reader.parquet(*paths)
+        .filter(predicate)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    by_abs = {os.path.abspath(os.path.join(root, rel)): rel for rel in snap.files}
+    touched = sorted(
+        by_abs[os.path.abspath(urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path))]
+        for r in hit
+    )
+    if not touched:
+        return snap.version
+    surv_reader = spark.read.schema(snap.schema)
+    if snap.partition_columns:
+        surv_reader = surv_reader.option("basePath", root)
+    survivors = surv_reader.parquet(
+        *[os.path.join(root, rel) for rel in touched]
+    ).filter(~predicate)
+    files = (
+        _write_data_files(survivors, root, snap.partition_columns)
+        if survivors.limit(1).count()
+        else []
+    )
+    actions = [_remove_action(_encode_path(rel), ts) for rel in touched]
+    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    v = snap.version + 1
+    _publish(root, v, actions, "DELETE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v

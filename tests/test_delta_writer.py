@@ -1,0 +1,268 @@
+"""Round-trip tests for the real-format Delta WRITE half
+(sources/delta_writer.py): engine write → delta_reader read-back on
+the actual ``_delta_log`` format, with version/time-travel, MERGE,
+DELETE, checkpoint + ``_last_checkpoint``, partition-value encoding,
+and concurrency assertions. delta-spark itself is not in this
+container, so format fidelity is asserted against the protocol shapes
+the committed real-format fixture (tests/fixtures/delta_people)
+exercises: 20-digit JSON commits, action vocabulary, URL-encoded
+paths, struct-per-action checkpoint parquet."""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.sources import delta_reader as dr
+from computer_vision_foundations_spark.sources import delta_writer as dw
+from computer_vision_foundations_spark.sources.acid import read_table
+
+
+def _mk(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _root():
+    return tempfile.mkdtemp(prefix="delta_w_")
+
+
+def test_create_and_read_back(spark):
+    root = _root()
+    v = dw.delta_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]))
+    assert v == 0
+    assert dr.is_delta_table(root)
+    got = sorted(dr.read_delta(spark, root).collect())
+    assert [(r["k"], r["v"]) for r in got] == [(1, "a"), (2, "b")]
+    # commit 0 carries metaData + protocol + commitInfo per protocol
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo"
+    assert "metaData" in kinds and "protocol" in kinds and "add" in kinds
+    add = next(a["add"] for a in actions if "add" in a)
+    assert add["dataChange"] is True
+    n_total = sum(
+        json.loads(a["add"]["stats"])["numRecords"]
+        for a in actions
+        if "add" in a
+    )
+    assert n_total == 2
+
+
+def test_append_versions_and_time_travel(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    v1 = dw.delta_append(spark, root, _mk(spark, [(2, "b")]))
+    v2 = dw.delta_append(spark, root, _mk(spark, [(3, "c")]))
+    assert (v1, v2) == (1, 2)
+    assert dr.read_delta(spark, root).count() == 3
+    assert dr.read_delta(spark, root, version=0).count() == 1
+    assert dr.read_delta(spark, root, version=1).count() == 2
+    hist = dr.delta_history(root)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[0]["operation"] == "WRITE"
+
+
+def test_append_schema_enforced(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dw.delta_append(
+            spark, root, spark.createDataFrame([(1,)], "k long")
+        )
+
+
+def test_overwrite_replaces_and_old_version_survives(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]))
+    dw.delta_overwrite(spark, root, _mk(spark, [(9, "z")]))
+    assert [(r["k"], r["v"]) for r in dr.read_delta(spark, root).collect()] == [
+        (9, "z")
+    ]
+    assert dr.read_delta(spark, root, version=0).count() == 2
+
+
+def test_upsert_matches_acid_merge_semantics(spark):
+    root = _root()
+    dw.delta_create(
+        spark, root, _mk(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    v = dw.delta_upsert(
+        spark, root, _mk(spark, [(2, "B2"), (4, "d")]), ["k"]
+    )
+    assert v == 1
+    got = {r["k"]: r["v"] for r in dr.read_delta(spark, root).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # the MERGE commit is remove+add
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    assert any("remove" in a for a in actions)
+    assert any("add" in a for a in actions)
+    info = next(a["commitInfo"] for a in actions if "commitInfo" in a)
+    assert info["operation"] == "MERGE"
+    # time travel to pre-merge
+    pre = {r["k"]: r["v"] for r in dr.read_delta(spark, root, version=0).collect()}
+    assert pre == {1: "a", 2: "b", 3: "c"}
+
+
+def test_upsert_rewrites_only_touched_files(spark):
+    root = _root()
+    # two files via two appends: only the file holding k=2 is rewritten
+    dw.delta_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    dw.delta_append(spark, root, _mk(spark, [(3, "c"), (4, "d")]).coalesce(1))
+    dw.delta_upsert(spark, root, _mk(spark, [(2, "B2")]), ["k"])
+    with open(os.path.join(root, "_delta_log", f"{2:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    removes = [a["remove"]["path"] for a in actions if "remove" in a]
+    assert len(removes) == 1  # the untouched file survives in place
+    got = {r["k"]: r["v"] for r in dr.read_delta(spark, root).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_delete_where(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(i, "x") for i in range(10)]))
+    dw.delta_delete_where(spark, root, F.col("k") % 2 == 0)
+    assert sorted(
+        r["k"] for r in dr.read_delta(spark, root).collect()
+    ) == [1, 3, 5, 7, 9]
+    # no-match delete is a no-op (version unchanged)
+    v = dw.delta_delete_where(spark, root, F.col("k") > 100)
+    assert v == 1
+
+
+def test_checkpoint_written_every_10_and_used(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(0, "r0")]))
+    for i in range(1, 12):
+        dw.delta_append(spark, root, _mk(spark, [(i, f"r{i}")]))
+    log = os.path.join(root, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        lc = json.load(f)
+    assert lc["version"] == 10
+    # snapshot resolves from the checkpoint: only commits 11.. replay
+    snap = dr.delta_snapshot(root, spark)
+    assert snap.checkpoint_version == 10
+    assert snap.num_commits_replayed == 1
+    assert dr.read_delta(spark, root).count() == 12
+    # a snapshot BEFORE the checkpoint ignores the _last_checkpoint hint
+    assert dr.read_delta(spark, root, version=5).count() == 6
+
+
+def test_partitioned_roundtrip_with_hostile_values(spark):
+    """Partition values with spaces/colons (the timestamp-shaped
+    strings the round-9 advice called out) must round-trip exactly:
+    URL-encoded add.path resolves, and the values come back from the
+    log's partitionValues, not directory-name inference."""
+    root = _root()
+    df = spark.createDataFrame(
+        [
+            (1, "2021-01-05 00:00:00", 1.5),
+            (2, "2021-01-05 00:00:00", 2.5),
+            (3, "2021-01-06 12:30:00", 3.5),
+        ],
+        "id long, date string, score double",
+    )
+    dw.delta_create(spark, root, df, partition_by=["date"])
+    got = sorted(
+        (r["id"], r["date"], r["score"])
+        for r in dr.read_delta(spark, root).collect()
+    )
+    assert got == [
+        (1, "2021-01-05 00:00:00", 1.5),
+        (2, "2021-01-05 00:00:00", 2.5),
+        (3, "2021-01-06 12:30:00", 3.5),
+    ]
+    # the logged path is URL-encoded (space/colon) and partitionValues
+    # carry the raw value
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json")) as f:
+        adds = [
+            json.loads(ln)["add"]
+            for ln in f
+            if ln.strip() and "add" in json.loads(ln)
+        ]
+    assert all("%" in a["path"] for a in adds)  # escaped dir name
+    assert {a["partitionValues"]["date"] for a in adds} == {
+        "2021-01-05 00:00:00",
+        "2021-01-06 12:30:00",
+    }
+
+
+def test_partitioned_upsert(spark):
+    root = _root()
+    df = spark.createDataFrame(
+        [(1, "EU", "a"), (2, "US", "b"), (3, "EU", "c")],
+        "id long, region string, v string",
+    )
+    dw.delta_create(spark, root, df, partition_by=["region"])
+    dw.delta_upsert(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(2, "US", "B2"), (4, "AP", "d")],
+            "id long, region string, v string",
+        ),
+        ["id"],
+    )
+    got = {r["id"]: (r["region"], r["v"]) for r in dr.read_delta(spark, root).collect()}
+    assert got == {
+        1: ("EU", "a"),
+        2: ("US", "B2"),
+        3: ("EU", "c"),
+        4: ("AP", "d"),
+    }
+
+
+def test_nonhive_layout_falls_back_to_logged_values(spark):
+    """A real Delta table may store files WITHOUT hive directories —
+    partitionValues in the log are authoritative. Simulate by
+    rewriting the log paths to flat names."""
+    root = _root()
+    df = spark.createDataFrame(
+        [(1, "EU"), (2, "US")], "id long, region string"
+    )
+    dw.delta_create(spark, root, df, partition_by=["region"])
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(log) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    new_actions = []
+    for a in actions:
+        if "add" in a:
+            old = a["add"]["path"]
+            flat = old.replace("/", "__")
+            os.rename(
+                os.path.join(root, *old.split("/")),
+                os.path.join(root, flat),
+            )
+            a["add"]["path"] = flat
+        new_actions.append(a)
+    with open(log, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in new_actions) + "\n")
+    got = sorted(
+        (r["id"], r["region"]) for r in dr.read_delta(spark, root).collect()
+    )
+    assert got == [(1, "EU"), (2, "US")]
+
+
+def test_commit_conflict_raises(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    # squat on version 1 to simulate a concurrent winner
+    path = os.path.join(root, "_delta_log", f"{1:020d}.json")
+    with open(path, "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "WRITE"}}) + "\n")
+    with pytest.raises(dw.DeltaCommitConflict):
+        dw._publish(root, 1, [], "WRITE", 0)
+
+
+def test_acid_read_table_routes_written_delta(spark):
+    """acid.read_table transparently opens engine-written real-format
+    Delta tables — the documented one-engine read surface."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]))
+    dw.delta_append(spark, root, _mk(spark, [(3, "c")]))
+    assert read_table(spark, root).count() == 3
+    assert read_table(spark, root, version=0).count() == 2
