@@ -126,11 +126,11 @@ HEADLINE = [
     "z24_bucketed_join",
     "z25_table_profile",
     "za42_multimodal_manifest",
-    "za44_stream_ann",
-    "za45_hill_tail_index",
-    "za46_embedding_isotropy",
-    "za47_t_closeness",
-    "za49_kcenter_coreset",
+    "q06_stream_ann",
+    "q15_hill_tail_index",
+    "q30_embedding_isotropy",
+    "q31_t_closeness",
+    "q47_kcenter_coreset",
     "z27_pq_rerank",
     "za35_zorder_optimize",
     "za31_data_skipping",

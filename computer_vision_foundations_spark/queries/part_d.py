@@ -2321,8 +2321,8 @@ def _skyline_oracle() -> str:
     )
 
 
-@_register("q01_skyline", _skyline_oracle())
-def q01_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za43_skyline", _skyline_oracle())
+def za43_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer 2-D skyline (operators/skyline.skyline_2d): the
     orders on each customer's Pareto frontier of (earliest date,
     highest price) — no other order of the same customer is both
@@ -2389,8 +2389,8 @@ _LINEITEM_EXPECTATIONS_SQL = {
 }
 
 
-@_register("q06_expectations", _expectations_oracle())
-def q06_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za44_expectations", _expectations_oracle())
+def za44_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations
     (operators/expectations.py) — the systematic form of the
     reference's manual load validation (`02_Data Ingest.py` display /
@@ -2464,8 +2464,8 @@ def _cross_gramian_oracle() -> str:
     """
 
 
-@_register("q15_procrustes_gramian", _cross_gramian_oracle())
-def q15_procrustes_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za45_procrustes_gramian", _cross_gramian_oracle())
+def za45_procrustes_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed stage of orthogonal Procrustes embedding-space
     alignment (operators/projection.cross_gramian): the 64×16 moment
     matrix M = (1/n)·Σ x·yᵀ between the embedding corpus and its

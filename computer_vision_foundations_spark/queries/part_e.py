@@ -119,7 +119,7 @@ def za38_histogram_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za24 / za25 — leakage-free encoding + WoE/IV (operators/encoding.py)
+# za40 / za46 — leakage-free encoding + WoE/IV (operators/encoding.py)
 # ---------------------------------------------------------------------------
 
 def _target_enc_oracle_sql() -> str:
@@ -171,8 +171,8 @@ def _woe_oracle_sql() -> str:
     return woe_iv_oracle_sql(_WOE_SRC_SQL)
 
 
-@_register("q30_woe_iv", _woe_oracle_sql())
-def q30_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za46_woe_iv", _woe_oracle_sql())
+def za46_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight of evidence + information value
     (operators/encoding.woe_iv) for quantity bins against the
     return flag — the credit-scoring-style feature screen: per-bin
@@ -193,7 +193,7 @@ def q30_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za26 / za27 — distribution shift: PSI + 1-D Wasserstein
+# za47 / q35 — distribution shift: PSI + 1-D Wasserstein
 # ---------------------------------------------------------------------------
 
 _PSI_BIN_SQL = "CAST(least(floor(value / 50), 9) AS INT) AS bin"
@@ -213,8 +213,8 @@ def _psi_oracle_sql() -> str:
     )
 
 
-@_register("q31_psi_drift", _psi_oracle_sql())
-def q31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za47_psi_drift", _psi_oracle_sql())
+def za47_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index (operators/psi.psi_bins) of the
     event-value distribution, first vs second half of the month — the
     standard scorecard/feature drift gauge, reported as the per-bin
@@ -273,7 +273,7 @@ def q35_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za28 / za29 / za30 — LOF, isotonic calibration, CUPED
+# za48 / q38 / za49 — LOF, isotonic calibration, CUPED
 # ---------------------------------------------------------------------------
 
 def _lof_oracle_sql() -> str:
@@ -284,8 +284,8 @@ def _lof_oracle_sql() -> str:
     return lof_oracle_sql()
 
 
-@_register("q37_lof_outliers", _lof_oracle_sql())
-def q37_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za48_lof_outliers", _lof_oracle_sql())
+def za48_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Outlier Factor (operators/lof.lof_scores) over the
     blocked cosine kNN graph: top-20 locally isolated embeddings —
     the density-based junk detector complementing the isolation
@@ -346,8 +346,8 @@ def _cuped_oracle_sql() -> str:
     return cuped_oracle_sql()
 
 
-@_register("q47_cuped_lift", _cuped_oracle_sql())
-def q47_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za49_cuped_lift", _cuped_oracle_sql())
+def za49_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced experiment readout
     (operators/cuped.cuped_lift): per-user pre/post event value on the
     1e-6 grid, hash-unit assignment, pooled θ = cov(X,Y)/var(X) from
@@ -949,7 +949,7 @@ def q29_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za43 — streaming foreachBatch upsert ≡ batch MERGE (streaming/upsert.py)
+# q01 — streaming foreachBatch upsert ≡ batch MERGE (streaming/upsert.py)
 # ---------------------------------------------------------------------------
 
 def _stream_upsert_oracle() -> str:
@@ -960,8 +960,8 @@ def _stream_upsert_oracle() -> str:
     return _ORACLES["q24_acid_upsert"]
 
 
-@_register("za43_stream_upsert", _stream_upsert_oracle())
-def za43_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q01_stream_upsert", _stream_upsert_oracle())
+def q01_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE equivalence (`streaming/upsert.py:
     stream_upsert_acid` — the foreachBatch sink with the per-app txn
     watermark): q24's update set is delivered as THREE micro-batches
@@ -1032,7 +1032,7 @@ def za43_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za44 — streaming ANN serving ≡ batch index query (streaming/ann.py)
+# q06 — streaming ANN serving ≡ batch index query (streaming/ann.py)
 # ---------------------------------------------------------------------------
 
 def _stream_ann_oracle() -> str:
@@ -1043,8 +1043,8 @@ def _stream_ann_oracle() -> str:
     return _ORACLES["q19_persisted_ivf_pq"]
 
 
-@_register("za44_stream_ann", _stream_ann_oracle())
-def za44_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q06_stream_ann", _stream_ann_oracle())
+def q06_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN-serving equivalence (`streaming/ann.py:
     run_streaming_ann`): q19's five probe vectors arrive as TWO
     parquet drops (maxFilesPerTrigger=1) against the SAME persisted
@@ -1112,7 +1112,7 @@ def za44_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za45 — Hill tail-index estimator (operators/zipf.py)
+# q15 — Hill tail-index estimator (operators/zipf.py)
 # ---------------------------------------------------------------------------
 
 def _hill_oracle() -> str:
@@ -1123,8 +1123,8 @@ def _hill_oracle() -> str:
     return hill_oracle_sql("documents", "text", k=256)
 
 
-@_register("za45_hill_tail_index", _hill_oracle())
-def za45_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q15_hill_tail_index", _hill_oracle())
+def q15_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the token-frequency tail index (Hill 1975 —
     `operators/zipf.py:hill_tail_index`): alpha = 1 / mean(ln X(i) −
     ln X(k+1)) over the k=256 largest token counts. The extreme-tail
@@ -1143,7 +1143,7 @@ def za45_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za46 — embedding isotropy audit (operators/embedding_stats.py)
+# q30 — embedding isotropy audit (operators/embedding_stats.py)
 # ---------------------------------------------------------------------------
 
 def _isotropy_oracle() -> str:
@@ -1154,8 +1154,8 @@ def _isotropy_oracle() -> str:
     return isotropy_oracle_sql("embeddings", "embedding")
 
 
-@_register("za46_embedding_isotropy", _isotropy_oracle())
-def za46_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q30_embedding_isotropy", _isotropy_oracle())
+def q30_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding isotropy audit (`operators/embedding_stats.py:
     embedding_isotropy` — Ethayarajh 2019 / Mu & Viswanath 2018):
     mean raw norm, ||mean unit vector||, and the all-pairs mean cosine
@@ -1180,7 +1180,7 @@ def za46_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za47 — t-closeness privacy audit (operators/privacy.py)
+# q31 — t-closeness privacy audit (operators/privacy.py)
 # ---------------------------------------------------------------------------
 
 def _tclose_oracle() -> str:
@@ -1194,8 +1194,8 @@ def _tclose_oracle() -> str:
     )
 
 
-@_register("za47_t_closeness", _tclose_oracle())
-def za47_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q31_t_closeness", _tclose_oracle())
+def q31_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit (Li, Li & Venkatasubramanian 2007 —
     `operators/privacy.py:t_closeness_report`), completing the privacy
     ladder above z44's k-anonymity: per market-segment equivalence
@@ -1220,12 +1220,12 @@ def za47_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za48 — stream-stream interval join ≡ batch interval join
+# q37 — stream-stream interval join ≡ batch interval join
 # (streaming/joins.py)
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za48_stream_interval_join",
+    "q37_stream_interval_join",
     """
     SELECT c.user_id AS user_id,
            c.event_id AS click_id,
@@ -1238,7 +1238,7 @@ def za47_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
 )
-def za48_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked interval join equivalence
     (`streaming/joins.py:stream_interval_join` — ST5 family): clicks
     and purchases arrive as two TIME-ORDERED file drops per side
@@ -1329,7 +1329,7 @@ def za48_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za49 — k-center coreset selection (operators/coreset.py)
+# q47 — k-center coreset selection (operators/coreset.py)
 # ---------------------------------------------------------------------------
 
 def _kcenter_oracle() -> str:
@@ -1340,8 +1340,8 @@ def _kcenter_oracle() -> str:
     return kcenter_oracle_sql("embeddings", "embedding", "vec_id", k=8)
 
 
-@_register("za49_kcenter_coreset", _kcenter_oracle())
-def za49_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q47_kcenter_coreset", _kcenter_oracle())
+def q47_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-center coreset by farthest-point traversal (Gonzalez 1985;
     Sener & Savarese 2018 — `operators/coreset.py`): 8-point diversity
     cover of the embedding table, seeded at the smallest id, ties to

@@ -244,19 +244,19 @@ AUDIT = {
         "single Expand) + a stack reshape of the 1-row result",
         (),
     ),
-    "za45_hill_tail_index": (
+    "q15_hill_tail_index": (
         "one map-side-combinable token count, one top-(k+1) rank "
         "window over |vocab| rows, one k-row aggregate; the BNLJ is "
         "the 1-row threshold broadcast",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za46_embedding_isotropy": (
+    "q30_embedding_isotropy": (
         "row-local quantize/normalize, ONE posexplode into a dim-keyed "
         "integer aggregate + one global aggregate; no pair formation; "
         "the BNLJ is the 1-row ssq broadcast",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za47_t_closeness": (
+    "q31_t_closeness": (
         "one (class, bin) hash agg; broadcast <=64-row global "
         "histogram crossed with the |classes| table; per-class "
         "cumulative window; payloads never shuffle. BNLJ = the 1-row "
@@ -768,7 +768,7 @@ AUDIT = {
         "GroupsInPandas), keys distributed",
         (),
     ),
-    "q01_skyline": (
+    "za43_skyline": (
         "one (key)-partitioned sort feeds both window passes "
         "(strictly-earlier RANGE frame + same-ord MAX); no self-join "
         "— the quadratic NOT-EXISTS truth exists only oracle-side",
@@ -793,13 +793,13 @@ AUDIT = {
         "cross-join by construction)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q31_psi_drift": (
+    "za47_psi_drift": (
         "two count aggregates to |bins| rows + one full-outer bin "
         "join; the cross-bin PSI reduction is a quantized BIGINT sum "
         "— the 100 TB cost is the two scans",
         (),
     ),
-    "q37_lof_outliers": (
+    "za48_lof_outliers": (
         "blocked kNN join (pairs only within label blocks) + three "
         "id-keyed equi-joins carrying (id, BIGINT) edges; top-20 via "
         "TakeOrderedAndProject",
@@ -812,7 +812,7 @@ AUDIT = {
         "; the SinglePartition sorts run over the 11-row bin table",
         ("CartesianProduct", "BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
-    "q47_cuped_lift": (
+    "za49_cuped_lift": (
         "one groupBy to |users| rows + one six-moment global "
         "aggregate of DECIMAL-exact sums; nothing downstream is "
         "data-sized",
@@ -896,7 +896,7 @@ AUDIT = {
         "; the SinglePartition sort folds <= n_bins rows",
         ("BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
-    "q06_expectations": (
+    "za44_expectations": (
         "rule battery is narrow codegen over the scan; the BNLJ is the "
         "1-row totals crossJoin (scalar idiom, plan shows Keys: [] "
         "aggregate build)",
