@@ -29,6 +29,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from computer_vision_foundations_spark import get_spark
 from computer_vision_foundations_spark.queries import queries
 
@@ -457,6 +460,138 @@ def bench_streaming_window_agg(spark) -> tuple[int, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_streaming_state(spark) -> dict:
+    """Measured state-store footprint for the two stateful streaming
+    shapes (round-9 verdict #8 — measured, not asserted):
+
+    - stream-stream INTERVAL JOIN (q37's machinery): events split
+      into 4 time-ordered chunk files, streamed with
+      maxFilesPerTrigger=1 so the watermark ADVANCES across batches
+      and the state store actually evicts; reports the peak state
+      rows, total evictions, and events/sec from
+      ``recentProgress[].stateOperators`` — the numbers behind the
+      "state ~ rate × (watermark + window)" design claim.
+    - foreachBatch UPSERT (q01's machinery) keeps NO StateStore
+      state by construction — its state IS the target table — so the
+      honest metric is batches committed + rows merged, read back
+      from the transactional table's own history.
+    """
+    import shutil
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import (
+        read_table,
+        table_history,
+    )
+    from computer_vision_foundations_spark.streaming.joins import (
+        stream_interval_join,
+    )
+    from computer_vision_foundations_spark.streaming.upsert import (
+        stream_upsert_acid,
+    )
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    static = (
+        spark.read.parquet(src)
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .orderBy("ts")
+    )
+    n_events = static.count()
+    tmp = tempfile.mkdtemp(prefix="bench_stream_state_")
+    out: dict = {}
+    try:
+        # 4 time-ordered chunks -> 4 micro-batches -> the watermark
+        # moves between batches and old state becomes evictable
+        data_dir = os.path.join(tmp, "in")
+        static.coalesce(1).withColumn(
+            "_b", F.ntile(4).over(Window.orderBy("ts"))
+        ).write.partitionBy("_b").parquet(data_dir)
+        chunk_dir = os.path.join(tmp, "chunks")
+        os.makedirs(chunk_dir)
+        n_chunk = 0
+        for d in sorted(os.listdir(data_dir)):
+            if not d.startswith("_b="):
+                continue
+            for f in sorted(os.listdir(os.path.join(data_dir, d))):
+                if f.endswith(".parquet"):
+                    n_chunk += 1
+                    shutil.copy(
+                        os.path.join(data_dir, d, f),
+                        os.path.join(chunk_dir, f"{n_chunk:02d}.parquet"),
+                    )
+        schema = "event_id long, user_id long, ts timestamp"
+        left = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(chunk_dir)
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(chunk_dir)
+            .select(
+                F.col("event_id").alias("r_event_id"),
+                F.col("user_id").alias("user_id"),
+                F.col("ts").alias("r_ts"),
+            )
+        )
+        joined = stream_interval_join(
+            left,
+            right,
+            on="user_id",
+            left_ts="ts",
+            right_ts="r_ts",
+            watermark="30 minutes",
+            lower="10 minutes",
+            upper="10 minutes",
+        )
+        t0 = time.time()
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt_join"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        join_sec = time.time() - t0
+        peak = evicted = 0
+        batches = 0
+        for p in q.recentProgress:
+            for so in p["stateOperators"] or []:
+                peak = max(peak, so.get("numRowsTotal", 0))
+                evicted += so.get("numRowsRemoved", 0)
+            batches += 1
+        out["interval_join"] = {
+            "batches": batches,
+            "state_rows_peak": peak,
+            "state_rows_evicted": evicted,
+            "events_per_sec": round(2 * n_events / join_sec, 1),
+        }
+        # foreachBatch upsert over the same chunk stream
+        table_root = os.path.join(tmp, "upsert_table")
+        uq = stream_upsert_acid(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(chunk_dir),
+            table_root,
+            checkpoint_path=os.path.join(tmp, "ckpt_upsert"),
+            key_cols=["event_id"],
+            app_id="bench_state",
+        )
+        uq.awaitTermination()
+        hist = table_history(table_root)
+        out["upsert"] = {
+            "batches": len(hist),
+            "rows_in_table": read_table(spark, table_root).count(),
+            "state_store_rows": 0,  # foreachBatch: state IS the table
+        }
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     spark = get_spark("bench")
     qs = queries()
@@ -530,6 +665,8 @@ def main() -> int:
         f"# streaming_window_agg: {timings['streaming_window_agg']}s",
         file=sys.stderr,
     )
+    state_metrics = bench_streaming_state(spark)
+    print(f"# streaming_state: {state_metrics}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     # Output contract (round 4): the driver's capture window clipped the
     # head of round 3's single giant JSON line (74 query entries +
@@ -558,6 +695,7 @@ def main() -> int:
                     "restart_resume_files_per_sec": round(
                         n_restart_files / restart_sec, 1
                     ),
+                    "state": state_metrics,
                 },
             }
         )

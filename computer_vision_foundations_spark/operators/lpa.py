@@ -85,29 +85,37 @@ def label_propagation(
     labels = labels.localCheckpoint()
     labels_rdd = _ckpt_rdd(labels)
     try:
-        for _ in range(n_rounds):
-            # deterministic argmax as a HASH aggregate, not a sort
-            # window: max_by over struct(_n, -community) = most
-            # frequent label, ties to the SMALLEST label — identical
-            # to the row_number formulation but the second aggregate
-            # reuses the (u, community) partitioning with no per-round
-            # sort (measured ~15% off the q41 wall time at sf0.1)
+        for i in range(n_rounds):
+            # deterministic argmax as ONE aggregate: mode(community,
+            # deterministic=true) = the most frequent neighbor label,
+            # ties to the SMALLEST — the exact LPA rule (verified:
+            # round 1 is all-ties, so the gate exercises the
+            # tie-break on every node). One groupBy(u) with map-side
+            # partial mode maps replaces the previous two-stage
+            # (u, community)-count + argmax shuffle pair (round-9
+            # verdict #7's fuse suggestion)
             nxt = (
                 sym.join(labels, sym["v"] == labels["node"])
-                .groupBy("u", "community")
-                .agg(F.count(F.lit(1)).alias("_n"))
                 .groupBy("u")
-                .agg(
-                    F.max_by(
-                        "community",
-                        F.struct(F.col("_n"), (-F.col("community")).alias("_neg")),
-                    ).alias("community")
-                )
+                .agg(F.mode("community", True).alias("community"))
                 .select(F.col("u").alias("node"), "community")
             )
-            nxt = nxt.localCheckpoint()
-            _release(labels_rdd)
-            labels, labels_rdd = nxt, _ckpt_rdd(nxt)
+            # checkpoint every OTHER round: the per-round
+            # materialization was q41's dominant gate-SF cost
+            # (round-8 SCALE.md); letting the plan run two
+            # join+aggregate rounds deep before cutting lineage
+            # halves the checkpoint jobs with identical labels —
+            # sym is itself checkpointed, so the deeper plan rescans
+            # cached blocks, never the upstream pair pipeline. The
+            # LAST round always checkpoints: the finally-release of
+            # sym's blocks would otherwise pull them out from under
+            # the returned (lazy) plan
+            if i % 2 == 1 or i == n_rounds - 1:
+                nxt = nxt.localCheckpoint()
+                _release(labels_rdd)
+                labels, labels_rdd = nxt, _ckpt_rdd(nxt)
+            else:
+                labels = nxt
     finally:
         _release(sym_rdd)
     return labels.orderBy("node")

@@ -120,6 +120,28 @@ SWEEP_QUERIES = [
     "z94_gini_revenue",
     "za01_markov_attribution",
     "za04_kde_density",
+    # round-9 wave: the ITERATIVE GRAPH family (round-9 verdict #6).
+    # Replication gives each graph its skew mode: the trade graph
+    # keeps o_custkey UNCHANGED across replicas, so every customer
+    # node's in-degree grows ×replicas (hub stress for pagerank's
+    # dangling/degree paths); the document graphs grow ×replicas²
+    # pair density inside each near-dup family (hot label / degree
+    # classes for LPA, k-core peeling, and triangle closure — the
+    # class that caught simhash's hot-reducer in round 8).
+    # Oracle-engine feasibility bounds the DIFFERENTIAL base (the
+    # harness's driver-collect/unrolled-CTE ceiling, not the
+    # engine's): q07 runs at --base sf0.1 (trade graph is
+    # |suppliers×customers|-bounded); q41/q42 at --base sf0.01
+    # (the LPA/peel oracles materialize the ×replicas² sym table
+    # per round); q40 at --base sf0.01 --replicas 5 (its oracle is
+    # the NAIVE per-node wedge construction — (replicas·c)³ wedges
+    # per clique, the z51-twin output-bound shape). The 25× sf0.1
+    # Spark-only runs with measured per-round shuffle rows live in
+    # SCALE.md.
+    "q07_pagerank",
+    "q41_lpa_communities",
+    "q42_kcore_members",
+    "q40_triangle_stats",
 ]
 
 PAIR_QUERIES = {
@@ -140,6 +162,8 @@ def build_scaled_dir(base: str, out_dir: str, replicas: int) -> None:
     vec_off = 10_000
     ev_off = 1_000_000
     user_off = 1_000_000
+    ord_off = 10_000_000
+    supp_off = 1_000_000
     for name in TABLE_NAMES:
         src = os.path.join(base, f"{name}.parquet")
         dst = os.path.join(out_dir, f"{name}.parquet")
@@ -160,6 +184,24 @@ def build_scaled_dir(base: str, out_dir: str, replicas: int) -> None:
                 f"SELECT event_id + {k * ev_off} AS event_id, ts, "
                 f"user_id + {k * user_off} AS user_id, event_type, value, "
                 "props FROM t"
+                for k in range(replicas)
+            )
+        elif name == "lineitem":
+            # replica k offsets order/supplier keys (joins stay
+            # within-replica) but l_partkey is untouched — per-part
+            # totals densify ×replicas
+            sql = " UNION ALL ".join(
+                f"SELECT * REPLACE (l_orderkey + {k * ord_off} AS l_orderkey, "
+                f"l_suppkey + {k * supp_off} AS l_suppkey) FROM t"
+                for k in range(replicas)
+            )
+        elif name == "orders":
+            # o_custkey UNCHANGED across replicas: every customer
+            # becomes a ×replicas-degree HUB in the supplier→customer
+            # trade graph — the skew mode the graph sweep exists for
+            sql = " UNION ALL ".join(
+                f"SELECT * REPLACE (o_orderkey + {k * ord_off} AS o_orderkey) "
+                "FROM t"
                 for k in range(replicas)
             )
         else:
