@@ -214,6 +214,11 @@ HEADLINE = [
     "za05_wilson_intervals",
     "za06_ols_trend",
     "za07_ks_two_sample",
+    "za50_l_diversity",
+    "za52_keyed_ks_drift",
+    # za51_stream_dedup is gate-attested but NOT benched: its wall
+    # time is streaming-engine drain overhead, which the streaming
+    # section already measures directly
 ]
 
 

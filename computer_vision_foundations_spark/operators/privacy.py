@@ -30,6 +30,8 @@ __all__ = [
     "suppression_candidates",
     "t_closeness_report",
     "t_closeness_oracle_sql",
+    "l_diversity_report",
+    "l_diversity_oracle_sql",
 ]
 
 
@@ -312,4 +314,94 @@ def t_closeness_oracle_sql(
                <= {float(t)!r} AS t_close
     FROM num
     ORDER BY {qi}
+    """
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    gap k-anonymity leaves open: a large QI equivalence class whose
+    SENSITIVE attribute is (nearly) constant still discloses it. One
+    row per class: ``qi_cols + (class_size, distinct_l, entropy_l,
+    distinct_ok, entropy_ok)`` where ``distinct_l`` is the number of
+    distinct sensitive values in the class (distinct l-diversity
+    holds when ≥ l) and ``entropy_l = exp(H)`` is the effective
+    number of values under the class's sensitive-value entropy
+    (entropy l-diversity holds when exp(H) ≥ l — the paper's
+    stricter test: a class with 10 values but one at 99 % fails).
+
+    Completes the privacy kit's escalation: k-anonymity (class
+    sizes) → l-diversity (value variety) → t-closeness
+    (distributional distance, :func:`t_closeness_report`).
+
+    Scale shape: ONE (class, sensitive) hash aggregate with map-side
+    partials, then a |classes·values-per-class|-row aggregate to
+    class rows — payloads never shuffle, no windows. Entropy uses
+    exact integer counts; the only floats are the per-class
+    p·ln(p) fold and one exp, both deterministic for fixed integer
+    inputs (no reduction-order hazard at round 6 on class-sized
+    sums). NULL sensitive values count as a value of their own
+    (groupBy semantics — a class that is all-NULL is exactly as
+    undiverse as a constant one); NULL QI values form their own
+    class like the k-anonymity report."""
+    vc = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_cls = vc.groupBy(*qi_cols).agg(
+        F.sum("_n").alias("class_size"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        # H = ln(N) - (1/N)·Σ n·ln(n): exact-integer inner sums, one
+        # divide — the decomposition avoids forming p = n/N per row
+        F.sum(
+            F.col("_n").cast("double") * F.log(F.col("_n").cast("double"))
+        ).alias("_nlogn"),
+    )
+    n = F.col("class_size").cast("double")
+    h = F.log(n) - F.col("_nlogn") / n
+    ent = F.round(F.exp(h), round_digits) + 0.0
+    return per_cls.select(
+        *qi_cols,
+        "class_size",
+        "distinct_l",
+        ent.alias("entropy_l"),
+        (F.col("distinct_l") >= l).alias("distinct_ok"),
+        (ent >= F.lit(float(l))).alias("entropy_ok"),
+    ).orderBy(*qi_cols)
+
+
+def l_diversity_oracle_sql(
+    table: str,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin — identical grouping, the same ln-decomposed
+    entropy expression tree, same rounding."""
+    qi = ", ".join(qi_cols)
+    return f"""
+    WITH vc AS (
+        SELECT {qi}, {sensitive_col} AS sv, count(*) AS n
+        FROM {table} GROUP BY {qi}, {sensitive_col}
+    ), per_cls AS (
+        SELECT {qi},
+               CAST(sum(n) AS BIGINT) AS class_size,
+               count(*) AS distinct_l,
+               sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nlogn
+        FROM vc GROUP BY {qi}
+    )
+    SELECT {qi}, class_size, distinct_l,
+           round(exp(ln(CAST(class_size AS DOUBLE))
+                     - nlogn / CAST(class_size AS DOUBLE)),
+                 {round_digits}) + 0.0 AS entropy_l,
+           distinct_l >= {l} AS distinct_ok,
+           round(exp(ln(CAST(class_size AS DOUBLE))
+                     - nlogn / CAST(class_size AS DOUBLE)),
+                 {round_digits}) + 0.0 >= {float(l)!r} AS entropy_ok
+    FROM per_cls ORDER BY {qi}
     """

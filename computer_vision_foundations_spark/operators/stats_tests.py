@@ -36,6 +36,8 @@ __all__ = [
     "wilson_oracle_sql",
     "ols_oracle_sql",
     "ks_oracle_sql",
+    "keyed_ks_drift",
+    "keyed_ks_oracle_sql",
 ]
 
 
@@ -302,4 +304,121 @@ def ks_oracle_sql(
                          - fb / CAST(tot.n_b AS DOUBLE))), 6) AS ks_d
     FROM cum CROSS JOIN tot
     GROUP BY tot.n_a, tot.n_b
+    """
+
+
+def keyed_ks_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    side_expr,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-key two-sample KS drift battery: one row per key with the
+    KS statistic between the key's "a" and "b" value distributions
+    (``side_expr`` boolean column: True → sample a, False → b — e.g.
+    before/after a release cut), plus the α-level decision via the
+    asymptotic two-sample threshold ``c(α)·√((n_a+n_b)/(n_a·n_b))``,
+    ``c(α) = √(−ln(α/2)/2)`` (Smirnov). The per-feature drift monitor
+    a 100 TB ingest runs nightly — the keyed generalization of
+    :func:`ks_two_sample`.
+
+    Scale shape: one (key, value) hash aggregate with map-side
+    partials pools ties, then per-key cumulative windows PARTITIONED
+    BY KEY (each key's ECDF stays inside its partition — the z38/z72
+    keyed-window shape; a pathological single key with data-sized
+    distinct values would need ks_two_sample's two-phase range
+    partitioning, documented trade) and a |keys|-row reduction.
+    Counts are exact integers; the two divides + round happen per
+    key at the end."""
+    import math
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).cast("double").alias("x"),
+        F.when(side_expr, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
+    ).where(F.col(value_col).isNotNull())
+    per_val = base.groupBy("k", "x").agg(
+        F.sum("_a").alias("ca"),
+        F.sum(1 - F.col("_a")).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("k")
+    cum = per_val.select(
+        "k",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+        F.sum("ca").over(wk).alias("n_a"),
+        F.sum("cb").over(wk).alias("n_b"),
+    )
+    d = cum.groupBy("k", "n_a", "n_b").agg(
+        F.max(
+            F.abs(
+                F.col("fa") / F.col("n_a").cast("double")
+                - F.col("fb") / F.col("n_b").cast("double")
+            )
+        ).alias("_d")
+    )
+    c_alpha = math.sqrt(-math.log(alpha / 2.0) / 2.0)
+    thresh = F.lit(c_alpha) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        d.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            F.col("k").alias(key_col),
+            "n_a",
+            "n_b",
+            F.round("_d", 6).alias("ks_d"),
+            (F.col("_d") > thresh).alias("drifted"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def keyed_ks_oracle_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    side_sql: str,
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin — identical pooling, per-key windows, threshold."""
+    import math
+
+    c_alpha = math.sqrt(-math.log(alpha / 2.0) / 2.0)
+    return f"""
+    WITH base AS (
+        SELECT {key_col} AS k, CAST({value_col} AS DOUBLE) AS x,
+               CASE WHEN {side_sql} THEN 1 ELSE 0 END AS a
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ), per_val AS (
+        SELECT k, x, sum(a) AS ca, sum(1 - a) AS cb
+        FROM base GROUP BY k, x
+    ), cum AS (
+        SELECT k,
+               sum(ca) OVER (PARTITION BY k ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) AS fa,
+               sum(cb) OVER (PARTITION BY k ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) AS fb,
+               sum(ca) OVER (PARTITION BY k) AS n_a,
+               sum(cb) OVER (PARTITION BY k) AS n_b
+        FROM per_val
+    ), d AS (
+        SELECT k, n_a, n_b,
+               max(abs(fa / CAST(n_a AS DOUBLE)
+                       - fb / CAST(n_b AS DOUBLE))) AS d
+        FROM cum GROUP BY k, n_a, n_b
+    )
+    SELECT k AS {key_col}, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(d, 6) AS ks_d,
+           d > {c_alpha!r} * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                  / CAST(n_a * n_b AS DOUBLE)) AS drifted
+    FROM d WHERE n_a > 0 AND n_b > 0 ORDER BY k
     """

@@ -1360,3 +1360,204 @@ def q47_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb, "embedding", "vec_id", k=8)
+
+
+# ---------------------------------------------------------------------------
+# za50 — l-diversity privacy audit (operators/privacy.py)
+# ---------------------------------------------------------------------------
+
+def _l_diversity_oracle() -> str:
+    from computer_vision_foundations_spark.operators.privacy import (
+        l_diversity_oracle_sql,
+    )
+
+    return l_diversity_oracle_sql(
+        "(SELECT lang, source, "
+        "CAST(floor(n_chars / 100) AS BIGINT) AS sens FROM documents)",
+        ["lang", "source"],
+        "sens",
+        l=3,
+    )
+
+
+@_register("za50_l_diversity", _l_diversity_oracle())
+def za50_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006 —
+    `operators/privacy.l_diversity_report`): per (lang, source) QI
+    class, the distinct count AND entropy-effective count of the
+    bucketed length attribute, with the ≥ l decisions — the middle
+    rung of the privacy-escalation kit between k-anonymity (z44,
+    class sizes) and t-closeness (q31, distributional distance).
+
+    Scale shape: one (class, value) hash aggregate with map-side
+    partials + one |classes·values|-row reduction — no windows, no
+    joins, payloads never shuffle."""
+    from computer_vision_foundations_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("sens"),
+    )
+    return l_diversity_report(docs, ["lang", "source"], "sens", l=3)
+
+
+# ---------------------------------------------------------------------------
+# za51 — streaming watermark dedup ≡ batch first-occurrence dedup
+# ---------------------------------------------------------------------------
+
+def _stream_dedup_oracle() -> str:
+    # the drained deduped stream must be EXACTLY the original events
+    # (first occurrence wins): the injected re-drops carry value+1000,
+    # so keeping the wrong occurrence diverges the hash
+    return """
+    SELECT event_id, user_id, event_type,
+           round(value, 2) AS value
+    FROM events ORDER BY event_id
+    """
+
+
+@_register("za51_stream_dedup", _stream_dedup_oracle())
+def za51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup equivalence (`streaming/windows.dedup_stream`
+    — dropDuplicatesWithinWatermark): the events table arrives as
+    THREE time-ordered micro-batches, batches 2 and 3 additionally
+    re-deliver every 5th row of the PREVIOUS batch with a corrupted
+    value (+1000) — the at-least-once re-drop an ingestion guard
+    exists for. The drained sink must hash-match the pristine events
+    table: every key exactly once, FIRST occurrence kept. Chunk files
+    get explicit strictly-increasing mtimes so the file source's
+    oldest-first order (and therefore "first occurrence") is
+    deterministic. This upgrades the ST-family dedup guard from
+    pytest-attested to differential-gate attested.
+
+    Scale shape: dedup state is keyed (event_id) rows bounded by the
+    watermark horizon; each batch is one hash lookup per row — no
+    joins, no windows."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from computer_vision_foundations_spark.streaming.windows import (
+        dedup_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    # time-ordered thirds by PLAN-LITERAL cuts (pushed filters — no
+    # global ntile window): the fixture spans January 2024
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+
+    def _slice(j: int):
+        lo, hi = bounds[j]
+        c = ev
+        if lo is not None:
+            c = c.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            c = c.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+        return c
+
+    stage = tempfile.mkdtemp(prefix="stream_dedup_stage_")
+    landing = tempfile.mkdtemp(prefix="stream_dedup_landing_")
+    for i in (1, 2, 3):
+        chunk = _slice(i - 1)
+        if i > 1:
+            redrop = (
+                _slice(i - 2)
+                .where(F.col("event_id") % 5 == 0)
+                .withColumn("value", F.col("value") + 1000.0)
+            )
+            chunk = chunk.unionByName(redrop)
+        d = _os.path.join(stage, str(i))
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(landing, f"chunk-{i}.parquet")
+        _shutil.copy(_os.path.join(d, part), dst)
+        # deterministic oldest-first source order = delivery order
+        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    # watermark far beyond the event-time span: every re-drop arrives
+    # while its first occurrence is still in state (exact global
+    # first-occurrence semantics; production trades horizon for state)
+    deduped = dedup_stream(
+        stream, keys=("event_id",), ts_col="ts", watermark="365 days"
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_dedup_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# za52 — per-key two-sample KS drift battery (operators/stats_tests.py)
+# ---------------------------------------------------------------------------
+
+def _keyed_ks_oracle() -> str:
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        keyed_ks_oracle_sql,
+    )
+
+    return keyed_ks_oracle_sql(
+        "events",
+        "event_type",
+        "value",
+        f"ts < TIMESTAMP '{_PSI_CUT}'",
+        alpha=0.05,
+    )
+
+
+@_register("za52_keyed_ks_drift", _keyed_ks_oracle())
+def za52_keyed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key KS drift battery (`operators/stats_tests.
+    keyed_ks_drift`): for every event type, the two-sample KS
+    statistic between the first and second half of the month plus the
+    Smirnov α=0.05 decision — the per-feature nightly drift monitor,
+    generalizing the global KS (za07) the way PSI (za47) thresholds
+    it. Counts are exact integers; the divide + round happen per key.
+
+    Scale shape: one (key, value) hash aggregate pools ties, per-key
+    cumulative windows partitioned by key, |keys|-row output."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        keyed_ks_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    return keyed_ks_drift(
+        ev, "event_type", "value", F.col("ts") < cut, alpha=0.05
+    )

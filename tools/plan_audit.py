@@ -971,6 +971,25 @@ AUDIT = {
         "(n_cal, q_hat) onto the eval reduction",
         ("BroadcastNestedLoopJoin",),
     ),
+    "za50_l_diversity": (
+        "l-diversity: one (class, sensitive-value) hash aggregate with "
+        "map-side partials + one |classes x values|-row reduction — no "
+        "windows, no joins, payloads never shuffle",
+        (),
+    ),
+    "za51_stream_dedup": (
+        "streaming dedup equivalence: the harness writes three "
+        "ts-filtered chunk files (filters pushed to the scan) and the "
+        "dedup state machinery runs at STREAM time; the returned frame "
+        "is a plain parquet scan of the drained sink + sort",
+        (),
+    ),
+    "za52_keyed_ks_drift": (
+        "keyed KS battery: one (key, value) hash aggregate pools ties; "
+        "per-key cumulative windows PARTITIONED BY KEY (never "
+        "SinglePartition); |keys|-row decision output",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
