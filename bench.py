@@ -216,6 +216,7 @@ HEADLINE = [
     "za07_ks_two_sample",
     "za50_l_diversity",
     "za52_keyed_ks_drift",
+    "za53_delta_time_travel",
     # za51_stream_dedup is gate-attested but NOT benched: its wall
     # time is streaming-engine drain overhead, which the streaming
     # section already measures directly

@@ -1561,3 +1561,54 @@ def za52_keyed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed_ks_drift(
         ev, "event_type", "value", F.col("ts") < cut, alpha=0.05
     )
+
+
+# ---------------------------------------------------------------------------
+# za53 — REAL-format Delta time travel (sources/delta_writer.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za53_delta_time_travel",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def za53_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q03's time-travel contract on the REAL Delta log format
+    (`sources/delta_writer.py` write half + `sources/delta_reader.py`
+    protocol reader): create a `_delta_log` table from orders with
+    o_orderkey%4==0 (v0), append the %4==1 slice (v1), then DELETE
+    half of it copy-on-write (v2) — and read AS OF version 1, which
+    must bypass the later delete and resolve to exactly v0+v1's
+    files through the percent-decoded add/remove replay. The oracle
+    aggregates the same two slices straight from the source table, so
+    a snapshot that leaked v2's delete (or missed v1's append)
+    hash-fails. Gate-attests the round-9 Delta WRITE half end to end
+    (versioned JSON commits, atomic publish, protocol read-back).
+
+    Scale shape: identical to q03 — the log carries file lists; the
+    read is a plain pruned parquet scan of the resolved snapshot +
+    one hash aggregate."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import read_table
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+        delta_delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_tt_")
+    delta_create(spark, root, orders.filter(F.col("o_orderkey") % 4 == 0))
+    delta_append(spark, root, orders.filter(F.col("o_orderkey") % 4 == 1))
+    delta_delete_where(spark, root, F.col("o_orderkey") % 8 == 1)
+    snap = read_table(spark, root, version=1)  # routes via delta_reader
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

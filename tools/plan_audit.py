@@ -990,6 +990,13 @@ AUDIT = {
         "SinglePartition); |keys|-row decision output",
         (),
     ),
+    "za53_delta_time_travel": (
+        "real-format Delta time travel: the version-1 snapshot "
+        "resolves driver-side from the _delta_log (decode, replay); "
+        "the plan is a PLAIN parquet scan of that snapshot's "
+        "immutable files + one hash aggregate — no log join",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
