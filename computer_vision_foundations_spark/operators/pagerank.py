@@ -131,21 +131,28 @@ def pagerank_oracle_sql(
     as :func:`pagerank` (damping cast to double; dangling mass
     redistributed each round). ``edges_sql`` must yield (src, dst)."""
     d = f"CAST({damping} AS DOUBLE)"
+    # every CTE is MATERIALIZED: each round references the previous
+    # round TWICE (contributions + dangling mass), so a plain CTE
+    # would re-INLINE the whole chain exponentially — 2^n_iter
+    # re-expansions of the edge pipeline (the oracle-engine analogue
+    # of the Spark lazy-unroll blowup; the LPA oracle has the same
+    # guard). Found by the round-9 graph density sweep: the inlined
+    # form blew DuckDB's 100 GiB budget on the 25x hub-skew graph.
     parts = [
         # DISTINCT mirrors the operator's edge collapse — without it a
         # caller-supplied edge query that yields the same (src, dst)
         # twice (e.g. node-id collisions across keyspaces) would
         # double-count degrees/contributions only on the oracle side.
-        f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)",
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)",
     ]
     for i in range(n_iter):
         prev, cur = f"r{i}", f"r{i + 1}"
         parts.append(
-            f"""{cur} AS (
+            f"""{cur} AS MATERIALIZED (
     SELECT nds.node,
            (1.0 - {d}) / nn.n
            + {d} * (coalesce(c.contrib, 0.0) + dg.dm / nn.n) AS r

@@ -1612,3 +1612,95 @@ def za53_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za54 — streaming tumbling window agg ≡ batch GROUP BY hour
+# ---------------------------------------------------------------------------
+
+def _stream_window_oracle() -> str:
+    from computer_vision_foundations_spark.queries.common import _ORACLES
+
+    # the drained stateful stream must answer exactly what the batch
+    # window operator answers: the oracle IS q77's statement
+    return _ORACLES["q77_events_hourly_window"]
+
+
+@_register("za54_stream_window_agg", _stream_window_oracle())
+def za54_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming window-aggregation equivalence (`streaming/windows.
+    tumbling_counts` through the real StateStore path): the events
+    table arrives as THREE time-ordered micro-batches
+    (maxFilesPerTrigger=1) into a watermarked 1-hour tumbling
+    count/sum with a COMPLETE-mode memory sink; the drained state
+    must hash-match q77's batch answer — the hourly-window operator's
+    batch≡streaming proof, completing the ST differential family
+    (q01 upsert, q06 ANN, q37 interval join, za51 dedup, this).
+
+    Scale shape: window state is |windows × types| rows; each batch
+    is one map-side-combinable partial aggregate merged into state —
+    events stream through once."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from computer_vision_foundations_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    stage = tempfile.mkdtemp(prefix="stream_win_stage_")
+    landing = tempfile.mkdtemp(prefix="stream_win_landing_")
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+        d = _os.path.join(stage, str(i))
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(landing, f"chunk-{i}.parquet")
+        _shutil.copy(_os.path.join(d, part), dst)
+        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    agg = tumbling_counts(
+        stream, ts_col="ts", duration="1 hour", group_cols=("event_type",)
+    )
+    name = f"za54_win_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_win_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )

@@ -63,6 +63,8 @@ __all__ = [
     "delta_overwrite",
     "delta_upsert",
     "delta_delete_where",
+    "delta_optimize",
+    "delta_vacuum",
     "DeltaCommitConflict",
 ]
 
@@ -560,3 +562,86 @@ def delta_delete_where(
     _publish(root, v, actions, "DELETE", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
+
+
+def delta_optimize(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """OPTIMIZE (small-file compaction) on the real log format: pick
+    the snapshot's smaller-than-threshold files from filesystem
+    metadata (no Spark job for planning), rewrite them at
+    ``target_file_bytes``, publish as one remove+add commit whose
+    actions carry ``dataChange: false`` — per PROTOCOL.md, readers
+    streaming the change feed know an OPTIMIZE commit rearranges
+    bytes without changing rows. Time travel to earlier versions
+    still resolves the original files."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    ts = _now_ms()
+    threshold = small_file_bytes or target_file_bytes // 2
+    small, total = [], 0
+    for rel in sorted(snap.files):
+        sz = os.path.getsize(os.path.join(root, rel))
+        if sz < threshold:
+            small.append(rel)
+            total += sz
+    if len(small) < 2:
+        return snap.version
+    reader = spark.read.schema(snap.schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", root)
+    df = reader.parquet(*[os.path.join(root, rel) for rel in small])
+    n_out = max(1, -(-total // target_file_bytes))
+    files = _write_data_files(
+        df.repartition(n_out), root, snap.partition_columns
+    )
+    actions = []
+    for rel in small:
+        a = _remove_action(_encode_path(rel), ts)
+        a["remove"]["dataChange"] = False
+        actions.append(a)
+    for rel, pv, size, n in files:
+        a = _add_action(rel, pv, size, n, ts)
+        a["add"]["dataChange"] = False
+        actions.append(a)
+    v = snap.version + 1
+    _publish(root, v, actions, "OPTIMIZE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+def delta_vacuum(root: str, spark: SparkSession, retain_last: int = 5) -> list[str]:
+    """Delete data files unreferenced by the last ``retain_last``
+    snapshots. Time travel inside the retention window keeps working;
+    beyond it is explicitly given up (the documented Delta VACUUM
+    trade). Returns the deleted relative paths."""
+    log = _log_dir(root)
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit() and len(f) == 25
+    )
+    if not versions:
+        return []
+    referenced: set[str] = set()
+    for v in versions[-retain_last:]:
+        referenced.update(
+            delta_reader.delta_snapshot(root, spark, version=v).files
+        )
+    removed: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        if "_delta_log" in dirpath or "_scratch-" in dirpath:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), root).replace(
+                os.sep, "/"
+            )
+            if rel not in referenced:
+                os.remove(os.path.join(dirpath, f))
+                removed.append(rel)
+    return sorted(removed)

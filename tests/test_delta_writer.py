@@ -266,3 +266,40 @@ def test_acid_read_table_routes_written_delta(spark):
     dw.delta_append(spark, root, _mk(spark, [(3, "c")]))
     assert read_table(spark, root).count() == 3
     assert read_table(spark, root, version=0).count() == 2
+
+
+def test_optimize_compacts_with_datachange_false(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(0, "r0")]))
+    for i in range(1, 6):
+        dw.delta_append(spark, root, _mk(spark, [(i, f"r{i}")]))
+    before = dr.delta_snapshot(root, spark)
+    assert len(before.files) >= 6
+    v = dw.delta_optimize(spark, root, target_file_bytes=1 << 20)
+    after = dr.delta_snapshot(root, spark)
+    assert v == before.version + 1
+    assert len(after.files) < len(before.files)
+    # rows unchanged, OPTIMIZE actions carry dataChange: false
+    assert dr.read_delta(spark, root).count() == 6
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    assert all(
+        a["add"]["dataChange"] is False for a in actions if "add" in a
+    )
+    assert all(
+        a["remove"]["dataChange"] is False for a in actions if "remove" in a
+    )
+    # time travel before the OPTIMIZE still resolves the small files
+    assert dr.read_delta(spark, root, version=before.version).count() == 6
+
+
+def test_vacuum_respects_retention(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    dw.delta_overwrite(spark, root, _mk(spark, [(2, "b")]))
+    dw.delta_overwrite(spark, root, _mk(spark, [(3, "c")]))
+    # retain only the last 2 snapshots: v0's file is unreferenced
+    removed = dw.delta_vacuum(root, spark, retain_last=2)
+    assert len(removed) >= 1
+    assert dr.read_delta(spark, root).count() == 1
+    assert dr.read_delta(spark, root, version=1).count() == 1
