@@ -130,9 +130,10 @@ SWEEP_QUERIES = [
     # class that caught simhash's hot-reducer in round 8).
     # Oracle-engine feasibility bounds the DIFFERENTIAL base (the
     # harness's driver-collect/unrolled-CTE ceiling, not the
-    # engine's): q07 runs at --base sf0.01 (the 6 unrolled PageRank
-    # CTEs over the 25x sf0.1 edge set blew DuckDB's 100 GiB memory
-    # budget — measured, not assumed); q41/q42 at --base sf0.01
+    # engine's): q07 runs at --base sf0.1 — but only AFTER round 9
+    # materialized its oracle's CTEs (the inlined form re-expanded
+    # the edge pipeline 2^rounds times and blew DuckDB's 100 GiB
+    # budget; the sweep caught it). q41/q42 run at --base sf0.01
     # (the LPA/peel oracles materialize the ×replicas² sym table
     # per round); q40 at --base sf0.01 --replicas 5 (its oracle is
     # the NAIVE per-node wedge construction — (replicas·c)³ wedges
