@@ -38,6 +38,10 @@ __all__ = [
     "ks_oracle_sql",
     "keyed_ks_drift",
     "keyed_ks_oracle_sql",
+    "keyed_ks_pvalues",
+    "keyed_ks_pvalues_oracle_sql",
+    "bh_fdr",
+    "bh_oracle_sql",
 ]
 
 
@@ -307,6 +311,50 @@ def ks_oracle_sql(
     """
 
 
+def _keyed_ks_d(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    side_expr,
+) -> DataFrame:
+    """Per-key two-sample KS machinery shared by the threshold test
+    (:func:`keyed_ks_drift`) and the p-value battery
+    (:func:`keyed_ks_pvalues`): ``(k, n_a, n_b, _d)`` with ``_d`` the
+    UNROUNDED statistic. Counts are exact integers and every float op
+    (two divides, subtract, abs, max) is exactly rounded IEEE, so
+    ``_d`` is bit-identical across engines."""
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).cast("double").alias("x"),
+        F.when(side_expr, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
+    ).where(F.col(value_col).isNotNull())
+    per_val = base.groupBy("k", "x").agg(
+        F.sum("_a").alias("ca"),
+        F.sum(1 - F.col("_a")).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("k")
+    cum = per_val.select(
+        "k",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+        F.sum("ca").over(wk).alias("n_a"),
+        F.sum("cb").over(wk).alias("n_b"),
+    )
+    return cum.groupBy("k", "n_a", "n_b").agg(
+        F.max(
+            F.abs(
+                F.col("fa") / F.col("n_a").cast("double")
+                - F.col("fb") / F.col("n_b").cast("double")
+            )
+        ).alias("_d")
+    )
+
+
 def keyed_ks_drift(
     df: DataFrame,
     key_col: str,
@@ -333,36 +381,7 @@ def keyed_ks_drift(
     key at the end."""
     import math
 
-    base = df.select(
-        F.col(key_col).alias("k"),
-        F.col(value_col).cast("double").alias("x"),
-        F.when(side_expr, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
-    ).where(F.col(value_col).isNotNull())
-    per_val = base.groupBy("k", "x").agg(
-        F.sum("_a").alias("ca"),
-        F.sum(1 - F.col("_a")).alias("cb"),
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wk = Window.partitionBy("k")
-    cum = per_val.select(
-        "k",
-        F.sum("ca").over(w).alias("fa"),
-        F.sum("cb").over(w).alias("fb"),
-        F.sum("ca").over(wk).alias("n_a"),
-        F.sum("cb").over(wk).alias("n_b"),
-    )
-    d = cum.groupBy("k", "n_a", "n_b").agg(
-        F.max(
-            F.abs(
-                F.col("fa") / F.col("n_a").cast("double")
-                - F.col("fb") / F.col("n_b").cast("double")
-            )
-        ).alias("_d")
-    )
+    d = _keyed_ks_d(df, key_col, value_col, side_expr)
     c_alpha = math.sqrt(-math.log(alpha / 2.0) / 2.0)
     thresh = F.lit(c_alpha) * F.sqrt(
         (F.col("n_a") + F.col("n_b")).cast("double")
@@ -421,4 +440,155 @@ def keyed_ks_oracle_sql(
            d > {c_alpha!r} * sqrt(CAST(n_a + n_b AS DOUBLE)
                                   / CAST(n_a * n_b AS DOUBLE)) AS drifted
     FROM d WHERE n_a > 0 AND n_b > 0 ORDER BY k
+    """
+
+
+def keyed_ks_pvalues(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    side_expr,
+) -> DataFrame:
+    """Per-key two-sample KS p-values ``(k, p)`` under the one-term
+    Smirnov asymptotic ``p = min(1, 2·exp(−2·D²·n_eff))`` with
+    ``n_eff = n_a·n_b/(n_a+n_b)`` — the leading term of the
+    Kolmogorov series (the same truncation scipy's ``ks_2samp`` uses
+    for its upper-bound mode), which is what a drift battery feeds a
+    multiple-testing correction (:func:`bh_fdr`). Keys with an empty
+    side carry no evidence and are dropped, mirroring
+    :func:`keyed_ks_drift`.
+
+    Scale shape: identical to `keyed_ks_drift` — one (key, value)
+    hash aggregate pools ties, per-key cumulative windows PARTITIONED
+    BY KEY, then a |keys|-row projection; the exp/divides run per
+    key-row at the end."""
+    d = _keyed_ks_d(df, key_col, value_col, side_expr)
+    n_eff = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("_d") * F.col("_d") * n_eff),
+    )
+    return (
+        d.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(F.col("k").alias(key_col), p.alias("p"))
+    )
+
+
+def keyed_ks_pvalues_oracle_sql(
+    table: str,
+    key_sql: str,
+    value_col: str,
+    side_sql: str,
+) -> str:
+    """DuckDB twin of :func:`keyed_ks_pvalues` — identical pooling,
+    per-key windows, and p-value expression (same left-associated
+    float ops, so every value short of libm's last exp ulp matches).
+    ``key_sql`` is any scalar SQL expression for the key (compound
+    keys concat here)."""
+    return f"""
+    WITH base AS (
+        SELECT {key_sql} AS k, CAST({value_col} AS DOUBLE) AS x,
+               CASE WHEN {side_sql} THEN 1 ELSE 0 END AS a
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ), per_val AS (
+        SELECT k, x, sum(a) AS ca, sum(1 - a) AS cb
+        FROM base GROUP BY k, x
+    ), cum AS (
+        SELECT k,
+               sum(ca) OVER (PARTITION BY k ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) AS fa,
+               sum(cb) OVER (PARTITION BY k ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) AS fb,
+               sum(ca) OVER (PARTITION BY k) AS n_a,
+               sum(cb) OVER (PARTITION BY k) AS n_b
+        FROM per_val
+    ), d AS (
+        SELECT k, n_a, n_b,
+               max(abs(fa / CAST(n_a AS DOUBLE)
+                       - fb / CAST(n_b AS DOUBLE))) AS d
+        FROM cum GROUP BY k, n_a, n_b
+    )
+    SELECT k,
+           least(1.0, 2.0 * exp(-2.0 * d * d
+                 * (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))) AS p
+    FROM d WHERE n_a > 0 AND n_b > 0
+    """
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    id_cols: list[str],
+    q: float = 0.10,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) over a table of hypotheses: one row per input with
+    ``(ids…, p_value r6, p_rank, m, bh_crit r6, reject)`` where
+    ``p_rank`` is the 1-based ascending rank of the p-value (ties
+    broken by the id columns), ``bh_crit = p_rank·q/m``, and
+    ``reject`` is true iff ``p_rank ≤ i* = max{i : p_(i) ≤ i·q/m}``
+    — the step-up rule, NOT the per-row comparison (a hypothesis
+    with p above its own criterion is still rejected when a later
+    rank qualifies). The multiple-testing lid for the drift
+    batteries (za52's keyed KS, PSI) once "per-key test" becomes
+    "thousands of feature×segment tests nightly".
+
+    Scale shape: ranking uses `qnorm.global_row_number`
+    (range-partition + broadcast offsets — never a single-task
+    sort); ``m`` and ``i*`` are 1-row scalar aggregates broadcast
+    back via the sanctioned crossJoin idiom. No data-sized window,
+    no collect."""
+    from computer_vision_foundations_spark.operators.qnorm import (
+        global_row_number,
+    )
+
+    ranked = global_row_number(
+        df.select(*id_cols, F.col(p_col).alias("_p")),
+        ["_p", *id_cols],
+        out="p_rank",
+    )
+    m_row = ranked.agg(F.count(F.lit(1)).alias("m"))
+    ranked = ranked.crossJoin(F.broadcast(m_row))
+    crit = F.col("p_rank") * F.lit(q) / F.col("m")
+    cut = ranked.where(F.col("_p") <= crit).agg(
+        F.max("p_rank").alias("_istar")
+    )
+    return ranked.crossJoin(F.broadcast(cut)).select(
+        *id_cols,
+        F.round("_p", 6).alias("p_value"),
+        "p_rank",
+        "m",
+        F.round(crit, 6).alias("bh_crit"),
+        (
+            F.col("p_rank") <= F.coalesce(F.col("_istar"), F.lit(0))
+        ).alias("reject"),
+    )
+
+
+def bh_oracle_sql(pv_sql: str, id_col: str, q: float) -> str:
+    """DuckDB twin of :func:`bh_fdr` for a single id column:
+    ``pv_sql`` is any SELECT producing ``(id_col, p)``. Identical
+    rank order (p, id), identical float criterion ``p_rank·q/m``."""
+    return f"""
+    WITH pv AS ({pv_sql}),
+    ranked AS (
+        SELECT {id_col}, p,
+               row_number() OVER (ORDER BY p, {id_col}) AS p_rank,
+               count(*) OVER () AS m
+        FROM pv
+    ),
+    cut AS (
+        SELECT max(CASE WHEN p <= p_rank * {q!r} / m THEN p_rank END)
+               AS istar
+        FROM ranked
+    )
+    SELECT {id_col}, round(p, 6) AS p_value, p_rank,
+           CAST(m AS BIGINT) AS m,
+           round(p_rank * {q!r} / m, 6) AS bh_crit,
+           p_rank <= coalesce((SELECT istar FROM cut), 0) AS reject
+    FROM ranked ORDER BY p_rank
     """

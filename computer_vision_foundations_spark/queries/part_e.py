@@ -11,6 +11,7 @@ from computer_vision_foundations_spark.queries.common import (  # noqa: F401
     DataFrame,
     F,
     SparkSession,
+    Window,
     _register,
     load_table,
 )
@@ -1703,4 +1704,346 @@ def za54_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# za55 — Benjamini–Hochberg FDR over the keyed KS drift battery
+# ---------------------------------------------------------------------------
+
+def _bh_fdr_oracle() -> str:
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        bh_oracle_sql,
+        keyed_ks_pvalues_oracle_sql,
+    )
+
+    pv = keyed_ks_pvalues_oracle_sql(
+        "events",
+        "event_type || '|' || CAST(user_id % 16 AS VARCHAR)",
+        "value",
+        f"ts < TIMESTAMP '{_PSI_CUT}'",
+    )
+    return bh_oracle_sql(pv, "k", q=0.05)
+
+
+@_register("za55_bh_fdr_drift", _bh_fdr_oracle())
+def za55_bh_fdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (1995) over a battery of
+    per-segment KS drift tests (`operators/stats_tests.bh_fdr` over
+    `keyed_ks_pvalues`): each (event_type × user-bucket) segment is a
+    hypothesis (one-term Smirnov p for "did value's distribution move
+    across the month cut?"), and the step-up rule picks
+    i* = max{i : p_(i) ≤ i·q/m} so the battery's FALSE-DISCOVERY
+    rate — not its per-test α — is held at q=0.05. The
+    multiple-testing lid the drift kit (za52 keyed KS, za47 PSI,
+    za25 volume) needs the moment "8 event types" becomes "thousands
+    of feature×segment tests nightly": at α=0.05 uncorrected, 5% of
+    null segments page the on-call every night.
+
+    Scale shape: the KS battery is one (key, value) hash aggregate +
+    per-key windows partitioned by key; BH ranks the |tests|-row
+    p-value table via the range-partitioned global ranking (never a
+    single-task sort); m and i* are 1-row scalar broadcasts (the
+    sanctioned crossJoin idiom)."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        bh_fdr,
+        keyed_ks_pvalues,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # F.concat, not concat_ws: || and concat both PROPAGATE null
+        # (concat_ws silently skips it — the advice-flagged injectivity
+        # trap t-closeness hit), so the key encoding matches the
+        # oracle's || exactly even on hostile inputs
+        "k",
+        F.concat(
+            F.col("event_type"),
+            F.lit("|"),
+            (F.col("user_id") % 16).cast("string"),
+        ),
+    )
+    cut = F.lit(_PSI_CUT).cast("timestamp")
+    pv = keyed_ks_pvalues(ev, "k", "value", F.col("ts") < cut)
+    return bh_fdr(pv, "p", ["k"], q=0.05)
+
+
+# ---------------------------------------------------------------------------
+# za56 — streaming session windows ≡ batch gaps-and-islands sessions
+# ---------------------------------------------------------------------------
+
+def _stream_sessions_oracle() -> str:
+    # session_window semantics: an event EXTENDS a session iff
+    # ts < last_ts + gap, so a new session starts when the gap to the
+    # previous event is >= 30 minutes; session_end = last event + gap.
+    return """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), lagd AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM e
+    ), mark AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                         OR ts - prev >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM lagd
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM mark
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """
+
+
+@_register("za56_stream_sessions", _stream_sessions_oracle())
+def za56_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-window equivalence (`streaming/windows.
+    streaming_session_counts` through the real merging-session
+    StateStore): events arrive as THREE time-ordered micro-batches —
+    sessions spanning a batch boundary must MERGE in state — plus a
+    far-future single-row sentinel batch whose watermark advance
+    closes every real session, so the APPEND-mode sink (the
+    production shape: emit-once on close, state actually EVICTED —
+    unlike za54's complete-mode tumbling state) drains exactly the
+    batch gaps-and-islands answer. The sentinel's own session never
+    closes and must NOT appear. Sixth member of the ST differential
+    family (q01 upsert, q06 ANN, q37 interval join, za51 dedup, za54
+    tumbling agg).
+
+    Scale shape: session state is one (user, open-session) row per
+    active user bounded by the watermark horizon; each batch is one
+    keyed merge — events stream through once, and closed sessions
+    leave state the moment the watermark passes them."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from computer_vision_foundations_spark.streaming.windows import (
+        streaming_session_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-1,)], "user_id long"
+    ).select("user_id", F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"))
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    stage = tempfile.mkdtemp(prefix="stream_sess_stage_")
+    landing = tempfile.mkdtemp(prefix="stream_sess_landing_")
+    chunks = []
+    for lo, hi in bounds:
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+        chunks.append(chunk)
+    chunks.append(sentinel)
+    for i, chunk in enumerate(chunks, start=1):
+        d = _os.path.join(stage, str(i))
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(landing, f"chunk-{i}.parquet")
+        _shutil.copy(_os.path.join(d, part), dst)
+        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    sessions = streaming_session_counts(
+        stream, user_col="user_id", ts_col="ts",
+        gap="30 minutes", watermark="1 minute",
+    )
+    name = f"za56_sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_sess_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# za57 — streaming Space-Saving top-k ≡ exact batch counts (k ≥ universe)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za57_stream_spacesaving",
+    """
+    SELECT event_type, CAST(user_id % 256 AS VARCHAR) AS item,
+           count(*) AS n, CAST(0 AS BIGINT) AS error
+    FROM events GROUP BY event_type, CAST(user_id % 256 AS VARCHAR)
+    ORDER BY event_type, item
+    """,
+)
+def za57_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Space-Saving heavy hitters ≡ exact batch counts
+    (`streaming/stateful.topk_spacesaving_stateful`, Metwally et al.
+    2005, carried in ``applyInPandasWithState``): events arrive as
+    THREE time-ordered micro-batches; each event type tracks its
+    user-bucket (user_id mod 256) frequencies in k=512 Space-Saving
+    counters. Because k exceeds the 256-value universe the algorithm's
+    exactness guarantee engages — every counter must equal the true
+    count with error 0 — so the final per-key state snapshot (rows of
+    the key's LAST batch_seq) hash-matches a plain batch
+    GROUP BY count. Gate-attests the custom-stateful-operator path
+    (SURVEY ST5's `applyInPandasWithState`) the way za51/za54/za56
+    attest the built-in dedup/window/session state machinery; the
+    eviction path (k < universe, count−error bounds) stays
+    pytest-attested because its output is deliberately inexact.
+
+    Scale shape: state is ≤ k (item, count, error) triples per key —
+    INDEPENDENT of stream length, the whole point of the sketch; each
+    batch touches only the keys it carries. The final-snapshot filter
+    runs over the drained |batches × keys × k| memory table."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from computer_vision_foundations_spark.streaming.stateful import (
+        topk_spacesaving_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        (F.col("user_id") % 256).cast("string").alias("bucket"),
+    )
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    stage = tempfile.mkdtemp(prefix="stream_ss_stage_")
+    landing = tempfile.mkdtemp(prefix="stream_ss_landing_")
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+        d = _os.path.join(stage, str(i))
+        chunk.select("event_type", "bucket").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(
+            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(landing, f"chunk-{i}.parquet")
+        _shutil.copy(_os.path.join(d, part), dst)
+        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    stream = (
+        spark.readStream.schema("event_type string, bucket string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    tracked = topk_spacesaving_stateful(
+        stream, key_col="event_type", value_col="bucket", k=512
+    )
+    name = f"za57_ss_{_uuid.uuid4().hex[:8]}"
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_ss_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    w = Window.partitionBy("event_type")
+    return (
+        drained.withColumn("_last", F.max("batch_seq").over(w))
+        .where(F.col("batch_seq") == F.col("_last"))
+        .select(
+            "event_type",
+            "item",
+            F.col("count").alias("n"),
+            "error",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# za58 — Delta RESTORE on the real log format (sources/delta_writer.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za58_delta_restore",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def za58_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE on the real Delta log (`sources/delta_writer.
+    delta_restore`): create orders%4==0 (v0), append the %4==1 slice
+    (v1), DELETE half of it copy-on-write (v2 — the "mistake"), then
+    RESTORE TO VERSION 1 (v3) and read the LATEST snapshot — which
+    must equal v0+v1 exactly: the restore commit re-adds the files v2
+    removed (partitionValues from the log, numRecords from footers)
+    and the reader replays it like any other commit. za53 proves time
+    travel can *look past* a bad commit; this proves the engine can
+    *undo* one while keeping it in history (v2 stays readable).
+
+    Scale shape: restore is pure log surgery — a driver-side file-list
+    diff plus footer reads for re-added files; no executor touches
+    data until the final read, which is a plain pruned snapshot scan
+    + one hash aggregate."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.acid import read_table
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+        delta_delete_where,
+        delta_restore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_restore_")
+    delta_create(spark, root, orders.filter(F.col("o_orderkey") % 4 == 0))
+    delta_append(spark, root, orders.filter(F.col("o_orderkey") % 4 == 1))
+    delta_delete_where(spark, root, F.col("o_orderkey") % 8 == 1)
+    delta_restore(spark, root, 1)
+    snap = read_table(spark, root)  # LATEST — must equal v1's content
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )

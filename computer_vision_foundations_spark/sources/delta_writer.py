@@ -65,6 +65,7 @@ __all__ = [
     "delta_delete_where",
     "delta_optimize",
     "delta_vacuum",
+    "delta_restore",
     "DeltaCommitConflict",
 ]
 
@@ -392,17 +393,62 @@ def delta_append(
     root: str,
     df: DataFrame,
     checkpoint_every: int = _CHECKPOINT_EVERY,
+    merge_schema: bool = False,
 ) -> int:
-    """ACID append: all of ``df``'s files appear in one commit."""
+    """ACID append: all of ``df``'s files appear in one commit.
+
+    ``merge_schema=True`` is Delta's ``mergeSchema`` (additive schema
+    evolution): columns ``df`` adds extend the committed schema — the
+    union metaData is re-committed in the SAME transaction as the
+    data, so readers never see files the schema can't describe.
+    Committed columns missing from ``df`` are filled with NULL; a
+    same-name column with a DIFFERENT type still raises (type
+    widening is not attempted — rewrite with ``delta_overwrite``).
+    Old files simply lack the new columns and read back as NULL, per
+    protocol: the reader scans with the committed schema, never the
+    footers'."""
     snap = delta_reader.delta_snapshot(root, spark)
-    _check_schema(snap, df)
     ts = _now_ms()
-    files = _write_data_files(
-        df.select(*[f.name for f in snap.schema.fields]),
-        root,
-        snap.partition_columns,
-    )
-    actions = [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    actions: list[dict] = []
+    out_fields = list(snap.schema.fields)
+    if merge_schema:
+        current = {f.name: f.dataType for f in snap.schema.fields}
+        wrong = sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name in current and current[f.name] != f.dataType
+        )
+        if wrong:
+            raise ValueError(
+                f"mergeSchema cannot change existing column types: {wrong}"
+            )
+        new_fields = [f for f in df.schema.fields if f.name not in current]
+        if new_fields:
+            out_fields = out_fields + new_fields
+            from pyspark.sql import types as T
+
+            meta = {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": T.StructType(out_fields).json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": {},
+                "createdTime": ts,
+            }
+            actions.append({"metaData": meta})
+        have = {f.name for f in df.schema.fields}
+        cols = [
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out_fields
+        ]
+        batch = df.select(*cols)
+    else:
+        _check_schema(snap, df)
+        batch = df.select(*[f.name for f in snap.schema.fields])
+    files = _write_data_files(batch, root, snap.partition_columns)
+    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
     v = snap.version + 1
     _publish(root, v, actions, "WRITE", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -645,3 +691,74 @@ def delta_vacuum(root: str, spark: SparkSession, retain_last: int = 5) -> list[s
                 os.remove(os.path.join(dirpath, f))
                 removed.append(rel)
     return sorted(removed)
+
+
+def delta_restore(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` — as a NEW
+    commit (Delta's documented shape: restore moves the table
+    FORWARD to a state equal to the old version, so the history —
+    including the mistake being undone — stays time-travelable):
+
+    - ``add`` every target-snapshot file the current snapshot lost
+      (size from disk, numRecords from the parquet footer,
+      partitionValues from the target snapshot's authoritative log
+      state — never re-derived from directory names);
+    - ``remove`` every current file the target lacks;
+    - re-commit the target's schema when an intervening
+      overwrite/mergeSchema changed it.
+
+    Fails loudly (``FileNotFoundError``) when a restored file was
+    already VACUUMed — the same contract delta-spark enforces unless
+    ``ignoreMissingFiles`` is set; a silent partial restore would be
+    data loss dressed as success. No-op (returns the current
+    version) when the table already equals the target.
+
+    Scale shape: pure log surgery — file LISTS diff driver-side, the
+    only per-file work is a footer read (numRecords) for re-added
+    files; no data file is rewritten or even opened by an executor.
+    """
+    import pyarrow.parquet as pq
+
+    cur = delta_reader.delta_snapshot(root, spark)
+    if version == cur.version:
+        return cur.version
+    tgt = delta_reader.delta_snapshot(root, spark, version=version)
+    ts = _now_ms()
+    actions: list[dict] = []
+    if tgt.schema.json() != cur.schema.json() or list(
+        tgt.partition_columns
+    ) != list(cur.partition_columns):
+        meta = {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": tgt.schema.json(),
+            "partitionColumns": list(tgt.partition_columns),
+            "configuration": {},
+            "createdTime": ts,
+        }
+        actions.append({"metaData": meta})
+    add_back = sorted(set(tgt.files) - set(cur.files))
+    drop = sorted(set(cur.files) - set(tgt.files))
+    if not actions and not add_back and not drop:
+        return cur.version
+    for rel in add_back:
+        p = os.path.join(root, rel)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"cannot RESTORE to version {version}: data file {rel!r} "
+                "was vacuumed out of the retention window"
+            )
+        n_rows = pq.ParquetFile(p).metadata.num_rows
+        actions.append(
+            _add_action(rel, tgt.files[rel], os.path.getsize(p), n_rows, ts)
+        )
+    actions += [_remove_action(_encode_path(rel), ts) for rel in drop]
+    v = cur.version + 1
+    _publish(root, v, actions, "RESTORE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v

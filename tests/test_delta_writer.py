@@ -303,3 +303,89 @@ def test_vacuum_respects_retention(spark):
     assert len(removed) >= 1
     assert dr.read_delta(spark, root).count() == 1
     assert dr.read_delta(spark, root, version=1).count() == 1
+
+
+def test_restore_to_earlier_version(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]))
+    dw.delta_append(spark, root, _mk(spark, [(3, "c")]))          # v1
+    dw.delta_delete_where(spark, root, F.col("k") == 1)           # v2
+    v = dw.delta_restore(spark, root, 1)                          # v3
+    assert v == 3
+    got = sorted(
+        (r["k"], r["v"]) for r in dr.read_delta(spark, root).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # the mistake (v2) stays time-travelable — restore moves FORWARD
+    assert dr.read_delta(spark, root, version=2).count() == 2
+    with open(os.path.join(root, "_delta_log", f"{3:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    assert actions[0]["commitInfo"]["operation"] == "RESTORE"
+    adds = [a["add"] for a in actions if "add" in a]
+    # only the files v2 dropped come back; stats carry numRecords
+    assert adds and all(
+        json.loads(a["stats"])["numRecords"] >= 1 for a in adds
+    )
+
+
+def test_restore_noop_and_vacuumed_failure(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    assert dw.delta_restore(spark, root, 0) == 0  # no-op at the tip
+    dw.delta_overwrite(spark, root, _mk(spark, [(9, "z")]))       # v1
+    dw.delta_vacuum(root, spark, retain_last=1)  # drops v0's file
+    with pytest.raises(FileNotFoundError):
+        dw.delta_restore(spark, root, 0)
+
+
+def test_restore_across_schema_change_recommits_metadata(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    dw.delta_overwrite(
+        spark, root, _mk(spark, [(1, "a", 7)], "k long, v string, extra long")
+    )                                                              # v1
+    v = dw.delta_restore(spark, root, 0)                          # v2
+    assert v == 2
+    snap = dr.delta_snapshot(root, spark)
+    assert [f.name for f in snap.schema.fields] == ["k", "v"]
+    assert [(r["k"], r["v"]) for r in dr.read_delta(spark, root).collect()] == [
+        (1, "a")
+    ]
+
+
+def test_merge_schema_append(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    v = dw.delta_append(
+        spark,
+        root,
+        _mk(spark, [(2, "b", 5.0)], "k long, v string, score double"),
+        merge_schema=True,
+    )
+    assert v == 1
+    snap = dr.delta_snapshot(root, spark)
+    assert [f.name for f in snap.schema.fields] == ["k", "v", "score"]
+    got = {r["k"]: r["score"] for r in dr.read_delta(spark, root).collect()}
+    assert got == {1: None, 2: 5.0}  # old files read NULL for new cols
+    # committed columns missing from the batch are null-filled
+    dw.delta_append(
+        spark, root, _mk(spark, [(3, "c")]), merge_schema=True
+    )
+    got = {r["k"]: r["score"] for r in dr.read_delta(spark, root).collect()}
+    assert got[3] is None
+    # type conflict still refused
+    with pytest.raises(ValueError, match="column types"):
+        dw.delta_append(
+            spark,
+            root,
+            _mk(spark, [(4, "d", 1)], "k long, v string, score long"),
+            merge_schema=True,
+        )
+    # without merge_schema, extra columns stay refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dw.delta_append(
+            spark,
+            root,
+            _mk(spark, [(5, "e", 1.0, 2.0)],
+                "k long, v string, score double, other double"),
+        )

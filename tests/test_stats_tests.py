@@ -91,3 +91,67 @@ def test_ks_matches_scipy_style_hand_case(spark):
     r = ks_two_sample(df, "value", "event_type", "a", "b").collect()[0]
     # ECDF gap is max at x=2: Fa=0.5, Fb=0 -> D=0.5
     assert r["ks_d"] == pytest.approx(0.5)
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """The step-up rule rejects a hypothesis whose OWN criterion
+    fails when a later rank qualifies (the classic BH subtlety a
+    per-row comparison gets wrong)."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        bh_fdr,
+    )
+
+    # m=4, q=0.25 -> criteria 0.0625, 0.125, 0.1875, 0.25
+    # p = [0.01, 0.13, 0.19, 0.24]: rank2 fails its own criterion
+    # (0.13 > 0.125) but rank4 qualifies (0.24 <= 0.25) => ALL reject
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.13), ("c", 0.19), ("d", 0.24)],
+        "h string, p double",
+    )
+    out = {r["h"]: r for r in bh_fdr(df, "p", ["h"], q=0.25).collect()}
+    assert all(out[h]["reject"] for h in "abcd")
+    assert out["b"]["p_value"] == 0.13 and out["b"]["p_rank"] == 2
+    # nothing qualifies anywhere -> nothing rejected
+    df2 = spark.createDataFrame(
+        [("a", 0.30), ("b", 0.60), ("c", 0.90)], "h string, p double"
+    )
+    out2 = bh_fdr(df2, "p", ["h"], q=0.25).collect()
+    assert not any(r["reject"] for r in out2)
+    # independent-of-order: only ranks <= i* reject
+    df3 = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.5), ("d", 0.9)],
+        "h string, p double",
+    )
+    out3 = {r["h"]: r["reject"] for r in bh_fdr(df3, "p", ["h"], q=0.1).collect()}
+    assert out3 == {"a": True, "b": True, "c": False, "d": False}
+
+
+def test_keyed_ks_pvalues_identical_distribution(spark):
+    """Identical halves -> D = 0 -> p = 1 (clipped)."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        keyed_ks_pvalues,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("k", float(v), s) for v in range(20) for s in (0, 1)]
+    df = spark.createDataFrame(rows, "k string, value double, side int")
+    out = keyed_ks_pvalues(
+        df, "k", "value", F.col("side") == 1
+    ).collect()
+    assert len(out) == 1 and out[0]["p"] == 1.0
+
+
+def test_keyed_ks_pvalues_disjoint_support(spark):
+    """Fully separated samples -> D = 1 -> p = 2*exp(-2*n_eff)."""
+    from computer_vision_foundations_spark.operators.stats_tests import (
+        keyed_ks_pvalues,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("k", float(v), 1) for v in range(10)] + [
+        ("k", float(v + 100), 0) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, value double, side int")
+    out = keyed_ks_pvalues(df, "k", "value", F.col("side") == 1).collect()
+    expect = 2.0 * math.exp(-2.0 * 1.0 * (10.0 * 10 / 20))
+    assert out[0]["p"] == pytest.approx(expect, rel=1e-12)

@@ -997,6 +997,36 @@ AUDIT = {
         "immutable files + one hash aggregate — no log join",
         (),
     ),
+    "za58_delta_restore": (
+        "real-format Delta RESTORE: the restore commit is driver-side "
+        "log surgery (file-list diff + footer reads); the read-back "
+        "plan is a plain parquet scan of the restored snapshot + one "
+        "hash aggregate — no log join",
+        (),
+    ),
+    "za55_bh_fdr_drift": (
+        "BH step-up over the keyed-KS battery: per-key windows "
+        "PARTITIONED BY KEY; the |tests|-row p-value ranking is the "
+        "range-partitioned global_row_number (never a single-task "
+        "sort); the BNLJs are the 1-row m / i* scalar broadcasts "
+        "(the sanctioned crossJoin idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za56_stream_sessions": (
+        "streaming session equivalence: the merging-session state "
+        "machinery ran at STREAM time (append mode, watermark "
+        "eviction); the returned frame is a plain scan of the "
+        "drained memory sink + a date_format projection",
+        (),
+    ),
+    "za57_stream_spacesaving": (
+        "streaming Space-Saving equivalence: the sketch state ran "
+        "at STREAM time (applyInPandasWithState, bounded k-counter "
+        "state); the returned frame scans the drained memory sink "
+        "with one |batches x keys x k|-row keyed window picking the "
+        "final snapshot",
+        (),
+    ),
 }
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
