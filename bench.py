@@ -74,12 +74,12 @@ HEADLINE = [
     "q43_feature_hashing",
     "q46_histogram_quantiles",
     "q32_compaction_plan",
-    "q45_join_skew_stats",
-    "q11_zipf_fit",
-    "q26_grouped_quantiles",
-    "q18_hll_shard_merge",
+    "za58_join_skew_stats",
+    "za52_zipf_fit",
+    "za56_grouped_quantiles",
+    "za54_hll_shard_merge",
     "q27_stratified_hash_sample",
-    "q16_negative_sampling",
+    "za53_negative_sampling",
     "q29_event_disorder",
     "za12_incremental_dedup",
     "z20_multiprobe_recall",
@@ -104,8 +104,8 @@ HEADLINE = [
     "za11_weighted_sample",
     "q05_duplicated_spans",
     "za19_random_projection",
-    "q09_pca_covariance",
-    "q10_hits_scores",
+    "za50_pca_covariance",
+    "za51_hits_scores",
     "za37_bigram_surprisal",
     "q12_dsir_weights",
     "q13_incremental_lsh",
@@ -214,10 +214,10 @@ HEADLINE = [
     "za05_wilson_intervals",
     "za06_ols_trend",
     "za07_ks_two_sample",
-    "za50_l_diversity",
-    "za52_keyed_ks_drift",
-    "za53_delta_time_travel",
-    # za51_stream_dedup is gate-attested but NOT benched: its wall
+    "q09_l_diversity",
+    "q11_keyed_ks_drift",
+    "q16_delta_time_travel",
+    # q10_stream_dedup is gate-attested but NOT benched: its wall
     # time is streaming-engine drain overhead, which the streaming
     # section already measures directly
 ]

@@ -16,7 +16,7 @@ Spark-first + differential-oracle design:
 - the baseline predictor and the residuals are computed on the exact
   1e-6 fixed-point grid (integer sums → one float divide), so nothing
   anywhere in the pipeline depends on float reduction order — the
-  q09 lesson applied from the start;
+  za50 lesson applied from the start;
 - q̂ is an EXACT order statistic: rank via the scale-safe two-phase
   global row number (`qnorm.global_row_number` — range partition +
   broadcast offsets, no single-task sort), filter rank = k. No

@@ -10,7 +10,7 @@ the smallest "spanning sample" used for fast eval sets, dedup probes
 and annotation budgets (Sener & Savarese 2018 use exactly this for
 active learning).
 
-Determinism & exactness (the q09/q46 discipline): components quantize
+Determinism & exactness (the za50/q46 discipline): components quantize
 to the 1e-6 grid, so squared L2 distances are EXACT BIGINT integers;
 the seed is the smallest id; each round's argmax ties break by
 smallest id — the whole selection SEQUENCE is a pure function of the

@@ -12,7 +12,7 @@ Everything is relational explode-arithmetic (no UDF): element rows
 ``(id, label, i, x)`` aggregate to per-(label, i) centroid components,
 join back for per-member dot products, reduce to per-class scalars.
 The DuckDB oracle replays the identical expression shapes; double
-summation is engine-order-dependent but the q16/q09 precedent shows
+summation is engine-order-dependent but the za53/za50 precedent shows
 round-4/6 comparison holds at all tested scales.
 
 Scale shape: two keyed shuffles of NARROW rows — element rows
@@ -99,7 +99,7 @@ def embedding_isotropy(
       computed WITHOUT forming pairs via the Gram identity
       ||Σu||² = Σᵢⱼ⟨uᵢ,uⱼ⟩  ⇒  avg = (||Σu||² − Σ||u||²) / (n(n−1)).
 
-    Exactness (the q09 fixed-point discipline): components quantize to
+    Exactness (the za50 fixed-point discipline): components quantize to
     the 1e-6 grid (``floor(x·1e6 + 0.5)``), the squared norm is then
     an EXACT integer (order-free), the unit components re-quantize to
     the 1e-6 grid via one row-local IEEE expression, and every

@@ -84,7 +84,7 @@ def hits(
     # checkpointing AFTER it evaluated each edge join twice per
     # materialization. With the checkpoint on the raw sums, every edge
     # join runs exactly once per half-step and the norm is a cheap
-    # node-sized agg over the checkpoint (measured q10: 16.8 s → see
+    # node-sized agg over the checkpoint (measured on za51: 16.8 s → see
     # SCALE.md — the edge join dominated, the norm agg is noise).
     for _ in range(n_iter):
         a_raw = (

@@ -24,7 +24,7 @@ Spark-first + determinism design:
   similarity is rounded to 6 digits), reachability sums are BIGINT,
   lrd is an exact integer division on a 1e12 grid, and LOF is one
   final float divide of exact integers — nothing anywhere depends on
-  float reduction order (the q09 lesson);
+  float reduction order (the za50 lesson);
 - after the kNN join everything is edges-sized: three equi-joins on
   node ids carrying (id, BIGINT) pairs only.
 """

@@ -16,7 +16,7 @@ Spark-first + determinism design: one map-side-combinable groupBy per
 window down to |bins| rows, a full outer join on the bin id (bins
 present in either window appear; absent-in-one smoothed), and the
 cross-bin reduction summed on the 1e-6 grid as BIGINT — no float
-reduction order anywhere (q09 lesson). The smoothed ratios and the
+reduction order anywhere (za50 lesson). The smoothed ratios and the
 log are per-row scalars with an identical operation tree in the
 DuckDB twin.
 """

@@ -1,12 +1,12 @@
 """Join-skew profiling: the diagnostic you run BEFORE a 100 TB join.
 
-`operators/skewjoin.py` (q45) is the cure (salting); this is the
+`operators/skewjoin.py` (za36) is the cure (salting); this is the
 diagnosis: per-key cardinalities on both sides of a prospective join,
 the exact output-row count it would produce (Σ n_a·n_b — computable
 from the two count tables without performing the join), and the
 concentration of that output in the hottest keys. A key whose
 n_a·n_b share is large is exactly the key AQE's skew-join splitting
-or q45's salting must handle; the `top_share` column quantifies
+or za36's salting must handle; the `top_share` column quantifies
 whether the default hash join is safe.
 
 Spark-first shape: two map-side-combinable count aggregates (one per

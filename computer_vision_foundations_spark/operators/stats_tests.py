@@ -534,7 +534,7 @@ def bh_fdr(
     — the step-up rule, NOT the per-row comparison (a hypothesis
     with p above its own criterion is still rejected when a later
     rank qualifies). The multiple-testing lid for the drift
-    batteries (za52's keyed KS, PSI) once "per-key test" becomes
+    batteries (q11's keyed KS, PSI) once "per-key test" becomes
     "thousands of feature×segment tests nightly".
 
     Scale shape: ranking uses `qnorm.global_row_number`

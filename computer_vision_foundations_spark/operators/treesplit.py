@@ -11,7 +11,7 @@ touches only bins-sized state, so a 100 TB fact table costs exactly
 one hash aggregation regardless of how many candidate thresholds are
 evaluated.
 
-Determinism contract (the q09 lesson): every cumulative quantity is an
+Determinism contract (the za50 pca lesson): every cumulative quantity is an
 INTEGER (counts), so no float reduction order exists anywhere; the
 Gini score is a per-row scalar expression over those integers, written
 with the identical operation tree in the Spark plan and the DuckDB

@@ -2043,7 +2043,7 @@ def _cc_oracle_sql() -> str:
 @_register("q94_dedup_clusters", _cc_oracle_sql())
 def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate clusters (operators/components):
-    q26's LSH candidate pairs closed under connectivity by iterative
+    za23's LSH candidate pairs closed under connectivity by iterative
     min-label propagation + pointer jumping, canonical copy = the
     cluster's smallest doc_id. The oracle computes the same closure
     with a recursive CTE over the identical pair set — checking both
@@ -2069,7 +2069,7 @@ def q94_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q73_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (DataFrame.groupingSets, Spark >= 4.0)
-    — the general form of q10's rollup / q11's cube, one Expand +
+    — the general form of q53's rollup / q54's cube, one Expand +
     hash-agg, no repeated scans. Null grouping columns mark the
     subtotal rows identically in both engines."""
     orders = load_table(spark, sf_dir, "orders")
@@ -2516,14 +2516,14 @@ def _training_corpus_oracle_sql() -> str:
     near-dup clustering expressed as the q94 recursive closure.
 
     Stage map (and the per-stage oracle each fragment is lifted from):
-    quality gate (q66/q38) → surprisal gate over the surviving corpus
-    (q47, 6-digit-rounded threshold) → domain cap 1M = identity at
+    quality gate (q66/z17) → surprisal gate over the surviving corpus
+    (za30, 6-digit-rounded threshold) → domain cap 1M = identity at
     every tested SF (row_number ≤ cap is vacuous; documented, not
     modeled) → exact dedup keep-min (q83) → MinHash-LSH pairs with the
-    portable md5 family (q26) → connected components via recursive CTE
-    (q94) → exact decontamination (q35; the engine's bloom pre-screen
+    portable md5 family (za23) → connected components via recursive CTE
+    (q94) → exact decontamination (za27; the engine's bloom pre-screen
     has no false negatives so it is result-invariant) → redaction
-    (q14) → chunking (q13) → shard/pack (q15)."""
+    (q33) → chunking (z07) → shard/pack (z09)."""
 
     def _sh(table: str) -> str:
         return _SHINGLES_SQL.replace("FROM documents", f"FROM {table}")

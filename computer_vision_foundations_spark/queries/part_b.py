@@ -1568,7 +1568,7 @@ def z16_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_pairs_oracle_sql() -> str:
-    """Compose the q26 candidate oracle with the levenshtein verify
+    """Compose the za23 candidate oracle with the levenshtein verify
     stage (prefix-capped, both engines' classic DP distance)."""
     cand = _ORACLES["za23_lsh_candidate_pairs"]
     return f"""
@@ -1589,7 +1589,7 @@ def _verified_pairs_oracle_sql() -> str:
 @_register("za16_lsh_verified_pairs", _verified_pairs_oracle_sql())
 def za16_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate verification (operators/dedup.edit_similarity_pairs):
-    the MinHash-LSH candidates of q26 scored by normalized edit
+    the MinHash-LSH candidates of za23 scored by normalized edit
     similarity over 200-char prefixes — the verify-before-drop stage a
     production dedup pipeline runs after banding. O(len²) Levenshtein
     is affordable exactly because it runs on candidate PAIRS, not the
@@ -1697,7 +1697,7 @@ def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_prf_oracle_sql() -> str:
-    """Candidate-generation quality: LSH candidates (q26's oracle)
+    """Candidate-generation quality: LSH candidates (za23's oracle)
     against exact Jaccard≥0.5 ground truth (the jaccard query's
     oracle), composed end-to-end."""
     truth = _ORACLES["q90_ngram_jaccard_pairs"]
@@ -2014,7 +2014,7 @@ def za19_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q09_pca_covariance",
+    "za50_pca_covariance",
     """
     WITH x AS (
         -- same 1e-6 fixed-point grid as operators/projection.py
@@ -2047,7 +2047,7 @@ def za19_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN m mj ON mj.i = g.j
     """,
 )
-def q09_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za50_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed stage of PCA (`operators/projection.py`): the
     64×64 population covariance of the embedding corpus via ONE
     Arrow-batched partial-Gramian pass (`mapInPandas` emits d² partial
@@ -2076,8 +2076,8 @@ def _hits_oracle() -> str:
     return hits_oracle_sql(_PR_EDGES_SQL, n_iter=5, round_digits=6)
 
 
-@_register("q10_hits_scores", _hits_oracle())
-def q10_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za51_hits_scores", _hits_oracle())
+def za51_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (`operators/hits.py`) over the same
     supplier↔customer trade graph as q07: the second link-graph
     curation signal (authorities = canonical pages, hubs = link-farm
@@ -2200,7 +2200,7 @@ def q12_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): mean per-token log-likelihood ratio of a TARGET unigram
     model (here the lang='en' slice stands in for a curated corpus)
     over the RAW model, Laplace-smoothed on the union vocabulary.
-    Feed the weight column to `weighted_sample_k` (q45's seeded A-ES)
+    Feed the weight column to `weighted_sample_k` (za11's seeded A-ES)
     for the resampling step. Two |vocab|-row model aggregates + one
     stream join — the TF-IDF shuffle budget; oracle replays the exact
     smoothing literals."""

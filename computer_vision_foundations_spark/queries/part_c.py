@@ -2476,7 +2476,7 @@ def z53_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram surprisal
     (operators/perplexity.kneser_ney_logprob_scores) — the smoothing
     KenLM/SRILM made standard (Chen & Goodman 1999), completing the
-    LM-filter ladder: q47 unigram → q11 Jelinek-Mercer → KN, whose
+    LM-filter ladder: za30 unigram → za37 Jelinek-Mercer → KN, whose
     continuation-probability backoff separates genuinely productive
     tokens from frequent-but-frozen collocation tails. D=0.75,
     first token unigram-MLE. The oracle replays identical count
@@ -2484,7 +2484,7 @@ def z53_kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: three bigram-table aggregates for the model, four
     hash joins on the (id, pos, prev, token) stream, one per-doc
-    aggregate — the exact q11 budget plus one |vocab|-row join."""
+    aggregate — the exact za37 budget plus one |vocab|-row join."""
     from computer_vision_foundations_spark.operators.perplexity import (
         kneser_ney_logprob_scores,
     )

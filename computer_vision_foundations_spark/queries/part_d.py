@@ -2472,7 +2472,7 @@ def za45_procrustes_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded JL projection — the input to the model-sized driver SVD
     that aligns a re-trained embedding space to the old index
     (procrustes_fit, pytest-verified for orthogonality + alignment
-    error). Same exact fixed-point reduction as q09 (1e-6 grid, int64
+    error). Same exact fixed-point reduction as za50 (1e-6 grid, int64
     partials, DECIMAL(38,0) sums): partition-order invariant by
     construction, ONE corpus pass, only 1024 cells shuffle."""
     from computer_vision_foundations_spark.operators.projection import (

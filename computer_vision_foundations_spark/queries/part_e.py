@@ -37,8 +37,8 @@ def _item_cf_oracle_sql() -> str:
     """
 
 
-@_register("q21_item_cf", _item_cf_oracle_sql())
-def q21_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za55_item_cf", _item_cf_oracle_sql())
+def za55_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering (operators/cf.item_cosine_pairs):
     cosine similarity of part-incidence vectors over customer baskets,
     computed without materializing any vector — co-occurrence is a
@@ -194,7 +194,7 @@ def za46_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za47 / q35 — distribution shift: PSI + 1-D Wasserstein
+# za47 / za57 — distribution shift: PSI + 1-D Wasserstein
 # ---------------------------------------------------------------------------
 
 _PSI_BIN_SQL = "CAST(least(floor(value / 50), 9) AS INT) AS bin"
@@ -249,8 +249,8 @@ def _w1_oracle_sql() -> str:
     )
 
 
-@_register("q35_wasserstein_shift", _w1_oracle_sql())
-def q35_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za57_wasserstein_shift", _w1_oracle_sql())
+def za57_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-D earth mover's distance (operators/emd.wasserstein_1d)
     between two sources' document-length distributions — closed-form
     W1 = ∫|F_A − F_B| via merged-support CDFs, no transport solver.
@@ -587,7 +587,7 @@ def q32_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q45_join_skew_stats — join-skew preflight (operators/skewstats.py)
+# za58_join_skew_stats — join-skew preflight (operators/skewstats.py)
 # ---------------------------------------------------------------------------
 
 def _skewstats_oracle() -> str:
@@ -602,14 +602,14 @@ def _skewstats_oracle() -> str:
     )
 
 
-@_register("q45_join_skew_stats", _skewstats_oracle())
-def q45_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za58_join_skew_stats", _skewstats_oracle())
+def za58_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-skew preflight (operators/skewstats.py): per-key
     cardinalities on both sides of the lineitem⋈orders join, the
     EXACT inner-join output size Σ n_a·n_b computed from the two
     count tables (no join performed), the hottest key's contribution,
     and the top-5 keys' share — the number that decides between a
-    plain hash join, AQE skew splitting, and q45's salting at 100 TB.
+    plain hash join, AQE skew splitting, and za36's salting at 100 TB.
 
     Scale shape: two map-side-combinable counts + a |keys|-row join
     of COUNT tables + a 1-row roll-up; strictly cheaper than the join
@@ -624,7 +624,7 @@ def q45_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q11_zipf_fit — Zipf fit (operators/zipf.py)
+# za52_zipf_fit — Zipf fit (operators/zipf.py)
 # ---------------------------------------------------------------------------
 
 def _zipf_oracle() -> str:
@@ -635,8 +635,8 @@ def _zipf_oracle() -> str:
     return zipf_oracle_sql(n_ranks=256)
 
 
-@_register("q11_zipf_fit", _zipf_oracle())
-def q11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za52_zipf_fit", _zipf_oracle())
+def za52_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit (operators/zipf.py): OLS slope/intercept/r² of
     log-frequency vs log-rank over the 256 most frequent tokens —
     with Heaps' law (z62) the pair of classic vocabulary diagnostics
@@ -653,7 +653,7 @@ def q11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q26_grouped_quantiles — per-group sketch quantiles (operators/quantile_sketch.py)
+# za56_grouped_quantiles — per-group sketch quantiles (operators/quantile_sketch.py)
 # ---------------------------------------------------------------------------
 
 def _ghq_oracle() -> str:
@@ -668,8 +668,8 @@ def _ghq_oracle() -> str:
     )
 
 
-@_register("q26_grouped_quantiles", _ghq_oracle())
-def q26_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za56_grouped_quantiles", _ghq_oracle())
+def za56_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment sketch quantiles
     (operators/quantile_sketch.grouped_histogram_quantiles): p50/p99
     of event value per event type from 1024-bin per-group histograms —
@@ -690,7 +690,7 @@ def q26_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q18_hll_shard_merge — HLL shard-merge (functions/sketches.hll_merge)
+# za54_hll_shard_merge — HLL shard-merge (functions/sketches.hll_merge)
 # ---------------------------------------------------------------------------
 
 def _hll_merge_oracle() -> str:
@@ -743,8 +743,8 @@ def _hll_merge_oracle() -> str:
     """
 
 
-@_register("q18_hll_shard_merge", _hll_merge_oracle())
-def q18_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za54_hll_shard_merge", _hll_merge_oracle())
+def za54_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL shard-merge (functions/sketches.hll_merge): per-source
     register tables max-merged into one sketch, estimated with the
     identical FFGM expression as the direct single-pass sketch — the
@@ -819,7 +819,7 @@ def q27_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q16_negative_sampling — contrastive negative sampling (operators/negatives.py)
+# za53_negative_sampling — contrastive negative sampling (operators/negatives.py)
 # ---------------------------------------------------------------------------
 
 _NEG_PAIRS_SQL = """
@@ -843,8 +843,8 @@ def _neg_oracle() -> str:
     )
 
 
-@_register("q16_negative_sampling", _neg_oracle())
-def q16_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za53_negative_sampling", _neg_oracle())
+def za53_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling
     (operators/negatives.py): 4 hash-drawn negatives per
     (anchor, positive) pair over the dense doc-id space — negative j
@@ -1165,7 +1165,7 @@ def q30_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     q19/q50, MMR): an anisotropic space inflates all cosines and
     invalidates fixed thresholds.
 
-    Exactness: q09's fixed-point discipline — 1e-6 grids, integer /
+    Exactness: za50's fixed-point discipline — 1e-6 grids, integer /
     DECIMAL(38,0) reductions only, so the audit is reduction-order
     free and bit-replayable in SQL.
 
@@ -1364,7 +1364,7 @@ def q47_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za50 — l-diversity privacy audit (operators/privacy.py)
+# q09 — l-diversity privacy audit (operators/privacy.py)
 # ---------------------------------------------------------------------------
 
 def _l_diversity_oracle() -> str:
@@ -1381,8 +1381,8 @@ def _l_diversity_oracle() -> str:
     )
 
 
-@_register("za50_l_diversity", _l_diversity_oracle())
-def za50_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q09_l_diversity", _l_diversity_oracle())
+def q09_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit (Machanavajjhala et al. 2006 —
     `operators/privacy.l_diversity_report`): per (lang, source) QI
     class, the distinct count AND entropy-effective count of the
@@ -1406,7 +1406,7 @@ def za50_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za51 — streaming watermark dedup ≡ batch first-occurrence dedup
+# q10 — streaming watermark dedup ≡ batch first-occurrence dedup
 # ---------------------------------------------------------------------------
 
 def _stream_dedup_oracle() -> str:
@@ -1420,8 +1420,8 @@ def _stream_dedup_oracle() -> str:
     """
 
 
-@_register("za51_stream_dedup", _stream_dedup_oracle())
-def za51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q10_stream_dedup", _stream_dedup_oracle())
+def q10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup equivalence (`streaming/windows.dedup_stream`
     — dropDuplicatesWithinWatermark): the events table arrives as
     THREE time-ordered micro-batches, batches 2 and 3 additionally
@@ -1525,7 +1525,7 @@ def za51_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za52 — per-key two-sample KS drift battery (operators/stats_tests.py)
+# q11 — per-key two-sample KS drift battery (operators/stats_tests.py)
 # ---------------------------------------------------------------------------
 
 def _keyed_ks_oracle() -> str:
@@ -1542,8 +1542,8 @@ def _keyed_ks_oracle() -> str:
     )
 
 
-@_register("za52_keyed_ks_drift", _keyed_ks_oracle())
-def za52_keyed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q11_keyed_ks_drift", _keyed_ks_oracle())
+def q11_keyed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key KS drift battery (`operators/stats_tests.
     keyed_ks_drift`): for every event type, the two-sample KS
     statistic between the first and second half of the month plus the
@@ -1565,11 +1565,11 @@ def za52_keyed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za53 — REAL-format Delta time travel (sources/delta_writer.py)
+# q16 — REAL-format Delta time travel (sources/delta_writer.py)
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za53_delta_time_travel",
+    "q16_delta_time_travel",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -1578,7 +1578,7 @@ def za52_keyed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
 )
-def za53_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q03's time-travel contract on the REAL Delta log format
     (`sources/delta_writer.py` write half + `sources/delta_reader.py`
     protocol reader): create a `_delta_log` table from orders with
@@ -1616,7 +1616,7 @@ def za53_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za54 — streaming tumbling window agg ≡ batch GROUP BY hour
+# q18 — streaming tumbling window agg ≡ batch GROUP BY hour
 # ---------------------------------------------------------------------------
 
 def _stream_window_oracle() -> str:
@@ -1627,8 +1627,8 @@ def _stream_window_oracle() -> str:
     return _ORACLES["q77_events_hourly_window"]
 
 
-@_register("za54_stream_window_agg", _stream_window_oracle())
-def za54_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q18_stream_window_agg", _stream_window_oracle())
+def q18_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming window-aggregation equivalence (`streaming/windows.
     tumbling_counts` through the real StateStore path): the events
     table arrives as THREE time-ordered micro-batches
@@ -1636,7 +1636,7 @@ def za54_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/sum with a COMPLETE-mode memory sink; the drained state
     must hash-match q77's batch answer — the hourly-window operator's
     batch≡streaming proof, completing the ST differential family
-    (q01 upsert, q06 ANN, q37 interval join, za51 dedup, this).
+    (q01 upsert, q06 ANN, q37 interval join, q10 dedup, this).
 
     Scale shape: window state is |windows × types| rows; each batch
     is one map-side-combinable partial aggregate merged into state —
@@ -1684,7 +1684,7 @@ def za54_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(
         stream, ts_col="ts", duration="1 hour", group_cols=("event_type",)
     )
-    name = f"za54_win_{_uuid.uuid4().hex[:8]}"
+    name = f"q18_win_{_uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -1708,7 +1708,7 @@ def za54_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za55 — Benjamini–Hochberg FDR over the keyed KS drift battery
+# q21 — Benjamini–Hochberg FDR over the keyed KS drift battery
 # ---------------------------------------------------------------------------
 
 def _bh_fdr_oracle() -> str:
@@ -1726,8 +1726,8 @@ def _bh_fdr_oracle() -> str:
     return bh_oracle_sql(pv, "k", q=0.05)
 
 
-@_register("za55_bh_fdr_drift", _bh_fdr_oracle())
-def za55_bh_fdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q21_bh_fdr_drift", _bh_fdr_oracle())
+def q21_bh_fdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg FDR control (1995) over a battery of
     per-segment KS drift tests (`operators/stats_tests.bh_fdr` over
     `keyed_ks_pvalues`): each (event_type × user-bucket) segment is a
@@ -1735,7 +1735,7 @@ def za55_bh_fdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the month cut?"), and the step-up rule picks
     i* = max{i : p_(i) ≤ i·q/m} so the battery's FALSE-DISCOVERY
     rate — not its per-test α — is held at q=0.05. The
-    multiple-testing lid the drift kit (za52 keyed KS, za47 PSI,
+    multiple-testing lid the drift kit (q11 keyed KS, za47 PSI,
     za25 volume) needs the moment "8 event types" becomes "thousands
     of feature×segment tests nightly": at α=0.05 uncorrected, 5% of
     null segments page the on-call every night.
@@ -1768,7 +1768,7 @@ def za55_bh_fdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za56 — streaming session windows ≡ batch gaps-and-islands sessions
+# q26 — streaming session windows ≡ batch gaps-and-islands sessions
 # ---------------------------------------------------------------------------
 
 def _stream_sessions_oracle() -> str:
@@ -1804,8 +1804,8 @@ def _stream_sessions_oracle() -> str:
     """
 
 
-@_register("za56_stream_sessions", _stream_sessions_oracle())
-def za56_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q26_stream_sessions", _stream_sessions_oracle())
+def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session-window equivalence (`streaming/windows.
     streaming_session_counts` through the real merging-session
     StateStore): events arrive as THREE time-ordered micro-batches —
@@ -1813,10 +1813,10 @@ def za56_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     far-future single-row sentinel batch whose watermark advance
     closes every real session, so the APPEND-mode sink (the
     production shape: emit-once on close, state actually EVICTED —
-    unlike za54's complete-mode tumbling state) drains exactly the
+    unlike q18's complete-mode tumbling state) drains exactly the
     batch gaps-and-islands answer. The sentinel's own session never
     closes and must NOT appear. Sixth member of the ST differential
-    family (q01 upsert, q06 ANN, q37 interval join, za51 dedup, za54
+    family (q01 upsert, q06 ANN, q37 interval join, q10 dedup, q18
     tumbling agg).
 
     Scale shape: session state is one (user, open-session) row per
@@ -1870,7 +1870,7 @@ def za56_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, user_col="user_id", ts_col="ts",
         gap="30 minutes", watermark="1 minute",
     )
-    name = f"za56_sess_{_uuid.uuid4().hex[:8]}"
+    name = f"q26_sess_{_uuid.uuid4().hex[:8]}"
     q = (
         sessions.writeStream.outputMode("append")
         .format("memory")
@@ -1896,11 +1896,11 @@ def za56_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za57 — streaming Space-Saving top-k ≡ exact batch counts (k ≥ universe)
+# q35 — streaming Space-Saving top-k ≡ exact batch counts (k ≥ universe)
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za57_stream_spacesaving",
+    "q35_stream_spacesaving",
     """
     SELECT event_type, CAST(user_id % 256 AS VARCHAR) AS item,
            count(*) AS n, CAST(0 AS BIGINT) AS error
@@ -1908,7 +1908,7 @@ def za56_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, item
     """,
 )
-def za57_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Space-Saving heavy hitters ≡ exact batch counts
     (`streaming/stateful.topk_spacesaving_stateful`, Metwally et al.
     2005, carried in ``applyInPandasWithState``): events arrive as
@@ -1919,7 +1919,7 @@ def za57_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     count with error 0 — so the final per-key state snapshot (rows of
     the key's LAST batch_seq) hash-matches a plain batch
     GROUP BY count. Gate-attests the custom-stateful-operator path
-    (SURVEY ST5's `applyInPandasWithState`) the way za51/za54/za56
+    (SURVEY ST5's `applyInPandasWithState`) the way q10/q18/q26
     attest the built-in dedup/window/session state machinery; the
     eviction path (k < universe, count−error bounds) stays
     pytest-attested because its output is deliberately inexact.
@@ -1970,7 +1970,7 @@ def za57_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracked = topk_spacesaving_stateful(
         stream, key_col="event_type", value_col="bucket", k=512
     )
-    name = f"za57_ss_{_uuid.uuid4().hex[:8]}"
+    name = f"q35_ss_{_uuid.uuid4().hex[:8]}"
     q = (
         tracked.writeStream.outputMode("update")
         .format("memory")
@@ -1998,11 +1998,11 @@ def za57_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za58 — Delta RESTORE on the real log format (sources/delta_writer.py)
+# q45 — Delta RESTORE on the real log format (sources/delta_writer.py)
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za58_delta_restore",
+    "q45_delta_restore",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -2011,14 +2011,14 @@ def za57_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
 )
-def za58_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE on the real Delta log (`sources/delta_writer.
     delta_restore`): create orders%4==0 (v0), append the %4==1 slice
     (v1), DELETE half of it copy-on-write (v2 — the "mistake"), then
     RESTORE TO VERSION 1 (v3) and read the LATEST snapshot — which
     must equal v0+v1 exactly: the restore commit re-adds the files v2
     removed (partitionValues from the log, numRecords from footers)
-    and the reader replays it like any other commit. za53 proves time
+    and the reader replays it like any other commit. q16 proves time
     travel can *look past* a bad commit; this proves the engine can
     *undo* one while keeping it in history (v2 stays readable).
 

@@ -1,7 +1,7 @@
 """Semantics tests for the round-9 operators: l-diversity
 (operators/privacy.py) and the per-key KS drift battery
 (operators/stats_tests.py). The streaming dedup equivalence is
-differential-gate attested (za51) and its building block
+differential-gate attested (q10, formerly za51) and its building block
 (streaming/windows.dedup_stream) has its own streaming tests."""
 
 import math

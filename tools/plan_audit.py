@@ -188,13 +188,13 @@ AUDIT = {
         "signatures; band equi-join with combined-bucket cap",
         (),
     ),
-    "q10_hits_scores": (
+    "za51_hits_scores": (
         "per half-step: edge equi-join + hash agg on (node, double); L2 "
         "norm is a broadcast 1-row crossJoin; rounds read checkpointed "
         "blocks (plan shows ExistingRDD-rooted final round)",
         (),
     ),
-    "q09_pca_covariance": (
+    "za50_pca_covariance": (
         "partial Gramians per partition via ArrowEvalPython mapInPandas; "
         "only d^2 partial-sum rows shuffle; means join is d-row broadcast",
         (),
@@ -774,7 +774,7 @@ AUDIT = {
         "— the quadratic NOT-EXISTS truth exists only oracle-side",
         (),
     ),
-    "q21_item_cf": (
+    "za55_item_cf": (
         "basket-capped pair generation as ONE self-equi-join on the "
         "basket key (fan-out quadratic in basket size, never corpus "
         "size); norms join back on item ids; global top-100 is "
@@ -845,7 +845,7 @@ AUDIT = {
         "; the SinglePartition sorts fold <=4096-bin histograms",
         ("BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
-    "q16_negative_sampling": (
+    "za53_negative_sampling": (
         "one k-explode hash projection per pair + a 1-row corpus "
         "count broadcast (the conditionless BNLJ); no RNG state, no "
         "second corpus pass",
@@ -856,26 +856,26 @@ AUDIT = {
         "shuffle, no fit pass - the portable sampleBy",
         (),
     ),
-    "q18_hll_shard_merge": (
+    "za54_hll_shard_merge": (
         "shard-keyed register aggregate (<= shards x 2^p rows) -> "
         "bucket max-merge -> 1-row estimates; raw data shuffles once "
         "as (source, bucket, rho) ints - the BNLJs are the "
         "conditionless 1-ROW estimate broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q26_grouped_quantiles": (
+    "za56_grouped_quantiles": (
         "two group-keyed map-side-combinable aggregates; the per-group "
         "CDF window and quantile lookup run on |groups| x n_bins rows",
         (),
     ),
-    "q45_join_skew_stats": (
+    "za58_join_skew_stats": (
         "preflight never performs the join: two count aggregates, a "
         "|keys|-row join of count tables, a 1-row roll-up - the BNLJ "
         "is the conditionless 1-ROW x 1-ROW (totals x top-k) "
         "broadcast merge, the scalar-broadcast idiom",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q11_zipf_fit": (
+    "za52_zipf_fit": (
         "one map-side-combinable token count + top-N rank window over "
         "|vocab| rows + 1-row OLS moments; bodies never shuffle",
         (),
@@ -971,40 +971,40 @@ AUDIT = {
         "(n_cal, q_hat) onto the eval reduction",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za50_l_diversity": (
+    "q09_l_diversity": (
         "l-diversity: one (class, sensitive-value) hash aggregate with "
         "map-side partials + one |classes x values|-row reduction — no "
         "windows, no joins, payloads never shuffle",
         (),
     ),
-    "za51_stream_dedup": (
+    "q10_stream_dedup": (
         "streaming dedup equivalence: the harness writes three "
         "ts-filtered chunk files (filters pushed to the scan) and the "
         "dedup state machinery runs at STREAM time; the returned frame "
         "is a plain parquet scan of the drained sink + sort",
         (),
     ),
-    "za52_keyed_ks_drift": (
+    "q11_keyed_ks_drift": (
         "keyed KS battery: one (key, value) hash aggregate pools ties; "
         "per-key cumulative windows PARTITIONED BY KEY (never "
         "SinglePartition); |keys|-row decision output",
         (),
     ),
-    "za53_delta_time_travel": (
+    "q16_delta_time_travel": (
         "real-format Delta time travel: the version-1 snapshot "
         "resolves driver-side from the _delta_log (decode, replay); "
         "the plan is a PLAIN parquet scan of that snapshot's "
         "immutable files + one hash aggregate — no log join",
         (),
     ),
-    "za58_delta_restore": (
+    "q45_delta_restore": (
         "real-format Delta RESTORE: the restore commit is driver-side "
         "log surgery (file-list diff + footer reads); the read-back "
         "plan is a plain parquet scan of the restored snapshot + one "
         "hash aggregate — no log join",
         (),
     ),
-    "za55_bh_fdr_drift": (
+    "q21_bh_fdr_drift": (
         "BH step-up over the keyed-KS battery: per-key windows "
         "PARTITIONED BY KEY; the |tests|-row p-value ranking is the "
         "range-partitioned global_row_number (never a single-task "
@@ -1012,14 +1012,14 @@ AUDIT = {
         "(the sanctioned crossJoin idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za56_stream_sessions": (
+    "q26_stream_sessions": (
         "streaming session equivalence: the merging-session state "
         "machinery ran at STREAM time (append mode, watermark "
         "eviction); the returned frame is a plain scan of the "
         "drained memory sink + a date_format projection",
         (),
     ),
-    "za57_stream_spacesaving": (
+    "q35_stream_spacesaving": (
         "streaming Space-Saving equivalence: the sketch state ran "
         "at STREAM time (applyInPandasWithState, bounded k-counter "
         "state); the returned frame scans the drained memory sink "
