@@ -217,9 +217,13 @@ HEADLINE = [
     "q09_l_diversity",
     "q11_keyed_ks_drift",
     "q16_delta_time_travel",
-    # q10_stream_dedup is gate-attested but NOT benched: its wall
-    # time is streaming-engine drain overhead, which the streaming
-    # section already measures directly
+    "q21_bh_fdr_drift",
+    "q45_delta_restore",
+    "za59_weighted_quantiles",
+    # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
+    # q35_stream_spacesaving are gate-attested but NOT benched: their
+    # wall time is streaming-engine drain overhead, which the
+    # streaming section already measures directly
 ]
 
 

@@ -33,6 +33,8 @@ __all__ = [
     "histogram_quantile_oracle_sql",
     "grouped_histogram_quantiles",
     "grouped_histogram_quantile_oracle_sql",
+    "weighted_quantiles",
+    "weighted_quantile_oracle_sql",
 ]
 
 
@@ -300,4 +302,99 @@ def grouped_histogram_quantile_oracle_sql(
                  ELSE lo + (bin + 1) * {wexpr} END, {round_digits}) AS hi_edge,
            n
     FROM hits JOIN ext USING (grp) ORDER BY grp, q
+    """
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps_bp: tuple[int, ...] = (2500, 5000, 7500, 9000, 9900),
+) -> DataFrame:
+    """EXACT weighted quantiles: for each probability p (given in
+    basis points so the threshold rule stays in INTEGER algebra), the
+    smallest value v whose cumulative weight reaches ``p·W`` —
+    ``min{v : cumw(v)·10⁴ ≥ p_bp·W}``, the weighted generalization of
+    the ceil-rank convention q46's histogram selection uses. The
+    token-budget / mixture-reweighting primitive ("the 75th
+    percentile document by TOKEN mass, not by document count") the
+    selection kit (z38 token budget, za20 temperature mixture) works
+    in terms of.
+
+    Output: ``(p, value, total_weight)``, one row per requested
+    probability.
+
+    Exactness contract: weights aggregate as BIGINT; the threshold
+    compare is ``cumw·10⁴ ≥ p_bp·W`` — pure int64 (overflow headroom:
+    cumw·10⁴ caps at W·10⁴, so W may reach ~9·10¹⁴ — about 6·10¹²
+    lineitems at TPC-H weights — before the compare would need
+    DECIMAL; document-scale corpora stay far under it).
+
+    Scale shape: one (value)-keyed hash aggregate with map-side
+    partials pools duplicate values; the cumulative weight runs
+    through `qnorm.global_cumulative_sums` (range-partition +
+    broadcast offsets — never a single-task window); the total is a
+    1-row broadcast (the sanctioned crossJoin idiom); the per-p
+    selection is a |distinct|×|ps| filter feeding a |ps|-row
+    map-side-combinable min aggregate."""
+    from computer_vision_foundations_spark.operators.qnorm import (
+        global_cumulative_sums,
+    )
+
+    per_val = (
+        df.where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+    )
+    cum = global_cumulative_sums(per_val, ["v"], ["w"])
+    tot = per_val.agg(F.sum("w").alias("w_tot"))
+    marks = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "w_cum",
+        "w_tot",
+        F.explode(F.array(*[F.lit(int(p)) for p in ps_bp])).alias("p_bp"),
+    )
+    hit = marks.where(
+        F.col("w_cum") * F.lit(10000) >= F.col("p_bp") * F.col("w_tot")
+    )
+    return (
+        hit.groupBy("p_bp", "w_tot")
+        .agg(F.min("v").alias("value"))
+        .select(
+            (F.col("p_bp") / F.lit(10000.0)).alias("p"),
+            "value",
+            F.col("w_tot").alias("total_weight"),
+        )
+        .orderBy("p")
+    )
+
+
+def weighted_quantile_oracle_sql(
+    table: str,
+    value_col: str,
+    weight_col: str,
+    ps_bp: tuple[int, ...] = (2500, 5000, 7500, 9000, 9900),
+) -> str:
+    """DuckDB twin — identical value pooling, integer threshold rule."""
+    plist = ", ".join(str(int(p)) for p in ps_bp)
+    return f"""
+    WITH per_val AS (
+        SELECT CAST({value_col} AS DOUBLE) AS v,
+               CAST(sum(CAST({weight_col} AS BIGINT)) AS BIGINT) AS w
+        FROM {table}
+        WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+        GROUP BY CAST({value_col} AS DOUBLE)
+    ), cum AS (
+        SELECT v,
+               sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS w_cum,
+               sum(w) OVER () AS W
+        FROM per_val
+    ), marks AS (
+        SELECT v, w_cum, W, p_bp
+        FROM cum CROSS JOIN (SELECT unnest([{plist}]) AS p_bp) ps
+    )
+    SELECT p_bp / 10000.0 AS p, min(v) AS value,
+           CAST(W AS BIGINT) AS total_weight
+    FROM marks WHERE w_cum * 10000 >= p_bp * W
+    GROUP BY p_bp, W ORDER BY p
     """

@@ -2047,3 +2047,42 @@ def q45_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za59 — exact weighted quantiles (operators/quantile_sketch.py)
+# ---------------------------------------------------------------------------
+
+def _wq_oracle() -> str:
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        weighted_quantile_oracle_sql,
+    )
+
+    return weighted_quantile_oracle_sql(
+        "lineitem", "l_extendedprice", "l_quantity"
+    )
+
+
+@_register("za59_weighted_quantiles", _wq_oracle())
+def za59_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED quantiles (`operators/quantile_sketch.
+    weighted_quantiles`): the smallest extended price whose cumulative
+    QUANTITY mass reaches p·W for p ∈ {.25, .5, .75, .9, .99} — "the
+    75th percentile by token mass, not by document count", the
+    selection convention token-budget pipelines (z38, za20) actually
+    need. The threshold rule is pure int64 (`cumw·10⁴ ≥ p_bp·W`), so
+    both engines pick the identical boundary value with no
+    interpolation convention to disagree on — the weighted
+    generalization of q46's ceil-rank contract.
+
+    Scale shape: one value-keyed hash aggregate pools duplicate
+    prices; the cumulative mass runs through the range-partitioned
+    `global_cumulative_sums` (never a single-task window); the total
+    is the 1-row broadcast crossJoin idiom; selection is a
+    |distinct|×5 filter into a 5-row min aggregate."""
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        weighted_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantiles(li, "l_extendedprice", "l_quantity")

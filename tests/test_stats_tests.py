@@ -155,3 +155,24 @@ def test_keyed_ks_pvalues_disjoint_support(spark):
     out = keyed_ks_pvalues(df, "k", "value", F.col("side") == 1).collect()
     expect = 2.0 * math.exp(-2.0 * 1.0 * (10.0 * 10 / 20))
     assert out[0]["p"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_weighted_quantiles_hand_case(spark):
+    """Weighted median by hand: values 1,2,3 with weights 1,1,6 ->
+    p50 lands on 3 (cumw 2/8 < 4 <= 8/8); p25 on 2 (cumw 2*1e4 >=
+    2500*8)."""
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 6)], "v double, w long"
+    )
+    out = {r["p"]: r["value"] for r in weighted_quantiles(df, "v", "w").collect()}
+    assert out[0.25] == 2.0 and out[0.5] == 3.0 and out[0.99] == 3.0
+    # duplicate values pool their weights before the cumulative pass
+    df2 = spark.createDataFrame(
+        [(1.0, 3), (1.0, 3), (2.0, 1)], "v double, w long"
+    )
+    out2 = {r["p"]: r["value"] for r in weighted_quantiles(df2, "v", "w").collect()}
+    assert out2[0.5] == 1.0 and out2[0.9] == 2.0

@@ -997,6 +997,14 @@ AUDIT = {
         "immutable files + one hash aggregate — no log join",
         (),
     ),
+    "za59_weighted_quantiles": (
+        "exact weighted quantiles: one value-keyed hash aggregate "
+        "pools duplicates; the cumulative mass is the range-"
+        "partitioned global_cumulative_sums (never a single-task "
+        "window); the BNLJs are the 1-row total broadcast (sanctioned "
+        "crossJoin idiom) and the offsets broadcast",
+        ("BroadcastNestedLoopJoin",),
+    ),
     "q45_delta_restore": (
         "real-format Delta RESTORE: the restore commit is driver-side "
         "log surgery (file-list diff + footer reads); the read-back "

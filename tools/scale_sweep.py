@@ -144,6 +144,22 @@ SWEEP_QUERIES = [
     "q41_lpa_communities",
     "q42_kcore_members",
     "q40_triangle_stats",
+    # round-9 second wave: the drift/FDR battery over 5x-densified
+    # keyed streams (5x samples per KS test shrink every p-value —
+    # the step-up cutoff i* must move identically in both engines),
+    # the privacy audit over 5x-denser QI classes, and the two NEW
+    # streaming differentials — sessions (5x users, watermark
+    # eviction at density) and Space-Saving (5x events into the same
+    # 256-value universe: counters quintuple, exactness must hold).
+    # The Delta log entries (q16/q45) replay file-list surgery over
+    # 5x the files.
+    "q09_l_diversity",
+    "q11_keyed_ks_drift",
+    "q21_bh_fdr_drift",
+    "q26_stream_sessions",
+    "q35_stream_spacesaving",
+    "q16_delta_time_travel",
+    "q45_delta_restore",
 ]
 
 PAIR_QUERIES = {
