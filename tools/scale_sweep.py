@@ -160,6 +160,7 @@ SWEEP_QUERIES = [
     "q35_stream_spacesaving",
     "q16_delta_time_travel",
     "q45_delta_restore",
+    "za59_weighted_quantiles",
 ]
 
 PAIR_QUERIES = {
