@@ -14,6 +14,13 @@ stale) and writes LINEAGE.json:
     {"<suffix>": {"current": "<key in today's registry>",
                   "history": {"<artifact file>": "<key>", ...}}}
 
+Known suffix collisions (two live queries share a suffix, so their
+lineage rows interleave; both are DELIBERATE operator pairs, never
+renames of each other): ``sessionization`` (q44 operator-level vs q82
+relational-window twin) and ``zipf_fit`` (z45 = `operators/vocab.py`'s
+top-50 fit vs za52 = `operators/zipf.py`'s top-256 fit, which rotated
+through q11 in round 8). Adjudicate those two by key, not suffix.
+
 Run from the repo root: python tools/lineage_map.py
 """
 
