@@ -221,8 +221,9 @@ HEADLINE = [
     "q45_delta_restore",
     "za59_weighted_quantiles",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
-    # q35_stream_spacesaving are gate-attested but NOT benched: their
-    # wall time is streaming-engine drain overhead, which the
+    # q35_stream_spacesaving / za60_stream_running_totals /
+    # za61_stream_kmv_distinct are gate-attested but NOT benched:
+    # their wall time is streaming-engine drain overhead, which the
     # streaming section already measures directly
 ]
 

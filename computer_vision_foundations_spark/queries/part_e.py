@@ -2086,3 +2086,212 @@ def za59_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return weighted_quantiles(li, "l_extendedprice", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# za60 — streaming running totals ≡ batch GROUP BY (cents-exact sums)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za60_stream_running_totals",
+    f"""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events
+    ), chunks AS (
+        SELECT user_id, vc,
+               CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+                    WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+                    ELSE 3 END AS ch
+        FROM e
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(vc) AS DOUBLE) AS sum_value,
+           count(DISTINCT ch) AS batch_seq
+    FROM chunks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def za60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running totals ≡ batch GROUP BY (`streaming/stateful.
+    running_totals_stateful`): per-user cumulative (count, sum) carried
+    in ``applyInPandasWithState`` across three time-ordered
+    micro-batches; the final per-key snapshot must equal a plain batch
+    aggregate, and the emitted ``batch_seq`` must equal the number of
+    chunks that actually contained the user — an oracle-checkable
+    proof the state store carried totals ACROSS batches rather than
+    re-aggregating each one. Values are quantized to integer cents
+    BEFORE the stream (floor(value·100) as BIGINT) so the cumulative
+    sum is exact integer algebra in both engines — the za50 (q09)
+    float-reduction-order lesson applied to streaming state.
+
+    Scale shape: state is 3 numbers per key; each batch shuffles its
+    rows once by key and folds Arrow-batched partial sums into state.
+    The final-snapshot filter windows the drained |batches × keys|
+    memory table."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from computer_vision_foundations_spark.streaming.stateful import (
+        running_totals_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    stage = tempfile.mkdtemp(prefix="stream_rt_stage_")
+    landing = tempfile.mkdtemp(prefix="stream_rt_landing_")
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+        d = _os.path.join(stage, str(i))
+        chunk.select("user_id", "vc").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(
+            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(landing, f"chunk-{i}.parquet")
+        _shutil.copy(_os.path.join(d, part), dst)
+        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    stream = (
+        spark.readStream.schema("user_id long, vc long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    totals = running_totals_stateful(
+        stream, key_col="user_id", value_col="vc"
+    )
+    name = f"za60_rt_{_uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_rt_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (
+        drained.withColumn("_last", F.max("batch_seq").over(w))
+        .where(F.col("batch_seq") == F.col("_last"))
+        .select("user_id", "n_events", "sum_value", "batch_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# za61 — streaming KMV distinct sketch ≡ exact distinct (< k regime)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za61_stream_kmv_distinct",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ), chunks AS (
+        SELECT user_id, event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+                    WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+                    ELSE 3 END AS ch
+        FROM e
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS DOUBLE) AS approx_distinct,
+           count(DISTINCT event_type) AS n_hashes,
+           count(DISTINCT ch) AS batch_seq
+    FROM chunks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def za61_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV bottom-k distinct sketch ≡ exact distinct
+    (`streaming/stateful.approx_distinct_stateful`): per-user distinct
+    event types tracked as the k smallest md5 hashes in state across
+    three time-ordered micro-batches. With k=64 over an ≤8-value
+    universe the sketch IS the distinct set (its documented exactness
+    regime), so the final snapshot's estimate, hash count, and
+    batch_seq are all oracle-checkable against a plain batch
+    COUNT(DISTINCT) — the same exact-regime parity q35 uses for
+    Space-Saving. The ≥k estimator regime ((k−1)/θ_k) stays
+    pytest-attested because its output is approximate by design.
+
+    Scale shape: state is ≤ k·33 bytes per key regardless of stream
+    length; each batch folds its new hashes into the stored sample —
+    the bounded-state property that makes per-key cardinality
+    tracking viable on unbounded streams."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from computer_vision_foundations_spark.streaming.stateful import (
+        approx_distinct_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+    )
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+    stage = tempfile.mkdtemp(prefix="stream_kmv_stage_")
+    landing = tempfile.mkdtemp(prefix="stream_kmv_landing_")
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+        d = _os.path.join(stage, str(i))
+        chunk.select("user_id", "event_type").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(
+            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(landing, f"chunk-{i}.parquet")
+        _shutil.copy(_os.path.join(d, part), dst)
+        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    sketched = approx_distinct_stateful(
+        stream, key_col="user_id", value_col="event_type", k=64
+    )
+    name = f"za61_kmv_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sketched.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_kmv_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (
+        drained.withColumn("_last", F.max("batch_seq").over(w))
+        .where(F.col("batch_seq") == F.col("_last"))
+        .select("user_id", "approx_distinct", "n_hashes", "batch_seq")
+    )

@@ -997,6 +997,27 @@ AUDIT = {
         "immutable files + one hash aggregate — no log join",
         (),
     ),
+    "za57_wasserstein_shift": (
+        "W1 distance: per-value pooling join + the range-partitioned "
+        "cumulative-sum pass (round-9 scale fix — no single-task "
+        "window); the BNLJ is the 1-row (na, nb) totals broadcast "
+        "(Keys: [] aggregate build — the sanctioned scalar crossJoin "
+        "idiom)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za60_stream_running_totals": (
+        "streaming running-totals equivalence: the cents-exact "
+        "accumulation ran at STREAM time (applyInPandasWithState, "
+        "3-number state per key); the returned frame scans the "
+        "drained memory sink with one keyed final-snapshot window",
+        (),
+    ),
+    "za61_stream_kmv_distinct": (
+        "streaming KMV-sketch equivalence: the bottom-k hash state "
+        "ran at STREAM time; the returned frame scans the drained "
+        "memory sink with one keyed final-snapshot window",
+        (),
+    ),
     "za59_weighted_quantiles": (
         "exact weighted quantiles: one value-keyed hash aggregate "
         "pools duplicates; the cumulative mass is the range-"
