@@ -324,7 +324,10 @@ def weighted_quantiles(
     Output: ``(p, value, total_weight)``, one row per requested
     probability.
 
-    Exactness contract: weights aggregate as BIGINT; the threshold
+    Exactness contract: weights integerize as floor() — the one
+    rule Spark and SQL spell identically (cast-to-long truncates in
+    Spark but ROUNDS in DuckDB; floor never disagrees) — and
+    aggregate as BIGINT; the threshold
     compare is ``cumw·10⁴ ≥ p_bp·W`` — pure int64 (overflow headroom:
     cumw·10⁴ caps at W·10⁴, so W may reach ~9·10¹⁴ — about 6·10¹²
     lineitems at TPC-H weights — before the compare would need
@@ -344,10 +347,17 @@ def weighted_quantiles(
     per_val = (
         df.where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
         .groupBy(F.col(value_col).cast("double").alias("v"))
-        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+        # floor(), not cast: Spark's cast(long) truncates toward zero
+        # while SQL CAST(DOUBLE AS BIGINT) rounds — floor is the one
+        # integerization both engines spell identically, so fractional
+        # weights cannot silently diverge the twin
+        .agg(F.sum(F.floor(F.col(weight_col)).cast("long")).alias("w"))
     )
     cum = global_cumulative_sums(per_val, ["v"], ["w"])
-    tot = per_val.agg(F.sum("w").alias("w_tot"))
+    # W = the LAST cumulative value — read from the localCheckpointed
+    # |distinct|-row cumulative frame instead of re-scanning the raw
+    # input with a second corpus-sized aggregate
+    tot = cum.agg(F.max("w_cum").alias("w_tot"))
     marks = cum.crossJoin(F.broadcast(tot)).select(
         "v",
         "w_cum",
@@ -380,7 +390,7 @@ def weighted_quantile_oracle_sql(
     return f"""
     WITH per_val AS (
         SELECT CAST({value_col} AS DOUBLE) AS v,
-               CAST(sum(CAST({weight_col} AS BIGINT)) AS BIGINT) AS w
+               CAST(sum(CAST(floor({weight_col}) AS BIGINT)) AS BIGINT) AS w
         FROM {table}
         WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
         GROUP BY CAST({value_col} AS DOUBLE)

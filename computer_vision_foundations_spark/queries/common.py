@@ -72,3 +72,51 @@ def queries() -> dict[str, QuerySpec]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def ts_chunks(df: DataFrame, cuts: list[str], ts_col: str = "ts") -> list[DataFrame]:
+    """Split ``df`` into ``len(cuts)+1`` time-ordered slices by
+    PLAN-LITERAL timestamp cuts (pushed filters — never a global
+    ntile window). Shared by every streaming-differential harness
+    that replays a table as ordered micro-batches."""
+    bounds = (
+        [(None, cuts[0])]
+        + list(zip(cuts, cuts[1:]))
+        + [(cuts[-1], None)]
+    )
+    out = []
+    for lo, hi in bounds:
+        c = df
+        if lo is not None:
+            c = c.where(F.col(ts_col) >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            c = c.where(F.col(ts_col) < F.lit(hi).cast("timestamp"))
+        out.append(c)
+    return out
+
+
+def stage_time_ordered_chunks(chunks: list[DataFrame], prefix: str) -> str:
+    """Write each chunk DataFrame as ONE parquet file into a fresh
+    landing dir with strictly increasing mtimes, so the file stream
+    source's oldest-first order — and therefore micro-batch delivery
+    order — is deterministic. Returns the landing dir; the scratch
+    staging dir is removed. One definition for all six streaming
+    differentials (the harness contract lives here, not in six
+    drifting copies)."""
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_stage_")
+    landing = tempfile.mkdtemp(prefix=f"{prefix}_landing_")
+    for i, chunk in enumerate(chunks, start=1):
+        d = os.path.join(stage, str(i))
+        chunk.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(landing, f"chunk-{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    shutil.rmtree(stage, ignore_errors=True)
+    return landing

@@ -14,6 +14,8 @@ from computer_vision_foundations_spark.queries.common import (  # noqa: F401
     Window,
     _register,
     load_table,
+    stage_time_ordered_chunks,
+    ts_chunks,
 )
 
 
@@ -1437,8 +1439,6 @@ def q10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: dedup state is keyed (event_id) rows bounded by the
     watermark horizon; each batch is one hash lookup per row — no
     joins, no windows."""
-    import os as _os
-    import shutil as _shutil
     import tempfile
 
     from computer_vision_foundations_spark.streaming.windows import (
@@ -1455,37 +1455,18 @@ def q10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-ordered thirds by PLAN-LITERAL cuts (pushed filters — no
     # global ntile window): the fixture spans January 2024
     cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
-    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
-
-    def _slice(j: int):
-        lo, hi = bounds[j]
-        c = ev
-        if lo is not None:
-            c = c.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            c = c.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-        return c
-
-    stage = tempfile.mkdtemp(prefix="stream_dedup_stage_")
-    landing = tempfile.mkdtemp(prefix="stream_dedup_landing_")
-    for i in (1, 2, 3):
-        chunk = _slice(i - 1)
-        if i > 1:
+    thirds = ts_chunks(ev, cuts)
+    chunks = []
+    for i, chunk in enumerate(thirds):
+        if i > 0:
             redrop = (
-                _slice(i - 2)
+                thirds[i - 1]
                 .where(F.col("event_id") % 5 == 0)
                 .withColumn("value", F.col("value") + 1000.0)
             )
             chunk = chunk.unionByName(redrop)
-        d = _os.path.join(stage, str(i))
-        chunk.coalesce(1).write.mode("overwrite").parquet(d)
-        part = next(
-            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(landing, f"chunk-{i}.parquet")
-        _shutil.copy(_os.path.join(d, part), dst)
-        # deterministic oldest-first source order = delivery order
-        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+        chunks.append(chunk)
+    landing = stage_time_ordered_chunks(chunks, "stream_dedup")
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, "
@@ -1641,8 +1622,6 @@ def q18_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: window state is |windows × types| rows; each batch
     is one map-side-combinable partial aggregate merged into state —
     events stream through once."""
-    import os as _os
-    import shutil as _shutil
     import tempfile
     import uuid as _uuid
 
@@ -1657,23 +1636,7 @@ def q18_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
-    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
-    stage = tempfile.mkdtemp(prefix="stream_win_stage_")
-    landing = tempfile.mkdtemp(prefix="stream_win_landing_")
-    for i, (lo, hi) in enumerate(bounds, start=1):
-        chunk = ev
-        if lo is not None:
-            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-        d = _os.path.join(stage, str(i))
-        chunk.coalesce(1).write.mode("overwrite").parquet(d)
-        part = next(
-            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(landing, f"chunk-{i}.parquet")
-        _shutil.copy(_os.path.join(d, part), dst)
-        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    landing = stage_time_ordered_chunks(ts_chunks(ev, cuts), "stream_win")
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, event_type string, value double"
@@ -1723,6 +1686,12 @@ def _bh_fdr_oracle() -> str:
         "value",
         f"ts < TIMESTAMP '{_PSI_CUT}'",
     )
+    # round p to the 6-digit grid BEFORE ranking and the step-up
+    # compare: p comes out of exp(), whose last ulp is libm-dependent
+    # — the BH rank order and the i* boundary must not hinge on a
+    # JVM-vs-DuckDB exp ulp (the display column was already rounded;
+    # this closes the decision path too)
+    pv = f"SELECT k, round(p, 6) AS p FROM ({pv}) pv_raw"
     return bh_oracle_sql(pv, "k", q=0.05)
 
 
@@ -1763,7 +1732,9 @@ def q21_bh_fdr_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cut = F.lit(_PSI_CUT).cast("timestamp")
-    pv = keyed_ks_pvalues(ev, "k", "value", F.col("ts") < cut)
+    pv = keyed_ks_pvalues(ev, "k", "value", F.col("ts") < cut).select(
+        "k", F.round("p", 6).alias("p")  # grid BEFORE rank/decision
+    )
     return bh_fdr(pv, "p", ["k"], q=0.05)
 
 
@@ -1823,8 +1794,6 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     active user bounded by the watermark horizon; each batch is one
     keyed merge — events stream through once, and closed sessions
     leave state the moment the watermark passes them."""
-    import os as _os
-    import shutil as _shutil
     import tempfile
     import uuid as _uuid
 
@@ -1840,27 +1809,9 @@ def q26_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1,)], "user_id long"
     ).select("user_id", F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"))
     cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
-    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
-    stage = tempfile.mkdtemp(prefix="stream_sess_stage_")
-    landing = tempfile.mkdtemp(prefix="stream_sess_landing_")
-    chunks = []
-    for lo, hi in bounds:
-        chunk = ev
-        if lo is not None:
-            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-        chunks.append(chunk)
-    chunks.append(sentinel)
-    for i, chunk in enumerate(chunks, start=1):
-        d = _os.path.join(stage, str(i))
-        chunk.coalesce(1).write.mode("overwrite").parquet(d)
-        part = next(
-            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(landing, f"chunk-{i}.parquet")
-        _shutil.copy(_os.path.join(d, part), dst)
-        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    landing = stage_time_ordered_chunks(
+        ts_chunks(ev, cuts) + [sentinel], "stream_sess"
+    )
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
         .option("maxFilesPerTrigger", "1")
@@ -1928,8 +1879,6 @@ def q35_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     INDEPENDENT of stream length, the whole point of the sketch; each
     batch touches only the keys it carries. The final-snapshot filter
     runs over the drained |batches × keys × k| memory table."""
-    import os as _os
-    import shutil as _shutil
     import tempfile
     import uuid as _uuid
 
@@ -1943,25 +1892,10 @@ def q35_stream_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 256).cast("string").alias("bucket"),
     )
     cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
-    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
-    stage = tempfile.mkdtemp(prefix="stream_ss_stage_")
-    landing = tempfile.mkdtemp(prefix="stream_ss_landing_")
-    for i, (lo, hi) in enumerate(bounds, start=1):
-        chunk = ev
-        if lo is not None:
-            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-        d = _os.path.join(stage, str(i))
-        chunk.select("event_type", "bucket").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        part = next(
-            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(landing, f"chunk-{i}.parquet")
-        _shutil.copy(_os.path.join(d, part), dst)
-        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    landing = stage_time_ordered_chunks(
+        [c.select("event_type", "bucket") for c in ts_chunks(ev, cuts)],
+        "stream_ss",
+    )
     stream = (
         spark.readStream.schema("event_type string, bucket string")
         .option("maxFilesPerTrigger", "1")
@@ -2129,8 +2063,6 @@ def za60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows once by key and folds Arrow-batched partial sums into state.
     The final-snapshot filter windows the drained |batches × keys|
     memory table."""
-    import os as _os
-    import shutil as _shutil
     import tempfile
     import uuid as _uuid
 
@@ -2144,25 +2076,10 @@ def za60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100).cast("long").alias("vc"),
     )
     cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
-    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
-    stage = tempfile.mkdtemp(prefix="stream_rt_stage_")
-    landing = tempfile.mkdtemp(prefix="stream_rt_landing_")
-    for i, (lo, hi) in enumerate(bounds, start=1):
-        chunk = ev
-        if lo is not None:
-            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-        d = _os.path.join(stage, str(i))
-        chunk.select("user_id", "vc").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        part = next(
-            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(landing, f"chunk-{i}.parquet")
-        _shutil.copy(_os.path.join(d, part), dst)
-        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    landing = stage_time_ordered_chunks(
+        [c.select("user_id", "vc") for c in ts_chunks(ev, cuts)],
+        "stream_rt",
+    )
     stream = (
         spark.readStream.schema("user_id long, vc long")
         .option("maxFilesPerTrigger", "1")
@@ -2233,8 +2150,6 @@ def za61_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     length; each batch folds its new hashes into the stored sample —
     the bounded-state property that makes per-key cardinality
     tracking viable on unbounded streams."""
-    import os as _os
-    import shutil as _shutil
     import tempfile
     import uuid as _uuid
 
@@ -2248,25 +2163,10 @@ def za61_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
-    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
-    stage = tempfile.mkdtemp(prefix="stream_kmv_stage_")
-    landing = tempfile.mkdtemp(prefix="stream_kmv_landing_")
-    for i, (lo, hi) in enumerate(bounds, start=1):
-        chunk = ev
-        if lo is not None:
-            chunk = chunk.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        if hi is not None:
-            chunk = chunk.where(F.col("ts") < F.lit(hi).cast("timestamp"))
-        d = _os.path.join(stage, str(i))
-        chunk.select("user_id", "event_type").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        part = next(
-            f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
-        )
-        dst = _os.path.join(landing, f"chunk-{i}.parquet")
-        _shutil.copy(_os.path.join(d, part), dst)
-        _os.utime(dst, (1_000_000 * i, 1_000_000 * i))
+    landing = stage_time_ordered_chunks(
+        [c.select("user_id", "event_type") for c in ts_chunks(ev, cuts)],
+        "stream_kmv",
+    )
     stream = (
         spark.readStream.schema("user_id long, event_type string")
         .option("maxFilesPerTrigger", "1")

@@ -85,6 +85,13 @@ class DeltaSnapshot:
     files: dict[str, dict]
     num_commits_replayed: int
     checkpoint_version: int | None
+    # stable table identity + creation time from the latest metaData
+    # action: the protocol requires metaData.id to stay CONSTANT for
+    # the table's lifetime (schema-evolving commits re-emit metaData
+    # with the SAME id), so writers re-committing metaData must carry
+    # these through rather than minting fresh ones.
+    meta_id: str | None = None
+    created_time: int | None = None
 
 
 def _log_dir(root: str) -> str:
@@ -265,6 +272,8 @@ def delta_snapshot(
         files=state["files"],
         num_commits_replayed=replayed,
         checkpoint_version=ckpt_v,
+        meta_id=meta.get("id"),
+        created_time=meta.get("createdTime"),
     )
 
 

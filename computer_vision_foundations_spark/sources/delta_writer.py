@@ -172,6 +172,22 @@ def _add_action(rel: str, pv: dict, size: int, n_rows: int, ts: int) -> dict:
     }
 
 
+def _evolved_meta(snap, schema_json: str, partition_cols, ts: int) -> dict:
+    """metaData action for a schema-evolving commit: the protocol
+    requires the table id (and by convention createdTime) to stay
+    CONSTANT across the table's lifetime — delta-spark streaming
+    sources abort on a mid-history id change — so evolution re-emits
+    metaData with the SNAPSHOT's identity, never a fresh uuid."""
+    return {
+        "id": snap.meta_id or str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json,
+        "partitionColumns": list(partition_cols),
+        "configuration": {},
+        "createdTime": snap.created_time or ts,
+    }
+
+
 def _remove_action(encoded_path: str, ts: int) -> dict:
     return {
         "remove": {
@@ -422,20 +438,29 @@ def delta_append(
             raise ValueError(
                 f"mergeSchema cannot change existing column types: {wrong}"
             )
-        new_fields = [f for f in df.schema.fields if f.name not in current]
+        from pyspark.sql import types as T
+
+        # evolved columns are forced nullable: every pre-existing file
+        # lacks them and reads NULL, so a non-null claim would be a lie
+        # external readers might optimize on (Delta's own mergeSchema
+        # does the same)
+        new_fields = [
+            T.StructField(f.name, f.dataType, nullable=True)
+            for f in df.schema.fields
+            if f.name not in current
+        ]
         if new_fields:
             out_fields = out_fields + new_fields
-            from pyspark.sql import types as T
-
-            meta = {
-                "id": str(uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": T.StructType(out_fields).json(),
-                "partitionColumns": snap.partition_columns,
-                "configuration": {},
-                "createdTime": ts,
-            }
-            actions.append({"metaData": meta})
+            actions.append(
+                {
+                    "metaData": _evolved_meta(
+                        snap,
+                        T.StructType(out_fields).json(),
+                        snap.partition_columns,
+                        ts,
+                    )
+                }
+            )
         have = {f.name for f in df.schema.fields}
         cols = [
             F.col(f.name)
@@ -468,15 +493,13 @@ def delta_overwrite(
     ts = _now_ms()
     actions: list[dict] = []
     if df.schema.json() != snap.schema.json():
-        meta = {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
-            "partitionColumns": snap.partition_columns,
-            "configuration": {},
-            "createdTime": ts,
-        }
-        actions.append({"metaData": meta})
+        actions.append(
+            {
+                "metaData": _evolved_meta(
+                    snap, df.schema.json(), snap.partition_columns, ts
+                )
+            }
+        )
     files = _write_data_files(df, root, snap.partition_columns)
     actions += [
         _remove_action(_encode_path(rel), ts) for rel in sorted(snap.files)
@@ -733,15 +756,13 @@ def delta_restore(
     if tgt.schema.json() != cur.schema.json() or list(
         tgt.partition_columns
     ) != list(cur.partition_columns):
-        meta = {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": tgt.schema.json(),
-            "partitionColumns": list(tgt.partition_columns),
-            "configuration": {},
-            "createdTime": ts,
-        }
-        actions.append({"metaData": meta})
+        actions.append(
+            {
+                "metaData": _evolved_meta(
+                    cur, tgt.schema.json(), tgt.partition_columns, ts
+                )
+            }
+        )
     add_back = sorted(set(tgt.files) - set(cur.files))
     drop = sorted(set(cur.files) - set(tgt.files))
     if not actions and not add_back and not drop:

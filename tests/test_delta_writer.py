@@ -389,3 +389,37 @@ def test_merge_schema_append(spark):
             _mk(spark, [(5, "e", 1.0, 2.0)],
                 "k long, v string, score double, other double"),
         )
+
+
+def test_table_id_stable_across_evolution(spark):
+    """The protocol's stable-identity contract: metaData.id (and
+    createdTime) must survive overwrite-with-new-schema, mergeSchema
+    appends, and RESTORE — a mid-history id change aborts delta-spark
+    streaming sources."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    s0 = dr.delta_snapshot(root, spark)
+    dw.delta_overwrite(
+        spark, root, _mk(spark, [(1, "a", 1.0)], "k long, v string, x double")
+    )
+    dw.delta_append(
+        spark,
+        root,
+        _mk(spark, [(2, "b", 1.0, 9)], "k long, v string, x double, y long"),
+        merge_schema=True,
+    )
+    dw.delta_restore(spark, root, 0)
+    s3 = dr.delta_snapshot(root, spark)
+    assert s3.meta_id == s0.meta_id
+    assert s3.created_time == s0.created_time
+    # mergeSchema forced the evolved column nullable in the log
+    dw.delta_append(
+        spark,
+        root,
+        spark.createDataFrame([(3, "c", 5)], "k long, v string, z long")
+        .withColumn("z", F.col("z") + 0),  # z non-nullable in the batch
+        merge_schema=True,
+    )
+    snap = dr.delta_snapshot(root, spark)
+    zf = next(f for f in snap.schema.fields if f.name == "z")
+    assert zf.nullable is True

@@ -176,3 +176,19 @@ def test_weighted_quantiles_hand_case(spark):
     )
     out2 = {r["p"]: r["value"] for r in weighted_quantiles(df2, "v", "w").collect()}
     assert out2[0.5] == 1.0 and out2[0.9] == 2.0
+
+
+def test_weighted_quantiles_fractional_weights_floor(spark):
+    """Fractional weights integerize by floor() on BOTH engines —
+    2.5 counts as 2, 0.9 contributes nothing."""
+    from computer_vision_foundations_spark.operators.quantile_sketch import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 0.9), (2.0, 2.5), (3.0, 2.0)], "v double, w double"
+    )
+    # floored weights: 0, 2, 2 -> W=4; p50 threshold cumw>=2 -> v=2
+    out = {r["p"]: r for r in weighted_quantiles(df, "v", "w").collect()}
+    assert out[0.5]["value"] == 2.0
+    assert out[0.5]["total_weight"] == 4
