@@ -220,6 +220,8 @@ HEADLINE = [
     "q21_bh_fdr_drift",
     "q45_delta_restore",
     "za59_weighted_quantiles",
+    "za62_jsonl_roundtrip",
+    "za63_csv_roundtrip",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
     # q35_stream_spacesaving / za60_stream_running_totals /
     # za61_stream_kmv_distinct are gate-attested but NOT benched:

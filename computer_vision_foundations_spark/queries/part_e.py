@@ -2195,3 +2195,126 @@ def za61_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("batch_seq") == F.col("_last"))
         .select("user_id", "approx_distinct", "n_hashes", "batch_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# za62/za63 — JSONL + RFC-4180 CSV ingestion round trips
+# ---------------------------------------------------------------------------
+
+# LLM corpora ship as JSONL and CSV long before they become parquet;
+# these two entries gate-attest the engine's text-format ingestion on
+# HOSTILE content the fixture text lacks: every document gets an
+# embedded newline, a double quote, a comma and a non-ASCII char
+# appended (deterministically, mirrored in the oracle), plus injected
+# malformed lines that DROPMALFORMED must discard. The comparison is
+# the repo's md5-lane checksum (13 hex chars → 52-bit int, summed
+# per source on both engines) — byte-level proof the strings survived
+# the codec round trip.
+
+_ROUNDTRIP_ORACLE = """
+WITH t AS (
+    SELECT source,
+           text || chr(10) || '"' || lang || '",é' AS text2
+    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text2)) AS BIGINT) AS sum_len,
+       CAST(sum(CAST(('0x' || substr(md5(text2), 1, 13)) AS BIGINT))
+            AS BIGINT) AS text_sum
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+def _hostile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"), F.lit('\n"'), F.col("lang"), F.lit('",é')
+        ).alias("text2"),
+    )
+
+
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    lane = F.conv(
+        F.substring(F.md5(F.col("text2").cast("binary")), 1, 13), 16, 10
+    ).cast("long")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text2")).alias("sum_len"),
+        F.sum(lane).alias("text_sum"),
+    )
+
+
+@_register("za62_jsonl_roundtrip", _ROUNDTRIP_ORACLE)
+def za62_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion round trip: documents (with injected newline /
+    quote / comma / non-ASCII content) write as JSON Lines, read back
+    with an explicit schema in DROPMALFORMED mode past two injected
+    garbage lines, and the per-source md5-lane checksum must equal
+    the oracle's aggregate computed straight from parquet — byte
+    fidelity through the codec, not just row counts. The format the
+    reference's raw corpora actually arrive in before anything is
+    parquet.
+
+    Scale shape: write and read are embarrassingly parallel narrow
+    scans (JSON codec in the JVM, no Python); the only shuffle is the
+    |sources|-row final aggregate with map-side partials."""
+    import os as _os
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="jsonl_rt_")
+    _hostile_docs(spark, sf_dir).write.mode("overwrite").json(path)
+    with open(_os.path.join(path, "malformed.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "source": broken\nnot json at all\n')
+    back = (
+        spark.read.schema("doc_id long, source string, text2 string")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    return _roundtrip_agg(back)
+
+
+@_register("za63_csv_roundtrip", _ROUNDTRIP_ORACLE)
+def za63_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV ingestion round trip: same hostile documents
+    written with double-quote escaping (escape='\"' — the RFC
+    convention, NOT Spark's backslash default), read back with
+    multiLine=true (embedded newlines keep rows intact) past an
+    injected wrong-arity line that DROPMALFORMED discards; checksum
+    as za62. CSV is the format where naive pipelines silently corrupt
+    text — this entry proves the engine's reader/writer options are
+    the correct ones, byte-for-byte.
+
+    Scale shape: multiLine CSV is the one text format whose files are
+    NOT splittable (a record may span any offset) — parallelism is
+    per-file, which is why the 100 TB ingest contract (FIXTURES.md)
+    shards uploads into many files; noted here, measured nowhere
+    better."""
+    import os as _os
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    (
+        _hostile_docs(spark, sf_dir)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    with open(_os.path.join(path, "malformed.csv"), "w") as fh:
+        fh.write("only-one-field\n")
+    back = (
+        spark.read.schema("doc_id long, source string, text2 string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return _roundtrip_agg(back)

@@ -1018,6 +1018,18 @@ AUDIT = {
         "memory sink with one keyed final-snapshot window",
         (),
     ),
+    "za62_jsonl_roundtrip": (
+        "JSONL round trip: narrow JVM-codec write + schema'd "
+        "DROPMALFORMED read (both embarrassingly parallel); one "
+        "|sources|-row aggregate with map-side partials",
+        (),
+    ),
+    "za63_csv_roundtrip": (
+        "RFC-4180 CSV round trip: multiLine read is per-file "
+        "parallel (non-splittable by design — documented); one "
+        "|sources|-row aggregate with map-side partials",
+        (),
+    ),
     "za59_weighted_quantiles": (
         "exact weighted quantiles: one value-keyed hash aggregate "
         "pools duplicates; the cumulative mass is the range-"
