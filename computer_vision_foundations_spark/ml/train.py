@@ -113,12 +113,26 @@ def dataframe_to_xy(
     features_col: str = "features",
     label_col: str = "label",
     n_features: int | None = None,
+    max_driver_rows: int | None = 500_000,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Arrow-collect (features, label) into dense numpy arrays.
 
-    Driver-sized by design — see the module docstring for the
-    distributed alternative.
+    DRIVER-SIZED input contract: this materializes the whole frame
+    on the driver (it mirrors the reference's single-node training
+    loop). ``max_driver_rows`` enforces it — a frame above the cap
+    raises with a pointer to ``ml.distributed.fit_sharded``, the
+    scale path, instead of silently OOMing the driver on a
+    corpus-sized input. Pass ``None`` to opt out explicitly.
     """
+    if max_driver_rows is not None:
+        n = df.limit(max_driver_rows + 1).count()
+        if n > max_driver_rows:
+            raise ValueError(
+                f"dataframe_to_xy: input exceeds max_driver_rows="
+                f"{max_driver_rows} (driver-sized contract). Use "
+                "ml.distributed.fit_sharded for corpus-sized training, "
+                "or pass max_driver_rows=None to opt out."
+            )
     pdf: pd.DataFrame = df.select(features_col, label_col).toPandas()
     X = features_matrix(pdf, features_col, n_features)
     y = pdf[label_col].to_numpy(dtype=np.float64)
@@ -131,8 +145,14 @@ def fit_dataframe(
     features_col: str = "features",
     label_col: str = "label",
     n_features: int | None = None,
+    max_driver_rows: int | None = 500_000,
 ) -> tuple[LogisticHead, list[dict]]:
     """Train the head on a (features, label) DataFrame — the engine's
-    M4 entry point, fed by ``to_training_batches`` (U4)."""
-    X, y = dataframe_to_xy(df, features_col, label_col, n_features)
+    M4 entry point, fed by ``to_training_batches`` (U4).
+
+    Driver-sized input contract — see :func:`dataframe_to_xy`;
+    corpus-sized training belongs to ``ml.distributed.fit_sharded``."""
+    X, y = dataframe_to_xy(
+        df, features_col, label_col, n_features, max_driver_rows
+    )
     return fit_numpy(X, y, cfg)

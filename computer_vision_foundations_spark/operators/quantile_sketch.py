@@ -354,10 +354,14 @@ def weighted_quantiles(
         .agg(F.sum(F.floor(F.col(weight_col)).cast("long")).alias("w"))
     )
     cum = global_cumulative_sums(per_val, ["v"], ["w"])
-    # W = the LAST cumulative value — read from the localCheckpointed
-    # |distinct|-row cumulative frame instead of re-scanning the raw
-    # input with a second corpus-sized aggregate
-    tot = cum.agg(F.max("w_cum").alias("w_tot"))
+    # W = sum of the pooled per-value weights, read from the
+    # localCheckpointed |distinct|-row cumulative frame (not a second
+    # corpus-sized aggregate). sum(w), NOT max(w_cum): the oracle
+    # twin computes sum(w) OVER (), and the two only coincide when
+    # every pooled weight is non-negative — a negative weight makes
+    # the cumulative non-monotone and max() would silently diverge
+    # the engines on W and every threshold
+    tot = cum.agg(F.sum("w").alias("w_tot"))
     marks = cum.crossJoin(F.broadcast(tot)).select(
         "v",
         "w_cum",

@@ -537,6 +537,20 @@ def bh_fdr(
     batteries (q11's keyed KS, PSI) once "per-key test" becomes
     "thousands of feature×segment tests nightly".
 
+    Exactness contract (engine-portable decisions): p is snapped to
+    the 1e-6 grid and q to basis points UP FRONT, and the step-up
+    compare runs in pure int64 — ``p_µ·m ≤ p_rank·q_bp·100`` (both
+    sides ≤ m·10⁶, overflow-safe to m ≈ 9·10¹²). A float chain
+    ``p_rank·q/m`` evaluates differently under Spark's double
+    arithmetic vs an engine that parses ``0.05`` as DECIMAL (e.g.
+    3·0.05/3 = 0.050000000000000001 vs 0.049999999999999996), so a
+    grid p sitting exactly on the boundary would flip ``reject``
+    and i* between engines. ``bh_crit`` is likewise the exact
+    half-up rounding of p_rank·q/m to 6 digits computed with
+    integer division, not a float round. NULL p rows are dropped
+    (Spark sorts NULLS FIRST ascending, SQL engines default NULLS
+    LAST — a NULL would shift every rank engine-dependently).
+
     Scale shape: ranking uses `qnorm.global_row_number`
     (range-partition + broadcast offsets — never a single-task
     sort); ``m`` and ``i*`` are 1-row scalar aggregates broadcast
@@ -546,23 +560,32 @@ def bh_fdr(
         global_row_number,
     )
 
+    q_bp = int(round(q * 10000))
     ranked = global_row_number(
-        df.select(*id_cols, F.col(p_col).alias("_p")),
+        df.where(F.col(p_col).isNotNull()).select(
+            *id_cols, F.round(F.col(p_col), 6).alias("_p")
+        ),
         ["_p", *id_cols],
         out="p_rank",
     )
     m_row = ranked.agg(F.count(F.lit(1)).alias("m"))
     ranked = ranked.crossJoin(F.broadcast(m_row))
-    crit = F.col("p_rank") * F.lit(q) / F.col("m")
-    cut = ranked.where(F.col("_p") <= crit).agg(
+    # p on the 1e-6 grid is within ~1e-10·1e6 of its integer — the
+    # round() recovers it exactly on both engines
+    p_scaled = F.round(F.col("_p") * F.lit(1000000), 0).cast("long")
+    num = F.col("p_rank") * F.lit(q_bp * 100)  # = p_rank·q·10⁶
+    cut = ranked.where(p_scaled * F.col("m") <= num).agg(
         F.max("p_rank").alias("_istar")
     )
+    # exact half-up round of (p_rank·q/m) to 6 digits:
+    # round_half_up(num/m) = (2·num + m) div (2·m), then /10⁶
+    crit6 = F.expr(f"(2 * p_rank * {q_bp * 100} + m) div (2 * m)")
     return ranked.crossJoin(F.broadcast(cut)).select(
         *id_cols,
-        F.round("_p", 6).alias("p_value"),
+        F.col("_p").alias("p_value"),
         "p_rank",
         "m",
-        F.round(crit, 6).alias("bh_crit"),
+        (crit6.cast("double") / F.lit(1000000.0)).alias("bh_crit"),
         (
             F.col("p_rank") <= F.coalesce(F.col("_istar"), F.lit(0))
         ).alias("reject"),
@@ -572,23 +595,30 @@ def bh_fdr(
 def bh_oracle_sql(pv_sql: str, id_col: str, q: float) -> str:
     """DuckDB twin of :func:`bh_fdr` for a single id column:
     ``pv_sql`` is any SELECT producing ``(id_col, p)``. Identical
-    rank order (p, id), identical float criterion ``p_rank·q/m``."""
+    1e-6 p grid, rank order (p, id), and pure-int64 step-up
+    criterion ``p_µ·m ≤ p_rank·q_bp·100`` (see :func:`bh_fdr`)."""
+    q_bp = int(round(q * 10000))
     return f"""
-    WITH pv AS ({pv_sql}),
+    WITH pv0 AS ({pv_sql}),
+    pv AS (
+        SELECT {id_col}, round(p, 6) AS p FROM pv0 WHERE p IS NOT NULL
+    ),
     ranked AS (
         SELECT {id_col}, p,
+               CAST(round(p * 1000000, 0) AS BIGINT) AS p_scaled,
                row_number() OVER (ORDER BY p, {id_col}) AS p_rank,
                count(*) OVER () AS m
         FROM pv
     ),
     cut AS (
-        SELECT max(CASE WHEN p <= p_rank * {q!r} / m THEN p_rank END)
-               AS istar
+        SELECT max(CASE WHEN p_scaled * m <= p_rank * {q_bp * 100}
+                   THEN p_rank END) AS istar
         FROM ranked
     )
-    SELECT {id_col}, round(p, 6) AS p_value, p_rank,
+    SELECT {id_col}, p AS p_value, p_rank,
            CAST(m AS BIGINT) AS m,
-           round(p_rank * {q!r} / m, 6) AS bh_crit,
+           CAST((2 * p_rank * {q_bp * 100} + m) // (2 * m) AS DOUBLE)
+               / 1000000.0 AS bh_crit,
            p_rank <= coalesce((SELECT istar FROM cut), 0) AS reject
     FROM ranked ORDER BY p_rank
     """

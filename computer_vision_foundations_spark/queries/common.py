@@ -78,7 +78,16 @@ def ts_chunks(df: DataFrame, cuts: list[str], ts_col: str = "ts") -> list[DataFr
     """Split ``df`` into ``len(cuts)+1`` time-ordered slices by
     PLAN-LITERAL timestamp cuts (pushed filters — never a global
     ntile window). Shared by every streaming-differential harness
-    that replays a table as ordered micro-batches."""
+    that replays a table as ordered micro-batches. Empty ``cuts``
+    returns the single full-range chunk; unsorted cuts would
+    silently produce empty/overlapping slices, so they fail fast."""
+    if not cuts:
+        return [df]
+    if cuts != sorted(cuts):
+        raise ValueError(
+            f"ts_chunks: cuts must be ascending, got {cuts!r} — "
+            "unsorted cuts silently produce empty/overlapping slices"
+        )
     bounds = (
         [(None, cuts[0])]
         + list(zip(cuts, cuts[1:]))

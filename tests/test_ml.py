@@ -63,6 +63,24 @@ def test_fit_dataframe(spark):
     assert evaluate(model, X, y)["accuracy"] > 0.9
 
 
+def test_fit_dataframe_driver_size_guard(spark):
+    """fit_dataframe is driver-sized BY CONTRACT (verdict r9 #4):
+    an input above max_driver_rows raises with a pointer to the
+    distributed path instead of silently toPandas-ing the corpus."""
+    X, y = _separable(n=50, d=4)
+    pdf = pd.DataFrame(
+        {"features": [row.tolist() for row in X], "label": y}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="fit_sharded"):
+        fit_dataframe(df, TrainConfig(epochs=1), max_driver_rows=10)
+    # explicit opt-out still trains
+    model, _ = fit_dataframe(
+        df, TrainConfig(lr=0.5, epochs=2), max_driver_rows=None
+    )
+    assert model.n_features == 4
+
+
 def test_random_search_picks_best_and_is_seeded(spark):
     X, y = _separable(n=300, d=8, seed=3)
     cfg, metrics, trials = random_search(
