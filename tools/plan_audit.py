@@ -1072,6 +1072,278 @@ AUDIT = {
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
+
+# ---------------------------------------------------------------------------
+# Operator-level default-argument plans (round-9 verdict #1): every
+# PUBLIC pair-generating operator, called with its DEFAULT arguments on
+# a tiny in-memory frame, must plan without a CartesianProduct — the
+# registry audit alone can't prove this (queries may pass safe
+# arguments a library user wouldn't). Builders return the DataFrame;
+# `allowed` whitelists by-design shapes exactly like AUDIT.
+# embedding_near_duplicates is the one operator whose default is a
+# RAISE (block_col required unless allow_full_cross=True) — encoded as
+# the special `raises` marker and asserted, not planned.
+# ---------------------------------------------------------------------------
+
+_OPDOCS = [
+    (i, f"w{i % 7} x{i % 5} common tokens here doc body {i} "
+        f"plus shared shingle stream alpha beta gamma {i % 3}")
+    for i in range(40)
+]
+_OPVECS = [
+    (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(4)], i % 3)
+    for i in range(30)
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(_OPDOCS, "doc_id long, text string")
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        _OPVECS, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def _op_exact_duplicates(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    return exact_duplicates(_docs(spark))
+
+
+def _op_ngram_jaccard_pairs(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(_docs(spark))
+
+
+def _op_containment_pairs(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_docs(spark))
+
+
+def _op_minhash_lsh_candidate_pairs(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+
+    return minhash_lsh_candidate_pairs(_docs(spark))
+
+
+def _op_simhash_pairs(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        simhash_column,
+        simhash_pairs,
+    )
+
+    d = _docs(spark).select(
+        "doc_id", simhash_column("text").alias("simhash")
+    )
+    return simhash_pairs(d)
+
+
+def _op_winnow_near_duplicates(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    return winnow_near_duplicates(_docs(spark))
+
+
+def _op_edit_similarity_pairs(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        edit_similarity_pairs,
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    return edit_similarity_pairs(pairs, _docs(spark))
+
+
+def _op_knn_join_blocked(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        knn_join_blocked,
+    )
+
+    return knn_join_blocked(_vecs(spark))
+
+
+def _op_mutual_knn_pairs(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    return mutual_knn_pairs(_vecs(spark))
+
+
+def _op_lsh_bucketed_knn(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        lsh_bucketed_knn,
+    )
+
+    v = _vecs(spark)
+    return lsh_bucketed_knn(v, v.limit(5), dim=4)
+
+
+def _op_multiprobe_lsh_knn(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        multiprobe_lsh_knn,
+    )
+
+    v = _vecs(spark)
+    return multiprobe_lsh_knn(v, v.limit(5), dim=4)
+
+
+def _op_ivf_flat_knn(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        ivf_flat_knn,
+    )
+
+    v = _vecs(spark)
+    return ivf_flat_knn(v, v.limit(5), dim=4)
+
+
+def _op_brute_force_knn(spark):
+    from computer_vision_foundations_spark.operators.similarity import (
+        brute_force_knn,
+    )
+
+    v = _vecs(spark)
+    return brute_force_knn(v, v.limit(5))
+
+
+def _op_embedding_near_duplicates_raises(spark):
+    from computer_vision_foundations_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+
+    try:
+        embedding_near_duplicates(_vecs(spark))
+    except ValueError as e:
+        if "allow_full_cross" in str(e):
+            return None  # the contract: defaults refuse to plan O(n²)
+        raise
+    raise AssertionError(
+        "embedding_near_duplicates(defaults) must raise — the no-block "
+        "path plans a full cross product"
+    )
+
+
+# name -> (claim, allowed plan shapes, builder). A builder returning
+# None asserts a refuse-to-plan contract instead of a plan.
+OPERATOR_PLANS = {
+    "op_exact_duplicates": (
+        "defaults: one hash agg on 16-byte md5 keys", (), _op_exact_duplicates,
+    ),
+    "op_ngram_jaccard_pairs": (
+        "defaults: shingle equi-join, hot-shingle cap ON (10k)",
+        (), _op_ngram_jaccard_pairs,
+    ),
+    "op_containment_pairs": (
+        "defaults: same shingle equi-join machinery as jaccard",
+        (), _op_containment_pairs,
+    ),
+    "op_minhash_lsh_candidate_pairs": (
+        "defaults: band-key equi-join, bucket cap ON (1k)",
+        (), _op_minhash_lsh_candidate_pairs,
+    ),
+    "op_simhash_pairs": (
+        "defaults: (band_idx, band_val) equi-join over DISTINCT "
+        "fingerprints, band-freq cap ON (10k)",
+        (), _op_simhash_pairs,
+    ),
+    "op_winnow_near_duplicates": (
+        "defaults: fingerprint equi-join, doc-freq cap ON (10k)",
+        (), _op_winnow_near_duplicates,
+    ),
+    "op_edit_similarity_pairs": (
+        "defaults: two id-equi-joins re-attaching 200-char prefixes",
+        (), _op_edit_similarity_pairs,
+    ),
+    "op_knn_join_blocked": (
+        "defaults: within-block equi-join; vectors never cross blocks",
+        (), _op_knn_join_blocked,
+    ),
+    "op_mutual_knn_pairs": (
+        "defaults: blocked kNN + reversed-edge semi-join on id pairs",
+        (), _op_mutual_knn_pairs,
+    ),
+    "op_lsh_bucketed_knn": (
+        "defaults: (table, bucket) equi-join candidates",
+        (), _op_lsh_bucketed_knn,
+    ),
+    "op_multiprobe_lsh_knn": (
+        "defaults: probe fan-out x(1+n_flip), still a bucket equi-join",
+        (), _op_multiprobe_lsh_knn,
+    ),
+    "op_ivf_flat_knn": (
+        "defaults: cell equi-join, probes broadcast",
+        (), _op_ivf_flat_knn,
+    ),
+    "op_brute_force_knn": (
+        "brute-force kNN IS the all-pairs baseline BY DESIGN — broadcast "
+        "nested loop with the tiny probe set built; the bucketed/IVF "
+        "operators above are the scale paths",
+        ("BroadcastNestedLoopJoin",), _op_brute_force_knn,
+    ),
+    "op_embedding_near_duplicates": (
+        "defaults REFUSE to plan: block_col=None raises unless the "
+        "caller opts into allow_full_cross=True — no CartesianProduct "
+        "is reachable with default arguments",
+        (), _op_embedding_near_duplicates_raises,
+    ),
+}
+
+
+def run_plan_checks(
+    plan: str, allowed: tuple[str, ...]
+) -> tuple[list[str], int]:
+    """The automated per-plan checks shared by the registry audit and
+    the operator-level audit (and tests/test_operator_plans.py)."""
+    checks: list[str] = []
+    failures = 0
+    for bad in FORBIDDEN:
+        if bad in allowed:
+            checks.append(f"- [x] {bad} present BY DESIGN (see note)")
+            continue
+        ok = bad not in plan
+        checks.append(f"- [{'x' if ok else ' '}] no {bad}")
+        failures += 0 if ok else 1
+    sp_sites = singlepartition_sort_sites(plan)
+    if sp_sites and SP_SORT_OK in allowed:
+        checks.append(
+            f"- [x] {len(sp_sites)} SinglePartition Sort site(s) "
+            f"BOUNDED BY DESIGN (see note): {', '.join(sp_sites)}"
+        )
+    elif sp_sites:
+        checks.append(
+            "- [ ] Exchange SinglePartition feeding a Sort over "
+            f"possibly data-sized input: {', '.join(sp_sites)}"
+        )
+        failures += 1
+    else:
+        checks.append(
+            "- [x] no SinglePartition global Sort/Window over the data path"
+        )
+    if "BatchEvalPython" in plan:
+        checks.append("- [ ] row-pickled Python UDF present (should be Arrow)")
+        failures += 1
+    elif "ArrowEvalPython" in plan or "MapInPandas" in plan:
+        checks.append("- [x] Python stages are Arrow-batched")
+    if "PushedFilters: [" in plan and "PushedFilters: []" not in plan:
+        checks.append("- [x] filters pushed to scan")
+    return checks, failures
+
 # Whitelist token for the third rule: an Exchange SinglePartition that
 # feeds a Sort (± Window) is the one-task global-sort shape that
 # killed heaps_fit/abc_classes at scale (round-8 verdict #1/#2) — it
@@ -1168,40 +1440,45 @@ def main() -> int:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        checks = []
-        for bad in FORBIDDEN:
-            if bad in allowed:
-                checks.append(f"- [x] {bad} present BY DESIGN (see note)")
-                continue
-            ok = bad not in plan
-            checks.append(f"- [{'x' if ok else ' '}] no {bad}")
-            failures += 0 if ok else 1
-        sp_sites = singlepartition_sort_sites(plan)
-        if sp_sites and SP_SORT_OK in allowed:
-            checks.append(
-                f"- [x] {len(sp_sites)} SinglePartition Sort site(s) "
-                f"BOUNDED BY DESIGN (see note): {', '.join(sp_sites)}"
-            )
-        elif sp_sites:
-            checks.append(
-                "- [ ] Exchange SinglePartition feeding a Sort over "
-                f"possibly data-sized input: {', '.join(sp_sites)}"
-            )
-            failures += 1
-        else:
-            checks.append(
-                "- [x] no SinglePartition global Sort/Window over the data path"
-            )
-        if "BatchEvalPython" in plan:
-            checks.append("- [ ] row-pickled Python UDF present (should be Arrow)")
-            failures += 1
-        elif "ArrowEvalPython" in plan or "MapInPandas" in plan:
-            checks.append("- [x] Python stages are Arrow-batched")
-        if "PushedFilters: [" in plan and "PushedFilters: []" not in plan:
-            checks.append("- [x] filters pushed to scan")
+        checks, fails = run_plan_checks(plan, allowed)
+        failures += fails
         out.append(f"\n## {name}\n\n*{claim}*\n")
         out.extend(checks)
         out.append("\n```\n" + plan.strip() + "\n```\n")
+        print(f"audited {name}", file=sys.stderr)
+    out.append(
+        "\n# Operator-level default-argument plans\n\n"
+        "Every public pair-generating operator called with DEFAULT "
+        "arguments on a tiny in-memory frame (round-9 verdict #1): no "
+        "CartesianProduct may be reachable without an explicit opt-in. "
+        "Plans below are truncated to the join skeleton; "
+        "tests/test_operator_plans.py asserts the same checks in CI.\n"
+    )
+    for name, (claim, allowed, builder) in OPERATOR_PLANS.items():
+        df = builder(spark)
+        out.append(f"\n## {name}\n\n*{claim}*\n")
+        if df is None:
+            out.append(
+                "- [x] defaults refuse to plan (ValueError) — contract "
+                "asserted, nothing to audit"
+            )
+            print(f"audited {name} (refuse-to-plan)", file=sys.stderr)
+            continue
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        checks, fails = run_plan_checks(plan, allowed)
+        failures += fails
+        out.extend(checks)
+        skeleton = "\n".join(
+            ln for ln in plan.splitlines()
+            if any(t in ln for t in (
+                "Join", "Cartesian", "Exchange", "Aggregate", "Window",
+                "Sort", "Python", "InPandas",
+            ))
+        )
+        out.append("\n```\n" + skeleton.strip() + "\n```\n")
         print(f"audited {name}", file=sys.stderr)
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
