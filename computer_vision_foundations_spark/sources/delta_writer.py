@@ -475,7 +475,24 @@ def delta_append(
     files = _write_data_files(batch, root, snap.partition_columns)
     actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
     v = snap.version + 1
-    _publish(root, v, actions, "WRITE", ts)
+    # Optimistic-concurrency loop (Delta protocol conflict rules): a
+    # BLIND append's add actions depend on nothing another writer could
+    # have changed except the schema, so on losing the version race it
+    # re-snapshots, re-validates the schema, and retries at the new
+    # head — the data files are already on disk and are NOT rewritten.
+    # A metadata-changing append (merge_schema adding columns) conflicts
+    # with ANY concurrent commit, exactly like Delta's own resolution
+    # table, so it raises and the caller re-runs the whole transaction.
+    while True:
+        try:
+            _publish(root, v, actions, "WRITE", ts)
+            break
+        except DeltaCommitConflict:
+            if any("metaData" in a for a in actions):
+                raise
+            snap = delta_reader.delta_snapshot(root, spark)
+            _check_schema(snap, df)  # loser re-validates vs the winner
+            v = snap.version + 1
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 

@@ -258,6 +258,99 @@ def test_commit_conflict_raises(spark):
         dw._publish(root, 1, [], "WRITE", 0)
 
 
+def test_concurrent_append_race_rebases(spark):
+    """Two writers race to version N+1 on the REAL _delta_log (the
+    mirror of tests/test_acid.py::test_concurrent_commit_conflict for
+    the native log): the loser of the hard-link race re-snapshots and
+    retries at the new head — blind appends never fail, never rewrite
+    data files, and every row lands exactly once."""
+    import threading
+
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(0, "base")]))
+    errs: list[Exception] = []
+
+    def appender(i: int) -> None:
+        try:
+            dw.delta_append(spark, root, _mk(spark, [(100 + i, f"w{i}")]))
+        except Exception as e:  # pragma: no cover - failure evidence
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # versions 1..4 all published, one commit file each, no gaps
+    log = os.path.join(root, "_delta_log")
+    commits = sorted(f for f in os.listdir(log) if f.endswith(".json"))
+    assert commits == [f"{v:020d}.json" for v in range(5)]
+    got = sorted(r["k"] for r in dr.read_delta(spark, root).collect())
+    assert got == [0, 100, 101, 102, 103]
+
+
+def test_concurrent_read_dependent_commit_conflicts(spark):
+    """A read-dependent commit (overwrite computed against a stale
+    snapshot) must FAIL when another writer committed first — its
+    remove set describes a world that no longer exists."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a"), (2, "b")]))
+    snap = dr.delta_snapshot(root, spark)  # A reads v0
+    dw.delta_append(spark, root, _mk(spark, [(3, "c")]))  # B wins v1
+    files = dw._write_data_files(_mk(spark, [(9, "z")]), root, [])
+    ts = dw._now_ms()
+    actions = [
+        dw._remove_action(dw._encode_path(rel), ts)
+        for rel in sorted(snap.files)
+    ] + [dw._add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    with pytest.raises(dw.DeltaCommitConflict):
+        dw._publish(root, snap.version + 1, actions, "OVERWRITE", ts)
+    # the table is untouched by the failed transaction
+    got = sorted(r["k"] for r in dr.read_delta(spark, root).collect())
+    assert got == [1, 2, 3]
+
+
+def test_schema_evolving_append_race_raises(spark):
+    """mergeSchema appends carry a metaData action, which conflicts
+    with ANY concurrent commit per the Delta resolution rules — the
+    loser raises instead of silently publishing a stale schema."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    # the winner must land AFTER the loser's snapshot read: intercept
+    # the loser's publish and commit a competing append first
+    real_publish = dw._publish
+    raced = []
+
+    def racing_publish(r, version, actions, operation, ts):
+        if not raced:
+            raced.append(True)
+            # the competing writer's (commitInfo-only) commit wins
+            real_publish(r, version, [], "WRITE", ts)
+        return real_publish(r, version, actions, operation, ts)
+
+    dw._publish = racing_publish
+    try:
+        with pytest.raises(dw.DeltaCommitConflict):
+            dw.delta_append(
+                spark,
+                root,
+                _mk(spark, [(2, "b", 7)], "k long, v string, extra long"),
+                merge_schema=True,
+            )
+    finally:
+        dw._publish = real_publish
+    # and WITHOUT the schema change the same race auto-rebases
+    raced.clear()
+    dw._publish = racing_publish
+    try:
+        v = dw.delta_append(spark, root, _mk(spark, [(3, "c")]))
+    finally:
+        dw._publish = real_publish
+    assert v >= 2
+    assert 3 in {r["k"] for r in dr.read_delta(spark, root).collect()}
+
+
 def test_acid_read_table_routes_written_delta(spark):
     """acid.read_table transparently opens engine-written real-format
     Delta tables — the documented one-engine read surface."""
