@@ -92,6 +92,11 @@ class DeltaSnapshot:
     # these through rather than minting fresh ones.
     meta_id: str | None = None
     created_time: int | None = None
+    # raw newest metaData/protocol action bodies, exactly as folded
+    # during resolution — checkpoint WRITING re-emits them verbatim,
+    # which would otherwise force an O(history) raw-log rescan
+    meta_raw: dict | None = None
+    protocol_raw: dict | None = None
 
 
 def _log_dir(root: str) -> str:
@@ -173,37 +178,73 @@ def _apply_checkpoint(
 
     Checkpoints contain only LIVE adds plus unexpired remove tombstones
     — tombstoned paths are by definition not in the add set, so reading
-    adds alone reconstructs the snapshot. Read distributed, collect the
-    (path, partitionValues) projection only."""
-    df = spark.read.parquet(*parts)
-    cols = set(df.columns)
-    if "metaData" in cols:
-        metas = [
-            r["metaData"].asDict(recursive=True)
-            for r in df.where("metaData IS NOT NULL")
-            .select("metaData")
-            .collect()
-        ]
-        if metas:
-            state["metaData"] = metas[-1]
-    if "protocol" in cols:
-        protos = [
-            r["protocol"].asDict(recursive=True)
-            for r in df.where("protocol IS NOT NULL")
-            .select("protocol")
-            .collect()
-        ]
-        if protos:
-            state["protocol"] = protos[-1]
-    if "add" in cols:
-        for r in (
-            df.where("add IS NOT NULL")
-            .selectExpr("add.path AS path", "add.partitionValues AS pv")
-            .collect()
-        ):
-            state["files"][urllib.parse.unquote(r["path"])] = dict(
-                r["pv"] or {}
+    adds alone reconstructs the snapshot.
+
+    Read DRIVER-SIDE with pyarrow, not as a Spark job: the snapshot
+    state (the file list) is a driver dict by construction, so a
+    distributed read would collect the same rows anyway while paying a
+    JVM job per projection — measured 0.4-0.5 s of fixed overhead per
+    resolve vs ~10 ms for the direct column read
+    (tools/delta_replay_measure.py). The checkpoint is file-list-sized
+    (~76 KB per 10k files), exactly the thing a driver must hold to
+    plan the scan."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for part in parts:
+        pf = pq.ParquetFile(part)
+        names = set(pf.schema_arrow.names)
+        for col in ("metaData", "protocol"):
+            if col not in names:
+                continue
+            vals = (
+                pf.read(columns=[col])
+                .column(col)
+                .combine_chunks()
+                .drop_null()
+                .to_pylist()
             )
+            if not vals:
+                continue
+            doc = vals[-1]
+            conf = doc.get("configuration")
+            if conf is not None and not isinstance(conf, dict):
+                # pyarrow maps materialize as [(k, v), ...]; protocol
+                # checks and callers expect a dict
+                doc = {**doc, "configuration": dict(conf)}
+            state[col] = doc
+        if "add" not in names:
+            continue
+        # columnar extraction of (path, partitionValues) only — a full
+        # struct to_pylist builds a python object per action field and
+        # measured 5-6 s at 250k files vs ~0.3 s for the two columns
+        add = pf.read(columns=["add"]).column("add").combine_chunks()
+        paths = pc.struct_field(add, "path").to_pylist()
+        pv_arr = pc.struct_field(add, "partitionValues")
+        try:
+            # MapArray fast path: materialize the flattened key/item
+            # stream once (|total kv pairs| items — ZERO for
+            # unpartitioned tables) instead of a python dict per row;
+            # map to_pylist measured 1.8 s alone at 250k rows
+            offs = pv_arr.offsets.to_pylist()
+            keys = pv_arr.keys.to_pylist()
+            items = pv_arr.items.to_pylist()
+
+            def pv_at(i: int) -> dict:
+                lo, hi = offs[i], offs[i + 1]
+                return dict(zip(keys[lo:hi], items[lo:hi])) if hi > lo else {}
+
+        except AttributeError:  # non-map layout from a foreign writer
+            pvs = pv_arr.to_pylist()
+
+            def pv_at(i: int) -> dict:
+                pv = pvs[i]
+                return dict(pv) if isinstance(pv, dict) else dict(pv or [])
+
+        for i, p in enumerate(paths):
+            if p is None:
+                continue
+            state["files"][urllib.parse.unquote(p)] = pv_at(i)
 
 
 def delta_snapshot(
@@ -274,6 +315,8 @@ def delta_snapshot(
         checkpoint_version=ckpt_v,
         meta_id=meta.get("id"),
         created_time=meta.get("createdTime"),
+        meta_raw=meta,
+        protocol_raw=state["protocol"],
     )
 
 

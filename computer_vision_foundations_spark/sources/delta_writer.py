@@ -235,21 +235,13 @@ def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
     import pyarrow.parquet as pq
 
     snap = delta_reader.delta_snapshot(root, spark, version=version)
-    # re-read the raw actions for metaData/protocol fidelity
-    state_meta, state_proto = None, None
-    for v in range(0, version + 1):
-        p = os.path.join(_log_dir(root), f"{v:020d}.json")
-        if not os.path.exists(p):
-            continue
-        with open(p) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "metaData" in a:
-                    state_meta = a["metaData"]
-                elif "protocol" in a:
-                    state_proto = a["protocol"]
+    # metaData/protocol fidelity comes from the SNAPSHOT's raw action
+    # bodies (newest of each, folded during resolution — which itself
+    # starts from the previous checkpoint), so the checkpoint write is
+    # O(commits since the last checkpoint), never an O(history)
+    # raw-log rescan: at 10k single-add commits the full rescan was
+    # the bulk of the measured ~2.5 s per-checkpoint cost
+    state_meta, state_proto = snap.meta_raw, snap.protocol_raw
     if state_meta is None or state_proto is None:
         raise ValueError(f"no metaData/protocol in log under {root}")
 
