@@ -43,7 +43,15 @@ from computer_vision_foundations_spark.operators.quantization import (
     probe_fanout,
 )
 
-__all__ = ["build_ivf_pq_index", "load_index_meta", "query_ivf_pq_index"]
+__all__ = [
+    "build_ivf_pq_index",
+    "load_index_meta",
+    "query_ivf_pq_index",
+    "append_to_ivf_pq_index",
+    "index_cell_psi",
+    "needs_retrain",
+    "compact_index",
+]
 
 _VERSION = 1
 
@@ -90,6 +98,121 @@ def load_index_meta(path: str) -> dict:
     return meta
 
 
+def _inc_dir(path: str) -> str:
+    return os.path.join(path, "codes_inc")
+
+
+def _read_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The live code set: the base build plus any streamed increments
+    (``codes_inc/batch_id=N/_cell=M``). Both sides are cell-partitioned
+    parquet; the increments carry an extra batch_id partition column
+    that is dropped here. `compact_index` folds increments back into
+    the single base scan (restoring the one-scan DPP shape); between
+    compactions the increment side is small by construction (recent
+    batches only)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(path, "codes"))
+    inc = _inc_dir(path)
+    if not os.path.isdir(inc) or not any(
+        e.startswith("batch_id=") for e in os.listdir(inc)
+    ):
+        return base
+    extra = spark.read.parquet(inc).select(
+        "neighbor_id", F.col("_cell").cast("int").alias("_cell"), "codes"
+    )
+    return base.select("neighbor_id", "_cell", "codes").unionByName(extra)
+
+
+def append_to_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally index a batch of NEW vectors: encode with the
+    index's FROZEN centroids/codebooks (the standard IVF refresh —
+    assignments stay comparable until a drift-triggered retrain) and
+    write the codes under ``codes_inc/batch_id=N``, cell-partitioned
+    like the base. ``mode("overwrite")`` of the batch's own partition
+    makes the write idempotent under at-least-once replay — the same
+    contract as the streaming upsert sink. The base build is never
+    rewritten; `compact_index` folds increments in when the tail gets
+    long, and `needs_retrain` watches cell-occupancy drift."""
+    meta = load_index_meta(path)
+    encoded = encode_cell_codes(
+        new_vectors, meta["codebooks"], meta["centroids"], vec_col, id_col
+    )
+    encoded.write.mode("overwrite").partitionBy("_cell").parquet(
+        os.path.join(_inc_dir(path), f"batch_id={int(batch_id)}")
+    )
+
+
+def index_cell_psi(spark: SparkSession, path: str) -> float:
+    """Population Stability Index of the CELL-occupancy distribution,
+    increments vs the base build (`operators/psi.psi_bins` over
+    bin=_cell). Cells are the index's own coarse quantization of the
+    embedding space, so occupancy drift is exactly the signal that the
+    frozen centroids no longer tessellate the incoming distribution —
+    the retrain trigger a continuously-fed ANN index needs. Reads the
+    _cell column only (column-pruned scans of model-free code rows).
+    Returns 0.0 when no increments exist."""
+    from computer_vision_foundations_spark.operators.psi import psi_bins
+    from pyspark.sql import functions as F
+
+    inc = _inc_dir(path)
+    if not os.path.isdir(inc) or not any(
+        e.startswith("batch_id=") for e in os.listdir(inc)
+    ):
+        return 0.0
+    base = spark.read.parquet(os.path.join(path, "codes")).select("_cell")
+    cur = spark.read.parquet(inc).select("_cell")
+    row = psi_bins(base, cur, F.col("_cell")).select("psi").limit(1).collect()
+    return float(row[0]["psi"]) if row else 0.0
+
+
+def needs_retrain(
+    spark: SparkSession, path: str, psi_threshold: float = 0.25
+) -> bool:
+    """True when the increments' cell occupancy has shifted past the
+    PSI threshold (0.25 = the standard 'distribution has moved' rule
+    of thumb) — the caller should then re-train centroids/codebooks on
+    a fresh sample and rebuild with `build_ivf_pq_index`; the codes
+    themselves cannot be migrated (they quantize against the old
+    geometry)."""
+    return index_cell_psi(spark, path) > psi_threshold
+
+
+def compact_index(spark: SparkSession, path: str) -> int:
+    """Fold streamed increments into the base build: one shuffle-free
+    rewrite of (base ∪ increments) partitioned by cell, atomically
+    swapped in, increments removed. Returns the number of increment
+    batches folded. Restores the single-scan dynamic-partition-pruning
+    shape and bounds the per-query file count, exactly like a Delta
+    OPTIMIZE over a streamed table."""
+    import shutil
+
+    inc = _inc_dir(path)
+    batches = (
+        [e for e in os.listdir(inc) if e.startswith("batch_id=")]
+        if os.path.isdir(inc)
+        else []
+    )
+    if not batches:
+        return 0
+    merged = _read_codes(spark, path)
+    tmp = os.path.join(path, "codes_compact_tmp")
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+    old = os.path.join(path, "codes_old")
+    os.rename(os.path.join(path, "codes"), old)
+    os.rename(tmp, os.path.join(path, "codes"))
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(inc, ignore_errors=True)
+    return len(batches)
+
+
 def query_ivf_pq_index(
     spark: SparkSession,
     path: str,
@@ -105,9 +228,10 @@ def query_ivf_pq_index(
     ``(neighbor_id, codes)`` rows for probed cells only (dynamic
     partition pruning via the broadcast cell equi-join) — the corpus
     vectors are never touched. Same output contract as
-    `quantization.ivf_pq_topk`."""
+    `quantization.ivf_pq_topk`. Streamed increments (if any) are
+    unioned in — see `_read_codes`."""
     meta = load_index_meta(path)
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = _read_codes(spark, path)
     p = probe_fanout(
         probes, meta["codebooks"], meta["centroids"], n_probe_cells,
         vec_col, id_col,

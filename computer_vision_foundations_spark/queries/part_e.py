@@ -1115,6 +1115,91 @@ def q06_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# za64 — streaming incremental index refresh ≡ batch-built index
+# ---------------------------------------------------------------------------
+
+def _stream_index_refresh_oracle() -> str:
+    from computer_vision_foundations_spark.queries.common import _ORACLES
+
+    # a stream-refreshed index must answer exactly what an index built
+    # in ONE batch over the same rows answers — q19/q50's composed
+    # IVF-PQ statement over the full embeddings table is that answer
+    return _ORACLES["q19_persisted_ivf_pq"]
+
+
+@_register("za64_stream_index_refresh", _stream_index_refresh_oracle())
+def za64_stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index refresh equivalence (`streaming/ann.py:
+    run_streaming_index_refresh` — round-9 verdict #6): the index is
+    built over only a third of the embeddings (vec_id%3==0); the other
+    two thirds arrive as TWO parquet drops (maxFilesPerTrigger=1) and
+    are APPENDED incrementally — each micro-batch encoded with the
+    frozen centroids/codebooks and written to its own idempotent
+    ``codes_inc/batch_id=N`` cell partition; the corpus already
+    indexed is never re-encoded. q19's probes against the refreshed
+    index must hash-match the one-shot batch build over ALL rows —
+    q19's oracle verifies the incremental lifecycle end-to-end (the
+    frozen-geometry encode is deterministic, so stream-built ≡
+    batch-built code-for-code).
+
+    Scale shape: per batch — one narrow Arrow encode of the NEW
+    vectors + one cell-partitioned write; the query is the same
+    broadcast fan-out + pruned code scan as q19, over base ∪
+    increments."""
+    import tempfile
+
+    from computer_vision_foundations_spark.operators.ann_index import (
+        build_ivf_pq_index,
+        query_ivf_pq_index,
+    )
+    from computer_vision_foundations_spark.operators.quantization import (
+        pq_codebooks,
+    )
+    from computer_vision_foundations_spark.operators.similarity import (
+        random_centroids,
+    )
+    from computer_vision_foundations_spark.queries.part_b import (
+        _IVF_CELLS,
+        _IVF_DIM,
+        _IVF_PROBE_CELLS,
+        _IVF_SEED,
+        _PQ_CENTROIDS,
+        _PQ_DIM,
+        _PQ_SEED,
+        _PQ_SUBS,
+    )
+    from computer_vision_foundations_spark.streaming.ann import (
+        run_streaming_index_refresh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(_PQ_DIM, _PQ_SUBS, _PQ_CENTROIDS, _PQ_SEED)
+    cents = random_centroids(_IVF_DIM, _IVF_CELLS, _IVF_SEED)
+    path = build_ivf_pq_index(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0),
+        tempfile.mkdtemp(prefix="stream_idx_"),
+        cbs,
+        cents,
+    )
+    vec_dir = tempfile.mkdtemp(prefix="stream_idx_vecs_")
+    for rem in (1, 2):  # two vector drops -> two refresh batches
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == rem).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("append").parquet(vec_dir)
+    run_streaming_index_refresh(
+        spark,
+        path,
+        vec_dir,
+        tempfile.mkdtemp(prefix="stream_idx_ckpt_"),
+        max_files_per_trigger=1,
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    return query_ivf_pq_index(
+        spark, path, probes, k=10, n_probe_cells=_IVF_PROBE_CELLS
+    )
+
+
+# ---------------------------------------------------------------------------
 # q15 — Hill tail-index estimator (operators/zipf.py)
 # ---------------------------------------------------------------------------
 

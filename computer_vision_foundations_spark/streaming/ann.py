@@ -40,7 +40,11 @@ from computer_vision_foundations_spark.operators.ann_index import (
     query_ivf_pq_index,
 )
 
-__all__ = ["probe_stream_schema", "run_streaming_ann"]
+__all__ = [
+    "probe_stream_schema",
+    "run_streaming_ann",
+    "run_streaming_index_refresh",
+]
 
 
 def probe_stream_schema(dim: int) -> T.StructType:
@@ -113,3 +117,68 @@ def run_streaming_ann(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_index_refresh(
+    spark: SparkSession,
+    index_path: str,
+    vec_dir: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    compact_after: bool = False,
+) -> None:
+    """The INGEST half of the streaming ANN lifecycle (round-9 verdict
+    #6): drain ``vec_dir`` (availableNow) of newly-embedded vectors
+    and append each micro-batch's codes to the persisted index —
+    ``operators/ann_index.append_to_ivf_pq_index`` encodes with the
+    index's frozen centroids/codebooks and writes the batch's own
+    cell-partitioned ``codes_inc/batch_id=N`` partition with overwrite
+    semantics, so at-least-once replay after a crash is idempotent
+    (same sink contract as `run_streaming_ann`). The corpus already in
+    the index is never re-encoded or re-read.
+
+    ``compact_after=True`` folds the drained increments into the base
+    build once the stream finishes (`ann_index.compact_index`) —
+    appropriate for availableNow catch-up runs; a continuously-running
+    refresh compacts on a schedule instead. Drift watch: callers check
+    `ann_index.needs_retrain` (cell-occupancy PSI) to decide when the
+    frozen geometry has expired.
+
+    Scale shape: per batch — one narrow Arrow encode projection of the
+    NEW vectors only and a cell-partitioned write; driver state is the
+    model-sized META. Nothing corpus-sized moves."""
+    from computer_vision_foundations_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        compact_index,
+    )
+
+    meta = load_index_meta(index_path)
+    reader = spark.readStream.schema(probe_stream_schema(meta["dim"]))
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    vecs = reader.parquet(vec_dir)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bad = batch.where(
+            F.size("embedding") != F.lit(meta["dim"])
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"vector dim {len(bad[0]['embedding'])} != index dim "
+                f"{meta['dim']} (vec_id={bad[0]['vec_id']})"
+            )
+        append_to_ivf_pq_index(spark, index_path, batch, batch_id)
+
+    (
+        vecs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if compact_after:
+        compact_index(spark, index_path)

@@ -76,3 +76,92 @@ def test_version_guard(tmp_path):
         fh.write('{"version": 99}')
     with pytest.raises(ValueError):
         load_index_meta(str(tmp_path / "bad"))
+
+
+def test_incremental_append_matches_batch_build(spark, tmp_path):
+    """Index built over 1/3 of rows + two incremental appends ==
+    index built over all rows in one shot, bit-for-bit — the frozen
+    centroids/codebooks make the encode deterministic regardless of
+    which batch a vector arrived in."""
+    from computer_vision_foundations_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        compact_index,
+        index_cell_psi,
+    )
+
+    df, cbs, cents = _fixture(spark)
+    probes = df.filter("vec_id < 5")
+    full = build_ivf_pq_index(df, str(tmp_path / "full"), cbs, cents)
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, full, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+
+    inc = build_ivf_pq_index(
+        df.filter("vec_id % 3 = 0"), str(tmp_path / "inc"), cbs, cents
+    )
+    append_to_ivf_pq_index(spark, inc, df.filter("vec_id % 3 = 1"), 0)
+    append_to_ivf_pq_index(spark, inc, df.filter("vec_id % 3 = 2"), 1)
+    got = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, inc, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+    assert got == want
+    # replaying a batch (at-least-once) is idempotent: same batch_id
+    # overwrites its own partition, results unchanged
+    append_to_ivf_pq_index(spark, inc, df.filter("vec_id % 3 = 1"), 0)
+    again = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, inc, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+    assert again == want
+    # same-distribution increments: PSI far below the retrain bar
+    assert index_cell_psi(spark, inc) < 0.25
+    # compaction folds increments into the base scan, results unchanged
+    assert compact_index(spark, inc) == 2
+    assert not os.path.isdir(os.path.join(inc, "codes_inc"))
+    after = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, inc, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+    assert after == want
+    assert compact_index(spark, inc) == 0  # nothing left to fold
+
+
+def test_needs_retrain_fires_on_cell_drift(spark, tmp_path):
+    """Increments concentrated in one cell (a shifted embedding
+    distribution) push the cell-occupancy PSI past the threshold."""
+    from computer_vision_foundations_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+        needs_retrain,
+    )
+
+    df, cbs, cents = _fixture(spark)
+    path = build_ivf_pq_index(df, str(tmp_path / "idx"), cbs, cents)
+    assert not needs_retrain(spark, path)
+    # shove every new vector toward one centroid -> single-cell mass
+    shifted = spark.createDataFrame(
+        [
+            (1000 + i, [float(x) + 0.01 * i for x in cents[0]])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_ivf_pq_index(spark, path, shifted, 0)
+    assert needs_retrain(spark, path)
