@@ -40,11 +40,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q78_pricing_summary",
     "q79_top_revenue_orders",
-    "q04_bm25_search",
+    "za55_bm25_search",
     "q75_region_revenue",
     "q80_customer_order_profile",
     "q81_top3_orders_per_customer",
-    "q08_repetition_signals",
+    "za57_repetition_signals",
     "q76_events_running_window",
     "q77_events_hourly_window",
     "za41_kmeans_step",
@@ -59,7 +59,7 @@ HEADLINE = [
     "z32_multiprobe_lsh_ann",
     "q89_ivf_ann",
     "z26_pq_adc_knn",
-    "q50_ivf_pq_ann",
+    "za64_ivf_pq_ann",
     "z22_sq8_ann",
     "q93_winnow_fingerprints",
     "z57_winnow_near_dup_pairs",
@@ -74,9 +74,9 @@ HEADLINE = [
     "q43_feature_hashing",
     "q46_histogram_quantiles",
     "q32_compaction_plan",
-    "za58_join_skew_stats",
+    "q17_join_skew_stats",
     "za52_zipf_fit",
-    "za56_grouped_quantiles",
+    "q07_grouped_quantiles",
     "za54_hll_shard_merge",
     "q27_stratified_hash_sample",
     "za53_negative_sampling",
@@ -89,7 +89,7 @@ HEADLINE = [
     "q95_gap_fill_locf",
     "q97_bpe_merges",
     "q94_dedup_clusters",
-    "q20_training_corpus",
+    "za59_training_corpus",
     "z14_mixture_sample",
     "z28_mixture_epochs",
     "za27_decontamination_pairs",
@@ -97,9 +97,9 @@ HEADLINE = [
     "z18_shard_assignment",
     "z51_vocab_coverage",
     "z54_pmi_bigrams",
-    "q49_simhash_near_dup_pairs",
-    "q07_pagerank",
-    "q17_semantic_dedup",
+    "za63_simhash_near_dup_pairs",
+    "za56_pagerank",
+    "za58_semantic_dedup",
     "za10_bloom_decontaminate",
     "za11_weighted_sample",
     "q05_duplicated_spans",
@@ -114,13 +114,13 @@ HEADLINE = [
     "za21_skew_profile",
     "q19_persisted_ivf_pq",
     "za22_mmr_diverse_topk",
-    "q23_corpus_report",
+    "za61_corpus_report",
     "za25_volume_drift",
     "za26_corpus_diff",
     "za28_temporal_split",
     "za29_event_transitions",
-    "q39_image_metadata",
-    "q22_image_statistics",
+    "za62_image_metadata",
+    "za60_image_statistics",
     "q03_time_travel",
     "q24_acid_upsert",
     "q25_wav_audio_stats",
@@ -130,7 +130,7 @@ HEADLINE = [
     "z25_table_profile",
     "za42_multimodal_manifest",
     "q06_stream_ann",
-    "za64_stream_index_refresh",
+    "q50_stream_index_refresh",
     "q15_hill_tail_index",
     "q30_embedding_isotropy",
     "q31_t_closeness",
@@ -220,12 +220,12 @@ HEADLINE = [
     "q16_delta_time_travel",
     "q21_bh_fdr_drift",
     "q45_delta_restore",
-    "za59_weighted_quantiles",
-    "za62_jsonl_roundtrip",
-    "za63_csv_roundtrip",
+    "q20_weighted_quantiles",
+    "q39_jsonl_roundtrip",
+    "q49_csv_roundtrip",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
-    # q35_stream_spacesaving / za60_stream_running_totals /
-    # za61_stream_kmv_distinct are gate-attested but NOT benched:
+    # q35_stream_spacesaving / q22_stream_running_totals /
+    # q23_stream_kmv_distinct are gate-attested but NOT benched:
     # their wall time is streaming-engine drain overhead, which the
     # streaming section already measures directly
 ]
@@ -635,7 +635,7 @@ def main() -> int:
     retry_sec = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "2.0"))
     timings: dict[str, float] = {}
     noisy: dict[str, list[float]] = {}
-    # dev-loop subset: SPARK_GRAFT_BENCH_ONLY="q04_bm25_search,q07_..."
+    # dev-loop subset: SPARK_GRAFT_BENCH_ONLY="za55_bm25_search,q07_..."
     # times only those headline entries (recorded runs leave it unset)
     only = {
         q.strip()

@@ -940,7 +940,7 @@ def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q22_image_statistics",
+    "za60_image_statistics",
     """
     WITH chars AS (
         SELECT doc_id, ord(u.c) AS v
@@ -1009,7 +1009,7 @@ def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN jent ON jent.doc_id = t.doc_id
     """,
 )
-def q22_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za60_image_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-statistics pandas UDF (reference U2 schema,
     `02_Data Ingest.py:242-249`) over REAL image bytes in BOTH
     dependency-free codecs: each document's UTF-8 text becomes (a) a

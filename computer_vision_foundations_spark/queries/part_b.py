@@ -33,8 +33,8 @@ from computer_vision_foundations_spark.queries.part_a import (  # noqa: F401
 
 
 
-@_register("q20_training_corpus", _training_corpus_oracle_sql())
-def q20_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za59_training_corpus", _training_corpus_oracle_sql())
+def za59_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition (operators/corpus.prepare_training_corpus)
     with the FULL stage list: quality filter → surprisal gate →
     per-domain cap → exact dedup → near-dup clustering → benchmark
@@ -599,8 +599,8 @@ def _simhash_pairs_oracle_sql(bits: int = 32, bands: int = 4, max_hamming: int =
     """
 
 
-@_register("q49_simhash_near_dup_pairs", _simhash_pairs_oracle_sql())
-def q49_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za63_simhash_near_dup_pairs", _simhash_pairs_oracle_sql())
+def za63_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (operators/dedup.simhash_pairs):
     Hamming-LSH pigeonhole banding — fingerprints within Hamming
     distance bands-1 must share a band, so candidates come from an
@@ -674,8 +674,8 @@ def _ivf_pq_oracle_sql() -> str:
     """
 
 
-@_register("q50_ivf_pq_ann", _ivf_pq_oracle_sql())
-def q50_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za64_ivf_pq_ann", _ivf_pq_oracle_sql())
+def za64_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed index (operators/quantization.ivf_pq_topk, the
     FAISS IndexIVFPQ shape): corpus persisted as (id, cell, codes) in
     one Arrow projection, probes fan out to their 4 nearest cells with
@@ -758,8 +758,8 @@ def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
     """
 
 
-@_register("q04_bm25_search", _bm25_oracle_sql())
-def q04_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za55_bm25_search", _bm25_oracle_sql())
+def za55_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 per query (operators/retrieval.bm25_topk) —
     sparse ranked retrieval over the documents table, the keyword
     sibling of the ANN family. The token stream is semi-joined against
@@ -777,7 +777,7 @@ def q04_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q08_repetition_signals",
+    "za57_repetition_signals",
     """
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -806,7 +806,7 @@ def q04_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     """,
 )
-def q08_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za57_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate quality signals
     (functions/text.repetition_columns): duplicate-token, top-token,
     duplicate-bigram and top-bigram fractions per document — the
@@ -952,7 +952,7 @@ def za18_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, recency], k=10)
 
 
-@_register("z19_ivf_pq_recall", _ann_recall_oracle_sql("q50_ivf_pq_ann"))
+@_register("z19_ivf_pq_recall", _ann_recall_oracle_sql("za64_ivf_pq_ann"))
 def z19_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the composed IVF-PQ index (q50) against brute-force
     cosine ground truth (q27) via operators/evaluation.ann_recall — the
@@ -963,7 +963,7 @@ def z19_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ann_recall(
-        q50_ivf_pq_ann(spark, sf_dir), za24_knn_cosine(spark, sf_dir), k=10
+        za64_ivf_pq_ann(spark, sf_dir), za24_knn_cosine(spark, sf_dir), k=10
     )
 
 
@@ -1052,8 +1052,8 @@ def _pagerank_oracle() -> str:
     )
 
 
-@_register("q07_pagerank", _pagerank_oracle())
-def q07_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za56_pagerank", _pagerank_oracle())
+def za56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (`operators/pagerank.py`) over the
     supplier→customer trade graph: an edge per trading pair, plus the
     reverse edge for repeat business (≥2 lineitems), so some customer
@@ -1129,8 +1129,8 @@ def _semantic_dedup_oracle_sql() -> str:
     """
 
 
-@_register("q17_semantic_dedup", _semantic_dedup_oracle_sql())
-def q17_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za58_semantic_dedup", _semantic_dedup_oracle_sql())
+def za58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     k-means cluster assignment over embeddings
     (operators/clustering.kmeans_assign, Arrow-batched matmul — one
@@ -2413,7 +2413,7 @@ def za21_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q23_corpus_report",
+    "za61_corpus_report",
     """
     WITH tok AS (
         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
@@ -2453,7 +2453,7 @@ def za21_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.source
     """,
 )
-def q23_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za61_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus curation dashboard — the summary a data lead
     reads before a training run: document/token volumes, exact-dup
     count, and the surprisal distribution (mean + exact median), all

@@ -26,7 +26,7 @@ from computer_vision_foundations_spark.queries.part_b import (  # noqa: F401
     _bm25_oracle_sql,
     _ivf_pq_oracle_sql,
     _pq_codes_cte,
-    q49_simhash_near_dup_pairs,
+    za63_simhash_near_dup_pairs,
 )
 
 
@@ -141,7 +141,7 @@ def za29_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q39_image_metadata",
+    "za62_image_metadata",
     """
     SELECT doc_id,
            24 AS height, 24 AS width, 1 AS layers,
@@ -151,7 +151,7 @@ def za29_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE length(text) >= 9
     """,
 )
-def q39_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za62_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-metadata pandas UDF (reference U1 schema,
     `02_Data Ingest.py:191-199`) over REAL JPEG bytes with REAL EXIF:
     each document becomes a 24×24 JPEG whose APP1/TIFF segment carries
@@ -2045,7 +2045,7 @@ def _consensus_oracle_sql() -> str:
     key. Consensus = present in ≥ 2 modalities."""
     img = _ORACLES["q36_image_near_dup"]
     aud = _ORACLES["z36_audio_fingerprint_pairs"]
-    txt = _ORACLES["q49_simhash_near_dup_pairs"]
+    txt = _ORACLES["za63_simhash_near_dup_pairs"]
     return f"""
     WITH img AS (SELECT id_a, id_b FROM ({img})),
          aud AS (SELECT id_a, id_b FROM ({aud})),
@@ -2095,7 +2095,7 @@ def z46_multimodal_consensus_pairs(
     aud = z36_audio_fingerprint_pairs(spark, sf_dir).select(
         "id_a", "id_b", t.alias("in_audio")
     )
-    txt = q49_simhash_near_dup_pairs(spark, sf_dir).select(
+    txt = za63_simhash_near_dup_pairs(spark, sf_dir).select(
         "id_a", "id_b", t.alias("in_text")
     )
     # chained FULL OUTER joins (key columns coalesce under list-form
@@ -2363,7 +2363,7 @@ def _triangle_oracle_sql() -> str:
     )
 
     return triangles_oracle_sql(
-        f"SELECT id_a, id_b FROM ({_ORACLES['q49_simhash_near_dup_pairs']})"
+        f"SELECT id_a, id_b FROM ({_ORACLES['za63_simhash_near_dup_pairs']})"
     )
 
 
@@ -2392,7 +2392,7 @@ def q40_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_stats_collapsed,
     )
 
-    pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
+    pairs = za63_simhash_near_dup_pairs(spark, sf_dir)
     fingerprints = q92_simhash(spark, sf_dir)
     return triangle_stats_collapsed(
         pairs, fingerprints, node_col="doc_id", cls_col="simhash"
@@ -2502,7 +2502,7 @@ def _lpa_oracle_sql() -> str:
     )
 
     return lpa_oracle_sql(
-        f"SELECT id_a, id_b FROM ({_ORACLES['q49_simhash_near_dup_pairs']})",
+        f"SELECT id_a, id_b FROM ({_ORACLES['za63_simhash_near_dup_pairs']})",
         n_rounds=3,
     )
 
@@ -2528,7 +2528,7 @@ def q41_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation,
     )
 
-    pairs = q49_simhash_near_dup_pairs(spark, sf_dir)
+    pairs = za63_simhash_near_dup_pairs(spark, sf_dir)
     # simhash_pairs emits each unordered pair exactly once -> skip the
     # symmetrize-distinct shuffle (operator contract knob)
     return label_propagation(

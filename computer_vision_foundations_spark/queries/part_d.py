@@ -20,7 +20,7 @@ from computer_vision_foundations_spark.queries.part_a import (  # noqa: F401
 )
 from computer_vision_foundations_spark.queries.part_b import (  # noqa: F401
     _PR_EDGES_SQL,
-    q49_simhash_near_dup_pairs,
+    za63_simhash_near_dup_pairs,
 )
 from computer_vision_foundations_spark.queries.part_c import (  # noqa: F401
     z53_kneser_ney_surprisal,
@@ -112,7 +112,7 @@ def _kcore_oracle_sql() -> str:
     )
 
     return kcore_oracle_sql(
-        f"SELECT id_a, id_b FROM ({_ORACLES['q49_simhash_near_dup_pairs']})",
+        f"SELECT id_a, id_b FROM ({_ORACLES['za63_simhash_near_dup_pairs']})",
         k=3,
         n_rounds=8,
     )

@@ -39,8 +39,8 @@ def _item_cf_oracle_sql() -> str:
     """
 
 
-@_register("za55_item_cf", _item_cf_oracle_sql())
-def za55_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q04_item_cf", _item_cf_oracle_sql())
+def q04_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering (operators/cf.item_cosine_pairs):
     cosine similarity of part-incidence vectors over customer baskets,
     computed without materializing any vector — co-occurrence is a
@@ -251,8 +251,8 @@ def _w1_oracle_sql() -> str:
     )
 
 
-@_register("za57_wasserstein_shift", _w1_oracle_sql())
-def za57_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q08_wasserstein_shift", _w1_oracle_sql())
+def q08_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-D earth mover's distance (operators/emd.wasserstein_1d)
     between two sources' document-length distributions — closed-form
     W1 = ∫|F_A − F_B| via merged-support CDFs, no transport solver.
@@ -589,7 +589,7 @@ def q32_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za58_join_skew_stats — join-skew preflight (operators/skewstats.py)
+# q17_join_skew_stats — join-skew preflight (operators/skewstats.py)
 # ---------------------------------------------------------------------------
 
 def _skewstats_oracle() -> str:
@@ -604,8 +604,8 @@ def _skewstats_oracle() -> str:
     )
 
 
-@_register("za58_join_skew_stats", _skewstats_oracle())
-def za58_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q17_join_skew_stats", _skewstats_oracle())
+def q17_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-skew preflight (operators/skewstats.py): per-key
     cardinalities on both sides of the lineitem⋈orders join, the
     EXACT inner-join output size Σ n_a·n_b computed from the two
@@ -655,7 +655,7 @@ def za52_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# za56_grouped_quantiles — per-group sketch quantiles (operators/quantile_sketch.py)
+# q07_grouped_quantiles — per-group sketch quantiles (operators/quantile_sketch.py)
 # ---------------------------------------------------------------------------
 
 def _ghq_oracle() -> str:
@@ -670,8 +670,8 @@ def _ghq_oracle() -> str:
     )
 
 
-@_register("za56_grouped_quantiles", _ghq_oracle())
-def za56_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q07_grouped_quantiles", _ghq_oracle())
+def q07_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment sketch quantiles
     (operators/quantile_sketch.grouped_histogram_quantiles): p50/p99
     of event value per event type from 1024-bin per-group histograms —
@@ -1127,8 +1127,8 @@ def _stream_index_refresh_oracle() -> str:
     return _ORACLES["q19_persisted_ivf_pq"]
 
 
-@_register("za64_stream_index_refresh", _stream_index_refresh_oracle())
-def za64_stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q50_stream_index_refresh", _stream_index_refresh_oracle())
+def q50_stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN index refresh equivalence (`streaming/ann.py:
     run_streaming_index_refresh` — round-9 verdict #6): the index is
     built over only a third of the embeddings (vec_id%3==0); the other
@@ -2082,8 +2082,8 @@ def _wq_oracle() -> str:
     )
 
 
-@_register("za59_weighted_quantiles", _wq_oracle())
-def za59_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q20_weighted_quantiles", _wq_oracle())
+def q20_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact WEIGHTED quantiles (`operators/quantile_sketch.
     weighted_quantiles`): the smallest extended price whose cumulative
     QUANTITY mass reaches p·W for p ∈ {.25, .5, .75, .9, .99} — "the
@@ -2112,7 +2112,7 @@ def za59_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za60_stream_running_totals",
+    "q22_stream_running_totals",
     f"""
     WITH e AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -2131,7 +2131,7 @@ def za59_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM chunks GROUP BY user_id ORDER BY user_id
     """,
 )
-def za60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming running totals ≡ batch GROUP BY (`streaming/stateful.
     running_totals_stateful`): per-user cumulative (count, sum) carried
     in ``applyInPandasWithState`` across three time-ordered
@@ -2200,7 +2200,7 @@ def za60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za61_stream_kmv_distinct",
+    "q23_stream_kmv_distinct",
     """
     WITH e AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -2219,7 +2219,7 @@ def za60_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM chunks GROUP BY user_id ORDER BY user_id
     """,
 )
-def za61_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV bottom-k distinct sketch ≡ exact distinct
     (`streaming/stateful.approx_distinct_stateful`): per-user distinct
     event types tracked as the k smallest md5 hashes in state across
@@ -2334,8 +2334,8 @@ def _roundtrip_agg(back: DataFrame) -> DataFrame:
     )
 
 
-@_register("za62_jsonl_roundtrip", _ROUNDTRIP_ORACLE)
-def za62_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q39_jsonl_roundtrip", _ROUNDTRIP_ORACLE)
+def q39_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion round trip: documents (with injected newline /
     quote / comma / non-ASCII content) write as JSON Lines, read back
     with an explicit schema in DROPMALFORMED mode past two injected
@@ -2363,8 +2363,8 @@ def za62_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
-@_register("za63_csv_roundtrip", _ROUNDTRIP_ORACLE)
-def za63_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q49_csv_roundtrip", _ROUNDTRIP_ORACLE)
+def q49_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC-4180 CSV ingestion round trip: same hostile documents
     written with double-quote escaping (escape='\"' — the RFC
     convention, NOT Spark's backslash default), read back with

@@ -57,7 +57,7 @@ def main() -> int:
         # LPA = |sym| vote rows; kcore/triangles run on the QUOTIENT)
         if "edges" not in skip:
             t0 = time.time()
-            pairs = qs["q49_simhash_near_dup_pairs"](spark, scaled)
+            pairs = qs["za63_simhash_near_dup_pairs"](spark, scaled)
             n_pairs = pairs.count()
             n_nodes = (
                 pairs.select(F.col("id_a").alias("n"))
@@ -78,7 +78,7 @@ def main() -> int:
                 flush=True,
             )
         for name in (
-            "q07_pagerank",
+            "za56_pagerank",
             "q40_triangle_stats",
             "q42_kcore_members",
             "q41_lpa_communities",

@@ -56,18 +56,18 @@ AUDIT = {
     "q85_range_join_error_window": ("keyless range join as bucketized hash join, no NestedLoop", ()),
     "q87_hll_distinct": ("sketch build is a fixed-size hash-agg with map-side combine", ()),
     "z09_pack_sequences": ("packing = one hash shuffle + one sort per shard", ()),
-    "q50_ivf_pq_ann": (
+    "za64_ivf_pq_ann": (
         "IVF-PQ composed: cell equi-join over (cell, codes) rows — float "
         "vectors never leave the encode projection; probe LUTs broadcast",
         (),
     ),
-    "q49_simhash_near_dup_pairs": (
+    "za63_simhash_near_dup_pairs": (
         "banding over DISTINCT fingerprints with member re-expansion; "
         "hamming-0 pairs from a direct fingerprint equi-join — no band "
         "fan-out for exact-duplicate clusters",
         (),
     ),
-    "q04_bm25_search": (
+    "za55_bm25_search": (
         "token stream semi-joined against the broadcast query vocabulary "
         "BEFORE the tf aggregate; df/idf and corpus stats broadcast — the "
         "BroadcastNestedLoopJoin is the ONE-ROW corpus-stats (N, avgdl) "
@@ -85,7 +85,7 @@ AUDIT = {
         "fingerprinting, only (id, fp) rows shuffle",
         (),
     ),
-    "q17_semantic_dedup": (
+    "za58_semantic_dedup": (
         "SemDeDup: Arrow-matmul cluster assignment (no shuffle), then a "
         "within-cluster equi-join — cross-cluster pairs never form",
         (),
@@ -136,12 +136,12 @@ AUDIT = {
         "literals, no shuffle, no Python",
         (),
     ),
-    "q39_image_metadata": (
+    "za62_image_metadata": (
         "encode→EXIF-write→TIFF-parse chain as two narrow Arrow "
         "projections; no shuffle at all",
         (),
     ),
-    "q23_corpus_report": (
+    "za61_corpus_report": (
         "signal composition: md5 dedup agg + token-stream model join + "
         "one per-source agg with exact percentile on reduced doc rows. "
         "BroadcastNestedLoopJoin = the 1-row total crossJoin idiom",
@@ -774,7 +774,7 @@ AUDIT = {
         "— the quadratic NOT-EXISTS truth exists only oracle-side",
         (),
     ),
-    "za55_item_cf": (
+    "q04_item_cf": (
         "basket-capped pair generation as ONE self-equi-join on the "
         "basket key (fan-out quadratic in basket size, never corpus "
         "size); norms join back on item ids; global top-100 is "
@@ -863,12 +863,12 @@ AUDIT = {
         "conditionless 1-ROW estimate broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za56_grouped_quantiles": (
+    "q07_grouped_quantiles": (
         "two group-keyed map-side-combinable aggregates; the per-group "
         "CDF window and quantile lookup run on |groups| x n_bins rows",
         (),
     ),
-    "za58_join_skew_stats": (
+    "q17_join_skew_stats": (
         "preflight never performs the join: two count aggregates, a "
         "|keys|-row join of count tables, a 1-row roll-up - the BNLJ "
         "is the conditionless 1-ROW x 1-ROW (totals x top-k) "
@@ -907,7 +907,7 @@ AUDIT = {
         "BNLJ is the 1-row normalizer crossJoin (scalar idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q20_training_corpus": (
+    "za59_training_corpus": (
         "9-stage corpus composition: every BNLJ in the union is a 1-row "
         "total/normalizer crossJoin (all builds are Keys: [] aggregates, "
         "rowCount=1 in the AQE stats); doc-id set joins between stages "
@@ -997,7 +997,7 @@ AUDIT = {
         "immutable files + one hash aggregate — no log join",
         (),
     ),
-    "za57_wasserstein_shift": (
+    "q08_wasserstein_shift": (
         "W1 distance: per-value pooling join + the range-partitioned "
         "cumulative-sum pass (round-9 scale fix — no single-task "
         "window); the BNLJ is the 1-row (na, nb) totals broadcast "
@@ -1005,32 +1005,32 @@ AUDIT = {
         "idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za60_stream_running_totals": (
+    "q22_stream_running_totals": (
         "streaming running-totals equivalence: the cents-exact "
         "accumulation ran at STREAM time (applyInPandasWithState, "
         "3-number state per key); the returned frame scans the "
         "drained memory sink with one keyed final-snapshot window",
         (),
     ),
-    "za61_stream_kmv_distinct": (
+    "q23_stream_kmv_distinct": (
         "streaming KMV-sketch equivalence: the bottom-k hash state "
         "ran at STREAM time; the returned frame scans the drained "
         "memory sink with one keyed final-snapshot window",
         (),
     ),
-    "za62_jsonl_roundtrip": (
+    "q39_jsonl_roundtrip": (
         "JSONL round trip: narrow JVM-codec write + schema'd "
         "DROPMALFORMED read (both embarrassingly parallel); one "
         "|sources|-row aggregate with map-side partials",
         (),
     ),
-    "za63_csv_roundtrip": (
+    "q49_csv_roundtrip": (
         "RFC-4180 CSV round trip: multiLine read is per-file "
         "parallel (non-splittable by design — documented); one "
         "|sources|-row aggregate with map-side partials",
         (),
     ),
-    "za59_weighted_quantiles": (
+    "q20_weighted_quantiles": (
         "exact weighted quantiles: one value-keyed hash aggregate "
         "pools duplicates; the cumulative mass is the range-"
         "partitioned global_cumulative_sums (never a single-task "

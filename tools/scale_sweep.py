@@ -47,7 +47,7 @@ SWEEP_QUERIES = [
     "q83_dedup_exact",
     "q90_ngram_jaccard_pairs",
     "za23_lsh_candidate_pairs",
-    "q49_simhash_near_dup_pairs",
+    "za63_simhash_near_dup_pairs",
     "z57_winnow_near_dup_pairs",
     "za16_lsh_verified_pairs",
     "q94_dedup_clusters",
@@ -61,10 +61,10 @@ SWEEP_QUERIES = [
     "z32_multiprobe_lsh_ann",
     "q89_ivf_ann",
     "z26_pq_adc_knn",
-    "q50_ivf_pq_ann",
+    "za64_ivf_pq_ann",
     "z22_sq8_ann",
     "za30_unigram_surprisal",
-    "q20_training_corpus",
+    "za59_training_corpus",
     "q82_sessionization",
     "q86_time_rollup",
     # round-4 additions: the media codecs are byte-linear (replicated
@@ -140,7 +140,7 @@ SWEEP_QUERIES = [
     # per clique, the z51-twin output-bound shape). The 25× sf0.1
     # Spark-only runs with measured per-round shuffle rows live in
     # SCALE.md.
-    "q07_pagerank",
+    "za56_pagerank",
     "q41_lpa_communities",
     "q42_kcore_members",
     "q40_triangle_stats",
@@ -160,13 +160,13 @@ SWEEP_QUERIES = [
     "q35_stream_spacesaving",
     "q16_delta_time_travel",
     "q45_delta_restore",
-    "za59_weighted_quantiles",
+    "q20_weighted_quantiles",
 ]
 
 PAIR_QUERIES = {
     "q90_ngram_jaccard_pairs",
     "za23_lsh_candidate_pairs",
-    "q49_simhash_near_dup_pairs",
+    "za63_simhash_near_dup_pairs",
     "z57_winnow_near_dup_pairs",
     "za16_lsh_verified_pairs",
     "q91_embedding_near_dup",
@@ -238,7 +238,7 @@ def build_scaled_dir(base: str, out_dir: str, replicas: int) -> None:
 # a DISTRIBUTED order-free checksum instead: per-row
 # md5(canonical string) -> 52-bit int, summed engine-side on both
 # engines (the md5-lane portability trick), plus the exact count.
-CHECKSUM_QUERIES = {"q49_simhash_near_dup_pairs"}
+CHECKSUM_QUERIES = {"za63_simhash_near_dup_pairs"}
 
 
 def checksum_compare(sf_dir: str, name: str) -> int:
