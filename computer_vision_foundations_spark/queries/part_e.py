@@ -2403,3 +2403,256 @@ def q49_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return _roundtrip_agg(back)
+
+
+# ---------------------------------------------------------------------------
+# za65-za68 — TPC-H classic shapes Q7/Q8/Q18/Q22 (round 10): the
+# multi-way-join relational benchmarks the z83-z99 family didn't cover
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za65_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+          AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def za65_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional trade flow
+    between two nations by ship year — the 6-table join with a
+    disjunctive cross-nation predicate that exercises join ORDERING
+    (nation dims twice under different roles).
+
+    Scale shape: supplier/customer/nation dims broadcast; the
+    lineitem fact scan takes the pushed shipdate range; ONE hash
+    aggregate on (supp_nation, cust_nation, year) — the fact rows
+    shuffle only for the final |nations²·years|-group agg."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_12")
+                & (F.col("cust_nation") == "NATION_10")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_10")
+                & (F.col("cust_nation") == "NATION_12")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "za66_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM customer
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) all_sales
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def za66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the share of ASIA-region
+    order volume supplied by NATION_3, by order year — conditional
+    aggregation over a 7-table snowflake (nation joined twice:
+    customer-side for the region gate, supplier-side for the share
+    numerator).
+
+    Scale shape: all five dims broadcast; orders carries the pushed
+    date range; the fact shuffles once for the |years|-group agg; the
+    share is a per-group conditional-sum ratio (identical operation
+    tree in the oracle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_regionkey").alias("_n1reg")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(region), F.col("_n1reg") == F.col("r_regionkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2key"))
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "za67_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 300
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def za67_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 300 units, with their customers, top-100 by
+    price — the group-by-HAVING-over-join pattern (the quantity gate
+    applies to the ORDER aggregate, not any row).
+
+    Scale shape: the quantity HAVING reduces on (order) keys first
+    with map-side partials; customer/orders broadcast against it;
+    TakeOrderedAndProject for the top-100 (no global sort).
+    Deterministic tie-break (o_orderdate, o_orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "za68_lapsed_high_value",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def za68_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, re-aimed at this
+    schema): above-average-balance customers with NO orders since
+    1999 — the scalar-subquery threshold + anti-join existence test,
+    grouped into a per-segment opportunity report.
+
+    Scale shape: the average is a 1-row broadcast (the sanctioned
+    crossJoin idiom); the existence test is a LEFT ANTI join against
+    the date-pruned orders scan (never a per-row subquery); one
+    |segments|-group agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
