@@ -2656,3 +2656,64 @@ def za68_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# za69 — Bloom runtime-filter join pruning (operators/runtime_filter.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za69_bloom_prefilter_join",
+    """
+    SELECT s_suppkey, s_name,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal > 4500
+    GROUP BY s_suppkey, s_name
+    ORDER BY s_suppkey
+    """,
+)
+def za69_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter join (`operators/runtime_filter.py`): the
+    lineitem fact scan is pre-filtered by a Bloom filter of the
+    selective supplier build side's keys BEFORE the join — the manual
+    twin of Spark's optimizer-injected runtime bloom filters, composed
+    from the repo's relational Bloom kit. The oracle is the PLAIN
+    join: Bloom admits no false negatives and the FP sliver is removed
+    by the real join, so the pruned plan must hash-match the unpruned
+    answer exactly — which is the entire point of the technique.
+
+    Scale shape: build side -> <=m distinct bit positions (one
+    hash-agg), driver bitmask is 64 KiB (model-sized class); the
+    membership check is a scan-local Arrow gather, so non-matching
+    fact rows never reach the join shuffle."""
+    from computer_vision_foundations_spark.operators.runtime_filter import (
+        bloom_prefiltered_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 4500)
+        .select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            "s_suppkey",
+            "s_name",
+        )
+    )
+    return (
+        bloom_prefiltered_join(li, sup, "l_suppkey")
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
