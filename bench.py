@@ -229,6 +229,7 @@ HEADLINE = [
     "za68_lapsed_high_value",
     "za69_bloom_prefilter_join",
     "za70_jaro_winkler_linkage",
+    "za71_stream_ewma_drift",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
     # q35_stream_spacesaving / q22_stream_running_totals /
     # q23_stream_kmv_distinct are gate-attested but NOT benched:

@@ -2762,3 +2762,127 @@ def za70_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", ["lang", "source"],
         threshold=0.8, prefix_chars=40,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# za71 — streaming batch-mean EWMA drift alarm ≡ unrolled batch recurrence
+# ---------------------------------------------------------------------------
+
+def _ewma_drift_oracle() -> str:
+    t1, t2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    return f"""
+    WITH e AS (
+        SELECT event_type AS k, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value * 1000000) AS BIGINT) AS vs
+        FROM events
+    ), m AS (
+        SELECT k,
+               CASE WHEN ts < TIMESTAMP '{t1}' THEN 1
+                    WHEN ts < TIMESTAMP '{t2}' THEN 2
+                    ELSE 3 END AS ch,
+               CAST(sum(vs) AS DOUBLE) / (1000000.0 * count(*)) AS mean
+        FROM e GROUP BY 1, 2
+    ), s1 AS (
+        SELECT k, mean AS mean1, mean AS level1,
+               CAST(0 AS DOUBLE) AS var1
+        FROM m WHERE ch = 1
+    ), s2 AS (
+        SELECT s1.k, m.mean AS mean2,
+               sqrt(var1) AS sig2,
+               sqrt(var1) > 0 AND abs(m.mean - level1) > sqrt(var1)
+                   AS alarm2,
+               level1 + 0.5 * (m.mean - level1) AS level2,
+               0.5 * (var1 + 0.5 * (m.mean - level1) * (m.mean - level1))
+                   AS var2,
+               mean1, level1
+        FROM s1 JOIN m ON m.k = s1.k AND m.ch = 2
+    ), s3 AS (
+        SELECT s2.k, m.mean AS mean3,
+               sqrt(var2) AS sig3,
+               sqrt(var2) > 0 AND abs(m.mean - level2) > sqrt(var2)
+                   AS alarm3,
+               level2 + 0.5 * (m.mean - level2) AS level3,
+               mean1, level1, mean2, sig2, alarm2, level2
+        FROM s2 JOIN m ON m.k = s2.k AND m.ch = 3
+    )
+    SELECT k, batch_seq, round(batch_mean, 6) AS batch_mean,
+           round(level, 6) AS level, round(sigma, 6) AS sigma, alarm
+    FROM (
+        SELECT k, 1 AS batch_seq, mean1 AS batch_mean, level1 AS level,
+               CAST(0 AS DOUBLE) AS sigma, FALSE AS alarm FROM s3
+        UNION ALL
+        SELECT k, 2, mean2, level2, sig2, alarm2 FROM s3
+        UNION ALL
+        SELECT k, 3, mean3, level3, sig3, alarm3 FROM s3
+    ) all_steps
+    ORDER BY k, batch_seq
+    """
+
+
+@_register("za71_stream_ewma_drift", _ewma_drift_oracle())
+def za71_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming batch-mean EWMA drift alarm ≡ unrolled batch
+    recurrence (`streaming/stateful.ewma_batch_drift_stateful`): each
+    event type's per-micro-batch mean value updates a state-store
+    (level, var) pair across three time-ordered batches, alarming
+    when a batch mean deviates from the carried level by more than
+    the carried sigma — the streaming drift monitor whose every
+    emitted row (all three per key, not just the last) the oracle
+    replays exactly by unrolling the 3-step recurrence as CTEs.
+    Values pre-scale to the 1e-6 integer grid so batch means are
+    exact order-free algebra; the recurrence itself uses the same
+    left-associated double ops on both engines.
+
+    Scale shape: state is three scalars per key; each micro-batch
+    shuffles (key, int) rows once; output is |batches × keys| rows."""
+    import tempfile
+    import uuid as _uuid
+
+    from computer_vision_foundations_spark.streaming.stateful import (
+        ewma_batch_drift_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("k"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vs"),
+    )
+    cuts = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    landing = stage_time_ordered_chunks(
+        [c.select("k", "vs") for c in ts_chunks(ev, cuts)],
+        "stream_ewma",
+    )
+    stream = (
+        spark.readStream.schema("k string, vs long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    drift = ewma_batch_drift_stateful(
+        stream, key_col="k", scaled_col="vs",
+        alpha=0.5, threshold=1.0, min_batches=1,
+    )
+    name = f"za71_ewma_{_uuid.uuid4().hex[:8]}"
+    q = (
+        drift.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_ewma_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "k",
+            "batch_seq",
+            F.round("batch_mean", 6).alias("batch_mean"),
+            F.round("level", 6).alias("level"),
+            F.round("sigma", 6).alias("sigma"),
+            "alarm",
+        )
+        .orderBy("k", "batch_seq")
+    )

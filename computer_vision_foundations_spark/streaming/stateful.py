@@ -333,3 +333,84 @@ def ewma_drift_stateful(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_batch_drift_stateful(
+    df: DataFrame,
+    key_col: str = "event_type",
+    scaled_col: str = "vs",
+    alpha: float = 0.5,
+    threshold: float = 1.0,
+    min_batches: int = 1,
+    key_type: str = "string",
+) -> DataFrame:
+    """Per-key BATCH-mean EWMA drift alarm — the oracle-replayable
+    sibling of :func:`ewma_drift_stateful`: the level/variance update
+    once per MICRO-BATCH on the batch mean instead of per value, so
+    the recurrence has |batches| steps and a DuckDB twin can unroll
+    it exactly (per-value folds are sequential in arrival order and
+    have no order-free SQL form). Inputs arrive PRE-SCALED to the
+    1e-6 integer grid (``scaled_col`` = floor(value·10⁶) as long) so
+    each batch mean is exact integer algebra divided once — the za50
+    float-reduction-order lesson applied to the state recurrence.
+
+    Per (key, batch) output: ``(key, batch_seq, batch_mean, level,
+    sigma, alarm)`` where sigma is the PRE-update deviation estimate
+    the alarm tested (sqrt of the exponentially-forgotten squared
+    deviations), level the POST-update baseline, and
+    ``alarm = seen >= min_batches AND sigma > 0 AND
+    |mean − level_prev| > threshold·sigma``. First batch seeds
+    level = mean, var = 0, alarm = false. State is three scalars per
+    key."""
+    out_schema = (
+        f"{key_col} {key_type}, batch_seq bigint, batch_mean double, "
+        "level double, sigma double, alarm boolean"
+    )
+    state_schema = "level double, var double, b bigint"
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        level, var, b = state.get if state.exists else (0.0, 0.0, 0)
+        s = 0
+        n = 0
+        for pdf in pdfs:
+            col = pdf[scaled_col]
+            s += int(col.sum())
+            n += int(col.count())
+        if n == 0:
+            return
+        mean = s / (1000000.0 * n)
+        if b == 0:
+            level, var, sigma, alarm = mean, 0.0, 0.0, False
+        else:
+            d = mean - level
+            sigma = var**0.5
+            alarm = bool(
+                b >= min_batches and sigma > 0
+                and abs(d) > threshold * sigma
+            )
+            level = level + alpha * d
+            var = (1 - alpha) * (var + alpha * d * d)
+        b += 1
+        state.update((level, var, b))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "batch_seq": [b],
+                "batch_mean": [mean],
+                "level": [level],
+                "sigma": [sigma],
+                "alarm": [alarm],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
