@@ -1053,6 +1053,49 @@ AUDIT = {
         "(the sanctioned crossJoin idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
+    "za68_lapsed_high_value": (
+        "scalar balance threshold = the sanctioned 1-row broadcast "
+        "crossJoin (plans as BNLJ); existence test is a LEFT ANTI "
+        "hash join against the date-pruned orders scan",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za65_volume_shipping": (
+        "6-table join: all dims broadcast, fact scan takes the pushed "
+        "shipdate range; one hash agg",
+        (),
+    ),
+    "za66_market_share": (
+        "7-table snowflake, nation in two roles, all dims broadcast; "
+        "conditional-sum share per year",
+        (),
+    ),
+    "za67_large_volume_customers": (
+        "HAVING over the order-grain aggregate first; dims broadcast; "
+        "TakeOrderedAndProject top-100",
+        (),
+    ),
+    "za69_bloom_prefilter_join": (
+        "bloom membership is a scan-local Arrow gather (driver bitmask "
+        "64 KiB); only surviving fact rows reach the join",
+        (),
+    ),
+    "za70_jaro_winkler_linkage": (
+        "(lang, source) equi-join blocking; JW comparator Arrow-batched "
+        "on candidates only; shuffles carry 40-char prefixes",
+        (),
+    ),
+    "za71_stream_ewma_drift": (
+        "state machinery ran at STREAM time (applyInPandasWithState, "
+        "3 scalars per key); returned frame scans the drained memory "
+        "sink with one projection",
+        (),
+    ),
+    "q50_stream_index_refresh": (
+        "stream-refreshed IVF-PQ: per-batch encode is a narrow Arrow "
+        "projection at STREAM time; the returned query joins broadcast "
+        "probe fan-out against base-plus-increment code scans",
+        (),
+    ),
     "q26_stream_sessions": (
         "streaming session equivalence: the merging-session state "
         "machinery ran at STREAM time (append mode, watermark "
