@@ -2886,3 +2886,158 @@ def za71_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k", "batch_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# za72-za74 — TPC-H classic shapes Q14/Q12/Q19 (round 10, second batch)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za72_promo_revenue",
+    """
+    SELECT EXTRACT(month FROM l_shipdate) AS l_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+               AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_month
+    ORDER BY l_month
+    """,
+)
+def za72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of 1996 shipped
+    revenue carried by PROMO-type parts, by ship month — the
+    conditional-aggregate ratio over a fact⋈dimension join.
+
+    Scale shape: part dimension broadcast (only p_partkey/p_type
+    projected); the pushed shipdate range prunes the fact scan; one
+    12-group hash agg with an identical conditional-sum / total-sum
+    operation tree in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("l_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+                )
+                / F.sum(vol),
+                6,
+            ).alias("promo_pct")
+        )
+        .orderBy("l_month")
+    )
+
+
+@_register(
+    "za73_late_shipment_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_late,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def za73_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority, re-aimed at this
+    schema's columns): line items shipped more than 90 days after
+    their order date, counted per order priority with the
+    urgent/high conditional count — the join-predicate-on-both-sides
+    pattern (the lateness filter needs columns from BOTH tables, so
+    it evaluates post-join, not at either scan).
+
+    Scale shape: one hash join on the order key (orders projected to
+    two columns), one |priorities|-group agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("high_line_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "za74_bracket_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def za74_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue with bracketed disjunctive
+    predicates): three (brand, size-range, quantity-range) brackets
+    OR-ed together — the classic test that the optimizer keeps the
+    cross-table disjunction as a post-join filter while still pushing
+    the per-table conjuncts (brand/size reach the part scan as an
+    OR-of-ANDs residual) and broadcasting the dimension.
+
+    Scale shape: part broadcast; one scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    def bracket(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(
+            bracket("Brand#13", 1, 15, 1, 20)
+            | bracket("Brand#20", 10, 30, 10, 35)
+            | bracket("Brand#23", 20, 50, 20, 50)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
