@@ -206,6 +206,9 @@ def compact_index(spark: SparkSession, path: str) -> int:
     tmp = os.path.join(path, "codes_compact_tmp")
     merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
     old = os.path.join(path, "codes_old")
+    # a previous compaction that died between the two renames may have
+    # left codes_old behind; clear it so the swap cannot fail half-way
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(os.path.join(path, "codes"), old)
     os.rename(tmp, os.path.join(path, "codes"))
     shutil.rmtree(old, ignore_errors=True)

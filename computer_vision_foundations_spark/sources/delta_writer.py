@@ -480,7 +480,12 @@ def delta_append(
             _publish(root, v, actions, "WRITE", ts)
             break
         except DeltaCommitConflict:
-            if any("metaData" in a for a in actions):
+            # only PLAIN appends rebase: a mergeSchema append may have
+            # projected NULL-filled columns against the stale snapshot
+            # (so _check_schema against the winner would raise a
+            # misleading schema error), and a metaData-carrying commit
+            # conflicts with everything per the protocol
+            if merge_schema or any("metaData" in a for a in actions):
                 raise
             snap = delta_reader.delta_snapshot(root, spark)
             _check_schema(snap, df)  # loser re-validates vs the winner
