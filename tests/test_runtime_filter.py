@@ -56,3 +56,17 @@ def test_null_and_empty_sides(spark):
     # empty build side -> empty result, no crash
     empty = spark.createDataFrame([], "k int")
     assert bloom_prefiltered_join(big, empty, "k").count() == 0
+
+
+def test_string_keys(spark):
+    """Non-numeric keys hash through the same string cast on both
+    sides — membership stays false-negative-free."""
+    big = spark.createDataFrame(
+        [(f"k{i % 40}", i) for i in range(2000)], "k string, v long"
+    )
+    small = spark.createDataFrame([("k3",), ("k17",)], "k string")
+    got = sorted(
+        map(tuple, bloom_prefiltered_join(big, small, "k").collect())
+    )
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want and len(want) == 100

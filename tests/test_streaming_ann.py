@@ -105,3 +105,53 @@ def test_checkpoint_prevents_replay(spark, tmp_path):
         spark, index, d["probes"], d["out"], d["ckpt"], k=4, n_probe_cells=2
     )
     assert spark.read.parquet(d["out"]).count() == first
+
+
+def test_streaming_index_refresh_with_compaction(spark, tmp_path):
+    """The INGEST half (round-10): base index over 1/3 of the corpus,
+    two streamed vector drops appended, compact_after folds them —
+    queries must be bit-equal to the one-shot batch build throughout,
+    and compaction must leave a single base scan."""
+    from computer_vision_foundations_spark.streaming.ann import (
+        run_streaming_index_refresh,
+    )
+
+    df, cbs, cents = _corpus(spark)
+    full = build_ivf_pq_index(df, str(tmp_path / "full"), cbs, cents)
+    probes = df.filter("vec_id < 5")
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, full, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+    inc = build_ivf_pq_index(
+        df.filter("vec_id % 3 = 0"), str(tmp_path / "inc"), cbs, cents
+    )
+    vec_dir = str(tmp_path / "vecs")
+    os.makedirs(vec_dir)
+    for rem in (1, 2):
+        df.filter(f"vec_id % 3 = {rem}").coalesce(1).write.mode(
+            "append"
+        ).parquet(vec_dir)
+    run_streaming_index_refresh(
+        spark,
+        inc,
+        vec_dir,
+        str(tmp_path / "rckpt"),
+        max_files_per_trigger=1,
+        compact_after=True,
+    )
+    # compaction folded the increments away
+    assert not os.path.isdir(os.path.join(inc, "codes_inc"))
+    got = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, inc, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+    assert got == want
