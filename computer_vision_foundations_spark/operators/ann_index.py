@@ -106,10 +106,12 @@ def _read_codes(spark: SparkSession, path: str) -> DataFrame:
     """The live code set: the base build plus any streamed increments
     (``codes_inc/batch_id=N/_cell=M``). Both sides are cell-partitioned
     parquet; the increments carry an extra batch_id partition column
-    that is dropped here. `compact_index` folds increments back into
-    the single base scan (restoring the one-scan DPP shape); between
-    compactions the increment side is small by construction (recent
-    batches only)."""
+    that is dropped here. Dynamic partition pruning survives the
+    union — the probed-cell subquery reaches BOTH scans
+    (verified: two ``dynamicpruningexpression(_cell IN ...)``
+    PartitionFilters in q50's plan) — so `compact_index` exists to
+    bound the per-query FILE count as batch dirs accrete, not to
+    restore pruning."""
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(os.path.join(path, "codes"))
