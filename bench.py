@@ -102,14 +102,14 @@ HEADLINE = [
     "za58_semantic_dedup",
     "za10_bloom_decontaminate",
     "za11_weighted_sample",
-    "q05_duplicated_spans",
+    "za65_duplicated_spans",
     "za19_random_projection",
     "za50_pca_covariance",
     "za51_hits_scores",
     "za37_bigram_surprisal",
-    "q12_dsir_weights",
-    "q13_incremental_lsh",
-    "q14_cdc_dedup",
+    "za66_dsir_weights",
+    "za67_incremental_lsh",
+    "za68_cdc_dedup",
     "za20_temperature_mixture",
     "za21_skew_profile",
     "q19_persisted_ivf_pq",
@@ -123,8 +123,8 @@ HEADLINE = [
     "za60_image_statistics",
     "q03_time_travel",
     "q24_acid_upsert",
-    "q25_wav_audio_stats",
-    "q28_gif_frame_sample",
+    "za69_wav_audio_stats",
+    "za70_gif_frame_sample",
     "z23_audio_spectrum",
     "z24_bucketed_join",
     "z25_table_profile",
@@ -140,7 +140,7 @@ HEADLINE = [
     "za31_data_skipping",
     "z30_knn_join",
     "q34_change_data_feed",
-    "q36_image_near_dup",
+    "za71_image_near_dup",
     "z33_gopher_rules",
     "z34_paragraph_dedup",
     "z35_scene_cuts",
@@ -159,7 +159,7 @@ HEADLINE = [
     "z48_class_compactness",
     "z49_kmv_user_distinct",
     "z50_bm25_ndcg",
-    "q40_triangle_stats",
+    "za73_triangle_stats",
     "z52_naive_bayes_lang",
     "z53_kneser_ney_surprisal",
     "q41_lpa_communities",
@@ -223,13 +223,13 @@ HEADLINE = [
     "q20_weighted_quantiles",
     "q39_jsonl_roundtrip",
     "q49_csv_roundtrip",
-    "za65_volume_shipping",
-    "za66_market_share",
-    "za67_large_volume_customers",
-    "za68_lapsed_high_value",
-    "za69_bloom_prefilter_join",
-    "za70_jaro_winkler_linkage",
-    "za71_stream_ewma_drift",
+    "q05_volume_shipping",
+    "q12_market_share",
+    "q13_large_volume_customers",
+    "q14_lapsed_high_value",
+    "q25_bloom_prefilter_join",
+    "q28_jaro_winkler_linkage",
+    "q36_stream_ewma_drift",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
     # q35_stream_spacesaving / q22_stream_running_totals /
     # q23_stream_kmv_distinct are gate-attested but NOT benched:

@@ -1903,7 +1903,7 @@ _SPAN_N, _SPAN_MIN_DF = 8, 2
 
 
 @_register(
-    "q05_duplicated_spans",
+    "za65_duplicated_spans",
     f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1947,7 +1947,7 @@ _SPAN_N, _SPAN_MIN_DF = 8, 2
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
-def q05_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za65_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup profile (Lee et al. 2021 semantics,
     fixed-n formulation — `operators/spans.py`): every {n}-token window
     occurring in ≥2 distinct documents marks its positions duplicated;
@@ -2161,7 +2161,7 @@ def za37_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q12_dsir_weights",
+    "za66_dsir_weights",
     """
     WITH raw_tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -2195,7 +2195,7 @@ def za37_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY rt.doc_id
     """,
 )
-def q12_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za66_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (`operators/dsir.py` — Xie et al. 2023
     shape): mean per-token log-likelihood ratio of a TARGET unigram
     model (here the lang='en' slice stands in for a curated corpus)
@@ -2218,7 +2218,7 @@ def q12_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q13_incremental_lsh",
+    "za67_incremental_lsh",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),
     sig AS (
@@ -2247,7 +2247,7 @@ def q12_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR (b.side = 'batch' AND p.doc_id < b.doc_id))
     """,
 )
-def q13_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za67_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup flow
     (operators/dedup.incremental_lsh_candidates): the daily-crawl
     sibling of q46 — a new batch (doc_id%5!=0) is banded against a
@@ -2281,7 +2281,7 @@ def q13_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q14_cdc_dedup",
+    "za68_cdc_dedup",
     """
     WITH d AS (
         SELECT doc_id, text, length(text) AS n FROM documents
@@ -2324,7 +2324,7 @@ def q13_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals t LEFT JOIN flagged f USING (doc_id)
     """,
 )
-def q14_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za68_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup profile (`operators/cdc.py`):
     rsync/LBFS-style storage dedup — chunk boundaries where an 8-char
     window hash ≡ 0 (mod 32), so identical regions across documents

@@ -369,7 +369,7 @@ def q24_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q25_wav_audio_stats",
+    "za69_wav_audio_stats",
     """
     WITH samples AS (
         SELECT doc_id, length(text) AS n, u.i AS i,
@@ -404,7 +404,7 @@ def q24_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY doc_id, n
     """,
 )
-def q25_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za69_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality with a REAL codec end-to-end: each document's
     text becomes 16-bit PCM (sample = (byte−128)·256), is serialized
     as a canonical RIFF/WAVE file (``functions/wav.py`` — from-scratch
@@ -465,7 +465,7 @@ def q25_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q28_gif_frame_sample",
+    "za70_gif_frame_sample",
     """
     WITH v AS (
         SELECT doc_id, text, length(text) // 16 AS nf
@@ -486,7 +486,7 @@ def q25_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM px GROUP BY doc_id, i
     """,
 )
-def q28_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za70_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality with a REAL codec end-to-end: each document's
     text becomes an animated GIF89a (``functions/gif.py`` — the
     from-scratch LZW codec; one 4×4 grayscale frame per 16 bytes,
@@ -1098,8 +1098,8 @@ def _image_near_dup_oracle_sql(max_hamming: int = 6) -> str:
     """
 
 
-@_register("q36_image_near_dup", _image_near_dup_oracle_sql())
-def q36_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za71_image_near_dup", _image_near_dup_oracle_sql())
+def za71_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual IMAGE near-duplicate pairs — the CV-side dedup the
     reference's domain needs: real 8×9 PNG encode → real decode →
     64-bit dHash (q99's chain, full-grid docs only so no padding) →
@@ -2043,7 +2043,7 @@ def _consensus_oracle_sql() -> str:
     registered z32 / z36 / q49 oracles verbatim (each with its own
     WITH chain, nested as subqueries), full-outer-merged on the pair
     key. Consensus = present in ≥ 2 modalities."""
-    img = _ORACLES["q36_image_near_dup"]
+    img = _ORACLES["za71_image_near_dup"]
     aud = _ORACLES["z36_audio_fingerprint_pairs"]
     txt = _ORACLES["za63_simhash_near_dup_pairs"]
     return f"""
@@ -2089,7 +2089,7 @@ def z46_multimodal_consensus_pairs(
     smaller than the corpus) on the pair key — three small hash
     joins, nothing corpus-sized."""
     t = F.lit(True)
-    img = q36_image_near_dup(spark, sf_dir).select(
+    img = za71_image_near_dup(spark, sf_dir).select(
         "id_a", "id_b", t.alias("in_image")
     )
     aud = z36_audio_fingerprint_pairs(spark, sf_dir).select(
@@ -2367,8 +2367,8 @@ def _triangle_oracle_sql() -> str:
     )
 
 
-@_register("q40_triangle_stats", _triangle_oracle_sql())
-def q40_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za73_triangle_stats", _triangle_oracle_sql())
+def za73_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + local clustering coefficients over the
     SimHash near-duplicate pair graph (q49's exact edges) — the
     cohesion audit between pair generation and destructive cluster

@@ -2230,8 +2230,8 @@ def _logreg_oracle() -> str:
     )
 
 
-@_register("q48_logistic_gd", _logreg_oracle())
-def q48_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za74_logistic_gd", _logreg_oracle())
+def za74_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression (operators/logreg.logistic_gd):
     5 exact full-batch GD steps predicting l_returnflag='R' from
     scaled quantity/discount/price. Per step, executors compute the

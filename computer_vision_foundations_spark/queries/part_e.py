@@ -319,8 +319,8 @@ def _iso_oracle_sql() -> str:
     return isotonic_oracle_sql(_ISO_SRC_SQL)
 
 
-@_register("q38_isotonic_calibration", _iso_oracle_sql())
-def q38_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za72_isotonic_calibration", _iso_oracle_sql())
+def za72_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) calibration fit
     (operators/isotonic.isotonic_calibration) of return rate against
     discount bins, via the order-free minimax closed form
@@ -2411,7 +2411,7 @@ def q49_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za65_volume_shipping",
+    "q05_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
            round(sum(volume), 2) AS revenue
@@ -2433,7 +2433,7 @@ def q49_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY supp_nation, cust_nation, l_year
     """,
 )
-def za65_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): bidirectional trade flow
     between two nations by ship year — the 6-table join with a
     disjunctive cross-nation predicate that exercises join ORDERING
@@ -2492,7 +2492,7 @@ def za65_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za66_market_share",
+    "q12_market_share",
     """
     SELECT o_year,
            round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
@@ -2515,7 +2515,7 @@ def za65_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
 )
-def za66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape (national market share): the share of ASIA-region
     order volume supplied by NATION_3, by order year — conditional
     aggregation over a 7-table snowflake (nation joined twice:
@@ -2567,7 +2567,7 @@ def za66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za67_large_volume_customers",
+    "q13_large_volume_customers",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            sum(l_quantity) AS sum_qty
@@ -2580,7 +2580,7 @@ def za66_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def za67_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total
     line quantity exceeds 300 units, with their customers, top-100 by
     price — the group-by-HAVING-over-join pattern (the quantity gate
@@ -2611,7 +2611,7 @@ def za67_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za68_lapsed_high_value",
+    "q14_lapsed_high_value",
     """
     SELECT c_mktsegment,
            count(*) AS n_custs,
@@ -2626,7 +2626,7 @@ def za67_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_mktsegment
     """,
 )
-def za68_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity, re-aimed at this
     schema): above-average-balance customers with NO orders since
     1999 — the scalar-subquery threshold + anti-join existence test,
@@ -2663,7 +2663,7 @@ def za68_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za69_bloom_prefilter_join",
+    "q25_bloom_prefilter_join",
     """
     SELECT s_suppkey, s_name,
            count(*) AS n_items,
@@ -2675,7 +2675,7 @@ def za68_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s_suppkey
     """,
 )
-def za69_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom runtime-filter join (`operators/runtime_filter.py`): the
     lineitem fact scan is pre-filtered by a Bloom filter of the
     selective supplier build side's keys BEFORE the join — the manual
@@ -2724,7 +2724,7 @@ def za69_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za70_jaro_winkler_linkage",
+    "q28_jaro_winkler_linkage",
     """
     WITH d AS (
         SELECT doc_id, lang, source, substr(text, 1, 40) AS s
@@ -2739,7 +2739,7 @@ def za69_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
-def za70_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro–Winkler record linkage (`operators/linkage.py:
     jaro_winkler_blocked_pairs` — Winkler 1990): document pairs inside
     (lang, source) blocks whose 40-char prefixes score >= 0.8 under
@@ -2819,8 +2819,8 @@ def _ewma_drift_oracle() -> str:
     """
 
 
-@_register("za71_stream_ewma_drift", _ewma_drift_oracle())
-def za71_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("q36_stream_ewma_drift", _ewma_drift_oracle())
+def q36_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming batch-mean EWMA drift alarm ≡ unrolled batch
     recurrence (`streaming/stateful.ewma_batch_drift_stateful`): each
     event type's per-micro-batch mean value updates a state-store
@@ -2893,7 +2893,7 @@ def za71_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za72_promo_revenue",
+    "q38_promo_revenue",
     """
     SELECT EXTRACT(month FROM l_shipdate) AS l_month,
            round(100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -2909,7 +2909,7 @@ def za71_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_month
     """,
 )
-def za72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): the share of 1996 shipped
     revenue carried by PROMO-type parts, by ship month — the
     conditional-aggregate ratio over a fact⋈dimension join.
@@ -2942,7 +2942,7 @@ def za72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za73_late_shipment_priority",
+    "q40_late_shipment_priority",
     """
     SELECT o_orderpriority,
            count(*) AS n_late,
@@ -2955,7 +2955,7 @@ def za72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderpriority
     """,
 )
-def za73_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-mode priority, re-aimed at this
     schema's columns): line items shipped more than 90 days after
     their order date, counted per order priority with the
@@ -2991,7 +2991,7 @@ def za73_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za74_bracket_revenue",
+    "q48_bracket_revenue",
     """
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            count(*) AS n_items
@@ -3005,7 +3005,7 @@ def za73_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_quantity BETWEEN 20 AND 50)
     """,
 )
-def za74_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (discounted revenue with bracketed disjunctive
     predicates): three (brand, size-range, quantity-range) brackets
     OR-ed together — the classic test that the optimizer keeps the

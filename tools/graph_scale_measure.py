@@ -79,7 +79,7 @@ def main() -> int:
             )
         for name in (
             "za56_pagerank",
-            "q40_triangle_stats",
+            "za73_triangle_stats",
             "q42_kcore_members",
             "q41_lpa_communities",
         ):

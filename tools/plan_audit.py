@@ -125,7 +125,7 @@ AUDIT = {
         "join; one agg shuffle + one window shuffle",
         (),
     ),
-    "q05_duplicated_spans": (
+    "za65_duplicated_spans": (
         "span-frequency agg on 16-byte hashes; frequent-span check is a "
         "LINEAR left-semi join (no pair formation); islands window "
         "partitions by document",
@@ -163,7 +163,7 @@ AUDIT = {
         "the cell equi-join; one top-k window",
         (),
     ),
-    "q14_cdc_dedup": (
+    "za68_cdc_dedup": (
         "boundary detection is a map-side array expression (Generate); "
         "only (doc, chunk_hash) rows shuffle; shared-chunk check is a "
         "linear left-semi join",
@@ -183,7 +183,7 @@ AUDIT = {
         "constant-size build side, not a data-sized product",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q13_incremental_lsh": (
+    "za67_incremental_lsh": (
         "batch-only shingle pipeline; snapshot side reads stored "
         "signatures; band equi-join with combined-bucket cap",
         (),
@@ -217,13 +217,13 @@ AUDIT = {
         "the read-back is a plain snapshot scan + narrow projection",
         (),
     ),
-    "q25_wav_audio_stats": (
+    "za69_wav_audio_stats": (
         "real WAV encode→decode→window-stats as narrow Arrow "
         "projections + HOF array aggregation — ZERO shuffle; the WAV "
         "bytes never leave the executor that made them",
         (),
     ),
-    "q28_gif_frame_sample": (
+    "za70_gif_frame_sample": (
         "real GIF LZW encode (Arrow projection) + decode/frame-sample "
         "fan-out (mapInPandas) — narrow end to end, no shuffle",
         (),
@@ -303,7 +303,7 @@ AUDIT = {
         "shuffle",
         (),
     ),
-    "q36_image_near_dup": (
+    "za71_image_near_dup": (
         "image near-dup: PNG decode + dHash are narrow Arrow "
         "projections; pairing is the generic Hamming band equi-join "
         "over DISTINCT 8-byte fingerprints — no cross product, "
@@ -552,7 +552,7 @@ AUDIT = {
         "crossJoin idiom",
         ("BroadcastNestedLoopJoin", SP_SORT_OK),
     ),
-    "q40_triangle_stats": (
+    "za73_triangle_stats": (
         "collapsed path: quotient-graph enumeration + closed-form "
         "expansion; shuffles carry class ids and (node, cls) rows, "
         "never clique-sized pair sets",
@@ -756,7 +756,7 @@ AUDIT = {
         "broadcasts",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q48_logistic_gd": (
+    "za74_logistic_gd": (
         "aggregate-only training: per GD step one scan with map-side "
         "partial gradient sums; data rows never shuffle; model state "
         "is 4 driver doubles folded back as literals",
@@ -805,7 +805,7 @@ AUDIT = {
         "TakeOrderedAndProject",
         (),
     ),
-    "q38_isotonic_calibration": (
+    "za72_isotonic_calibration": (
         "one data pass to an 11-row histogram; the O(B^2)/O(B^3) "
         "minimax joins are over BINS only — the cartesians are "
         "11x11 rows by construction, constant at any corpus scale"
@@ -902,7 +902,7 @@ AUDIT = {
         "aggregate build)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q12_dsir_weights": (
+    "za66_dsir_weights": (
         "hashed n-gram importance weights: vocab-sized model joins; the "
         "BNLJ is the 1-row normalizer crossJoin (scalar idiom)",
         ("BroadcastNestedLoopJoin",),
@@ -1053,38 +1053,38 @@ AUDIT = {
         "(the sanctioned crossJoin idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za68_lapsed_high_value": (
+    "q14_lapsed_high_value": (
         "scalar balance threshold = the sanctioned 1-row broadcast "
         "crossJoin (plans as BNLJ); existence test is a LEFT ANTI "
         "hash join against the date-pruned orders scan",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za65_volume_shipping": (
+    "q05_volume_shipping": (
         "6-table join: all dims broadcast, fact scan takes the pushed "
         "shipdate range; one hash agg",
         (),
     ),
-    "za66_market_share": (
+    "q12_market_share": (
         "7-table snowflake, nation in two roles, all dims broadcast; "
         "conditional-sum share per year",
         (),
     ),
-    "za67_large_volume_customers": (
+    "q13_large_volume_customers": (
         "HAVING over the order-grain aggregate first; dims broadcast; "
         "TakeOrderedAndProject top-100",
         (),
     ),
-    "za69_bloom_prefilter_join": (
+    "q25_bloom_prefilter_join": (
         "bloom membership is a scan-local Arrow gather (driver bitmask "
         "64 KiB); only surviving fact rows reach the join",
         (),
     ),
-    "za70_jaro_winkler_linkage": (
+    "q28_jaro_winkler_linkage": (
         "(lang, source) equi-join blocking; JW comparator Arrow-batched "
         "on candidates only; shuffles carry 40-char prefixes",
         (),
     ),
-    "za71_stream_ewma_drift": (
+    "q36_stream_ewma_drift": (
         "state machinery ran at STREAM time (applyInPandasWithState, "
         "3 scalars per key); returned frame scans the drained memory "
         "sink with one projection",

@@ -52,7 +52,7 @@ SWEEP_QUERIES = [
     "za16_lsh_verified_pairs",
     "q94_dedup_clusters",
     "q91_embedding_near_dup",
-    "q13_incremental_lsh",
+    "za67_incremental_lsh",
     "za12_incremental_dedup",
     "za27_decontamination_pairs",
     "za10_bloom_decontaminate",
@@ -72,8 +72,8 @@ SWEEP_QUERIES = [
     # proves the codecs stay exact on 5x the documents), the rerank
     # composes two oracled stages, and the profiler counts must grow
     # exactly as the replication predicts.
-    "q25_wav_audio_stats",
-    "q28_gif_frame_sample",
+    "za69_wav_audio_stats",
+    "za70_gif_frame_sample",
     "za42_multimodal_manifest",
     "z27_pq_rerank",
     "z25_table_profile",
@@ -143,7 +143,7 @@ SWEEP_QUERIES = [
     "za56_pagerank",
     "q41_lpa_communities",
     "q42_kcore_members",
-    "q40_triangle_stats",
+    "za73_triangle_stats",
     # round-9 second wave: the drift/FDR battery over 5x-densified
     # keyed streams (5x samples per KS test shrink every p-value —
     # the step-up cutoff i* must move identically in both engines),
@@ -170,7 +170,7 @@ PAIR_QUERIES = {
     "z57_winnow_near_dup_pairs",
     "za16_lsh_verified_pairs",
     "q91_embedding_near_dup",
-    "q13_incremental_lsh",
+    "za67_incremental_lsh",
     "za27_decontamination_pairs",
 }
 
