@@ -102,6 +102,90 @@ def _inc_dir(path: str) -> str:
     return os.path.join(path, "codes_inc")
 
 
+def _folded_dir(path: str) -> str:
+    return os.path.join(path, "codes_inc_folded")
+
+
+def _unfold_increments(path: str) -> None:
+    """Return folded increment batches to ``codes_inc`` on rollback.
+    New batches may have been appended after the crash, so the dirs are
+    moved one batch at a time; a batch id present on BOTH sides is the
+    same data by the idempotent-replay contract (`append_to_ivf_pq_index`
+    overwrites its own partition), so the live copy wins."""
+    import shutil
+
+    folded, inc = _folded_dir(path), _inc_dir(path)
+    if not os.path.isdir(folded):
+        return
+    os.makedirs(inc, exist_ok=True)
+    for b in os.listdir(folded):
+        dst = os.path.join(inc, b)
+        if os.path.exists(dst):
+            shutil.rmtree(os.path.join(folded, b), ignore_errors=True)
+        else:
+            os.rename(os.path.join(folded, b), dst)
+    shutil.rmtree(folded, ignore_errors=True)
+
+
+def _recover_interrupted_swap(path: str) -> None:
+    """Roll an interrupted `compact_index` forward or back so the index
+    is always readable (round-10 ADVICE: a crash between the two swap
+    renames left no ``codes/`` and no self-heal path).
+
+    The compaction protocol (single compactor at a time — the same
+    assumption Delta OPTIMIZE makes) is:
+
+      1. write base∪increments → ``codes_compact_tmp`` (Spark emits
+         ``_SUCCESS`` last, so its presence marks a COMPLETE merge)
+      2. rename ``codes_inc`` → ``codes_inc_folded``  (fold marker)
+      3. rename ``codes`` → ``codes_old``
+      4. rename ``codes_compact_tmp`` → ``codes``
+      5. remove ``codes_old`` and ``codes_inc_folded``
+
+    Recovery decides from what survives: a complete tmp plus the fold
+    marker means the merge already owns the increments (finish 3-5); a
+    missing ``codes`` rolls forward from tmp or back from ``codes_old``
+    (un-folding the marker so no increment is lost); a tmp without the
+    fold marker is discarded — new increment batches may have landed
+    after it was computed, so recompute is the only safe choice."""
+    import shutil
+
+    codes = os.path.join(path, "codes")
+    old = os.path.join(path, "codes_old")
+    tmp = os.path.join(path, "codes_compact_tmp")
+    folded = _folded_dir(path)
+    tmp_complete = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    if not os.path.isdir(codes):
+        if tmp_complete:  # crashed between steps 3 and 4: roll forward
+            os.rename(tmp, codes)
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(folded, ignore_errors=True)
+        elif os.path.isdir(old):  # no usable merge: roll back
+            os.rename(old, codes)
+            _unfold_increments(path)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise FileNotFoundError(
+                f"index at {path} has no codes/, no complete "
+                "codes_compact_tmp and no codes_old — unrecoverable"
+            )
+        return
+    if os.path.isdir(folded):
+        if tmp_complete:  # crashed between steps 2 and 3: finish swap
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(codes, old)
+            os.rename(tmp, codes)
+        # else: crashed between steps 4 and 5 — codes IS the merge;
+        # either way the folded increments and old base are dead
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(folded, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    # no fold marker: any tmp predates increments it cannot own
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _read_codes(spark: SparkSession, path: str) -> DataFrame:
     """The live code set: the base build plus any streamed increments
     (``codes_inc/batch_id=N/_cell=M``). Both sides are cell-partitioned
@@ -114,6 +198,10 @@ def _read_codes(spark: SparkSession, path: str) -> DataFrame:
     restore pruning."""
     from pyspark.sql import functions as F
 
+    if not os.path.isdir(os.path.join(path, "codes")):
+        # an interrupted compaction swap can leave the base missing;
+        # readers self-heal it (roll forward/back) before scanning
+        _recover_interrupted_swap(path)
     base = spark.read.parquet(os.path.join(path, "codes"))
     inc = _inc_dir(path)
     if not os.path.isdir(inc) or not any(
@@ -196,6 +284,9 @@ def compact_index(spark: SparkSession, path: str) -> int:
     OPTIMIZE over a streamed table."""
     import shutil
 
+    # heal any interrupted previous compaction first (it may already
+    # have folded — or rolled back — what this run would fold)
+    _recover_interrupted_swap(path)
     inc = _inc_dir(path)
     batches = (
         [e for e in os.listdir(inc) if e.startswith("batch_id=")]
@@ -207,14 +298,17 @@ def compact_index(spark: SparkSession, path: str) -> int:
     merged = _read_codes(spark, path)
     tmp = os.path.join(path, "codes_compact_tmp")
     merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+    # fold marker BEFORE the swap: once codes_inc is renamed away, the
+    # increments belong to the merge in tmp, so a crash at any later
+    # point can neither double-count them (the old hazard: swap done,
+    # rmtree(inc) not yet) nor lose them (_recover_interrupted_swap
+    # un-folds on rollback); see the protocol in its docstring
+    os.rename(inc, _folded_dir(path))
     old = os.path.join(path, "codes_old")
-    # a previous compaction that died between the two renames may have
-    # left codes_old behind; clear it so the swap cannot fail half-way
-    shutil.rmtree(old, ignore_errors=True)
     os.rename(os.path.join(path, "codes"), old)
     os.rename(tmp, os.path.join(path, "codes"))
     shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(inc, ignore_errors=True)
+    shutil.rmtree(_folded_dir(path), ignore_errors=True)
     return len(batches)
 
 

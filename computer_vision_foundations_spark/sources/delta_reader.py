@@ -171,6 +171,26 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
         )
 
 
+def _open_checkpoint_part(part: str):
+    """Open one checkpoint parquet part wherever it lives. Bare paths
+    and ``file://`` URIs open directly; any other URI scheme (s3://,
+    hdfs://, ...) routes through pyarrow's filesystem layer so
+    non-local table roots keep working (round-10 ADVICE: the previous
+    ``spark.read`` path handled any Hadoop FS URI; the faster direct
+    pyarrow read must not silently lose that)."""
+    import pyarrow.parquet as pq
+
+    parsed = urllib.parse.urlparse(part)
+    # single-letter "schemes" are Windows drive letters, not URIs
+    if parsed.scheme in ("", "file") or len(parsed.scheme) == 1:
+        local = parsed.path if parsed.scheme == "file" else part
+        return pq.ParquetFile(local)
+    from pyarrow import fs as pafs
+
+    filesystem, fs_path = pafs.FileSystem.from_uri(part)
+    return pq.ParquetFile(filesystem.open_input_file(fs_path))
+
+
 def _apply_checkpoint(
     spark: SparkSession, parts: list[str], state: dict
 ) -> None:
@@ -189,10 +209,9 @@ def _apply_checkpoint(
     (~76 KB per 10k files), exactly the thing a driver must hold to
     plan the scan."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     for part in parts:
-        pf = pq.ParquetFile(part)
+        pf = _open_checkpoint_part(part)
         names = set(pf.schema_arrow.names)
         for col in ("metaData", "protocol"):
             if col not in names:

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import time
 import urllib.parse
 import uuid
@@ -71,6 +72,10 @@ __all__ = [
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _CHECKPOINT_EVERY = 10
+# optimistic-concurrency bound: a blind append rebases at most this
+# many lost races before raising (round-10 ADVICE: an uncapped loop
+# spins under sustained contention, one delta_snapshot per loss)
+_MAX_COMMIT_ATTEMPTS = 16
 
 
 class DeltaCommitConflict(RuntimeError):
@@ -475,7 +480,7 @@ def delta_append(
     # A metadata-changing append (merge_schema adding columns) conflicts
     # with ANY concurrent commit, exactly like Delta's own resolution
     # table, so it raises and the caller re-runs the whole transaction.
-    while True:
+    for attempt in range(1, _MAX_COMMIT_ATTEMPTS + 1):
         try:
             _publish(root, v, actions, "WRITE", ts)
             break
@@ -487,6 +492,17 @@ def delta_append(
             # conflicts with everything per the protocol
             if merge_schema or any("metaData" in a for a in actions):
                 raise
+            if attempt == _MAX_COMMIT_ATTEMPTS:
+                raise DeltaCommitConflict(
+                    f"append to {root} lost the version race "
+                    f"{_MAX_COMMIT_ATTEMPTS} times (last tried version "
+                    f"{v}); giving up rather than spinning — retry the "
+                    "transaction when contention subsides"
+                )
+            # jittered linear backoff: losers de-synchronize instead of
+            # re-colliding in lockstep; each lost race costs a fresh
+            # delta_snapshot, so the sleep is cheap insurance
+            time.sleep(random.uniform(0, 0.02 * attempt))
             snap = delta_reader.delta_snapshot(root, spark)
             _check_schema(snap, df)  # loser re-validates vs the winner
             v = snap.version + 1

@@ -57,6 +57,32 @@ def probe_stream_schema(dim: int) -> T.StructType:
     )
 
 
+def _require_embedding_dim(batch: DataFrame, dim: int, what: str) -> None:
+    """Fail a micro-batch fast on a bad embedding. ``F.size(NULL)`` is
+    -1, so the size predicate alone already selects NULL embeddings —
+    but ``len(None)`` on the sampled row would then raise TypeError
+    and mask the intended error, so NULLs are reported distinctly
+    (round-10 ADVICE)."""
+    bad = (
+        batch.where(
+            F.col("embedding").isNull()
+            | (F.size("embedding") != F.lit(dim))
+        )
+        .limit(1)
+        .collect()
+    )
+    if not bad:
+        return
+    emb, vid = bad[0]["embedding"], bad[0]["vec_id"]
+    if emb is None:
+        raise ValueError(
+            f"NULL {what} embedding (vec_id={vid}); index dim is {dim}"
+        )
+    raise ValueError(
+        f"{what} dim {len(emb)} != index dim {dim} (vec_id={vid})"
+    )
+
+
 def run_streaming_ann(
     spark: SparkSession,
     index_path: str,
@@ -91,14 +117,7 @@ def run_streaming_ann(
     def answer(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        bad = batch.where(
-            F.size("embedding") != F.lit(meta["dim"])
-        ).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"probe dim {len(bad[0]['embedding'])} != index dim "
-                f"{meta['dim']} (vec_id={bad[0]['vec_id']})"
-            )
+        _require_embedding_dim(batch, meta["dim"], "probe")
         result = query_ivf_pq_index(
             spark,
             index_path,
@@ -163,14 +182,7 @@ def run_streaming_index_refresh(
     def ingest(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        bad = batch.where(
-            F.size("embedding") != F.lit(meta["dim"])
-        ).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"vector dim {len(bad[0]['embedding'])} != index dim "
-                f"{meta['dim']} (vec_id={bad[0]['vec_id']})"
-            )
+        _require_embedding_dim(batch, meta["dim"], "vector")
         append_to_ivf_pq_index(spark, index_path, batch, batch_id)
 
     (

@@ -165,3 +165,149 @@ def test_needs_retrain_fires_on_cell_drift(spark, tmp_path):
     )
     append_to_ivf_pq_index(spark, path, shifted, 0)
     assert needs_retrain(spark, path)
+
+
+def _build_with_increments(spark, tmp_path, name):
+    """Index with a base build + 2 increment batches, and the expected
+    query results (== a one-shot build over all rows)."""
+    from computer_vision_foundations_spark.operators.ann_index import (
+        append_to_ivf_pq_index,
+    )
+
+    df, cbs, cents = _fixture(spark)
+    probes = df.filter("vec_id < 5")
+    path = build_ivf_pq_index(
+        df.filter("vec_id % 3 = 0"), str(tmp_path / name), cbs, cents
+    )
+    append_to_ivf_pq_index(spark, path, df.filter("vec_id % 3 = 1"), 0)
+    append_to_ivf_pq_index(spark, path, df.filter("vec_id % 3 = 2"), 1)
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, path, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+    return path, probes, want
+
+
+def _query(spark, path, probes):
+    return sorted(
+        map(
+            tuple,
+            query_ivf_pq_index(
+                spark, path, probes, k=5, n_probe_cells=3
+            ).collect(),
+        )
+    )
+
+
+def _clean_index_dirs(path):
+    return not any(
+        os.path.isdir(os.path.join(path, d))
+        for d in ("codes_old", "codes_compact_tmp", "codes_inc_folded")
+    )
+
+
+def test_compaction_crash_midswap_rolls_forward(spark, tmp_path):
+    """Crash between the two swap renames (codes/ missing, complete
+    tmp present): the next READER self-heals by promoting the merge
+    (round-10 ADVICE — previously unrecoverable)."""
+    import shutil
+
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _folded_dir,
+        _read_codes,
+    )
+
+    path, probes, want = _build_with_increments(spark, tmp_path, "fwd")
+    # protocol steps 1-3 by hand, then "crash" before step 4
+    merged = _read_codes(spark, path)
+    tmp = os.path.join(path, "codes_compact_tmp")
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+    os.rename(os.path.join(path, "codes_inc"), _folded_dir(path))
+    os.rename(os.path.join(path, "codes"), os.path.join(path, "codes_old"))
+    assert not os.path.isdir(os.path.join(path, "codes"))
+    assert _query(spark, path, probes) == want  # reader heals
+    assert os.path.isdir(os.path.join(path, "codes"))
+    assert _clean_index_dirs(path)
+    shutil.rmtree(path)
+
+
+def test_compaction_crash_after_swap_drops_folded(spark, tmp_path):
+    """Crash after the swap but before cleanup (codes/ is already the
+    merge; codes_old + folded increments linger): queries must NOT
+    double-count the folded rows, and the next compaction cleans up
+    without re-folding."""
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _folded_dir,
+        _read_codes,
+        compact_index,
+    )
+
+    path, probes, want = _build_with_increments(spark, tmp_path, "post")
+    merged = _read_codes(spark, path)
+    tmp = os.path.join(path, "codes_compact_tmp")
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+    os.rename(os.path.join(path, "codes_inc"), _folded_dir(path))
+    os.rename(os.path.join(path, "codes"), os.path.join(path, "codes_old"))
+    os.rename(tmp, os.path.join(path, "codes"))
+    # "crash" before removing codes_old / codes_inc_folded
+    assert _query(spark, path, probes) == want  # no double count
+    assert compact_index(spark, path) == 0  # nothing left to fold
+    assert _clean_index_dirs(path)
+    assert _query(spark, path, probes) == want
+
+
+def test_compaction_crash_rolls_back_without_marker(spark, tmp_path):
+    """Crash with an INCOMPLETE tmp after codes/ was renamed away:
+    recovery rolls back to the base and un-folds the increments —
+    nothing is lost, and a later compaction folds them for real."""
+    import shutil
+
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _folded_dir,
+        compact_index,
+    )
+
+    path, probes, want = _build_with_increments(spark, tmp_path, "back")
+    tmp = os.path.join(path, "codes_compact_tmp")
+    os.makedirs(tmp)  # incomplete: no _SUCCESS
+    os.rename(os.path.join(path, "codes_inc"), _folded_dir(path))
+    os.rename(os.path.join(path, "codes"), os.path.join(path, "codes_old"))
+    assert _query(spark, path, probes) == want  # rolled back, inc live
+    assert os.path.isdir(os.path.join(path, "codes_inc"))
+    assert _clean_index_dirs(path)
+    assert compact_index(spark, path) == 2
+    assert _query(spark, path, probes) == want
+    shutil.rmtree(path)
+
+
+def test_compaction_stale_complete_tmp_is_discarded(spark, tmp_path):
+    """A complete tmp WITHOUT the fold marker may predate increment
+    batches that arrived after it was computed — compaction must
+    discard it and recompute, not promote it."""
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _read_codes,
+        append_to_ivf_pq_index,
+        compact_index,
+    )
+
+    df, cbs, cents = _fixture(spark)
+    probes = df.filter("vec_id < 5")
+    path = build_ivf_pq_index(
+        df.filter("vec_id % 3 = 0"), str(tmp_path / "stale"), cbs, cents
+    )
+    append_to_ivf_pq_index(spark, path, df.filter("vec_id % 3 = 1"), 0)
+    # step 1 only: merge of base + batch 0, then "crash" before step 2
+    merged = _read_codes(spark, path)
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(
+        os.path.join(path, "codes_compact_tmp")
+    )
+    # a NEW batch lands after the stale merge
+    append_to_ivf_pq_index(spark, path, df.filter("vec_id % 3 = 2"), 1)
+    want = _query(spark, path, probes)
+    assert compact_index(spark, path) == 2  # both batches, fresh merge
+    assert _clean_index_dirs(path)
+    assert _query(spark, path, probes) == want

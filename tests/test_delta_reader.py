@@ -208,3 +208,28 @@ def test_reader_v1_and_empty_snapshot(spark, tmp_path):
     empty = delta_reader.read_delta(spark, root)
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["id"]
+
+
+def test_open_checkpoint_part_handles_uris(spark, tmp_path):
+    """Checkpoint parts open through a filesystem-aware path: bare
+    local paths and file:// URIs both work (round-10 ADVICE — the
+    direct pyarrow open must not regress non-local portability; the
+    URI branch routes through pyarrow.fs)."""
+    import pathlib
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        _open_checkpoint_part,
+    )
+
+    p = str(tmp_path / "part.parquet")
+    spark.createDataFrame([(1,)], "x long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "d"))
+    import glob as _g
+    import shutil as _sh
+
+    _sh.copy(_g.glob(str(tmp_path / "d" / "*.parquet"))[0], p)
+    assert _open_checkpoint_part(p).metadata.num_rows == 1
+    uri = pathlib.Path(p).as_uri()
+    assert uri.startswith("file://")
+    assert _open_checkpoint_part(uri).metadata.num_rows == 1

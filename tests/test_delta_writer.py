@@ -516,3 +516,35 @@ def test_table_id_stable_across_evolution(spark):
     snap = dr.delta_snapshot(root, spark)
     zf = next(f for f in snap.schema.fields if f.name == "z")
     assert zf.nullable is True
+
+
+def test_append_contention_is_bounded(spark, monkeypatch):
+    """Sustained contention cannot spin forever: the rebase loop gives
+    up with a contextual DeltaCommitConflict after the attempt cap
+    (round-10 ADVICE), and each retry sleeps a jittered backoff."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, [(1, "a")]))
+    calls = {"publish": 0, "backoffs": []}
+
+    def always_lose(*a, **kw):
+        calls["publish"] += 1
+        raise dw.DeltaCommitConflict("simulated perpetual loser")
+
+    def fake_uniform(lo, hi):
+        calls["backoffs"].append((lo, hi))
+        return 0.0  # keep the test instant; the bound is what matters
+
+    # patch a stub random module INTO dw so the global random/time
+    # modules (used by py4j background threads) stay untouched
+    monkeypatch.setattr(dw, "_publish", always_lose)
+    monkeypatch.setattr(
+        dw, "random", type("R", (), {"uniform": staticmethod(fake_uniform)})
+    )
+    with pytest.raises(dw.DeltaCommitConflict, match="giving up"):
+        dw.delta_append(spark, root, _mk(spark, [(2, "b")]))
+    assert calls["publish"] == dw._MAX_COMMIT_ATTEMPTS
+    # one jittered backoff per lost race except the final (raising) one,
+    # with a linearly-growing upper bound
+    assert len(calls["backoffs"]) == dw._MAX_COMMIT_ATTEMPTS - 1
+    assert calls["backoffs"][0] == (0, 0.02)
+    assert calls["backoffs"][-1][1] > calls["backoffs"][0][1]

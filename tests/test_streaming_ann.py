@@ -155,3 +155,29 @@ def test_streaming_index_refresh_with_compaction(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_dim_guard_reports_null_embedding(spark):
+    """size(NULL) = -1 matches the dim predicate, so NULL embeddings
+    reach the guard; they must be reported as NULL, not crash with
+    TypeError on len(None) (round-10 ADVICE)."""
+    import pytest
+
+    from computer_vision_foundations_spark.streaming.ann import (
+        _require_embedding_dim,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<float>"
+    )
+    _require_embedding_dim(ok, 4, "probe")  # no raise
+    short = spark.createDataFrame(
+        [(2, [0.0] * 3)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match=r"probe dim 3 != index dim 4"):
+        _require_embedding_dim(short, 4, "probe")
+    null = spark.createDataFrame(
+        [(3, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match=r"NULL vector embedding \(vec_id=3\)"):
+        _require_embedding_dim(null, 4, "vector")
