@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from computer_vision_foundations_spark.sources import dvs
+
 __all__ = [
     "is_delta_table",
     "delta_snapshot",
@@ -64,10 +66,21 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 # readerFeatures this reader actually honors. timestampNtz requires no
 # read-path behavior beyond the type (Spark 4 reads TIMESTAMP_NTZ
-# natively); everything else (deletionVectors, columnMapping,
-# v2Checkpoint, typeWidening, variantType, ...) changes row content or
-# file resolution and MUST be refused.
-_SUPPORTED_FEATURES = {"timestampNtz"}
+# natively); deletionVectors are decoded and anti-filtered during the
+# scan (sources/dvs.py, round-10 verdict ask #2); columnMapping is
+# honored in mode "name" (physical parquet names resolved from the
+# schemaString annotations — mode "id" would need parquet field-id
+# resolution and is still refused). Everything else (v2Checkpoint,
+# typeWidening, variantType, ...) changes row content or file
+# resolution and MUST be refused.
+_SUPPORTED_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+# column-mapping physicalName annotation key in schemaString metadata
+_PHYS_KEY = "delta.columnMapping.physicalName"
+# deleted (file, row) pairs are broadcast to the anti-join below this
+# count (~32 MB of longs+paths); above it the join shuffles — at that
+# point the table should be compacted (purged) anyway, because every
+# query pays the DV mask
+_DV_BROADCAST_MAX = 2_000_000
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -97,6 +110,11 @@ class DeltaSnapshot:
     # which would otherwise force an O(history) raw-log rescan
     meta_raw: dict | None = None
     protocol_raw: dict | None = None
+    # path -> deletionVector descriptor for live files that carry one
+    # (PROTOCOL.md: rows at these indexes are logically deleted)
+    dvs: dict | None = None
+    # delta.columnMapping.mode: "none" or "name" ("id" is refused)
+    column_mapping: str = "none"
 
 
 def _log_dir(root: str) -> str:
@@ -148,15 +166,14 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
     v = int(protocol.get("minReaderVersion", 1))
     conf = (metadata or {}).get("configuration", {}) or {}
     mapping = conf.get("delta.columnMapping.mode", "none")
-    if v <= 1:
-        return
-    if v == 2:
-        if mapping not in ("none", None):
-            raise DeltaProtocolError(
-                f"column mapping mode {mapping!r} is not supported by this "
-                "read-only adapter (physical->logical column renames would "
-                "silently misread data)"
-            )
+    if mapping not in ("none", None, "name"):
+        # mode "id" resolves columns by parquet field ids, which this
+        # adapter does not read — refuse loudly rather than misread
+        raise DeltaProtocolError(
+            f"column mapping mode {mapping!r} is not supported by this "
+            "read-only adapter (only 'name' physical-name resolution is)"
+        )
+    if v <= 2:
         return
     feats = set(protocol.get("readerFeatures") or [])
     unsupported = feats - _SUPPORTED_FEATURES
@@ -164,10 +181,6 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
         raise DeltaProtocolError(
             f"table requires reader features {sorted(unsupported)}; this "
             f"adapter supports {sorted(_SUPPORTED_FEATURES)} only"
-        )
-    if mapping not in ("none", None):
-        raise DeltaProtocolError(
-            f"column mapping mode {mapping!r} is not supported"
         )
 
 
@@ -239,6 +252,14 @@ def _apply_checkpoint(
         # measured 5-6 s at 250k files vs ~0.3 s for the two columns
         add = pf.read(columns=["add"]).column("add").combine_chunks()
         paths = pc.struct_field(add, "path").to_pylist()
+        # deletionVector is optional in the checkpoint schema (absent
+        # entirely for pre-DV writers); scalar indexing is skipped
+        # when every entry is null
+        dv_arr = None
+        if any(f.name == "deletionVector" for f in add.type):
+            cand = pc.struct_field(add, "deletionVector")
+            if cand.null_count < len(cand):
+                dv_arr = cand
         pv_arr = pc.struct_field(add, "partitionValues")
         try:
             # MapArray fast path: materialize the flattened key/item
@@ -263,7 +284,16 @@ def _apply_checkpoint(
         for i, p in enumerate(paths):
             if p is None:
                 continue
-            state["files"][urllib.parse.unquote(p)] = pv_at(i)
+            key = urllib.parse.unquote(p)
+            state["files"][key] = pv_at(i)
+            if dv_arr is not None and dv_arr[i].is_valid:
+                state["dvs"][key] = {
+                    k: v
+                    for k, v in dv_arr[i].as_py().items()
+                    if v is not None
+                }
+            else:
+                state["dvs"].pop(key, None)
 
 
 def delta_snapshot(
@@ -286,7 +316,7 @@ def delta_snapshot(
         raise ValueError(
             f"version {v} not in log (latest is {latest})"
         )
-    state: dict = {"files": {}, "metaData": None, "protocol": None}
+    state: dict = {"files": {}, "dvs": {}, "metaData": None, "protocol": None}
     # fast path: _last_checkpoint names the newest checkpoint, saving
     # the full-listing max on long logs; trust it only when the named
     # version is usable for THIS snapshot (<= v and actually present),
@@ -313,18 +343,31 @@ def delta_snapshot(
                 # it ONCE at ingest so file resolution works for paths
                 # with spaces/colons; removes decode symmetrically, so
                 # the state keys stay consistent
-                state["files"][urllib.parse.unquote(a["path"])] = dict(
-                    a.get("partitionValues") or {}
-                )
+                p = urllib.parse.unquote(a["path"])
+                state["files"][p] = dict(a.get("partitionValues") or {})
+                dv = a.get("deletionVector")
+                if dv:
+                    state["dvs"][p] = dv
+                else:
+                    state["dvs"].pop(p, None)
             elif "remove" in action:
-                state["files"].pop(
-                    urllib.parse.unquote(action["remove"]["path"]), None
-                )
+                r = action["remove"]
+                p = urllib.parse.unquote(r["path"])
+                # reconciliation key is (path, dv uniqueId): a DV
+                # update commits add(path, new dv) + remove(path, old
+                # dv) in the SAME version in either order, so a remove
+                # only cancels the live entry when the DV ids match
+                if dvs.dv_unique_id(state["dvs"].get(p)) == dvs.dv_unique_id(
+                    r.get("deletionVector")
+                ):
+                    state["files"].pop(p, None)
+                    state["dvs"].pop(p, None)
     _check_protocol(state["protocol"], state["metaData"])
     meta = state["metaData"]
     if meta is None:
         raise ValueError(f"no metaData action found in log under {root}")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    conf = meta.get("configuration") or {}
     return DeltaSnapshot(
         version=v,
         schema=schema,
@@ -336,6 +379,8 @@ def delta_snapshot(
         created_time=meta.get("createdTime"),
         meta_raw=meta,
         protocol_raw=state["protocol"],
+        dvs=state["dvs"],
+        column_mapping=conf.get("delta.columnMapping.mode", "none") or "none",
     )
 
 
@@ -380,6 +425,132 @@ def _hive_partition_of(rel: str) -> dict | None:
     return pv
 
 
+def _physical_name(field: T.StructField) -> str:
+    """Physical parquet name under columnMapping=name: the
+    ``delta.columnMapping.physicalName`` annotation in the field's
+    schemaString metadata (falls back to the logical name — Delta
+    annotates every field once mapping is enabled)."""
+    meta = field.metadata or {}
+    return meta.get(_PHYS_KEY, field.name)
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Recursively rename nested struct fields to their physical
+    names (arrays/maps recurse; leaves pass through)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    _physical_name(f), _physical_type(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _strip_field_meta(dt: T.DataType) -> T.DataType:
+    """The logical type with mapping annotations dropped (cast targets
+    and output schemas should not carry writer bookkeeping)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, _strip_field_meta(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_field_meta(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_field_meta(dt.keyType),
+            _strip_field_meta(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _scan_path_expr():
+    """Canonical local path from ``_metadata.file_path`` (a percent-
+    encoded ``file:`` URI): strip the scheme, protect literal '+'
+    (url_decode is form-decoding, which would turn it into a space),
+    then decode the %XX escapes. Matches ``os.path.abspath`` of the
+    live file on the driver side."""
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"),
+                "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+",
+                "/",
+            ),
+            "\\+",
+            "%2B",
+        )
+    )
+
+
+def _dv_anti_filter(
+    df: DataFrame,
+    spark: SparkSession,
+    root: str,
+    snap: DeltaSnapshot,
+    rels=None,
+) -> DataFrame:
+    """Drop deleted rows: decode every live file's deletion vector
+    (driver-side — DVs are cardinality-sized bitmaps, the same class
+    of driver state as the file list itself) into (absolute path,
+    row index) pairs and LEFT ANTI join them against the scan on
+    ``(_metadata.file_path, _metadata.row_index)`` — the parquet
+    reader's physical row position, exactly the index space DVs
+    address. Broadcast below `_DV_BROADCAST_MAX` deleted rows; beyond
+    that the join shuffles and the table is overdue for a purge
+    rewrite. ``rels`` restricts to one file group (the non-hive
+    fallback scan)."""
+    live = {
+        rel: d
+        for rel, d in (snap.dvs or {}).items()
+        if rels is None or rel in rels
+    }
+    if not live:
+        return df
+    files, rows = [], []
+    for rel, desc in sorted(live.items()):
+        ap = os.path.abspath(os.path.join(root, rel))
+        for i in dvs.read_dv(desc, root):
+            files.append(ap)
+            rows.append(i)
+    if not rows:
+        return df
+    import pandas as pd
+
+    deleted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__dv_file": pd.array(files, dtype="string"),
+                "__dv_row": pd.array(rows, dtype="int64"),
+            }
+        )
+    )
+    if len(rows) <= _DV_BROADCAST_MAX:
+        deleted = F.broadcast(deleted)
+    return (
+        df.withColumn("__dv_file", _scan_path_expr())
+        .withColumn("__dv_row", F.col("_metadata.row_index"))
+        .join(deleted, ["__dv_file", "__dv_row"], "left_anti")
+        .drop("__dv_file", "__dv_row")
+    )
+
+
 def read_delta(
     spark: SparkSession,
     root: str,
@@ -398,38 +569,79 @@ def read_delta(
     directory encoding mangles — each partition-value group is
     scanned separately with its logged values attached as typed
     literals and the groups unioned, so the log always wins. Empty
-    snapshot returns an empty frame with the committed schema."""
+    snapshot returns an empty frame with the committed schema.
+
+    Deletion vectors are honored (deleted row indexes anti-filtered
+    during the scan, see `_dv_anti_filter`); under columnMapping=name
+    the parquet files are read by their PHYSICAL column names — the
+    schemaString's ``delta.columnMapping.physicalName`` annotations,
+    which also key ``partitionValues`` and the hive directories —
+    and renamed to the logical schema at the end (nested fields via a
+    positional struct cast)."""
     snap = delta_snapshot(root, spark, version=version, as_of_ts=as_of_ts)
+    mapped = snap.column_mapping == "name"
+    logical = T.StructType(
+        [
+            T.StructField(
+                f.name, _strip_field_meta(f.dataType), f.nullable
+            )
+            for f in snap.schema.fields
+        ]
+    )
     if not snap.files:
-        return spark.createDataFrame([], snap.schema)
-    out_cols = [f.name for f in snap.schema.fields]
-    if not snap.partition_columns:
-        return (
-            spark.read.schema(snap.schema)
-            .parquet(*[os.path.join(root, p) for p in snap.files])
-            .select(*out_cols)
+        return spark.createDataFrame([], logical)
+    # everything below scans by PHYSICAL names (== logical when the
+    # table is unmapped), then projects back to the logical schema
+    phys = T.StructType(
+        [
+            T.StructField(
+                _physical_name(f), _physical_type(f.dataType), f.nullable
+            )
+            for f in snap.schema.fields
+        ]
+    )
+    phys_of = {
+        f.name: _physical_name(f) for f in snap.schema.fields
+    }
+    pcols = [phys_of[c] for c in snap.partition_columns]
+    out_cols = [f.name for f in phys.fields]
+
+    def finish(df: DataFrame) -> DataFrame:
+        df = _dv_anti_filter(df, spark, root, snap).select(*out_cols)
+        if not mapped:
+            return df
+        return df.select(
+            *[
+                F.col(phys_of[f.name])
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in logical.fields
+            ]
         )
-    pcols = snap.partition_columns
+
+    if not pcols:
+        return finish(
+            spark.read.schema(phys).parquet(
+                *[os.path.join(root, p) for p in snap.files]
+            )
+        )
     hive_ok = all(
         _hive_partition_of(rel) == {k: pv.get(k) for k in pv}
         and set(pv) == set(pcols)
         for rel, pv in snap.files.items()
     )
     if hive_ok:
-        return (
-            spark.read.schema(snap.schema)
+        return finish(
+            spark.read.schema(phys)
             .option("basePath", root)
             .parquet(*[os.path.join(root, p) for p in snap.files])
-            .select(*out_cols)
         )
     # layout-independent fallback: group live files by their LOGGED
     # partition values, scan each group once, attach the values as
     # literals cast via the committed schema, union the groups —
     # |groups| = live partitions in the snapshot
-    ptypes = {f.name: f.dataType for f in snap.schema.fields}
-    dfields = T.StructType(
-        [f for f in snap.schema.fields if f.name not in pcols]
-    )
+    ptypes = {f.name: f.dataType for f in phys.fields}
+    dfields = T.StructType([f for f in phys.fields if f.name not in pcols])
     groups: dict[tuple, list[str]] = {}
     for rel, pv in snap.files.items():
         groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(rel)
@@ -438,6 +650,7 @@ def read_delta(
         g = spark.read.schema(dfields).parquet(
             *[os.path.join(root, r) for r in rels]
         )
+        g = _dv_anti_filter(g, spark, root, snap, rels=set(rels))
         for c, raw in zip(pcols, vals):
             g = g.withColumn(
                 c,
@@ -449,7 +662,14 @@ def read_delta(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    if not mapped:
+        return out
+    return out.select(
+        *[
+            F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
+            for f in logical.fields
+        ]
+    )
 
 
 def delta_history(root: str) -> list[dict]:

@@ -1,0 +1,147 @@
+"""Deletion-vector + columnMapping=name READ support
+(sources/delta_reader.py, round-11 verdict asks #2/#3) against the
+committed real-format fixtures built by tools/make_delta_dv_fixture.py:
+DV resolution through JSON commits AND a DV-bearing checkpoint,
+(path, dv uniqueId) add/remove reconciliation, on-disk multi-DV files
+at offsets, inline DVs, time travel across DV generations, physical
+column-name resolution (nested struct + partition column), and a
+logical rename that leaves the parquet files untouched."""
+
+import os
+
+import pytest
+
+from computer_vision_foundations_spark.sources import delta_reader as dr
+
+DV_ROOT = os.path.join(
+    os.path.dirname(__file__), "fixtures", "delta_dv_sales"
+)
+MAP_ROOT = os.path.join(os.path.dirname(__file__), "fixtures", "delta_mapped")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_dv_snapshot_state():
+    """f0 carries the v2 DV generation, f1 the inline DV, f2/f3 none;
+    the stale v1 generation was reconciled away by (path, dv id)."""
+    snap = dr.delta_snapshot(DV_ROOT, None)
+    assert sorted(snap.files) == [
+        "part=EU/f0.parquet",
+        "part=EU/f1.parquet",
+        "part=US/f2.parquet",
+        "part=US/f3.parquet",
+    ]
+    assert set(snap.dvs) == {"part=EU/f0.parquet", "part=EU/f1.parquet"}
+    assert snap.dvs["part=EU/f0.parquet"]["cardinality"] == 4
+    assert snap.dvs["part=EU/f1.parquet"]["storageType"] == "i"
+
+
+def test_dv_read_latest(spark):
+    """Deleted row indexes {1,3,5,7} of f0 and {0} of f1 vanish."""
+    got = _ids(dr.read_delta(spark, DV_ROOT))
+    assert got == [0, 2, 4, 6, 8, 9, 11, 12, 13, 14] + list(
+        range(20, 26)
+    ) + [30, 31, 32]
+
+
+def test_dv_time_travel(spark):
+    """v0: nothing deleted. v1: only f0's first DV generation {1,3}.
+    v2: both DVs live, f3 not yet added."""
+    assert _ids(dr.read_delta(spark, DV_ROOT, version=0)) == list(
+        range(10)
+    ) + list(range(10, 15)) + list(range(20, 26))
+    assert _ids(dr.read_delta(spark, DV_ROOT, version=1)) == [
+        0, 2, 4, 5, 6, 7, 8, 9,
+    ] + list(range(10, 15)) + list(range(20, 26))
+    assert _ids(dr.read_delta(spark, DV_ROOT, version=2)) == [
+        0, 2, 4, 6, 8, 9,
+    ] + list(range(11, 15)) + list(range(20, 26))
+
+
+def test_dv_survives_checkpoint_resolution(spark):
+    """The v3 snapshot resolves from the v2 checkpoint (+1 commit);
+    the DV descriptors must come through the checkpoint's add structs,
+    not only the JSON replay."""
+    snap = dr.delta_snapshot(DV_ROOT, None, version=3)
+    assert snap.checkpoint_version == 2
+    assert snap.num_commits_replayed == 1
+    assert set(snap.dvs) == {"part=EU/f0.parquet", "part=EU/f1.parquet"}
+    got = _ids(dr.read_delta(spark, DV_ROOT, version=3))
+    assert 1 not in got and 10 not in got and 30 in got
+
+
+def test_dv_partition_pruning_preserved(spark):
+    """The DV anti-join must not break partition pruning: a filter on
+    the partition column still prunes to that partition's files."""
+    df = dr.read_delta(spark, DV_ROOT).filter("part = 'US'")
+    assert _ids(df) == list(range(20, 26)) + [30, 31, 32]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter reaches the scan as a PartitionFilter (file-level
+    # pruning), not a post-scan Filter above the DV anti-join
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert "part#" in plan and "= US)" in plan
+
+
+def test_mapped_snapshot_and_read(spark):
+    """Physical parquet names (col-a1...) resolve to logical columns,
+    including the nested struct fields and the partition column; the
+    inline DV on m1 drops physical row 1 (id 11)."""
+    snap = dr.delta_snapshot(MAP_ROOT, None)
+    assert snap.column_mapping == "name"
+    assert [f.name for f in snap.schema.fields] == [
+        "id", "title", "details", "region",
+    ]
+    df = dr.read_delta(spark, MAP_ROOT)
+    assert df.columns == ["id", "title", "details", "region"]
+    assert df.schema["details"].dataType.fieldNames() == ["city", "zip"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 10, 12, 13]  # 11 DV-deleted
+    assert rows[0]["title"] == "n0"
+    assert rows[0]["details"]["city"] == "c0" and rows[0]["details"]["zip"] == 1000
+    assert rows[0]["region"] == "EU" and rows[10]["region"] == "US"
+
+
+def test_mapped_rename_time_travel(spark):
+    """v0 exposes the pre-rename logical name 'name'; the data files
+    are identical (rename was metadata-only)."""
+    v0 = dr.read_delta(spark, MAP_ROOT, version=0)
+    assert v0.columns == ["id", "name", "details", "region"]
+    assert sorted(r["id"] for r in v0.collect()) == [
+        0, 1, 2, 3, 4, 10, 11, 12, 13,
+    ]
+
+
+def test_mapped_partition_filter(spark):
+    got = dr.read_delta(spark, MAP_ROOT).filter("region = 'EU'")
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_column_mapping_id_mode_still_refused(tmp_path):
+    """Mode 'id' needs parquet field-id resolution — refuse loudly."""
+    import json
+    import shutil
+
+    root = str(tmp_path / "idmode")
+    shutil.copytree(MAP_ROOT, root)
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        lines = fh.read().replace(
+            '"delta.columnMapping.mode": "name"',
+            '"delta.columnMapping.mode": "id"',
+        )
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(lines)
+    for v in (1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises(dr.DeltaProtocolError, match="'id'"):
+        dr.delta_snapshot(root, None)
+    del json
+
+
+def test_dv_history_counts():
+    hist = dr.delta_history(DV_ROOT)
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert hist[1]["n_adds"] == 1 and hist[1]["n_removes"] == 1
+    assert hist[2]["n_adds"] == 2 and hist[2]["n_removes"] == 2

@@ -166,12 +166,27 @@ def test_unsupported_reader_features_refused(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        },
+    )
+    with pytest.raises(delta_reader.DeltaProtocolError, match="v2Checkpoint"):
+        delta_reader.read_delta(spark, root)
+
+
+def test_dv_feature_without_dvs_reads(spark, tmp_path):
+    """deletionVectors is a SUPPORTED reader feature as of round 11:
+    a table declaring it whose live adds carry no DV reads normally."""
+    root = _write_protocol_table(
+        tmp_path,
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": ["deletionVectors"],
         },
     )
-    with pytest.raises(delta_reader.DeltaProtocolError, match="deletionVectors"):
-        delta_reader.read_delta(spark, root)
+    assert delta_reader.read_delta(spark, root).count() == 1
 
 
 def test_supported_reader_feature_accepted(spark, tmp_path):

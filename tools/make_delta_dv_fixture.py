@@ -1,0 +1,444 @@
+"""Generate the committed real-format Delta fixtures for deletion
+vectors and column mapping (round-11 verdict asks #2 and #3), used by
+tests/test_delta_dv_reader.py.
+
+Everything follows the PUBLIC protocol spec (delta.io PROTOCOL.md —
+"Deletion Vectors", "Column Mapping", "Deletion Vector Format") the
+same way tools/make_delta_fixture.py does for the base format; the
+DV bitmaps are serialized with the package codec whose byte layout is
+pinned independently by hand-computed vectors in tests/test_dvs.py.
+Deterministic (fixed timestamps, fixed UUIDs, fixed rows) so the
+fixtures are stable in git.
+
+Run once from the repo root: python tools/make_delta_dv_fixture.py
+Outputs: tests/fixtures/delta_dv_sales/, tests/fixtures/delta_mapped/
+
+delta_dv_sales history (protocol 3/7, readerFeatures=[deletionVectors]):
+  v0  create: add part=EU/f0 (ids 0..9), part=EU/f1 (ids 10..14),
+      part=US/f2 (ids 20..25)
+  v1  DELETE: remove(f0) + add(f0, DV_u@1 deleting rows {1,3}) —
+      on-disk DV file shared by both of f0's DV generations
+  v2  DV update + inline: add(f0, DV_u@<offset2> deleting {1,3,5,7})
+      BEFORE remove(f0, DV_u@1) (reconciliation is by (path, dv id));
+      remove(f1) + add(f1, inline DV deleting row {0})
+      + checkpoint at v2 (adds carry deletionVector structs)
+  v3  append part=US/f3 (ids 30..32)
+
+delta_mapped history (protocol 3/7, readerFeatures=[columnMapping,
+deletionVectors], delta.columnMapping.mode=name; physical names differ
+from logical everywhere, including a nested struct and the partition
+column):
+  v0  create: add col-d4=EU/m0 (ids 0..4), col-d4=US/m1 (ids 10..13)
+  v1  RENAME COLUMN name -> title (same physicalName col-b2)
+  v2  DELETE: remove(m1) + add(m1, inline DV deleting row {1})
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import sys
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from computer_vision_foundations_spark.sources.dvs import (  # noqa: E402
+    encode_rba,
+    z85_encode,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DV_ROOT = os.path.join(REPO, "tests", "fixtures", "delta_dv_sales")
+MAP_ROOT = os.path.join(REPO, "tests", "fixtures", "delta_mapped")
+T0 = 1710000000000  # fixed epoch ms; commits are T0 + v*60_000
+
+# fixed UUID for the deterministic on-disk DV file name
+DV_UUID_BYTES = bytes(range(16))
+DV_UUID_STR = "00010203-0405-0607-0809-0a0b0c0d0e0f"
+
+
+def _commit(root: str, version: int, actions: list[dict]) -> None:
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    lines = [
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": T0 + version * 60_000,
+                    "operation": "WRITE",
+                }
+            }
+        )
+    ] + [json.dumps(a) for a in actions]
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def _data_file(root: str, rel: str, cols: dict) -> None:
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(pa.table(cols), p)
+
+
+def _dv_blob(indexes) -> bytes:
+    """(size BE, data, crc BE) framing for one DV inside a .bin file."""
+    data = encode_rba(sorted(indexes))
+    return (
+        struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+
+
+def _inline(indexes) -> dict:
+    data = encode_rba(sorted(indexes))
+    padded = data + b"\x00" * (-len(data) % 4)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(padded),
+        "sizeInBytes": len(data),
+        "cardinality": len(set(indexes)),
+    }
+
+
+def make_dv_sales() -> None:
+    shutil.rmtree(DV_ROOT, ignore_errors=True)
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    meta = {
+        "id": "11111111-2222-3333-4444-555555555555",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": ["part"],
+        "configuration": {"delta.enableDeletionVectors": "true"},
+        "createdTime": T0,
+    }
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    f0, f1 = "part=EU/f0.parquet", "part=EU/f1.parquet"
+    f2, f3 = "part=US/f2.parquet", "part=US/f3.parquet"
+    _data_file(
+        DV_ROOT,
+        f0,
+        {
+            "id": pa.array(range(10), pa.int64()),
+            "v": pa.array([f"r{i}" for i in range(10)]),
+        },
+    )
+    _data_file(
+        DV_ROOT,
+        f1,
+        {
+            "id": pa.array(range(10, 15), pa.int64()),
+            "v": pa.array([f"r{i}" for i in range(10, 15)]),
+        },
+    )
+    _data_file(
+        DV_ROOT,
+        f2,
+        {
+            "id": pa.array(range(20, 26), pa.int64()),
+            "v": pa.array([f"r{i}" for i in range(20, 26)]),
+        },
+    )
+    _data_file(
+        DV_ROOT,
+        f3,
+        {
+            "id": pa.array(range(30, 33), pa.int64()),
+            "v": pa.array([f"r{i}" for i in range(30, 33)]),
+        },
+    )
+
+    def add(rel, part, dv=None):
+        a = {
+            "path": rel,
+            "partitionValues": {"part": part},
+            "size": os.path.getsize(os.path.join(DV_ROOT, rel)),
+            "modificationTime": T0,
+            "dataChange": True,
+        }
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    def remove(rel, dv=None):
+        r = {"path": rel, "deletionTimestamp": T0, "dataChange": True}
+        if dv:
+            r["deletionVector"] = dv
+        return {"remove": r}
+
+    # one .bin holding BOTH of f0's DV generations at different offsets
+    blob1, blob2 = _dv_blob({1, 3}), _dv_blob({1, 3, 5, 7})
+    dv_dir = os.path.join(DV_ROOT, "ab")
+    os.makedirs(dv_dir, exist_ok=True)
+    with open(
+        os.path.join(dv_dir, f"deletion_vector_{DV_UUID_STR}.bin"), "wb"
+    ) as fh:
+        fh.write(bytes([1]) + blob1 + blob2)
+    enc_uuid = "ab" + z85_encode(DV_UUID_BYTES)
+    dv1 = {
+        "storageType": "u",
+        "pathOrInlineDv": enc_uuid,
+        "offset": 1,
+        "sizeInBytes": len(blob1) - 8,
+        "cardinality": 2,
+    }
+    dv2 = {
+        "storageType": "u",
+        "pathOrInlineDv": enc_uuid,
+        "offset": 1 + len(blob1),
+        "sizeInBytes": len(blob2) - 8,
+        "cardinality": 4,
+    }
+
+    _commit(
+        DV_ROOT,
+        0,
+        [
+            {"metaData": meta},
+            {"protocol": protocol},
+            add(f0, "EU"),
+            add(f1, "EU"),
+            add(f2, "US"),
+        ],
+    )
+    _commit(DV_ROOT, 1, [remove(f0), add(f0, "EU", dv1)])
+    # add BEFORE remove: reconciliation is by (path, dv uniqueId), so
+    # the remove of the OLD generation must not cancel the new add
+    _commit(
+        DV_ROOT,
+        2,
+        [
+            add(f0, "EU", dv2),
+            remove(f0, dv1),
+            remove(f1),
+            add(f1, "EU", _inline({0})),
+        ],
+    )
+    _write_dv_checkpoint(DV_ROOT, 2, meta, protocol, [
+        (f0, {"part": "EU"}, dv2),
+        (f1, {"part": "EU"}, _inline({0})),
+        (f2, {"part": "US"}, None),
+    ])
+    _commit(DV_ROOT, 3, [add(f3, "US")])
+    print(f"{DV_ROOT}: v0-v3 + DV checkpoint at v2")
+
+
+def _write_dv_checkpoint(root, version, meta, protocol, files) -> None:
+    """Struct-per-action checkpoint whose adds carry deletionVector."""
+    pv_type = pa.map_(pa.string(), pa.string())
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_type),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("deletionVector", dv_type),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_type = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    n = len(files) + 2
+    adds = [None, None] + [
+        {
+            "path": rel,
+            "partitionValues": list(pv.items()),
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": T0,
+            "dataChange": False,
+            "deletionVector": dv,
+        }
+        for rel, pv, dv in files
+    ]
+    metas = [
+        {
+            "id": meta["id"],
+            "format": {"provider": "parquet"},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": meta["partitionColumns"],
+            "configuration": list(meta["configuration"].items()),
+            "createdTime": meta["createdTime"],
+        }
+    ] + [None] * (n - 1)
+    protos = [None, protocol] + [None] * (n - 2)
+    tbl = pa.table(
+        {
+            "add": pa.array(adds, add_type),
+            "metaData": pa.array(metas, meta_type),
+            "protocol": pa.array(protos, proto_type),
+        }
+    )
+    log = os.path.join(root, "_delta_log")
+    pq.write_table(tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": n}, fh)
+
+
+def make_mapped() -> None:
+    shutil.rmtree(MAP_ROOT, ignore_errors=True)
+
+    def field(name, typ, fid, phys):
+        return {
+            "name": name,
+            "type": typ,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    details_type = {
+        "type": "struct",
+        "fields": [
+            field("city", "string", 3, "col-n1"),
+            field("zip", "long", 4, "col-n2"),
+        ],
+    }
+    schema_v0 = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                field("id", "long", 1, "col-a1"),
+                field("name", "string", 2, "col-b2"),
+                field("details", details_type, 5, "col-c3"),
+                field("region", "string", 6, "col-d4"),
+            ],
+        }
+    )
+    # v1 renames name -> title; physical name (and id) UNCHANGED
+    schema_v1 = schema_v0.replace('"name": "name"', '"name": "title"')
+    conf = {
+        "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": "6",
+    }
+    meta_v0 = {
+        "id": "66666666-7777-8888-9999-aaaaaaaaaaaa",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_v0,
+        "partitionColumns": ["region"],
+        "configuration": conf,
+        "createdTime": T0,
+    }
+    meta_v1 = dict(meta_v0, schemaString=schema_v1)
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping", "deletionVectors"],
+        "writerFeatures": ["columnMapping", "deletionVectors"],
+    }
+    # data files use PHYSICAL names everywhere, incl. the nested struct
+    # and the hive partition dirs
+    m0, m1 = "col-d4=EU/m0.parquet", "col-d4=US/m1.parquet"
+    details = pa.struct([("col-n1", pa.string()), ("col-n2", pa.int64())])
+    _data_file(
+        MAP_ROOT,
+        m0,
+        {
+            "col-a1": pa.array(range(5), pa.int64()),
+            "col-b2": pa.array([f"n{i}" for i in range(5)]),
+            "col-c3": pa.array(
+                [{"col-n1": f"c{i}", "col-n2": 1000 + i} for i in range(5)],
+                details,
+            ),
+        },
+    )
+    _data_file(
+        MAP_ROOT,
+        m1,
+        {
+            "col-a1": pa.array(range(10, 14), pa.int64()),
+            "col-b2": pa.array([f"n{i}" for i in range(10, 14)]),
+            "col-c3": pa.array(
+                [
+                    {"col-n1": f"c{i}", "col-n2": 1000 + i}
+                    for i in range(10, 14)
+                ],
+                details,
+            ),
+        },
+    )
+
+    def add(rel, region, dv=None):
+        a = {
+            "path": rel,
+            # partitionValues keys are PHYSICAL names under mapping
+            "partitionValues": {"col-d4": region},
+            "size": os.path.getsize(os.path.join(MAP_ROOT, rel)),
+            "modificationTime": T0,
+            "dataChange": True,
+        }
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    _commit(
+        MAP_ROOT,
+        0,
+        [{"metaData": meta_v0}, {"protocol": protocol}, add(m0, "EU"), add(m1, "US")],
+    )
+    _commit(MAP_ROOT, 1, [{"metaData": meta_v1}])
+    _commit(
+        MAP_ROOT,
+        2,
+        [
+            {
+                "remove": {
+                    "path": m1,
+                    "deletionTimestamp": T0,
+                    "dataChange": True,
+                }
+            },
+            add(m1, "US", _inline({1})),
+        ],
+    )
+    print(f"{MAP_ROOT}: v0-v2 (rename at v1, inline DV at v2)")
+
+
+if __name__ == "__main__":
+    make_dv_sales()
+    make_mapped()
