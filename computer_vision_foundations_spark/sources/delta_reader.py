@@ -516,13 +516,31 @@ def _dv_anti_filter(
     that the join shuffles and the table is overdue for a purge
     rewrite. ``rels`` restricts to one file group (the non-hive
     fallback scan)."""
+    deleted = _deleted_pairs_df(spark, root, snap, rels)
+    if deleted is None:
+        return df
+    return (
+        df.withColumn("__dv_file", _scan_path_expr())
+        .withColumn("__dv_row", F.col("_metadata.row_index"))
+        .join(deleted, ["__dv_file", "__dv_row"], "left_anti")
+        .drop("__dv_file", "__dv_row")
+    )
+
+
+def _deleted_pairs_df(
+    spark: SparkSession, root: str, snap: DeltaSnapshot, rels=None
+):
+    """The snapshot's DV-deleted (absolute file path, row index) pairs
+    as a DataFrame with columns ``__dv_file``/``__dv_row`` (broadcast-
+    hinted below `_DV_BROADCAST_MAX` rows), or None when no live file
+    in scope carries a DV."""
     live = {
         rel: d
         for rel, d in (snap.dvs or {}).items()
         if rels is None or rel in rels
     }
     if not live:
-        return df
+        return None
     files, rows = [], []
     for rel, desc in sorted(live.items()):
         ap = os.path.abspath(os.path.join(root, rel))
@@ -530,7 +548,7 @@ def _dv_anti_filter(
             files.append(ap)
             rows.append(i)
     if not rows:
-        return df
+        return None
     import pandas as pd
 
     deleted = spark.createDataFrame(
@@ -543,12 +561,7 @@ def _dv_anti_filter(
     )
     if len(rows) <= _DV_BROADCAST_MAX:
         deleted = F.broadcast(deleted)
-    return (
-        df.withColumn("__dv_file", _scan_path_expr())
-        .withColumn("__dv_row", F.col("_metadata.row_index"))
-        .join(deleted, ["__dv_file", "__dv_row"], "left_anti")
-        .drop("__dv_file", "__dv_row")
-    )
+    return deleted
 
 
 def read_delta(

@@ -55,8 +55,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from computer_vision_foundations_spark.sources import delta_reader
+from computer_vision_foundations_spark.sources import dvs as dv_codec
 
 __all__ = [
     "delta_create",
@@ -162,19 +164,22 @@ def _write_data_files(
     return out
 
 
-def _add_action(rel: str, pv: dict, size: int, n_rows: int, ts: int) -> dict:
-    return {
-        "add": {
-            "path": _encode_path(rel),
-            "partitionValues": {
-                k: (None if v is None else str(v)) for k, v in pv.items()
-            },
-            "size": size,
-            "modificationTime": ts,
-            "dataChange": True,
-            "stats": json.dumps({"numRecords": n_rows}),
-        }
+def _add_action(
+    rel: str, pv: dict, size: int, n_rows: int, ts: int, dv: dict | None = None
+) -> dict:
+    a = {
+        "path": _encode_path(rel),
+        "partitionValues": {
+            k: (None if v is None else str(v)) for k, v in pv.items()
+        },
+        "size": size,
+        "modificationTime": ts,
+        "dataChange": True,
+        "stats": json.dumps({"numRecords": n_rows}),
     }
+    if dv is not None:
+        a["deletionVector"] = dv
+    return {"add": a}
 
 
 def _evolved_meta(snap, schema_json: str, partition_cols, ts: int) -> dict:
@@ -193,14 +198,66 @@ def _evolved_meta(snap, schema_json: str, partition_cols, ts: int) -> dict:
     }
 
 
-def _remove_action(encoded_path: str, ts: int) -> dict:
-    return {
-        "remove": {
-            "path": encoded_path,
-            "deletionTimestamp": ts,
-            "dataChange": True,
-        }
+def _remove_action(
+    encoded_path: str, ts: int, dv: dict | None = None
+) -> dict:
+    r = {
+        "path": encoded_path,
+        "deletionTimestamp": ts,
+        "dataChange": True,
     }
+    if dv is not None:
+        # per protocol the remove carries the DV of the generation
+        # being removed — reconciliation is by (path, dv uniqueId)
+        r["deletionVector"] = dv
+    return {"remove": r}
+
+
+def _remove_live(snap, rel: str, ts: int) -> dict:
+    """Remove action for a LIVE snapshot file, carrying its DV."""
+    return _remove_action(_encode_path(rel), ts, (snap.dvs or {}).get(rel))
+
+
+def _read_live(spark: SparkSession, root: str, snap, rels) -> DataFrame:
+    """DV-honoring read of a subset of the snapshot's live files with
+    the committed schema — every copy-on-write rewrite must read
+    THROUGH the deletion vectors or it would resurrect deleted rows."""
+    rels = sorted(rels)
+    reader = spark.read.schema(snap.schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", root)
+    df = reader.parquet(*[os.path.join(root, rel) for rel in rels])
+    df = delta_reader._dv_anti_filter(df, spark, root, snap, rels=set(rels))
+    return df.select(*[f.name for f in snap.schema.fields])
+
+
+def _refuse_mapped(snap, op: str) -> None:
+    """Write ops that rewrite or diff data files are gated on
+    column-mapped tables (they would need physical-name translation
+    at every read/write boundary); create, append, and the whole read
+    path support mapping."""
+    if (snap.column_mapping or "none") != "none":
+        raise delta_reader.DeltaProtocolError(
+            f"{op} on a column-mapped table is not supported by this "
+            "writer (create/append/read are)"
+        )
+
+
+def _to_physical(df: DataFrame, snap) -> DataFrame:
+    """Project a logical-schema batch to the table's PHYSICAL column
+    names (columnMapping=name): top-level renames plus positional
+    struct casts for nested fields — the inverse of the reader's
+    logical projection."""
+    if (snap.column_mapping or "none") == "none":
+        return df
+    return df.select(
+        *[
+            F.col(f.name)
+            .cast(delta_reader._physical_type(f.dataType))
+            .alias(delta_reader._physical_name(f))
+            for f in snap.schema.fields
+        ]
+    )
 
 
 def _publish(
@@ -251,6 +308,15 @@ def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
         raise ValueError(f"no metaData/protocol in log under {root}")
 
     pv_type = pa.map_(pa.string(), pa.string())
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_type = pa.struct(
         [
             ("path", pa.string()),
@@ -259,6 +325,7 @@ def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_type),
         ]
     )
     remove_type = pa.struct(
@@ -282,9 +349,15 @@ def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
         ]
     )
     proto_type = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     files = sorted(snap.files.items())
+    snap_dvs = snap.dvs or {}
     n = len(files) + 2
     adds = [None, None] + [
         {
@@ -296,6 +369,19 @@ def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
             "modificationTime": None,
             "dataChange": False,
             "stats": None,
+            # the live DV generation must survive checkpointing or a
+            # post-checkpoint reader would resurrect deleted rows
+            "deletionVector": (
+                {
+                    "storageType": d["storageType"],
+                    "pathOrInlineDv": d["pathOrInlineDv"],
+                    "offset": d.get("offset"),
+                    "sizeInBytes": d.get("sizeInBytes"),
+                    "cardinality": d.get("cardinality"),
+                }
+                if (d := snap_dvs.get(rel))
+                else None
+            ),
         }
         for rel, pv in files
     ]
@@ -305,7 +391,12 @@ def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
             "format": {"provider": "parquet"},
             "schemaString": state_meta["schemaString"],
             "partitionColumns": list(state_meta.get("partitionColumns") or []),
-            "configuration": [],
+            # configuration carries columnMapping.mode and friends —
+            # dropping it here would silently un-map the table after
+            # its first checkpoint
+            "configuration": list(
+                (state_meta.get("configuration") or {}).items()
+            ),
             "createdTime": state_meta.get("createdTime"),
         }
     ] + [None] * (n - 1)
@@ -313,6 +404,8 @@ def _write_checkpoint(root: str, spark: SparkSession, version: int) -> None:
         {
             "minReaderVersion": state_proto.get("minReaderVersion", 1),
             "minWriterVersion": state_proto.get("minWriterVersion", 2),
+            "readerFeatures": state_proto.get("readerFeatures"),
+            "writerFeatures": state_proto.get("writerFeatures"),
         }
     ] + [None] * (n - 2)
     tbl = pa.table(
@@ -356,8 +449,9 @@ def _check_schema(snap, df: DataFrame) -> None:
     the committed columns and types (evolution is out of this
     writer's scope — rewrite with ``delta_overwrite`` to change the
     schema)."""
-    current = {f.name: f.dataType for f in snap.schema.fields}
-    incoming = {f.name: f.dataType for f in df.schema.fields}
+    strip = delta_reader._strip_field_meta
+    current = {f.name: strip(f.dataType) for f in snap.schema.fields}
+    incoming = {f.name: strip(f.dataType) for f in df.schema.fields}
     if current != incoming:
         missing = sorted(set(current) - set(incoming))
         extra = sorted(set(incoming) - set(current))
@@ -372,29 +466,95 @@ def _check_schema(snap, df: DataFrame) -> None:
         )
 
 
+def _annotate_mapping(dt, counter: list[int]):
+    """Recursively annotate a schema jsonValue with columnMapping ids
+    and ``col-<uuid>`` physical names (the shape delta-spark writes
+    when mapping is enabled)."""
+    if isinstance(dt, dict) and dt.get("type") == "struct":
+        fields = []
+        for f in dt["fields"]:
+            counter[0] += 1
+            fields.append(
+                {
+                    **f,
+                    "type": _annotate_mapping(f["type"], counter),
+                    "metadata": {
+                        **(f.get("metadata") or {}),
+                        "delta.columnMapping.id": counter[0],
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4().hex[:8]}"
+                        ),
+                    },
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, dict) and dt.get("type") == "array":
+        return {**dt, "elementType": _annotate_mapping(dt["elementType"], counter)}
+    if isinstance(dt, dict) and dt.get("type") == "map":
+        return {
+            **dt,
+            "keyType": _annotate_mapping(dt["keyType"], counter),
+            "valueType": _annotate_mapping(dt["valueType"], counter),
+        }
+    return dt
+
+
 def delta_create(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
     checkpoint_every: int = _CHECKPOINT_EVERY,
+    column_mapping: bool = False,
 ) -> int:
     """Create a real-format Delta table at ``root`` (version 0 —
-    Delta versions are 0-based, unlike ``acid.py``'s 1-based log)."""
+    Delta versions are 0-based, unlike ``acid.py``'s 1-based log).
+
+    ``column_mapping=True`` creates the table with
+    ``delta.columnMapping.mode=name``: every field gets a mapping id
+    and a ``col-<uuid>`` physical name, data files (and hive
+    partition dirs, and ``partitionValues`` keys) use the physical
+    names, and the protocol declares reader 2 / writer 5 — the
+    metadata-only-rename capability a migrating user's tables carry."""
     if delta_reader.is_delta_table(root):
         raise FileExistsError(f"Delta table already exists at {root}")
     pcols = list(partition_by or [])
     ts = _now_ms()
+    schema_json = df.schema.jsonValue()
+    protocol: dict = dict(_PROTOCOL)
+    conf: dict = {}
+    batch = df
+    if column_mapping:
+        counter = [0]
+        schema_json = _annotate_mapping(schema_json, counter)
+        conf = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(counter[0]),
+        }
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+        annotated = T.StructType.fromJson(schema_json)
+        phys_of = {
+            f.name: delta_reader._physical_name(f) for f in annotated.fields
+        }
+        batch = df.select(
+            *[
+                F.col(f.name)
+                .cast(delta_reader._physical_type(f.dataType))
+                .alias(phys_of[f.name])
+                for f in annotated.fields
+            ]
+        )
+        pcols = [phys_of[c] for c in pcols]
     meta = {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
-        "schemaString": df.schema.json(),
-        "partitionColumns": pcols,
-        "configuration": {},
+        "schemaString": json.dumps(schema_json),
+        "partitionColumns": list(partition_by or []),
+        "configuration": conf,
         "createdTime": ts,
     }
-    files = _write_data_files(df, root, pcols)
-    actions = [{"metaData": meta}, {"protocol": dict(_PROTOCOL)}] + [
+    files = _write_data_files(batch, root, pcols)
+    actions = [{"metaData": meta}, {"protocol": protocol}] + [
         _add_action(rel, pv, size, n, ts) for rel, pv, size, n in files
     ]
     _publish(root, 0, actions, "WRITE", ts)
@@ -425,6 +585,9 @@ def delta_append(
     actions: list[dict] = []
     out_fields = list(snap.schema.fields)
     if merge_schema:
+        # evolving a mapped schema would need fresh mapping ids and a
+        # maxColumnId bump — out of this writer's scope
+        _refuse_mapped(snap, "mergeSchema append")
         current = {f.name: f.dataType for f in snap.schema.fields}
         wrong = sorted(
             f.name
@@ -435,8 +598,6 @@ def delta_append(
             raise ValueError(
                 f"mergeSchema cannot change existing column types: {wrong}"
             )
-        from pyspark.sql import types as T
-
         # evolved columns are forced nullable: every pre-existing file
         # lacks them and reads NULL, so a non-null claim would be a lie
         # external readers might optimize on (Delta's own mergeSchema
@@ -469,7 +630,14 @@ def delta_append(
     else:
         _check_schema(snap, df)
         batch = df.select(*[f.name for f in snap.schema.fields])
-    files = _write_data_files(batch, root, snap.partition_columns)
+    # mapped tables write PHYSICAL column names and hive dirs
+    batch = _to_physical(batch, snap)
+    phys_of = {
+        f.name: delta_reader._physical_name(f) for f in snap.schema.fields
+    }
+    files = _write_data_files(
+        batch, root, [phys_of[c] for c in snap.partition_columns]
+    )
     actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
     v = snap.version + 1
     # Optimistic-concurrency loop (Delta protocol conflict rules): a
@@ -520,6 +688,7 @@ def delta_overwrite(
     ``overwriteSchema`` shape — every old file is removed in the same
     commit, so there is no mixed-file hazard)."""
     snap = delta_reader.delta_snapshot(root, spark)
+    _refuse_mapped(snap, "delta_overwrite")
     ts = _now_ms()
     actions: list[dict] = []
     if df.schema.json() != snap.schema.json():
@@ -531,9 +700,7 @@ def delta_overwrite(
             }
         )
     files = _write_data_files(df, root, snap.partition_columns)
-    actions += [
-        _remove_action(_encode_path(rel), ts) for rel in sorted(snap.files)
-    ]
+    actions += [_remove_live(snap, rel, ts) for rel in sorted(snap.files)]
     actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
     v = snap.version + 1
     _publish(root, v, actions, "OVERWRITE", ts)
@@ -586,16 +753,16 @@ def delta_upsert(
     the Delta ``MERGE INTO`` shape, same algorithm as
     ``acid.upsert``."""
     snap = delta_reader.delta_snapshot(root, spark)
+    _refuse_mapped(snap, "delta_upsert")
     _check_schema(snap, updates)
     ts = _now_ms()
     touched = _touched_files(spark, root, snap, updates, key_cols)
     cols = [f.name for f in snap.schema.fields]
     parts = [updates.select(*cols)]
     if touched:
-        reader = spark.read.schema(snap.schema)
-        if snap.partition_columns:
-            reader = reader.option("basePath", root)
-        old = reader.parquet(*[os.path.join(root, rel) for rel in touched])
+        # DV-honoring read: a rewrite that scanned the raw parquet
+        # would resurrect DV-deleted rows
+        old = _read_live(spark, root, snap, touched)
         parts.append(
             old.join(updates.select(*key_cols), key_cols, "left_anti").select(
                 *cols
@@ -605,7 +772,7 @@ def delta_upsert(
     for p in parts[1:]:
         merged = merged.unionByName(p)
     files = _write_data_files(merged, root, snap.partition_columns)
-    actions = [_remove_action(_encode_path(rel), ts) for rel in touched]
+    actions = [_remove_live(snap, rel, ts) for rel in touched]
     actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
     v = snap.version + 1
     _publish(root, v, actions, "MERGE", ts)
@@ -618,20 +785,38 @@ def delta_delete_where(
     root: str,
     predicate,
     checkpoint_every: int = _CHECKPOINT_EVERY,
+    use_dvs: bool = False,
 ) -> int:
-    """Copy-on-write DELETE: rewrite only files containing matching
-    rows, swap in one atomic commit. Returns the current version
-    unchanged when nothing matches."""
+    """DELETE WHERE in one atomic commit; returns the current version
+    unchanged when nothing matches.
+
+    ``use_dvs=False`` (default): copy-on-write — rewrite only the
+    files containing matching LIVE rows (the scan honors existing
+    deletion vectors, so previously deleted rows can't resurrect) and
+    the rewritten files drop their DVs.
+
+    ``use_dvs=True`` (round-10 verdict stretch #7): emit DELETION
+    VECTORS instead of rewriting data — each touched file gets a new
+    DV (its old deleted set ∪ the newly matching row indexes) written
+    per the public DV file format and swapped in via
+    remove(path, old dv) + add(path, new dv); a file whose every row
+    is now deleted is removed outright. The first DV commit upgrades
+    the protocol to reader 3 / writer 7 with the deletionVectors
+    feature (carrying the legacy-implied writer features). The right
+    choice for small-fraction deletes: no data bytes move, the commit
+    is file-list-sized, and OPTIMIZE later purges accumulated DVs."""
     snap = delta_reader.delta_snapshot(root, spark)
+    _refuse_mapped(snap, "delta_delete_where")
     ts = _now_ms()
     if not snap.files:
         return snap.version
-    paths = [os.path.join(root, rel) for rel in snap.files]
-    reader = spark.read.schema(snap.schema)
-    if snap.partition_columns:
-        reader = reader.option("basePath", root)
+    if use_dvs:
+        return _delete_with_dvs(
+            spark, root, snap, predicate, ts, checkpoint_every
+        )
+    # hit detection over LIVE rows only (DV-filtered)
     hit = (
-        reader.parquet(*paths)
+        _read_live(spark, root, snap, sorted(snap.files))
         .filter(predicate)
         .select(F.input_file_name().alias("_f"))
         .distinct()
@@ -644,19 +829,112 @@ def delta_delete_where(
     )
     if not touched:
         return snap.version
-    surv_reader = spark.read.schema(snap.schema)
-    if snap.partition_columns:
-        surv_reader = surv_reader.option("basePath", root)
-    survivors = surv_reader.parquet(
-        *[os.path.join(root, rel) for rel in touched]
-    ).filter(~predicate)
+    survivors = _read_live(spark, root, snap, touched).filter(~predicate)
     files = (
         _write_data_files(survivors, root, snap.partition_columns)
         if survivors.limit(1).count()
         else []
     )
-    actions = [_remove_action(_encode_path(rel), ts) for rel in touched]
+    actions = [_remove_live(snap, rel, ts) for rel in touched]
     actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    v = snap.version + 1
+    _publish(root, v, actions, "DELETE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+# writer features implied by legacy minWriterVersion 2, which must be
+# listed explicitly when upgrading to table features (PROTOCOL.md)
+_LEGACY_WRITER_FEATURES = ["appendOnly", "invariants"]
+
+
+def _dv_protocol_upgrade(snap) -> dict | None:
+    """Protocol action enabling deletionVectors, or None if already on."""
+    proto = snap.protocol_raw or dict(_PROTOCOL)
+    feats = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" in feats:
+        return None
+    reader_feats = sorted(feats | {"deletionVectors"})
+    writer_feats = set(proto.get("writerFeatures") or [])
+    if not writer_feats:
+        writer_feats = set(_LEGACY_WRITER_FEATURES)
+    writer_feats.add("deletionVectors")
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": reader_feats,
+            "writerFeatures": sorted(writer_feats),
+        }
+    }
+
+
+def _delete_with_dvs(
+    spark: SparkSession,
+    root: str,
+    snap,
+    predicate,
+    ts: int,
+    checkpoint_every: int,
+) -> int:
+    """DV-emitting DELETE body: see ``delta_delete_where``."""
+    import pyarrow.parquet as pq
+
+    # matching LIVE row positions per file: materialize the physical
+    # (file, row_index) BEFORE any projection (the hidden _metadata
+    # column resolves only on the scan relation), anti-join existing
+    # deleted pairs on the materialized keys, then filter
+    reader = spark.read.schema(snap.schema)
+    if snap.partition_columns:
+        reader = reader.option("basePath", root)
+    rels = sorted(snap.files)
+    df = (
+        reader.parquet(*[os.path.join(root, rel) for rel in rels])
+        .withColumn("_f", delta_reader._scan_path_expr())
+        .withColumn("_i", F.col("_metadata.row_index"))
+    )
+    already = delta_reader._deleted_pairs_df(spark, root, snap)
+    if already is not None:
+        df = df.join(
+            already.withColumnsRenamed(
+                {"__dv_file": "_f", "__dv_row": "_i"}
+            ),
+            ["_f", "_i"],
+            "left_anti",
+        )
+    hits = df.filter(predicate).select("_f", "_i").collect()
+    if not hits:
+        return snap.version
+    by_abs = {
+        os.path.abspath(os.path.join(root, rel)): rel for rel in snap.files
+    }
+    new_deletes: dict[str, set[int]] = {}
+    for r in hits:
+        new_deletes.setdefault(by_abs[r["_f"]], set()).add(r["_i"])
+    actions: list[dict] = []
+    upgrade = _dv_protocol_upgrade(snap)
+    if upgrade:
+        actions.append(upgrade)
+    for rel in sorted(new_deletes):
+        old_desc = (snap.dvs or {}).get(rel)
+        old_idx = set(dv_codec.read_dv(old_desc, root)) if old_desc else set()
+        merged = sorted(old_idx | new_deletes[rel])
+        abs_p = os.path.join(root, rel)
+        n_rows = pq.ParquetFile(abs_p).metadata.num_rows
+        actions.append(_remove_action(_encode_path(rel), ts, old_desc))
+        if len(merged) >= n_rows:
+            continue  # every row deleted: drop the file outright
+        new_desc = dv_codec.write_dv_file(root, merged)
+        actions.append(
+            _add_action(
+                rel,
+                snap.files[rel],
+                os.path.getsize(abs_p),
+                n_rows,
+                ts,
+                dv=new_desc,
+            )
+        )
     v = snap.version + 1
     _publish(root, v, actions, "DELETE", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -679,6 +957,7 @@ def delta_optimize(
     bytes without changing rows. Time travel to earlier versions
     still resolves the original files."""
     snap = delta_reader.delta_snapshot(root, spark)
+    _refuse_mapped(snap, "delta_optimize")
     ts = _now_ms()
     threshold = small_file_bytes or target_file_bytes // 2
     small, total = [], 0
@@ -689,22 +968,25 @@ def delta_optimize(
             total += sz
     if len(small) < 2:
         return snap.version
-    reader = spark.read.schema(snap.schema)
-    if snap.partition_columns:
-        reader = reader.option("basePath", root)
-    df = reader.parquet(*[os.path.join(root, rel) for rel in small])
+    # DV-honoring read: compaction doubles as a PURGE — rewritten
+    # files drop their deleted rows and carry no DV
+    df = _read_live(spark, root, snap, small)
     n_out = max(1, -(-total // target_file_bytes))
     files = _write_data_files(
         df.repartition(n_out), root, snap.partition_columns
     )
     actions = []
+    purged = any(rel in (snap.dvs or {}) for rel in small)
     for rel in small:
-        a = _remove_action(_encode_path(rel), ts)
-        a["remove"]["dataChange"] = False
+        a = _remove_live(snap, rel, ts)
+        # rearranging bytes is dataChange=false, but DROPPING a DV's
+        # rows from the physical files is a data change for any
+        # reader consuming the change feed
+        a["remove"]["dataChange"] = purged
         actions.append(a)
     for rel, pv, size, n in files:
         a = _add_action(rel, pv, size, n, ts)
-        a["add"]["dataChange"] = False
+        a["add"]["dataChange"] = purged
         actions.append(a)
     v = snap.version + 1
     _publish(root, v, actions, "OPTIMIZE", ts)
@@ -793,8 +1075,23 @@ def delta_restore(
                 )
             }
         )
-    add_back = sorted(set(tgt.files) - set(cur.files))
-    drop = sorted(set(cur.files) - set(tgt.files))
+    # diff by (path, DV generation): a file present in both versions
+    # with a DIFFERENT deletion vector needs remove(current dv) +
+    # add(target dv) to restore the old visible row set
+    uid = dv_codec.dv_unique_id
+    tgt_dv, cur_dv = tgt.dvs or {}, cur.dvs or {}
+    add_back = sorted(
+        rel
+        for rel in tgt.files
+        if rel not in cur.files
+        or uid(tgt_dv.get(rel)) != uid(cur_dv.get(rel))
+    )
+    drop = sorted(
+        rel
+        for rel in cur.files
+        if rel not in tgt.files
+        or uid(tgt_dv.get(rel)) != uid(cur_dv.get(rel))
+    )
     if not actions and not add_back and not drop:
         return cur.version
     for rel in add_back:
@@ -806,9 +1103,18 @@ def delta_restore(
             )
         n_rows = pq.ParquetFile(p).metadata.num_rows
         actions.append(
-            _add_action(rel, tgt.files[rel], os.path.getsize(p), n_rows, ts)
+            _add_action(
+                rel,
+                tgt.files[rel],
+                os.path.getsize(p),
+                n_rows,
+                ts,
+                dv=tgt_dv.get(rel),
+            )
         )
-    actions += [_remove_action(_encode_path(rel), ts) for rel in drop]
+    actions += [
+        _remove_action(_encode_path(rel), ts, cur_dv.get(rel)) for rel in drop
+    ]
     v = cur.version + 1
     _publish(root, v, actions, "RESTORE", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)

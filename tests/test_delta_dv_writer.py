@@ -1,0 +1,216 @@
+"""Writer-side deletion vectors + column-mapped create/append
+(sources/delta_writer.py, round-10 verdict stretch #7): DV-emitting
+DELETE vs copy-on-write identity, DV generation merging, protocol
+upgrade, DV-aware MERGE/OPTIMIZE/RESTORE (no resurrection), checkpoint
+fidelity for DVs and mapping configuration, and the mapped-table
+write gates."""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from computer_vision_foundations_spark.sources import delta_reader as dr
+from computer_vision_foundations_spark.sources import delta_writer as dw
+
+
+def _root():
+    return tempfile.mkdtemp(prefix="delta_dvw_")
+
+
+def _mk(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") % 2 == 0).cast("string").alias("even"),
+    )
+
+
+def _keys(spark, root, version=None):
+    return sorted(
+        r["k"] for r in dr.read_delta(spark, root, version=version).collect()
+    )
+
+
+def test_dv_delete_matches_copy_on_write(spark):
+    """Same predicate, both modes: identical visible rows; the DV mode
+    leaves the data files untouched and upgrades the protocol."""
+    cow, dvr = _root(), _root()
+    df = _mk(spark)
+    dw.delta_create(spark, cow, df, partition_by=["even"])
+    dw.delta_create(spark, dvr, df, partition_by=["even"])
+    files_before = set(dr.delta_snapshot(dvr, spark).files)
+    dw.delta_delete_where(spark, cow, F.col("k") % 5 == 0)
+    v = dw.delta_delete_where(spark, dvr, F.col("k") % 5 == 0, use_dvs=True)
+    assert _keys(spark, cow) == _keys(spark, dvr)
+    snap = dr.delta_snapshot(dvr, spark, version=v)
+    assert set(snap.files) == files_before  # no data file rewritten
+    assert snap.dvs and all(
+        d["storageType"] == "u" for d in snap.dvs.values()
+    )
+    assert "deletionVectors" in (snap.protocol_raw.get("readerFeatures") or [])
+    assert "appendOnly" in (snap.protocol_raw.get("writerFeatures") or [])
+
+
+def test_dv_delete_merges_generations_and_time_travels(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark))
+    v1 = dw.delta_delete_where(spark, root, F.col("k") < 3, use_dvs=True)
+    v2 = dw.delta_delete_where(
+        spark, root, (F.col("k") >= 5) & (F.col("k") < 8), use_dvs=True
+    )
+    assert _keys(spark, root, version=v1) == [3, 4] + list(range(5, 20))
+    assert _keys(spark, root, version=v2) == [3, 4] + list(range(8, 20))
+    snap = dr.delta_snapshot(root, spark)
+    # merged DV generations cover both deletes across the table's files
+    assert sum(d["cardinality"] for d in snap.dvs.values()) == 6
+    # deleting an already-DV-deleted range is a no-op commit-wise
+    assert (
+        dw.delta_delete_where(spark, root, F.col("k") < 3, use_dvs=True) == v2
+    )
+
+
+def test_dv_delete_drops_fully_deleted_files(spark):
+    """A file whose every row is deleted is removed, not given a
+    full-coverage DV."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark), partition_by=["even"])
+    dw.delta_delete_where(spark, root, F.col("even") == "true", use_dvs=True)
+    snap = dr.delta_snapshot(root, spark)
+    assert all(pv["even"] == "false" for pv in snap.files.values())
+    assert not snap.dvs
+    assert _keys(spark, root) == list(range(1, 20, 2))
+
+
+def test_upsert_on_dv_table_does_not_resurrect(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark))
+    dw.delta_delete_where(spark, root, F.col("k") < 5, use_dvs=True)
+    ups = spark.createDataFrame(
+        [(7, "V7", "false"), (100, "V100", "true")], "k long, v string, even string"
+    )
+    dw.delta_upsert(spark, root, ups, ["k"])
+    got = {r["k"]: r["v"] for r in dr.read_delta(spark, root).collect()}
+    assert sorted(got) == list(range(5, 20)) + [100]
+    assert got[7] == "V7" and got[100] == "V100"
+    # rewrite dropped the DV (rows physically gone from the new file)
+    assert not dr.delta_snapshot(root, spark).dvs
+
+
+def test_cow_delete_on_dv_table_honors_dvs(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark))
+    dw.delta_delete_where(spark, root, F.col("k") < 5, use_dvs=True)
+    dw.delta_delete_where(spark, root, F.col("k") >= 15)  # copy-on-write
+    assert _keys(spark, root) == list(range(5, 15))
+    assert not dr.delta_snapshot(root, spark).dvs
+
+
+def test_optimize_purges_dvs(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, 50).repartition(6))
+    dw.delta_delete_where(spark, root, F.col("k") % 3 == 0, use_dvs=True)
+    before = _keys(spark, root)
+    v = dw.delta_optimize(spark, root, target_file_bytes=1 << 20)
+    snap = dr.delta_snapshot(root, spark, version=v)
+    assert not snap.dvs  # purged: rewritten files carry no DV
+    assert _keys(spark, root) == before
+    # the purge is a data change for change-feed readers
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    assert any(a.get("add", {}).get("dataChange") is True for a in acts)
+
+
+def test_restore_across_dv_generations(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark))  # v0
+    v1 = dw.delta_delete_where(spark, root, F.col("k") < 3, use_dvs=True)
+    dw.delta_delete_where(spark, root, F.col("k") < 8, use_dvs=True)  # v2
+    v3 = dw.delta_restore(spark, root, v1)
+    assert _keys(spark, root, version=v3) == _keys(spark, root, version=v1)
+    v4 = dw.delta_restore(spark, root, 0)
+    assert _keys(spark, root, version=v4) == list(range(20))
+    assert not dr.delta_snapshot(root, spark).dvs
+
+
+def test_dvs_survive_writer_checkpoint(spark):
+    """A checkpoint written AFTER a DV delete must carry the DV
+    structs, the feature-bearing protocol, and the configuration."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark))
+    dw.delta_delete_where(spark, root, F.col("k") < 4, use_dvs=True)
+    for i in range(9):  # versions 2..10; checkpoint fires at 10
+        dw.delta_append(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(100 + i, f"a{i}", "x")], "k long, v string, even string"
+            ),
+        )
+    snap = dr.delta_snapshot(root, spark)
+    assert snap.checkpoint_version == 10
+    assert snap.num_commits_replayed == 0
+    assert snap.dvs and next(iter(snap.dvs.values()))["cardinality"] == 4
+    got = _keys(spark, root)
+    assert got == list(range(4, 20)) + list(range(100, 109))
+
+
+def test_mapped_create_append_read_roundtrip(spark):
+    """column_mapping=True: physical names on disk, logical names on
+    read; append translates; checkpoint keeps the mapping config."""
+    root = _root()
+    df = spark.createDataFrame(
+        [(1, "a", "EU"), (2, "b", "US")], "id long, name string, region string"
+    )
+    dw.delta_create(spark, root, df, partition_by=["region"], column_mapping=True)
+    snap = dr.delta_snapshot(root, spark)
+    assert snap.column_mapping == "name"
+    phys = {
+        f.name: (f.metadata or {})["delta.columnMapping.physicalName"]
+        for f in snap.schema.fields
+    }
+    assert all(p.startswith("col-") for p in phys.values())
+    # hive dirs use the physical partition name
+    assert any(
+        d.startswith(phys["region"] + "=") for d in os.listdir(root)
+        if not d.startswith("_")
+    )
+    dw.delta_append(
+        spark,
+        root,
+        spark.createDataFrame([(3, "c", "EU")], "id long, name string, region string"),
+    )
+    got = dr.read_delta(spark, root)
+    assert got.columns == ["id", "name", "region"]
+    assert sorted((r["id"], r["region"]) for r in got.collect()) == [
+        (1, "EU"), (2, "US"), (3, "EU"),
+    ]
+    for i in range(9):  # appends v2..v10 trigger the checkpoint at v10
+        dw.delta_append(
+            spark,
+            root,
+            spark.createDataFrame(
+                [(10 + i, "x", "EU")], "id long, name string, region string"
+            ),
+        )
+    snap2 = dr.delta_snapshot(root, spark)
+    assert snap2.checkpoint_version == 10
+    assert snap2.column_mapping == "name"
+    assert dr.read_delta(spark, root).count() == 12
+
+
+def test_mapped_rewrite_ops_are_gated(spark):
+    root = _root()
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    dw.delta_create(spark, root, df, column_mapping=True)
+    for fn in (
+        lambda: dw.delta_overwrite(spark, root, df),
+        lambda: dw.delta_upsert(spark, root, df, ["id"]),
+        lambda: dw.delta_delete_where(spark, root, F.col("id") == 1),
+        lambda: dw.delta_optimize(spark, root),
+        lambda: dw.delta_append(spark, root, df, merge_schema=True),
+    ):
+        with pytest.raises(dr.DeltaProtocolError, match="column-mapped"):
+            fn()
