@@ -121,8 +121,10 @@ HEADLINE = [
     "za29_event_transitions",
     "za62_image_metadata",
     "za60_image_statistics",
-    "q03_time_travel",
-    "q24_acid_upsert",
+    "za75_time_travel",
+    "za76_acid_upsert",
+    "q03_delta_dv_roundtrip",
+    "q24_delta_column_mapping",
     "za69_wav_audio_stats",
     "za70_gif_frame_sample",
     "z23_audio_spectrum",

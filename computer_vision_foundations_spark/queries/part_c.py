@@ -269,7 +269,7 @@ def q19_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q03_time_travel",
+    "za75_time_travel",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -278,7 +278,7 @@ def q19_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
 )
-def q03_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional-table time travel (`sources/acid.py` — the
     Delta-shaped log-structured format over plain parquet): create a
     table from orders with o_orderkey%4==0 (v1), ACID-append the
@@ -309,7 +309,7 @@ def q03_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q24_acid_upsert",
+    "za76_acid_upsert",
     """
     SELECT c_custkey,
            CASE WHEN c_custkey % 10 = 0 THEN 'PLATINUM'
@@ -321,7 +321,7 @@ def q03_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT -1 AS c_custkey, 'PLATINUM' AS c_mktsegment, 0.0 AS c_acctbal
     """,
 )
-def q24_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za76_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE on the REAL Delta log format
     (`sources/delta_writer.delta_upsert` — the batch twin of the
     streaming foreachBatch upsert): customers land as a

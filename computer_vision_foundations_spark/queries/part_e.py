@@ -960,7 +960,7 @@ def _stream_upsert_oracle() -> str:
 
     # the STREAMING path must land exactly where the batch MERGE does,
     # so the oracle IS q24's merged-table statement
-    return _ORACLES["q24_acid_upsert"]
+    return _ORACLES["za76_acid_upsert"]
 
 
 @_register("q01_stream_upsert", _stream_upsert_oracle())
@@ -3039,5 +3039,124 @@ def q48_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# za75 — deletion-vector round trip on the real Delta log format
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q03_delta_dv_roundtrip",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q03_delta_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector write→read round trip on the REAL Delta format
+    (round-10 verdict asks #2/#7; `sources/dvs.py` codec,
+    `delta_delete_where(use_dvs=True)` writer, `read_delta` DV
+    anti-filter): create a Delta table from orders, DELETE the
+    o_orderkey%7==0 rows by EMITTING DELETION VECTORS — per-file
+    roaring bitmaps of physical row indexes written in the public DV
+    file format, swapped in as remove(path)+add(path, dv) with a
+    protocol upgrade to reader 3 — then read the table back, which
+    must decode every bitmap and anti-join the deleted row positions
+    out of the scan. The oracle aggregates the source rows the delete
+    keeps, so a reader that ignored the DVs (all rows), double-counted
+    a generation, or mis-decoded an index hash-fails.
+
+    Scale shape: the delete moves NO data bytes (commit is
+    file-list-sized, DVs are cardinality-sized bitmaps); the read is
+    one pruned scan plus a broadcast anti-join on
+    (_metadata.file_path, _metadata.row_index)."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_create,
+        delta_delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_dv_")
+    delta_create(spark, root, orders)
+    delta_delete_where(
+        spark, root, F.col("o_orderkey") % 7 == 0, use_dvs=True
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# za76 — columnMapping=name round trip on the real Delta log format
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q24_delta_column_mapping",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer WHERE c_custkey % 3 <> 1
+    GROUP BY c_mktsegment
+    """,
+)
+def q24_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """columnMapping=name write→read round trip (round-10 verdict ask
+    #3; `delta_create(column_mapping=True)` writer, `read_delta`
+    physical-name resolution): create a mapped Delta table from the
+    c_custkey%3==0 customers — every column stored under a
+    ``col-<uuid>`` physical parquet name, the partition column's hive
+    dirs and partitionValues keys physical too — append the %3==2
+    slice through the logical→physical translation, then read back,
+    which must resolve the schemaString's physicalName annotations
+    and project to logical names. The oracle aggregates the same two
+    slices from the source table: a reader that scanned logical names
+    (all NULLs), dropped a slice, or mixed up the partition mapping
+    hash-fails.
+
+    Scale shape: identical to an unmapped partitioned read — one
+    basePath scan of the live files plus a hash aggregate; the
+    mapping is pure name resolution, no extra pass."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="delta_map_")
+    delta_create(
+        spark,
+        root,
+        cust.filter(F.col("c_custkey") % 3 == 0),
+        partition_by=["c_mktsegment"],
+        column_mapping=True,
+    )
+    delta_append(spark, root, cust.filter(F.col("c_custkey") % 3 == 2))
+    return (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )

@@ -204,17 +204,30 @@ AUDIT = {
         "(TF-IDF budget); totals ride a 1-row broadcast crossJoin",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q03_time_travel": (
+    "za75_time_travel": (
         "time-travel read resolves the version-2 snapshot from the "
         "commit log driver-side; the plan is a PLAIN parquet scan of "
         "exactly that snapshot's immutable files + one hash agg — no "
         "log join, no extra shuffle",
         (),
     ),
-    "q24_acid_upsert": (
+    "za76_acid_upsert": (
         "copy-on-write MERGE already happened at write time (matched "
         "files found by ONE broadcast semi-join on input_file_name); "
         "the read-back is a plain snapshot scan + narrow projection",
+        (),
+    ),
+    "q03_delta_dv_roundtrip": (
+        "deletion-vector read: one pruned snapshot scan; the deleted "
+        "(file, row_index) pairs ride a BROADCAST left-anti join "
+        "(bitmaps decoded driver-side, cardinality-sized), then one "
+        "hash agg — the delete itself moved zero data bytes",
+        (),
+    ),
+    "q24_delta_column_mapping": (
+        "columnMapping=name read: one basePath scan under PHYSICAL "
+        "column names + a projection back to logical — pure name "
+        "resolution, no extra pass, no shuffle beyond the agg",
         (),
     ),
     "za69_wav_audio_stats": (
