@@ -197,36 +197,49 @@ def prepare_training_corpus(
         .filter(~F.col("is_canonical"))
         .select(F.col("doc_id").alias(id_col))
     )
+    cached_stage2 = kept
     kept = kept.join(F.broadcast(losers), id_col, "left_anti")
+    if eval_df is not None:
+        # decontamination consumes this frame THREE times (the suspect
+        # shingle scan, the exact-verify probe, and the final
+        # anti-join) and each consumer would otherwise replay the LSH
+        # candidate chain + label rounds above from the stage-2 cache
+        # (measured: ~20 s → ~11 s for the sf0.1 composition); cache
+        # the post-near-dup corpus once and release the stage-2 cache
+        # it supersedes
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        kept.count()
+        cached_stage2.unpersist()
 
     # 3b. benchmark decontamination, two-phase: bloom pre-screen on
     # eval shingles (no false negatives — zero-hit docs are provably
     # clean and never enter the exact join), exact overlap verify on
     # the suspicious slice only.
     if eval_df is not None:
-        from computer_vision_foundations_spark.functions.sketches import (
-            bloom_bits,
-            bloom_membership,
-        )
         from computer_vision_foundations_spark.operators.decontaminate import (
             contamination_pairs,
         )
         from computer_vision_foundations_spark.operators.dedup import (
             _with_shingles,
         )
+        from computer_vision_foundations_spark.operators.runtime_filter import (
+            bloom_runtime_filter,
+        )
 
         eval_sh = _with_shingles(
             eval_df, text_col, id_col, "eval_id", decontaminate_k
         ).select(F.explode("_shingles").alias("s"))
-        bits = bloom_bits(eval_sh, "s")
         train_sh = _with_shingles(
             kept, text_col, id_col, "_tid", decontaminate_k
         ).select("_tid", F.explode("_shingles").alias("s"))
-        mem = bloom_membership(
-            train_sh.select("s").distinct(), "s", bits, keys=["s"]
-        )
+        # map-side pre-screen: the eval shingles collapse to the 64 KiB
+        # driver bitmask and every training shingle is tested AT THE
+        # SCAN (Arrow-batched gather, no false negatives) — the
+        # previous shape shuffled the full shingle stream TWICE (a
+        # global distinct, then a semi-join against the maybe-members);
+        # only the suspicious doc ids shuffle now, and they are few
         suspects = (
-            train_sh.join(mem.filter("maybe_member"), "s", "left_semi")
+            bloom_runtime_filter(train_sh, eval_sh, "s")
             .select(F.col("_tid").alias(id_col))
             .distinct()
         )
