@@ -125,6 +125,10 @@ HEADLINE = [
     "za76_acid_upsert",
     "q03_delta_dv_roundtrip",
     "q24_delta_column_mapping",
+    "za77_local_supplier_volume",
+    "za78_forecast_revenue",
+    "za79_customer_distribution",
+    "za80_top_supplier",
     "za69_wav_audio_stats",
     "za70_gif_frame_sample",
     "z23_audio_spectrum",
