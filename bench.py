@@ -129,6 +129,7 @@ HEADLINE = [
     "za78_forecast_revenue",
     "za79_customer_distribution",
     "za80_top_supplier",
+    "za81_delta_dv_change_feed",
     "za69_wav_audio_stats",
     "za70_gif_frame_sample",
     "z23_audio_spectrum",

@@ -3354,3 +3354,60 @@ def za80_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# za81 — DV-aware change data feed over the real Delta log
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za81_delta_dv_change_feed",
+    """
+    SELECT o_orderkey, 'delete' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey % 8 = 1
+    UNION ALL
+    SELECT o_orderkey, 'insert', 2 FROM orders WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT o_orderkey, 'delete', 3 FROM orders WHERE o_orderkey % 16 = 0
+    """,
+)
+def za81_delta_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-derived change data feed with DELETION-VECTOR granularity
+    (`delta_reader.delta_row_changes`): create a Delta table from the
+    o_orderkey%4∈{0,1} orders (v0), DV-delete the %8==1 rows (v1),
+    append the %4==2 slice (v2), then DV-delete %16==0 (v3 — a SECOND
+    DV generation on files already carrying one), and read the row
+    changes across (0, 3]. Each DV commit must surface EXACTLY the
+    newly-deleted row positions (the index-set difference of the two
+    DV generations, read back by `_metadata.row_index`), the append
+    exactly its file's rows — the oracle replays the three slices with
+    their commit versions, so a feed that diffed whole snapshots,
+    missed a generation, or re-reported v1's deletes at v3 hash-fails.
+
+    Scale shape: per commit only the CHANGED files (and for DV commits
+    only the changed row positions) are read; the version walk is
+    driver-side log work."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        delta_row_changes,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+        delta_delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_cdf_")
+    delta_create(spark, root, orders.filter(F.col("o_orderkey") % 4 < 2))
+    delta_delete_where(
+        spark, root, F.col("o_orderkey") % 8 == 1, use_dvs=True
+    )
+    delta_append(spark, root, orders.filter(F.col("o_orderkey") % 4 == 2))
+    delta_delete_where(
+        spark, root, F.col("o_orderkey") % 16 == 0, use_dvs=True
+    )
+    return delta_row_changes(spark, root, 0, 3).select(
+        "o_orderkey", "_change_type", "_commit_version"
+    )

@@ -58,6 +58,7 @@ __all__ = [
     "delta_snapshot",
     "read_delta",
     "delta_history",
+    "delta_row_changes",
     "DeltaSnapshot",
     "DeltaProtocolError",
 ]
@@ -683,6 +684,182 @@ def read_delta(
             for f in logical.fields
         ]
     )
+
+
+def delta_row_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """LOG-DERIVED change data feed over the real Delta format: the
+    table's rows that appeared or disappeared in each commit of
+    ``(from_version, to_version]``, as the table columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version`` —
+    the ``table_changes`` surface for ``_delta_log`` tables, including
+    DELETION-VECTOR commits, which no snapshot-diff can classify
+    cheaply.
+
+    Granularity contract (the same one engines document for CDF
+    reconstruction without persisted change files):
+
+    - a pure add commits its file's LIVE rows as inserts; a pure
+      remove commits the removed generation's live rows as deletes;
+    - a DV update (remove(path, old dv) + add(path, new dv)) emits
+      EXACTLY the rows at ``new − old`` indexes as deletes (and
+      ``old − new`` as inserts — the RESTORE direction), read by
+      ``_metadata.row_index``; no untouched row is scanned;
+    - a copy-on-write rewrite surfaces as delete+insert of the
+      touched files' rows (file granularity — matching up unchanged
+      rows would need a content join, which callers owning a key do
+      with `operators/diff.snapshot_diff`);
+    - commits whose add/remove actions all carry
+      ``dataChange: false`` (OPTIMIZE / purge compaction) emit
+      nothing.
+
+    Scale shape: per commit, only the CHANGED files (and for DV
+    updates only the changed row positions) are read — a
+    snapshot-diff feed reads BOTH full snapshots instead; the
+    version loop is driver-side log work, one bounded scan per
+    changed file set."""
+    if to_version <= from_version:
+        raise ValueError(
+            f"to_version {to_version} must be > from_version {from_version}"
+        )
+    base = delta_snapshot(root, spark, version=from_version)
+    out_cols = [f.name for f in base.schema.fields]
+    if base.column_mapping != "none":
+        raise DeltaProtocolError(
+            "delta_row_changes on a column-mapped table is not supported"
+        )
+
+    def read_rows(
+        rels_dvs: dict, version: int, change: str, only_idx: dict | None = None
+    ) -> DataFrame | None:
+        """Rows of the given (rel → dv descriptor) files — all LIVE
+        rows by default, or exactly ``only_idx[rel]`` positions."""
+        if not rels_dvs:
+            return None
+        snap_like = DeltaSnapshot(
+            version=version,
+            schema=base.schema,
+            partition_columns=base.partition_columns,
+            files={rel: files_pv[rel] for rel in rels_dvs},
+            num_commits_replayed=0,
+            checkpoint_version=None,
+            dvs={r: d for r, d in rels_dvs.items() if d and only_idx is None},
+        )
+        reader = spark.read.schema(base.schema)
+        if base.partition_columns:
+            reader = reader.option("basePath", root)
+        df = reader.parquet(
+            *[os.path.join(root, rel) for rel in sorted(rels_dvs)]
+        )
+        if only_idx is not None:
+            import pandas as pd
+
+            pairs_f, pairs_i = [], []
+            for rel, idxs in only_idx.items():
+                ap = os.path.abspath(os.path.join(root, rel))
+                for i in sorted(idxs):
+                    pairs_f.append(ap)
+                    pairs_i.append(i)
+            if not pairs_f:
+                return None
+            wanted = F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "__dv_file": pd.array(pairs_f, dtype="string"),
+                            "__dv_row": pd.array(pairs_i, dtype="int64"),
+                        }
+                    )
+                )
+            )
+            df = (
+                df.withColumn("__dv_file", _scan_path_expr())
+                .withColumn("__dv_row", F.col("_metadata.row_index"))
+                .join(wanted, ["__dv_file", "__dv_row"], "left_semi")
+            )
+        else:
+            df = _dv_anti_filter(df, spark, root, snap_like)
+        return df.select(
+            *out_cols,
+            F.lit(change).alias("_change_type"),
+            F.lit(version).cast("int").alias("_commit_version"),
+        )
+
+    # fold the log forward one commit at a time, diffing (path, dv id)
+    pre_files, pre_dvs = dict(base.files), dict(base.dvs or {})
+    files_pv = dict(pre_files)  # rel -> partitionValues for read_rows
+    parts: list[DataFrame] = []
+    for v in range(from_version + 1, to_version + 1):
+        post = delta_snapshot(root, spark, version=v)
+        files_pv.update(post.files)
+        post_files, post_dvs = dict(post.files), dict(post.dvs or {})
+        data_change = any(
+            a.get("add", a.get("remove", {})).get("dataChange", True)
+            for a in _commit_actions(root, v)
+            if "add" in a or "remove" in a
+        )
+        if data_change:
+            added = {
+                rel: post_dvs.get(rel)
+                for rel in post_files
+                if rel not in pre_files
+            }
+            removed = {
+                rel: pre_dvs.get(rel)
+                for rel in pre_files
+                if rel not in post_files
+            }
+            dv_deleted: dict = {}
+            dv_restored: dict = {}
+            for rel in set(pre_files) & set(post_files):
+                if dvs.dv_unique_id(pre_dvs.get(rel)) == dvs.dv_unique_id(
+                    post_dvs.get(rel)
+                ):
+                    continue
+                old_idx = (
+                    set(dvs.read_dv(pre_dvs[rel], root))
+                    if pre_dvs.get(rel)
+                    else set()
+                )
+                new_idx = (
+                    set(dvs.read_dv(post_dvs[rel], root))
+                    if post_dvs.get(rel)
+                    else set()
+                )
+                if new_idx - old_idx:
+                    dv_deleted[rel] = new_idx - old_idx
+                if old_idx - new_idx:
+                    dv_restored[rel] = old_idx - new_idx
+            for df in (
+                read_rows(added, v, "insert"),
+                read_rows(removed, v, "delete"),
+                read_rows(
+                    {r: None for r in dv_deleted}, v, "delete", dv_deleted
+                ),
+                read_rows(
+                    {r: None for r in dv_restored}, v, "insert", dv_restored
+                ),
+            ):
+                if df is not None:
+                    parts.append(df)
+        pre_files, pre_dvs = post_files, post_dvs
+    if not parts:
+        schema = T.StructType(
+            list(base.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def delta_history(root: str) -> list[dict]:

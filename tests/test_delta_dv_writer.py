@@ -214,3 +214,70 @@ def test_mapped_rewrite_ops_are_gated(spark):
     ):
         with pytest.raises(dr.DeltaProtocolError, match="column-mapped"):
             fn()
+
+
+def test_row_changes_with_dv_granularity(spark):
+    """delta_row_changes: DV commits surface exactly the newly-deleted
+    row positions, appends their file's rows, RESTORE the resurrected
+    rows; OPTIMIZE (dataChange=false) emits nothing."""
+    root = _root()
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    dw.delta_create(spark, root, df)  # v0
+    dw.delta_delete_where(spark, root, F.col("k") < 3, use_dvs=True)  # v1
+    dw.delta_append(
+        spark,
+        root,
+        spark.createDataFrame([(100, "x"), (101, "y")], "k long, p string"),
+    )  # v2
+    dw.delta_delete_where(
+        spark, root, (F.col("k") >= 5) & (F.col("k") < 7), use_dvs=True
+    )  # v3
+    ch = dr.delta_row_changes(spark, root, 0, 3)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"]) for r in ch.collect()
+    )
+    assert rows == [
+        (1, "delete", 0), (1, "delete", 1), (1, "delete", 2),
+        (2, "insert", 100), (2, "insert", 101),
+        (3, "delete", 5), (3, "delete", 6),
+    ]
+    # RESTORE to v0: the DV-deleted rows come back as inserts, the
+    # appended file goes as deletes
+    v4 = dw.delta_restore(spark, root, 0)
+    rows2 = sorted(
+        (r["_change_type"], r["k"])
+        for r in dr.delta_row_changes(spark, root, 3, v4).collect()
+    )
+    assert rows2 == [
+        ("delete", 100), ("delete", 101),
+        ("insert", 0), ("insert", 1), ("insert", 2),
+        ("insert", 5), ("insert", 6),
+    ]
+    # a window with no data-changing commits is empty, schema intact
+    empty = dr.delta_row_changes(spark, root, v4 - 1, v4)
+    assert empty.count() == 7  # the restore itself
+    with pytest.raises(ValueError, match="must be >"):
+        dr.delta_row_changes(spark, root, 3, 3)
+
+
+def test_row_changes_skips_optimize(spark):
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, 50).repartition(6))
+    dw.delta_delete_where(spark, root, F.col("k") % 5 == 0, use_dvs=True)
+    v = dw.delta_optimize(spark, root, target_file_bytes=1 << 20)
+    assert v == 2
+    # the purge compaction IS a dataChange commit (DV rows drop from
+    # the physical files) — but the visible row set is unchanged, so
+    # the file-granularity feed reports the same rows out and in
+    ch = dr.delta_row_changes(spark, root, 1, 2)
+    ins = sorted(r["k"] for r in ch.where("_change_type = 'insert'").collect())
+    dels = sorted(r["k"] for r in ch.where("_change_type = 'delete'").collect())
+    assert ins == dels  # net zero — nothing appears or disappears
+    # a pure-rearrange OPTIMIZE (no DVs) emits NOTHING
+    root2 = _root()
+    dw.delta_create(spark, root2, _mk(spark, 50).repartition(6))
+    v2 = dw.delta_optimize(spark, root2, target_file_bytes=1 << 20)
+    assert v2 == 1
+    assert dr.delta_row_changes(spark, root2, 0, 1).count() == 0
