@@ -18,15 +18,19 @@ Cloud Object Stores", VLDB 2020):
 - ``_delta_log/<v>.checkpoint.parquet`` (optionally multi-part
   ``<v>.checkpoint.<i>.<n>.parquet``) — the same actions as struct
   columns, one action per row; ``_last_checkpoint`` names the latest.
+  V2 checkpoints (``<v>.checkpoint.<uuid>.{json,parquet}`` with
+  ``checkpointMetadata`` + ``sidecar`` actions, file actions in
+  ``_sidecars/*.parquet``) resolve through the same fold.
 - Snapshot at version V = latest checkpoint ≤ V replayed forward with
   the JSON commits (checkpoint+1 … V): ``add`` inserts by path,
   ``remove`` deletes by path; last ``metaData``/``protocol`` win.
 
-Reader-version gate: readerVersion 1 is fully supported; 2 only when
-column mapping is absent (``delta.columnMapping.mode`` unset/none);
-3 only when every listed readerFeature is in ``_SUPPORTED_FEATURES``
-(deletion vectors, column mapping and v2 checkpoints are refused
-loudly rather than returning wrong rows).
+Reader-version gate: readerVersions 1-2 fully supported
+(columnMapping honored in mode "name", refused in mode "id");
+readerVersion 3 supported when every listed readerFeature is in
+``_SUPPORTED_FEATURES`` — deletionVectors, columnMapping,
+v2Checkpoint, timestampNtz as of round 11; anything else is refused
+loudly rather than returning wrong rows.
 
 Scale notes: checkpoints are read through ``spark.read.parquet`` (they
 are data-sized on petabyte tables — Delta writes them partitioned for
@@ -65,16 +69,28 @@ __all__ = [
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+# V2 checkpoints: <v>.checkpoint.<uniqueStr>.{json,parquet} (ONE
+# middle segment — classic multi-part has two); sidecar file actions
+# live under _delta_log/_sidecars/
+_CKPT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(parquet|json)$"
+)
 # readerFeatures this reader actually honors. timestampNtz requires no
 # read-path behavior beyond the type (Spark 4 reads TIMESTAMP_NTZ
 # natively); deletionVectors are decoded and anti-filtered during the
 # scan (sources/dvs.py, round-10 verdict ask #2); columnMapping is
 # honored in mode "name" (physical parquet names resolved from the
 # schemaString annotations — mode "id" would need parquet field-id
-# resolution and is still refused). Everything else (v2Checkpoint,
-# typeWidening, variantType, ...) changes row content or file
-# resolution and MUST be refused.
-_SUPPORTED_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+# resolution and is still refused); v2Checkpoint resolves through
+# `_apply_checkpoint`'s sidecar fold. Everything else (typeWidening,
+# variantType, ...) changes row content or file resolution and MUST
+# be refused.
+_SUPPORTED_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 # column-mapping physicalName annotation key in schemaString metadata
 _PHYS_KEY = "delta.columnMapping.physicalName"
 # deleted (file, row) pairs are broadcast to the anti-join below this
@@ -127,7 +143,10 @@ def is_delta_table(root: str) -> bool:
     d = _log_dir(root)
     if not os.path.isdir(d):
         return False
-    return any(_COMMIT_RE.match(f) or _CKPT_RE.match(f) for f in os.listdir(d))
+    return any(
+        _COMMIT_RE.match(f) or _CKPT_RE.match(f) or _CKPT_V2_RE.match(f)
+        for f in os.listdir(d)
+    )
 
 
 def _list_log(root: str) -> tuple[list[int], dict[int, list[str]]]:
@@ -140,7 +159,7 @@ def _list_log(root: str) -> tuple[list[int], dict[int, list[str]]]:
         if m:
             commits.append(int(m.group(1)))
             continue
-        m = _CKPT_RE.match(f)
+        m = _CKPT_RE.match(f) or _CKPT_V2_RE.match(f)
         if m:
             ckpts.setdefault(int(m.group(1)), []).append(os.path.join(d, f))
     return sorted(commits), ckpts
@@ -205,10 +224,23 @@ def _open_checkpoint_part(part: str):
     return pq.ParquetFile(filesystem.open_input_file(fs_path))
 
 
+def _fold_add_state(state: dict, path: str, pv: dict, dv: dict | None) -> None:
+    key = urllib.parse.unquote(path)
+    state["files"][key] = pv
+    if dv:
+        state["dvs"][key] = dv
+    else:
+        state["dvs"].pop(key, None)
+
+
 def _apply_checkpoint(
     spark: SparkSession, parts: list[str], state: dict
 ) -> None:
-    """Fold a (possibly multi-part) parquet checkpoint into ``state``.
+    """Fold a checkpoint into ``state`` — classic (single or
+    multi-part parquet) or V2 (a UUID-named top-level ``.json`` /
+    ``.parquet`` carrying ``checkpointMetadata`` plus ``sidecar``
+    actions whose ``_delta_log/_sidecars/<name>.parquet`` files hold
+    the add actions; PROTOCOL.md "V2 Checkpoints").
 
     Checkpoints contain only LIVE adds plus unexpired remove tombstones
     — tombstoned paths are by definition not in the add set, so reading
@@ -222,9 +254,46 @@ def _apply_checkpoint(
     (tools/delta_replay_measure.py). The checkpoint is file-list-sized
     (~76 KB per 10k files), exactly the thing a driver must hold to
     plan the scan."""
+    sidecars: list[str] = []
+    sidecar_dir = (
+        os.path.join(os.path.dirname(parts[0]), "_sidecars") if parts else ""
+    )
+    for part in parts:
+        if part.endswith(".json"):
+            # V2 top-level json: one action per line
+            with open(part) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        state["metaData"] = action["metaData"]
+                    elif "protocol" in action:
+                        state["protocol"] = action["protocol"]
+                    elif "add" in action:
+                        a = action["add"]
+                        _fold_add_state(
+                            state,
+                            a["path"],
+                            dict(a.get("partitionValues") or {}),
+                            a.get("deletionVector"),
+                        )
+                    elif "sidecar" in action:
+                        sidecars.append(action["sidecar"]["path"])
+        else:
+            sidecars += _fold_checkpoint_parquet(part, state)
+    for name in sidecars:
+        # sidecar files hold file actions ONLY (no metaData/protocol)
+        _fold_checkpoint_parquet(os.path.join(sidecar_dir, name), state)
+
+
+def _fold_checkpoint_parquet(part: str, state: dict) -> list[str]:
+    """Fold one checkpoint parquet (classic part, V2 top-level, or V2
+    sidecar) into ``state``; returns any referenced sidecar names."""
     import pyarrow.compute as pc
 
-    for part in parts:
+    sidecars: list[str] = []
+    for part in [part]:
         pf = _open_checkpoint_part(part)
         names = set(pf.schema_arrow.names)
         for col in ("metaData", "protocol"):
@@ -246,6 +315,11 @@ def _apply_checkpoint(
                 # checks and callers expect a dict
                 doc = {**doc, "configuration": dict(conf)}
             state[col] = doc
+        if "sidecar" in names:
+            sc = pf.read(columns=["sidecar"]).column("sidecar").combine_chunks()
+            sidecars += [
+                p for p in pc.struct_field(sc, "path").to_pylist() if p
+            ]
         if "add" not in names:
             continue
         # columnar extraction of (path, partitionValues) only — a full
@@ -285,16 +359,15 @@ def _apply_checkpoint(
         for i, p in enumerate(paths):
             if p is None:
                 continue
-            key = urllib.parse.unquote(p)
-            state["files"][key] = pv_at(i)
+            dv = None
             if dv_arr is not None and dv_arr[i].is_valid:
-                state["dvs"][key] = {
+                dv = {
                     k: v
                     for k, v in dv_arr[i].as_py().items()
                     if v is not None
                 }
-            else:
-                state["dvs"].pop(key, None)
+            _fold_add_state(state, p, pv_at(i), dv)
+    return sidecars
 
 
 def delta_snapshot(

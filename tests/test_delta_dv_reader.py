@@ -145,3 +145,27 @@ def test_dv_history_counts():
     assert [h["version"] for h in hist] == [0, 1, 2, 3]
     assert hist[1]["n_adds"] == 1 and hist[1]["n_removes"] == 1
     assert hist[2]["n_adds"] == 2 and hist[2]["n_removes"] == 2
+
+
+V2_ROOT = os.path.join(os.path.dirname(__file__), "fixtures", "delta_v2ckpt")
+
+
+def test_v2_checkpoint_resolution(spark):
+    """Snapshot at the tip resolves FROM the V2 checkpoint (UUID-named
+    json top-level + parquet sidecars, PROTOCOL.md "V2 Checkpoints"):
+    one commit replayed, the sidecar adds folded — including the
+    DV-bearing one — and the post-checkpoint append visible."""
+    snap = dr.delta_snapshot(V2_ROOT, None)
+    assert snap.checkpoint_version == 1
+    assert snap.num_commits_replayed == 1
+    assert sorted(snap.files) == ["s0.parquet", "s1.parquet", "s2.parquet"]
+    assert set(snap.dvs) == {"s1.parquet"}  # via the sidecar
+    got = sorted(r["id"] for r in dr.read_delta(spark, V2_ROOT).collect())
+    # id 12 is DV-deleted (row index 2 of s1)
+    assert got == [0, 1, 2, 3, 4, 10, 11, 13, 14, 20, 21, 22]
+
+
+def test_v2_checkpoint_time_travel_before_checkpoint(spark):
+    """Versions BEFORE the checkpoint still resolve by raw replay."""
+    got = sorted(r["id"] for r in dr.read_delta(spark, V2_ROOT, version=0).collect())
+    assert got == [0, 1, 2, 3, 4, 10, 11, 12, 13, 14]

@@ -166,11 +166,11 @@ def test_unsupported_reader_features_refused(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
-            "writerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
         },
     )
-    with pytest.raises(delta_reader.DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(delta_reader.DeltaProtocolError, match="typeWidening"):
         delta_reader.read_delta(spark, root)
 
 

@@ -439,6 +439,160 @@ def make_mapped() -> None:
     print(f"{MAP_ROOT}: v0-v2 (rename at v1, inline DV at v2)")
 
 
+V2_ROOT = os.path.join(REPO, "tests", "fixtures", "delta_v2ckpt")
+
+
+def make_v2_checkpoint() -> None:
+    """Table whose snapshot resolves through a V2 CHECKPOINT
+    (PROTOCOL.md "V2 Checkpoints"): a UUID-named top-level JSON
+    carrying checkpointMetadata + metaData + protocol + sidecar
+    actions, two parquet sidecars under _delta_log/_sidecars/ holding
+    the add actions (one of them DV-bearing), and one JSON commit
+    after the checkpoint.
+
+      v0  create: add s0 (ids 0..4), s1 (ids 10..14)
+      v1  DELETE: remove(s1) + add(s1, inline DV deleting row {2})
+          + V2 checkpoint at v1 (adds split across two sidecars)
+      v2  append: add s2 (ids 20..22)
+    """
+    shutil.rmtree(V2_ROOT, ignore_errors=True)
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    meta = {
+        "id": "99999999-8888-7777-6666-555555555555",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": T0,
+    }
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint", "deletionVectors"],
+        "writerFeatures": ["v2Checkpoint", "deletionVectors"],
+    }
+    s0, s1, s2 = "s0.parquet", "s1.parquet", "s2.parquet"
+    for rel, lo, hi in ((s0, 0, 5), (s1, 10, 15), (s2, 20, 23)):
+        _data_file(
+            V2_ROOT,
+            rel,
+            {
+                "id": pa.array(range(lo, hi), pa.int64()),
+                "v": pa.array([f"r{i}" for i in range(lo, hi)]),
+            },
+        )
+
+    def add(rel, dv=None):
+        a = {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(V2_ROOT, rel)),
+            "modificationTime": T0,
+            "dataChange": True,
+        }
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    dv1 = _inline({2})
+    _commit(V2_ROOT, 0, [{"metaData": meta}, {"protocol": protocol}, add(s0), add(s1)])
+    _commit(
+        V2_ROOT,
+        1,
+        [
+            {
+                "remove": {
+                    "path": s1,
+                    "deletionTimestamp": T0,
+                    "dataChange": True,
+                }
+            },
+            add(s1, dv1),
+        ],
+    )
+    # ---- the V2 checkpoint at v1 ----
+    log = os.path.join(V2_ROOT, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("deletionVector", dv_type),
+        ]
+    )
+
+    def sidecar(name, adds):
+        rows = [
+            {
+                "path": rel,
+                "partitionValues": [],
+                "size": os.path.getsize(os.path.join(V2_ROOT, rel)),
+                "modificationTime": T0,
+                "dataChange": False,
+                "deletionVector": dv,
+            }
+            for rel, dv in adds
+        ]
+        pq.write_table(
+            pa.table({"add": pa.array(rows, add_type)}),
+            os.path.join(sc_dir, name),
+        )
+        return name
+
+    sc_a = sidecar("00000000-0000-0000-0000-00000000000a.parquet", [(s0, None)])
+    sc_b = sidecar("00000000-0000-0000-0000-00000000000b.parquet", [(s1, dv1)])
+    top = [
+        {"checkpointMetadata": {"version": 1, "tags": {}}},
+        {"metaData": meta},
+        {"protocol": protocol},
+        {
+            "sidecar": {
+                "path": sc_a,
+                "sizeInBytes": os.path.getsize(os.path.join(sc_dir, sc_a)),
+                "modificationTime": T0,
+            }
+        },
+        {
+            "sidecar": {
+                "path": sc_b,
+                "sizeInBytes": os.path.getsize(os.path.join(sc_dir, sc_b)),
+                "modificationTime": T0,
+            }
+        },
+    ]
+    top_name = (
+        f"{1:020d}.checkpoint.aaaabbbb-cccc-dddd-eeee-ffff00001111.json"
+    )
+    with open(os.path.join(log, top_name), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in top) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(top)}, fh)
+    _commit(V2_ROOT, 2, [add(s2)])
+    print(f"{V2_ROOT}: v0-v2 + V2 checkpoint (json top, 2 parquet sidecars)")
+
+
 if __name__ == "__main__":
     make_dv_sales()
     make_mapped()
+    make_v2_checkpoint()
