@@ -147,7 +147,13 @@ def _recover_interrupted_swap(path: str) -> None:
     missing ``codes`` rolls forward from tmp or back from ``codes_old``
     (un-folding the marker so no increment is lost); a tmp without the
     fold marker is discarded — new increment batches may have landed
-    after it was computed, so recompute is the only safe choice."""
+    after it was computed, so recompute is the only safe choice.
+
+    Recovery may run from CONCURRENT readers (self-heal in
+    `_read_codes`), so a lost rename race — the other healer already
+    moved the source — is re-checked rather than propagated: if
+    ``codes/`` exists afterwards, the index is healed and whoever
+    moved it won."""
     import shutil
 
     codes = os.path.join(path, "codes")
@@ -155,35 +161,41 @@ def _recover_interrupted_swap(path: str) -> None:
     tmp = os.path.join(path, "codes_compact_tmp")
     folded = _folded_dir(path)
     tmp_complete = os.path.exists(os.path.join(tmp, "_SUCCESS"))
-    if not os.path.isdir(codes):
-        if tmp_complete:  # crashed between steps 3 and 4: roll forward
-            os.rename(tmp, codes)
+    try:
+        if not os.path.isdir(codes):
+            if tmp_complete:  # crashed between 3 and 4: roll forward
+                os.rename(tmp, codes)
+                shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(folded, ignore_errors=True)
+            elif os.path.isdir(old):  # no usable merge: roll back
+                os.rename(old, codes)
+                _unfold_increments(path)
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise FileNotFoundError(
+                    f"index at {path} has no codes/, no complete "
+                    "codes_compact_tmp and no codes_old — unrecoverable"
+                )
+            return
+        if os.path.isdir(folded):
+            if tmp_complete:  # crashed between 2 and 3: finish swap
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(codes, old)
+                os.rename(tmp, codes)
+            # else: crashed between steps 4 and 5 — codes IS the
+            # merge; either way the folded increments and old base
+            # are dead
             shutil.rmtree(old, ignore_errors=True)
             shutil.rmtree(folded, ignore_errors=True)
-        elif os.path.isdir(old):  # no usable merge: roll back
-            os.rename(old, codes)
-            _unfold_increments(path)
             shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            raise FileNotFoundError(
-                f"index at {path} has no codes/, no complete "
-                "codes_compact_tmp and no codes_old — unrecoverable"
-            )
-        return
-    if os.path.isdir(folded):
-        if tmp_complete:  # crashed between steps 2 and 3: finish swap
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(codes, old)
-            os.rename(tmp, codes)
-        # else: crashed between steps 4 and 5 — codes IS the merge;
-        # either way the folded increments and old base are dead
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(folded, ignore_errors=True)
+            return
+        # no fold marker: any tmp predates increments it cannot own
         shutil.rmtree(tmp, ignore_errors=True)
-        return
-    # no fold marker: any tmp predates increments it cannot own
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    except OSError:
+        if os.path.isdir(codes) and not os.path.isdir(folded):
+            return  # a concurrent healer finished the job first
+        raise
 
 
 def _read_codes(spark: SparkSession, path: str) -> DataFrame:
@@ -198,9 +210,15 @@ def _read_codes(spark: SparkSession, path: str) -> DataFrame:
     restore pruning."""
     from pyspark.sql import functions as F
 
-    if not os.path.isdir(os.path.join(path, "codes")):
-        # an interrupted compaction swap can leave the base missing;
-        # readers self-heal it (roll forward/back) before scanning
+    if not os.path.isdir(os.path.join(path, "codes")) or os.path.isdir(
+        _folded_dir(path)
+    ):
+        # an interrupted compaction swap can leave the base missing
+        # (crash between the swap renames) OR the increments parked
+        # under the fold marker with the OLD base still in place
+        # (crash between fold and swap — without healing, readers
+        # would silently serve the base minus every streamed
+        # increment); roll forward/back before scanning
         _recover_interrupted_swap(path)
     base = spark.read.parquet(os.path.join(path, "codes"))
     inc = _inc_dir(path)

@@ -152,6 +152,11 @@ def prepare_training_corpus(
     kept = pre.join(keepers, id_col, "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # the PERSISTED handle itself — `kept` is reassigned by the
+    # optional 2b/2c gates below, and unpersist() on a derived frame
+    # is a silent no-op (the cache would stay pinned through the rest
+    # of the pipeline)
+    cached_stage2 = kept
     kept.count()
     pre.unpersist()
 
@@ -197,7 +202,6 @@ def prepare_training_corpus(
         .filter(~F.col("is_canonical"))
         .select(F.col("doc_id").alias(id_col))
     )
-    cached_stage2 = kept
     kept = kept.join(F.broadcast(losers), id_col, "left_anti")
     if eval_df is not None:
         # decontamination consumes this frame THREE times (the suspect

@@ -293,80 +293,79 @@ def _fold_checkpoint_parquet(part: str, state: dict) -> list[str]:
     import pyarrow.compute as pc
 
     sidecars: list[str] = []
-    for part in [part]:
-        pf = _open_checkpoint_part(part)
-        names = set(pf.schema_arrow.names)
-        for col in ("metaData", "protocol"):
-            if col not in names:
-                continue
-            vals = (
-                pf.read(columns=[col])
-                .column(col)
-                .combine_chunks()
-                .drop_null()
-                .to_pylist()
-            )
-            if not vals:
-                continue
-            doc = vals[-1]
-            conf = doc.get("configuration")
-            if conf is not None and not isinstance(conf, dict):
-                # pyarrow maps materialize as [(k, v), ...]; protocol
-                # checks and callers expect a dict
-                doc = {**doc, "configuration": dict(conf)}
-            state[col] = doc
-        if "sidecar" in names:
-            sc = pf.read(columns=["sidecar"]).column("sidecar").combine_chunks()
-            sidecars += [
-                p for p in pc.struct_field(sc, "path").to_pylist() if p
-            ]
-        if "add" not in names:
+    pf = _open_checkpoint_part(part)
+    names = set(pf.schema_arrow.names)
+    for col in ("metaData", "protocol"):
+        if col not in names:
             continue
-        # columnar extraction of (path, partitionValues) only — a full
-        # struct to_pylist builds a python object per action field and
-        # measured 5-6 s at 250k files vs ~0.3 s for the two columns
-        add = pf.read(columns=["add"]).column("add").combine_chunks()
-        paths = pc.struct_field(add, "path").to_pylist()
-        # deletionVector is optional in the checkpoint schema (absent
-        # entirely for pre-DV writers); scalar indexing is skipped
-        # when every entry is null
-        dv_arr = None
-        if any(f.name == "deletionVector" for f in add.type):
-            cand = pc.struct_field(add, "deletionVector")
-            if cand.null_count < len(cand):
-                dv_arr = cand
-        pv_arr = pc.struct_field(add, "partitionValues")
-        try:
-            # MapArray fast path: materialize the flattened key/item
-            # stream once (|total kv pairs| items — ZERO for
-            # unpartitioned tables) instead of a python dict per row;
-            # map to_pylist measured 1.8 s alone at 250k rows
-            offs = pv_arr.offsets.to_pylist()
-            keys = pv_arr.keys.to_pylist()
-            items = pv_arr.items.to_pylist()
+        vals = (
+            pf.read(columns=[col])
+            .column(col)
+            .combine_chunks()
+            .drop_null()
+            .to_pylist()
+        )
+        if not vals:
+            continue
+        doc = vals[-1]
+        conf = doc.get("configuration")
+        if conf is not None and not isinstance(conf, dict):
+            # pyarrow maps materialize as [(k, v), ...]; protocol
+            # checks and callers expect a dict
+            doc = {**doc, "configuration": dict(conf)}
+        state[col] = doc
+    if "sidecar" in names:
+        sc = pf.read(columns=["sidecar"]).column("sidecar").combine_chunks()
+        sidecars += [
+            p for p in pc.struct_field(sc, "path").to_pylist() if p
+        ]
+    if "add" not in names:
+        return sidecars
+    # columnar extraction of (path, partitionValues) only — a full
+    # struct to_pylist builds a python object per action field and
+    # measured 5-6 s at 250k files vs ~0.3 s for the two columns
+    add = pf.read(columns=["add"]).column("add").combine_chunks()
+    paths = pc.struct_field(add, "path").to_pylist()
+    # deletionVector is optional in the checkpoint schema (absent
+    # entirely for pre-DV writers); scalar indexing is skipped
+    # when every entry is null
+    dv_arr = None
+    if any(f.name == "deletionVector" for f in add.type):
+        cand = pc.struct_field(add, "deletionVector")
+        if cand.null_count < len(cand):
+            dv_arr = cand
+    pv_arr = pc.struct_field(add, "partitionValues")
+    try:
+        # MapArray fast path: materialize the flattened key/item
+        # stream once (|total kv pairs| items — ZERO for
+        # unpartitioned tables) instead of a python dict per row;
+        # map to_pylist measured 1.8 s alone at 250k rows
+        offs = pv_arr.offsets.to_pylist()
+        keys = pv_arr.keys.to_pylist()
+        items = pv_arr.items.to_pylist()
 
-            def pv_at(i: int) -> dict:
-                lo, hi = offs[i], offs[i + 1]
-                return dict(zip(keys[lo:hi], items[lo:hi])) if hi > lo else {}
+        def pv_at(i: int) -> dict:
+            lo, hi = offs[i], offs[i + 1]
+            return dict(zip(keys[lo:hi], items[lo:hi])) if hi > lo else {}
 
-        except AttributeError:  # non-map layout from a foreign writer
-            pvs = pv_arr.to_pylist()
+    except AttributeError:  # non-map layout from a foreign writer
+        pvs = pv_arr.to_pylist()
 
-            def pv_at(i: int) -> dict:
-                pv = pvs[i]
-                return dict(pv) if isinstance(pv, dict) else dict(pv or [])
+        def pv_at(i: int) -> dict:
+            pv = pvs[i]
+            return dict(pv) if isinstance(pv, dict) else dict(pv or [])
 
-        for i, p in enumerate(paths):
-            if p is None:
-                continue
-            dv = None
-            if dv_arr is not None and dv_arr[i].is_valid:
-                dv = {
-                    k: v
-                    for k, v in dv_arr[i].as_py().items()
-                    if v is not None
-                }
-            _fold_add_state(state, p, pv_at(i), dv)
+    for i, p in enumerate(paths):
+        if p is None:
+            continue
+        dv = None
+        if dv_arr is not None and dv_arr[i].is_valid:
+            dv = {
+                k: v
+                for k, v in dv_arr[i].as_py().items()
+                if v is not None
+            }
+        _fold_add_state(state, p, pv_at(i), dv)
     return sidecars
 
 
@@ -693,17 +692,21 @@ def read_delta(
     pcols = [phys_of[c] for c in snap.partition_columns]
     out_cols = [f.name for f in phys.fields]
 
-    def finish(df: DataFrame) -> DataFrame:
-        df = _dv_anti_filter(df, spark, root, snap).select(*out_cols)
+    def to_logical(df: DataFrame) -> DataFrame:
+        # ONE definition of the physical->logical projection — the
+        # hive and fallback branches must not drift apart
         if not mapped:
             return df
         return df.select(
             *[
-                F.col(phys_of[f.name])
-                .cast(f.dataType)
-                .alias(f.name)
+                F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
                 for f in logical.fields
             ]
+        )
+
+    def finish(df: DataFrame) -> DataFrame:
+        return to_logical(
+            _dv_anti_filter(df, spark, root, snap).select(*out_cols)
         )
 
     if not pcols:
@@ -749,14 +752,7 @@ def read_delta(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if not mapped:
-        return out
-    return out.select(
-        *[
-            F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
-            for f in logical.fields
-        ]
-    )
+    return to_logical(out)
 
 
 def delta_row_changes(
@@ -790,11 +786,17 @@ def delta_row_changes(
       ``dataChange: false`` (OPTIMIZE / purge compaction) emit
       nothing.
 
-    Scale shape: per commit, only the CHANGED files (and for DV
-    updates only the changed row positions) are read — a
-    snapshot-diff feed reads BOTH full snapshots instead; the
-    version loop is driver-side log work, one bounded scan per
-    changed file set."""
+    Partition values come from the LOG (each changed file group is
+    scanned with its logged values attached as typed literals — the
+    layout-independent shape `read_delta`'s fallback uses), so
+    non-hive foreign layouts read correctly here too.
+
+    Scale shape: the base snapshot resolves ONCE and each commit's
+    actions fold forward incrementally (one pass over the window's
+    JSON commits — never a snapshot re-resolution per version); only
+    the CHANGED files (and for DV updates only the changed row
+    positions) are read, vs a snapshot-diff feed reading both full
+    snapshots."""
     if to_version <= from_version:
         raise ValueError(
             f"to_version {to_version} must be > from_version {from_version}"
@@ -805,29 +807,23 @@ def delta_row_changes(
         raise DeltaProtocolError(
             "delta_row_changes on a column-mapped table is not supported"
         )
+    pcols = base.partition_columns
+    ptypes = {f.name: f.dataType for f in base.schema.fields}
+    dfields = T.StructType(
+        [f for f in base.schema.fields if f.name not in pcols]
+    )
+    files_pv: dict[str, dict] = dict(base.files)
 
     def read_rows(
         rels_dvs: dict, version: int, change: str, only_idx: dict | None = None
     ) -> DataFrame | None:
         """Rows of the given (rel → dv descriptor) files — all LIVE
-        rows by default, or exactly ``only_idx[rel]`` positions."""
+        rows by default, or exactly ``only_idx[rel]`` positions.
+        Partition values attach as typed literals from the log, one
+        scan per live partition-value group."""
         if not rels_dvs:
             return None
-        snap_like = DeltaSnapshot(
-            version=version,
-            schema=base.schema,
-            partition_columns=base.partition_columns,
-            files={rel: files_pv[rel] for rel in rels_dvs},
-            num_commits_replayed=0,
-            checkpoint_version=None,
-            dvs={r: d for r, d in rels_dvs.items() if d and only_idx is None},
-        )
-        reader = spark.read.schema(base.schema)
-        if base.partition_columns:
-            reader = reader.option("basePath", root)
-        df = reader.parquet(
-            *[os.path.join(root, rel) for rel in sorted(rels_dvs)]
-        )
+        wanted = None
         if only_idx is not None:
             import pandas as pd
 
@@ -849,32 +845,85 @@ def delta_row_changes(
                     )
                 )
             )
-            df = (
-                df.withColumn("__dv_file", _scan_path_expr())
-                .withColumn("__dv_row", F.col("_metadata.row_index"))
-                .join(wanted, ["__dv_file", "__dv_row"], "left_semi")
+        groups: dict[tuple, list[str]] = {}
+        for rel in rels_dvs:
+            pv = files_pv.get(rel, {})
+            groups.setdefault(
+                tuple(pv.get(c) for c in pcols), []
+            ).append(rel)
+        parts: list[DataFrame] = []
+        for vals, rels in sorted(groups.items()):
+            g = spark.read.schema(dfields).parquet(
+                *[os.path.join(root, rel) for rel in sorted(rels)]
             )
-        else:
-            df = _dv_anti_filter(df, spark, root, snap_like)
-        return df.select(
-            *out_cols,
-            F.lit(change).alias("_change_type"),
-            F.lit(version).cast("int").alias("_commit_version"),
-        )
+            if wanted is not None:
+                g = (
+                    g.withColumn("__dv_file", _scan_path_expr())
+                    .withColumn("__dv_row", F.col("_metadata.row_index"))
+                    .join(wanted, ["__dv_file", "__dv_row"], "left_semi")
+                    .drop("__dv_file", "__dv_row")
+                )
+            else:
+                snap_like = DeltaSnapshot(
+                    version=version,
+                    schema=base.schema,
+                    partition_columns=pcols,
+                    files={rel: files_pv.get(rel, {}) for rel in rels},
+                    num_commits_replayed=0,
+                    checkpoint_version=None,
+                    dvs={
+                        r: d for r, d in rels_dvs.items() if d and r in rels
+                    },
+                )
+                g = _dv_anti_filter(g, spark, root, snap_like, rels=set(rels))
+            for c, raw in zip(pcols, vals):
+                g = g.withColumn(
+                    c,
+                    (F.lit(None) if raw is None else F.lit(raw)).cast(
+                        ptypes[c]
+                    ),
+                )
+            parts.append(
+                g.select(
+                    *out_cols,
+                    F.lit(change).alias("_change_type"),
+                    F.lit(version).cast("int").alias("_commit_version"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-    # fold the log forward one commit at a time, diffing (path, dv id)
+    # fold the window's commits forward ONCE, diffing (path, dv id)
+    # per commit — the same replay algorithm as delta_snapshot, never
+    # a snapshot re-resolution per version
     pre_files, pre_dvs = dict(base.files), dict(base.dvs or {})
-    files_pv = dict(pre_files)  # rel -> partitionValues for read_rows
     parts: list[DataFrame] = []
     for v in range(from_version + 1, to_version + 1):
-        post = delta_snapshot(root, spark, version=v)
-        files_pv.update(post.files)
-        post_files, post_dvs = dict(post.files), dict(post.dvs or {})
-        data_change = any(
-            a.get("add", a.get("remove", {})).get("dataChange", True)
-            for a in _commit_actions(root, v)
-            if "add" in a or "remove" in a
-        )
+        post_files, post_dvs = dict(pre_files), dict(pre_dvs)
+        data_change = False
+        for action in _commit_actions(root, v):
+            if "add" in action:
+                a = action["add"]
+                p = urllib.parse.unquote(a["path"])
+                post_files[p] = dict(a.get("partitionValues") or {})
+                dv = a.get("deletionVector")
+                if dv:
+                    post_dvs[p] = dv
+                else:
+                    post_dvs.pop(p, None)
+                data_change = data_change or a.get("dataChange", True)
+            elif "remove" in action:
+                r = action["remove"]
+                p = urllib.parse.unquote(r["path"])
+                if dvs.dv_unique_id(post_dvs.get(p)) == dvs.dv_unique_id(
+                    r.get("deletionVector")
+                ):
+                    post_files.pop(p, None)
+                    post_dvs.pop(p, None)
+                data_change = data_change or r.get("dataChange", True)
+        files_pv.update(post_files)
         if data_change:
             added = {
                 rel: post_dvs.get(rel)

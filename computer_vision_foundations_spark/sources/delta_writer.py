@@ -474,13 +474,19 @@ def _annotate_mapping(dt, counter: list[int]):
         fields = []
         for f in dt["fields"]:
             counter[0] += 1
+            # the field's OWN id must be taken before recursing into
+            # its type — nested fields increment the counter, and a
+            # post-recursion read hands the parent its last child's id
+            # (duplicate ids, which delta-spark's
+            # checkColumnIdAndPhysicalNameAssignments rejects)
+            fid = counter[0]
             fields.append(
                 {
                     **f,
                     "type": _annotate_mapping(f["type"], counter),
                     "metadata": {
                         **(f.get("metadata") or {}),
-                        "delta.columnMapping.id": counter[0],
+                        "delta.columnMapping.id": fid,
                         "delta.columnMapping.physicalName": (
                             f"col-{uuid.uuid4().hex[:8]}"
                         ),
@@ -976,17 +982,19 @@ def delta_optimize(
         df.repartition(n_out), root, snap.partition_columns
     )
     actions = []
-    purged = any(rel in (snap.dvs or {}) for rel in small)
     for rel in small:
         a = _remove_live(snap, rel, ts)
-        # rearranging bytes is dataChange=false, but DROPPING a DV's
-        # rows from the physical files is a data change for any
-        # reader consuming the change feed
-        a["remove"]["dataChange"] = purged
+        # dataChange=false even when the rewrite PURGES deletion
+        # vectors: the DV'd rows were already logically deleted (their
+        # delete was emitted by the DV commit), so dropping them from
+        # the physical files changes no visible row — the same
+        # semantics delta-spark's OPTIMIZE / REORG PURGE commits carry,
+        # and what lets change-feed readers skip the commit entirely
+        a["remove"]["dataChange"] = False
         actions.append(a)
     for rel, pv, size, n in files:
         a = _add_action(rel, pv, size, n, ts)
-        a["add"]["dataChange"] = purged
+        a["add"]["dataChange"] = False
         actions.append(a)
     v = snap.version + 1
     _publish(root, v, actions, "OPTIMIZE", ts)

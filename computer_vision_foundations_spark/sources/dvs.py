@@ -294,7 +294,9 @@ def read_dv(descriptor: dict, table_root: str) -> list[int]:
             raise ValueError(
                 f"unsupported DV file version {blob[:1]!r} in {path}"
             )
-        off = int(descriptor["offset"])
+        # offset is OPTIONAL in the descriptor schema; absent means
+        # the single DV right after the version byte
+        off = int(descriptor.get("offset") or 1)
         (size,) = struct.unpack_from(">i", blob, off)
         if size != int(descriptor["sizeInBytes"]):
             raise ValueError(

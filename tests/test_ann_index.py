@@ -311,3 +311,26 @@ def test_compaction_stale_complete_tmp_is_discarded(spark, tmp_path):
     assert compact_index(spark, path) == 2  # both batches, fresh merge
     assert _clean_index_dirs(path)
     assert _query(spark, path, probes) == want
+
+
+def test_reader_heals_folded_increments(spark, tmp_path):
+    """Crash between the fold-marker rename and the base swap (codes/
+    still the OLD base, increments parked under codes_inc_folded,
+    complete tmp): a plain READER must finish the swap rather than
+    silently serving the base without any streamed increment
+    (review finding)."""
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _folded_dir,
+        _read_codes,
+    )
+
+    path, probes, want = _build_with_increments(spark, tmp_path, "fold")
+    merged = _read_codes(spark, path)
+    tmp = os.path.join(path, "codes_compact_tmp")
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+    os.rename(os.path.join(path, "codes_inc"), _folded_dir(path))
+    # "crash" here: codes/ (old base) still present
+    assert os.path.isdir(os.path.join(path, "codes"))
+    assert _query(spark, path, probes) == want  # reader heals + swaps
+    assert _clean_index_dirs(path)
+    assert not os.path.isdir(os.path.join(path, "codes_inc"))

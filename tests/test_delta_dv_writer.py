@@ -117,10 +117,16 @@ def test_optimize_purges_dvs(spark):
     snap = dr.delta_snapshot(root, spark, version=v)
     assert not snap.dvs  # purged: rewritten files carry no DV
     assert _keys(spark, root) == before
-    # the purge is a data change for change-feed readers
+    # purge changes NO visible row (the DV'd rows were already
+    # logically deleted), so the commit is dataChange=false — the
+    # OPTIMIZE / REORG PURGE semantics change-feed readers rely on
     with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
         acts = [json.loads(ln) for ln in fh if ln.strip()]
-    assert any(a.get("add", {}).get("dataChange") is True for a in acts)
+    assert all(
+        a.get("add", a.get("remove", {})).get("dataChange") is False
+        for a in acts
+        if "add" in a or "remove" in a
+    )
 
 
 def test_restore_across_dv_generations(spark):
@@ -268,16 +274,40 @@ def test_row_changes_skips_optimize(spark):
     dw.delta_delete_where(spark, root, F.col("k") % 5 == 0, use_dvs=True)
     v = dw.delta_optimize(spark, root, target_file_bytes=1 << 20)
     assert v == 2
-    # the purge compaction IS a dataChange commit (DV rows drop from
-    # the physical files) — but the visible row set is unchanged, so
-    # the file-granularity feed reports the same rows out and in
-    ch = dr.delta_row_changes(spark, root, 1, 2)
-    ins = sorted(r["k"] for r in ch.where("_change_type = 'insert'").collect())
-    dels = sorted(r["k"] for r in ch.where("_change_type = 'delete'").collect())
-    assert ins == dels  # net zero — nothing appears or disappears
-    # a pure-rearrange OPTIMIZE (no DVs) emits NOTHING
+    # the purge compaction changes no visible row (its DV'd rows were
+    # already deleted by the DV commit), so the dataChange=false
+    # commit emits NOTHING in the feed
+    assert dr.delta_row_changes(spark, root, 1, 2).count() == 0
+    # a pure-rearrange OPTIMIZE (no DVs) likewise emits NOTHING
     root2 = _root()
     dw.delta_create(spark, root2, _mk(spark, 50).repartition(6))
     v2 = dw.delta_optimize(spark, root2, target_file_bytes=1 << 20)
     assert v2 == 1
     assert dr.delta_row_changes(spark, root2, 0, 1).count() == 0
+
+
+def test_mapped_nested_ids_unique(spark):
+    """Nested-schema mapping ids must be UNIQUE (delta-spark validates
+    this on read): the parent field's id is taken before recursing, so
+    a struct cannot share an id with its last child (review finding,
+    confirmed by execution pre-fix)."""
+    root = _root()
+    df = spark.createDataFrame(
+        [(1, ("x", 9), "a")],
+        "a long, s struct<x:string, y:long>, b string",
+    )
+    dw.delta_create(spark, root, df, column_mapping=True)
+    snap = dr.delta_snapshot(root, spark)
+
+    def collect_ids(dt):
+        out = []
+        for f in getattr(dt, "fields", []):
+            meta = f.metadata or {}
+            out.append(meta["delta.columnMapping.id"])
+            out += collect_ids(f.dataType)
+        return out
+
+    ids = collect_ids(snap.schema)
+    assert len(ids) == 5 and len(set(ids)) == 5, ids
+    got = dr.read_delta(spark, root).collect()
+    assert got[0]["s"]["x"] == "x" and got[0]["s"]["y"] == 9
