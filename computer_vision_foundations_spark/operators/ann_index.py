@@ -55,6 +55,58 @@ __all__ = [
 
 _VERSION = 1
 
+# compactor liveness (round-11 ADVICE): the fold marker is ALSO
+# present mid-flight in a healthy compact_index run (between the fold
+# rename and the swap), so reader-side self-heal must not fire — and
+# race the live compactor's renames — just because the marker exists.
+# The compactor holds a heartbeat lockfile; readers heal only when the
+# lock is absent or stale (a genuinely abandoned swap), and otherwise
+# WAIT OUT the rename window (milliseconds — the slow merge write
+# happens before the marker appears).
+_LOCK_NAME = "_compactor_lock"
+_LOCK_TTL_S = 30.0
+
+
+def _lock_path(path: str) -> str:
+    return os.path.join(path, _LOCK_NAME)
+
+
+def _touch_lock(path: str) -> None:
+    import time
+
+    with open(_lock_path(path), "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+
+
+def _lock_fresh(path: str) -> bool:
+    import time
+
+    try:
+        age = time.time() - os.path.getmtime(_lock_path(path))
+    except OSError:
+        return False
+    return age < _LOCK_TTL_S
+
+
+def _await_live_compactor(path: str) -> bool:
+    """Wait (bounded by the lock TTL) for a LIVE compactor to finish
+    its swap; True when the index came back healthy (codes/ present,
+    fold marker gone) without this reader touching anything."""
+    import time
+
+    deadline = time.time() + _LOCK_TTL_S
+
+    def healthy() -> bool:
+        return os.path.isdir(os.path.join(path, "codes")) and not (
+            os.path.isdir(_folded_dir(path))
+        )
+
+    while time.time() < deadline and _lock_fresh(path):
+        if healthy():
+            return True
+        time.sleep(0.05)
+    return healthy()
+
 
 def build_ivf_pq_index(
     corpus: DataFrame,
@@ -218,8 +270,13 @@ def _read_codes(spark: SparkSession, path: str) -> DataFrame:
         # under the fold marker with the OLD base still in place
         # (crash between fold and swap — without healing, readers
         # would silently serve the base minus every streamed
-        # increment); roll forward/back before scanning
-        _recover_interrupted_swap(path)
+        # increment). Heal ONLY when no live compactor holds the
+        # heartbeat lock (round-11 ADVICE: a healthy mid-flight
+        # compaction also shows the fold marker, and a reader-side
+        # swap would break the live compactor's renames); a fresh
+        # lock means wait out the rename window instead.
+        if not (_lock_fresh(path) and _await_live_compactor(path)):
+            _recover_interrupted_swap(path)
     base = spark.read.parquet(os.path.join(path, "codes"))
     inc = _inc_dir(path)
     if not os.path.isdir(inc) or not any(
@@ -302,32 +359,54 @@ def compact_index(spark: SparkSession, path: str) -> int:
     OPTIMIZE over a streamed table."""
     import shutil
 
-    # heal any interrupted previous compaction first (it may already
-    # have folded — or rolled back — what this run would fold)
-    _recover_interrupted_swap(path)
-    inc = _inc_dir(path)
-    batches = (
-        [e for e in os.listdir(inc) if e.startswith("batch_id=")]
-        if os.path.isdir(inc)
-        else []
-    )
-    if not batches:
-        return 0
-    merged = _read_codes(spark, path)
-    tmp = os.path.join(path, "codes_compact_tmp")
-    merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
-    # fold marker BEFORE the swap: once codes_inc is renamed away, the
-    # increments belong to the merge in tmp, so a crash at any later
-    # point can neither double-count them (the old hazard: swap done,
-    # rmtree(inc) not yet) nor lose them (_recover_interrupted_swap
-    # un-folds on rollback); see the protocol in its docstring
-    os.rename(inc, _folded_dir(path))
-    old = os.path.join(path, "codes_old")
-    os.rename(os.path.join(path, "codes"), old)
-    os.rename(tmp, os.path.join(path, "codes"))
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(_folded_dir(path), ignore_errors=True)
-    return len(batches)
+    if _lock_fresh(path):
+        raise RuntimeError(
+            f"another compactor holds a fresh {_LOCK_NAME} on {path}; "
+            "compaction is single-writer (the same assumption Delta "
+            "OPTIMIZE makes) — retry after it finishes or goes stale"
+        )
+    _touch_lock(path)
+    try:
+        # heal any interrupted previous compaction first (it may
+        # already have folded — or rolled back — what this run would
+        # fold); the stale-lock check above proved it is abandoned
+        _recover_interrupted_swap(path)
+        inc = _inc_dir(path)
+        batches = (
+            [e for e in os.listdir(inc) if e.startswith("batch_id=")]
+            if os.path.isdir(inc)
+            else []
+        )
+        if not batches:
+            return 0
+        merged = _read_codes(spark, path)
+        tmp = os.path.join(path, "codes_compact_tmp")
+        merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+        # heartbeat before the rename window: the merge write above
+        # can outlast the TTL, and readers must see a FRESH lock while
+        # the fold marker exists
+        _touch_lock(path)
+        # fold marker BEFORE the swap: once codes_inc is renamed away,
+        # the increments belong to the merge in tmp, so a crash at any
+        # later point can neither double-count them (the old hazard:
+        # swap done, rmtree(inc) not yet) nor lose them
+        # (_recover_interrupted_swap un-folds on rollback); see the
+        # protocol in its docstring
+        os.rename(inc, _folded_dir(path))
+        old = os.path.join(path, "codes_old")
+        os.rename(os.path.join(path, "codes"), old)
+        os.rename(tmp, os.path.join(path, "codes"))
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(_folded_dir(path), ignore_errors=True)
+        return len(batches)
+    finally:
+        # removed on success AND on failure: a failed compactor is
+        # abandoned by definition, so readers may heal immediately
+        # rather than waiting out the TTL
+        try:
+            os.remove(_lock_path(path))
+        except OSError:
+            pass
 
 
 def query_ivf_pq_index(

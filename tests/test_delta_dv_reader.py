@@ -118,26 +118,88 @@ def test_mapped_partition_filter(spark):
     assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3, 4]
 
 
-def test_column_mapping_id_mode_still_refused(tmp_path):
-    """Mode 'id' needs parquet field-id resolution — refuse loudly."""
-    import json
-    import shutil
+def test_column_mapping_id_roundtrip(spark, tmp_path):
+    """columnMapping=id write→read round trip (round-11 verdict ask
+    #3): create writes parquet FIELD IDS (verified in the footer),
+    read resolves by them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from computer_vision_foundations_spark.sources import delta_writer as dw
 
     root = str(tmp_path / "idmode")
-    shutil.copytree(MAP_ROOT, root)
-    log = os.path.join(root, "_delta_log")
-    with open(os.path.join(log, f"{0:020d}.json")) as fh:
-        lines = fh.read().replace(
-            '"delta.columnMapping.mode": "name"',
-            '"delta.columnMapping.mode": "id"',
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(20)],
+        "id int, name string, score double",
+    )
+    dw.delta_create(spark, root, df, column_mapping="id")
+    dw.delta_append(
+        spark,
+        root,
+        spark.createDataFrame([(100, "x", 9.0)], "id int, name string, score double"),
+    )
+    snap = dr.delta_snapshot(root, spark)
+    assert snap.column_mapping == "id"
+    # every data file must carry field ids (the id-mode contract)
+    for f in glob.glob(os.path.join(root, "*.parquet")):
+        s = pq.ParquetFile(f).schema
+        assert all(
+            s.column(i).name and "field_id=" in str(s).split("\n")[i + 1]
+            for i in range(len(s.names))
+        ), str(s)
+    got = dr.read_delta(spark, root)
+    assert got.columns == ["id", "name", "score"]
+    rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
+    assert len(rows) == 21
+    assert rows[3] == ("n3", 4.5) and rows[100] == ("x", 9.0)
+
+
+def test_column_mapping_id_resolves_by_id_not_name(spark, tmp_path):
+    """The proof that mode 'id' resolution is BY FIELD ID: rewrite a
+    data file with SCRAMBLED column names (field ids preserved) — a
+    name-based reader would see nulls/garbage; the id reader must
+    return identical rows."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from computer_vision_foundations_spark.sources import delta_writer as dw
+
+    root = str(tmp_path / "idscram")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(10)],
+        "id int, name string, score double",
+    )
+    dw.delta_create(spark, root, df, column_mapping="id")
+    before = {
+        r["id"]: (r["name"], r["score"])
+        for r in dr.read_delta(spark, root).collect()
+    }
+    for f in glob.glob(os.path.join(root, "*.parquet")):
+        tbl = pq.read_table(f)
+        fields = []
+        for i, fld in enumerate(tbl.schema):
+            fid = fld.metadata[b"PARQUET:field_id"]
+            fields.append(
+                pa.field(
+                    f"scrambled_{i}",
+                    fld.type,
+                    fld.nullable,
+                    {b"PARQUET:field_id": fid},
+                )
+            )
+        scrambled = pa.Table.from_arrays(
+            [tbl.column(i) for i in range(tbl.num_columns)],
+            schema=pa.schema(fields),
         )
-    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
-        fh.write(lines)
-    for v in (1, 2):
-        os.remove(os.path.join(log, f"{v:020d}.json"))
-    with pytest.raises(dr.DeltaProtocolError, match="'id'"):
-        dr.delta_snapshot(root, None)
-    del json
+        pq.write_table(scrambled, f)
+    after = {
+        r["id"]: (r["name"], r["score"])
+        for r in dr.read_delta(spark, root).collect()
+    }
+    assert after == before and len(after) == 10
 
 
 def test_dv_history_counts():

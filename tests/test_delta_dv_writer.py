@@ -311,3 +311,148 @@ def test_mapped_nested_ids_unique(spark):
     assert len(ids) == 5 and len(set(ids)) == 5, ids
     got = dr.read_delta(spark, root).collect()
     assert got[0]["s"]["x"] == "x" and got[0]["s"]["y"] == 9
+
+
+def test_row_changes_refuses_mid_window_schema_change(spark):
+    """Round-11 ADVICE (medium): a mergeSchema append inside the CDF
+    window changes the read schema mid-range — the feed must refuse
+    loudly, not scan new files with the base schema; windows on either
+    side of the metaData commit still work."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, 6))                        # v0
+    dw.delta_append(spark, root, _mk(spark, 3))                        # v1
+    dw.delta_append(
+        spark, root, _mk(spark, 3).withColumn("extra", F.lit(1)),
+        merge_schema=True,
+    )                                                                  # v2
+    dw.delta_append(
+        spark,
+        root,
+        _mk(spark, 2).withColumn("extra", F.lit(2)),
+    )                                                                  # v3
+    with pytest.raises(dr.DeltaProtocolError, match="schema-changing"):
+        dr.delta_row_changes(spark, root, 0, 3)
+    # sub-windows that do not cross the metaData commit are fine
+    assert dr.delta_row_changes(spark, root, 0, 1).count() == 3
+    assert dr.delta_row_changes(spark, root, 2, 3).count() == 2
+
+
+def test_row_changes_allows_metadata_reemit(spark):
+    """A commit that RE-STATES the identical metaData (checkpoint
+    replay / identity-preserving commits) is not a schema change."""
+    import urllib.parse
+
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, 6))                        # v0
+    dw.delta_append(spark, root, _mk(spark, 3))                        # v1
+    # synthesize v2: identical metaData re-emit plus one add
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json")) as fh:
+        meta_line = next(
+            line for line in fh if '"metaData"' in line
+        ).strip()
+    snap = dr.delta_snapshot(root, spark)
+    rel = sorted(snap.files)[0]
+    with open(os.path.join(root, "_delta_log", f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "T"}}) + "\n")
+        fh.write(meta_line + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(rel, safe="/="),
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    feed = dr.delta_row_changes(spark, root, 0, 2)
+    assert feed.filter("_commit_version = 1").count() == 3
+
+
+def test_dv_protocol_upgrade_carries_legacy_implied_features():
+    """Round-11 ADVICE: upgrading a legacy v4/v5/v6 writer protocol to
+    table features must carry each version's implied features, not the
+    fixed version-2 list."""
+    from types import SimpleNamespace
+
+    up = dw._dv_protocol_upgrade(
+        SimpleNamespace(
+            protocol_raw={"minReaderVersion": 2, "minWriterVersion": 6}
+        )
+    )["protocol"]
+    assert up["minReaderVersion"] == 3 and up["minWriterVersion"] == 7
+    assert set(up["writerFeatures"]) == {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+        "identityColumns",
+        "deletionVectors",
+    }
+    # legacy reader 2 implies the columnMapping READER feature
+    assert set(up["readerFeatures"]) == {"columnMapping", "deletionVectors"}
+    # explicit feature lists pass through untouched (plus DVs)
+    up2 = dw._dv_protocol_upgrade(
+        SimpleNamespace(
+            protocol_raw={
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }
+        )
+    )["protocol"]
+    assert set(up2["writerFeatures"]) == {"timestampNtz", "deletionVectors"}
+    assert set(up2["readerFeatures"]) == {"timestampNtz", "deletionVectors"}
+
+
+def test_vacuum_removes_dv_files_and_restore_refuses(spark):
+    """Round-11 ADVICE: vacuum now reclaims unreferenced DELETION
+    VECTOR files too, and restore to a generation whose DV was
+    vacuumed refuses up front instead of committing a snapshot that
+    fails at scan time."""
+    import glob
+
+    root = _root()
+    # 2 multi-row files so deletes are partial (DVs, not file drops)
+    dw.delta_create(spark, root, _mk(spark).repartition(2))
+    v1 = dw.delta_delete_where(spark, root, F.col("k") < 3, use_dvs=True)
+    dw.delta_delete_where(spark, root, F.col("k") < 8, use_dvs=True)  # v2
+    live_dvs = len(dr.delta_snapshot(root, spark).dvs or {})
+    on_disk = glob.glob(os.path.join(root, "deletion_vector_*.bin"))
+    assert live_dvs >= 1 and len(on_disk) > live_dvs  # v1 gen lingers
+    removed = dw.delta_vacuum(root, spark, retain_last=1)
+    assert any(r.startswith("deletion_vector_") for r in removed)
+    assert (
+        len(glob.glob(os.path.join(root, "deletion_vector_*.bin")))
+        == live_dvs
+    )
+    with pytest.raises(FileNotFoundError, match="deletion-vector"):
+        dw.delta_restore(spark, root, v1)
+
+
+def test_executor_side_dv_decode_matches_driver(spark, monkeypatch):
+    """Forcing the executor-side mapInPandas decode (threshold 0) must
+    produce the exact same visible rows as the driver decode."""
+    root = _root()
+    dw.delta_create(spark, root, _mk(spark, 50))
+    dw.delta_delete_where(spark, root, F.col("k") % 3 == 0, use_dvs=True)
+    want = _keys(spark, root)
+    monkeypatch.setattr(dr, "_DV_DRIVER_DECODE_MAX", 0)
+    assert _keys(spark, root) == want
+    assert want == [k for k in range(50) if k % 3 != 0]
+
+
+def test_id_mapped_create_refuses_nested(spark):
+    root = _root()
+    df = _mk(spark, 4).withColumn(
+        "nested", F.struct(F.col("k").alias("a"))
+    )
+    with pytest.raises(dr.DeltaProtocolError, match="nested"):
+        dw.delta_create(spark, root, df, column_mapping="id")
