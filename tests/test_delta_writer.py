@@ -548,3 +548,54 @@ def test_append_contention_is_bounded(spark, monkeypatch):
     assert len(calls["backoffs"]) == dw._MAX_COMMIT_ATTEMPTS - 1
     assert calls["backoffs"][0] == (0, 0.02)
     assert calls["backoffs"][-1][1] > calls["backoffs"][0][1]
+
+
+def test_v2_checkpoint_write_read_roundtrip(spark):
+    """V2 checkpoint WRITE (round-11 verdict ask #5): our writer emits
+    the uuid-named top-level + _sidecars layout, our reader resolves
+    the snapshot THROUGH it (checkpoint_version set, adds recovered
+    from the split sidecars), and later commits replay on top."""
+    import glob
+
+    root = _root()
+    dw.delta_create(
+        spark, root, _mk(spark, [(i, f"v{i}") for i in range(8)])
+    )
+    for j in range(2):
+        dw.delta_append(spark, root, _mk(spark, [(100 + j, "x")]))
+    v = dw.delta_checkpoint(spark, root, v2=True, sidecar_files=2)
+    assert v == 2
+    log = os.path.join(root, "_delta_log")
+    tops = glob.glob(os.path.join(log, f"{v:020d}.checkpoint.*.parquet"))
+    assert len(tops) == 1 and ".checkpoint." in tops[0]
+    sides = glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert len(sides) == 2  # the split path is actually exercised
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == v
+    # append after the checkpoint, then delete the pre-checkpoint JSON
+    # commits: the snapshot MUST resolve from the V2 checkpoint alone
+    dw.delta_append(spark, root, _mk(spark, [(200, "y")]))
+    for old in range(v + 1):
+        os.remove(os.path.join(log, f"{old:020d}.json"))
+    snap = dr.delta_snapshot(root, spark)
+    assert snap.checkpoint_version == v and snap.version == 3
+    got = sorted(r["k"] for r in dr.read_delta(spark, root).collect())
+    assert got == list(range(8)) + [100, 101, 200]
+
+
+def test_v2_checkpoint_carries_dvs(spark):
+    """DV descriptors survive the V2 sidecar round trip — a reader
+    resolving from the checkpoint must not resurrect deleted rows."""
+    root = _root()
+    dw.delta_create(
+        spark,
+        root,
+        _mk(spark, [(i, f"v{i}") for i in range(12)]).repartition(2),
+    )
+    dw.delta_delete_where(spark, root, F.col("k") % 3 == 0, use_dvs=True)
+    v = dw.delta_checkpoint(spark, root, v2=True)
+    log = os.path.join(root, "_delta_log")
+    for old in range(v + 1):
+        os.remove(os.path.join(log, f"{old:020d}.json"))
+    got = sorted(r["k"] for r in dr.read_delta(spark, root).collect())
+    assert got == [k for k in range(12) if k % 3 != 0]
