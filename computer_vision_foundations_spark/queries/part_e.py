@@ -3901,3 +3901,64 @@ def za87_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type",
         F.col("_commit_version").cast("int").alias("_commit_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za88 — columnMapping=id round trip (round-11 verdict ask #3)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za88_delta_id_mapping",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer WHERE c_custkey % 3 <> 1
+    GROUP BY c_mktsegment
+    """,
+)
+def za88_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """columnMapping=id write→read round trip (round-11 verdict ask
+    #3; the strictest mapping mode): q24's shape with ``mode=id`` —
+    the data files carry PARQUET FIELD IDS (from the
+    ``delta.columnMapping.id`` schema annotations) and the reader
+    resolves columns BY ID through Spark's native field-id matching
+    (``spark.sql.parquet.fieldId.read.enabled`` + ``parquet.field.id``
+    scan-schema metadata), with column names ignored per spec. The
+    oracle aggregates the same two slices from the source table: a
+    reader that fell back to name resolution on scrambled files, or a
+    writer that dropped the ids, hash-fails
+    (tests/test_delta_dv_reader.py proves the names are genuinely
+    ignored by scrambling them under fixed ids).
+
+    Scale shape: identical to the unmapped partitioned read — one
+    basePath scan plus a hash aggregate; id resolution happens inside
+    the parquet reader's schema clipping, no extra pass."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="delta_idmap_")
+    delta_create(
+        spark,
+        root,
+        cust.filter(F.col("c_custkey") % 3 == 0),
+        partition_by=["c_mktsegment"],
+        column_mapping="id",
+    )
+    delta_append(spark, root, cust.filter(F.col("c_custkey") % 3 == 2))
+    return (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )

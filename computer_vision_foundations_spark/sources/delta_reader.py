@@ -26,11 +26,13 @@ Cloud Object Stores", VLDB 2020):
   ``remove`` deletes by path; last ``metaData``/``protocol`` win.
 
 Reader-version gate: readerVersions 1-2 fully supported
-(columnMapping honored in mode "name", refused in mode "id");
+(columnMapping honored in BOTH modes — "name" via physical-name
+resolution, "id" via parquet field-id resolution, round 12);
 readerVersion 3 supported when every listed readerFeature is in
 ``_SUPPORTED_FEATURES`` — deletionVectors, columnMapping,
-v2Checkpoint, timestampNtz as of round 11; anything else is refused
-loudly rather than returning wrong rows.
+v2Checkpoint, timestampNtz; anything else (typeWidening,
+variantType, ...) is refused loudly rather than returning wrong
+rows.
 
 Scale notes: checkpoints are read through ``spark.read.parquet`` (they
 are data-sized on petabyte tables — Delta writes them partitioned for
