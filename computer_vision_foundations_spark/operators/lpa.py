@@ -42,7 +42,11 @@ from computer_vision_foundations_spark.operators.components import (
     _release,
 )
 
-__all__ = ["label_propagation", "lpa_oracle_sql"]
+__all__ = [
+    "label_propagation",
+    "label_propagation_quotient",
+    "lpa_oracle_sql",
+]
 
 
 def label_propagation(
@@ -119,6 +123,64 @@ def label_propagation(
     finally:
         _release(sym_rdd)
     return labels.orderBy("node")
+
+
+def label_propagation_quotient(
+    edges: DataFrame,
+    classes: DataFrame,
+    node_col: str = "node",
+    cls_col: str = "cls",
+    src: str = "id_a",
+    dst: str = "id_b",
+    n_rounds: int = 4,
+) -> DataFrame:
+    """LPA over the structural-equivalence QUOTIENT graph — the
+    dedup-then-propagate scale path (SCALE.md round-9 graph sweep:
+    raw LPA pays |sym| = 1.69 B rows PER ROUND at 25×; the quotient
+    stays at the distinct-class count, like the collapsed k-core /
+    triangle operators).
+
+    Each class collapses to its MIN-id representative, plain LPA runs
+    on the distinct representative edge list, and every member
+    inherits its class's community. This is NOT a re-expression of
+    per-node `label_propagation` (labels start as node ids there, so
+    same-class members are label-DISTINCT and the naive recurrence is
+    not quotient-invariant — the documented reason q41 runs raw); it
+    is the operator a 100 TB pipeline actually wants: communities of
+    duplicate FAMILIES, immune to within-family label churn. Oracled
+    by replaying the identical quotient construction + recurrence in
+    SQL (za89).
+
+    Scale shape: two broadcast-sized class-map joins to quotient the
+    edges, one distinct on class pairs, then LPA rounds on
+    quotient-sized tables only; the member fan-back is one join at
+    the end."""
+    cmap = classes.select(
+        F.col(node_col).alias("_n"), F.col(cls_col).alias("_c")
+    )
+    rep = cmap.groupBy("_c").agg(F.min("_n").alias("_rep"))
+    crep = cmap.join(rep, "_c").select("_n", "_rep")
+    ra = crep.select(
+        F.col("_n").alias(src), F.col("_rep").alias("_rep_a")
+    )
+    rb = crep.select(
+        F.col("_n").alias(dst), F.col("_rep").alias("_rep_b")
+    )
+    qedges = (
+        edges.join(ra, src)
+        .join(rb, dst)
+        .where(F.col("_rep_a") != F.col("_rep_b"))
+        .select(F.col("_rep_a").alias("id_a"), F.col("_rep_b").alias("id_b"))
+        .distinct()
+    )
+    labels = label_propagation(
+        qedges, "id_a", "id_b", n_rounds=n_rounds, edges_distinct=False
+    )
+    return (
+        crep.join(labels, crep["_rep"] == labels["node"])
+        .select(F.col("_n").alias("node"), "community")
+        .orderBy("node")
+    )
 
 
 def lpa_oracle_sql(

@@ -2517,3 +2517,76 @@ def za39_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", "event_type", "event_id",
         alpha=0.1, cal_frac=0.5, seed=7,
     )
+
+
+# ---------------------------------------------------------------------------
+# za89 — quotient-graph LPA (round-11 verdict ask #7)
+# ---------------------------------------------------------------------------
+
+def _lpa_quotient_oracle_sql() -> str:
+    from computer_vision_foundations_spark.operators.lpa import (
+        lpa_oracle_sql,
+    )
+
+    mem = _ORACLES["q92_simhash"]
+    pairs = _ORACLES["za63_simhash_near_dup_pairs"]
+    qpairs = f"""
+    WITH m AS MATERIALIZED (SELECT doc_id, simhash FROM ({mem})),
+    r AS (SELECT simhash, min(doc_id) AS rep FROM m GROUP BY simhash),
+    mr AS (SELECT m.doc_id, r.rep FROM m JOIN r ON m.simhash = r.simhash)
+    SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
+    FROM ({pairs}) p
+    JOIN mr a ON p.id_a = a.doc_id
+    JOIN mr b ON p.id_b = b.doc_id
+    WHERE a.rep <> b.rep
+    """
+    lpa = lpa_oracle_sql(qpairs, n_rounds=3)
+    return f"""
+    WITH mem AS MATERIALIZED (SELECT doc_id, simhash FROM ({mem})),
+    reps AS (SELECT simhash, min(doc_id) AS rep FROM mem GROUP BY simhash),
+    lab AS MATERIALIZED ({lpa})
+    SELECT m.doc_id AS node, l.community
+    FROM mem m
+    JOIN reps r ON m.simhash = r.simhash
+    JOIN lab l ON r.rep = l.node
+    """
+
+
+@_register("za89_lpa_quotient", _lpa_quotient_oracle_sql())
+def za89_lpa_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation over the structural-equivalence QUOTIENT of
+    the SimHash near-duplicate graph (`operators/lpa.py:
+    label_propagation_quotient`; round-11 verdict ask #7): each
+    same-fingerprint class collapses to its min-id representative,
+    synchronous LPA runs on the distinct representative edges, and
+    every member inherits its family's community. This is the
+    dedup-then-propagate operator SCALE.md's round-9 graph sweep
+    prescribes for 100 TB (raw LPA pays |sym| = 1.69 B rows per round
+    at 25×; the quotient stays at the distinct-fingerprint count) —
+    q41 deliberately keeps the RAW per-node recurrence, whose
+    id-initialized labels are NOT quotient-invariant (same-class
+    members start label-distinct), so both semantics stay oracled.
+
+    Scale shape: two class-map joins + a distinct on class pairs to
+    build the quotient, LPA rounds on quotient-sized tables only, one
+    member fan-back join at the end."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from computer_vision_foundations_spark.operators.lpa import (
+        label_propagation_quotient,
+    )
+
+    fingerprints = q92_simhash(spark, sf_dir).localCheckpoint()
+    pairs = simhash_pairs(
+        fingerprints, "simhash", "doc_id", bits=32, bands=4, max_hamming=3
+    )
+    return label_propagation_quotient(
+        pairs,
+        fingerprints,
+        node_col="doc_id",
+        cls_col="simhash",
+        src="id_a",
+        dst="id_b",
+        n_rounds=3,
+    )

@@ -60,3 +60,47 @@ def test_matches_synchronous_reference(spark):
         labels = nxt
     out = _communities(spark, [(int(a), int(b)) for a, b in edges])
     assert out == labels
+
+
+def test_label_propagation_quotient_matches_rep_graph(spark):
+    """Quotient LPA == plain LPA on the representative graph, fanned
+    back to every class member (same-class nodes share a community by
+    construction)."""
+    from computer_vision_foundations_spark.operators.lpa import (
+        label_propagation,
+        label_propagation_quotient,
+    )
+
+    # classes: {1,2}->A, {3}->B, {4,5}->C; edges between members
+    classes = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C"), (5, "C")],
+        "node long, cls string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (5, 1), (1, 2), (4, 5)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["community"])
+        for r in label_propagation_quotient(
+            edges, classes, n_rounds=3
+        ).collect()
+    }
+    # representative graph: reps 1(A), 3(B), 4(C); quotient edges
+    # {(1,3),(3,4),(4,1)} (within-class edges drop)
+    qedges = spark.createDataFrame(
+        [(1, 3), (3, 4), (4, 1)], "id_a long, id_b long"
+    )
+    rep_lab = {
+        r["node"]: r["community"]
+        for r in label_propagation(qedges, n_rounds=3).collect()
+    }
+    want = {
+        (1, rep_lab[1]), (2, rep_lab[1]),
+        (3, rep_lab[3]),
+        (4, rep_lab[4]), (5, rep_lab[4]),
+    }
+    assert got == want
+    by_cls = {"A": {1, 2}, "C": {4, 5}}
+    for mem in by_cls.values():
+        assert len({c for n, c in got if n in mem}) == 1
