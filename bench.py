@@ -125,11 +125,11 @@ HEADLINE = [
     "za76_acid_upsert",
     "q03_delta_dv_roundtrip",
     "q24_delta_column_mapping",
-    "za77_local_supplier_volume",
-    "za78_forecast_revenue",
-    "za79_customer_distribution",
-    "za80_top_supplier",
-    "za81_delta_dv_change_feed",
+    "q05_local_supplier_volume",
+    "q38_forecast_revenue",
+    "q13_customer_distribution",
+    "q14_top_supplier",
+    "q34_delta_dv_change_feed",
     "za69_wav_audio_stats",
     "za70_gif_frame_sample",
     "z23_audio_spectrum",
@@ -146,7 +146,7 @@ HEADLINE = [
     "za35_zorder_optimize",
     "za31_data_skipping",
     "z30_knn_join",
-    "q34_change_data_feed",
+    "za81_change_data_feed",
     "za71_image_near_dup",
     "z33_gopher_rules",
     "z34_paragraph_dedup",
@@ -230,13 +230,23 @@ HEADLINE = [
     "q20_weighted_quantiles",
     "q39_jsonl_roundtrip",
     "q49_csv_roundtrip",
-    "q05_volume_shipping",
+    "za77_volume_shipping",
     "q12_market_share",
-    "q13_large_volume_customers",
-    "q14_lapsed_high_value",
+    "za79_large_volume_customers",
+    "za80_lapsed_high_value",
     "q25_bloom_prefilter_join",
     "q28_jaro_winkler_linkage",
     "q36_stream_ewma_drift",
+    # round-12 wave: derived-partsupp TPC-H shapes, streaming CDF,
+    # id-mapped Delta round trip, quotient LPA
+    "za82_min_cost_supplier",
+    "za83_product_profit",
+    "za84_important_stock",
+    "za85_parts_supplier_relationship",
+    "za86_excess_stock_suppliers",
+    "za87_stream_cdf",
+    "za88_delta_id_mapping",
+    "za89_lpa_quotient",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
     # q35_stream_spacesaving / q22_stream_running_totals /
     # q23_stream_kmv_distinct are gate-attested but NOT benched:

@@ -997,7 +997,7 @@ def z30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q34_change_data_feed",
+    "za81_change_data_feed",
     """
     SELECT o_orderkey, 'insert' AS _change_type
     FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 8 <> 1
@@ -1009,7 +1009,7 @@ def z30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders WHERE o_orderkey % 16 = 8
     """,
 )
-def q34_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za81_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed (``sources/acid.py:table_changes``) across a
     four-commit history: create (orderkey%4==0), append the %4==1
     slice, delete the %8==1 rows of it, upsert a status change onto

@@ -2411,7 +2411,7 @@ def q49_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "q05_volume_shipping",
+    "za77_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
            round(sum(volume), 2) AS revenue
@@ -2433,7 +2433,7 @@ def q49_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY supp_nation, cust_nation, l_year
     """,
 )
-def q05_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za77_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping): bidirectional trade flow
     between two nations by ship year — the 6-table join with a
     disjunctive cross-nation predicate that exercises join ORDERING
@@ -2567,7 +2567,7 @@ def q12_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q13_large_volume_customers",
+    "za79_large_volume_customers",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            sum(l_quantity) AS sum_qty
@@ -2580,7 +2580,7 @@ def q12_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def q13_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za79_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total
     line quantity exceeds 300 units, with their customers, top-100 by
     price — the group-by-HAVING-over-join pattern (the quantity gate
@@ -2611,7 +2611,7 @@ def q13_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q14_lapsed_high_value",
+    "za80_lapsed_high_value",
     """
     SELECT c_mktsegment,
            count(*) AS n_custs,
@@ -2626,7 +2626,7 @@ def q13_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_mktsegment
     """,
 )
-def q14_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za80_lapsed_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity, re-aimed at this
     schema): above-average-balance customers with NO orders since
     1999 — the scalar-subquery threshold + anti-join existence test,
@@ -2893,7 +2893,7 @@ def q36_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "q38_promo_revenue",
+    "za78_promo_revenue",
     """
     SELECT EXTRACT(month FROM l_shipdate) AS l_month,
            round(100.0 * sum(CASE WHEN p_type = 'PROMO'
@@ -2909,7 +2909,7 @@ def q36_stream_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_month
     """,
 )
-def q38_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def za78_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): the share of 1996 shipped
     revenue carried by PROMO-type parts, by ship month — the
     conditional-aggregate ratio over a fact⋈dimension join.
@@ -3167,7 +3167,7 @@ def q24_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za77_local_supplier_volume",
+    "q05_local_supplier_volume",
     """
     SELECT n_name,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -3183,7 +3183,7 @@ def q24_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
 )
-def za77_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): revenue per nation where the
     CUSTOMER and the LINE'S SUPPLIER share a nation, restricted to one
     region and one order year — the classic 6-table snowflake with a
@@ -3228,7 +3228,7 @@ def za77_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za78_forecast_revenue",
+    "q38_forecast_revenue",
     """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
            count(*) AS n_lines
@@ -3239,7 +3239,7 @@ def za77_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
 )
-def za78_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): the single-table
     selective scan-and-sum — the canonical predicate-pushdown probe
     (every filter must reach the parquet reader; the whole query is
@@ -3265,7 +3265,7 @@ def za78_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za79_customer_distribution",
+    "q13_customer_distribution",
     """
     SELECT c_count, count(*) AS custdist
     FROM (
@@ -3278,7 +3278,7 @@ def za78_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     """,
 )
-def za79_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer distribution): the histogram of per-customer
     order counts through a LEFT OUTER join with an ON-clause filter —
     the shape that distinguishes join-predicate from post-join-filter
@@ -3305,7 +3305,7 @@ def za79_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za80_top_supplier",
+    "q14_top_supplier",
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
@@ -3320,7 +3320,7 @@ def za79_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
 )
-def za80_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): the revenue "view" consumed twice —
     once for the global max (a scalar subquery) and once as the join
     probe — with ties kept. The per-supplier revenue is rounded to 2
@@ -3361,7 +3361,7 @@ def za80_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za81_delta_dv_change_feed",
+    "q34_delta_dv_change_feed",
     """
     SELECT o_orderkey, 'delete' AS _change_type, 1 AS _commit_version
     FROM orders WHERE o_orderkey % 8 = 1
@@ -3371,7 +3371,7 @@ def za80_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, 'delete', 3 FROM orders WHERE o_orderkey % 16 = 0
     """,
 )
-def za81_delta_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_delta_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-derived change data feed with DELETION-VECTOR granularity
     (`delta_reader.delta_row_changes`): create a Delta table from the
     o_orderkey%4∈{0,1} orders (v0), DV-delete the %8==1 rows (v1),

@@ -310,7 +310,7 @@ AUDIT = {
         "one block-join shuffle + one per-query top-k window",
         (),
     ),
-    "q34_change_data_feed": (
+    "za81_change_data_feed": (
         "CDF = full-outer join of two snapshots on (key, md5 "
         "fingerprint) — payloads never cross the join; one keyed "
         "shuffle",
@@ -1066,13 +1066,13 @@ AUDIT = {
         "(the sanctioned crossJoin idiom)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q14_lapsed_high_value": (
+    "za80_lapsed_high_value": (
         "scalar balance threshold = the sanctioned 1-row broadcast "
         "crossJoin (plans as BNLJ); existence test is a LEFT ANTI "
         "hash join against the date-pruned orders scan",
         ("BroadcastNestedLoopJoin",),
     ),
-    "q05_volume_shipping": (
+    "za77_volume_shipping": (
         "6-table join: all dims broadcast, fact scan takes the pushed "
         "shipdate range; one hash agg",
         (),
@@ -1082,7 +1082,7 @@ AUDIT = {
         "conditional-sum share per year",
         (),
     ),
-    "q13_large_volume_customers": (
+    "za79_large_volume_customers": (
         "HAVING over the order-grain aggregate first; dims broadcast; "
         "TakeOrderedAndProject top-100",
         (),
