@@ -247,6 +247,7 @@ HEADLINE = [
     "za87_stream_cdf",
     "za88_delta_id_mapping",
     "za89_lpa_quotient",
+    "za90_delta_type_widening",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
     # q35_stream_spacesaving / q22_stream_running_totals /
     # q23_stream_kmv_distinct are gate-attested but NOT benched:

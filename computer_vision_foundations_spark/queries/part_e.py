@@ -3962,3 +3962,82 @@ def za88_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# za90 — typeWidening round trip (shrinks the refusal list to
+# variantType only)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za90_delta_type_widening",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(round(sum(CAST(p AS DECIMAL(27, 6))), 2) AS DOUBLE)
+             AS price_sum
+    FROM src
+    """,
+)
+def za90_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typeWidening write→read round trip
+    (`delta_writer.delta_widen_type`): create the table NARROW (int
+    key, float price), widen both columns by metadata-only commits
+    (int→long, float→double — zero data bytes moved), append the odd
+    half with the WIDE types, read back — the scan must upcast the
+    pre-widen files through Spark's native parquet widening
+    conversions while reading the post-widen files directly. The
+    oracle replays the exact value pipeline (float round trip via
+    REAL for the narrow half, raw doubles for the wide half, decimal
+    sum for order independence): a reader that refused the feature,
+    dropped precision, or scanned a stale schema hash-fails.
+
+    Scale shape: two 1-commit metadata actions + the same pruned
+    scans as any read; widening exists precisely so a 100 TB table
+    never rewrites for a type change."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+        delta_widen_type,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_widen_")
+    delta_create(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.col("o_totalprice").cast("float").alias("p"),
+        ),
+    )
+    delta_widen_type(spark, root, "k", "long")
+    delta_widen_type(spark, root, "p", "double")
+    delta_append(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+        ),
+    )
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("key_sum"),
+        F.round(F.sum(F.col("p").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("price_sum"),
+    )

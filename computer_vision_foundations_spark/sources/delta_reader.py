@@ -89,13 +89,21 @@ _CKPT_V2_RE = re.compile(
 # ``spark.sql.parquet.fieldId.read.enabled`` is switched on, so the
 # files' column NAMES are ignored exactly as the spec requires);
 # v2Checkpoint resolves through `_apply_checkpoint`'s sidecar fold.
-# Everything else (typeWidening, variantType, ...) changes row content
-# or file resolution and MUST be refused.
+# typeWidening (and its preview name) is safe because the scan always
+# uses the COMMITTED (widened) schema and Spark 4's parquet reader
+# performs every widening conversion the Delta spec allows natively
+# (int→long, float→double, int→double, date→timestampNtz, decimal
+# precision growth — verified empirically in
+# tests/test_delta_widening.py); pre-widen files simply hold the
+# narrower physical type. Everything else (variantType, ...) changes
+# row content or file resolution and MUST be refused.
 _SUPPORTED_FEATURES = {
     "timestampNtz",
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    "typeWidening",
+    "typeWidening-preview",
 }
 # column-mapping annotation keys in schemaString field metadata
 _PHYS_KEY = "delta.columnMapping.physicalName"

@@ -67,6 +67,7 @@ __all__ = [
     "delta_upsert",
     "delta_delete_where",
     "delta_checkpoint",
+    "delta_widen_type",
     "delta_optimize",
     "delta_vacuum",
     "delta_restore",
@@ -194,7 +195,11 @@ def _evolved_meta(snap, schema_json: str, partition_cols, ts: int) -> dict:
         "format": {"provider": "parquet", "options": {}},
         "schemaString": schema_json,
         "partitionColumns": list(partition_cols),
-        "configuration": {},
+        # configuration must survive re-commits (it carries table
+        # properties a foreign writer may have set)
+        "configuration": dict(
+            (snap.meta_raw or {}).get("configuration") or {}
+        ),
         "createdTime": snap.created_time or ts,
     }
 
@@ -1033,8 +1038,9 @@ def _implied_reader_features(min_reader: int) -> set[str]:
     return {"columnMapping"} if min_reader >= 2 else set()
 
 
-def _dv_protocol_upgrade(snap) -> dict | None:
-    """Protocol action enabling deletionVectors, or None if already on.
+def _feature_protocol_upgrade(snap, feature: str) -> dict | None:
+    """Protocol action enabling a reader-writer table feature, or None
+    if it is already on.
 
     Upgrading a LEGACY protocol (no explicit feature lists) to table
     features must carry every feature the old minReader/minWriter
@@ -1043,7 +1049,7 @@ def _dv_protocol_upgrade(snap) -> dict | None:
     table."""
     proto = snap.protocol_raw or dict(_PROTOCOL)
     feats = set(proto.get("readerFeatures") or [])
-    if "deletionVectors" in feats:
+    if feature in feats:
         return None
     if proto.get("readerFeatures") is None:
         feats |= _implied_reader_features(int(proto.get("minReaderVersion", 1)))
@@ -1052,15 +1058,19 @@ def _dv_protocol_upgrade(snap) -> dict | None:
         writer_feats = _implied_writer_features(
             int(proto.get("minWriterVersion", 2))
         )
-    writer_feats.add("deletionVectors")
     return {
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": sorted(feats | {"deletionVectors"}),
-            "writerFeatures": sorted(writer_feats),
+            "readerFeatures": sorted(feats | {feature}),
+            "writerFeatures": sorted(writer_feats | {feature}),
         }
     }
+
+
+def _dv_protocol_upgrade(snap) -> dict | None:
+    """Protocol action enabling deletionVectors, or None if already on."""
+    return _feature_protocol_upgrade(snap, "deletionVectors")
 
 
 def _delete_with_dvs(
@@ -1178,6 +1188,111 @@ def _delete_with_dvs(
         )
     v = snap.version + 1
     _publish(root, v, actions, "DELETE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+# type widenings the Delta typeWidening feature allows, keyed by the
+# schema-json type names; decimals are handled by the precision/scale
+# rule below (PROTOCOL.md "Type Widening")
+_ALLOWED_WIDENINGS = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("byte", "double"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("short", "double"),
+    ("integer", "long"),
+    ("integer", "double"),
+    ("float", "double"),
+    ("date", "timestamp_ntz"),
+}
+
+
+def delta_widen_type(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    new_type,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """Widen ``column``'s type — a METADATA-ONLY commit (the Delta
+    typeWidening feature): no data file is touched; files written
+    before the widen keep the narrower physical type and the scan
+    upcasts them through Spark's native parquet widening conversions
+    (which cover exactly the spec's allowed set). The commit re-emits
+    metaData with the widened schemaString, records the change in the
+    field's ``delta.typeChanges`` metadata (what delta-spark reads to
+    know which files may be narrow), and upgrades the protocol to
+    reader 3 / writer 7 with the ``typeWidening`` feature on first
+    use. Disallowed changes (anything lossy or non-widening) raise.
+
+    Scale shape: pure log surgery — one metaData + protocol commit,
+    zero data bytes moved, exactly why widening exists at 100 TB."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    _refuse_mapped(snap, "delta_widen_type")
+    if isinstance(new_type, str):
+        new_type = T._parse_datatype_string(new_type)
+    fields = list(snap.schema.fields)
+    idx = next(
+        (i for i, f in enumerate(fields) if f.name == column), None
+    )
+    if idx is None:
+        raise ValueError(f"no column {column!r} in the committed schema")
+    old_type = fields[idx].dataType
+    old_j, new_j = old_type.jsonValue(), new_type.jsonValue()
+    if old_j == new_j:
+        return snap.version
+    ok = (old_j, new_j) in _ALLOWED_WIDENINGS
+    if (
+        not ok
+        and isinstance(old_type, T.DecimalType)
+        and isinstance(new_type, T.DecimalType)
+    ):
+        # decimals widen when integral digits and scale both grow
+        # monotonically (never losing digits on either side)
+        ok = (
+            new_type.scale >= old_type.scale
+            and new_type.precision - new_type.scale
+            >= old_type.precision - old_type.scale
+        )
+    if not ok:
+        raise ValueError(
+            f"{old_type.simpleString()} -> {new_type.simpleString()} is "
+            "not an allowed type widening"
+        )
+    if column in snap.partition_columns:
+        raise ValueError(
+            f"cannot widen partition column {column!r} (partition values "
+            "are strings in the log; re-create the table instead)"
+        )
+    ts = _now_ms()
+    meta = fields[idx].metadata or {}
+    changes = list(meta.get("delta.typeChanges") or [])
+    changes.append({"fromType": old_j, "toType": new_j})
+    fields[idx] = T.StructField(
+        column,
+        new_type,
+        fields[idx].nullable,
+        {**meta, "delta.typeChanges": changes},
+    )
+    actions: list[dict] = []
+    upgrade = _feature_protocol_upgrade(snap, "typeWidening")
+    if upgrade:
+        actions.append(upgrade)
+    actions.append(
+        {
+            "metaData": _evolved_meta(
+                snap,
+                T.StructType(fields).json(),
+                snap.partition_columns,
+                ts,
+            )
+        }
+    )
+    v = snap.version + 1
+    _publish(root, v, actions, "CHANGE COLUMN", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 

@@ -1109,6 +1109,91 @@ AUDIT = {
         "probe fan-out against base-plus-increment code scans",
         (),
     ),
+    # round-12 wave ------------------------------------------------------
+    "q05_local_supplier_volume": (
+        "TPC-H Q5 snowflake: region→nation prune broadcasts, orders "
+        "date filter pushes to the fact scan; the only big shuffles "
+        "are the two fact-key joins",
+        (),
+    ),
+    "q38_forecast_revenue": (
+        "TPC-H Q6: every predicate pushed into one parquet scan, "
+        "map-side partial sums, 1-row output",
+        (),
+    ),
+    "q13_customer_distribution": (
+        "TPC-H Q13: LEFT OUTER with the priority predicate in the "
+        "join condition (not a post-filter); one outer shuffle on "
+        "custkey then two hash aggs",
+        (),
+    ),
+    "q14_top_supplier": (
+        "TPC-H Q15: revenue per supplier once, max as a 1-row "
+        "broadcast back-join (the sanctioned scalar crossJoin), ties "
+        "kept",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "q34_delta_dv_change_feed": (
+        "log-derived CDF: per commit only CHANGED files scanned; DV "
+        "row-position deltas ride broadcast semi/anti joins on "
+        "(_metadata.file_path, row_index)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za82_min_cost_supplier": (
+        "TPC-H Q2 decorrelated: partsupp DERIVED via the sanctioned "
+        "4-row broadcast crossJoin over the part scan (plans as BNLJ); "
+        "region-pruned supplier dims broadcast; per-part min and the "
+        "(part, cost) equality join back are the only shuffles",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za83_product_profit": (
+        "TPC-H Q9: part/supplier/nation/partsupp all broadcast into "
+        "the fact (partsupp derived via the 4-row broadcast "
+        "crossJoin); the one big shuffle is lineitem⋈orders",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za84_important_stock": (
+        "TPC-H Q11: grouped value + the HAVING scalar as a 1-row "
+        "broadcast crossJoin (sanctioned BNLJ); partsupp derived via "
+        "the 4-row broadcast crossJoin",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za85_parts_supplier_relationship": (
+        "TPC-H Q16: NOT IN as broadcast LEFT ANTI; part attrs "
+        "broadcast; one count-distinct shuffle (partsupp derived via "
+        "the 4-row broadcast crossJoin)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za86_excess_stock_suppliers": (
+        "TPC-H Q20 decorrelated: year-pruned lineitem group-by is the "
+        "only big shuffle; part list + excess supplier set broadcast "
+        "(partsupp derived via the 4-row broadcast crossJoin)",
+        ("BroadcastNestedLoopJoin",),
+    ),
+    "za87_stream_cdf": (
+        "incremental CDF consumption happened at STREAM time (bounded "
+        "version windows, per-version overwrite); the returned frame "
+        "is one partition-pruned scan of the accumulated output",
+        (),
+    ),
+    "za88_delta_id_mapping": (
+        "columnMapping=id read: same one-basePath-scan + hash-agg "
+        "shape as the unmapped table; field-id resolution happens "
+        "inside the parquet reader's schema clipping",
+        (),
+    ),
+    "za90_delta_type_widening": (
+        "typeWidening round trip: metadata-only widen commits, then "
+        "the same pruned scans as any read (narrow files upcast in "
+        "the parquet reader); one global agg",
+        (),
+    ),
+    "za89_lpa_quotient": (
+        "quotient LPA: class-map joins + distinct on class pairs, "
+        "then label rounds on quotient-sized tables; one member "
+        "fan-back join",
+        (),
+    ),
     "q26_stream_sessions": (
         "streaming session equivalence: the merging-session state "
         "machinery ran at STREAM time (append mode, watermark "
