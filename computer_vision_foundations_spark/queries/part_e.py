@@ -4041,3 +4041,82 @@ def za90_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za91 — variantType round trip (shrinks the refusal list to
+# variantShredding only)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za91_delta_variant",
+    """
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def za91_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variantType write→read round trip: pack each order into a
+    nested VARIANT (``parse_json`` of a two-level JSON object), write
+    through the Delta adapter (which declares the ``variantType``
+    reader+writer feature — tests/test_delta_variant.py), append a
+    second half, read back, and re-extract every value with typed
+    ``variant_get`` paths. The oracle aggregates the plain source
+    table: any loss through the variant binary encoding (spec's
+    two-binary value/metadata layout, decoded natively by Spark's
+    parquet reader), a reader that refused the feature, or a writer
+    that skipped the protocol upgrade hash-fails. Doubles survive
+    exactly because ``to_json`` emits shortest-round-trip literals.
+
+    Scale shape: one scan + hash aggregate; the variant codec runs
+    inside whole-stage codegen (no Python), and extraction pushes
+    nested-field pruning into the scan like any struct."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _pack(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.parse_json(
+                F.to_json(
+                    F.struct(
+                        F.struct(
+                            F.col("o_totalprice").alias("p"),
+                            F.col("o_orderkey").alias("id"),
+                        ).alias("o"),
+                        F.col("o_orderstatus").alias("s"),
+                    )
+                )
+            ).alias("v"),
+        )
+
+    root = tempfile.mkdtemp(prefix="delta_variant_")
+    delta_create(spark, root, _pack(orders.filter(F.col("o_orderkey") % 2 == 0)))
+    delta_append(spark, root, _pack(orders.filter(F.col("o_orderkey") % 2 == 1)))
+    return (
+        read_delta(spark, root)
+        .select(
+            F.expr("variant_get(v, '$.s', 'string')").alias("status"),
+            F.expr("variant_get(v, '$.o.p', 'double')").alias("price"),
+            F.expr("variant_get(v, '$.o.id', 'long')").alias("key"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+            F.sum("key").cast("long").alias("key_sum"),
+        )
+    )

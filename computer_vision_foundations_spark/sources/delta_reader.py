@@ -95,8 +95,14 @@ _CKPT_V2_RE = re.compile(
 # (int→long, float→double, int→double, date→timestampNtz, decimal
 # precision growth — verified empirically in
 # tests/test_delta_widening.py); pre-widen files simply hold the
-# narrower physical type. Everything else (variantType, ...) changes
-# row content or file resolution and MUST be refused.
+# narrower physical type. variantType (and its preview name) is safe
+# because Spark 4 implements VARIANT natively end-to-end: the
+# schemaString's "variant" type parses through StructType.fromJson
+# and the parquet reader decodes the spec's two-binary (value,
+# metadata) physical encoding itself (tests/test_delta_variant.py).
+# variantShredding is NOT claimed — shredded typed_value layouts are
+# a separate feature and still refuse. Everything else changes row
+# content or file resolution and MUST be refused.
 _SUPPORTED_FEATURES = {
     "timestampNtz",
     "deletionVectors",
@@ -104,6 +110,8 @@ _SUPPORTED_FEATURES = {
     "v2Checkpoint",
     "typeWidening",
     "typeWidening-preview",
+    "variantType",
+    "variantType-preview",
 }
 # column-mapping annotation keys in schemaString field metadata
 _PHYS_KEY = "delta.columnMapping.physicalName"

@@ -115,6 +115,20 @@ def _hive_escape(value: str) -> str:
     return "".join(out)
 
 
+def _num_rows(spark: SparkSession, path: str) -> int:
+    """Parquet footer row count. pyarrow in this environment predates
+    the VARIANT logical type and cannot even OPEN files carrying one,
+    so those fall back to a Spark count — which the parquet source
+    answers from row-group metadata (an empty-projection scan), not a
+    data read."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return spark.read.parquet(path).count()
+
+
 def _write_data_files(
     df: DataFrame, root: str, partition_cols: list[str]
 ) -> list[tuple[str, dict, int, int]]:
@@ -153,7 +167,7 @@ def _write_data_files(
                 for k, v in pv.items()
             ]
             rel = "/".join(segs + [f"part-{uuid.uuid4().hex}.parquet"])
-            n_rows = pq.ParquetFile(src).metadata.num_rows
+            n_rows = _num_rows(df.sparkSession, src)
             if n_rows == 0:
                 continue  # empty task output: real Delta logs no add
             dst = os.path.join(root, *rel.split("/"))
@@ -595,6 +609,21 @@ def _has_struct(dt: T.DataType) -> bool:
     return False
 
 
+def _has_variant(dt: T.DataType) -> bool:
+    """True when the type contains a VARIANT anywhere — such schemas
+    must declare the variantType table feature or foreign readers
+    would misparse the two-binary physical encoding."""
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_variant(dt.keyType) or _has_variant(dt.valueType)
+    return False
+
+
 def _annotate_mapping(dt, counter: list[int]):
     """Recursively annotate a schema jsonValue with columnMapping ids
     and ``col-<uuid>`` physical names (the shape delta-spark writes
@@ -715,6 +744,18 @@ def delta_create(
             ]
         )
         pcols = [phys_of[c] for c in pcols]
+    if any(_has_variant(f.dataType) for f in df.schema.fields):
+        # VARIANT columns require the variantType table feature; the
+        # create declares exactly the features the table uses
+        r_feats = {"variantType"} | (
+            {"columnMapping"} if mode != "none" else set()
+        )
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(r_feats),
+            "writerFeatures": sorted(r_feats),
+        }
     meta = {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
@@ -779,6 +820,10 @@ def delta_append(
         ]
         if new_fields:
             out_fields = out_fields + new_fields
+            if any(_has_variant(f.dataType) for f in new_fields):
+                upgrade = _feature_protocol_upgrade(snap, "variantType")
+                if upgrade:
+                    actions.append(upgrade)
             actions.append(
                 {
                     "metaData": _evolved_meta(
@@ -1169,7 +1214,7 @@ def _delete_with_dvs(
         rel = by_abs[row["_f"]]
         old_desc = (snap.dvs or {}).get(rel)
         abs_p = os.path.join(root, rel)
-        n_rows = pq.ParquetFile(abs_p).metadata.num_rows
+        n_rows = _num_rows(spark, abs_p)
         actions.append(_remove_action(_encode_path(rel), ts, old_desc))
         if int(row["_card"]) >= n_rows:
             continue  # every row deleted: drop the file outright
@@ -1480,7 +1525,7 @@ def delta_restore(
                     f"file for {rel!r} was vacuumed out of the retention "
                     "window"
                 )
-        n_rows = pq.ParquetFile(p).metadata.num_rows
+        n_rows = _num_rows(spark, p)
         actions.append(
             _add_action(
                 rel,
