@@ -129,16 +129,130 @@ def _num_rows(spark: SparkSession, path: str) -> int:
         return spark.read.parquet(path).count()
 
 
+def _file_stats(spark: SparkSession, src: str) -> tuple[int, str]:
+    """``(numRecords, Delta stats JSON)`` for one data file, computed
+    from the parquet FOOTER (a local metadata read — no data pass).
+
+    The stats JSON is the protocol's per-file skipping payload:
+    ``numRecords`` plus ``minValues`` / ``maxValues`` / ``nullCount``
+    maps over the file's top-level primitive columns, keyed by the
+    column names AS WRITTEN (physical names under columnMapping —
+    exactly what the footer reports). Footer min/max are recorded as
+    BOUNDS, never exact values, and every omission is sound for a
+    skipping reader that treats a missing bound as unknown:
+
+    - a bound is recorded only when EVERY row group carries
+      ``has_min_max`` statistics for the column;
+    - non-finite float bounds are dropped (Spark's parquet writer
+      emits ``max = NaN`` when a NaN is present — JSON cannot carry
+      it, and NaN sorts greatest in Spark, so omission = +inf);
+    - strings longer than 32 chars are dropped rather than truncated
+      (a truncated max would need last-char increment to stay an
+      upper bound);
+    - nested / binary / decimal columns and INT96 timestamps carry no
+      footer stats worth trusting and are skipped.
+
+    Variant-bearing files (pyarrow here predates the VARIANT logical
+    type and cannot open them) fall back to a Spark metadata-only
+    count with numRecords-only stats."""
+    import datetime as _dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(src)
+    except OSError:
+        n = spark.read.parquet(src).count()
+        return n, json.dumps({"numRecords": n})
+    md = pf.metadata
+    n = md.num_rows
+
+    def _ok_type(t: pa.DataType) -> bool:
+        return (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_date(t)
+            or pa.types.is_timestamp(t)
+        )
+
+    eligible = {
+        f.name for f in pf.schema_arrow if _ok_type(f.type)
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    bad: set = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            name = c.path_in_schema
+            if name not in eligible or name in bad:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)
+                continue
+            lo, hi = st.min, st.max
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            nc = st.null_count if st.has_null_count else None
+            if nc is None:
+                nulls[name] = None
+            elif name in nulls:
+                if nulls[name] is not None:
+                    nulls[name] += nc
+            else:
+                nulls[name] = nc
+
+    def _ser(v):
+        if isinstance(v, float) and not math.isfinite(v):
+            return None
+        if isinstance(v, bool) or isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            return v if len(v) <= 32 else None
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return None
+
+    stats: dict = {"numRecords": n}
+    mv = {k: s for k, v in mins.items() if (s := _ser(v)) is not None}
+    xv = {k: s for k, v in maxs.items() if (s := _ser(v)) is not None}
+    ncv = {k: v for k, v in nulls.items() if v is not None}
+    if mv:
+        stats["minValues"] = mv
+    if xv:
+        stats["maxValues"] = xv
+    if ncv:
+        stats["nullCount"] = ncv
+    return n, json.dumps(stats)
+
+
 def _write_data_files(
     df: DataFrame, root: str, partition_cols: list[str]
-) -> list[tuple[str, dict, int, int]]:
+) -> list[tuple[str, dict, int, int, str]]:
     """Write ``df``'s data files under ``root``; returns
-    ``(relative_path, partitionValues, size, numRecords)`` per file.
+    ``(relative_path, partitionValues, size, numRecords, statsJson)``
+    per file.
 
     Spark writes to a scratch dir (partitionBy for partitioned
     tables), files are MOVED under root with fresh unique names —
     invisible to readers until the commit references them. Row counts
-    come from the parquet footer (a local metadata read)."""
+    and per-file skipping stats come from the parquet footer (a local
+    metadata read, see ``_file_stats``)."""
     import pyarrow.parquet as pq
 
     scratch = os.path.join(root, f"_scratch-{uuid.uuid4().hex}")
@@ -167,13 +281,13 @@ def _write_data_files(
                 for k, v in pv.items()
             ]
             rel = "/".join(segs + [f"part-{uuid.uuid4().hex}.parquet"])
-            n_rows = _num_rows(df.sparkSession, src)
+            n_rows, stats = _file_stats(df.sparkSession, src)
             if n_rows == 0:
                 continue  # empty task output: real Delta logs no add
             dst = os.path.join(root, *rel.split("/"))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
-            out.append((rel, pv, os.path.getsize(dst), n_rows))
+            out.append((rel, pv, os.path.getsize(dst), n_rows, stats))
     import shutil
 
     shutil.rmtree(scratch, ignore_errors=True)
@@ -181,7 +295,13 @@ def _write_data_files(
 
 
 def _add_action(
-    rel: str, pv: dict, size: int, n_rows: int, ts: int, dv: dict | None = None
+    rel: str,
+    pv: dict,
+    size: int,
+    n_rows: int,
+    ts: int,
+    dv: dict | None = None,
+    stats: str | None = None,
 ) -> dict:
     a = {
         "path": _encode_path(rel),
@@ -191,7 +311,7 @@ def _add_action(
         "size": size,
         "modificationTime": ts,
         "dataChange": True,
-        "stats": json.dumps({"numRecords": n_rows}),
+        "stats": stats or json.dumps({"numRecords": n_rows}),
     }
     if dv is not None:
         a["deletionVector"] = dv
@@ -421,7 +541,9 @@ def _write_checkpoint(
             "size": None,
             "modificationTime": None,
             "dataChange": False,
-            "stats": None,
+            # stats must survive checkpointing or data skipping would
+            # silently turn off for every pre-checkpoint file
+            "stats": (snap.stats or {}).get(rel),
             # the live DV generation must survive checkpointing or a
             # post-checkpoint reader would resurrect deleted rows
             "deletionVector": (
@@ -766,7 +888,8 @@ def delta_create(
     }
     files = _write_data_files(batch, root, pcols)
     actions = [{"metaData": meta}, {"protocol": protocol}] + [
-        _add_action(rel, pv, size, n, ts) for rel, pv, size, n in files
+        _add_action(rel, pv, size, n, ts, stats=st)
+        for rel, pv, size, n, st in files
     ]
     _publish(root, 0, actions, "WRITE", ts)
     return 0
@@ -853,7 +976,8 @@ def delta_append(
     files = _write_data_files(
         batch, root, [phys_of[c] for c in snap.partition_columns]
     )
-    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    actions += [_add_action(rel, pv, size, n, ts, stats=st)
+        for rel, pv, size, n, st in files]
     v = snap.version + 1
     # Optimistic-concurrency loop (Delta protocol conflict rules): a
     # BLIND append's add actions depend on nothing another writer could
@@ -916,7 +1040,8 @@ def delta_overwrite(
         )
     files = _write_data_files(df, root, snap.partition_columns)
     actions += [_remove_live(snap, rel, ts) for rel in sorted(snap.files)]
-    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    actions += [_add_action(rel, pv, size, n, ts, stats=st)
+        for rel, pv, size, n, st in files]
     v = snap.version + 1
     _publish(root, v, actions, "OVERWRITE", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -988,7 +1113,8 @@ def delta_upsert(
         merged = merged.unionByName(p)
     files = _write_data_files(merged, root, snap.partition_columns)
     actions = [_remove_live(snap, rel, ts) for rel in touched]
-    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    actions += [_add_action(rel, pv, size, n, ts, stats=st)
+        for rel, pv, size, n, st in files]
     v = snap.version + 1
     _publish(root, v, actions, "MERGE", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -1051,7 +1177,8 @@ def delta_delete_where(
         else []
     )
     actions = [_remove_live(snap, rel, ts) for rel in touched]
-    actions += [_add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    actions += [_add_action(rel, pv, size, n, ts, stats=st)
+        for rel, pv, size, n, st in files]
     v = snap.version + 1
     _publish(root, v, actions, "DELETE", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -1229,6 +1356,7 @@ def _delete_with_dvs(
                 n_rows,
                 ts,
                 dv=new_desc,
+                stats=(snap.stats or {}).get(rel),
             )
         )
     v = snap.version + 1
@@ -1387,8 +1515,8 @@ def delta_optimize(
         # and what lets change-feed readers skip the commit entirely
         a["remove"]["dataChange"] = False
         actions.append(a)
-    for rel, pv, size, n in files:
-        a = _add_action(rel, pv, size, n, ts)
+    for rel, pv, size, n, st in files:
+        a = _add_action(rel, pv, size, n, ts, stats=st)
         a["add"]["dataChange"] = False
         actions.append(a)
     v = snap.version + 1
@@ -1534,6 +1662,7 @@ def delta_restore(
                 n_rows,
                 ts,
                 dv=tgt_dv.get(rel),
+                stats=(tgt.stats or {}).get(rel),
             )
         )
     actions += [

@@ -161,16 +161,21 @@ def _write_protocol_table(tmp_path, protocol_action):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
+    # typeWidening and variantType are SUPPORTED as of round 12; the
+    # refusal gate must still fire on genuinely unimplemented reader
+    # features (variantShredding = shredded typed_value layouts)
     root = _write_protocol_table(
         tmp_path,
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"],
-            "writerFeatures": ["typeWidening"],
+            "readerFeatures": ["variantShredding"],
+            "writerFeatures": ["variantShredding"],
         },
     )
-    with pytest.raises(delta_reader.DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(
+        delta_reader.DeltaProtocolError, match="variantShredding"
+    ):
         delta_reader.read_delta(spark, root)
 
 

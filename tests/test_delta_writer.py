@@ -303,7 +303,10 @@ def test_concurrent_read_dependent_commit_conflicts(spark):
     actions = [
         dw._remove_action(dw._encode_path(rel), ts)
         for rel in sorted(snap.files)
-    ] + [dw._add_action(rel, pv, size, n, ts) for rel, pv, size, n in files]
+    ] + [
+        dw._add_action(rel, pv, size, n, ts, stats=st)
+        for rel, pv, size, n, st in files
+    ]
     with pytest.raises(dw.DeltaCommitConflict):
         dw._publish(root, snap.version + 1, actions, "OVERWRITE", ts)
     # the table is untouched by the failed transaction
