@@ -4120,3 +4120,87 @@ def za91_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key").cast("long").alias("key_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# za92 — per-file stats + Z-ORDER data skipping round trip
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za92_delta_zorder_skipping",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_custkey BETWEEN 500 AND 1500
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def za92_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file stats + OPTIMIZE ZORDER BY + stats-based data
+    skipping, end to end: write orders as a Delta table (every add
+    action carries footer-derived minValues/maxValues/nullCount),
+    Z-ORDER it by the two INDEPENDENT filter columns (Morton code
+    over quantile buckets — ``delta_writer._zorder_column``), then
+    read with ``where=`` so ``sources/skipping.py`` prunes files
+    whose bounds cannot match BEFORE the scan is planned. The
+    function asserts the pruning actually fired (kept < live files
+    on the two-sided predicate) and the oracle replays the identical
+    filter+aggregate on the raw table — an unsound skipper (a
+    dropped file that held a matching row) hash-fails.
+
+    Scale shape: this is THE selective-read path at 100 TB —
+    partition pruning removes directories, Z-order + per-file bounds
+    remove files within partitions on EITHER filter column, and the
+    skipped files' footers are never opened. The residual filter
+    keeps correctness independent of pruning aggressiveness."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources import skipping
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        delta_snapshot,
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_create,
+        delta_optimize,
+    )
+
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="delta_zorder_")
+    delta_create(spark, root, orders)
+    # target ~6 clustered files at ANY scale factor so the pruning
+    # assertion below is meaningful (and the shape is SF-invariant)
+    snap0 = delta_snapshot(root, spark)
+    total = sum(
+        os.path.getsize(os.path.join(root, rel)) for rel in snap0.files
+    )
+    delta_optimize(
+        spark,
+        root,
+        target_file_bytes=max(32 * 1024, total // 6),
+        zorder_by=["o_custkey", "o_totalprice"],
+    )
+    where = (
+        "o_custkey BETWEEN 500 AND 1500 "
+        "AND o_totalprice BETWEEN 50000 AND 150000"
+    )
+    snap = delta_snapshot(root, spark)
+    kept = skipping.matching_files(snap, where)
+    assert 0 < len(kept) < len(snap.files), (
+        f"z-order skipping did not prune: {len(kept)}/{len(snap.files)}"
+    )
+    return (
+        read_delta(spark, root, where=where)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

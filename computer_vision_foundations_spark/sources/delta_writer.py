@@ -1470,12 +1470,94 @@ def delta_widen_type(
     return v
 
 
+def _zorder_column(
+    df: DataFrame, zcols: list[str], bits: int
+) -> "tuple[DataFrame, str]":
+    """Append a ``_zval`` long column interleaving ``bits`` bits per
+    Z-ORDER column (Morton code over QUANTILE bucket ids, so skewed
+    distributions still spread across buckets).
+
+    Per column: one ``approxQuantile`` pass yields ≤ 2^bits - 1
+    boundary values (driver-side, a tiny array); the bucket id is
+    ``|{boundaries ≤ v}|`` via a single vectorized array expression —
+    no window, no global sort, whole-stage codegen throughout. Dates/
+    timestamps/booleans are mapped to numeric first; strings are
+    refused (hash bucketing would destroy the min/max locality that
+    makes Z-order pay off in file stats). NULLs land in bucket 0.
+    Bit interleaving is plain shiftleft/OR arithmetic on longs."""
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    nums: list = []
+    for c in zcols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            e = F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            e = F.col(c).cast("double")
+        elif isinstance(dt, T.BooleanType):
+            e = F.col(c).cast("int")
+        elif isinstance(
+            dt,
+            (
+                T.ByteType,
+                T.ShortType,
+                T.IntegerType,
+                T.LongType,
+                T.FloatType,
+                T.DoubleType,
+                T.DecimalType,
+            ),
+        ):
+            e = F.col(c)
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r} has type {dt.simpleString()} — "
+                "Z-order needs a range-comparable numeric/date/timestamp "
+                "column (string clustering would not improve min/max stats)"
+            )
+        nums.append(e.cast("double"))
+    tmp = [f"_zn{i}" for i in range(len(zcols))]
+    # boundary pass reads ONLY the z-columns (column-pruned scan) —
+    # never cache or checkpoint the full frame, which at 100 TB would
+    # materialize the whole table for a per-column quantile sketch
+    bounds = df.select(
+        *[e.alias(t) for e, t in zip(nums, tmp)]
+    ).approxQuantile(tmp, probs, 1.0 / (4 * n_buckets))
+    staged = df.select("*", *[e.alias(t) for e, t in zip(nums, tmp)])
+    bucket_exprs = []
+    for t, bs in zip(tmp, bounds):
+        uniq = sorted(set(b for b in bs if b == b))  # drop NaN, dedupe
+        if not uniq:
+            bucket_exprs.append(F.lit(0))
+            continue
+        arr = ", ".join(f"CAST('{b!r}' AS DOUBLE)" for b in uniq)
+        bucket_exprs.append(
+            F.coalesce(
+                F.expr(f"size(filter(array({arr}), b -> {t} >= b))"),
+                F.lit(0),
+            )
+        )
+    z = F.lit(0).cast("long")
+    k = len(zcols)
+    for j, be in enumerate(bucket_exprs):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(be.cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * k + j,
+                )
+            )
+    return staged.withColumn("_zval", z).drop(*tmp), "_zval"
+
+
 def delta_optimize(
     spark: SparkSession,
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
     checkpoint_every: int = _CHECKPOINT_EVERY,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int | None = None,
 ) -> int:
     """OPTIMIZE (small-file compaction) on the real log format: pick
     the snapshot's smaller-than-threshold files from filesystem
@@ -1484,26 +1566,56 @@ def delta_optimize(
     actions carry ``dataChange: false`` — per PROTOCOL.md, readers
     streaming the change feed know an OPTIMIZE commit rearranges
     bytes without changing rows. Time travel to earlier versions
-    still resolves the original files."""
+    still resolves the original files.
+
+    ``zorder_by`` switches to OPTIMIZE ZORDER BY: every live file is
+    rewritten, rows range-partitioned and sorted by the Morton code
+    of the named columns (``_zorder_column``), so each output file
+    covers a small HYPER-RECTANGLE of the clustering space instead of
+    a slab of one column — the per-file min/max stats then let
+    ``read_delta(where=)`` skip on ANY of the Z-ORDER columns, not
+    just the first sort key. This is the layout half of data
+    skipping; at 100 TB it turns selective multi-column reads from
+    full scans into a few-file reads."""
     snap = delta_reader.delta_snapshot(root, spark)
     _refuse_mapped(snap, "delta_optimize")
     ts = _now_ms()
     threshold = small_file_bytes or target_file_bytes // 2
-    small, total = [], 0
-    for rel in sorted(snap.files):
-        sz = os.path.getsize(os.path.join(root, rel))
-        if sz < threshold:
-            small.append(rel)
-            total += sz
-    if len(small) < 2:
-        return snap.version
+    if zorder_by:
+        # clustering is global: rewrite ALL live files
+        small = sorted(snap.files)
+        total = sum(
+            os.path.getsize(os.path.join(root, rel)) for rel in small
+        )
+        if not small:
+            return snap.version
+    else:
+        small, total = [], 0
+        for rel in sorted(snap.files):
+            sz = os.path.getsize(os.path.join(root, rel))
+            if sz < threshold:
+                small.append(rel)
+                total += sz
+        if len(small) < 2:
+            return snap.version
     # DV-honoring read: compaction doubles as a PURGE — rewritten
     # files drop their deleted rows and carry no DV
     df = _read_live(spark, root, snap, small)
     n_out = max(1, -(-total // target_file_bytes))
-    files = _write_data_files(
-        df.repartition(n_out), root, snap.partition_columns
-    )
+    if zorder_by:
+        bits = zorder_bits or max(1, min(12, 63 // len(zorder_by)))
+        staged, zc = _zorder_column(df, list(zorder_by), bits)
+        pkeys = [F.col(c) for c in snap.partition_columns] + [F.col(zc)]
+        clustered = (
+            staged.repartitionByRange(n_out, *pkeys)
+            .sortWithinPartitions(*pkeys)
+            .drop(zc)
+        )
+        files = _write_data_files(clustered, root, snap.partition_columns)
+    else:
+        files = _write_data_files(
+            df.repartition(n_out), root, snap.partition_columns
+        )
     actions = []
     for rel in small:
         a = _remove_live(snap, rel, ts)

@@ -231,3 +231,103 @@ def test_restore_carries_stats(spark):
     snap = dr.delta_snapshot(root, spark)
     assert all((snap.stats or {}).get(rel) for rel in snap.files)
     assert dr.read_delta(spark, root, where="k >= 290").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER BY
+# ---------------------------------------------------------------------------
+
+
+def _two_dim(spark, n=100_000):
+    """Two independent uniform columns; linear layout clusters only a."""
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") % 447).alias("a"),
+            ((F.col("id") * 7919) % 631).alias("b"),
+            F.col("id").alias("payload"),
+        )
+        .repartitionByRange(8, "a")
+    )
+
+
+def test_zorder_enables_multicolumn_skipping(spark):
+    root = _root()
+    df = _two_dim(spark)
+    dw.delta_create(spark, root, df)
+    snap0 = dr.delta_snapshot(root, spark)
+    # linear layout: b-predicates skip nothing
+    assert len(skipping.matching_files(snap0, "b BETWEEN 100 AND 110")) == len(
+        snap0.files
+    )
+    dw.delta_optimize(
+        spark, root, target_file_bytes=120_000, zorder_by=["a", "b"]
+    )
+    snap1 = dr.delta_snapshot(root, spark)
+    n_files = len(snap1.files)
+    assert n_files >= 4
+    kept_a = len(skipping.matching_files(snap1, "a BETWEEN 100 AND 110"))
+    kept_b = len(skipping.matching_files(snap1, "b BETWEEN 100 AND 110"))
+    # BOTH clustering columns now prune files
+    assert kept_a < n_files and kept_b < n_files
+    # and the data is unchanged
+    for where in ("a BETWEEN 100 AND 110", "b BETWEEN 100 AND 110 AND a < 50"):
+        got = (
+            dr.read_delta(spark, root, where=where)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"))
+            .collect()[0]
+        )
+        want = (
+            df.filter(where)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s"))
+            .collect()[0]
+        )
+        assert tuple(got) == tuple(want)
+
+
+def test_zorder_refuses_string_columns(spark):
+    root = _root()
+    dw.delta_create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string"),
+    )
+    with pytest.raises(ValueError, match="zorder_by column 's'"):
+        dw.delta_optimize(spark, root, zorder_by=["s"])
+
+
+def test_zorder_purges_deletion_vectors(spark):
+    root = _root()
+    dw.delta_create(spark, root, _two_dim(spark, 10_000))
+    dw.delta_delete_where(spark, root, F.col("payload") % 3 == 0, use_dvs=True)
+    dw.delta_optimize(spark, root, target_file_bytes=60_000, zorder_by=["a", "b"])
+    snap = dr.delta_snapshot(root, spark)
+    assert not snap.dvs  # rewrite purged every DV
+    got = dr.read_delta(spark, root).count()
+    assert got == sum(1 for i in range(10_000) if i % 3 != 0)
+
+
+def test_zorder_with_dates_and_partitions(spark):
+    root = _root()
+    df = spark.range(20_000).select(
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"), (F.col("id") % 500).cast("int")
+        ).alias("d"),
+        ((F.col("id") * 31) % 997).alias("v"),
+        F.col("id").alias("payload"),
+    )
+    dw.delta_create(spark, root, df, partition_by=["p"])
+    dw.delta_optimize(
+        spark, root, target_file_bytes=50_000, zorder_by=["d", "v"]
+    )
+    where = "p = '1' AND d < '2020-03-01' AND v BETWEEN 200 AND 300"
+    got = sorted(
+        r["payload"]
+        for r in dr.read_delta(spark, root, where=where).collect()
+    )
+    want = sorted(r["payload"] for r in df.filter(where).collect())
+    assert got == want
+    snap = dr.delta_snapshot(root, spark)
+    kept = skipping.matching_files(snap, where)
+    assert 0 < len(kept) < len(snap.files)
