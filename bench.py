@@ -69,10 +69,10 @@ HEADLINE = [
     "q87_hll_distinct",
     "q88_count_min_heavy_hitters",
     "za30_unigram_surprisal",
-    "q33_pii_redaction",
+    "za90_pii_redaction",
     "q44_sessionization",
-    "q43_feature_hashing",
-    "q46_histogram_quantiles",
+    "za91_feature_hashing",
+    "za92_histogram_quantiles",
     "q32_compaction_plan",
     "q17_join_skew_stats",
     "za52_zipf_fit",
@@ -112,7 +112,7 @@ HEADLINE = [
     "za68_cdc_dedup",
     "za20_temperature_mixture",
     "za21_skew_profile",
-    "q19_persisted_ivf_pq",
+    "za88_persisted_ivf_pq",
     "za22_mmr_diverse_topk",
     "za61_corpus_report",
     "za25_volume_drift",
@@ -239,15 +239,17 @@ HEADLINE = [
     "q36_stream_ewma_drift",
     # round-12 wave: derived-partsupp TPC-H shapes, streaming CDF,
     # id-mapped Delta round trip, quotient LPA
-    "za82_min_cost_supplier",
+    "q04_min_cost_supplier",
     "za83_product_profit",
     "za84_important_stock",
     "za85_parts_supplier_relationship",
     "za86_excess_stock_suppliers",
     "za87_stream_cdf",
-    "za88_delta_id_mapping",
+    "q19_delta_id_mapping",
     "za89_lpa_quotient",
-    "za90_delta_type_widening",
+    "q33_delta_type_widening",
+    "q43_delta_variant",
+    "q46_delta_zorder_skipping",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
     # q35_stream_spacesaving / q22_stream_running_totals /
     # q23_stream_kmv_distinct are gate-attested but NOT benched:

@@ -234,8 +234,8 @@ def za22_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("q19_persisted_ivf_pq", _ivf_pq_oracle_sql())
-def q19_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za88_persisted_ivf_pq", _ivf_pq_oracle_sql())
+def za88_persisted_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index lifecycle (`operators/ann_index.py`): build
     the IVF-PQ index to disk (codes parquet PARTITIONED BY cell +
     model-sized META.json), then answer q50's exact query by reading

@@ -39,8 +39,8 @@ def _item_cf_oracle_sql() -> str:
     """
 
 
-@_register("q04_item_cf", _item_cf_oracle_sql())
-def q04_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za82_item_cf", _item_cf_oracle_sql())
+def za82_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering (operators/cf.item_cosine_pairs):
     cosine similarity of part-incidence vectors over customer baskets,
     computed without materializing any vector — co-occurrence is a
@@ -367,7 +367,7 @@ def za49_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q33_pii_redaction — PII scan/redaction (operators/pii.py)
+# za90_pii_redaction — PII scan/redaction (operators/pii.py)
 # ---------------------------------------------------------------------------
 
 _PII_SRC_SQL = """
@@ -393,8 +393,8 @@ def _pii_oracle() -> str:
     return pii_oracle_sql(_PII_SRC_SQL)
 
 
-@_register("q33_pii_redaction", _pii_oracle())
-def q33_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za90_pii_redaction", _pii_oracle())
+def za90_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pii.py): per-document
     email/phone/IPv4 counts and the md5 of the masked text — the
     audit-and-scrub stage a training-data pipeline runs first. The
@@ -472,7 +472,7 @@ def q44_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q43_feature_hashing — feature hashing audit (operators/feature_hash.py)
+# za91_feature_hashing — feature hashing audit (operators/feature_hash.py)
 # ---------------------------------------------------------------------------
 
 def _feature_hash_oracle() -> str:
@@ -483,8 +483,8 @@ def _feature_hash_oracle() -> str:
     return feature_hash_oracle_sql(dim=1024, seed=5)
 
 
-@_register("q43_feature_hashing", _feature_hash_oracle())
-def q43_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za91_feature_hashing", _feature_hash_oracle())
+def za91_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization audit (operators/feature_hash.py):
     per-feature-index distinct-token collisions, occurrence mass, and
     the ±1-signed sum at D=1024 over the document corpus — the
@@ -503,7 +503,7 @@ def q43_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q46_histogram_quantiles — histogram-sketch quantiles (operators/quantile_sketch.py)
+# za92_histogram_quantiles — histogram-sketch quantiles (operators/quantile_sketch.py)
 # ---------------------------------------------------------------------------
 
 def _hq_oracle() -> str:
@@ -518,8 +518,8 @@ def _hq_oracle() -> str:
     )
 
 
-@_register("q46_histogram_quantiles", _hq_oracle())
-def q46_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("za92_histogram_quantiles", _hq_oracle())
+def za92_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-bin quantile sketch
     (operators/quantile_sketch.py): p50/p90/p99 of l_extendedprice
     from a 4096-bin histogram CDF with a ±bin_width bracket —
@@ -1043,7 +1043,7 @@ def _stream_ann_oracle() -> str:
 
     # the probe stream must answer exactly what the batch index query
     # answers, so the oracle IS q19/q50's composed IVF-PQ statement
-    return _ORACLES["q19_persisted_ivf_pq"]
+    return _ORACLES["za88_persisted_ivf_pq"]
 
 
 @_register("q06_stream_ann", _stream_ann_oracle())
@@ -1124,7 +1124,7 @@ def _stream_index_refresh_oracle() -> str:
     # a stream-refreshed index must answer exactly what an index built
     # in ONE batch over the same rows answers — q19/q50's composed
     # IVF-PQ statement over the full embeddings table is that answer
-    return _ORACLES["q19_persisted_ivf_pq"]
+    return _ORACLES["za88_persisted_ivf_pq"]
 
 
 @_register("q50_stream_index_refresh", _stream_index_refresh_oracle())
@@ -3480,7 +3480,7 @@ def _partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "za82_min_cost_supplier",
+    "q04_min_cost_supplier",
     f"""
     WITH {_PS_CTE},
     eu AS (
@@ -3511,7 +3511,7 @@ def _partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
     """,
 )
-def za82_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum cost supplier): for each qualifying part, the
     EUROPE supplier(s) offering its minimum supply cost — the classic
     correlated scalar subquery, DECORRELATED here as a per-part min
@@ -3908,7 +3908,7 @@ def za87_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za88_delta_id_mapping",
+    "q19_delta_id_mapping",
     """
     SELECT c_mktsegment,
            count(*) AS n_customers,
@@ -3917,7 +3917,7 @@ def za87_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
 )
-def za88_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """columnMapping=id write→read round trip (round-11 verdict ask
     #3; the strictest mapping mode): q24's shape with ``mode=id`` —
     the data files carry PARQUET FIELD IDS (from the
@@ -3970,7 +3970,7 @@ def za88_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za90_delta_type_widening",
+    "q33_delta_type_widening",
     """
     WITH src AS (
       SELECT o_orderkey AS k,
@@ -3987,7 +3987,7 @@ def za88_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM src
     """,
 )
-def za90_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """typeWidening write→read round trip
     (`delta_writer.delta_widen_type`): create the table NARROW (int
     key, float price), widen both columns by metadata-only commits
@@ -4049,7 +4049,7 @@ def za90_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za91_delta_variant",
+    "q43_delta_variant",
     """
     SELECT o_orderstatus AS status,
            count(*) AS n,
@@ -4059,7 +4059,7 @@ def za90_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
 )
-def za91_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """variantType write→read round trip: pack each order into a
     nested VARIANT (``parse_json`` of a two-level JSON object), write
     through the Delta adapter (which declares the ``variantType``
@@ -4127,7 +4127,7 @@ def za91_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
-    "za92_delta_zorder_skipping",
+    "q46_delta_zorder_skipping",
     """
     SELECT o_orderpriority,
            count(*) AS n,
@@ -4139,7 +4139,7 @@ def za91_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
 )
-def za92_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file stats + OPTIMIZE ZORDER BY + stats-based data
     skipping, end to end: write orders as a Delta table (every add
     action carries footer-derived minValues/maxValues/nullCount),

@@ -157,7 +157,7 @@ AUDIT = {
         "(user, type) rows only",
         (),
     ),
-    "q19_persisted_ivf_pq": (
+    "za88_persisted_ivf_pq": (
         "stored codes scan with dynamic partition pruning on _cell "
         "(plan shows dynamicpruning subquery); ADC = array lookups in "
         "the cell equi-join; one top-k window",
@@ -787,7 +787,7 @@ AUDIT = {
         "— the quadratic NOT-EXISTS truth exists only oracle-side",
         (),
     ),
-    "q04_item_cf": (
+    "za82_item_cf": (
         "basket-capped pair generation as ONE self-equi-join on the "
         "basket key (fan-out quadratic in basket size, never corpus "
         "size); norms join back on item ids; global top-100 is "
@@ -831,7 +831,7 @@ AUDIT = {
         "data-sized",
         (),
     ),
-    "q33_pii_redaction": (
+    "za90_pii_redaction": (
         "PII scan/redact is ONE narrow whole-stage-codegen projection "
         "(3 regexp_count + 3 regexp_replace + md5) straight off the "
         "scan; no shuffle, bodies reduced to counts + a 32-char hash",
@@ -843,7 +843,7 @@ AUDIT = {
         "rows are (user, long, id, type) only",
         (),
     ),
-    "q43_feature_hashing": (
+    "za91_feature_hashing": (
         "token explode feeds ONE vocab-sized map-side-combinable "
         "count; md5 index/sign computed once per DISTINCT token; "
         "bodies never shuffle",
@@ -900,7 +900,7 @@ AUDIT = {
         "; the SinglePartition sort orders the metadata file listing (|files|, not |rows|)",
         (SP_SORT_OK,),
     ),
-    "q46_histogram_quantiles": (
+    "za92_histogram_quantiles": (
         "two narrow passes (extrema broadcast, bin counts with "
         "map-side combine); CDF window + quantile lookup run on "
         "<= n_bins rows — the BNLJ is the 1-ROW (lo, hi, n) extrema "
@@ -1139,7 +1139,7 @@ AUDIT = {
         "(_metadata.file_path, row_index)",
         ("BroadcastNestedLoopJoin",),
     ),
-    "za82_min_cost_supplier": (
+    "q04_min_cost_supplier": (
         "TPC-H Q2 decorrelated: partsupp DERIVED via the sanctioned "
         "4-row broadcast crossJoin over the part scan (plans as BNLJ); "
         "region-pruned supplier dims broadcast; per-part min and the "
@@ -1176,13 +1176,13 @@ AUDIT = {
         "is one partition-pruned scan of the accumulated output",
         (),
     ),
-    "za88_delta_id_mapping": (
+    "q19_delta_id_mapping": (
         "columnMapping=id read: same one-basePath-scan + hash-agg "
         "shape as the unmapped table; field-id resolution happens "
         "inside the parquet reader's schema clipping",
         (),
     ),
-    "za90_delta_type_widening": (
+    "q33_delta_type_widening": (
         "typeWidening round trip: metadata-only widen commits, then "
         "the same pruned scans as any read (narrow files upcast in "
         "the parquet reader); one global agg",
