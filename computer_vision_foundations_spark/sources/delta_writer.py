@@ -1603,7 +1603,11 @@ def delta_optimize(
     df = _read_live(spark, root, snap, small)
     n_out = max(1, -(-total // target_file_bytes))
     if zorder_by:
-        bits = zorder_bits or max(1, min(12, 63 // len(zorder_by)))
+        # default 6 bits/column (64 quantile buckets): the Morton grid
+        # only needs more cells than OUTPUT FILES, and 64^k cells dwarf
+        # any realistic file count — while the per-row bucket expression
+        # stays a 63-element array scan, not a 4095-element one
+        bits = zorder_bits or max(1, min(6, 63 // len(zorder_by)))
         staged, zc = _zorder_column(df, list(zorder_by), bits)
         pkeys = [F.col(c) for c in snap.partition_columns] + [F.col(zc)]
         clustered = (
