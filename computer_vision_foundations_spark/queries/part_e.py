@@ -4204,3 +4204,74 @@ def q46_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# za93 — CHECK constraints: enforced, atomic, protocol-visible
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za93_delta_check_constraints",
+    """
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_totalprice > 0 AND o_orderkey % 4 <> 3
+    GROUP BY o_orderstatus
+    """,
+)
+def za93_delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK, end to end
+    (``delta_add_constraint`` / writer-side ``_enforce_constraints``):
+    create from one slice of orders, record ``delta.constraints.
+    price_pos`` with the protocol upgrade other writers must see
+    (legacy minWriterVersion 3 / the checkConstraints writer
+    feature), append two more CLEAN slices, then attempt an append
+    whose rows violate the constraint — the writer must reject it
+    ATOMICALLY (no commit, no files visible). The returned aggregate
+    covers exactly the three clean slices; an enforcement hole (the
+    dirty slice landing) or a lost clean append (over-rejection)
+    hash-fails against the oracle.
+
+    Scale shape: validation is ONE aggregate pass over each incoming
+    batch (max-of-violation-flags, short-circuit semantics), never a
+    table scan; the ADD CONSTRAINT commit validates existing rows
+    once and is metadata-only."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        delta_add_constraint,
+        delta_append,
+        delta_create,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="delta_cons_")
+    delta_create(spark, root, orders.filter(F.col("o_orderkey") % 4 == 0))
+    delta_add_constraint(spark, root, "price_pos", "o_totalprice > 0")
+    delta_append(spark, root, orders.filter(F.col("o_orderkey") % 4 == 1))
+    # a batch with negated prices must be rejected atomically
+    dirty = orders.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        delta_append(spark, root, dirty)
+        raise AssertionError("constraint violation was not enforced")
+    except DeltaConstraintViolation:
+        pass
+    delta_append(spark, root, orders.filter(F.col("o_orderkey") % 4 == 2))
+    return (
+        read_delta(spark, root)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -71,7 +71,10 @@ __all__ = [
     "delta_optimize",
     "delta_vacuum",
     "delta_restore",
+    "delta_add_constraint",
+    "delta_drop_constraint",
     "DeltaCommitConflict",
+    "DeltaConstraintViolation",
 ]
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -380,6 +383,159 @@ def _refuse_mapped(snap, op: str) -> None:
         raise delta_reader.DeltaProtocolError(
             f"{op} on a column-mapped table is not supported by this "
             "writer (create/append/read are)"
+        )
+
+
+class DeltaConstraintViolation(ValueError):
+    """A write would commit rows violating a CHECK constraint or
+    column invariant the table declares."""
+
+
+# writer features this adapter knows how to HONOR (PROTOCOL.md: a
+# writer must not write to a table whose protocol demands a writer
+# feature it does not implement — silently ignoring e.g. rowTracking
+# would corrupt the table for its other writers). Features listed
+# here with usage gates below are honored conditionally.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "generatedColumns",
+    "identityColumns",
+    "columnMapping",
+    "deletionVectors",
+    "timestampNtz",
+    "typeWidening",
+    "typeWidening-preview",
+    "variantType",
+    "variantType-preview",
+    "v2Checkpoint",
+    "domainMetadata",
+}
+
+# operations that add/modify/remove VISIBLE rows (appendOnly forbids
+# all but append; OPTIMIZE/ZORDER only rearranges bytes and is legal
+# on append-only tables, matching delta-spark)
+_DML_OPS = {"delete", "overwrite", "upsert", "restore"}
+
+
+def _table_constraints(snap) -> dict[str, str]:
+    """CHECK constraints from table configuration:
+    ``delta.constraints.<name> = <sql expr>`` (PROTOCOL.md)."""
+    conf = (snap.meta_raw or {}).get("configuration") or {}
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
+
+
+def _column_invariants(snap) -> dict[str, str]:
+    """Legacy column invariants (writer version 2): a field whose
+    schemaString metadata carries ``delta.invariants`` — the value is
+    a JSON doc ``{"expression": {"expression": "<sql>"}}``."""
+    out: dict[str, str] = {}
+    for f in snap.schema.fields:
+        meta = f.metadata or {}
+        inv = meta.get("delta.invariants")
+        if not inv:
+            continue
+        if isinstance(inv, str):
+            try:
+                inv = json.loads(inv)
+            except ValueError:
+                raise delta_reader.DeltaProtocolError(
+                    f"unparseable delta.invariants on column {f.name!r}: "
+                    f"{inv!r}"
+                )
+        expr = (inv.get("expression") or {}).get("expression")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _check_writable(snap, op: str) -> None:
+    """Refuse (loudly, per protocol) any write this adapter cannot
+    perform CORRECTLY on this table:
+
+    - a protocol demanding writer features outside
+      ``_SUPPORTED_WRITER_FEATURES`` (e.g. rowTracking, icebergCompat)
+      — writing while ignoring them corrupts the table;
+    - non-append ops on ``delta.appendOnly=true`` tables;
+    - DML on ``delta.enableChangeDataFeed=true`` tables — the
+      protocol requires those commits to carry ``_change_data`` cdc
+      files this writer does not produce (appends are exempt: CDF
+      appends need no cdc files);
+    - any write when a column actually CARRIES a generation
+      expression or identity spec (this writer would not maintain
+      them)."""
+    proto = snap.protocol_raw or {}
+    feats = set(proto.get("writerFeatures") or [])
+    if proto.get("writerFeatures") is None:
+        feats = _implied_writer_features(int(proto.get("minWriterVersion", 2)))
+    unknown = sorted(feats - _SUPPORTED_WRITER_FEATURES)
+    if unknown:
+        raise delta_reader.DeltaProtocolError(
+            f"table requires writer features {unknown} this writer does "
+            "not implement — refusing to write rather than corrupt it"
+        )
+    conf = (snap.meta_raw or {}).get("configuration") or {}
+    if op in _DML_OPS and str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise delta_reader.DeltaProtocolError(
+            f"{op} on an appendOnly table (delta.appendOnly=true)"
+        )
+    if (
+        op in _DML_OPS
+        and str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
+    ):
+        raise delta_reader.DeltaProtocolError(
+            f"{op} on a changeDataFeed-enabled table: the protocol "
+            "requires cdc (_change_data) files this writer does not "
+            "produce; appends remain allowed"
+        )
+    for f in snap.schema.fields:
+        meta = f.metadata or {}
+        if "delta.generationExpression" in meta:
+            raise delta_reader.DeltaProtocolError(
+                f"column {f.name!r} carries a generation expression this "
+                "writer would not maintain"
+            )
+        if any(k.startswith("delta.identity.") for k in meta):
+            raise delta_reader.DeltaProtocolError(
+                f"column {f.name!r} is an identity column this writer "
+                "would not maintain"
+            )
+
+
+def _enforce_constraints(df: DataFrame, snap, op: str) -> None:
+    """Validate incoming rows against the table's CHECK constraints +
+    column invariants in ONE aggregate pass (violation = expression
+    FALSE; NULL passes a CHECK per SQL semantics but FAILS an
+    invariant per the Delta invariant rule)."""
+    checks = [
+        (f"constraint {n!r}", e, False)
+        for n, e in sorted(_table_constraints(snap).items())
+    ] + [
+        (f"invariant on column {c!r}", e, True)
+        for c, e in sorted(_column_invariants(snap).items())
+    ]
+    if not checks:
+        return
+    aggs = []
+    for i, (_label, expr, null_fails) in enumerate(checks):
+        cond = ~F.expr(expr)
+        if null_fails:
+            cond = cond | F.expr(expr).isNull()
+        aggs.append(
+            F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"_c{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    bad = [
+        f"{label} CHECK ({expr})"
+        for (label, expr, _nf), v in zip(checks, row)
+        if v == 1
+    ]
+    if bad:
+        raise DeltaConstraintViolation(
+            f"{op} rejected: rows violate " + "; ".join(bad)
         )
 
 
@@ -915,6 +1071,7 @@ def delta_append(
     protocol: the reader scans with the committed schema, never the
     footers'."""
     snap = delta_reader.delta_snapshot(root, spark)
+    _check_writable(snap, "append")
     ts = _now_ms()
     actions: list[dict] = []
     out_fields = list(snap.schema.fields)
@@ -968,6 +1125,7 @@ def delta_append(
     else:
         _check_schema(snap, df)
         batch = df.select(*[f.name for f in snap.schema.fields])
+    _enforce_constraints(batch, snap, "append")
     # mapped tables write PHYSICAL column names and hive dirs
     batch = _to_physical(batch, snap)
     phys_of = {
@@ -1028,6 +1186,8 @@ def delta_overwrite(
     commit, so there is no mixed-file hazard)."""
     snap = delta_reader.delta_snapshot(root, spark)
     _refuse_mapped(snap, "delta_overwrite")
+    _check_writable(snap, "overwrite")
+    _enforce_constraints(df, snap, "overwrite")
     ts = _now_ms()
     actions: list[dict] = []
     if df.schema.json() != snap.schema.json():
@@ -1094,7 +1254,9 @@ def delta_upsert(
     ``acid.upsert``."""
     snap = delta_reader.delta_snapshot(root, spark)
     _refuse_mapped(snap, "delta_upsert")
+    _check_writable(snap, "upsert")
     _check_schema(snap, updates)
+    _enforce_constraints(updates, snap, "upsert")
     ts = _now_ms()
     touched = _touched_files(spark, root, snap, updates, key_cols)
     cols = [f.name for f in snap.schema.fields]
@@ -1148,6 +1310,7 @@ def delta_delete_where(
     is file-list-sized, and OPTIMIZE later purges accumulated DVs."""
     snap = delta_reader.delta_snapshot(root, spark)
     _refuse_mapped(snap, "delta_delete_where")
+    _check_writable(snap, "delete")
     ts = _now_ms()
     if not snap.files:
         return snap.version
@@ -1404,6 +1567,7 @@ def delta_widen_type(
     Scale shape: pure log surgery — one metaData + protocol commit,
     zero data bytes moved, exactly why widening exists at 100 TB."""
     snap = delta_reader.delta_snapshot(root, spark)
+    _check_writable(snap, "widen")
     _refuse_mapped(snap, "delta_widen_type")
     if isinstance(new_type, str):
         new_type = T._parse_datatype_string(new_type)
@@ -1524,19 +1688,28 @@ def _zorder_column(
         *[e.alias(t) for e, t in zip(nums, tmp)]
     ).approxQuantile(tmp, probs, 1.0 / (4 * n_buckets))
     staged = df.select("*", *[e.alias(t) for e, t in zip(nums, tmp)])
+
+    def bucket_tree(col, bs, lo, hi):
+        # balanced CASE tree: bucket = |{b in bs : v >= b}| in
+        # `bits` comparisons per row, zero allocations (an
+        # array+filter lambda here measured 35x slower end-to-end:
+        # a 63-element array materialized per row per column, and
+        # the range-partition sampler re-evaluates the expression);
+        # NULLs fall through every WHEN to bucket 0
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            col >= F.lit(bs[mid]), bucket_tree(col, bs, mid + 1, hi)
+        ).otherwise(bucket_tree(col, bs, lo, mid))
+
     bucket_exprs = []
     for t, bs in zip(tmp, bounds):
         uniq = sorted(set(b for b in bs if b == b))  # drop NaN, dedupe
         if not uniq:
             bucket_exprs.append(F.lit(0))
             continue
-        arr = ", ".join(f"CAST('{b!r}' AS DOUBLE)" for b in uniq)
-        bucket_exprs.append(
-            F.coalesce(
-                F.expr(f"size(filter(array({arr}), b -> {t} >= b))"),
-                F.lit(0),
-            )
-        )
+        bucket_exprs.append(bucket_tree(F.col(t), uniq, 0, len(uniq)))
     z = F.lit(0).cast("long")
     k = len(zcols)
     for j, be in enumerate(bucket_exprs):
@@ -1579,6 +1752,7 @@ def delta_optimize(
     full scans into a few-file reads."""
     snap = delta_reader.delta_snapshot(root, spark)
     _refuse_mapped(snap, "delta_optimize")
+    _check_writable(snap, "optimize")
     ts = _now_ms()
     threshold = small_file_bytes or target_file_bytes // 2
     if zorder_by:
@@ -1716,6 +1890,7 @@ def delta_restore(
     import pyarrow.parquet as pq
 
     cur = delta_reader.delta_snapshot(root, spark)
+    _check_writable(cur, "restore")
     if version == cur.version:
         return cur.version
     tgt = delta_reader.delta_snapshot(root, spark, version=version)
@@ -1786,5 +1961,128 @@ def delta_restore(
     ]
     v = cur.version + 1
     _publish(root, v, actions, "RESTORE", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+def _writer_feature_upgrade(
+    snap, feature: str, legacy_version: int | None = None
+) -> dict | None:
+    """Protocol action enabling a WRITER-ONLY table feature, or None
+    if the protocol already demands it. Unlike
+    ``_feature_protocol_upgrade`` this never raises the READER
+    version: a legacy protocol bumps ``minWriterVersion`` to the
+    feature's legacy slot (CHECK constraints = 3 per PROTOCOL.md's
+    legacy-feature table), and a table-features protocol adds the
+    feature to ``writerFeatures`` only."""
+    proto = snap.protocol_raw or dict(_PROTOCOL)
+    wf = proto.get("writerFeatures")
+    if wf is not None:
+        if feature in wf:
+            return None
+        new = dict(proto)
+        new["writerFeatures"] = sorted(set(wf) | {feature})
+        return {"protocol": new}
+    mw = int(proto.get("minWriterVersion", 2))
+    if legacy_version is not None:
+        if mw >= legacy_version:
+            return None
+        return {
+            "protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": legacy_version,
+            }
+        }
+    return _feature_protocol_upgrade(snap, feature)
+
+
+def _constraint_meta(snap, configuration: dict, ts: int) -> dict:
+    """metaData re-commit carrying an updated configuration, with the
+    table identity and schema unchanged (same invariants as
+    ``_evolved_meta``)."""
+    return {
+        "metaData": {
+            "id": snap.meta_id or str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": (snap.meta_raw or {}).get("schemaString")
+            or snap.schema.json(),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": configuration,
+            "createdTime": snap.created_time or ts,
+        }
+    }
+
+
+def delta_add_constraint(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    expr: str,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (PROTOCOL.md "CHECK
+    Constraints"): records ``delta.constraints.<name> = <expr>`` in
+    the table configuration and upgrades the protocol so OTHER
+    writers know they must enforce it (legacy minWriterVersion 3, or
+    the ``checkConstraints`` writer feature). Existing rows are
+    validated first — a constraint the current data violates is
+    refused, like delta-spark. From this commit on, every append/
+    overwrite/upsert through this writer validates incoming rows in
+    one aggregate pass and rejects violators atomically (the commit
+    never happens).
+
+    Scale shape: validation is one scan + short-circuit aggregate;
+    the commit itself is metadata-only."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    _check_writable(snap, "alter")
+    key = f"delta.constraints.{name}"
+    conf = dict((snap.meta_raw or {}).get("configuration") or {})
+    if key in conf:
+        raise ValueError(
+            f"constraint {name!r} already exists on {root} "
+            f"(CHECK ({conf[key]})); drop it first"
+        )
+    bad = (
+        delta_reader.read_delta(spark, root)
+        .filter(~F.expr(expr))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise DeltaConstraintViolation(
+            f"cannot add constraint {name!r}: existing rows violate "
+            f"CHECK ({expr})"
+        )
+    ts = _now_ms()
+    conf[key] = expr
+    actions: list[dict] = []
+    upgrade = _writer_feature_upgrade(snap, "checkConstraints", 3)
+    if upgrade:
+        actions.append(upgrade)
+    actions.append(_constraint_meta(snap, conf, ts))
+    v = snap.version + 1
+    _publish(root, v, actions, "ADD CONSTRAINT", ts)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+def delta_drop_constraint(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: removes the configuration entry
+    (metadata-only commit). Unknown names raise."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    _check_writable(snap, "alter")
+    key = f"delta.constraints.{name}"
+    conf = dict((snap.meta_raw or {}).get("configuration") or {})
+    if key not in conf:
+        raise ValueError(f"no constraint {name!r} on {root}")
+    del conf[key]
+    ts = _now_ms()
+    v = snap.version + 1
+    _publish(root, v, [_constraint_meta(snap, conf, ts)], "DROP CONSTRAINT", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
