@@ -4275,3 +4275,75 @@ def za93_delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# za94 — SHALLOW CLONE: zero-copy snapshot + independent divergence
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za94_delta_shallow_clone",
+    """
+    WITH src AS (
+      SELECT * FROM orders WHERE o_orderkey % 3 = 0
+    ), clone AS (
+      SELECT * FROM src WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT 'source' AS side, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM src
+    UNION ALL
+    SELECT 'clone' AS side, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM clone
+    ORDER BY side
+    """,
+)
+def za94_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE round trip (``delta_writer.delta_clone``): the
+    clone's version-0 commit references the source's data files by
+    ABSOLUTE path — zero bytes copied — then the two tables DIVERGE:
+    the clone takes a DV DELETE (every 5th key) and an append (a
+    disjoint orders slice) while the source must remain bit-identical
+    to its creation. The oracle computes both sides from the raw
+    table; a clone that mutated its source (shared-file corruption),
+    resurrected DV-deleted rows, or lost the appended slice
+    hash-fails on the respective row.
+
+    Scale shape: the clone commit is file-list-sized (one metadata
+    write for a table of any size); the divergent writes touch only
+    the clone's own log and locally-written files."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_clone,
+        delta_create,
+        delta_delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = tempfile.mkdtemp(prefix="delta_clone_src_")
+    tgt = tempfile.mkdtemp(prefix="delta_clone_tgt_") + "/t"
+    delta_create(spark, src, orders.filter(F.col("o_orderkey") % 3 == 0))
+    delta_clone(spark, src, tgt)
+    delta_delete_where(
+        spark, tgt, F.col("o_orderkey") % 5 == 0, use_dvs=True
+    )
+    delta_append(spark, tgt, orders.filter(F.col("o_orderkey") % 3 == 1))
+
+    def side(root: str, label: str) -> DataFrame:
+        return read_delta(spark, root).agg(
+            F.lit(label).alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    return (
+        side(src, "source").unionByName(side(tgt, "clone")).orderBy("side")
+    )

@@ -71,6 +71,7 @@ __all__ = [
     "delta_optimize",
     "delta_vacuum",
     "delta_restore",
+    "delta_clone",
     "delta_add_constraint",
     "delta_drop_constraint",
     "DeltaCommitConflict",
@@ -2086,3 +2087,84 @@ def delta_drop_constraint(
     _publish(root, v, [_constraint_meta(snap, conf, ts)], "DROP CONSTRAINT", ts)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
+
+
+def delta_clone(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+) -> int:
+    """SHALLOW CLONE: a new Delta table whose version-0 commit
+    references the SOURCE's data files by ABSOLUTE path — zero data
+    bytes copied, metadata-only, exactly delta-spark's
+    ``CREATE TABLE ... SHALLOW CLONE`` (optionally of a time-travel
+    version). The clone is a fully independent table from then on:
+
+    - it gets a FRESH table id (it is a new table, not a continuation
+      — streaming sources must not conflate their histories) while
+      schema, partitionColumns, configuration (constraints included)
+      and the PROTOCOL carry over verbatim;
+    - per-file stats carry over, so data skipping works on the clone
+      from commit 0;
+    - on-disk deletion vectors translate to absolute descriptors
+      (storageType ``p``) so the clone's scans keep honoring them;
+      inline (``i``) descriptors copy verbatim;
+    - subsequent writes land new files UNDER THE CLONE ROOT and
+      remove source references from the clone's log only — the
+      source table never observes the clone, and ``delta_vacuum`` on
+      the clone walks only the clone root, so source files can never
+      be vacuumed through a clone.
+
+    Reads resolve absolute paths through the same ``os.path.join``
+    sites as relative ones (absolute wins the join); partitioned
+    clones read through the logged-partition-value grouped path (the
+    hive fast path requires root-relative layout). At 100 TB this is
+    THE cheap table-snapshot primitive: dev/experiment copies of a
+    petabyte table cost one file-list-sized commit.
+
+    Reference: delta.io PROTOCOL.md add-action path field ("absolute
+    path ... to a data file"); Databricks CLONE documentation
+    (public)."""
+    snap = delta_reader.delta_snapshot(
+        source_root, spark, version=version, as_of_ts=as_of_ts
+    )
+    if delta_reader.is_delta_table(target_root):
+        raise ValueError(f"target {target_root!r} is already a Delta table")
+    ts = _now_ms()
+    meta = dict(snap.meta_raw or {})
+    meta["id"] = str(uuid.uuid4())
+    meta["createdTime"] = ts
+    meta.setdefault("format", {"provider": "parquet", "options": {}})
+    proto = dict(snap.protocol_raw or _PROTOCOL)
+    actions: list[dict] = [{"metaData": meta}, {"protocol": proto}]
+    src = os.path.abspath(source_root)
+    stats = snap.stats or {}
+    dvs = snap.dvs or {}
+    for rel in sorted(snap.files):
+        abs_p = os.path.abspath(os.path.join(src, rel))
+        a = {
+            "path": _encode_path(abs_p),
+            "partitionValues": {
+                k: (None if v is None else str(v))
+                for k, v in snap.files[rel].items()
+            },
+            "size": os.path.getsize(abs_p),
+            "modificationTime": ts,
+            "dataChange": True,
+            "stats": stats.get(rel),
+        }
+        d = dvs.get(rel)
+        if d is not None:
+            if d.get("storageType") == "u":
+                d = {
+                    **d,
+                    "storageType": "p",
+                    "pathOrInlineDv": dv_codec.dv_absolute_path(d, src),
+                }
+            a["deletionVector"] = d
+        actions.append({"add": a})
+    os.makedirs(target_root, exist_ok=True)
+    _publish(target_root, 0, actions, "CLONE", ts)
+    return 0
