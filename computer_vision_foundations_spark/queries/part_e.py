@@ -4347,3 +4347,89 @@ def za94_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         side(src, "source").unionByName(side(tgt, "clone")).orderBy("side")
     )
+
+
+# ---------------------------------------------------------------------------
+# za95 — generated columns: computed, enforced, partition-usable
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za95_delta_generated_columns",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 4 <> 3
+    GROUP BY 1
+    ORDER BY o_year
+    """,
+)
+def za95_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns end to end (``delta_create(generated=...)``,
+    PROTOCOL.md writer legacy version 4): the table declares
+    ``o_year GENERATED ALWAYS AS (EXTRACT(year FROM o_orderdate))``
+    and PARTITIONS by it — the classic derived-partition shape. The
+    create and first append OMIT the column (the writer computes it),
+    the second append PROVIDES it correctly (the writer verifies
+    null-safe equality), and a third append with falsified years must
+    be rejected atomically. The oracle recomputes the year from the
+    raw table over exactly the three landed slices: a writer that
+    miscomputed the derivation, skipped enforcement, or lost a slice
+    hash-fails.
+
+    Scale shape: derived partition columns give partition PRUNING on
+    a column the data never carried — at 100 TB the generated-column
+    contract is what keeps every writer's derivation bit-identical so
+    pruning stays sound."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        DeltaConstraintViolation,
+        delta_append,
+        delta_create,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="delta_gen_")
+    gexpr = "CAST(EXTRACT(year FROM o_orderdate) AS INT)"
+    delta_create(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        partition_by=["o_year"],
+        generated={"o_year": gexpr},
+    )
+    delta_append(spark, root, orders.filter(F.col("o_orderkey") % 4 == 1))
+    delta_append(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 4 == 2).withColumn(
+            "o_year", F.expr(gexpr)
+        ),
+    )
+    try:
+        delta_append(
+            spark,
+            root,
+            orders.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+                "o_year", F.lit(1900)
+            ),
+        )
+        raise AssertionError("falsified generated column was not rejected")
+    except DeltaConstraintViolation:
+        pass
+    return (
+        read_delta(spark, root)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_year")
+    )

@@ -453,6 +453,33 @@ def _column_invariants(snap) -> dict[str, str]:
     return out
 
 
+def _generated_columns(snap) -> dict[str, str]:
+    """Generated columns (PROTOCOL.md, writer legacy version 4 /
+    the generatedColumns feature): field metadata
+    ``delta.generationExpression`` — the writer must compute the
+    column when the input omits it and verify null-safe equality when
+    the input provides it."""
+    out: dict[str, str] = {}
+    for f in snap.schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _apply_generated(df: DataFrame, snap) -> DataFrame:
+    """Compute any generated column the input omits (from the other
+    input columns); provided ones are validated later in
+    ``_enforce_constraints``."""
+    gen = _generated_columns(snap)
+    have = set(df.columns)
+    for col, expr in gen.items():
+        if col not in have:
+            target = snap.schema[col].dataType
+            df = df.withColumn(col, F.expr(expr).cast(target))
+    return df
+
+
 def _check_writable(snap, op: str) -> None:
     """Refuse (loudly, per protocol) any write this adapter cannot
     perform CORRECTLY on this table:
@@ -494,10 +521,13 @@ def _check_writable(snap, op: str) -> None:
         )
     for f in snap.schema.fields:
         meta = f.metadata or {}
-        if "delta.generationExpression" in meta:
+        if "delta.generationExpression" in meta and op in (
+            "overwrite",  # schema replace would silently DROP the
+            "widen",  # expression; widening could change its type
+        ):
             raise delta_reader.DeltaProtocolError(
-                f"column {f.name!r} carries a generation expression this "
-                "writer would not maintain"
+                f"{op} on a table with generated column {f.name!r} would "
+                "drop or invalidate its generation expression"
             )
         if any(k.startswith("delta.identity.") for k in meta):
             raise delta_reader.DeltaProtocolError(
@@ -517,6 +547,11 @@ def _enforce_constraints(df: DataFrame, snap, op: str) -> None:
     ] + [
         (f"invariant on column {c!r}", e, True)
         for c, e in sorted(_column_invariants(snap).items())
+    ] + [
+        # null-safe equality: a provided generated column must equal
+        # its expression exactly (delta-spark enforces the same)
+        (f"generated column {c!r}", f"{c} <=> ({e})", False)
+        for c, e in sorted(_generated_columns(snap).items())
     ]
     if not checks:
         return
@@ -949,6 +984,7 @@ def delta_create(
     partition_by: list[str] | None = None,
     checkpoint_every: int = _CHECKPOINT_EVERY,
     column_mapping: bool | str = False,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Create a real-format Delta table at ``root`` (version 0 —
     Delta versions are 0-based, unlike ``acid.py``'s 1-based log).
@@ -975,10 +1011,36 @@ def delta_create(
     )
     if mode not in ("none", "name", "id"):
         raise ValueError(f"unknown column_mapping mode {column_mapping!r}")
+    if generated and mode != "none":
+        raise ValueError(
+            "generated columns + column mapping in one create is not "
+            "supported by this writer (both annotate field metadata)"
+        )
     pcols = list(partition_by or [])
     ts = _now_ms()
+    if generated:
+        # compute any generated column the input omits (the common
+        # shape: a partition column derived from another column, e.g.
+        # event_date GENERATED ALWAYS AS (CAST(ts AS DATE)))
+        have = set(df.columns)
+        for col, gexpr in generated.items():
+            if col not in have:
+                df = df.withColumn(col, F.expr(gexpr))
     schema_json = df.schema.jsonValue()
+    if generated:
+        unknown = sorted(set(generated) - {f.name for f in df.schema.fields})
+        if unknown:
+            raise ValueError(f"generated columns not in schema: {unknown}")
+        for fj in schema_json["fields"]:
+            if fj["name"] in generated:
+                fj["metadata"] = {
+                    **(fj.get("metadata") or {}),
+                    "delta.generationExpression": generated[fj["name"]],
+                }
     protocol: dict = dict(_PROTOCOL)
+    if generated:
+        # generatedColumns is a legacy writer-version-4 feature
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 4}
     conf: dict = {}
     batch = df
     if mode != "none":
@@ -1073,6 +1135,7 @@ def delta_append(
     footers'."""
     snap = delta_reader.delta_snapshot(root, spark)
     _check_writable(snap, "append")
+    df = _apply_generated(df, snap)
     ts = _now_ms()
     actions: list[dict] = []
     out_fields = list(snap.schema.fields)
@@ -1256,6 +1319,7 @@ def delta_upsert(
     snap = delta_reader.delta_snapshot(root, spark)
     _refuse_mapped(snap, "delta_upsert")
     _check_writable(snap, "upsert")
+    updates = _apply_generated(updates, snap)
     _check_schema(snap, updates)
     _enforce_constraints(updates, snap, "upsert")
     ts = _now_ms()

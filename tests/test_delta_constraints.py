@@ -202,9 +202,11 @@ def test_unknown_writer_feature_refused(spark):
     assert dr.read_delta(spark, root).count() == 1
 
 
-def test_generated_column_refused(spark):
+def test_generated_column_overwrite_refused(spark):
+    """Appends COMPUTE/ENFORCE generated columns (test_delta_generated);
+    overwrite would silently drop the expression, so it refuses."""
     root = _root()
-    dw.delta_create(spark, root, _mk(spark, [(1, 1.0)]))
+    dw.delta_create(spark, root, _mk(spark, [(1, 2.0)]))
     log = os.path.join(root, "_delta_log")
     with open(os.path.join(log, f"{0:020d}.json")) as fh:
         lines = [json.loads(line) for line in fh if line.strip()]
@@ -218,7 +220,10 @@ def test_generated_column_refused(spark):
     with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
     with pytest.raises(dr.DeltaProtocolError, match="generation"):
-        dw.delta_append(spark, root, _mk(spark, [(2, 2.0)]))
+        dw.delta_overwrite(spark, root, _mk(spark, [(2, 4.0)]))
+    # the append path now maintains the column instead of refusing
+    dw.delta_append(spark, root, _mk(spark, [(3, 6.0)]))
+    assert dr.read_delta(spark, root).count() == 2
 
 
 def test_table_features_protocol_gets_writer_feature(spark):
