@@ -2062,20 +2062,19 @@ def _writer_feature_upgrade(
 
 
 def _constraint_meta(snap, configuration: dict, ts: int) -> dict:
-    """metaData re-commit carrying an updated configuration, with the
-    table identity and schema unchanged (same invariants as
+    """metaData re-commit carrying an updated configuration. Starts
+    from the snapshot's RAW metaData so foreign fields this writer
+    does not model (name, description) survive the re-commit; table
+    identity and schema stay untouched (same invariants as
     ``_evolved_meta``)."""
-    return {
-        "metaData": {
-            "id": snap.meta_id or str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": (snap.meta_raw or {}).get("schemaString")
-            or snap.schema.json(),
-            "partitionColumns": list(snap.partition_columns),
-            "configuration": configuration,
-            "createdTime": snap.created_time or ts,
-        }
-    }
+    meta = dict(snap.meta_raw or {})
+    meta.setdefault("id", snap.meta_id or str(uuid.uuid4()))
+    meta.setdefault("format", {"provider": "parquet", "options": {}})
+    meta.setdefault("schemaString", snap.schema.json())
+    meta.setdefault("partitionColumns", list(snap.partition_columns))
+    meta.setdefault("createdTime", snap.created_time or ts)
+    meta["configuration"] = configuration
+    return {"metaData": meta}
 
 
 def delta_add_constraint(
@@ -2179,7 +2178,11 @@ def delta_clone(
       remove source references from the clone's log only — the
       source table never observes the clone, and ``delta_vacuum`` on
       the clone walks only the clone root, so source files can never
-      be vacuumed through a clone.
+      be vacuumed through a clone. (The converse hazard is inherent
+      to shallow clones everywhere, ours and Databricks' alike:
+      vacuuming the SOURCE can remove files a clone still references
+      — keep source retention ≥ clone lifetime, or OPTIMIZE the
+      clone first, which rewrites every remote reference locally.)
 
     Reads resolve absolute paths through the same ``os.path.join``
     sites as relative ones (absolute wins the join); partitioned
