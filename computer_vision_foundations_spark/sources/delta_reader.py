@@ -530,9 +530,17 @@ def _version_at(root: str, commits: list[int], ts: float) -> int:
     for v in commits:
         t = None
         for action in _commit_actions(root, v):
-            if "commitInfo" in action and "timestamp" in action["commitInfo"]:
-                t = action["commitInfo"]["timestamp"] / 1000.0
-                break
+            if "commitInfo" in action:
+                info = action["commitInfo"]
+                # in-commit timestamps (when the table writes them) are
+                # the protocol's trusted clock: strictly monotonic,
+                # immune to file-mtime and wall-clock skew
+                if "inCommitTimestamp" in info:
+                    t = info["inCommitTimestamp"] / 1000.0
+                    break
+                if "timestamp" in info:
+                    t = info["timestamp"] / 1000.0
+                    break
         if t is None:
             t = os.path.getmtime(
                 os.path.join(_log_dir(root), f"{v:020d}.json")

@@ -73,6 +73,7 @@ __all__ = [
     "delta_restore",
     "delta_clone",
     "delta_add_constraint",
+    "delta_enable_ict",
     "delta_drop_constraint",
     "DeltaCommitConflict",
     "DeltaConstraintViolation",
@@ -413,6 +414,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "variantType-preview",
     "v2Checkpoint",
     "domainMetadata",
+    "inCommitTimestamp",
 }
 
 # operations that add/modify/remove VISIBLE rows (appendOnly forbids
@@ -610,19 +612,49 @@ def _to_physical(df: DataFrame, snap) -> DataFrame:
     )
 
 
+def _prev_ict(root: str, version: int) -> int | None:
+    """inCommitTimestamp of commit ``version`` (its commitInfo must be
+    the first action per spec); None when absent."""
+    p = os.path.join(_log_dir(root), f"{version:020d}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        first = fh.readline()
+    try:
+        return json.loads(first).get("commitInfo", {}).get(
+            "inCommitTimestamp"
+        )
+    except ValueError:
+        return None
+
+
 def _publish(
     root: str,
     version: int,
     actions: list[dict],
     operation: str,
     ts: int,
+    snap=None,
 ) -> None:
-    """Atomically publish commit ``version`` (hard-link EEXIST race)."""
+    """Atomically publish commit ``version`` (hard-link EEXIST race).
+
+    When the table has ``delta.enableInCommitTimestamps=true`` (pass
+    ``snap`` so the config is visible), the commitInfo — FIRST action
+    per spec — carries ``inCommitTimestamp``, strictly greater than
+    the previous commit's (``max(wall_ms, prev+1)``): the protocol's
+    clock-skew-proof commit ordering."""
     log = _log_dir(root)
     os.makedirs(log, exist_ok=True)
-    lines = [
-        json.dumps({"commitInfo": {"timestamp": ts, "operation": operation}})
-    ] + [json.dumps(a) for a in actions]
+    info: dict = {"timestamp": ts, "operation": operation}
+    conf = (getattr(snap, "meta_raw", None) or {}).get("configuration") or {}
+    if str(conf.get("delta.enableInCommitTimestamps", "")).lower() == "true":
+        prev = _prev_ict(root, version - 1) if version > 0 else None
+        info["inCommitTimestamp"] = max(
+            _now_ms(), (prev + 1) if prev is not None else 0
+        )
+    lines = [json.dumps({"commitInfo": info})] + [
+        json.dumps(a) for a in actions
+    ]
     tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -1211,7 +1243,7 @@ def delta_append(
     # table, so it raises and the caller re-runs the whole transaction.
     for attempt in range(1, _MAX_COMMIT_ATTEMPTS + 1):
         try:
-            _publish(root, v, actions, "WRITE", ts)
+            _publish(root, v, actions, "WRITE", ts, snap)
             break
         except DeltaCommitConflict:
             # only PLAIN appends rebase: a mergeSchema append may have
@@ -1267,7 +1299,7 @@ def delta_overwrite(
     actions += [_add_action(rel, pv, size, n, ts, stats=st)
         for rel, pv, size, n, st in files]
     v = snap.version + 1
-    _publish(root, v, actions, "OVERWRITE", ts)
+    _publish(root, v, actions, "OVERWRITE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -1343,7 +1375,7 @@ def delta_upsert(
     actions += [_add_action(rel, pv, size, n, ts, stats=st)
         for rel, pv, size, n, st in files]
     v = snap.version + 1
-    _publish(root, v, actions, "MERGE", ts)
+    _publish(root, v, actions, "MERGE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -1408,7 +1440,7 @@ def delta_delete_where(
     actions += [_add_action(rel, pv, size, n, ts, stats=st)
         for rel, pv, size, n, st in files]
     v = snap.version + 1
-    _publish(root, v, actions, "DELETE", ts)
+    _publish(root, v, actions, "DELETE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -1588,7 +1620,7 @@ def _delete_with_dvs(
             )
         )
     v = snap.version + 1
-    _publish(root, v, actions, "DELETE", ts)
+    _publish(root, v, actions, "DELETE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -1694,7 +1726,7 @@ def delta_widen_type(
         }
     )
     v = snap.version + 1
-    _publish(root, v, actions, "CHANGE COLUMN", ts)
+    _publish(root, v, actions, "CHANGE COLUMN", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -1875,7 +1907,7 @@ def delta_optimize(
         a["add"]["dataChange"] = False
         actions.append(a)
     v = snap.version + 1
-    _publish(root, v, actions, "OPTIMIZE", ts)
+    _publish(root, v, actions, "OPTIMIZE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -2025,7 +2057,7 @@ def delta_restore(
         _remove_action(_encode_path(rel), ts, cur_dv.get(rel)) for rel in drop
     ]
     v = cur.version + 1
-    _publish(root, v, actions, "RESTORE", ts)
+    _publish(root, v, actions, "RESTORE", ts, cur)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -2058,7 +2090,18 @@ def _writer_feature_upgrade(
                 "minWriterVersion": legacy_version,
             }
         }
-    return _feature_protocol_upgrade(snap, feature)
+    # no legacy slot: convert to a WRITER-features protocol (writer 7)
+    # without raising the reader version — writer-only features must
+    # never make a table unreadable to existing readers
+    return {
+        "protocol": {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                _implied_writer_features(mw) | {feature}
+            ),
+        }
+    }
 
 
 def _constraint_meta(snap, configuration: dict, ts: int) -> dict:
@@ -2125,7 +2168,7 @@ def delta_add_constraint(
         actions.append(upgrade)
     actions.append(_constraint_meta(snap, conf, ts))
     v = snap.version + 1
-    _publish(root, v, actions, "ADD CONSTRAINT", ts)
+    _publish(root, v, actions, "ADD CONSTRAINT", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -2147,7 +2190,9 @@ def delta_drop_constraint(
     del conf[key]
     ts = _now_ms()
     v = snap.version + 1
-    _publish(root, v, [_constraint_meta(snap, conf, ts)], "DROP CONSTRAINT", ts)
+    _publish(
+        root, v, [_constraint_meta(snap, conf, ts)], "DROP CONSTRAINT", ts, snap
+    )
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
 
@@ -2235,3 +2280,44 @@ def delta_clone(
     os.makedirs(target_root, exist_ok=True)
     _publish(target_root, 0, actions, "CLONE", ts)
     return 0
+
+
+def delta_enable_ict(
+    spark: SparkSession,
+    root: str,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """Enable IN-COMMIT TIMESTAMPS (PROTOCOL.md "In-Commit
+    Timestamps", writer feature ``inCommitTimestamp``): from this
+    commit on, every commitInfo carries a STRICTLY MONOTONIC
+    ``inCommitTimestamp`` (``max(wall_ms, prev+1)``) that timestamp
+    time travel trusts over file mtimes and wall clocks — the fix for
+    object-store clock skew reordering history. The enablement commit
+    records ``delta.inCommitTimestampEnablementVersion`` /
+    ``...EnablementTimestamp`` so readers know where the trustworthy
+    range begins, and the protocol gains the writer-only feature
+    WITHOUT raising the reader version."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    _check_writable(snap, "alter")
+    conf = dict((snap.meta_raw or {}).get("configuration") or {})
+    if str(conf.get("delta.enableInCommitTimestamps", "")).lower() == "true":
+        return snap.version
+    ts = _now_ms()
+    v = snap.version + 1
+    conf["delta.enableInCommitTimestamps"] = "true"
+    conf["delta.inCommitTimestampEnablementVersion"] = str(v)
+    conf["delta.inCommitTimestampEnablementTimestamp"] = str(ts)
+    actions: list[dict] = []
+    upgrade = _writer_feature_upgrade(snap, "inCommitTimestamp")
+    if upgrade:
+        actions.append(upgrade)
+    meta_action = _constraint_meta(snap, conf, ts)
+    actions.append(meta_action)
+    # the enablement commit itself must already carry the ICT: build a
+    # snapshot-shaped view whose config says so
+    class _V:  # noqa: N801 - tiny local view
+        meta_raw = {"configuration": conf}
+
+    _publish(root, v, actions, "SET TBLPROPERTIES", ts, _V)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v

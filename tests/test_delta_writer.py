@@ -325,12 +325,12 @@ def test_schema_evolving_append_race_raises(spark):
     real_publish = dw._publish
     raced = []
 
-    def racing_publish(r, version, actions, operation, ts):
+    def racing_publish(r, version, actions, operation, ts, snap=None):
         if not raced:
             raced.append(True)
             # the competing writer's (commitInfo-only) commit wins
             real_publish(r, version, [], "WRITE", ts)
-        return real_publish(r, version, actions, operation, ts)
+        return real_publish(r, version, actions, operation, ts, snap)
 
     dw._publish = racing_publish
     try:
