@@ -4433,3 +4433,76 @@ def za95_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# za96 — in-commit timestamps drive time travel
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za96_delta_ict_travel",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def za96_delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps end to end (``delta_enable_ict``): after
+    enablement every commit carries the strictly-monotonic trusted
+    clock, and AS-OF-TIMESTAMP travel resolves against IT — this
+    query proves the whole chain by falsifying the LAST commit's
+    plain ``commitInfo.timestamp`` to epoch 0 (the wall-clock lie an
+    object store with skewed clocks can tell) and then traveling to
+    the middle commit's inCommitTimestamp: the read must see exactly
+    slices A∪B, not be dragged to the falsified commit. The oracle
+    computes A∪B from the raw table; a reader trusting the lying
+    wall clock returns A∪B∪C and hash-fails.
+
+    Scale shape: ICT is one integer per commit; travel resolution
+    reads one commitInfo line per commit, never data."""
+    import json
+    import os
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+        delta_enable_ict,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="delta_ict_")
+    delta_create(spark, root, orders.filter(F.col("o_orderkey") % 3 == 0))
+    delta_enable_ict(spark, root)
+    v_mid = delta_append(
+        spark, root, orders.filter(F.col("o_orderkey") % 3 == 1)
+    )
+    delta_append(spark, root, orders.filter(F.col("o_orderkey") % 3 == 2))
+    log = os.path.join(root, "_delta_log")
+
+    def _first_line(v):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            return json.loads(fh.readline())
+
+    ict_mid = _first_line(v_mid)["commitInfo"]["inCommitTimestamp"]
+    # falsify the last commit's WALL timestamp to the distant past
+    last = v_mid + 1
+    p = os.path.join(log, f"{last:020d}.json")
+    lines = open(p).read().splitlines()
+    info = json.loads(lines[0])
+    info["commitInfo"]["timestamp"] = 0
+    lines[0] = json.dumps(info)
+    open(p, "w").write("\n".join(lines) + "\n")
+    return read_delta(spark, root, as_of_ts=ict_mid / 1000.0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
