@@ -266,19 +266,22 @@ def _coerce(lit, dtype: T.DataType):
     raises on shapes we can't compare (caller keeps the file)."""
     if lit is None:
         return None
-    if isinstance(
-        dtype,
-        (
-            T.ByteType,
-            T.ShortType,
-            T.IntegerType,
-            T.LongType,
-            T.FloatType,
-            T.DoubleType,
-            T.DecimalType,
-        ),
-    ):
-        return float(lit) if not isinstance(lit, bool) else None
+    if isinstance(lit, bool) and not isinstance(dtype, T.BooleanType):
+        raise ValueError("boolean literal against non-boolean column")
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # EXACT integers: a float() collapse would equate longs beyond
+        # 2^53 and make != / NOT IN skips unsound
+        if isinstance(lit, int):
+            return lit
+        if isinstance(lit, str):
+            return int(lit)
+        return float(lit)  # fractional literal: int vs float compares exact
+    if isinstance(dtype, T.DecimalType):
+        import decimal
+
+        return decimal.Decimal(str(lit))
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(lit)
     if isinstance(dtype, T.StringType):
         return lit if isinstance(lit, str) else str(lit)
     if isinstance(dtype, T.DateType):

@@ -331,3 +331,32 @@ def test_zorder_with_dates_and_partitions(spark):
     snap = dr.delta_snapshot(root, spark)
     kept = skipping.matching_files(snap, where)
     assert 0 < len(kept) < len(snap.files)
+
+
+def test_exact_integer_and_decimal_coercion(spark):
+    """!= / NOT IN skips must not be fooled by float collapse on
+    longs beyond 2^53 or high-precision decimals."""
+    from pyspark.sql import types as T
+
+    from computer_vision_foundations_spark.sources.skipping import _coerce
+
+    big = 9_007_199_254_740_993  # 2^53 + 1
+    assert _coerce(big, T.LongType()) == big
+    assert _coerce(str(big), T.LongType()) == big
+    assert _coerce(big, T.LongType()) != big - 1  # float() would equate
+    import decimal
+
+    d = _coerce("123456789.123456789", T.DecimalType(27, 9))
+    assert d == decimal.Decimal("123456789.123456789")
+    assert d != decimal.Decimal("123456789.123456788")
+    # end to end: a partition value at 2^53+1 must not be !=-skipped
+    root = _root()
+    df = spark.createDataFrame(
+        [(big, 1), (big + 2, 2)], "p long, v int"
+    )
+    dw.delta_create(spark, root, df, partition_by=["p"])
+    snap = dr.delta_snapshot(root, spark)
+    kept = skipping.matching_files(snap, f"p != {big - 1}")
+    assert len(kept) == len(snap.files)  # nothing equals big-1
+    kept2 = skipping.matching_files(snap, f"p = {big}")
+    assert len(kept2) == 1
