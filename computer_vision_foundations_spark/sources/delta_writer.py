@@ -14,10 +14,11 @@ persistence (reference ``02_Data Ingest.py:273-282``,
 - commit ``_delta_log/<20-digit version>.json``, one action per line:
   ``commitInfo`` (timestamp ms, operation), ``metaData`` (id,
   format=parquet, schemaString = Spark schema JSON, partitionColumns)
-  and ``protocol`` (1, 2) on create, ``add`` (URL-encoded relative
-  path, partitionValues, size, modificationTime, dataChange, stats
-  JSON with numRecords) and ``remove`` (path, deletionTimestamp,
-  dataChange) afterwards;
+  and ``protocol`` (1, 2) on create, ``add`` (URL-encoded relative —
+  or, for SHALLOW CLONEs, absolute — path, partitionValues, size, modificationTime, dataChange, stats
+  JSON with numRecords + minValues/maxValues/nullCount footer bounds —
+  the data-skipping payload ``sources/skipping.py`` prunes on) and
+  ``remove`` (path, deletionTimestamp, dataChange) afterwards;
 - atomic publish: hard-link of a fully-written temp file onto the next
   version name — POSIX ``link`` fails EEXIST when the version is
   taken, which IS the optimistic-concurrency check (same primitive as
