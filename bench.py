@@ -254,6 +254,7 @@ HEADLINE = [
     "za94_delta_shallow_clone",
     "za95_delta_generated_columns",
     "za96_delta_ict_travel",
+    "za97_delta_row_tracking",
     # q10_stream_dedup / q18_stream_window_agg / q26_stream_sessions /
     # q35_stream_spacesaving / q22_stream_running_totals /
     # q23_stream_kmv_distinct are gate-attested but NOT benched:

@@ -4506,3 +4506,99 @@ def za96_delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# za97 — row tracking: stable ids across MERGE and OPTIMIZE
+# ---------------------------------------------------------------------------
+
+@_register(
+    "za97_delta_row_tracking",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), b AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             (SELECT count(*) FROM a)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 3 = 1
+    ), allr AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price,
+             rid
+      FROM a
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, rid FROM b
+    )
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum(rid) AS BIGINT) AS rid_sum,
+           round(sum(price), 2) AS sum_price
+    FROM allr GROUP BY 1 ORDER BY status
+    """,
+)
+def za97_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end to end (``delta_enable_row_tracking`` /
+    ``read_delta(with_row_ids=True)``, PROTOCOL.md "Row Tracking"):
+    slice A lands as ONE sorted file (ids = rank), enablement
+    backfills baseRowIds metadata-only, slice B appends as one sorted
+    file (ids continue at |A|), a MERGE doubles the price of every
+    9th key — the rewrite must carry the ids MATERIALIZED so updated
+    rows KEEP them — and an OPTIMIZE compaction rewrites everything
+    again. The oracle recomputes every expected id arithmetically
+    (rank within slice + offset): a writer that renumbered rows on
+    any rewrite, lost the high-water mark, or double-issued ids
+    hash-fails on ``rid_sum``.
+
+    Scale shape: enablement and appends are metadata-only id math;
+    rewrites carry one long column; the id read is a broadcast
+    file→base join + row_index arithmetic."""
+    import tempfile
+
+    from computer_vision_foundations_spark.sources.delta_reader import (
+        read_delta,
+    )
+    from computer_vision_foundations_spark.sources.delta_writer import (
+        delta_append,
+        delta_create,
+        delta_enable_row_tracking,
+        delta_optimize,
+        delta_upsert,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def one_sorted(df: DataFrame) -> DataFrame:
+        return df.repartitionByRange(1, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        )
+
+    root = tempfile.mkdtemp(prefix="delta_rt_")
+    delta_create(
+        spark, root, one_sorted(orders.filter(F.col("o_orderkey") % 3 == 0))
+    )
+    delta_enable_row_tracking(spark, root)
+    delta_append(
+        spark, root, one_sorted(orders.filter(F.col("o_orderkey") % 3 == 1))
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    delta_upsert(spark, root, updates, ["o_orderkey"])
+    delta_optimize(spark, root, target_file_bytes=64 * 1024 * 1024)
+    return (
+        read_delta(spark, root, with_row_ids=True)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_row_id").cast("long").alias("rid_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
+    )

@@ -30,9 +30,11 @@ Reader-version gate: readerVersions 1-2 fully supported
 resolution, "id" via parquet field-id resolution, round 12);
 readerVersion 3 supported when every listed readerFeature is in
 ``_SUPPORTED_FEATURES`` — deletionVectors, columnMapping,
-v2Checkpoint, timestampNtz; anything else (typeWidening,
-variantType, ...) is refused loudly rather than returning wrong
-rows.
+v2Checkpoint, timestampNtz, typeWidening, variantType; anything else
+(variantShredding, ...) is refused loudly rather than returning
+wrong rows. Row tracking (stable ``_row_id`` via
+``read_delta(with_row_ids=True)``) and in-commit timestamps resolve
+through the domainMetadata / commitInfo folds.
 
 Scale notes: checkpoints are read through ``spark.read.parquet`` (they
 are data-sized on petabyte tables — Delta writes them partitioned for
@@ -171,6 +173,11 @@ class DeltaSnapshot:
     # (numRecords / minValues / maxValues / nullCount) — the data-
     # skipping payload; None entries mean the writer recorded none
     stats: dict | None = None
+    # domain -> configuration JSON string from domainMetadata actions
+    # (latest per domain wins; removed=true deletes the domain)
+    domain_metadata: dict | None = None
+    # path -> baseRowId from the add action (row tracking)
+    base_row_ids: dict | None = None
 
 
 def _log_dir(root: str) -> str:
@@ -267,14 +274,28 @@ def _fold_add_state(
     pv: dict,
     dv: dict | None,
     stats: str | None = None,
+    base_row_id: int | None = None,
 ) -> None:
     key = urllib.parse.unquote(path)
     state["files"][key] = pv
     state["stats"][key] = stats
+    if base_row_id is not None:
+        state["base_row_ids"][key] = int(base_row_id)
+    else:
+        state["base_row_ids"].pop(key, None)
     if dv:
         state["dvs"][key] = dv
     else:
         state["dvs"].pop(key, None)
+
+
+def _fold_domain(state: dict, dm: dict) -> None:
+    """domainMetadata action (PROTOCOL.md "Domain Metadata"): latest
+    per domain wins; removed=true deletes the domain."""
+    if dm.get("removed"):
+        state["domain_meta"].pop(dm.get("domain"), None)
+    else:
+        state["domain_meta"][dm.get("domain")] = dm.get("configuration")
 
 
 def _apply_checkpoint(
@@ -322,7 +343,10 @@ def _apply_checkpoint(
                             dict(a.get("partitionValues") or {}),
                             a.get("deletionVector"),
                             a.get("stats"),
+                            a.get("baseRowId"),
                         )
+                    elif "domainMetadata" in action:
+                        _fold_domain(state, action["domainMetadata"])
                     elif "sidecar" in action:
                         sidecars.append(action["sidecar"]["path"])
         else:
@@ -359,6 +383,15 @@ def _fold_checkpoint_parquet(part: str, state: dict) -> list[str]:
             # checks and callers expect a dict
             doc = {**doc, "configuration": dict(conf)}
         state[col] = doc
+    if "domainMetadata" in names:
+        for dm in (
+            pf.read(columns=["domainMetadata"])
+            .column("domainMetadata")
+            .combine_chunks()
+            .drop_null()
+            .to_pylist()
+        ):
+            _fold_domain(state, dm)
     if "sidecar" in names:
         sc = pf.read(columns=["sidecar"]).column("sidecar").combine_chunks()
         sidecars += [
@@ -376,6 +409,9 @@ def _fold_checkpoint_parquet(part: str, state: dict) -> list[str]:
     stats_list = None
     if any(f.name == "stats" for f in add.type):
         stats_list = pc.struct_field(add, "stats").to_pylist()
+    base_ids = None
+    if any(f.name == "baseRowId" for f in add.type):
+        base_ids = pc.struct_field(add, "baseRowId").to_pylist()
     # deletionVector is optional in the checkpoint schema (absent
     # entirely for pre-DV writers); scalar indexing is skipped
     # when every entry is null
@@ -421,6 +457,7 @@ def _fold_checkpoint_parquet(part: str, state: dict) -> list[str]:
             pv_at(i),
             dv,
             stats_list[i] if stats_list is not None else None,
+            base_ids[i] if base_ids is not None else None,
         )
     return sidecars
 
@@ -449,6 +486,8 @@ def delta_snapshot(
         "files": {},
         "dvs": {},
         "stats": {},
+        "base_row_ids": {},
+        "domain_meta": {},
         "metaData": None,
         "protocol": None,
     }
@@ -472,6 +511,8 @@ def delta_snapshot(
                 state["metaData"] = action["metaData"]
             elif "protocol" in action:
                 state["protocol"] = action["protocol"]
+            elif "domainMetadata" in action:
+                _fold_domain(state, action["domainMetadata"])
             elif "add" in action:
                 a = action["add"]
                 # add.path is percent-encoded per PROTOCOL.md — decode
@@ -481,6 +522,10 @@ def delta_snapshot(
                 p = urllib.parse.unquote(a["path"])
                 state["files"][p] = dict(a.get("partitionValues") or {})
                 state["stats"][p] = a.get("stats")
+                if a.get("baseRowId") is not None:
+                    state["base_row_ids"][p] = int(a["baseRowId"])
+                else:
+                    state["base_row_ids"].pop(p, None)
                 dv = a.get("deletionVector")
                 if dv:
                     state["dvs"][p] = dv
@@ -499,6 +544,7 @@ def delta_snapshot(
                     state["files"].pop(p, None)
                     state["dvs"].pop(p, None)
                     state["stats"].pop(p, None)
+                    state["base_row_ids"].pop(p, None)
     _check_protocol(state["protocol"], state["metaData"])
     meta = state["metaData"]
     if meta is None:
@@ -519,6 +565,8 @@ def delta_snapshot(
         dvs=state["dvs"],
         column_mapping=conf.get("delta.columnMapping.mode", "none") or "none",
         stats=state["stats"],
+        domain_metadata=state["domain_meta"],
+        base_row_ids=state["base_row_ids"],
     )
 
 
@@ -690,11 +738,16 @@ def _dv_anti_filter(
     deleted = _deleted_pairs_df(spark, root, snap, rels)
     if deleted is None:
         return df
-    return (
-        df.withColumn("__dv_file", _scan_path_expr())
-        .withColumn("__dv_row", F.col("_metadata.row_index"))
-        .join(deleted, ["__dv_file", "__dv_row"], "left_anti")
-        .drop("__dv_file", "__dv_row")
+    # reuse already-captured scan coordinates when a prior step (row-id
+    # attach) computed them — after any join the _metadata pseudo-
+    # column is no longer resolvable, so whichever step runs second
+    # must not re-derive it
+    if "__dv_file" not in df.columns:
+        df = df.withColumn("__dv_file", _scan_path_expr()).withColumn(
+            "__dv_row", F.col("_metadata.row_index")
+        )
+    return df.join(deleted, ["__dv_file", "__dv_row"], "left_anti").drop(
+        "__dv_file", "__dv_row"
     )
 
 
@@ -779,12 +832,53 @@ def _deleted_pairs_df(
     return deleted
 
 
+_MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+
+
+def _attach_row_ids(
+    df: DataFrame, spark: SparkSession, root: str, snap: DeltaSnapshot
+) -> DataFrame:
+    """Append the stable ``_row_id`` column (PROTOCOL.md "Row
+    Tracking"): the file's MATERIALIZED row-id column when present
+    (rewritten files carry ids physically), else ``baseRowId +
+    _metadata.row_index`` (fresh files get them arithmetically). The
+    file→baseRowId map is file-count-sized and broadcast."""
+    mat = ((snap.meta_raw or {}).get("configuration") or {}).get(
+        _MAT_ROW_ID_KEY
+    )
+    base = snap.base_row_ids or {}
+    rows = [
+        (os.path.abspath(os.path.join(root, rel)), int(b))
+        for rel, b in base.items()
+    ]
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            rows or [("", 0)], "__dv_file string, __rt_base long"
+        )
+    )
+    # capture the scan coordinates under the canonical names and KEEP
+    # them: a later _dv_anti_filter reuses them (it cannot re-derive
+    # _metadata across this join)
+    out = (
+        df.withColumn("__dv_file", _scan_path_expr())
+        .withColumn("__dv_row", F.col("_metadata.row_index"))
+        .join(base_df, "__dv_file", "left")
+    )
+    computed = F.col("__rt_base") + F.col("__dv_row")
+    if mat is not None and mat in df.columns:
+        rid = F.coalesce(F.col(mat), computed)
+    else:
+        rid = computed
+    return out.withColumn("_row_id", rid.cast("long")).drop("__rt_base")
+
+
 def read_delta(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     as_of_ts: float | None = None,
     where: str | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot/time-travel read of a real-format Delta table.
 
@@ -814,6 +908,19 @@ def read_delta(
     conf flip is a no-op for every scan whose schema carries no
     field-id metadata."""
     snap = delta_snapshot(root, spark, version=version, as_of_ts=as_of_ts)
+    rt_mat: str | None = None
+    if with_row_ids:
+        conf_ = (snap.meta_raw or {}).get("configuration") or {}
+        if str(conf_.get("delta.enableRowTracking", "")).lower() != "true":
+            raise ValueError(
+                f"table {root!r} does not have row tracking enabled "
+                "(delta.enableRowTracking)"
+            )
+        if (snap.column_mapping or "none") != "none":
+            raise DeltaProtocolError(
+                "with_row_ids on a column-mapped table is not supported"
+            )
+        rt_mat = conf_.get(_MAT_ROW_ID_KEY)
     if where is not None and snap.files:
         # stats-based data skipping: drop files whose per-file bounds
         # prove no row can match, BEFORE the scan is planned — the
@@ -847,6 +954,10 @@ def read_delta(
         ]
     )
     if not snap.files:
+        if with_row_ids:
+            logical = T.StructType(
+                logical.fields + [T.StructField("_row_id", T.LongType())]
+            )
         empty = spark.createDataFrame([], logical)
         return empty.filter(F.expr(where)) if where is not None else empty
     # everything below scans by PHYSICAL names (== logical when the
@@ -855,11 +966,17 @@ def read_delta(
     phys = T.StructType(
         [_physical_field(f, by_id) for f in snap.schema.fields]
     )
+    if with_row_ids and rt_mat:
+        # scan the MATERIALIZED row-id column too: rewritten files
+        # carry ids physically, fresh files read it as NULL
+        phys = T.StructType(
+            phys.fields + [T.StructField(rt_mat, T.LongType(), True)]
+        )
     phys_of = {
         f.name: _physical_name(f) for f in snap.schema.fields
     }
     pcols = [phys_of[c] for c in snap.partition_columns]
-    out_cols = [f.name for f in phys.fields]
+    out_cols = [f.name for f in phys.fields if f.name != rt_mat]
 
     def to_logical(df: DataFrame) -> DataFrame:
         # ONE definition of the physical->logical projection — the
@@ -877,11 +994,12 @@ def read_delta(
         return df.filter(F.expr(where)) if where is not None else df
 
     def finish(df: DataFrame) -> DataFrame:
-        return residual(
-            to_logical(
-                _dv_anti_filter(df, spark, root, snap).select(*out_cols)
-            )
-        )
+        if with_row_ids:
+            df = _attach_row_ids(df, spark, root, snap)
+            df = _dv_anti_filter(df, spark, root, snap)
+            return residual(df.select(*out_cols, "_row_id"))
+        df = _dv_anti_filter(df, spark, root, snap)
+        return residual(to_logical(df.select(*out_cols)))
 
     if not pcols:
         return finish(
@@ -906,6 +1024,7 @@ def read_delta(
     # |groups| = live partitions in the snapshot
     ptypes = {f.name: f.dataType for f in phys.fields}
     dfields = T.StructType([f for f in phys.fields if f.name not in pcols])
+    extra_cols = ["_row_id"] if with_row_ids else []
     groups: dict[tuple, list[str]] = {}
     for rel, pv in snap.files.items():
         groups.setdefault(tuple(pv.get(c) for c in pcols), []).append(rel)
@@ -914,6 +1033,8 @@ def read_delta(
         g = spark.read.schema(dfields).parquet(
             *[os.path.join(root, r) for r in rels]
         )
+        if with_row_ids:
+            g = _attach_row_ids(g, spark, root, snap)
         g = _dv_anti_filter(g, spark, root, snap, rels=set(rels))
         for c, raw in zip(pcols, vals):
             g = g.withColumn(
@@ -922,7 +1043,7 @@ def read_delta(
                     F.lit(None) if raw is None else F.lit(raw)
                 ).cast(ptypes[c]),
             )
-        parts.append(g.select(*out_cols))
+        parts.append(g.select(*out_cols, *extra_cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

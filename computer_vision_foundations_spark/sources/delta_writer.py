@@ -75,6 +75,7 @@ __all__ = [
     "delta_clone",
     "delta_add_constraint",
     "delta_enable_ict",
+    "delta_enable_row_tracking",
     "delta_drop_constraint",
     "DeltaCommitConflict",
     "DeltaConstraintViolation",
@@ -364,16 +365,37 @@ def _remove_live(snap, rel: str, ts: int) -> dict:
     return _remove_action(_encode_path(rel), ts, (snap.dvs or {}).get(rel))
 
 
-def _read_live(spark: SparkSession, root: str, snap, rels) -> DataFrame:
+def _read_live(
+    spark: SparkSession, root: str, snap, rels, include_row_ids: bool = False
+) -> DataFrame:
     """DV-honoring read of a subset of the snapshot's live files with
     the committed schema — every copy-on-write rewrite must read
-    THROUGH the deletion vectors or it would resurrect deleted rows."""
+    THROUGH the deletion vectors or it would resurrect deleted rows.
+
+    ``include_row_ids=True`` (row-tracking tables) additionally
+    returns each surviving row's stable id under the table's
+    MATERIALIZED row-id column name, so a rewrite can write the ids
+    physically and keep them stable across the rewrite."""
     rels = sorted(rels)
-    reader = spark.read.schema(snap.schema)
+    schema = snap.schema
+    mat = None
+    if include_row_ids:
+        mat = _rt_mat_col(snap)
+        schema = T.StructType(
+            schema.fields + [T.StructField(mat, T.LongType(), True)]
+        )
+    reader = spark.read.schema(schema)
     if snap.partition_columns:
         reader = reader.option("basePath", root)
     df = reader.parquet(*[os.path.join(root, rel) for rel in rels])
+    if include_row_ids:
+        df = delta_reader._attach_row_ids(df, spark, root, snap)
     df = delta_reader._dv_anti_filter(df, spark, root, snap, rels=set(rels))
+    if include_row_ids:
+        return df.select(
+            *[f.name for f in snap.schema.fields],
+            F.col("_row_id").alias(mat),
+        )
     return df.select(*[f.name for f in snap.schema.fields])
 
 
@@ -416,6 +438,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint",
     "domainMetadata",
     "inCommitTimestamp",
+    "rowTracking",
 }
 
 # operations that add/modify/remove VISIBLE rows (appendOnly forbids
@@ -453,6 +476,88 @@ def _column_invariants(snap) -> dict[str, str]:
         expr = (inv.get("expression") or {}).get("expression")
         if expr:
             out[f.name] = expr
+    return out
+
+
+_RT_DOMAIN = "delta.rowTracking"
+
+
+def _rt_enabled(snap) -> bool:
+    conf = (snap.meta_raw or {}).get("configuration") or {}
+    return str(conf.get("delta.enableRowTracking", "")).lower() == "true"
+
+
+def _rt_mat_col(snap) -> str:
+    conf = (snap.meta_raw or {}).get("configuration") or {}
+    col = conf.get(delta_reader._MAT_ROW_ID_KEY)
+    if not col:
+        raise delta_reader.DeltaProtocolError(
+            "row-tracking table carries no materialized row-id column name"
+        )
+    return col
+
+
+def _rt_hwm(snap) -> int:
+    """Current rowIdHighWaterMark from the delta.rowTracking domain
+    metadata (PROTOCOL.md "Row Tracking"); -1 before any allocation."""
+    raw = (snap.domain_metadata or {}).get(_RT_DOMAIN)
+    if not raw:
+        return -1
+    try:
+        return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _rt_finalize(snap, actions: list[dict]) -> list[dict]:
+    """Assign fresh ``baseRowId`` ranges to every NEW add action
+    (adds carried from the snapshot keep theirs) and append the
+    bumped high-water-mark domainMetadata — all in the SAME commit,
+    per spec. No-op on tables without row tracking."""
+    if not _rt_enabled(snap):
+        return actions
+    hwm = _rt_hwm(snap)
+    changed = False
+    for a in actions:
+        add = a.get("add")
+        if add is None or add.get("baseRowId") is not None:
+            continue
+        n = json.loads(add.get("stats") or "{}").get("numRecords")
+        if n is None:
+            raise ValueError(
+                f"cannot allocate row ids for {add['path']!r}: no "
+                "numRecords in stats"
+            )
+        add["baseRowId"] = hwm + 1
+        hwm += int(n)
+        changed = True
+    if changed:
+        actions = actions + [
+            {
+                "domainMetadata": {
+                    "domain": _RT_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        ]
+    return actions
+
+
+def _rt_strip(actions: list[dict]) -> list[dict]:
+    """Inverse of ``_rt_finalize`` for rebase retries: drop assigned
+    ids and the hwm action so the fresh snapshot re-allocates."""
+    out = []
+    for a in actions:
+        if "domainMetadata" in a and a["domainMetadata"].get(
+            "domain"
+        ) == _RT_DOMAIN:
+            continue
+        if "add" in a:
+            a = {"add": {k: v for k, v in a["add"].items() if k != "baseRowId"}}
+        out.append(a)
     return out
 
 
@@ -724,6 +829,7 @@ def _write_checkpoint(
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
             ("deletionVector", dv_type),
+            ("baseRowId", pa.int64()),
         ]
     )
     remove_type = pa.struct(
@@ -756,8 +862,20 @@ def _write_checkpoint(
     )
     files = sorted(snap.files.items())
     snap_dvs = snap.dvs or {}
-    n = len(files) + 2
-    adds = [None, None] + [
+    domains = sorted((snap.domain_metadata or {}).items())
+    n = len(files) + 2 + len(domains)
+    dm_type = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
+    dms = [None, None] + [
+        {"domain": d, "configuration": c, "removed": False}
+        for d, c in domains
+    ] + [None] * len(files)
+    adds = [None, None] + [None] * len(domains) + [
         {
             "path": _encode_path(rel),
             "partitionValues": [
@@ -769,6 +887,9 @@ def _write_checkpoint(
             # stats must survive checkpointing or data skipping would
             # silently turn off for every pre-checkpoint file
             "stats": (snap.stats or {}).get(rel),
+            # row-tracking base ids must survive too, or stable ids
+            # would silently reset after the first checkpoint
+            "baseRowId": (snap.base_row_ids or {}).get(rel),
             # the live DV generation must survive checkpointing or a
             # post-checkpoint reader would resurrect deleted rows
             "deletionVector": (
@@ -817,13 +938,14 @@ def _write_checkpoint(
                 "remove": pa.array([None] * n, remove_type),
                 "metaData": pa.array(metas, meta_type),
                 "protocol": pa.array(protos, proto_type),
+                "domainMetadata": pa.array(dms, dm_type),
             }
         )
         pq.write_table(
             tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet")
         )
     else:
-        add_rows = adds[2:]
+        add_rows = adds[2 + len(domains):]
         n_side = max(1, min(int(sidecar_files), max(1, len(add_rows))))
         per = -(-len(add_rows) // n_side) if add_rows else 0
         chunks = (
@@ -855,19 +977,31 @@ def _write_checkpoint(
                 ("modificationTime", pa.int64()),
             ]
         )
-        n_top = 3 + len(infos)
+        n_top = 3 + len(infos) + len(domains)
         top = pa.table(
             {
-                "metaData": pa.array(metas[:1] + [None] * (n_top - 1), meta_type),
+                "metaData": pa.array(
+                    metas[:1] + [None] * (n_top - 1), meta_type
+                ),
                 "protocol": pa.array(
                     [None] + protos[1:2] + [None] * (n_top - 2), proto_type
                 ),
                 "checkpointMetadata": pa.array(
-                    [None, None, {"version": version}] + [None] * len(infos),
+                    [None, None, {"version": version}]
+                    + [None] * (n_top - 3),
                     ckpt_meta_type,
                 ),
                 "sidecar": pa.array(
-                    [None, None, None] + infos, sidecar_type
+                    [None, None, None] + infos + [None] * len(domains),
+                    sidecar_type,
+                ),
+                "domainMetadata": pa.array(
+                    [None] * (3 + len(infos))
+                    + [
+                        {"domain": d, "configuration": c, "removed": False}
+                        for d, c in domains
+                    ],
+                    dm_type,
                 ),
             }
         )
@@ -1233,6 +1367,7 @@ def delta_append(
     )
     actions += [_add_action(rel, pv, size, n, ts, stats=st)
         for rel, pv, size, n, st in files]
+    actions = _rt_finalize(snap, actions)
     v = snap.version + 1
     # Optimistic-concurrency loop (Delta protocol conflict rules): a
     # BLIND append's add actions depend on nothing another writer could
@@ -1267,6 +1402,9 @@ def delta_append(
             time.sleep(random.uniform(0, 0.02 * attempt))
             snap = delta_reader.delta_snapshot(root, spark)
             _check_schema(snap, df)  # loser re-validates vs the winner
+            # row-tracking allocation depends on the head snapshot's
+            # high-water mark: strip and re-allocate against the winner
+            actions = _rt_finalize(snap, _rt_strip(actions))
             v = snap.version + 1
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v
@@ -1299,6 +1437,7 @@ def delta_overwrite(
     actions += [_remove_live(snap, rel, ts) for rel in sorted(snap.files)]
     actions += [_add_action(rel, pv, size, n, ts, stats=st)
         for rel, pv, size, n, st in files]
+    actions = _rt_finalize(snap, actions)
     v = snap.version + 1
     _publish(root, v, actions, "OVERWRITE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -1358,14 +1497,35 @@ def delta_upsert(
     ts = _now_ms()
     touched = _touched_files(spark, root, snap, updates, key_cols)
     cols = [f.name for f in snap.schema.fields]
-    parts = [updates.select(*cols)]
+    rt = _rt_enabled(snap)
+    mat = _rt_mat_col(snap) if rt else None
+    out_cols = cols + ([mat] if rt else [])
+    up = updates.select(*cols)
+    if rt:
+        up = up.withColumn(mat, F.lit(None).cast("long"))
+    parts = [up]
     if touched:
         # DV-honoring read: a rewrite that scanned the raw parquet
         # would resurrect DV-deleted rows
-        old = _read_live(spark, root, snap, touched)
+        old = _read_live(
+            spark, root, snap, touched, include_row_ids=rt
+        )
+        if rt:
+            # MERGE semantics: an UPDATED row keeps its stable row id
+            # — matched updates inherit the old row's materialized id
+            # (joined by key), inserted rows stay NULL and get fresh
+            # ids arithmetically from the new file's baseRowId
+            inherit = old.select(*key_cols, F.col(mat).alias("__rt_old"))
+            up2 = (
+                parts[0]
+                .drop(mat)
+                .join(F.broadcast(inherit), key_cols, "left")
+                .withColumnRenamed("__rt_old", mat)
+            )
+            parts = [up2.select(*out_cols)]
         parts.append(
             old.join(updates.select(*key_cols), key_cols, "left_anti").select(
-                *cols
+                *out_cols
             )
         )
     merged = parts[0]
@@ -1375,6 +1535,7 @@ def delta_upsert(
     actions = [_remove_live(snap, rel, ts) for rel in touched]
     actions += [_add_action(rel, pv, size, n, ts, stats=st)
         for rel, pv, size, n, st in files]
+    actions = _rt_finalize(snap, actions)
     v = snap.version + 1
     _publish(root, v, actions, "MERGE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -1431,7 +1592,9 @@ def delta_delete_where(
     )
     if not touched:
         return snap.version
-    survivors = _read_live(spark, root, snap, touched).filter(~predicate)
+    survivors = _read_live(
+        spark, root, snap, touched, include_row_ids=_rt_enabled(snap)
+    ).filter(~predicate)
     files = (
         _write_data_files(survivors, root, snap.partition_columns)
         if survivors.limit(1).count()
@@ -1440,6 +1603,7 @@ def delta_delete_where(
     actions = [_remove_live(snap, rel, ts) for rel in touched]
     actions += [_add_action(rel, pv, size, n, ts, stats=st)
         for rel, pv, size, n, st in files]
+    actions = _rt_finalize(snap, actions)
     v = snap.version + 1
     _publish(root, v, actions, "DELETE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -1609,17 +1773,19 @@ def _delete_with_dvs(
         new_desc = dv_codec.write_dv_blob(
             root, bytes(row["_blob"]), int(row["_card"])
         )
-        actions.append(
-            _add_action(
-                rel,
-                snap.files[rel],
-                os.path.getsize(abs_p),
-                n_rows,
-                ts,
-                dv=new_desc,
-                stats=(snap.stats or {}).get(rel),
-            )
+        a = _add_action(
+            rel,
+            snap.files[rel],
+            os.path.getsize(abs_p),
+            n_rows,
+            ts,
+            dv=new_desc,
+            stats=(snap.stats or {}).get(rel),
         )
+        base = (snap.base_row_ids or {}).get(rel)
+        if base is not None:
+            a["add"]["baseRowId"] = base
+        actions.append(a)
     v = snap.version + 1
     _publish(root, v, actions, "DELETE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -1871,8 +2037,12 @@ def delta_optimize(
         if len(small) < 2:
             return snap.version
     # DV-honoring read: compaction doubles as a PURGE — rewritten
-    # files drop their deleted rows and carry no DV
-    df = _read_live(spark, root, snap, small)
+    # files drop their deleted rows and carry no DV; on row-tracking
+    # tables the stable ids ride along MATERIALIZED so compaction and
+    # clustering never renumber a row
+    df = _read_live(
+        spark, root, snap, small, include_row_ids=_rt_enabled(snap)
+    )
     n_out = max(1, -(-total // target_file_bytes))
     if zorder_by:
         # default 6 bits/column (64 quantile buckets): the Morton grid
@@ -1907,6 +2077,7 @@ def delta_optimize(
         a = _add_action(rel, pv, size, n, ts, stats=st)
         a["add"]["dataChange"] = False
         actions.append(a)
+    actions = _rt_finalize(snap, actions)
     v = snap.version + 1
     _publish(root, v, actions, "OPTIMIZE", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -2043,20 +2214,23 @@ def delta_restore(
                     "window"
                 )
         n_rows = _num_rows(spark, p)
-        actions.append(
-            _add_action(
-                rel,
-                tgt.files[rel],
-                os.path.getsize(p),
-                n_rows,
-                ts,
-                dv=tgt_dv.get(rel),
-                stats=(tgt.stats or {}).get(rel),
-            )
+        a = _add_action(
+            rel,
+            tgt.files[rel],
+            os.path.getsize(p),
+            n_rows,
+            ts,
+            dv=tgt_dv.get(rel),
+            stats=(tgt.stats or {}).get(rel),
         )
+        base = (tgt.base_row_ids or {}).get(rel)
+        if base is not None:
+            a["add"]["baseRowId"] = base
+        actions.append(a)
     actions += [
         _remove_action(_encode_path(rel), ts, cur_dv.get(rel)) for rel in drop
     ]
+    actions = _rt_finalize(cur, actions)
     v = cur.version + 1
     _publish(root, v, actions, "RESTORE", ts, cur)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
@@ -2277,7 +2451,22 @@ def delta_clone(
                     "pathOrInlineDv": dv_codec.dv_absolute_path(d, src),
                 }
             a["deletionVector"] = d
+        base = (snap.base_row_ids or {}).get(rel)
+        if base is not None:
+            a["baseRowId"] = base
         actions.append({"add": a})
+    for dom, conf_json in sorted((snap.domain_metadata or {}).items()):
+        # the row-tracking high-water mark (and any other domain) must
+        # carry over or the clone's first append would re-issue ids
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": conf_json,
+                    "removed": False,
+                }
+            }
+        )
     os.makedirs(target_root, exist_ok=True)
     _publish(target_root, 0, actions, "CLONE", ts)
     return 0
@@ -2320,5 +2509,79 @@ def delta_enable_ict(
         meta_raw = {"configuration": conf}
 
     _publish(root, v, actions, "SET TBLPROPERTIES", ts, _V)
+    _maybe_checkpoint(root, spark, v, checkpoint_every)
+    return v
+
+
+def delta_enable_row_tracking(
+    spark: SparkSession,
+    root: str,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> int:
+    """Enable ROW TRACKING (PROTOCOL.md "Row Tracking", writer
+    feature ``rowTracking``): every row gets a STABLE id that
+    survives appends, copy-on-write DELETE/MERGE rewrites, OPTIMIZE /
+    ZORDER, RESTORE, DV deletes, and shallow clones — the primitive
+    incremental downstream pipelines key on. One enablement commit:
+
+    - backfills every live file with a fresh ``baseRowId`` range
+      (ids are then ``baseRowId + row_index`` arithmetically — no
+      data rewrite) and records the high-water mark in the
+      ``delta.rowTracking`` domainMetadata;
+    - names the MATERIALIZED row-id column
+      (``delta.rowTracking.materializedRowIdColumnName``) that
+      rewrites use to carry ids physically when row positions change;
+    - upgrades the protocol writer-side only (readers that ignore row
+      ids keep working untouched).
+
+    Read ids back with ``read_delta(..., with_row_ids=True)`` —
+    appended rows extend monotonically; updated rows (MERGE) keep
+    their id; inserted rows get fresh ones."""
+    snap = delta_reader.delta_snapshot(root, spark)
+    _check_writable(snap, "alter")
+    conf = dict((snap.meta_raw or {}).get("configuration") or {})
+    if str(conf.get("delta.enableRowTracking", "")).lower() == "true":
+        return snap.version
+    _refuse_mapped(snap, "delta_enable_row_tracking")
+    ts = _now_ms()
+    conf["delta.enableRowTracking"] = "true"
+    conf[delta_reader._MAT_ROW_ID_KEY] = f"_row-id-col-{uuid.uuid4().hex[:8]}"
+    actions: list[dict] = []
+    upgrade = _writer_feature_upgrade(snap, "rowTracking")
+    if upgrade:
+        actions.append(upgrade)
+    actions.append(_constraint_meta(snap, conf, ts))
+    # backfill: re-add every live file with a fresh baseRowId range
+    # (metadata-only — the ids materialize lazily on first rewrite)
+    hwm = _rt_hwm(snap)
+    for rel in sorted(snap.files):
+        st = (snap.stats or {}).get(rel)
+        n = json.loads(st or "{}").get("numRecords")
+        if n is None:
+            n = _num_rows(spark, os.path.join(root, rel))
+        a = _add_action(
+            rel,
+            snap.files[rel],
+            os.path.getsize(os.path.join(root, rel)),
+            int(n),
+            ts,
+            dv=(snap.dvs or {}).get(rel),
+            stats=st,
+        )
+        a["add"]["dataChange"] = False
+        a["add"]["baseRowId"] = hwm + 1
+        hwm += int(n)
+        actions.append(a)
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": _RT_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+    )
+    v = snap.version + 1
+    _publish(root, v, actions, "SET TBLPROPERTIES", ts, snap)
     _maybe_checkpoint(root, spark, v, checkpoint_every)
     return v

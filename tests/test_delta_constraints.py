@@ -190,13 +190,13 @@ def test_unknown_writer_feature_refused(spark):
                     "protocol": {
                         "minReaderVersion": 1,
                         "minWriterVersion": 7,
-                        "writerFeatures": ["appendOnly", "rowTracking"],
+                        "writerFeatures": ["appendOnly", "icebergCompatV2"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(dr.DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(dr.DeltaProtocolError, match="icebergCompatV2"):
         dw.delta_append(spark, root, _mk(spark, [(2, 2.0)]))
     # reading is unaffected (no reader features demanded)
     assert dr.read_delta(spark, root).count() == 1
