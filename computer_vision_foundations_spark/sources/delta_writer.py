@@ -1515,11 +1515,14 @@ def delta_upsert(
             # — matched updates inherit the old row's materialized id
             # (joined by key), inserted rows stay NULL and get fresh
             # ids arithmetically from the new file's baseRowId
+            # no broadcast hint: `old` is every row of the touched
+            # files — a broad upsert would broadcast data-sized state;
+            # AQE picks the strategy from actual sizes
             inherit = old.select(*key_cols, F.col(mat).alias("__rt_old"))
             up2 = (
                 parts[0]
                 .drop(mat)
-                .join(F.broadcast(inherit), key_cols, "left")
+                .join(inherit, key_cols, "left")
                 .withColumnRenamed("__rt_old", mat)
             )
             parts = [up2.select(*out_cols)]
