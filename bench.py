@@ -700,6 +700,39 @@ def main() -> int:
         if len(samples) > 1 and max(samples) / max(min(samples), 1e-9) >= 1.5:
             noisy[name] = samples
         print(f"# {name}: {timings[name]}s (samples: {samples})", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAMING"):
+        # dev-loop escape hatch ONLY (recorded runs never set it): the
+        # streaming section is ~half the wall time of a subset run and
+        # irrelevant when iterating on batch queries
+        detail = {
+            "metric": "headline_detail",
+            "queries": timings,
+            "noisy_samples": noisy,
+            "streaming": None,
+        }
+        print(json.dumps(detail))
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+        )
+        total = round(sum(timings.values()), 3)
+        with open(detail_path, "w") as fh:
+            json.dump({**detail, "total_sec": total,
+                       "sf": _sf_from_dir(SF_DIR)}, fh, indent=1,
+                      sort_keys=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": _sf_from_dir(SF_DIR),
+                    "n_queries": len(timings),
+                }
+            )
+        )
+        return 0
     (
         n_stream_files,
         stream_sec,

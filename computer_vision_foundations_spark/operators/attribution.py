@@ -160,7 +160,13 @@ def markov_attribution(
         "scenario", "state", F.lit(0.0).alias("v")
     )
     conv_v = F.when(F.col("dst") == _CONV, F.lit(1.0))
-    for _ in range(n_rounds):
+    # NOTE (round-12, measured): checkpointing every k-th round
+    # instead of every round — the LPA discipline — was tried here and
+    # REGRESSED 4.3 s → 56.7 s at sf0.1: a lazy
+    # aggregate→join→aggregate chain over the scenario grid re-plans
+    # super-linearly under AQE, unlike LPA's single join+mode round.
+    # The per-round localCheckpoint stays.
+    for _i in range(n_rounds):
         nxt = (
             st.join(
                 v.select(

@@ -93,6 +93,16 @@ def bpe_train(
     words = words.localCheckpoint()
     words_rdd = _ckpt_rdd(words)
     merges: list[tuple[str, str]] = []
+    # Checkpoint every CKPT_EVERY rounds, not every round (the LPA
+    # every-other-round discipline, round-12): the word table is
+    # vocab-sized, so re-evaluating ≤ CKPT_EVERY−1 pending rewrite
+    # folds inside the next argmax job is far cheaper than the
+    # per-round materialization job it replaces — the merge loop's
+    # cost at gate SF was the 2·n_merges sequential jobs, not the
+    # folds. The argmax collect reads through the pending lazy
+    # rewrites, so the merge SEQUENCE is unchanged.
+    ckpt_every = 4
+    pending = 0
     for _ in range(n_merges):
         pairs = (
             words.select(
@@ -115,12 +125,16 @@ def bpe_train(
             break
         a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
         merges.append((a, b))
-        new = words.select(
+        words = words.select(
             _apply_merge(F.col("syms"), a, b).alias("syms"), "cnt"
-        ).localCheckpoint()
-        _release(words_rdd)
-        words_rdd = _ckpt_rdd(new)
-        words = new
+        )
+        pending += 1
+        if pending >= ckpt_every:
+            new = words.localCheckpoint()
+            _release(words_rdd)
+            words_rdd = _ckpt_rdd(new)
+            words = new
+            pending = 0
     _release(words_rdd)
     return merges
 

@@ -54,45 +54,61 @@ def kcenter_coreset(
     base = df.select(
         F.col(id_col).alias("vid"), _quant(F.col(vec_col)).alias("q")
     ).localCheckpoint()  # quantize once; k scans reuse the block
+
+    # each squared term accumulates in DECIMAL(38,0): long*long
+    # silently wraps in non-ANSI Spark once components reach
+    # ~1e3 raw (1e9 on the grid, 1e18 per term) while the DuckDB
+    # oracle's sum promotes to HUGEINT — the skewstats/emd
+    # overflow pattern (round-9 advice)
+    dec = "decimal(38,0)"
+
+    def _dist(vec):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(v)) for v in vec]),
+                lambda a, b: (a - b).cast(dec) * (a - b).cast(dec),
+            ),
+            F.lit(0).cast(dec),
+            lambda acc, v: acc + v,
+        )
+
     seed = base.orderBy("vid").limit(1).collect()[0]
     chosen: list[tuple] = [(seed["vid"], seed["q"], None)]
+    # INCREMENTAL running min (round-12): d_r(x) = min(d_{r-1}(x),
+    # dist(x, newest center)) — min-of-mins equals the min over all
+    # selected centers, and the distances are EXACT integers, so the
+    # selection sequence is bit-identical to the re-evaluate-all form
+    # while each round evaluates ONE distance term per row instead of
+    # r−1 (Σ r ≈ k²/2 → k evaluations; the codegen tree also stays
+    # O(dim) literals instead of O(k·dim)). Each round's frame is
+    # persisted and materialized by the TakeOrdered collect itself
+    # (one job per round, same as before); the previous round's cache
+    # is released once superseded.
+    cur = base.where(F.col("vid") != seed["vid"]).select(
+        "vid", "q", _dist(seed["q"]).alias("d2")
+    )
+    prev_cached = None
     for _ in range(1, k):
-        sel_vecs = [c[1] for c in chosen]
-        sel_ids = [c[0] for c in chosen]
-        # each squared term accumulates in DECIMAL(38,0): long*long
-        # silently wraps in non-ANSI Spark once components reach
-        # ~1e3 raw (1e9 on the grid, 1e18 per term) while the DuckDB
-        # oracle's sum promotes to HUGEINT — the skewstats/emd
-        # overflow pattern (round-9 advice)
-        dec = "decimal(38,0)"
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(int(v)) for v in vec]),
-                    lambda a, b: (a - b).cast(dec) * (a - b).cast(dec),
-                ),
-                F.lit(0).cast(dec),
-                lambda acc, v: acc + v,
-            )
-            for vec in sel_vecs
-        ]
-        cand = (
-            base.where(~F.col("vid").isin(sel_ids))
-            .select("vid", "q", F.least(*dists).alias("d2"))
-            if len(dists) > 1
-            else base.where(~F.col("vid").isin(sel_ids)).select(
-                "vid", "q", dists[0].alias("d2")
-            )
-        )
+        cur = cur.persist()
         nxt = (
-            cand.orderBy(F.col("d2").desc(), F.col("vid").asc())
+            cur.orderBy(F.col("d2").desc(), F.col("vid").asc())
             .limit(1)
             .collect()
         )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cur
         if not nxt:
             break
         chosen.append((nxt[0]["vid"], nxt[0]["q"], nxt[0]["d2"]))
+        cur = cur.where(F.col("vid") != nxt[0]["vid"]).select(
+            "vid",
+            "q",
+            F.least(F.col("d2"), _dist(nxt[0]["q"])).alias("d2"),
+        )
+    if prev_cached is not None:
+        prev_cached.unpersist()
     spark = df.sparkSession
     out = spark.createDataFrame(
         [

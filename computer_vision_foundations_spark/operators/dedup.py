@@ -422,6 +422,46 @@ def simhash_from_hashes(hashes: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def simhash_grouped(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "_h",
+    bits: int = 32,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """``(id, simhash)`` from an EXPLODED ``(id, token-hash)`` stream —
+    value-identical to ``simhash_from_hashes`` over the collected
+    array (bit i of the fingerprint is set iff
+    ``2·|{h : bit_i(h)=1}| >= |hashes|``; both forms compute exactly
+    these integer counts), but as ONE whole-stage-codegen hash
+    aggregate with ``bits`` conditional sums and map-side partials
+    instead of ``bits`` interpreted higher-order ``filter`` passes
+    per array (round-12: the array form was the dominant cost of
+    every SimHash-family query; the shuffle carries one
+    (id, bits·long) partial row per map task per id). Requires every
+    id to contribute ≥ 1 non-null hash row (true for any tokenizer
+    whose split yields ≥ 1 element — the engine's does even on empty
+    text)."""
+    h = F.col(hash_col)
+    ones = [
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"_o{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"), *ones
+    )
+    bit_cols = [
+        F.when(
+            F.col(f"_o{i}") * 2 >= F.col("_n"), F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    out = bit_cols[0]
+    for bc in bit_cols[1:]:
+        out = out + bc
+    return agg.select(id_col, out.alias(out_col))
+
+
 def simhash_pairs(
     df: DataFrame,
     simhash_col: str = "simhash",

@@ -39,6 +39,7 @@ direct global-rank form, which is exactly equivalent).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,8 +64,8 @@ def event_disorder_stats(
     (pass the unique ingest id); the quantile VALUE is tie-stable
     regardless (equal lateness values are adjacent in rank order).
 
-    At production scale, persist the lateness projection before
-    calling (the audit re-scans it once per phase)."""
+    The lateness projection is persisted internally (MEMORY_AND_DISK)
+    — the audit's phases re-scan it, never the source."""
     order = [F.col(arrival_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
@@ -74,16 +75,26 @@ def event_disorder_stats(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The lateness projection (the key-partitioned running-max window —
+    # the audit's only corpus-sized pass) feeds FOUR independent
+    # consumers (total, extremes, the histogram, the within-bin scan)
+    # plus every broadcast branch re-using the extremes; unpersisted,
+    # each consumer replayed the full window (round-12 plan audit: 176
+    # Exchanges, ~5 window passes). Persist it once with an eager count
+    # (the cdc/winnow discipline — consumers inside one job race cache
+    # population), and checkpoint the 1-row extremes so its many
+    # broadcast branches are free.
     late = df.select(
         (F.max(us).over(w) - us).alias("late_us")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    late.count()
     lates = late.where(F.col("late_us") > 0)
     total = late.agg(F.count(F.lit(1)).alias("n_events"))
     ext = lates.agg(
         F.count(F.lit(1)).alias("n_late"),
         F.min("late_us").alias("_lo"),
         F.max("late_us").alias("max_late_us"),
-    )
+    ).localCheckpoint()
     # --- phase 1: mergeable histogram over lateness values -----------
     # bin(v) = min(floor((v - lo) / w), B-1): monotone nondecreasing in
     # v, so bins partition the value order and cumulative bin counts

@@ -65,7 +65,17 @@ def unigram_logprob_scores(
     :func:`unigram_frequencies` (defaults to fitting on ``df`` itself,
     the self-scored corpus form). Tokens absent from ``freq_df`` get
     pseudo-count ``alpha``."""
-    freq = freq_df if freq_df is not None else unigram_frequencies(df, text_col)
+    # the freq table has two consumers (the total aggregate and the
+    # scoring join): in the self-scored form, checkpoint the
+    # |vocab|-sized model once so the corpus tokenizes once for the
+    # model, not once per consumer (the bigram/KN model-table
+    # discipline); an externally supplied freq_df keeps its caller's
+    # caching decision
+    freq = (
+        freq_df
+        if freq_df is not None
+        else unigram_frequencies(df, text_col).localCheckpoint()
+    )
     total = freq.agg(F.sum("cnt").cast("double").alias("_n_total"))
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
@@ -217,13 +227,22 @@ def kneser_ney_logprob_scores(
     """
     d = float(discount)
     pos = _positioned_tokens(df, text_col, id_col)
-    uni = pos.groupBy("token").agg(F.count(F.lit(1)).alias("ucnt"))
-    total = uni.agg(F.sum("ucnt").cast("double").alias("_n_total"))
-    bi = (
-        pos.filter(F.col("prev").isNotNull())
-        .groupBy("prev", "token")
+    # ONE corpus-sized aggregate fits the whole model — the identical
+    # discipline bigram_logprob_scores landed (q11, 12.4 s → SCALE.md):
+    # grouping (prev, token) WITH the NULL-prev rows makes the unigram
+    # table a derived sum over the checkpointed bigram table, and the
+    # four model aggregates below (uni, prev_stats, cont, cont_total)
+    # all read the model-sized checkpoint instead of each replaying the
+    # tokenize+explode pipeline (the un-checkpointed form evaluated it
+    # SEVEN times per score — round-12 plan audit, z53 48 Exchanges).
+    bi_all = (
+        pos.groupBy("prev", "token")
         .agg(F.count(F.lit(1)).alias("bcnt"))
+        .localCheckpoint()
     )
+    uni = bi_all.groupBy("token").agg(F.sum("bcnt").alias("ucnt"))
+    total = uni.agg(F.sum("ucnt").cast("double").alias("_n_total"))
+    bi = bi_all.filter(F.col("prev").isNotNull())
     # c(prev,·) and N1+(prev,·): one aggregate over the bigram table
     prev_stats = bi.groupBy("prev").agg(
         F.sum("bcnt").cast("double").alias("pcnt"),

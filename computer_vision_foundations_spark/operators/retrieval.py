@@ -30,6 +30,7 @@ engines (float sum order is not associative).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -83,7 +84,14 @@ def phrase_search(
     vocab = phrases.select(
         F.explode(F.col(terms_col)).alias("term")
     ).distinct()
-    postings = postings.join(F.broadcast(vocab), "term", "left_semi")
+    # the filtered postings feed one join per phrase slot; unpersisted,
+    # every slot replayed the corpus tokenize+posexplode (round-12 plan
+    # audit: 98 Exchanges for 3 slots). Persist the (small, DF-bounded)
+    # postings once with an eager count — the cdc/winnow discipline.
+    postings = postings.join(F.broadcast(vocab), "term", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    postings.count()
 
     # (phrase_id, slot, term) rows — model-sized, broadcast per slot
     slots = phrases.select(

@@ -27,6 +27,7 @@ concrete intervals so a downstream pass can cut them out.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,7 +71,15 @@ def duplicated_span_islands(
     documents, and islands are maximal (overlapping or touching
     windows merged).
     """
-    occ = _span_occurrences(df, id_col, text_col, n)
+    # the occurrence stream feeds two consumers (the doc-frequency
+    # aggregate and the semi-join probe); unpersisted, both replayed
+    # the tokenize + per-window md5 pipeline — the operator's dominant
+    # cost. Persist once with an eager count (the cdc/winnow
+    # discipline).
+    occ = _span_occurrences(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    occ.count()
     frequent = (
         occ.groupBy("h")
         .agg(F.count_distinct(id_col).alias("df"))

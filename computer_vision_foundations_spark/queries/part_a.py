@@ -909,8 +909,9 @@ def _simhash_oracle_sql(bits: int = 32) -> str:
 def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints over the PORTABLE md5 hash family (two
     28-bit slices of one digest per distinct token, combined to a
-    56-bit hash; operators/dedup.simhash_from_hashes does the bit
-    votes) — the same construction as the MinHash oracle path, so the
+    56-bit hash; operators/dedup.simhash_grouped does the bit votes
+    as one codegen aggregate) — the same construction as the MinHash
+    oracle path, so the
     32-bit fingerprints are value-hash-checked bit-for-bit against
     DuckDB. The xxhash64 variant (simhash_column) remains the
     engine-internal scale default and is pytest-covered."""
@@ -918,25 +919,35 @@ def q92_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         widen_if_under_parallel,
     )
 
+    from computer_vision_foundations_spark.operators.dedup import (
+        simhash_grouped,
+    )
+
     # fingerprinting is CPU-bound (|tokens| md5s + 32 bit votes/doc):
     # widen a single-split scan so it uses every core (no-op at scale)
     docs = widen_if_under_parallel(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    tok = F.array_distinct(F.split("text", " "))
-    d = lambda t: F.md5(t.cast("binary"))
-    hashed = docs.select(
+    # round-12: explode the distinct tokens and run the bit votes as
+    # ONE codegen hash aggregate (simhash_grouped) instead of 32
+    # interpreted filter passes over a per-row array — identical
+    # integer votes, one md5 per token instead of two, map-side
+    # partial aggregation; split() always yields >= 1 element so no
+    # doc drops out of the explode
+    ex = docs.select(
         "doc_id",
-        F.transform(
-            tok,
-            lambda t: F.conv(F.substring(d(t), 1, 7), 16, 10).cast("long")
+        F.explode(F.array_distinct(F.split("text", " "))).alias("_t"),
+    )
+    dig = F.md5(F.col("_t").cast("binary"))
+    hashed = ex.select(
+        "doc_id",
+        (
+            F.conv(F.substring(dig, 1, 7), 16, 10).cast("long")
             * F.lit(268435456).cast("long")
-            + F.conv(F.substring(d(t), 8, 7), 16, 10).cast("long"),
-        ).alias("_hashes"),
+            + F.conv(F.substring(dig, 8, 7), 16, 10).cast("long")
+        ).alias("_h"),
     )
-    return hashed.select(
-        "doc_id", simhash_from_hashes("_hashes", bits=32).alias("simhash")
-    )
+    return simhash_grouped(hashed, "doc_id", "_h", bits=32)
 
 
 @_register(

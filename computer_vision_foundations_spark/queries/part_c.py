@@ -2088,16 +2088,22 @@ def z46_multimodal_consensus_pairs(
     consensus itself joins PAIR tables (outputs, orders of magnitude
     smaller than the corpus) on the pair key — three small hash
     joins, nothing corpus-sized."""
+    from concurrent.futures import ThreadPoolExecutor
+
     t = F.lit(True)
-    img = za71_image_near_dup(spark, sf_dir).select(
-        "id_a", "id_b", t.alias("in_image")
-    )
-    aud = z36_audio_fingerprint_pairs(spark, sf_dir).select(
-        "id_a", "id_b", t.alias("in_audio")
-    )
-    txt = za63_simhash_near_dup_pairs(spark, sf_dir).select(
-        "id_a", "id_b", t.alias("in_text")
-    )
+    # The three generators are INDEPENDENT and each does eager work
+    # while being built (fingerprint persist+count, checkpointed
+    # blocks), previously strictly serially. Build them from a small
+    # driver pool so their jobs overlap and back-fill each other's
+    # stragglers (guide §2.6 — Spark's scheduler runs concurrent jobs
+    # fine; results are unchanged, the legs share nothing).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_img = pool.submit(za71_image_near_dup, spark, sf_dir)
+        f_aud = pool.submit(z36_audio_fingerprint_pairs, spark, sf_dir)
+        f_txt = pool.submit(za63_simhash_near_dup_pairs, spark, sf_dir)
+        img = f_img.result().select("id_a", "id_b", t.alias("in_image"))
+        aud = f_aud.result().select("id_a", "id_b", t.alias("in_audio"))
+        txt = f_txt.result().select("id_a", "id_b", t.alias("in_text"))
     # chained FULL OUTER joins (key columns coalesce under list-form
     # join keys) evaluate each generator subtree exactly once — the
     # union-then-left-join formulation would run every leg twice
@@ -2388,12 +2394,22 @@ def za73_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: shuffles carry (node, long) degrees and quotient id
     pairs only; the close test is one left-semi equi-join; the
     expansion is one join of class-level stats onto the class map."""
+    from computer_vision_foundations_spark.operators.dedup import (
+        simhash_pairs,
+    )
     from computer_vision_foundations_spark.operators.triangles import (
         triangle_stats_collapsed,
     )
 
-    pairs = za63_simhash_near_dup_pairs(spark, sf_dir)
-    fingerprints = q92_simhash(spark, sf_dir)
+    # the fingerprint table is computed ONCE (eager localCheckpoint)
+    # and shared by the pair generator and the class map — q42's
+    # round-8 fix applied here too (the separate za63 call re-ran the
+    # whole tokenize+md5+vote pipeline for the class side)
+    fingerprints = q92_simhash(spark, sf_dir).localCheckpoint()
+    # za63's exact parameters, over the shared fingerprint block
+    pairs = simhash_pairs(
+        fingerprints, "simhash", "doc_id", bits=32, bands=4, max_hamming=3
+    )
     return triangle_stats_collapsed(
         pairs, fingerprints, node_col="doc_id", cls_col="simhash"
     )
