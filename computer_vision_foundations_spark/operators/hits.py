@@ -54,13 +54,22 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 5,
+    broadcast_scores: bool = True,
 ) -> DataFrame:
     """``(node, hub, authority)`` after ``n_iter`` HITS iterations.
 
     Scores start at 1 for every node and are L2-normalized after each
     half-step; nodes missing from a side (no in- or out-edges) carry 0
     for that score, matching the unrolled-SQL oracle.
+
+    ``broadcast_scores`` broadcasts the per-half-step (node, double)
+    score table into the edge join and the aggregated sums into the
+    node left-join — the pagerank ``broadcast_degrees`` size contract
+    (16-byte rows; flip off beyond ~10^8 nodes). With it on, the
+    checkpointed edge list is scanned, never re-shuffled, each
+    half-step (round-12, guide §3.1/§2.4).
     """
+    _b = F.broadcast if broadcast_scores else (lambda d: d)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -89,9 +98,13 @@ def hits(
     for _ in range(n_iter):
         a_raw = (
             nodes.join(
-                e.join(hubs.withColumnRenamed("node", "src"), "src")
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("h").alias("a")),
+                _b(
+                    e.join(
+                        _b(hubs.withColumnRenamed("node", "src")), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("h").alias("a"))
+                ),
                 "node",
                 "left",
             )
@@ -104,9 +117,13 @@ def hits(
 
         h_raw = (
             nodes.join(
-                e.join(auths.withColumnRenamed("node", "dst"), "dst")
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.sum("a").alias("h")),
+                _b(
+                    e.join(
+                        _b(auths.withColumnRenamed("node", "dst")), "dst"
+                    )
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.sum("a").alias("h"))
+                ),
                 "node",
                 "left",
             )
@@ -118,8 +135,8 @@ def hits(
         hubs = _l2_normalize(h_raw, "h")
 
     out = (
-        nodes.join(hubs, "node", "left")
-        .join(auths, "node", "left")
+        nodes.join(_b(hubs), "node", "left")
+        .join(_b(auths), "node", "left")
         .select(
             "node",
             F.coalesce("h", F.lit(0.0)).alias("hub"),

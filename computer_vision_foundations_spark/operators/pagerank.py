@@ -53,6 +53,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 5,
     broadcast_degrees: bool = True,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """``(node, rank)`` after ``n_iter`` damped power iterations.
 
@@ -62,6 +63,14 @@ def pagerank(
     right for graphs whose node table fits executor memory (degree
     rows are 16 bytes; 10^8 nodes ≈ 1.6 GB: flip it off beyond that
     and the join falls back to a shuffle on src, which AQE plans).
+    ``broadcast_ranks`` extends the same contract to the per-round
+    (node, double) rank table and the aggregated contribution table —
+    the SAME size class as the degree table, so the two flags share
+    one executor-memory bound. With both on, the checkpointed edge
+    list is never re-shuffled: each round is one edge scan + broadcast
+    hash joins + a map-side-combined aggregate of (node, double) rows
+    (round-12, guide §3.1/§2.4 — the per-round sort-merge joins
+    re-sorted the edge list every iteration).
 
     Eager: each round materializes via ``localCheckpoint`` (see
     module docstring); the returned DataFrame is the checkpointed
@@ -87,10 +96,11 @@ def pagerank(
     base = (F.lit(1.0) - F.lit(damping)) / n_lit
     ranks = nodes.select("node", (F.lit(1.0) / n_lit).alias("r"))
     ranks_rdd = None
+    _b = F.broadcast if broadcast_ranks else (lambda d: d)
     for _ in range(n_iter):
         contrib = (
             e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(_b(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") / F.col("out_deg")).alias("contrib"))
         )
@@ -99,7 +109,7 @@ def pagerank(
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
         )
         new = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(_b(contrib), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",

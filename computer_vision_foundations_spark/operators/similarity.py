@@ -127,35 +127,80 @@ def knn_join_blocked(
     after rounding (total-order deterministic for the differential
     oracle).
 
-    Scale shape: the block equi-join means pairs form only WITHIN
+    Scale shape: the block grouping means pairs form only WITHIN
     blocks — cross-block pairs never exist, so cost is Σ|block|², not
     n². Pick the blocking from the data (labels/domains here; LSH
     buckets or IVF cells via ``hyperplane_bucket``/``ivf_flat_knn``
-    when no natural key exists — same join shape). Norms are computed
-    per side BEFORE the join; one shuffle for the block join + one for
-    the per-query top-k window."""
-    a = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("_qv"),
-        l2_norm(vec_col).alias("_qn"),
+    when no natural key exists — same join shape). One shuffle groups
+    each block's vectors into a task, where the pair dot products run
+    as chunked numpy outer-accumulations (round-12, guide §4.2: dense
+    all-pairs math is the vectorized-native case — the previous
+    self-equi-join evaluated one interpreted HOF fold per pair, the
+    dominant cost of every blocked-kNN query). The accumulation loops
+    dims in ascending order over f64, so every dot/norm is
+    BIT-IDENTICAL to the cosine_from_norms fold; rounding and the
+    top-k window stay in Spark, unchanged. Pairs leave the task as
+    (qid, nid, cos_sim) scalars — vectors never ride the pair stream.
+    Each block's vectors must fit one task (same bound the join form's
+    per-block window sort already imposed); the pair matrix itself is
+    chunked to ~32 MB."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("qid", id_type),
+            StructField("nid", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
-    b = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("_nv"),
-        l2_norm(vec_col).alias("_nn"),
-    )
-    scored = (
-        a.join(b, "_blk")
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                cosine_from_norms("_qv", "_nv", "_qn", "_nn"),
-                round_digits,
-            ),
+
+    def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        v = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        n, d = v.shape
+        # ascending-dim fold (0 + x1*y1) + x2*y2 + … — the exact
+        # summation order of functions/vectors.l2_norm / dot_product
+        acc = np.zeros(n)
+        for i in range(d):
+            acc += v[:, i] * v[:, i]
+        norms = np.sqrt(acc)
+        chunk = max(1, 4_000_000 // max(n, 1))
+        qs, ns, ss = [], [], []
+        for s in range(0, n, chunk):
+            q = v[s : s + chunk]
+            num = np.zeros((q.shape[0], n))
+            for i in range(d):
+                num += q[:, i : i + 1] * v[:, i]
+            den = norms[s : s + chunk, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0.0, num / den, 0.0)
+            qidx = np.repeat(np.arange(s, s + q.shape[0]), n)
+            nidx = np.tile(np.arange(n), q.shape[0])
+            keep = ids[qidx] != ids[nidx]  # the join's qid != nid
+            qs.append(ids[qidx[keep]])
+            ns.append(ids[nidx[keep]])
+            ss.append(cos.ravel()[keep])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(qs) if qs else [],
+                "nid": np.concatenate(ns) if ns else [],
+                "cos_sim": np.concatenate(ss) if ss else [],
+            }
         )
+
+    pairs = (
+        df.where(F.col(block_col).isNotNull())  # join dropped null blocks
+        .select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+        )
+        .groupBy("_blk")
+        .applyInPandas(_score_block, out_schema)
+    )
+    scored = pairs.withColumn(
+        "cos_sim", F.round(F.col("cos_sim"), round_digits)
     )
     return _topk_per_query(scored, k, "qid", "nid")
 
