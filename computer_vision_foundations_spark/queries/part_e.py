@@ -4192,7 +4192,14 @@ def q46_delta_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = delta_snapshot(root, spark)
     kept = skipping.matching_files(snap, where)
-    assert 0 < len(kept) < len(snap.files), (
+    # kept == 0 is LEGITIMATE pruning (maximal): at sf0.001 the
+    # predicate box lies entirely outside the data range (max
+    # o_custkey 149 < 500), so every file's bounds exclude it and the
+    # correct result is the empty aggregate — which the oracle also
+    # returns. Soundness (no matching row in a dropped file) is what
+    # the hash comparison checks; this assert only guards that the
+    # skipper engaged at all.
+    assert len(kept) < len(snap.files), (
         f"z-order skipping did not prune: {len(kept)}/{len(snap.files)}"
     )
     return (
