@@ -68,11 +68,23 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``edges``;
     component = smallest node id reachable. Raises if not converged
     within ``max_iter`` rounds (pathological diameter — pre-split the
-    graph or raise the cap)."""
+    graph or raise the cap).
+
+    ``broadcast_labels`` broadcasts the per-round (node, long) label
+    table into the edge join and the node-sized min/jump tables into
+    the label left-joins — the pagerank ``broadcast_degrees`` 16-byte
+    row size contract (flip off beyond ~10^8 nodes). With it on, the
+    checkpointed edge list is scanned, never re-shuffled, each round
+    (round-12, guide §3.1/§2.4 — a ``localCheckpoint``'d frame is a
+    stats-less LogicalRDD, so the planner can never discover the
+    broadcast itself). Every aggregate here is ``min`` over longs:
+    join-strategy independent."""
+    _b = F.broadcast if broadcast_labels else (lambda d: d)
     # explode-mirror (round 8): one reference to the upstream pipeline
     # instead of two (see lpa.py — the union-of-two-selects form
     # computed the pair generator twice before the checkpoint)
@@ -113,12 +125,12 @@ def connected_components(
     try:
         for i in range(max_iter):
             nbr_min = (
-                sym.join(labels, sym["u"] == labels["node"])
+                sym.join(_b(labels), sym["u"] == labels["node"])
                 .groupBy("v")
                 .agg(F.min("comp").alias("nbr_comp"))
             )
             new = (
-                labels.join(nbr_min, labels["node"] == nbr_min["v"], "left")
+                labels.join(_b(nbr_min), labels["node"] == nbr_min["v"], "left")
                 .select(
                     "node",
                     F.least(
@@ -134,7 +146,7 @@ def connected_components(
             )
             obs = Observation(f"cc_round_{i}")
             new = (
-                new.join(jump, "comp", "left")
+                new.join(_b(jump), "comp", "left")
                 .select("node", F.coalesce("comp2", "comp").alias("comp"))
                 .observe(obs, F.sum("comp").alias("s"))
                 .localCheckpoint()

@@ -68,10 +68,21 @@ def k_core(
     dst: str = "id_b",
     k: int = 3,
     n_rounds: int = 8,
+    broadcast_survivors: bool = True,
 ) -> DataFrame:
     """``(node, degree)`` of the subgraph left after ``n_rounds`` of
     degree-< k peeling — the k-core once the peel has converged
-    (monotone, so extra rounds are no-ops)."""
+    (monotone, so extra rounds are no-ops).
+
+    ``broadcast_survivors`` broadcasts the per-round survivor node
+    table into the two induction semi-joins — the pagerank
+    ``broadcast_degrees`` size contract (8-byte rows; flip off beyond
+    ~10^8 nodes). With it on, the checkpointed edge list is scanned,
+    never re-shuffled, each round (round-12, guide §3.1/§2.4 — a
+    ``localCheckpoint``'d frame is a stats-less LogicalRDD, so the
+    planner can never pick the broadcast on its own). Semi-join
+    output is pure set membership: join-strategy independent."""
+    _b = F.broadcast if broadcast_survivors else (lambda d: d)
     sym = _sym(edges, src, dst).localCheckpoint()
     sym_rdd = _ckpt_rdd(sym)
     # the checkpoint is eager, so counting the checkpointed block is
@@ -88,8 +99,8 @@ def k_core(
                 .where(F.col("_d") >= k)
                 .select("u")
             )
-            nxt = sym.join(keep, "u", "left_semi").join(
-                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            nxt = sym.join(_b(keep), "u", "left_semi").join(
+                _b(keep.select(F.col("u").alias("v"))), "v", "left_semi"
             )
             nxt = nxt.localCheckpoint()
             _release(sym_rdd)
@@ -117,9 +128,13 @@ def k_core_collapsed(
     dst: str = "id_b",
     k: int = 3,
     n_rounds: int = 8,
+    broadcast_survivors: bool = True,
 ) -> DataFrame:
     """``k_core`` for graphs whose adjacency is a pure function of a
     class key — same output, quotient-sized rounds.
+    ``broadcast_survivors``: the ``k_core`` contract, applied to the
+    per-round alive-class/weight tables (quotient-sized, strictly
+    smaller than the node table).
 
     Same structural-equivalence contract as
     ``triangles.triangle_stats_collapsed`` (identical neighborhoods;
@@ -132,6 +147,7 @@ def k_core_collapsed(
     quotient-sized tables only — on dedup graphs that's the distinct-
     fingerprint count, not the clique-expanded edge count.
     """
+    _b = F.broadcast if broadcast_survivors else (lambda d: d)
     cmap = classes.select(
         F.col(node_col).alias("node"), F.col(cls_col).alias("cls")
     ).localCheckpoint()
@@ -158,17 +174,17 @@ def k_core_collapsed(
             )
             nbr_sum = (
                 qsym.join(
-                    alive.select(F.col("cls").alias("u")),
+                    _b(alive.select(F.col("cls").alias("u"))),
                     "u",
                     "left_semi",
                 )
-                .join(wj, "v")
+                .join(_b(wj), "v")
                 .groupBy("u")
                 .agg(F.sum("wj").alias("s"))
             )
             deg = (
                 alive.join(
-                    nbr_sum.select(F.col("u").alias("cls"), "s"),
+                    _b(nbr_sum.select(F.col("u").alias("cls"), "s")),
                     "cls",
                     "left",
                 )
@@ -194,14 +210,14 @@ def k_core_collapsed(
         wj = alive.select(F.col("cls").alias("v"), F.col("w").alias("wj"))
         nbr_sum = (
             qsym.join(
-                alive.select(F.col("cls").alias("u")), "u", "left_semi"
+                _b(alive.select(F.col("cls").alias("u"))), "u", "left_semi"
             )
-            .join(wj, "v")
+            .join(_b(wj), "v")
             .groupBy("u")
             .agg(F.sum("wj").alias("s"))
         )
         final = alive.join(
-            nbr_sum.select(F.col("u").alias("cls"), "s"), "cls", "left"
+            _b(nbr_sum.select(F.col("u").alias("cls"), "s")), "cls", "left"
         ).select(
             "cls",
             (
@@ -212,7 +228,7 @@ def k_core_collapsed(
         # lazy frame still reads them (k_core's convention — priors
         # are released each round, the final table is not)
         return (
-            cmap.join(final, "cls")
+            cmap.join(_b(final), "cls")
             .select("node", "degree")
             .orderBy("node")
         )
