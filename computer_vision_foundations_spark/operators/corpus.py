@@ -143,6 +143,33 @@ def prepare_training_corpus(
     # so it gets its own cache and the pre-dedup one is released as
     # soon as it's materialized.
     pre = kept.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Decontamination bloom mask built CONCURRENTLY with stages 1-3
+    # (guide §2.6 overlap-independent-jobs, the z46 driver-pool
+    # pattern): the 64 KiB eval-shingle bitmask depends only on
+    # eval_df, but building it inline at stage 3b serialized its Spark
+    # job behind every corpus materialization. The mask contents are a
+    # deterministic set of bit positions — WHEN the job runs cannot
+    # change the result.
+    _mask_future = None
+    _mask_pool = None
+    eval_sh = None
+    if eval_df is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from computer_vision_foundations_spark.operators.dedup import (
+            _with_shingles,
+        )
+        from computer_vision_foundations_spark.operators.runtime_filter import (
+            build_bloom_mask,
+        )
+
+        eval_sh = _with_shingles(
+            eval_df, text_col, id_col, "eval_id", decontaminate_k
+        ).select(F.explode("_shingles").alias("s"))
+        _mask_pool = ThreadPoolExecutor(max_workers=1)
+        _mask_future = _mask_pool.submit(build_bloom_mask, eval_sh, "s")
+
     pre.count()  # eager: consumers inside one job race cache population
 
     # 2. exact dedup: keep each distinct content's min id
@@ -230,9 +257,6 @@ def prepare_training_corpus(
             bloom_runtime_filter,
         )
 
-        eval_sh = _with_shingles(
-            eval_df, text_col, id_col, "eval_id", decontaminate_k
-        ).select(F.explode("_shingles").alias("s"))
         train_sh = _with_shingles(
             kept, text_col, id_col, "_tid", decontaminate_k
         ).select("_tid", F.explode("_shingles").alias("s"))
@@ -241,9 +265,13 @@ def prepare_training_corpus(
         # SCAN (Arrow-batched gather, no false negatives) — the
         # previous shape shuffled the full shingle stream TWICE (a
         # global distinct, then a semi-join against the maybe-members);
-        # only the suspicious doc ids shuffle now, and they are few
+        # only the suspicious doc ids shuffle now, and they are few.
+        # The mask job overlapped stages 1-3 on the driver pool above;
+        # .result() re-raises any build failure here.
+        _mask = _mask_future.result()
+        _mask_pool.shutdown()
         suspects = (
-            bloom_runtime_filter(train_sh, eval_sh, "s")
+            bloom_runtime_filter(train_sh, eval_sh, "s", mask=_mask)
             .select(F.col("_tid").alias(id_col))
             .distinct()
         )

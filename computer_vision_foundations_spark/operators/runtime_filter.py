@@ -35,22 +35,25 @@ from computer_vision_foundations_spark.functions.sketches import (
     bloom_bits,
 )
 
-__all__ = ["bloom_runtime_filter", "bloom_prefiltered_join"]
+__all__ = [
+    "bloom_runtime_filter",
+    "bloom_prefiltered_join",
+    "build_bloom_mask",
+]
 
 
-def bloom_runtime_filter(
-    big: DataFrame,
+def build_bloom_mask(
     small_keys: DataFrame,
     key: str,
     m: int = 65536,
     k: int = 5,
-) -> DataFrame:
-    """``big`` restricted to rows whose ``key`` is POSSIBLY in
-    ``small_keys[key]`` (no false negatives; FP rate
-    ~(1-e^{-kn/m})^k). The build side aggregates to ≤ m distinct bit
-    positions (one hash-agg with map-side partials), collected as the
-    model-sized driver bitmask; the probe side is a scan-local
-    Arrow-batched gather — nothing shuffles to evaluate the filter."""
+) -> np.ndarray:
+    """The 64 KiB driver bitmask of ``small_keys[key]`` — the eager
+    (one Spark job) half of ``bloom_runtime_filter``, split out so a
+    caller can run it on a driver thread CONCURRENTLY with unrelated
+    pipeline stages (guide §2.6 overlap; the build side is independent
+    of the probe side by construction). Same hashing as the probe:
+    the STRING form through the Kirsch–Mitzenmacher double-hash."""
     # hash the STRING form on both sides (md5 double-hash is defined
     # over text/binary); NULL keys can never match an inner/semi join,
     # so they are dropped before hashing on both sides
@@ -60,6 +63,35 @@ def bloom_runtime_filter(
     rows = bloom_bits(build, "_k", m, k).collect()
     mask = np.zeros(m, dtype=bool)
     mask[[r["bit"] for r in rows]] = True
+    return mask
+
+
+def bloom_runtime_filter(
+    big: DataFrame,
+    small_keys: DataFrame,
+    key: str,
+    m: int = 65536,
+    k: int = 5,
+    mask: np.ndarray | None = None,
+) -> DataFrame:
+    """``big`` restricted to rows whose ``key`` is POSSIBLY in
+    ``small_keys[key]`` (no false negatives; FP rate
+    ~(1-e^{-kn/m})^k). The build side aggregates to ≤ m distinct bit
+    positions (one hash-agg with map-side partials), collected as the
+    model-sized driver bitmask; the probe side is a scan-local
+    Arrow-batched gather — nothing shuffles to evaluate the filter.
+
+    ``mask``: a bitmask prebuilt by ``build_bloom_mask`` (the caller
+    attests it came from the same key domain with the same ``m``/``k``);
+    when supplied, ``small_keys`` is not evaluated here — the overlap
+    lever for compositions that can build the mask concurrently."""
+    if mask is None:
+        mask = build_bloom_mask(small_keys, key, m, k)
+    elif len(mask) != m:
+        raise ValueError(
+            f"bloom_runtime_filter: prebuilt mask has {len(mask)} bits, "
+            f"expected m={m}"
+        )
 
     @pandas_udf("boolean")
     def _maybe(pos: pd.Series) -> pd.Series:
