@@ -176,6 +176,18 @@ def bpe_encode(
             syms = out
         return syms
 
+    # per-worker memo: corpora are Zipfian, so each distinct word is
+    # encoded once per worker instead of once per occurrence (pure
+    # function of the word — results unchanged; vocab-bounded memory)
+    memo: dict[str, list[str]] = {}
+
+    def _enc(w: str) -> list[str]:
+        toks = memo.get(w)
+        if toks is None:
+            toks = encode_word(w)
+            memo[w] = toks
+        return toks
+
     @pandas_udf(T.ArrayType(T.StringType()))
     def encode_udf(s: pd.Series) -> pd.Series:
         return s.map(
@@ -183,7 +195,7 @@ def bpe_encode(
                 tok
                 for w in t.split(" ")
                 if w
-                for tok in encode_word(w)
+                for tok in _enc(w)
             ]
         )
 

@@ -82,6 +82,20 @@ def test_encode_applies_learned_merges(spark):
     assert all(len(c) == 1 for c in chars)
 
 
+def test_train_greedy_overlap_semantics(spark):
+    # round-12: overlapping pairs ("aaaa" — greedy non-overlapping
+    # merge), merges that CREATE the next argmax pair, and pairs whose
+    # count drops to exactly zero, all checked against the pure-Python
+    # reference. Added while evaluating an incremental pair-count
+    # variant (measured slower and reverted — see OPTIMIZATION_r12.md);
+    # kept because it pins the trickiest merge semantics either
+    # implementation must honor.
+    texts = ["aaaa aaa aa", "abab ab ab", "aabb aabb ba", "baaa aab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    assert bpe_train(df, n_merges=10) == _reference_bpe(texts, n_merges=10)
+
+
 def test_train_early_stop(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once -> below min_pair_count=2 -> no merges
