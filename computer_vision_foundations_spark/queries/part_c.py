@@ -2101,9 +2101,44 @@ def z46_multimodal_consensus_pairs(
         f_img = pool.submit(za71_image_near_dup, spark, sf_dir)
         f_aud = pool.submit(z36_audio_fingerprint_pairs, spark, sf_dir)
         f_txt = pool.submit(za63_simhash_near_dup_pairs, spark, sf_dir)
-        img = f_img.result().select("id_a", "id_b", t.alias("in_image"))
-        aud = f_aud.result().select("id_a", "id_b", t.alias("in_audio"))
+        # the two MEDIA pair tables are pair-count-bounded and consumed
+        # twice below (the anchor semi-filter AND the consensus merge):
+        # checkpoint them once so neither consumer replays the leg's
+        # decode/fingerprint tail (measured at sf0.1: the un-ckpt'd
+        # anchor branch re-ran both tails, 5.6 -> 8.6 s). The TEXT pair
+        # stream stays lazy — it is the dense one the anchor prunes.
+        # lazy (eager=False): the blocks materialize inside the anchor
+        # broadcast-build job below instead of two dedicated jobs
+        img = (
+            f_img.result()
+            .select("id_a", "id_b", t.alias("in_image"))
+            .localCheckpoint(eager=False)
+        )
+        aud = (
+            f_aud.result()
+            .select("id_a", "id_b", t.alias("in_audio"))
+            .localCheckpoint(eager=False)
+        )
         txt = f_txt.result().select("id_a", "id_b", t.alias("in_text"))
+    # Consensus requires >= 2 modalities, so EVERY surviving pair
+    # carries an image or audio vote — text-only pairs can never pass
+    # the final filter. Pre-filter the text pair stream by the
+    # broadcast union of the two media pair-key sets BEFORE the merge
+    # (guide §3.2 semi-join pre-filter, round-12 wave 8): text is the
+    # dense modality (near-dup corpora make its pair table quadratic
+    # in family size — measured 159.5M rows on the 10× replica set,
+    # where the unfiltered full-outer merge shuffled+sorted all of
+    # them, 87.8 s, only to discard text-only rows at the end), while
+    # the media pair tables are bounded by media near-dup density
+    # (242k + 270 rows on the same set — comfortably broadcastable;
+    # if a deployment's media pairs outgrow the broadcast cap, drop
+    # the hint: the semi-join still prunes before the wide shuffle).
+    # Output is provably identical: every row removed has
+    # n_modalities <= 1.
+    # no distinct: left-semi is duplicate-insensitive, and skipping it
+    # keeps the broadcast build a zero-shuffle scan of the checkpoints
+    anchor = img.select("id_a", "id_b").union(aud.select("id_a", "id_b"))
+    txt = txt.join(F.broadcast(anchor), ["id_a", "id_b"], "left_semi")
     # chained FULL OUTER joins (key columns coalesce under list-form
     # join keys) evaluate each generator subtree exactly once — the
     # union-then-left-join formulation would run every leg twice
