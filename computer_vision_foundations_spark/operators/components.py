@@ -42,6 +42,33 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_clusters"]
 
 
+def _ckpt_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """``repartition(keys) + localCheckpoint`` that PRESERVES the hash
+    partitioning on the checkpointed LogicalRDD.
+
+    The broadcast-off round shape of every iterative graph operator
+    wants the edge list laid out by its per-round join key ONCE so no
+    round re-shuffles it (r12 verdict: beyond the ~1e8-node broadcast
+    contract the old fallback re-shuffled the corpus-sized edge list
+    every round). ``Dataset.checkpoint`` captures
+    ``physicalPlan.outputPartitioning`` — but under AQE the physical
+    plan is an un-executed ``AdaptiveSparkPlanExec`` whose partitioning
+    is still ``UnknownPartitioning`` (measured: the checkpointed scan
+    reports UnknownPartitioning(0) with AQE on, hashpartitioning(key)
+    with it off). AQE is disabled ONLY while this checkpoint plan is
+    constructed+run; it is a perf-only toggle, so a concurrent job
+    planned in the window at most loses adaptive coalescing for that
+    one plan."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return df.repartition(*[F.col(k) for k in keys]).localCheckpoint()
+    finally:
+        spark.conf.set(key, old)
+
+
 def _ckpt_rdd(df: DataFrame):
     """JVM RDD backing a ``localCheckpoint``'d DataFrame (its analyzed
     plan is a ``LogicalRDD``), so the storage blocks can be released
@@ -83,8 +110,22 @@ def connected_components(
     (round-12, guide §3.1/§2.4 — a ``localCheckpoint``'d frame is a
     stats-less LogicalRDD, so the planner can never discover the
     broadcast itself). Every aggregate here is ``min`` over longs:
-    join-strategy independent."""
-    _b = F.broadcast if broadcast_labels else (lambda d: d)
+    join-strategy independent.
+
+    With it OFF (the >1e8-node regime), the edge list is checkpointed
+    HASH-PARTITIONED on the round join key ``u`` (r13, guide
+    §2.4/§3.3): each round's edge⋈labels join then shuffles only the
+    node-sized label table into the edge layout, and the node-sized
+    sides carry a ``shuffle_hash`` hint so the edge stream is hashed
+    against a per-partition label build instead of being re-SORTED
+    every round. Per-round edge-list exchanges: 1 → 0; the only
+    remaining wide per-round exchange is the partial-aggregated
+    neighbor-min stream (bounded by |V| per map partition)."""
+    _b = (
+        F.broadcast
+        if broadcast_labels
+        else (lambda d: d.hint("shuffle_hash"))
+    )
     # explode-mirror (round 8): one reference to the upstream pipeline
     # instead of two (see lpa.py — the union-of-two-selects form
     # computed the pair generator twice before the checkpoint)
@@ -98,8 +139,14 @@ def connected_components(
     ).select("_e.u", "_e.v")
     # materialize ONCE with a flat plan (see module docstring: persist
     # alone leaves the upstream logical plan to be re-analyzed every
-    # round)
-    sym = sym.distinct().localCheckpoint()
+    # round); broadcast-off additionally lays the blocks out by the
+    # round join key so no round re-shuffles them
+    sym = sym.distinct()
+    sym = (
+        sym.localCheckpoint()
+        if broadcast_labels
+        else _ckpt_partitioned(sym, "u")
+    )
     sym_rdd = _ckpt_rdd(sym)
     # round 0 fused into initialization: comp = min(node, neighbors)
     # directly from the edge list — saves one full loop iteration

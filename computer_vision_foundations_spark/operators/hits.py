@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.operators.components import (
+    _ckpt_partitioned,
     _ckpt_rdd,
     _release,
 )
@@ -68,17 +69,35 @@ def hits(
     (16-byte rows; flip off beyond ~10^8 nodes). With it on, the
     checkpointed edge list is scanned, never re-shuffled, each
     half-step (round-12, guide §3.1/§2.4).
+
+    With it OFF (the >1e8-node regime), the edge list is checkpointed
+    TWICE, hash-partitioned on ``src`` and on ``dst`` (r13, guide
+    §2.4/§3.3) — HITS alternates join keys between half-steps, so one
+    layout cannot serve both. Each half-step then shuffles only the
+    node-sized score table into the matching edge layout, with a
+    ``shuffle_hash`` hint so the edge stream is never re-sorted.
+    Per-half-step edge-list exchanges: 1 → 0, for a one-time 2× edge
+    storage cost (16-byte rows).
     """
-    _b = F.broadcast if broadcast_scores else (lambda d: d)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
+    _b = (
+        F.broadcast if broadcast_scores else (lambda d: d.hint("shuffle_hash"))
     )
-    e_rdd = _ckpt_rdd(e)
+    e0 = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    if broadcast_scores:
+        e_src = e_dst = e0.localCheckpoint()
+        e_rdd, e_dst_rdd = _ckpt_rdd(e_src), None
+    else:
+        e_src = _ckpt_partitioned(e0, "src")
+        e_rdd = _ckpt_rdd(e_src)
+        # second layout derives from the first checkpoint's blocks —
+        # the upstream edge pipeline is not replayed
+        e_dst = _ckpt_partitioned(e_src, "dst")
+        e_dst_rdd = _ckpt_rdd(e_dst)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e_src.select(F.col("src").alias("node"))
+        .unionByName(e_src.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -99,7 +118,7 @@ def hits(
         a_raw = (
             nodes.join(
                 _b(
-                    e.join(
+                    e_src.join(
                         _b(hubs.withColumnRenamed("node", "src")), "src"
                     )
                     .groupBy(F.col("dst").alias("node"))
@@ -118,7 +137,7 @@ def hits(
         h_raw = (
             nodes.join(
                 _b(
-                    e.join(
+                    e_dst.join(
                         _b(auths.withColumnRenamed("node", "dst")), "dst"
                     )
                     .groupBy(F.col("src").alias("node"))
@@ -144,7 +163,7 @@ def hits(
         )
         .localCheckpoint()  # materialize BEFORE releasing inputs
     )
-    for handle in (e_rdd, nodes_rdd, hubs_rdd, auths_rdd):
+    for handle in (e_rdd, e_dst_rdd, nodes_rdd, hubs_rdd, auths_rdd):
         _release(handle)
     return out
 

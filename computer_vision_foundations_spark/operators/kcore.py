@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.operators.components import (
+    _ckpt_partitioned,
     _ckpt_rdd,
     _release,
 )
@@ -81,9 +82,28 @@ def k_core(
     never re-shuffled, each round (round-12, guide §3.1/§2.4 — a
     ``localCheckpoint``'d frame is a stats-less LogicalRDD, so the
     planner can never pick the broadcast on its own). Semi-join
-    output is pure set membership: join-strategy independent."""
-    _b = F.broadcast if broadcast_survivors else (lambda d: d)
-    sym = _sym(edges, src, dst).localCheckpoint()
+    output is pure set membership: join-strategy independent.
+
+    With it OFF (the >1e8-node regime), each round's edge table is
+    checkpointed HASH-PARTITIONED on ``u`` (r13, guide §2.4/§3.3):
+    the degree aggregate and the u-side induction semi-join consume
+    the layout exchange-free (the survivor table derives from the
+    same layout), and the node-sized survivor sides carry a
+    ``shuffle_hash`` hint so the edge stream is hash-probed, never
+    re-sorted. Per-round edge-sized exchanges: 2-over-the-full-list →
+    2-over-the-peeled-stream (the v-side induction, plus the layout
+    restore that replaces the next round's exchange)."""
+    _b = (
+        F.broadcast
+        if broadcast_survivors
+        else (lambda d: d.hint("shuffle_hash"))
+    )
+    sym = _sym(edges, src, dst)
+    sym = (
+        sym.localCheckpoint()
+        if broadcast_survivors
+        else _ckpt_partitioned(sym, "u")
+    )
     sym_rdd = _ckpt_rdd(sym)
     # the checkpoint is eager, so counting the checkpointed block is
     # free — and the peel is MONOTONE (edges only leave), so an
@@ -102,7 +122,11 @@ def k_core(
             nxt = sym.join(_b(keep), "u", "left_semi").join(
                 _b(keep.select(F.col("u").alias("v"))), "v", "left_semi"
             )
-            nxt = nxt.localCheckpoint()
+            nxt = (
+                nxt.localCheckpoint()
+                if broadcast_survivors
+                else _ckpt_partitioned(nxt, "u")
+            )
             _release(sym_rdd)
             sym, sym_rdd = nxt, _ckpt_rdd(nxt)
             cnt = sym.count()
@@ -134,7 +158,11 @@ def k_core_collapsed(
     class key — same output, quotient-sized rounds.
     ``broadcast_survivors``: the ``k_core`` contract, applied to the
     per-round alive-class/weight tables (quotient-sized, strictly
-    smaller than the node table).
+    smaller than the node table). With it off, the static quotient
+    edge table is checkpointed hash-partitioned on ``u`` (r13): the
+    u-side alive semi-join and the final degree aggregates consume
+    the layout exchange-free, leaving the v-side weight join as the
+    one quotient-edge-sized exchange per round.
 
     Same structural-equivalence contract as
     ``triangles.triangle_stats_collapsed`` (identical neighborhoods;
@@ -147,16 +175,23 @@ def k_core_collapsed(
     quotient-sized tables only — on dedup graphs that's the distinct-
     fingerprint count, not the clique-expanded edge count.
     """
-    _b = F.broadcast if broadcast_survivors else (lambda d: d)
+    _b = (
+        F.broadcast
+        if broadcast_survivors
+        else (lambda d: d.hint("shuffle_hash"))
+    )
     cmap = classes.select(
         F.col(node_col).alias("node"), F.col(cls_col).alias("cls")
     ).localCheckpoint()
     w = cmap.groupBy("cls").agg(F.count(F.lit(1)).alias("w"))
     ca = cmap.select(F.col("node").alias(src), F.col("cls").alias("_ca"))
     cb = cmap.select(F.col("node").alias(dst), F.col("cls").alias("_cb"))
-    qsym = _sym(
-        pairs.join(ca, src).join(cb, dst), "_ca", "_cb"
-    ).localCheckpoint()
+    qsym = _sym(pairs.join(ca, src).join(cb, dst), "_ca", "_cb")
+    qsym = (
+        qsym.localCheckpoint()
+        if broadcast_survivors
+        else _ckpt_partitioned(qsym, "u")
+    )
     # alive classes: participate in the graph at all
     in_graph = qsym.select(F.col("u").alias("cls")).distinct()
     alive = (

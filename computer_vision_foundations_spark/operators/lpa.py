@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.operators.components import (
+    _ckpt_partitioned,
     _ckpt_rdd,
     _release,
 )
@@ -67,8 +68,20 @@ def label_propagation(
     on, the checkpointed edge list is scanned, never re-shuffled, each
     round; the mode aggregate's partials are the only exchange
     (round-12, guide §3.1/§2.4). Votes are integer counts, so the
-    result is join-strategy independent."""
-    _b = F.broadcast if broadcast_labels else (lambda d: d)
+    result is join-strategy independent.
+
+    With it OFF (the >1e8-node regime), the edge list is checkpointed
+    HASH-PARTITIONED on the round join key ``v`` (r13, guide
+    §2.4/§3.3): each round shuffles only the node-sized label table
+    into the edge layout, with a ``shuffle_hash`` hint so the edge
+    stream is hash-probed, never re-sorted. Per-round edge-list
+    exchanges: 1 → 0; the mode aggregate's map-side partials remain
+    the only wide per-round exchange."""
+    _b = (
+        F.broadcast
+        if broadcast_labels
+        else (lambda d: d.hint("shuffle_hash"))
+    )
     # explode-mirror, NOT unionByName(select, select): a union of two
     # selects of the same frame embeds the (expensive) upstream pair
     # pipeline TWICE in the plan — it ran twice before the checkpoint
@@ -91,7 +104,11 @@ def label_propagation(
         # pair generator here emits each pair once) — the mirror of a
         # unique pair set is unique
         sym = sym.distinct()
-    sym = sym.localCheckpoint()
+    sym = (
+        sym.localCheckpoint()
+        if broadcast_labels
+        else _ckpt_partitioned(sym, "v")
+    )
     sym_rdd = _ckpt_rdd(sym)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("community")

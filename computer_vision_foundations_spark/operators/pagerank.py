@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from computer_vision_foundations_spark.operators.components import (
+    _ckpt_partitioned,
     _ckpt_rdd,
     _release,
 )
@@ -72,15 +73,22 @@ def pagerank(
     (round-12, guide §3.1/§2.4 — the per-round sort-merge joins
     re-sorted the edge list every iteration).
 
+    With either flag OFF (the >1e8-node regime), the edge list is
+    checkpointed HASH-PARTITIONED on ``src`` (r13, guide §2.4/§3.3):
+    the degree aggregate and the per-round deg/rank joins consume that
+    layout exchange-free — only the node-sized rank table shuffles
+    into it each round, with a ``shuffle_hash`` hint so the edge
+    stream is never re-sorted. Per-round edge-list exchanges: 1 → 0.
+
     Eager: each round materializes via ``localCheckpoint`` (see
     module docstring); the returned DataFrame is the checkpointed
     final round.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    co_partition = not (broadcast_degrees and broadcast_ranks)
+    e = _ckpt_partitioned(e, "src") if co_partition else e.localCheckpoint()
     e_rdd = _ckpt_rdd(e)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -91,12 +99,18 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     if broadcast_degrees:
         deg = F.broadcast(deg)
+    else:
+        # src-partitioned edge layout + derived deg (same layout):
+        # hash-build deg per partition instead of sorting the edges
+        deg = deg.hint("shuffle_hash")
     n_total = nodes.count()  # scalar; node table already materialized
     n_lit = F.lit(float(n_total))
     base = (F.lit(1.0) - F.lit(damping)) / n_lit
     ranks = nodes.select("node", (F.lit(1.0) / n_lit).alias("r"))
     ranks_rdd = None
-    _b = F.broadcast if broadcast_ranks else (lambda d: d)
+    _b = (
+        F.broadcast if broadcast_ranks else (lambda d: d.hint("shuffle_hash"))
+    )
     for _ in range(n_iter):
         contrib = (
             e.join(deg, "src")
