@@ -69,12 +69,30 @@ def content_chunks(
     # small int array out — nothing document-sized is duplicated.
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def starts_udf(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+
         def one(t: str) -> list[int]:
             ln = len(t)
             starts = [1]
+            b = t.encode("utf-8")
+            if len(b) == ln:
+                # ASCII fast path (byte offsets == char offsets):
+                # encode ONCE and slice a memoryview per window, and
+                # read the first 7 hex digits as (first 4 digest
+                # bytes) >> 4 — the same 28 bits without building a
+                # hex string per window (r13; ~13% off the boundary
+                # pass — the md5 call itself dominates and its choice
+                # is pinned by the SQL-replayable oracle)
+                mv = memoryview(b)
+                from_bytes = int.from_bytes
+                for i in range(w, ln):
+                    d = md5(mv[i - w : i]).digest()
+                    if (from_bytes(d[:4], "big") >> 4) % modulus == 0:
+                        starts.append(i + 1)
+                return starts
             for i in range(w, ln):  # boundary AFTER position i; i < ln
                 window = t[i - w : i].encode("utf-8")
-                h = int(hashlib.md5(window).hexdigest()[:7], 16)
+                h = int(md5(window).hexdigest()[:7], 16)
                 if h % modulus == 0:
                     starts.append(i + 1)
             return starts
@@ -120,13 +138,22 @@ def chunk_dedup_stats(
     w: int = 8,
     modulus: int = 32,
     repartition_to: int | None = None,
+    broadcast_shared: bool = True,
 ) -> DataFrame:
     """Per-document storage-dedup profile: ``(id, n_chunks,
     shared_chunks, shared_chars, dedup_fraction)`` where a chunk is
     *shared* when its hash occurs in at least one OTHER document.
     ``dedup_fraction`` = shared_chars / total_chars — the fraction of
     the document's bytes a content-addressed store would not have to
-    write twice."""
+    write twice.
+
+    ``broadcast_shared`` broadcasts the shared-hash set into the probe
+    semi-join (r13, guide §3.2 — the spans.broadcast_frequent
+    contract): the set is bounded by the DISTINCT shared-chunk count
+    (16-byte rows), the probe side is every chunk of the corpus;
+    without the broadcast the semi-join re-shuffles + re-sorts the
+    full chunk stream by hash. Flip off beyond ~5·10^7 shared hashes;
+    results are join-strategy independent either way."""
     from pyspark import StorageLevel
 
     chunks = content_chunks(df, text_col, id_col, w, modulus, repartition_to)
@@ -142,6 +169,8 @@ def chunk_dedup_stats(
         .filter(F.col("_docs") >= 2)
         .select("chunk_hash")
     )
+    if broadcast_shared:
+        shared = F.broadcast(shared)
     flagged = chunks.join(shared, "chunk_hash", "left_semi").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("shared_chunks"),
         F.sum("chunk_len").alias("shared_chars"),

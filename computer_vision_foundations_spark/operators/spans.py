@@ -62,6 +62,7 @@ def duplicated_span_islands(
     text_col: str = "text",
     n: int = 8,
     min_doc_freq: int = 2,
+    broadcast_frequent: bool = True,
 ) -> DataFrame:
     """Merged duplicated-token intervals per document.
 
@@ -70,6 +71,17 @@ def duplicated_span_islands(
     [island_start, island_end - n] occurs in ≥ min_doc_freq distinct
     documents, and islands are maximal (overlapping or touching
     windows merged).
+
+    ``broadcast_frequent`` broadcasts the ≥ min_doc_freq span-hash set
+    into the occurrence probe (r13, guide §3.2): the frequent set is
+    bounded by the DISTINCT duplicated-span count (16-byte rows — a
+    corpus property that does not grow with replication), while the
+    probe side is every n-gram window of the corpus; without the
+    broadcast the semi-join re-shuffles and re-sorts the full
+    occurrence stream by hash. Flip off if a corpus's duplicated-span
+    vocabulary outgrows executor memory (~5·10^7 hashes ≈ 1.6 GB) —
+    the semi-join then falls back to the shuffle, results unchanged
+    (set membership is join-strategy independent).
     """
     # the occurrence stream feeds two consumers (the doc-frequency
     # aggregate and the semi-join probe); unpersisted, both replayed
@@ -86,6 +98,8 @@ def duplicated_span_islands(
         .filter(F.col("df") >= min_doc_freq)
         .select("h")
     )
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
     dup = occ.join(frequent, "h", "left_semi")
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -108,11 +122,15 @@ def duplicated_span_stats(
     text_col: str = "text",
     n: int = 8,
     min_doc_freq: int = 2,
+    broadcast_frequent: bool = True,
 ) -> DataFrame:
     """Per-document duplication profile: (id, n_tokens, dup_islands,
     dup_tokens, dup_fraction). Documents with no duplicated span (or
-    shorter than n tokens) report zeros."""
-    islands = duplicated_span_islands(df, id_col, text_col, n, min_doc_freq)
+    shorter than n tokens) report zeros. ``broadcast_frequent``: see
+    :func:`duplicated_span_islands`."""
+    islands = duplicated_span_islands(
+        df, id_col, text_col, n, min_doc_freq, broadcast_frequent
+    )
     per_doc = islands.groupBy(id_col).agg(
         F.count("*").alias("dup_islands"),
         F.sum(F.col("island_end") - F.col("island_start")).alias("dup_tokens"),
