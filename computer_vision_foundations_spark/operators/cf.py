@@ -27,7 +27,8 @@ beyond-reference LLM-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["item_cosine_pairs", "item_cosine_oracle_sql"]
@@ -41,20 +42,46 @@ def item_cosine_pairs(
     min_cooc: int = 2,
     max_basket_size: int | None = 100,
     round_digits: int = 6,
+    broadcast_norms: bool = True,
 ) -> DataFrame:
     """``(item_a, item_b, cooc, cosine)`` for unordered item pairs
     with ``cooc >= min_cooc``; ``item_a < item_b``. Baskets larger
     than ``max_basket_size`` distinct items are dropped entirely
     (cap ON by default — pass ``None`` only when the basket-size
-    distribution is known bounded)."""
+    distribution is known bounded).
+
+    r13 shape fixes (this operator predated the persist-once
+    discipline and was off the bench when r12 swept for it):
+
+    - the capped distinct (basket, item) relation is built in ONE
+      pass — the size cap is a count window over the same _bk
+      partitioning instead of a groupBy+self-join — and persisted
+      with an eager count; previously the upstream join+distinct
+      pipeline re-ran for the size table, the cap join, the norms and
+      BOTH self-join sides (~5 upstream replays, guide §2.4/§5).
+    - ``broadcast_norms`` broadcasts the per-item basket-count table
+      into the two final joins (16-byte rows, the graph operators'
+      ~1e8-item contract; flip off beyond): the cooc pair stream is
+      joined map-side instead of being re-shuffled twice by item id
+      (guide §3.1). Counts are integers — join-strategy independent.
+    """
     b = df.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     ).distinct()
     if max_basket_size is not None:
-        sizes = b.groupBy("_bk").agg(F.count("*").alias("_sz"))
-        keep = sizes.filter(F.col("_sz") <= max_basket_size).select("_bk")
-        b = b.join(keep, "_bk", "inner")
+        b = (
+            b.withColumn(
+                "_sz",
+                F.count(F.lit(1)).over(Window.partitionBy("_bk")),
+            )
+            .filter(F.col("_sz") <= max_basket_size)
+            .drop("_sz")
+        )
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    b.count()
     norms = b.groupBy("_it").agg(F.count("*").alias("_n"))
+    if broadcast_norms:
+        norms = F.broadcast(norms)
     left = b.select(F.col("_bk"), F.col("_it").alias("item_a"))
     right = b.select(F.col("_bk"), F.col("_it").alias("item_b"))
     pairs = (

@@ -116,7 +116,18 @@ def jaro_winkler_udf():
     across engines.
 
     Per-pair work is O(|a|·|b|) like levenshtein — a VERIFY-stage
-    comparator to run on blocked candidates, never corpus²."""
+    comparator to run on blocked candidates, never corpus².
+
+    NOTE (r13, measured — do not re-try): a numpy vectorize-across-
+    pairs rewrite of this loop was built to full bit-parity (20,010
+    cases, 0 mismatches) and measured only ~1.4× on the realistic
+    40-char-prefix shape — and SLOWER than this scalar loop below
+    ~10k-pair Arrow batches — because the matching loop's
+    first-unmatched-j state limits vectorization to the pair axis
+    (40×39 masked vector ops per batch). The comparator is ~0.3 s of
+    q28's 2.1 s at sf0.1 (already Arrow-batched and parallel), so the
+    complexity was rejected; evidence in
+    plans/r13/AB_JW_VECTORIZE.json."""
     from pyspark.sql.functions import pandas_udf
 
     def _jw(a: str, b: str) -> float:
