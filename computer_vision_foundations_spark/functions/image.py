@@ -469,6 +469,35 @@ def get_image_statistics(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame([_statistics_one(b) for b in batch])
 
 
+_METADATA_STATISTICS_SCHEMA = T.StructType(
+    [
+        T.StructField("metadata", METADATA_SCHEMA),
+        T.StructField("statistics", STATISTICS_SCHEMA),
+    ]
+)
+
+
+@pandas_udf(_METADATA_STATISTICS_SCHEMA)
+def get_image_metadata_statistics(
+    it: Iterator[pd.Series],
+) -> Iterator[pd.DataFrame]:
+    """Fused metadata+statistics pass (r13, guide §4.1): when a
+    pipeline wants BOTH structs, evaluating them as separate pandas
+    UDFs ships the binary ``content`` column across the JVM↔Python
+    boundary twice and pays two worker round-trips per task. One fused
+    call computes both from a single transfer; each struct is produced
+    by the same per-image function as its standalone UDF, so outputs
+    are identical."""
+    for batch in it:
+        lst = batch.tolist()
+        yield pd.DataFrame(
+            {
+                "metadata": [_metadata_one(b) for b in lst],
+                "statistics": [_statistics_one(b) for b in lst],
+            }
+        )
+
+
 def register_image_functions(spark: SparkSession) -> None:
     """SQL registration so ``expr('get_image_metadata(content)')`` works
     (parity with `02_Data Ingest.py:204,252`)."""
@@ -482,3 +511,20 @@ def with_image_metadata(df: DataFrame, content_col: str = "content") -> DataFram
 
 def with_image_statistics(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("statistics", get_image_statistics(F.col(content_col)))
+
+
+def with_image_metadata_statistics(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Both enrichment structs from ONE fused UDF evaluation (see
+    ``get_image_metadata_statistics``). Marked non-deterministic so
+    projection collapse cannot duplicate the evaluation when the two
+    struct fields are split back out (guide §4.4 — the same physical
+    results either way; the flag only pins ONE Python pass)."""
+    fused = get_image_metadata_statistics.asNondeterministic()
+    return (
+        df.withColumn("_ms", fused(F.col(content_col)))
+        .withColumn("metadata", F.col("_ms.metadata"))
+        .withColumn("statistics", F.col("_ms.statistics"))
+        .drop("_ms")
+    )

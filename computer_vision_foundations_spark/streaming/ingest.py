@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from computer_vision_foundations_spark.functions.filename import with_parsed_filename
 from computer_vision_foundations_spark.functions.image import (
     with_image_metadata,
+    with_image_metadata_statistics,
     with_image_statistics,
 )
 from computer_vision_foundations_spark.plans.pipeline import PipelineConfig
@@ -44,9 +45,13 @@ def build_ingest_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         coalesce_partitions=cfg.ingest.coalesce_partitions,
     )
     df = with_parsed_filename(df, ts_format=cfg.ingest.ts_format)
-    if cfg.extract_metadata:
+    if cfg.extract_metadata and cfg.extract_statistics:
+        # one fused Python pass: content crosses the Arrow boundary
+        # once instead of twice (r13, guide §4.1; outputs identical)
+        df = with_image_metadata_statistics(df)
+    elif cfg.extract_metadata:
         df = with_image_metadata(df)
-    if cfg.extract_statistics:
+    elif cfg.extract_statistics:
         df = with_image_statistics(df)
     return df
 

@@ -11,6 +11,7 @@ from computer_vision_foundations_spark.functions.image import (
     STATISTICS_SCHEMA,
     register_image_functions,
     with_image_metadata,
+    with_image_metadata_statistics,
     with_image_statistics,
 )
 from computer_vision_foundations_spark.operators.score import score_with
@@ -41,6 +42,28 @@ def test_statistics_schema_and_determinism(spark):
     s = a[0].statistics
     assert len(s.histogram) == 256
     assert s.entropy >= 0.0
+
+
+def test_fused_metadata_statistics_matches_separate(spark):
+    """The fused single-pass UDF (r13, one Arrow crossing of content)
+    must produce exactly the two standalone structs, and its plan must
+    contain ONE Python evaluation node — the non-deterministic flag
+    exists to stop projection collapse from duplicating it."""
+    df = _binary_df(spark)
+    sep = with_image_statistics(with_image_metadata(df)).select(
+        "id", "metadata", "statistics"
+    )
+    fused = with_image_metadata_statistics(df).select(
+        "id", "metadata", "statistics"
+    )
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(
+        (r.asDict(True) for r in fused.collect()), key=key
+    ) == sorted((r.asDict(True) for r in sep.collect()), key=key)
+    plan = fused._sc._jvm.PythonSQLUtils.explainString(
+        fused._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("ArrowEvalPython (") == 1
 
 
 def test_sql_registration(spark):
