@@ -110,13 +110,28 @@ def label_propagation(
         else _ckpt_partitioned(sym, "v")
     )
     sym_rdd = _ckpt_rdd(sym)
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("community")
-    )
+    # Round 1 fused into initialization (r13 — the components.py
+    # "round 0 fused" trick, LPA never had it): labels start as node
+    # ids, so round 1's "most frequent neighbor LABEL" is just the
+    # most frequent neighbor ID — ONE aggregate over the edge list,
+    # no identity-label table to build/checkpoint and no round-1 join.
+    # Same deterministic mode (ties → smallest); node set = distinct u
+    # = exactly the old init's label keys (sym is mirrored, so every
+    # node appears as u).
+    if n_rounds >= 1:
+        labels = (
+            sym.groupBy("u")
+            .agg(F.mode("v", True).alias("community"))
+            .select(F.col("u").alias("node"), "community")
+        )
+    else:
+        labels = sym.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("community")
+        )
     labels = labels.localCheckpoint()
     labels_rdd = _ckpt_rdd(labels)
     try:
-        for i in range(n_rounds):
+        for i in range(1, n_rounds):
             # deterministic argmax as ONE aggregate: mode(community,
             # deterministic=true) = the most frequent neighbor label,
             # ties to the SMALLEST — the exact LPA rule (verified:
